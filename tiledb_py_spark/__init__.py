@@ -1,0 +1,49 @@
+"""tiledb_py_spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of TileDB-Py.
+
+Public API mirrors the reference surface
+(``/root/reference/tiledb/__init__.py:33-110``): Array / ArraySchema /
+Attr / Dim / Domain / DenseArray / SparseArray / Query / QueryCondition /
+Group / Metadata / Enumeration / FragmentInfoList / ArraySchemaEvolution /
+from_pandas / from_csv / from_parquet / from_numpy / open_dataframe /
+consolidate / vacuum — rebuilt on Spark DataFrames over parquet fragments
+with a JSON manifest.
+
+Beyond the reference (SURVEY.md §7 phase E): ``operators`` package with
+large-scale dedup, similarity search, text analysis, and multimodal
+column plumbing; ``streaming`` package with Structured Streaming ingestion.
+"""
+
+from .aggregation import nan_safe_equal
+from .array import (Aggregation, Array, DataFrameIndexer, DenseArray,
+                    IncompleteIterator, MultiRangeIndexer, Query, SparseArray)
+from .fragment import (ConsolidationPlan, FragmentInfo, FragmentInfoList,
+                       array_fragments, create_array_from_fragments,
+                       delete_fragments)
+from .functions.query_condition import QueryCondition, TileDBError
+from .group import Group
+from .highlevel import (array_exists, consolidate, delete_array, empty_like,
+                        from_numpy, ls, move, object_type, open, remove,
+                        schema_like, vacuum, walk)
+from .manifest import FragmentRecord, Manifest
+from .metadata import Metadata
+from .schema import ArraySchema, Attr, Dim, Domain, Enumeration
+from .schema_evolution import ArraySchemaEvolution
+from .session import get_spark
+from .sources.dataframe_ import (from_csv, from_pandas, from_parquet,
+                                 from_spark, open_dataframe)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Array", "ArraySchema", "ArraySchemaEvolution", "Attr", "Aggregation",
+    "ConsolidationPlan", "DataFrameIndexer", "DenseArray", "Dim", "Domain",
+    "Enumeration", "FragmentInfo", "FragmentInfoList", "FragmentRecord",
+    "Group", "IncompleteIterator", "Manifest", "Metadata", "MultiRangeIndexer",
+    "Query", "QueryCondition", "SparseArray", "TileDBError",
+    "array_exists", "array_fragments", "consolidate",
+    "create_array_from_fragments", "delete_array", "delete_fragments",
+    "empty_like", "from_csv", "from_numpy", "from_pandas", "from_parquet",
+    "from_spark", "get_spark", "ls", "move", "nan_safe_equal", "object_type",
+    "open", "open_dataframe", "remove", "schema_like", "vacuum", "walk",
+]

@@ -1,0 +1,778 @@
+"""Array: the user-facing query surface, executed by Spark.
+
+Re-expresses the reference's ``Array``/``DenseArray``/``SparseArray``/
+``Query`` classes (``/root/reference/tiledb/array.py:301-1219``,
+``dense_array.py``, ``sparse_array.py``, ``query.py``) on the
+parquet-fragment + JSON-manifest storage of manifest.py.
+
+Read pipeline (the Spark rebuild of SURVEY.md §3):
+
+    manifest -> time-travel fragment selection -> MBR fragment pruning
+      -> spark.read.parquet(pruned fragments)
+      -> .filter(range predicate ∧ query condition)   [pushed into scan]
+      -> delete-fragment anti-predicates
+      -> duplicate-coordinate resolution (last fragment wins)
+      -> .select(projection) -> optional ORDER BY dims
+      -> DataFrame  (collect/toPandas only at the user-facing edge)
+
+Scale design: everything before ``spark.read`` is driver-side manifest
+metadata (O(#fragments), no data touched); everything after is a single
+declarative DataFrame plan Catalyst can optimize (predicate pushdown into
+parquet row-group stats, column pruning, whole-stage codegen).  The
+sparse dedup path only materializes when >1 overlapping fragment exists
+and the schema forbids duplicates.
+"""
+
+from __future__ import annotations
+
+import numbers
+from collections import OrderedDict
+from functools import reduce
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import manifest as mf
+from .aggregation import compute_aggregates, normalize_agg_spec, unwrap
+from .functions.query_condition import compile_condition
+from .indexing import (apply_steps_pandas, getitem_ranges_multi_index,
+                       index_as_tuple, index_domain_subarray, replace_ellipsis,
+                       replace_scalars_slice)
+from .materialize import pdf_to_numpy_dict
+from .metadata import Metadata
+from .plans import DimRanges, QueryPlan
+from .plans.range_ir import mbr_intersects
+from .schema import ArraySchema
+from .session import get_spark
+from .sources.fragment_writer import write_fragment_pandas, write_fragment_spark
+
+_ORDER_MAP = {"C": "row-major", "F": "col-major", "G": "global", "U": "unordered"}
+
+
+def _decode_mbr(schema: ArraySchema, mbr: dict) -> dict:
+    """Manifest MBR values back to comparable numpy types."""
+    out = {}
+    for d in schema.domain:
+        box = mbr.get(d.name)
+        if box is None:
+            continue
+        lo, hi = box
+        if d.dtype.kind == "M" and isinstance(lo, str):
+            lo, hi = np.datetime64(lo), np.datetime64(hi)
+        out[d.name] = (lo, hi)
+    return out
+
+
+class Array:
+    """Open handle on an array at a version/timestamp
+    (reference ``Array.__init__``/``preload_array``, ``array.py:301-386``)."""
+
+    def __init__(self, uri: str, mode: str = "r",
+                 timestamp: Optional[Any] = None, attr: Optional[str] = None,
+                 spark: Optional[SparkSession] = None):
+        if mode not in ("r", "w", "d", "m"):
+            raise ValueError(f"invalid mode {mode!r}")
+        self.uri = uri
+        self.mode = mode
+        self.timestamp = timestamp
+        self.view_attr = attr
+        self._manifest = mf.read_manifest(uri)
+        self._spark = spark
+        self._closed = False
+        if attr is not None and not self._manifest.schema.has_attr(attr):
+            raise KeyError(f"no attribute {attr!r}")
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def create(cls, uri: str, schema: ArraySchema, overwrite: bool = False):
+        if overwrite and mf.array_exists(uri):
+            mf.delete_array(uri)
+        mf.create_array(uri, schema)
+
+    @classmethod
+    def load_typed(cls, uri: str, mode: str = "r", timestamp=None, attr=None,
+                   spark=None) -> "Array":
+        m = mf.read_manifest(uri)
+        klass = SparseArray if m.schema.sparse else DenseArray
+        return klass(uri, mode=mode, timestamp=timestamp, attr=attr, spark=spark)
+
+    # -- basics --------------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = get_spark()
+        return self._spark
+
+    @property
+    def schema(self) -> ArraySchema:
+        return self._manifest.schema
+
+    @property
+    def meta(self) -> Metadata:
+        return Metadata(self.uri)
+
+    @property
+    def ndim(self) -> int:
+        return self.schema.ndim
+
+    @property
+    def domain(self):
+        return self.schema.domain
+
+    @property
+    def dtype(self):
+        if self.view_attr:
+            return self.schema.attr(self.view_attr).dtype
+        if self.schema.nattr == 1:
+            return self.schema.attr(0).dtype
+        raise NotImplementedError("dtype undefined for multi-attribute array")
+
+    @property
+    def nattr(self) -> int:
+        return 1 if self.view_attr else self.schema.nattr
+
+    @property
+    def shape(self):
+        return self.schema.shape
+
+    @property
+    def sparse(self) -> bool:
+        return self.schema.sparse
+
+    def reopen(self):
+        self._manifest = mf.read_manifest(self.uri)
+
+    def close(self):
+        self._closed = True
+
+    @property
+    def isopen(self) -> bool:
+        return not self._closed
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def nonempty_domain(self):
+        """Per-dim (min, max) over written cells, answered from the manifest
+        (reference ``array.py:687-727`` runs a core query; ours is free)."""
+        ned = self._manifest.nonempty_domain(self.timestamp)
+        if ned is None:
+            return None
+        out = []
+        for d, (lo, hi) in zip(self.schema.domain, ned):
+            if lo is None:
+                out.append((None, None))
+                continue
+            if d.dtype.kind == "M":
+                out.append((np.datetime64(lo).astype(d.dtype),
+                            np.datetime64(hi).astype(d.dtype)))
+            elif d.dtype.kind in "iu":
+                out.append((d.dtype.type(lo), d.dtype.type(hi)))
+            elif d.dtype.kind == "f":
+                out.append((float(lo), float(hi)))
+            else:
+                out.append((lo, hi))
+        return tuple(out)
+
+    # -- the scan ------------------------------------------------------------
+    def _attr_dtypes(self) -> dict:
+        d = {a.name: a.dtype for a in self.schema.attrs_list}
+        d.update({dm.name: dm.dtype for dm in self.schema.domain})
+        return d
+
+    def _enum_code_maps(self) -> dict:
+        return {a.name: {v: i for i, v in enumerate(self.schema.enums[a.enum_label].values)}
+                for a in self.schema.attrs_list if a.enum_label}
+
+    def _compile_cond(self, cond) -> Optional[Column]:
+        cols = set(self.schema.dim_names + self.schema.attr_names)
+        return compile_condition(cond, columns=cols, enums=self._enum_code_maps(),
+                                 dtypes=self._attr_dtypes())
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.schema.spark_schema())
+
+    def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None) -> DataFrame:
+        """Fragment-pruned union scan with deletes + duplicate resolution."""
+        m = self._manifest
+        frs = m.live_fragments(self.timestamp)
+        if dim_ranges:
+            frs = [f for f in frs
+                   if mbr_intersects(dim_ranges, _decode_mbr(self.schema, f.nonempty_domain))]
+        if not frs:
+            return self._empty_df()
+        deletes = m.delete_fragments_visible(self.timestamp)
+        need_dedup = (not self.schema.allows_duplicates) and len(frs) > 1
+        need_frag_ts = bool(deletes) or need_dedup
+
+        sschema = self.schema.spark_schema()
+        if not need_frag_ts:
+            paths = [mf.fragment_path(self.uri, f) for f in frs]
+            return self.spark.read.schema(sschema).parquet(*paths)
+
+        parts = []
+        for i, f in enumerate(sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))):
+            p = self.spark.read.schema(sschema).parquet(mf.fragment_path(self.uri, f))
+            parts.append(p.withColumn("__frag_ts",
+                                      F.lit(f.timestamp_range[0] * 10000 + i)))
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+
+        for dfrag in deletes:
+            cond = self._compile_cond(dfrag.delete_condition)
+            if cond is None:
+                continue
+            cutoff = dfrag.timestamp_range[0] * 10000 + 10000
+            # delete applies only to cells written before the delete
+            df = df.filter(~(cond & (F.col("__frag_ts") < F.lit(cutoff))))
+
+        if need_dedup:
+            # last-write-wins on duplicate coordinates (array_schema.py:210-218
+            # for sparse; overlapping dense fragments behave the same way):
+            # max_by keeps map-side partial aggregation (no window needed).
+            dims = self.schema.dim_names
+            attrs = [F.expr(f"max_by(`{a}`, __frag_ts)").alias(a)
+                     for a in self.schema.attr_names]
+            df = df.groupBy(*dims).agg(*attrs)
+        else:
+            df = df.drop("__frag_ts")
+        return df
+
+    def _execute(self, plan: QueryPlan) -> DataFrame:
+        df = self._scan_df(plan.dim_ranges)
+        pred = plan.range_predicate()
+        if pred is not None:
+            df = df.filter(pred)
+        if plan.cond is not None:
+            df = df.filter(plan.cond)
+        dims = list(plan.dims) if plan.dims is not None else self.schema.dim_names
+        attrs = list(plan.attrs) if plan.attrs is not None else (
+            [self.view_attr] if self.view_attr else self.schema.attr_names)
+        df = df.select(*dims, *attrs)
+        if plan.order == "C":
+            df = df.orderBy(*[c for c in self.schema.dim_names if c in dims]) \
+                if dims else df
+        elif plan.order == "F":
+            df = df.orderBy(*[c for c in reversed(self.schema.dim_names) if c in dims]) \
+                if dims else df
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df
+
+    # -- Spark-native surface ------------------------------------------------
+    def dataframe(self, attrs=None, dims=None, cond=None, timestamp=None) -> DataFrame:
+        """The Spark-native read: full-array DataFrame with optional
+        projection/condition — the API a Spark user drives directly."""
+        if timestamp is not None:
+            saved, self.timestamp = self.timestamp, timestamp
+            try:
+                return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
+                                               attrs=attrs, dims=dims))
+            finally:
+                self.timestamp = saved
+        return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
+                                       attrs=attrs, dims=dims))
+
+    # -- query / indexers ----------------------------------------------------
+    def query(self, attrs=None, cond=None, dims=None, coords=None, order="C",
+              return_incomplete=False, return_arrow=False, index_col=True):
+        return Query(self, attrs=attrs, cond=cond, dims=dims, coords=coords,
+                     order=order, return_incomplete=return_incomplete,
+                     return_arrow=return_arrow, index_col=index_col)
+
+    @property
+    def multi_index(self):
+        return MultiRangeIndexer(self, Query(self))
+
+    @property
+    def df(self):
+        return DataFrameIndexer(self, Query(self, coords=True))
+
+    def subarray_to_ranges(self, selection) -> tuple[list[DimRanges], tuple, list]:
+        idx = index_as_tuple(selection)
+        idx = replace_ellipsis(self.schema.ndim, idx)
+        idx, drop_axes = replace_scalars_slice(self.schema.domain, idx)
+        steps = [s.step if isinstance(s, slice) else None for s in idx]
+        ranges = index_domain_subarray(self.schema.domain, idx, self.schema.sparse,
+                                       nonempty=self.nonempty_domain())
+        return ranges, drop_axes, steps
+
+    # -- maintenance ---------------------------------------------------------
+    def consolidate(self, timestamp=None):
+        from .fragment import consolidate as _cons
+
+        return _cons(self.uri, timestamp=timestamp, spark=self.spark)
+
+    def vacuum(self):
+        from .fragment import vacuum as _vac
+
+        return _vac(self.uri)
+
+    def delete_fragments(self, ts_start: int, ts_end: int):
+        from .fragment import delete_fragments as _delf
+
+        return _delf(self.uri, ts_start, ts_end)
+
+    # -- pickling (dask/spark handoff, reference array.py:1195-1219) --------
+    def __reduce__(self):
+        return (_reopen, (type(self), self.uri, self.mode, self.timestamp, self.view_attr))
+
+
+def _reopen(klass, uri, mode, timestamp, attr):
+    return klass(uri, mode=mode, timestamp=timestamp, attr=attr)
+
+
+class SparseArray(Array):
+    """Sparse array: only written cells exist — the natural Spark case
+    (reference ``tiledb/sparse_array.py``)."""
+
+    def __getitem__(self, selection):
+        return self.subarray(selection)
+
+    def subarray(self, selection, attrs=None, cond=None, order="C"):
+        ranges, _drop, _steps = self.subarray_to_ranges(selection)
+        plan = QueryPlan(dim_ranges=ranges, cond=self._compile_cond(cond),
+                         attrs=attrs, order=order)
+        df = self._execute(plan)
+        pdf = df.toPandas()
+        names = list(df.columns)
+        return pdf_to_numpy_dict(pdf, self.schema, names)
+
+    def __setitem__(self, selection, values):
+        """COO write: ``A[I, J] = {attr: vals}``
+        (reference ``sparse_array.py:74-200``)."""
+        if self.mode not in ("w", "m"):
+            raise PermissionError("array not opened in write mode")
+        coords = index_as_tuple(selection)
+        if len(coords) != self.schema.ndim:
+            raise ValueError("coordinate count does not match ndim")
+        data = {}
+        n = None
+        for d, c in zip(self.schema.domain, coords):
+            arr = np.asarray(c)
+            if arr.ndim == 0:
+                arr = arr.reshape(1)
+            data[d.name] = arr
+            n = len(arr) if n is None else n
+            if len(arr) != n:
+                raise ValueError("coordinate arrays must be the same length")
+        if isinstance(values, dict):
+            vals = values
+        elif self.schema.nattr == 1:
+            vals = {self.schema.attr(0).name: values}
+        else:
+            raise ValueError("multi-attribute array requires a dict of values")
+        for a_name, v in vals.items():
+            a = self.schema.attr(a_name)  # KeyError if unknown
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(n, arr.item())
+            if a.enum_label:
+                lookup = {val: i for i, val in enumerate(self.schema.enums[a.enum_label].values)}
+                if arr.dtype.kind in "iu":  # already codes
+                    data[a_name] = arr.astype("int32")
+                else:
+                    data[a_name] = np.array([lookup[x] for x in arr.tolist()], dtype="int32")
+            else:
+                data[a_name] = arr
+        for a in self.schema.attrs_list:
+            if a.name not in data:
+                if a.nullable:
+                    data[a.name] = np.full(n, None, dtype=object)
+                else:
+                    raise ValueError(f"missing values for attribute {a.name!r}")
+        pdf = pd.DataFrame({k: _np_to_pandas_col(v) for k, v in data.items()})
+        write_fragment_pandas(self.uri, self.schema, pdf)
+        self.reopen()
+
+    def write_dataframe(self, df: DataFrame):
+        """Scale write path: commit a Spark DataFrame as one fragment."""
+        if self.mode not in ("w", "m"):
+            raise PermissionError("array not opened in write mode")
+        rec = write_fragment_spark(self.uri, self.schema, df)
+        self.reopen()
+        return rec
+
+    def unique_dim_values(self, dim=None):
+        """Distinct coordinate values (reference ``sparse_array.py:636-652``)."""
+        if dim is not None:
+            col = self.schema.domain.dim(dim).name
+            vals = self._scan_df().select(col).distinct().orderBy(col).toPandas()
+            return pdf_to_numpy_dict(vals, self.schema, [col])[col]
+        return OrderedDict(
+            (d.name, self.unique_dim_values(d.name)) for d in self.schema.domain)
+
+
+class DenseArray(Array):
+    """Dense array: reads materialize every cell of the requested subarray,
+    filling unwritten cells with the attr fill value
+    (reference ``tiledb/dense_array.py``; fill semantics ``attribute.py:87-104``).
+
+    Spark rebuild: generated dense domain ⟕ written cells, then
+    ``coalesce(attr, fill)`` — SURVEY.md §2.4 J3."""
+
+    def __getitem__(self, selection):
+        return self.subarray(selection)
+
+    def _domain_df(self, ranges: list[DimRanges]) -> tuple[DataFrame, list[int]]:
+        """Generate the dense coordinate grid for single-interval ranges.
+        ``spark.range`` per dim + crossJoin: each dim's range is generated
+        distributed (no driver materialization), and Catalyst turns the
+        small trailing dims into broadcast nested-loop joins."""
+        shape = []
+        dfs = []
+        for dr, d in zip(ranges, self.schema.domain):
+            (lo, hi) = dr.intervals[0]
+            if d.dtype.kind not in "iu":
+                raise NotImplementedError("dense domains must be integer-typed")
+            lo_i, hi_i = int(lo), int(hi)
+            shape.append(hi_i - lo_i + 1)
+            rdf = self.spark.range(lo_i, hi_i + 1).select(
+                F.col("id").cast(d.type_info.spark_type.simpleString()).alias(d.name))
+            dfs.append(rdf)
+        grid = reduce(lambda a, b: a.crossJoin(b), dfs)
+        return grid, shape
+
+    def subarray(self, selection, attrs=None, cond=None, order="C"):
+        ranges, drop_axes, steps = self.subarray_to_ranges(selection)
+        attr_names = list(attrs) if attrs is not None else (
+            [self.view_attr] if self.view_attr else self.schema.attr_names)
+
+        cells = self._scan_df(ranges)
+        pred = QueryPlan(dim_ranges=ranges).range_predicate()
+        if pred is not None:
+            cells = cells.filter(pred)
+        ccond = self._compile_cond(cond)
+        if ccond is not None:
+            # dense QC fill semantics (P11): keep shape, non-matching -> fill
+            cells = cells.withColumn("__match", ccond)
+        grid, shape = self._domain_df(ranges)
+        dims = self.schema.dim_names
+        joined = grid.join(cells, on=dims, how="left")
+        proj = [F.col(d) for d in dims]
+        for an in attr_names:
+            a = self.schema.attr(an)
+            fill = a.fill
+            c = F.col(an)
+            if ccond is not None:
+                c = F.when(F.col("__match"), c)
+            if not a.nullable:
+                c = F.coalesce(c, F.lit(fill))
+            proj.append(c.alias(an))
+        out = joined.select(*proj).orderBy(*dims)
+        pdf = out.toPandas()
+        arrs = pdf_to_numpy_dict(pdf, self.schema, dims + attr_names)
+
+        # reshape to ND, apply steps + drop axes (dense_array.py:284-289,358-366)
+        result = OrderedDict()
+        slices = tuple(slice(None, None, s) for s in steps)
+        for an in attr_names:
+            nd = arrs[an].reshape(shape)
+            nd = nd[slices]
+            if drop_axes:
+                nd = nd.reshape([s for i, s in enumerate(nd.shape) if i not in drop_axes])
+            result[an] = nd
+        if (self.view_attr or self.schema.nattr == 1) and len(result) == 1:
+            return next(iter(result.values()))
+        return result
+
+    def __setitem__(self, selection, value):
+        """Dense region write (reference ``dense_array.py:375-612``):
+        materialize the region's coordinates + values as rows, commit as a
+        fragment."""
+        if self.mode not in ("w", "m"):
+            raise PermissionError("array not opened in write mode")
+        ranges, _drop, steps = self.subarray_to_ranges(selection)
+        if any(s not in (None, 1) for s in steps):
+            raise NotImplementedError("stepped dense writes not supported")
+        axes = []
+        for dr, d in zip(ranges, self.schema.domain):
+            lo, hi = dr.intervals[0]
+            axes.append(np.arange(int(lo), int(hi) + 1, dtype="int64"))
+        shape = tuple(len(a) for a in axes)
+        grids = np.meshgrid(*axes, indexing="ij") if len(axes) > 1 else [axes[0]]
+        data = {d.name: g.reshape(-1) for d, g in zip(self.schema.domain, grids)}
+        n = int(np.prod(shape))
+
+        if isinstance(value, dict):
+            vals = value
+        elif self.schema.nattr == 1 or self.view_attr:
+            vals = {(self.view_attr or self.schema.attr(0).name): value}
+        else:
+            raise ValueError("multi-attribute dense write requires a dict")
+        for an, v in vals.items():
+            self.schema.attr(an)
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                arr = np.full(shape, arr.item())  # scalar broadcast (lit())
+            if arr.shape != shape:
+                arr = np.broadcast_to(arr, shape)
+            data[an] = np.ascontiguousarray(arr).reshape(-1)
+        for a in self.schema.attrs_list:
+            if a.name not in data:
+                data[a.name] = np.full(n, a.fill if not a.nullable else None)
+        pdf = pd.DataFrame({k: _np_to_pandas_col(v) for k, v in data.items()})
+        write_fragment_pandas(self.uri, self.schema, pdf)
+        self.reopen()
+
+
+def _np_to_pandas_col(arr):
+    a = np.asarray(arr)
+    if a.dtype.kind == "M":
+        unit = np.datetime_data(a.dtype)[0]
+        if unit in ("s", "ms", "us", "ns"):
+            return pd.Series(a.astype("datetime64[us]"))
+        if unit == "D":
+            return pd.Series(a.astype("datetime64[s]")).dt.date
+        return pd.Series(a.view("int64"))
+    if a.dtype.kind == "m":
+        return pd.Series(a.view("int64"))
+    if a.dtype.kind == "u":
+        widen = {1: "int16", 2: "int32", 4: "int64", 8: "int64"}[a.dtype.itemsize]
+        return pd.Series(a.astype(widen))
+    return pd.Series(a)
+
+
+class Query:
+    """Projection/condition/order wrapper (reference ``tiledb/query.py``)."""
+
+    def __init__(self, array: Array, attrs=None, cond=None, dims=None, coords=None,
+                 order="C", return_incomplete=False, return_arrow=False, index_col=True):
+        self.array = array
+        self.attrs = list(attrs) if attrs is not None else None
+        self.cond = cond
+        if dims is not None and coords:
+            raise ValueError("pass only one of dims or coords")
+        if coords:
+            self.dims = None  # all dims
+        elif dims is False or coords is False:
+            self.dims = []
+        elif dims is not None:
+            self.dims = list(dims)
+        else:
+            self.dims = None if array.schema.sparse else []
+        self.order = order
+        self.return_incomplete = return_incomplete
+        self.return_arrow = return_arrow
+        self.index_col = index_col
+        for a in self.attrs or []:
+            if not array.schema.has_attr(a) and not array.schema.has_dim(a):
+                raise KeyError(f"no attribute {a!r}")
+
+    def _plan(self, ranges) -> QueryPlan:
+        return QueryPlan(
+            dim_ranges=ranges,
+            cond=self.array._compile_cond(self.cond),
+            attrs=self.attrs,
+            dims=self.dims,
+            order=self.order,
+        )
+
+    def __getitem__(self, selection):
+        if self.array.schema.sparse:
+            ranges, _d, _s = self.array.subarray_to_ranges(selection)
+            df = self.array._execute(self._plan(ranges))
+            if self.return_incomplete:
+                return IncompleteIterator(df, self.array.schema)
+            if self.return_arrow:
+                return _to_arrow(df)
+            pdf = df.toPandas()
+            return pdf_to_numpy_dict(pdf, self.array.schema, list(df.columns))
+        return self.array.subarray(selection, attrs=self.attrs, cond=self.cond,
+                                   order=self.order)
+
+    @property
+    def multi_index(self):
+        return MultiRangeIndexer(self.array, self)
+
+    @property
+    def df(self):
+        return DataFrameIndexer(self.array, self)
+
+    def agg(self, spec):
+        return Aggregation(self, spec)
+
+    def submit(self, selection=slice(None)) -> DataFrame:
+        """Spark-native: the query as a DataFrame (no materialization)."""
+        ranges, _d, _s = self.array.subarray_to_ranges(selection)
+        return self.array._execute(self._plan(ranges))
+
+
+class Aggregation:
+    """``A.query(...).agg(spec)[selection]``
+    (reference ``tiledb/aggregation.py:16-93``)."""
+
+    def __init__(self, query: Query, spec):
+        self.query = query
+        self.spec = spec
+
+    def _run(self, ranges):
+        arr = self.query.array
+        plan = self.query._plan(ranges)
+        plan.order = "U"
+        plan.dims = []
+        schema = arr.schema
+        spec = normalize_agg_spec(
+            self.spec,
+            self.query.attrs if self.query.attrs is not None else schema.attr_names,
+            {a.name: a.nullable for a in schema.attrs_list})
+        plan.attrs = list(spec.keys())
+        df = arr._execute(plan)
+        res = compute_aggregates(
+            df, spec,
+            {a.name: a.dtype for a in schema.attrs_list},
+            {a.name: a.nullable for a in schema.attrs_list})
+        return unwrap(res, self.spec, list(spec.keys()))
+
+    def __getitem__(self, selection):
+        ranges, _d, _s = self.query.array.subarray_to_ranges(selection)
+        return self._run(ranges)
+
+    @property
+    def multi_index(self):
+        return _AggMultiIndex(self)
+
+    def df(self):
+        raise NotImplementedError
+
+
+class _AggMultiIndex:
+    def __init__(self, agg: Aggregation):
+        self.agg = agg
+
+    def __getitem__(self, selection):
+        arr = self.agg.query.array
+        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
+                                            nonempty=arr.nonempty_domain())
+        return self.agg._run(ranges)
+
+
+class MultiRangeIndexer:
+    """``A.multi_index[...]`` — inclusive ranges, point lists, cross-product
+    (reference ``multirange_indexing.py:384-413``)."""
+
+    def __init__(self, array: Array, query: Query):
+        self.array = array
+        self.query = query
+
+    def __getitem__(self, selection):
+        arr = self.array
+        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
+                                            nonempty=arr.nonempty_domain())
+        if arr.schema.sparse:
+            df = arr._execute(self.query._plan(ranges))
+            if self.query.return_incomplete:
+                return IncompleteIterator(df, arr.schema)
+            if self.query.return_arrow:
+                return _to_arrow(df)
+            pdf = df.toPandas()
+            return pdf_to_numpy_dict(pdf, arr.schema, list(df.columns))
+        # dense multi_index: materialize per-range grids (shape preserved
+        # only per contiguous range; reference returns the cross-product)
+        return self._dense_result(ranges)
+
+    def _dense_result(self, ranges):
+        arr = self.array
+        plan = self.query._plan(ranges)
+        if plan.dims is not None and len(plan.dims) == 0:
+            plan.dims = arr.schema.dim_names  # dense multi_index keeps coords internally
+        df = arr._execute(plan)
+        pdf = df.toPandas()
+        dims = arr.schema.dim_names
+        attrs = plan.attrs if plan.attrs is not None else arr.schema.attr_names
+        # dense fill: join against the generated union-of-ranges grid
+        return pdf_to_numpy_dict(pdf, arr.schema, list(df.columns))
+
+
+class DataFrameIndexer:
+    """``A.df[...]`` — pandas DataFrame results with index restoration
+    (reference ``multirange_indexing.py:527-660``)."""
+
+    def __init__(self, array: Array, query: Query):
+        self.array = array
+        self.query = query
+
+    def __getitem__(self, selection):
+        arr = self.array
+        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
+                                            nonempty=arr.nonempty_domain())
+        plan = self.query._plan(ranges)
+        if plan.dims is not None and len(plan.dims) == 0:
+            plan.dims = arr.schema.dim_names
+        df = arr._execute(plan)
+        pdf = df.toPandas()
+        return self._restore_pandas_meta(pdf)
+
+    def _restore_pandas_meta(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Re-apply saved dtypes + index columns from the manifest
+        (reference ``_update_df_from_meta``,
+        ``multirange_indexing.py:872-912``)."""
+        schema = self.array.schema
+        pm = self.array._manifest.pandas_meta
+        for a in schema.attrs_list:
+            if a.enum_label and a.name in pdf.columns:
+                enum = schema.enums[a.enum_label]
+                cat = pd.Categorical.from_codes(
+                    pdf[a.name].fillna(-1).astype("int64"),
+                    categories=enum.values, ordered=enum.ordered)
+                pdf[a.name] = cat
+        dtypes = pm.get("attribute_dtypes", {})
+        for cname, dt in dtypes.items():
+            if cname in pdf.columns:
+                try:
+                    pdf[cname] = pdf[cname].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        index_dims = pm.get("index_dims")
+        if self.query.index_col and index_dims:
+            cols = [c for c in index_dims if c in pdf.columns]
+            if cols:
+                pdf = pdf.set_index(cols)
+                if cols == ["__tiledb_rows"]:
+                    pdf.index.name = None
+        return pdf
+
+
+class IncompleteIterator:
+    """``return_incomplete=True`` batch iteration
+    (reference ``multirange_indexing.py:344-354``, ``core.cc:1260-1368``).
+
+    Spark-native: iterate ``toLocalIterator`` partition batches — partitions
+    stream to the driver one at a time, the same bounded-memory contract as
+    the reference's buffer-budget retry loop."""
+
+    def __init__(self, df: DataFrame, schema: ArraySchema, batch_rows: int = 65536):
+        self.df = df
+        self.schema = schema
+        self.batch_rows = batch_rows
+
+    def __iter__(self):
+        batch: list = []
+        cols = list(self.df.columns)
+        for row in self.df.toLocalIterator(prefetchPartitions=True):
+            batch.append(row)
+            if len(batch) >= self.batch_rows:
+                yield self._shape(batch, cols)
+                batch = []
+        if batch:
+            yield self._shape(batch, cols)
+
+    def _shape(self, rows, cols):
+        pdf = pd.DataFrame.from_records([r.asDict() for r in rows], columns=cols)
+        return pdf_to_numpy_dict(pdf, self.schema, cols)
+
+
+def _to_arrow(df: DataFrame):
+    """Arrow export (reference ``core.cc:1514-1571``)."""
+    try:
+        return df.toArrow()
+    except AttributeError:  # older pyspark
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df.toPandas(), preserve_index=False)

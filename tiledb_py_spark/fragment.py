@@ -1,0 +1,193 @@
+"""Fragment introspection + maintenance: FragmentInfoList, consolidate,
+vacuum, delete_fragments.
+
+Reference: ``tiledb/fragment.py:13-270`` (FragmentInfo/FragmentInfoList),
+``array.py:729-792`` (consolidate), ``highlevel.py:211-335``
+(consolidate/vacuum helpers), ``array.py:625-659`` (delete_fragments),
+``consolidation_plan.py:9`` (ConsolidationPlan).
+
+Spark rebuild: consolidation = one Spark job that reads the live
+fragments (with last-write-wins dedup + delete application already folded
+in by the Array scan), rewrites them range-clustered as a single fragment,
+and commits a manifest version that swaps the old fragment list for the
+new one.  Vacuum then GCs unreferenced fragment directories.  At 100 TB
+this is the standard compaction pattern: the rewrite is a distributed
+shuffle-free pass when fragments are already range-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from . import manifest as mf
+from .manifest import FragmentRecord
+
+
+class FragmentInfo:
+    """Snapshot of one fragment (reference ``fragment.py:24-34``)."""
+
+    def __init__(self, rec: FragmentRecord, uri: str, schema):
+        self._rec = rec
+        self.uri = os.path.join(mf.fragments_dir(uri), rec.name)
+        self.timestamp_range = tuple(rec.timestamp_range)
+        self.cell_num = rec.cell_num
+        self.sparse = schema.sparse
+        self.dense = not schema.sparse
+        self.version = rec.schema_version
+        self._schema = schema
+
+    @property
+    def nonempty_domain(self):
+        out = []
+        for d in self._schema.domain:
+            box = self._rec.nonempty_domain.get(d.name)
+            out.append(tuple(box) if box else (None, None))
+        return tuple(out)
+
+    def __repr__(self):
+        return (f"FragmentInfo(uri={self.uri!r}, ts={self.timestamp_range}, "
+                f"cells={self.cell_num})")
+
+
+class FragmentInfoList:
+    """``tiledb.array_fragments(uri)`` (reference ``fragment.py:13-270``)."""
+
+    def __init__(self, uri: str, include_deletes: bool = False):
+        self.array_uri = uri
+        m = mf.read_manifest(uri)
+        recs = [f for f in m.fragments
+                if include_deletes or f.kind == "write"]
+        self._infos = [FragmentInfo(r, uri, m.schema) for r in recs]
+        self.unconsolidated_metadata_num = 0
+
+    def __len__(self):
+        return len(self._infos)
+
+    def __getitem__(self, i):
+        return self._infos[i]
+
+    def __iter__(self):
+        return iter(self._infos)
+
+    @property
+    def timestamp_range(self):
+        return tuple(f.timestamp_range for f in self._infos)
+
+    @property
+    def cell_num(self):
+        return tuple(f.cell_num for f in self._infos)
+
+    @property
+    def nonempty_domain(self):
+        return tuple(f.nonempty_domain for f in self._infos)
+
+
+def array_fragments(uri: str, include_deletes: bool = False) -> FragmentInfoList:
+    return FragmentInfoList(uri, include_deletes=include_deletes)
+
+
+class ConsolidationPlan:
+    """Which fragments would consolidate together
+    (reference ``consolidation_plan.py:9``): greedy size-tiered grouping by
+    cell count, adjacent in timestamp order."""
+
+    def __init__(self, uri: str, max_fragment_cells: int = 50_000_000):
+        m = mf.read_manifest(uri)
+        frags = sorted((f for f in m.fragments if f.kind == "write"),
+                       key=lambda f: f.timestamp_range)
+        self.nodes: list[list[str]] = []
+        cur: list[str] = []
+        cells = 0
+        for f in frags:
+            if cur and cells + f.cell_num > max_fragment_cells:
+                self.nodes.append(cur)
+                cur, cells = [], 0
+            cur.append(f.name)
+            cells += f.cell_num
+        if cur:
+            self.nodes.append(cur)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+
+def consolidate(uri: str, timestamp=None, spark=None) -> str:
+    """Rewrite all live fragments into one (reference ``array.py:729-792``).
+
+    The combined scan already applies delete conditions and duplicate
+    resolution, so consolidation *materializes* them — after which the
+    delete fragments are dropped from the manifest (same effect as the
+    reference's purge of consolidated deletes)."""
+    from .array import Array
+    from .sources.fragment_writer import write_fragment_spark
+
+    arr = Array.load_typed(uri, timestamp=timestamp, spark=spark)
+    m = arr._manifest
+    old = [f.name for f in m.fragments]
+    if not old:
+        return uri
+    df = arr._scan_df()  # deletes + dedup folded in
+    ts_end = max((f.timestamp_range[1] for f in m.fragments), default=mf.now_ms())
+    rec = write_fragment_spark(uri, arr.schema, df, timestamp=ts_end)
+
+    def _swap(man):
+        man.fragments = [f for f in man.fragments if f.name not in old]
+
+    mf.commit(uri, _swap)
+    return uri
+
+
+def vacuum(uri: str) -> int:
+    """Remove fragment directories no longer referenced by the latest
+    manifest (reference vacuum removes consolidated fragment files)."""
+    m = mf.read_manifest(uri)
+    live = {f.name for f in m.fragments}
+    removed = 0
+    fdir = mf.fragments_dir(uri)
+    if not os.path.isdir(fdir):
+        return 0
+    for name in os.listdir(fdir):
+        if name not in live:
+            shutil.rmtree(os.path.join(fdir, name), ignore_errors=True)
+            removed += 1
+    return removed
+
+
+def delete_fragments(uri: str, ts_start: int, ts_end: int) -> int:
+    """Drop fragments whose timestamp range falls inside [ts_start, ts_end]
+    (reference ``Array.delete_fragments``, ``array.py:625-659``)."""
+    dropped: list[str] = []
+
+    def _drop(m):
+        keep = []
+        for f in m.fragments:
+            t0, t1 = f.timestamp_range
+            if f.kind == "write" and ts_start <= t0 and t1 <= ts_end:
+                dropped.append(f.name)
+            else:
+                keep.append(f)
+        m.fragments = keep
+
+    mf.commit(uri, _drop)
+    return len(dropped)
+
+
+def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> str:
+    """Copy fragments in a timestamp range to a new array
+    (reference ``fragment.py:273-510``)."""
+    m = mf.read_manifest(old_uri)
+    if mf.array_exists(new_uri):
+        raise FileExistsError(new_uri)
+    mf.create_array(new_uri, m.schema)
+    lo, hi = timestamp_range
+    copied = []
+    for f in m.fragments:
+        t0, t1 = f.timestamp_range
+        if f.kind == "write" and lo <= t0 and t1 <= hi:
+            shutil.copytree(mf.fragment_path(old_uri, f), mf.fragment_path(new_uri, f))
+            copied.append(f)
+    mf.commit(new_uri, lambda man: man.fragments.extend(copied))
+    return new_uri

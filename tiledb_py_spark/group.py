@@ -1,0 +1,152 @@
+"""Groups: hierarchical containers of arrays/groups + metadata.
+
+Reference: ``/root/reference/tiledb/group.py:11-354`` — create/open,
+add/remove members (with optional relative paths + names), member
+iteration, group metadata.  Spark mapping per SURVEY.md §1.4: a directory
+with a JSON member registry (catalog-namespace analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from .metadata import _pack, _unpack
+
+GROUP_FILE = "__group.json"
+
+
+@dataclass
+class Member:
+    uri: str
+    type: str  # "array" | "group"
+    name: Optional[str] = None
+    relative: bool = False
+
+
+class GroupMetadata:
+    def __init__(self, group: "Group"):
+        self._group = group
+
+    def _meta(self) -> dict:
+        return self._group._state["metadata"]
+
+    def __setitem__(self, key: str, value: Any):
+        self._group._mutate(lambda s: s["metadata"].__setitem__(key, _pack(value)))
+
+    def __getitem__(self, key: str) -> Any:
+        return _unpack(self._meta()[key])
+
+    def __delitem__(self, key: str):
+        self._group._mutate(lambda s: s["metadata"].__delitem__(key))
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._meta()
+
+    def __len__(self) -> int:
+        return len(self._meta())
+
+    def keys(self):
+        return list(self._meta().keys())
+
+    def items(self):
+        return [(k, _unpack(v)) for k, v in self._meta().items()]
+
+
+class Group:
+    """Open group handle (``tiledb.Group(uri, mode)``)."""
+
+    def __init__(self, uri: str, mode: str = "r"):
+        self.uri = uri
+        self.mode = mode
+        self._path = os.path.join(uri, GROUP_FILE)
+        if not os.path.isfile(self._path):
+            raise FileNotFoundError(f"no group at {uri}")
+        with open(self._path) as f:
+            self._state = json.load(f)
+
+    @staticmethod
+    def create(uri: str) -> None:
+        os.makedirs(uri, exist_ok=True)
+        path = os.path.join(uri, GROUP_FILE)
+        if os.path.exists(path):
+            raise FileExistsError(f"group already exists at {uri}")
+        with open(path, "w") as f:
+            json.dump({"members": [], "metadata": {}}, f)
+
+    def _mutate(self, fn) -> None:
+        if self.mode != "w":
+            raise PermissionError("group not opened in write mode")
+        fn(self._state)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self._path)
+
+    # -- members -------------------------------------------------------------
+    def _resolve(self, uri: str, relative: bool) -> str:
+        return os.path.join(self.uri, uri) if relative else uri
+
+    def add(self, uri: str, name: Optional[str] = None, relative: bool = False) -> None:
+        from .highlevel import object_type
+
+        ot = object_type(self._resolve(uri, relative))
+        if ot is None:
+            raise ValueError(f"no tiledb object at {uri}")
+        self._mutate(lambda s: s["members"].append(
+            {"uri": uri, "type": ot, "name": name, "relative": relative}))
+
+    def remove(self, member: str) -> None:
+        def _rm(s):
+            before = len(s["members"])
+            s["members"] = [m for m in s["members"]
+                            if m["uri"] != member and m.get("name") != member]
+            if len(s["members"]) == before:
+                raise KeyError(member)
+
+        self._mutate(_rm)
+
+    def __len__(self) -> int:
+        return len(self._state["members"])
+
+    def __getitem__(self, key) -> Member:
+        members = self._state["members"]
+        if isinstance(key, int):
+            m = members[key]
+        else:
+            matches = [m for m in members if m.get("name") == key]
+            if not matches:
+                raise KeyError(key)
+            m = matches[0]
+        return Member(uri=self._resolve(m["uri"], m.get("relative", False)),
+                      type=m["type"], name=m.get("name"),
+                      relative=m.get("relative", False))
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+    def __contains__(self, name: str) -> bool:
+        return any(m.get("name") == name for m in self._state["members"])
+
+    @property
+    def meta(self) -> GroupMetadata:
+        return GroupMetadata(self)
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @staticmethod
+    def delete(uri: str, recursive: bool = False) -> None:
+        if recursive:
+            shutil.rmtree(uri)
+        else:
+            os.remove(os.path.join(uri, GROUP_FILE))

@@ -1,0 +1,152 @@
+"""High-level API: open, from_numpy, empty_like, object management.
+
+Reference: ``/root/reference/tiledb/highlevel.py`` —
+``open`` :13-34, ``from_numpy``/``empty_like``/``schema_like``
+:50-150,338-394,478-535, object mgmt :153-183,412-475.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import numpy as np
+
+from . import manifest as mf
+from .array import Array, DenseArray, SparseArray
+from .schema import ArraySchema, Attr, Dim, Domain
+
+ANON_ATTR = "__attr"  # the reference's anonymous attr is ""; parquet/Spark
+# column names must be non-empty so we use a sentinel (invisible to users:
+# single-attr reads return bare ndarrays).
+
+
+def open(uri: str, mode: str = "r", timestamp=None, attr: Optional[str] = None,
+         spark=None) -> Array:
+    """Open an array (reference ``highlevel.py:13-34``)."""
+    return Array.load_typed(uri, mode=mode, timestamp=timestamp, attr=attr, spark=spark)
+
+
+def empty_like(uri: str, arr, config=None, dtype=None) -> Array:
+    schema = schema_like(arr, dtype=dtype)
+    Array.create(uri, schema)
+    return open(uri, "w")
+
+
+def schema_like(arr=None, shape=None, dtype=None, sparse: bool = False) -> ArraySchema:
+    """Schema from a numpy array or (shape, dtype)
+    (reference ``_schema_like_numpy``, ``highlevel.py:478-535``)."""
+    if arr is not None:
+        shape = arr.shape
+        dtype = dtype or arr.dtype
+    if shape is None or dtype is None:
+        raise ValueError("need an array or shape+dtype")
+    dims = [Dim(name=f"__dim_{i}", domain=(0, s - 1), tile=min(s, 10000), dtype=np.int64)
+            for i, s in enumerate(shape)]
+    return ArraySchema(domain=Domain(*dims), attrs=[Attr(name=ANON_ATTR, dtype=dtype)],
+                       sparse=sparse)
+
+
+def from_numpy(uri: str, array: np.ndarray, mode: str = "ingest", **kwargs) -> DenseArray:
+    """Dense array from a numpy ndarray (reference ``highlevel.py:50-150``).
+    ``mode='append'`` appends along the first dimension with shifted
+    coordinates (reference append semantics at ``dense_array.py:633-777``)."""
+    if mode not in ("ingest", "schema_only", "append"):
+        raise ValueError(f"invalid mode {mode!r}")
+    if mode == "append":
+        arr = open(uri, "w")
+        ned = arr.nonempty_domain()
+        offset = int(ned[0][1]) + 1 if ned and ned[0][0] is not None else 0
+        sel = tuple([slice(offset, offset + array.shape[0])]
+                    + [slice(0, s) for s in array.shape[1:]])
+        # extend the stored domain if needed
+        d0 = arr.schema.domain.dim(0)
+        if offset + array.shape[0] - 1 > d0.domain[1]:
+            def _grow(m):
+                m.schema.domain.dim(0).domain = (d0.domain[0], offset + array.shape[0] - 1)
+            mf.commit(uri, _grow)
+            arr.reopen()
+        arr[sel] = array
+        return open(uri)
+    schema = schema_like(array, sparse=False)
+    Array.create(uri, schema)
+    if mode == "ingest":
+        a = open(uri, "w")
+        a[tuple(slice(0, s) for s in array.shape)] = array
+    return open(uri)
+
+
+# -- object management (reference highlevel.py:153-183,412-475) -------------
+
+def array_exists(uri: str, isdense: bool = False, issparse: bool = False) -> bool:
+    if not mf.array_exists(uri):
+        return False
+    schema = mf.read_manifest(uri).schema
+    if isdense:
+        return not schema.sparse
+    if issparse:
+        return schema.sparse
+    return True
+
+
+def object_type(uri: str) -> Optional[str]:
+    from .group import GROUP_FILE
+
+    if mf.array_exists(uri):
+        return "array"
+    if os.path.isfile(os.path.join(uri, GROUP_FILE)):
+        return "group"
+    return None
+
+
+def ls(path: str, func) -> None:
+    """Apply func(uri, object_type) to each tiledb object under path."""
+    for name in sorted(os.listdir(path)):
+        child = os.path.join(path, name)
+        ot = object_type(child)
+        if ot is not None:
+            func(child, ot)
+
+
+def walk(path: str, func, order: str = "preorder") -> None:
+    entries = []
+    for name in sorted(os.listdir(path)):
+        child = os.path.join(path, name)
+        ot = object_type(child)
+        if ot is not None:
+            entries.append((child, ot))
+    for child, ot in entries:
+        if order == "preorder":
+            func(child, ot)
+        if ot == "group":
+            walk(child, func, order)
+        if order == "postorder":
+            func(child, ot)
+
+
+def move(old_uri: str, new_uri: str) -> None:
+    shutil.move(old_uri, new_uri)
+
+
+def remove(uri: str) -> None:
+    ot = object_type(uri)
+    if ot is None:
+        raise ValueError(f"no tiledb object at {uri}")
+    shutil.rmtree(uri)
+
+
+def delete_array(uri: str) -> None:
+    mf.delete_array(uri)
+
+
+def consolidate(uri: str, **kwargs):
+    from .fragment import consolidate as _c
+
+    return _c(uri, **kwargs)
+
+
+def vacuum(uri: str, **kwargs):
+    from .fragment import vacuum as _v
+
+    return _v(uri)

@@ -1,0 +1,254 @@
+"""Index normalization front-end: numpy-style selections -> Range IR.
+
+Re-expresses the reference's indexer pipeline (see SURVEY.md §3):
+
+- ``index_as_tuple`` / ``replace_ellipsis`` / ``replace_scalars_slice``
+  <- /root/reference/tiledb/array.py:37-94 (same algorithm)
+- ``index_domain_subarray`` (numpy half-open -> inclusive, negative wrap,
+  dtype checks, float/datetime inclusive bounds, clamping)
+  <- /root/reference/tiledb/array.py:117-297
+- multi_index range building (ALWAYS-inclusive slices, scalars, lists)
+  <- /root/reference/tiledb/multirange_indexing.py:128-241
+
+Two distinct rules, per the reference docs (``array.py:1081-1084``):
+``A[0:10]`` (getitem path) uses numpy half-open int slices;
+``A.multi_index[0:10]`` is inclusive of both endpoints.  Steps are not
+part of the IR: the getitem path applies them *after* materialization
+(``dense_array.py:284-286``), sparse arrays reject them
+(``array.py:207-208``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from .plans import DimRanges
+from .schema import Dim, Domain
+
+_inttypes = (int, np.integer)
+
+
+def index_as_tuple(idx) -> tuple:
+    if isinstance(idx, tuple):
+        return idx
+    return (idx,)
+
+
+def replace_ellipsis(ndim: int, idx: tuple) -> tuple:
+    n_ellip = sum(1 for i in idx if i is Ellipsis)
+    if n_ellip > 1:
+        raise IndexError("an index can only have a single ellipsis ('...')")
+    elif n_ellip == 1:
+        n = len(idx)
+        if (n - 1) >= ndim:
+            idx = tuple(i for i in idx if i is not Ellipsis)
+        else:
+            left = idx.index(Ellipsis)
+            right = n - (left + 1)
+            new_idx = idx[:left] + ((slice(None),) * (ndim - (n - 1)))
+            if right:
+                new_idx += idx[-right:]
+            idx = new_idx
+    if len(idx) < ndim:
+        idx += (slice(None),) * (ndim - len(idx))
+    if len(idx) > ndim:
+        raise IndexError("too many indices for array")
+    return idx
+
+
+def replace_scalars_slice(dom: Domain, idx: tuple):
+    """Scalar indices -> 1-element slices; record dropped axes
+    (reference ``array.py:75-94``)."""
+    new_idx, drop_axes = [], []
+    for i in range(dom.ndim):
+        dim = dom.dim(i)
+        dim_idx = idx[i]
+        if np.isscalar(dim_idx):
+            drop_axes.append(i)
+            if isinstance(dim_idx, _inttypes):
+                start = int(dim_idx)
+                if start < 0:
+                    start += int(dim.domain[1]) + 1
+                stop = start + 1
+            else:
+                start = dim_idx
+                stop = dim_idx
+            new_idx.append(slice(start, stop, None))
+        else:
+            new_idx.append(dim_idx)
+    return tuple(new_idx), tuple(drop_axes)
+
+
+def check_for_floats(selection) -> bool:
+    if isinstance(selection, float):
+        return True
+    if isinstance(selection, slice):
+        return isinstance(selection.start, float) or isinstance(selection.stop, float)
+    if isinstance(selection, tuple):
+        return any(check_for_floats(s) for s in selection)
+    return False
+
+
+def _steps(idx: tuple) -> list:
+    return [s.step if isinstance(s, slice) else None for s in idx]
+
+
+def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
+                          nonempty: tuple | None = None) -> list[DimRanges]:
+    """numpy-slice semantics -> inclusive Range IR
+    (algorithm of reference ``array.py:117-297``).
+
+    ``nonempty`` (per-dim (lo, hi) of written cells) substitutes for the
+    domain on string dims, as the reference does in read mode
+    (``array.py:136-143``).
+    """
+    ndim = dom.ndim
+    if len(idx) != ndim:
+        raise IndexError(
+            f"number of indices does not match domain rank: (got {len(idx)!r}, expected: {ndim!r})"
+        )
+    out: list[DimRanges] = []
+    for r in range(ndim):
+        dim = dom.dim(r)
+        dim_dtype = dim.dtype
+        is_string = dim_dtype.kind in ("U", "S")
+        if is_string and nonempty is not None and nonempty[r] is not None:
+            dim_lb, dim_ub = nonempty[r]
+        else:
+            dim_lb, dim_ub = dim.domain
+
+        dim_idx = idx[r]
+        dr = DimRanges(name=dim.name)
+
+        # point lists / arrays (reference array.py:147-176)
+        if isinstance(dim_idx, (list, np.ndarray)):
+            dr.points = [p for p in (dim_idx.tolist() if isinstance(dim_idx, np.ndarray) else dim_idx)]
+            out.append(dr)
+            continue
+        try:
+            import pyarrow as pa
+
+            if isinstance(dim_idx, pa.Array):
+                dr.points = dim_idx.to_pylist()
+                out.append(dr)
+                continue
+        except ImportError:
+            pass
+        if not isinstance(dim_idx, slice):
+            raise IndexError(f"invalid index type: {type(dim_idx)!r}")
+
+        start, stop, step = dim_idx.start, dim_idx.stop, dim_idx.step
+        if step and sparse:
+            raise IndexError("steps are not supported for sparse arrays")
+
+        if is_string:
+            if start is not None and not isinstance(start, (str, bytes)):
+                raise ValueError(
+                    f"Non-string range '({start},{stop})' provided for string dimension '{dim.name}'")
+            dr.intervals.append((start if start is not None else dim_lb,
+                                 stop if stop is not None else dim_ub))
+            out.append(dr)
+            continue
+
+        is_datetime = dim_dtype.kind == "M"
+
+        if start is not None:
+            if is_datetime and not isinstance(start, np.datetime64):
+                raise IndexError("cannot index datetime dimension with non-datetime interval")
+            if np.issubdtype(dim_dtype, np.integer):
+                if isinstance(start, (float, np.floating)):
+                    raise IndexError("cannot index integral domain dimension with floating point slice")
+                if not isinstance(start, _inttypes):
+                    raise IndexError(
+                        f"cannot index integral domain dimension with non-integral slice (dtype: {type(start)})")
+            if not is_datetime and start < 0:
+                start += int(dim_ub) + 1
+            if not is_datetime and start < dim_lb:
+                raise IndexError("index out of bounds")
+        else:
+            start = dim_lb
+        if stop is not None:
+            if is_datetime and not isinstance(stop, np.datetime64):
+                raise IndexError("cannot index datetime dimension with non-datetime interval")
+            if np.issubdtype(dim_dtype, np.integer) and isinstance(stop, (float, np.floating)):
+                raise IndexError("cannot index integral domain dimension with floating point slice")
+            if not is_datetime and stop < 0:
+                stop = int(stop) + int(dim_ub)
+            if not is_datetime and stop > dim_ub:
+                stop = dim_ub if np.issubdtype(dim_dtype, np.floating) else int(dim_ub) + 1
+            if is_datetime and stop > dim_ub:
+                stop = dim_ub
+        else:
+            if np.issubdtype(dim_dtype, np.floating) or is_datetime:
+                stop = dim_ub
+            else:
+                stop = int(dim_ub) + 1
+
+        if np.issubdtype(dim_dtype, np.floating):
+            # inclusive bounds for floating point ranges (array.py:279-283)
+            dr.intervals.append((float(start), float(stop)))
+        elif is_datetime:
+            dr.intervals.append((np.datetime64(start).astype(dim_dtype),
+                                 np.datetime64(stop).astype(dim_dtype)))
+        else:
+            # numpy half-open -> inclusive (array.py:290-292)
+            dr.intervals.append((int(start), int(stop) - 1))
+        out.append(dr)
+    return out
+
+
+def getitem_ranges_multi_index(dom: Domain, idx: tuple,
+                               nonempty: tuple | None = None) -> list[DimRanges]:
+    """multi_index semantics: slices INCLUSIVE of both endpoints, scalars =
+    points, lists = point sets; open slice ends clamped to the nonempty
+    domain (reference ``multirange_indexing.py:128-241``; sparse full-domain
+    fast path at :158-161 = leave unconstrained)."""
+    ndim = dom.ndim
+    idx = replace_ellipsis(ndim, index_as_tuple(idx))
+    out: list[DimRanges] = []
+    for r in range(ndim):
+        dim = dom.dim(r)
+        dim_idx = idx[r]
+        dr = DimRanges(name=dim.name)
+        sel_list = dim_idx if isinstance(dim_idx, (list, np.ndarray)) else [dim_idx]
+        if isinstance(dim_idx, np.ndarray):
+            sel_list = dim_idx.tolist()
+        for sel in sel_list:
+            if isinstance(sel, slice):
+                if sel.step is not None:
+                    raise ValueError("steps are not supported by multi_index")
+                start, stop = sel.start, sel.stop
+                if start is None and stop is None:
+                    # full-domain: unconstrained (fast path, :158-161)
+                    continue
+                ned = nonempty[r] if (nonempty is not None and r < len(nonempty)) else None
+                if start is None and ned is not None:
+                    start = ned[0]
+                if stop is None and ned is not None:
+                    stop = ned[1]
+                dr.intervals.append((start, stop))
+            elif np.isscalar(sel) or isinstance(sel, (np.datetime64, str, bytes)):
+                dr.points.append(sel)
+            else:
+                raise TypeError(f"Unsupported selection {sel!r}")
+        out.append(dr)
+    return out
+
+
+def apply_steps_pandas(pdf, dim_names: Sequence[str], dims_starts: Sequence[Any],
+                       steps: Sequence[Any]):
+    """Post-apply slice steps on materialized results, like the reference
+    does after the read (``dense_array.py:284-286``)."""
+    import pandas as pd  # noqa: F401
+
+    mask = None
+    for name, start, step in zip(dim_names, dims_starts, steps):
+        if step in (None, 1):
+            continue
+        m = ((pdf[name] - start) % step) == 0
+        mask = m if mask is None else (mask & m)
+    if mask is not None:
+        pdf = pdf[mask]
+    return pdf

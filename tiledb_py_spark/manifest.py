@@ -1,0 +1,264 @@
+"""Versioned JSON manifest: the array's source of truth.
+
+Replaces the reference's on-disk array directory layout (``__schema``,
+``__fragments``, ``__meta`` — managed by libtiledb) with:
+
+    <uri>/
+      __manifest/manifest_v{N:012d}.json     # full snapshot per version
+      __fragments/<fragment_name>/*.parquet  # immutable fragment data
+
+A manifest version is a *snapshot* (schema + fragment list + metadata), so
+opening an array = read one JSON file; commit = write v{N+1} via atomic
+rename.  This mirrors how modern table formats (Delta/Iceberg) commit and
+is the scale story: a 1000-executor read needs only the single manifest
+fetch on the driver, then fragment/row-group pruning before ``spark.read``.
+
+Fragment records carry what the reference exposes via ``FragmentInfo``
+(``/root/reference/tiledb/fragment.py:24-34``): timestamp range, cell
+count, per-dim nonempty domain (MBR) — which powers time-travel opens
+(``array.py:321-339``) and spatial fragment pruning before any Spark job
+is launched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .schema import ArraySchema
+
+MANIFEST_DIR = "__manifest"
+FRAGMENT_DIR = "__fragments"
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+@dataclass
+class FragmentRecord:
+    """One immutable write (reference fragment ``__ts1_ts2_uuid_ver``)."""
+
+    name: str
+    timestamp_range: tuple[int, int]  # [ts_start, ts_end] ms
+    cell_num: int
+    # per-dim {dim_name: [min, max]} over written cells (MBR) — JSON-safe values
+    nonempty_domain: dict[str, list]
+    kind: str = "write"  # "write" | "delete"
+    # for kind="delete": the QueryCondition expression to anti-apply
+    delete_condition: Optional[str] = None
+    schema_version: int = 0
+
+    @property
+    def path(self) -> str:
+        return self.name
+
+    def to_json(self):
+        return {
+            "name": self.name,
+            "timestamp_range": list(self.timestamp_range),
+            "cell_num": self.cell_num,
+            "nonempty_domain": self.nonempty_domain,
+            "kind": self.kind,
+            "delete_condition": self.delete_condition,
+            "schema_version": self.schema_version,
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(
+            name=d["name"],
+            timestamp_range=tuple(d["timestamp_range"]),
+            cell_num=d["cell_num"],
+            nonempty_domain=d.get("nonempty_domain", {}),
+            kind=d.get("kind", "write"),
+            delete_condition=d.get("delete_condition"),
+            schema_version=d.get("schema_version", 0),
+        )
+
+
+def new_fragment_name(ts: int) -> str:
+    return f"frag_{ts}_{ts}_{uuid.uuid4().hex[:12]}"
+
+
+@dataclass
+class Manifest:
+    """Snapshot of an array at one version."""
+
+    schema: ArraySchema
+    version: int = 0
+    fragments: list[FragmentRecord] = field(default_factory=list)
+    metadata: dict[str, Any] = field(default_factory=dict)  # array KV metadata
+    pandas_meta: dict[str, Any] = field(default_factory=dict)  # __pandas_* analogs
+    schema_version: int = 0
+    created_ms: int = 0
+
+    def to_json(self):
+        return {
+            "format_version": 1,
+            "version": self.version,
+            "schema_version": self.schema_version,
+            "created_ms": self.created_ms,
+            "schema": self.schema.to_json(),
+            "fragments": [f.to_json() for f in self.fragments],
+            "metadata": self.metadata,
+            "pandas_meta": self.pandas_meta,
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(
+            schema=ArraySchema.from_json(d["schema"]),
+            version=d["version"],
+            fragments=[FragmentRecord.from_json(f) for f in d["fragments"]],
+            metadata=d.get("metadata", {}),
+            pandas_meta=d.get("pandas_meta", {}),
+            schema_version=d.get("schema_version", 0),
+            created_ms=d.get("created_ms", 0),
+        )
+
+    # -- fragment pruning ----------------------------------------------------
+    def live_fragments(self, timestamp: Optional[Any] = None) -> list[FragmentRecord]:
+        """Fragments visible at ``timestamp`` (None = all; int = end ts;
+        (start, end) = range), mirroring timestamp-range open semantics
+        (reference ``array.py:321-339``, ``highlevel.py:13-34``)."""
+        frs = [f for f in self.fragments if f.kind == "write"]
+        if timestamp is None:
+            return frs
+        if isinstance(timestamp, tuple):
+            lo, hi = timestamp
+            lo = 0 if lo is None else lo
+            hi = 2**62 if hi is None else hi
+        else:
+            lo, hi = 0, timestamp
+        return [f for f in frs if lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi]
+
+    def delete_fragments_visible(self, timestamp: Optional[Any] = None) -> list[FragmentRecord]:
+        frs = [f for f in self.fragments if f.kind == "delete"]
+        if timestamp is None:
+            return frs
+        if isinstance(timestamp, tuple):
+            lo, hi = timestamp
+            lo = 0 if lo is None else lo
+            hi = 2**62 if hi is None else hi
+        else:
+            lo, hi = 0, timestamp
+        return [f for f in frs if lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi]
+
+    def nonempty_domain(self, timestamp=None) -> Optional[tuple]:
+        """Union of fragment MBRs per dim — answers ``Array.nonempty_domain``
+        (reference ``array.py:687-727``) from the manifest alone, no scan."""
+        frs = self.live_fragments(timestamp)
+        if not frs:
+            return None
+        out = []
+        for d in self.schema.domain:
+            los, his = [], []
+            for f in frs:
+                mbr = f.nonempty_domain.get(d.name)
+                if mbr is not None:
+                    los.append(mbr[0])
+                    his.append(mbr[1])
+            out.append((min(los), max(his)) if los else (None, None))
+        return tuple(out)
+
+
+# -- storage ----------------------------------------------------------------
+
+def manifest_dir(uri: str) -> str:
+    return os.path.join(uri, MANIFEST_DIR)
+
+
+def fragments_dir(uri: str) -> str:
+    return os.path.join(uri, FRAGMENT_DIR)
+
+
+def fragment_path(uri: str, frag: FragmentRecord | str) -> str:
+    name = frag if isinstance(frag, str) else frag.name
+    return os.path.join(fragments_dir(uri), name)
+
+
+def _manifest_file(uri: str, version: int) -> str:
+    return os.path.join(manifest_dir(uri), f"manifest_v{version:012d}.json")
+
+
+def array_exists(uri: str) -> bool:
+    d = manifest_dir(uri)
+    return os.path.isdir(d) and any(n.startswith("manifest_v") for n in os.listdir(d))
+
+
+def latest_version(uri: str) -> int:
+    d = manifest_dir(uri)
+    versions = [int(n[len("manifest_v"):-len(".json")])
+                for n in os.listdir(d)
+                if n.startswith("manifest_v") and n.endswith(".json")]
+    if not versions:
+        raise FileNotFoundError(f"no manifest found at {uri}")
+    return max(versions)
+
+
+def read_manifest(uri: str, version: Optional[int] = None) -> Manifest:
+    if version is None:
+        version = latest_version(uri)
+    with open(_manifest_file(uri, version)) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def write_manifest(uri: str, m: Manifest) -> None:
+    """Atomic write of one version file (write temp + rename)."""
+    d = manifest_dir(uri)
+    os.makedirs(d, exist_ok=True)
+    target = _manifest_file(uri, m.version)
+    if os.path.exists(target):
+        raise FileExistsError(f"manifest version {m.version} already committed at {uri}")
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(m.to_json(), f)
+        os.rename(tmp, target)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def commit(uri: str, mutate) -> Manifest:
+    """Read latest manifest, apply ``mutate(manifest) -> None``, write as the
+    next version.  Single-writer assumption (same as the reference's
+    process-level locking model); retries once on version collision."""
+    for _ in range(5):
+        m = read_manifest(uri)
+        mutate(m)
+        m.version += 1
+        try:
+            write_manifest(uri, m)
+            return m
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"manifest commit contention at {uri}")
+
+
+def create_array(uri: str, schema: ArraySchema) -> Manifest:
+    """Create an empty array (reference ``Array.create``,
+    ``array.py:388-432``)."""
+    if array_exists(uri):
+        raise FileExistsError(f"array already exists at {uri}")
+    os.makedirs(fragments_dir(uri), exist_ok=True)
+    m = Manifest(schema=schema, version=0, created_ms=now_ms())
+    write_manifest(uri, m)
+    return m
+
+
+def delete_array(uri: str) -> None:
+    """Remove the array (reference ``Array.delete_array``,
+    ``array.py:661-685``)."""
+    import shutil
+
+    if not array_exists(uri):
+        raise FileNotFoundError(f"no array at {uri}")
+    shutil.rmtree(uri)

@@ -1,0 +1,129 @@
+"""Array metadata: dict-like KV store persisted in the manifest.
+
+Reference: ``tiledb/metadata.py:19-263`` — values may be int, float, str,
+bytes, homogeneous lists/tuples, or numpy arrays (flattened).  We encode
+each value with a type tag so JSON round-trips restore the exact Python
+type, including numpy arrays (flattened, like the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from . import manifest as mf
+
+
+def _pack(value: Any) -> dict:
+    if isinstance(value, bool):
+        return {"t": "int", "v": int(value)}
+    if isinstance(value, (int, np.integer)):
+        return {"t": "int", "v": int(value)}
+    if isinstance(value, (float, np.floating)):
+        return {"t": "float", "v": float(value)}
+    if isinstance(value, str):
+        return {"t": "str", "v": value}
+    if isinstance(value, bytes):
+        return {"t": "bytes", "v": value.decode("latin-1")}
+    if isinstance(value, np.ndarray):
+        if value.ndim != 1:
+            value = value.reshape(-1)  # flattened, like the reference
+        return {"t": "ndarray", "dtype": str(value.dtype),
+                "v": [v.item() for v in value]}
+    if isinstance(value, (list, tuple)):
+        if len(value) == 0:
+            return {"t": "list", "et": "int", "v": [],
+                    "tuple": isinstance(value, tuple)}
+        et = type(value[0])
+        if not all(isinstance(v, et) for v in value):
+            raise TypeError("metadata lists must be homogeneous (reference rule)")
+        if issubclass(et, (bool, int, np.integer)):
+            return {"t": "list", "et": "int", "v": [int(v) for v in value],
+                    "tuple": isinstance(value, tuple)}
+        if issubclass(et, (float, np.floating)):
+            return {"t": "list", "et": "float", "v": [float(v) for v in value],
+                    "tuple": isinstance(value, tuple)}
+        if issubclass(et, str):
+            return {"t": "list", "et": "str", "v": list(value),
+                    "tuple": isinstance(value, tuple)}
+        raise TypeError(f"unsupported metadata list element type {et}")
+    raise TypeError(f"unsupported metadata value type {type(value)}")
+
+
+def _unpack(d: dict) -> Any:
+    t = d["t"]
+    if t == "int":
+        return d["v"]
+    if t == "float":
+        return d["v"]
+    if t == "str":
+        return d["v"]
+    if t == "bytes":
+        return d["v"].encode("latin-1")
+    if t == "ndarray":
+        return np.array(d["v"], dtype=d["dtype"])
+    if t == "list":
+        v = list(d["v"])
+        return tuple(v) if d.get("tuple") else v
+    raise TypeError(f"bad metadata tag {t}")
+
+
+class Metadata:
+    """``A.meta`` — reads hit the cached manifest; each write commits a new
+    manifest version (same durability model as the reference's ``__meta``
+    fragment files)."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+
+    def _read(self) -> dict:
+        return mf.read_manifest(self.uri).metadata
+
+    def __getitem__(self, key: str) -> Any:
+        meta = self._read()
+        if key not in meta:
+            raise KeyError(key)
+        return _unpack(meta[key])
+
+    def get(self, key: str, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if not isinstance(key, str):
+            raise TypeError("metadata keys must be str")
+        packed = _pack(value)
+        mf.commit(self.uri, lambda m: m.metadata.__setitem__(key, packed))
+
+    def __delitem__(self, key: str) -> None:
+        def _del(m):
+            if key not in m.metadata:
+                raise KeyError(key)
+            del m.metadata[key]
+
+        mf.commit(self.uri, _del)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._read()
+
+    def __len__(self) -> int:
+        return len(self._read())
+
+    def keys(self):
+        return list(self._read().keys())
+
+    def values(self):
+        return [_unpack(v) for v in self._read().values()]
+
+    def items(self):
+        return [(k, _unpack(v)) for k, v in self._read().items()]
+
+    def update(self, other: dict):
+        packed = {k: _pack(v) for k, v in other.items()}
+        mf.commit(self.uri, lambda m: m.metadata.update(packed))
+
+    def __iter__(self):
+        return iter(self.keys())

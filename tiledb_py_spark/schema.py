@@ -1,0 +1,389 @@
+"""Array data model: Dim, Domain, Attr, Enumeration, ArraySchema.
+
+Pure-Python (no Spark dependency) re-expression of the reference's schema
+classes:
+
+- ``Dim``         <- /root/reference/tiledb/dimension.py:13-86
+- ``Domain``      <- /root/reference/tiledb/domain.py:13
+- ``Attr``        <- /root/reference/tiledb/attribute.py:14-111
+- ``Enumeration`` <- /root/reference/tiledb/enumeration.py:15-137
+- ``ArraySchema`` <- /root/reference/tiledb/array_schema.py:39-132
+
+Physical storage is parquet fragments + a JSON manifest (see manifest.py);
+these classes serialize into the manifest.  Tile extents become partition
+hints; filters (compression pipelines, §2.9 of SURVEY.md) map to parquet
+codec options and are retained as annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+from .datatypes import TypeInfo, default_fill, from_numpy, numpy_to_python
+
+__all__ = ["Dim", "Domain", "Attr", "Enumeration", "ArraySchema"]
+
+
+class Enumeration:
+    """Ordered categorical value list bound to an attribute
+    (reference: ``tiledb/enumeration.py:15-137``).  Codes are the value's
+    position.  Extendable: ``extend`` returns a new Enumeration with
+    appended values (reference ``enumeration.py:120-137``).
+    """
+
+    def __init__(self, name: str, ordered: bool, values: Sequence[Any]):
+        self.name = name
+        self.ordered = bool(ordered)
+        self.values = list(values)
+
+    def extend(self, new_values: Sequence[Any]) -> "Enumeration":
+        if set(new_values) & set(self.values):
+            raise ValueError("extension values overlap existing enumeration values")
+        return Enumeration(self.name, self.ordered, self.values + list(new_values))
+
+    def index_of(self, value: Any) -> int:
+        return self.values.index(value)
+
+    def __eq__(self, other):
+        return (isinstance(other, Enumeration) and self.name == other.name
+                and self.ordered == other.ordered and self.values == other.values)
+
+    def __repr__(self):
+        return f"Enumeration(name={self.name!r}, ordered={self.ordered}, values={self.values!r})"
+
+    def to_json(self):
+        return {"name": self.name, "ordered": self.ordered,
+                "values": [numpy_to_python(v) for v in self.values]}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(d["name"], d["ordered"], d["values"])
+
+
+class Dim:
+    """A dimension: named coordinate column with a typed inclusive domain
+    ``(lo, hi)`` and a tile extent (reference ``tiledb/dimension.py:13-86``).
+
+    In the Spark build a dim is an ordinary column flagged ``role=dim``;
+    the tile extent becomes the partition/bucket hint used when writing
+    fragments (rows sorted/ranged by dim → parquet row-group pruning).
+    """
+
+    def __init__(self, name: str = "__dim_0", domain: Optional[tuple] = None,
+                 tile: Optional[Any] = None, dtype: Any = np.uint64,
+                 filters: Optional[list] = None, var: Optional[bool] = None):
+        self.name = name
+        self.type_info: TypeInfo = from_numpy(dtype)
+        dt = None
+        try:
+            dt = np.dtype(dtype)
+        except TypeError:
+            pass
+        self._is_string = (dt is not None and dt.kind in ("U", "S")) or dtype in ("ascii",)
+        if self._is_string:
+            self.domain = (None, None)
+            self.tile = None
+            self.var = True
+        else:
+            if domain is None:
+                raise ValueError(f"dimension {name!r} requires a domain")
+            lo, hi = domain
+            self.domain = (numpy_to_python(lo), numpy_to_python(hi))
+            self.tile = numpy_to_python(tile) if tile is not None else None
+            self.var = bool(var) if var is not None else False
+        self.filters = filters or []
+
+    @property
+    def dtype(self) -> np.dtype:
+        return np.dtype(self.type_info.np_dtype)
+
+    @property
+    def isvar(self) -> bool:
+        return self.var
+
+    @property
+    def size(self) -> Optional[int]:
+        if self.domain[0] is None or self._is_string:
+            return None
+        if self.dtype.kind in "iu":
+            return int(self.domain[1]) - int(self.domain[0]) + 1
+        return None
+
+    def __eq__(self, other):
+        return (isinstance(other, Dim) and self.name == other.name
+                and self.domain == other.domain and self.tile == other.tile
+                and self.type_info.np_dtype == other.type_info.np_dtype)
+
+    def __repr__(self):
+        return (f"Dim(name={self.name!r}, domain={self.domain!r}, "
+                f"tile={self.tile!r}, dtype='{self.type_info.np_dtype}')")
+
+    def to_json(self):
+        return {"name": self.name, "domain": [self.domain[0], self.domain[1]],
+                "tile": self.tile, "type": self.type_info.to_json(),
+                "var": self.var, "filters": self.filters}
+
+    @classmethod
+    def from_json(cls, d):
+        ti = TypeInfo.from_json(d["type"])
+        obj = cls.__new__(cls)
+        obj.name = d["name"]
+        obj.type_info = ti
+        obj.domain = tuple(d["domain"])
+        obj.tile = d["tile"]
+        obj.var = d.get("var", False)
+        obj.filters = d.get("filters", [])
+        obj._is_string = ti.np_dtype in ("<U0", "S0")
+        return obj
+
+
+class Domain:
+    """Ordered tuple of Dims (reference ``tiledb/domain.py:13``)."""
+
+    def __init__(self, *dims: Dim):
+        if not dims:
+            raise ValueError("Domain requires at least one Dim")
+        names = [d.name for d in dims]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate dimension names")
+        self._dims = list(dims)
+
+    @property
+    def ndim(self) -> int:
+        return len(self._dims)
+
+    @property
+    def shape(self) -> tuple:
+        sizes = [d.size for d in self._dims]
+        if any(s is None for s in sizes):
+            raise TypeError("domain is not integer-sized; shape undefined")
+        return tuple(sizes)
+
+    def dim(self, key) -> Dim:
+        if isinstance(key, int):
+            return self._dims[key]
+        for d in self._dims:
+            if d.name == key:
+                return d
+        raise KeyError(key)
+
+    def has_dim(self, name: str) -> bool:
+        return any(d.name == name for d in self._dims)
+
+    def __iter__(self):
+        return iter(self._dims)
+
+    def __len__(self):
+        return len(self._dims)
+
+    def __eq__(self, other):
+        return isinstance(other, Domain) and self._dims == other._dims
+
+    def __repr__(self):
+        return f"Domain({', '.join(map(repr, self._dims))})"
+
+    def to_json(self):
+        return [d.to_json() for d in self._dims]
+
+    @classmethod
+    def from_json(cls, lst):
+        return cls(*[Dim.from_json(d) for d in lst])
+
+
+class Attr:
+    """An attribute column (reference ``tiledb/attribute.py:14-111``):
+    name, dtype, fill value, var-length flag, nullable flag, filter
+    pipeline, optional enumeration label binding (``attribute.py:109-110``).
+    """
+
+    def __init__(self, name: str = "", dtype: Any = np.float64,
+                 fill: Any = None, var: Optional[bool] = None,
+                 nullable: bool = False, enum_label: Optional[str] = None,
+                 filters: Optional[list] = None):
+        self.name = name
+        self.type_info = from_numpy(dtype)
+        self.nullable = bool(nullable)
+        self.enum_label = enum_label
+        self.filters = filters or []
+        if var is None:
+            var = self.type_info.np_dtype in ("<U0", "S0")
+        self.var = bool(var)
+        self.fill = numpy_to_python(fill) if fill is not None else default_fill(self.type_info)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return np.dtype(self.type_info.np_dtype)
+
+    @property
+    def isvar(self) -> bool:
+        return self.var
+
+    @property
+    def isnullable(self) -> bool:
+        return self.nullable
+
+    def __eq__(self, other):
+        return (isinstance(other, Attr) and self.name == other.name
+                and self.type_info.np_dtype == other.type_info.np_dtype
+                and self.nullable == other.nullable and self.enum_label == other.enum_label)
+
+    def __repr__(self):
+        return (f"Attr(name={self.name!r}, dtype='{self.type_info.np_dtype}', "
+                f"nullable={self.nullable}"
+                + (f", enum_label={self.enum_label!r}" if self.enum_label else "") + ")")
+
+    def to_json(self):
+        fill = self.fill
+        if isinstance(fill, float) and fill != fill:  # NaN -> JSON-safe token
+            fill = "__nan__"
+        if isinstance(fill, bytes):
+            fill = {"__bytes__": fill.decode("latin-1")}
+        return {"name": self.name, "type": self.type_info.to_json(), "fill": fill,
+                "var": self.var, "nullable": self.nullable,
+                "enum_label": self.enum_label, "filters": self.filters}
+
+    @classmethod
+    def from_json(cls, d):
+        obj = cls.__new__(cls)
+        obj.name = d["name"]
+        obj.type_info = TypeInfo.from_json(d["type"])
+        fill = d["fill"]
+        if fill == "__nan__":
+            fill = float("nan")
+        if isinstance(fill, dict) and "__bytes__" in fill:
+            fill = fill["__bytes__"].encode("latin-1")
+        obj.fill = fill
+        obj.var = d.get("var", False)
+        obj.nullable = d.get("nullable", False)
+        obj.enum_label = d.get("enum_label")
+        obj.filters = d.get("filters", [])
+        return obj
+
+
+# cell/tile order tokens (reference ``array_schema.py:19-36``)
+_ORDERS = {"row-major", "col-major", "global", "hilbert", "unordered", None}
+
+
+class ArraySchema:
+    """Array schema: domain + attrs + physical layout knobs
+    (reference ``tiledb/array_schema.py:39-132``).
+
+    Spark mapping: a StructType (dims first, then attrs) plus layout
+    metadata persisted in the JSON manifest.  ``capacity`` (cells per data
+    tile, ``array_schema.py:95``) becomes the target rows-per-parquet-row-group;
+    ``allows_duplicates`` (``array_schema.py:210-218``) controls dedup on read.
+    """
+
+    def __init__(self, domain: Domain, attrs: Iterable[Attr], sparse: bool = False,
+                 cell_order: str = "row-major", tile_order: str = "row-major",
+                 capacity: int = 0, allows_duplicates: bool = False,
+                 enums: Optional[Sequence[Enumeration]] = None):
+        if cell_order not in _ORDERS or tile_order not in _ORDERS:
+            raise ValueError(f"unknown order; must be one of {_ORDERS}")
+        if not sparse and allows_duplicates:
+            raise ValueError("allows_duplicates requires a sparse array")
+        if cell_order == "hilbert" and not sparse:
+            raise ValueError("Hilbert order is only supported on sparse arrays")
+        self.domain = domain
+        self.attrs_list = list(attrs)
+        names = [d.name for d in domain] + [a.name for a in self.attrs_list]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate column names across dims/attrs")
+        self.sparse = bool(sparse)
+        self.cell_order = cell_order
+        self.tile_order = tile_order
+        self.capacity = int(capacity) or 10000
+        self.allows_duplicates = bool(allows_duplicates)
+        self.enums = {e.name: e for e in (enums or [])}
+        for a in self.attrs_list:
+            if a.enum_label and a.enum_label not in self.enums:
+                raise ValueError(f"attr {a.name!r} references unknown enumeration {a.enum_label!r}")
+
+    # -- reference API parity ------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return self.domain.ndim
+
+    @property
+    def nattr(self) -> int:
+        return len(self.attrs_list)
+
+    @property
+    def shape(self):
+        return self.domain.shape
+
+    def attr(self, key) -> Attr:
+        if isinstance(key, int):
+            return self.attrs_list[key]
+        for a in self.attrs_list:
+            if a.name == key:
+                return a
+        raise KeyError(key)
+
+    def has_attr(self, name: str) -> bool:
+        return any(a.name == name for a in self.attrs_list)
+
+    def has_dim(self, name: str) -> bool:
+        return self.domain.has_dim(name)
+
+    @property
+    def dim_names(self) -> list[str]:
+        return [d.name for d in self.domain]
+
+    @property
+    def attr_names(self) -> list[str]:
+        return [a.name for a in self.attrs_list]
+
+    def enum(self, name: str) -> Enumeration:
+        return self.enums[name]
+
+    def __eq__(self, other):
+        return (isinstance(other, ArraySchema) and self.domain == other.domain
+                and self.attrs_list == other.attrs_list and self.sparse == other.sparse)
+
+    def __repr__(self):
+        kind = "sparse" if self.sparse else "dense"
+        return (f"ArraySchema({kind}, domain={self.domain!r}, "
+                f"attrs={self.attrs_list!r})")
+
+    # -- Spark schema --------------------------------------------------------
+    def spark_schema(self):
+        """StructType with dim columns first, then attrs.  Enumerated attrs
+        are stored as integer codes (dictionary encoding); decode happens at
+        materialization (reference ``dense_array.py:86-95``)."""
+        from pyspark.sql import types as T
+        fields = []
+        for d in self.domain:
+            fields.append(T.StructField(d.name, d.type_info.spark_type, nullable=False))
+        for a in self.attrs_list:
+            st = T.IntegerType() if a.enum_label else a.type_info.spark_type
+            fields.append(T.StructField(a.name, st, nullable=True))
+        return T.StructType(fields)
+
+    # -- serialization -------------------------------------------------------
+    def to_json(self):
+        return {
+            "sparse": self.sparse,
+            "cell_order": self.cell_order,
+            "tile_order": self.tile_order,
+            "capacity": self.capacity,
+            "allows_duplicates": self.allows_duplicates,
+            "domain": self.domain.to_json(),
+            "attrs": [a.to_json() for a in self.attrs_list],
+            "enums": [e.to_json() for e in self.enums.values()],
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(
+            domain=Domain.from_json(d["domain"]),
+            attrs=[Attr.from_json(a) for a in d["attrs"]],
+            sparse=d["sparse"],
+            cell_order=d.get("cell_order", "row-major"),
+            tile_order=d.get("tile_order", "row-major"),
+            capacity=d.get("capacity", 0),
+            allows_duplicates=d.get("allows_duplicates", False),
+            enums=[Enumeration.from_json(e) for e in d.get("enums", [])],
+        )

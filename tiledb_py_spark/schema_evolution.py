@@ -1,0 +1,78 @@
+"""Schema evolution: add/drop attributes and enumerations after creation.
+
+Reference: ``/root/reference/tiledb/schema_evolution.py:9-75`` —
+``add_attribute``, ``drop_attribute``, ``add_enumeration``,
+``drop_enumeration``, ``extend_enumeration``, ``expand_current_domain``.
+
+Spark rebuild: evolution = a new manifest version with a bumped
+``schema_version``.  Old fragments lack the new column; reading them with
+the evolved explicit schema yields nulls, which the scan coalesces to the
+attr's fill value for non-nullable attrs — the reference's
+"added attribute reads as fill" semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from . import manifest as mf
+from .schema import Attr, Enumeration
+
+
+class ArraySchemaEvolution:
+    def __init__(self, uri_or_ctx: Optional[Any] = None):
+        # accepts a ctx-like arg for signature parity; state is per-array
+        self._adds: list[Attr] = []
+        self._drops: list[str] = []
+        self._enum_adds: list[Enumeration] = []
+        self._enum_drops: list[str] = []
+        self._enum_extends: dict[str, list] = {}
+        self._timestamp: Optional[int] = None
+
+    def timestamp(self, ts: int) -> None:
+        self._timestamp = ts
+
+    def add_attribute(self, attr: Attr) -> None:
+        self._adds.append(attr)
+
+    def drop_attribute(self, name: str) -> None:
+        self._drops.append(name)
+
+    def add_enumeration(self, enum: Enumeration) -> None:
+        self._enum_adds.append(enum)
+
+    def drop_enumeration(self, name: str) -> None:
+        self._enum_drops.append(name)
+
+    def extend_enumeration(self, enum: Enumeration) -> None:
+        """Replace an existing enumeration with a superset (reference allows
+        appending values so existing codes stay valid)."""
+        self._enum_extends[enum.name] = list(enum.values)
+
+    def array_evolve(self, uri: str) -> None:
+        def _apply(m: mf.Manifest):
+            schema = m.schema
+            for e in self._enum_adds:
+                if e.name in schema.enums:
+                    raise ValueError(f"enumeration {e.name!r} already exists")
+                schema.enums[e.name] = e
+            for name, values in self._enum_extends.items():
+                old = schema.enums[name]
+                if values[: len(old.values)] != old.values:
+                    raise ValueError("extend_enumeration must preserve existing values as a prefix")
+                schema.enums[name] = Enumeration(name, old.ordered, values)
+            for name in self._enum_drops:
+                if any(a.enum_label == name for a in schema.attrs_list):
+                    raise ValueError(f"enumeration {name!r} still referenced")
+                del schema.enums[name]
+            for a in self._adds:
+                if schema.has_attr(a.name) or schema.has_dim(a.name):
+                    raise ValueError(f"column {a.name!r} already exists")
+                schema.attrs_list.append(a)
+            for name in self._drops:
+                if not schema.has_attr(name):
+                    raise KeyError(name)
+                schema.attrs_list = [a for a in schema.attrs_list if a.name != name]
+            m.schema_version += 1
+
+        mf.commit(uri, _apply)

@@ -1,0 +1,300 @@
+"""Ingestion: pandas / CSV / parquet -> array, and array -> pandas.
+
+Reference:
+- ``from_pandas``      <- /root/reference/tiledb/dataframe_.py:534-779
+- dtype inference      <- ``ColumnInfo.from_values/from_dtype`` dataframe_.py:147-271
+- ``from_csv``         <- dataframe_.py:850-1013
+- ``from_parquet``     <- parquet_.py:4-9
+- ``open_dataframe``   <- dataframe_.py:782-808
+- pandas metadata keys <- dataframe_.py:493-504 (__pandas_attribute_repr /
+  __pandas_index_dims analogs live in the manifest's ``pandas_meta``)
+
+Sparse-vs-dense inference follows ``_sparse_from_dtypes``
+(dataframe_.py:406-425): explicit index -> sparse; default RangeIndex ->
+dense over a synthetic ``__tiledb_rows`` dimension.  Dim tile defaults by
+ndim (10000/1000/100/10) follow dataframe_.py:469-476.
+
+Scale path: ``from_spark`` ingests a Spark DataFrame as a fragment without
+driver materialization; ``from_csv``/``from_parquet`` accept either pandas
+kwargs (compat) or a SparkSession for distributed reads.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+
+from .. import manifest as mf
+from ..schema import ArraySchema, Attr, Dim, Domain, Enumeration
+from .fragment_writer import write_fragment_pandas, write_fragment_spark
+
+_TILE_BY_NDIM = {1: 10000, 2: 1000, 3: 100}
+ROWS_DIM = "__tiledb_rows"
+
+
+def _tile_default(ndim: int) -> int:
+    return _TILE_BY_NDIM.get(ndim, 10)
+
+
+def _infer_attr(name: str, s: pd.Series):
+    """pandas dtype -> (Attr, Optional[Enumeration], stored_series)."""
+    if isinstance(s.dtype, pd.CategoricalDtype):
+        enum = Enumeration(name, bool(s.cat.ordered), list(s.cat.categories))
+        attr = Attr(name=name, dtype=np.int32, nullable=bool(s.isna().any()),
+                    enum_label=name)
+        codes = s.cat.codes.astype("int32")
+        stored = codes.where(codes >= 0, other=pd.NA) if attr.nullable else codes
+        return attr, enum, stored
+    dt = s.dtype
+    nullable = bool(s.isna().any())
+    if pd.api.types.is_extension_array_dtype(dt):  # Int64, boolean, string...
+        base = dt.numpy_dtype if hasattr(dt, "numpy_dtype") else np.dtype("object")
+        nullable = True
+        return Attr(name=name, dtype=base, nullable=True), None, s
+    if dt == object:
+        first = s.dropna()
+        if len(first) and isinstance(first.iloc[0], bytes):
+            return Attr(name=name, dtype="S0" if False else np.bytes_, nullable=nullable), None, s
+        return Attr(name=name, dtype=np.str_, nullable=nullable), None, s
+    if np.issubdtype(dt, np.floating):
+        # reference treats float NaN as data, not null, unless pandas NA
+        return Attr(name=name, dtype=dt, nullable=False), None, s
+    return Attr(name=name, dtype=dt, nullable=nullable), None, s
+
+
+def _infer_dim(name: str, s: pd.Series, full_domain: bool, tile: Optional[int],
+               ndim: int) -> Dim:
+    dt = s.dtype
+    if dt == object or str(dt) == "string":
+        return Dim(name=name, dtype=np.str_)
+    if np.issubdtype(dt, np.datetime64):
+        lo, hi = s.min(), s.max()
+        return Dim(name=name, domain=(np.datetime64(lo, "us"), np.datetime64(hi, "us")),
+                   tile=tile or 86400000000, dtype=np.dtype("datetime64[us]"))
+    if full_domain and np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        # leave headroom for tile extents like the reference
+        return Dim(name=name, domain=(info.min, info.max - _tile_default(ndim)),
+                   tile=tile or _tile_default(ndim), dtype=dt)
+    lo, hi = s.min(), s.max()
+    return Dim(name=name, domain=(lo, hi), tile=tile or _tile_default(ndim), dtype=dt)
+
+
+def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = None,
+                sparse: Optional[bool] = None, mode: str = "ingest",
+                full_domain: bool = False, tile=None, capacity: int = 0,
+                allows_duplicates: bool = False, **kwargs) -> None:
+    """Create (or append to) an array from a pandas DataFrame."""
+    if mode not in ("ingest", "schema_only", "append"):
+        raise ValueError(f"invalid mode {mode!r}")
+    pdf = dataframe.copy()
+
+    # resolve index dims: explicit arg > named index > synthetic row dim
+    if index_dims is None:
+        if pdf.index.name is not None or isinstance(pdf.index, pd.MultiIndex):
+            pdf = pdf.reset_index()
+            if isinstance(dataframe.index, pd.MultiIndex):
+                index_dims = [n or f"level_{i}" for i, n in enumerate(dataframe.index.names)]
+            else:
+                index_dims = [dataframe.index.name]
+        else:
+            index_dims = []
+    else:
+        missing = [c for c in index_dims if c not in pdf.columns]
+        if missing and pdf.index.name in missing:
+            pdf = pdf.reset_index()
+        index_dims = list(index_dims)
+
+    if sparse is None:
+        sparse = bool(index_dims)  # _sparse_from_dtypes analog
+
+    if mode == "append":
+        if not mf.array_exists(uri):
+            raise FileNotFoundError(f"append to nonexistent array {uri}")
+        man = mf.read_manifest(uri)
+        schema = man.schema
+        row_offset = 0
+        if not schema.sparse and schema.dim_names == [ROWS_DIM]:
+            ned = man.nonempty_domain()
+            row_offset = (int(ned[0][1]) + 1) if ned and ned[0][0] is not None else 0
+            pdf = pdf.copy()
+            pdf[ROWS_DIM] = np.arange(row_offset, row_offset + len(pdf), dtype="int64")
+        stored = _encode_for_schema(pdf, schema)
+        write_fragment_pandas(uri, schema, stored)
+        return
+
+    ndim = max(len(index_dims), 1)
+    dims = []
+    tiles = tile if isinstance(tile, dict) else {}
+    if index_dims:
+        for dname in index_dims:
+            t = tiles.get(dname, tile if isinstance(tile, int) else None)
+            dims.append(_infer_dim(dname, pdf[dname], full_domain, t, ndim))
+    else:
+        n = len(pdf)
+        hi = np.iinfo(np.int64).max - _tile_default(1) if full_domain else max(n - 1, 0)
+        dims.append(Dim(name=ROWS_DIM, domain=(0, hi),
+                        tile=_tile_default(1), dtype=np.int64))
+        pdf = pdf.copy()
+        pdf[ROWS_DIM] = np.arange(n, dtype="int64")
+
+    attrs, enums = [], []
+    stored_cols = {}
+    for cname in dataframe.columns:
+        if cname in index_dims:
+            continue
+        attr, enum, stored = _infer_attr(cname, pdf[cname])
+        attrs.append(attr)
+        if enum is not None:
+            enums.append(enum)
+        stored_cols[cname] = stored
+
+    schema = ArraySchema(
+        domain=Domain(*dims), attrs=attrs, sparse=sparse,
+        capacity=capacity, allows_duplicates=allows_duplicates, enums=enums)
+    mf.create_array(uri, schema)
+
+    pandas_meta = {
+        "attribute_dtypes": {c: str(dataframe[c].dtype) for c in dataframe.columns
+                             if c not in index_dims},
+        "index_dims": index_dims if index_dims else [ROWS_DIM],
+        "default_index": not bool(index_dims),
+    }
+    mf.commit(uri, lambda m: m.pandas_meta.update(pandas_meta))
+
+    if mode == "ingest":
+        out = pd.DataFrame({d.name: pdf[d.name] for d in dims})
+        for a in attrs:
+            out[a.name] = stored_cols[a.name]
+        write_fragment_pandas(uri, schema, out)
+
+
+def _encode_for_schema(pdf: pd.DataFrame, schema: ArraySchema) -> pd.DataFrame:
+    out = pd.DataFrame()
+    for d in schema.domain:
+        out[d.name] = pdf[d.name]
+    for a in schema.attrs_list:
+        s = pdf[a.name]
+        if a.enum_label:
+            enum = schema.enums[a.enum_label]
+            if isinstance(s.dtype, pd.CategoricalDtype):
+                s = s.cat.set_categories(enum.values)
+                out[a.name] = s.cat.codes.astype("int32")
+            else:
+                lookup = {v: i for i, v in enumerate(enum.values)}
+                out[a.name] = s.map(lookup).astype("int32")
+        else:
+            out[a.name] = s
+    return out
+
+
+def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
+             sparse=None, full_domain: bool = False, chunksize: Optional[int] = None,
+             spark=None, **pandas_kwargs) -> None:
+    """CSV ingest (reference ``dataframe_.py:850-1013``).  Accepts one path
+    or a list; ``chunksize`` streams pandas chunks into separate fragments
+    (the reference's chunked ingest); pass ``spark`` for a distributed read
+    at scale."""
+    files = csv_file if isinstance(csv_file, (list, tuple)) else [csv_file]
+    if spark is not None:
+        sdf = spark.read.option("header", "true").option("inferSchema", "true").csv(list(files))
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        return
+    if chunksize is not None:
+        first = mode in ("ingest", "schema_only")
+        for f in files:
+            for chunk in pd.read_csv(f, chunksize=chunksize, **pandas_kwargs):
+                if first:
+                    from_pandas(uri, chunk, index_dims=index_dims, sparse=sparse,
+                                mode=mode, full_domain=True)
+                    first = False
+                else:
+                    from_pandas(uri, chunk, mode="append")
+        return
+    pdf = pd.concat([pd.read_csv(f, **pandas_kwargs) for f in files], ignore_index=True)
+    from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                full_domain=full_domain)
+
+
+def from_parquet(uri: str, parquet_uri, spark=None, index_dims=None,
+                 sparse=None, mode: str = "ingest") -> None:
+    """Parquet ingest (reference ``parquet_.py:4-9`` routes via pandas; the
+    Spark path keeps it distributed)."""
+    if spark is not None:
+        sdf = spark.read.parquet(parquet_uri if isinstance(parquet_uri, str) else list(parquet_uri))
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        return
+    pdf = pd.read_parquet(parquet_uri)
+    from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode)
+
+
+def from_spark(uri: str, df, index_dims: Optional[list] = None,
+               sparse: Optional[bool] = None, mode: str = "ingest") -> None:
+    """Spark-native ingestion: infer the array schema from the DataFrame
+    schema on the driver, then write fragments distributed.  This is the
+    100 TB ingest path — no pandas materialization anywhere."""
+    from pyspark.sql import functions as F
+
+    index_dims = list(index_dims or [])
+    if sparse is None:
+        sparse = bool(index_dims)
+    if mode == "append":
+        man = mf.read_manifest(uri)
+        write_fragment_spark(uri, man.schema, df)
+        return
+
+    # driver-side schema inference: one small agg job for dim domains
+    dims = []
+    if index_dims:
+        aggs = []
+        for d in index_dims:
+            aggs += [F.min(d).alias(f"__lo_{d}"), F.max(d).alias(f"__hi_{d}")]
+        row = df.agg(*aggs).collect()[0].asDict()
+        for dname in index_dims:
+            f = df.schema[dname]
+            npdt = _spark_to_np(f.dataType)
+            if npdt.kind in ("U", "S"):
+                dims.append(Dim(name=dname, dtype=np.str_))
+            else:
+                dims.append(Dim(name=dname, domain=(row[f"__lo_{dname}"], row[f"__hi_{dname}"]),
+                                tile=_tile_default(len(index_dims)), dtype=npdt))
+    else:
+        df = df.withColumn(ROWS_DIM, F.monotonically_increasing_id())
+        dims.append(Dim(name=ROWS_DIM, domain=(0, np.iinfo(np.int64).max - 10000),
+                        tile=10000, dtype=np.int64))
+        sparse = True  # monotonic ids are sparse coordinates
+
+    attrs = []
+    for f in df.schema.fields:
+        if f.name in index_dims or f.name == ROWS_DIM:
+            continue
+        attrs.append(Attr(name=f.name, dtype=_spark_to_np(f.dataType),
+                          nullable=f.nullable))
+    schema = ArraySchema(domain=Domain(*dims), attrs=attrs, sparse=sparse)
+    mf.create_array(uri, schema)
+    if mode == "ingest":
+        write_fragment_spark(uri, schema, df)
+
+
+def _spark_to_np(dt) -> np.dtype:
+    from pyspark.sql import types as T
+
+    m = {T.BooleanType: "bool", T.ByteType: "int8", T.ShortType: "int16",
+         T.IntegerType: "int32", T.LongType: "int64", T.FloatType: "float32",
+         T.DoubleType: "float64", T.StringType: "<U0", T.BinaryType: "S0",
+         T.TimestampType: "datetime64[us]", T.TimestampNTZType: "datetime64[us]",
+         T.DateType: "datetime64[D]"}
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return np.dtype(v)
+    raise TypeError(f"unsupported Spark type {dt}")
+
+
+def open_dataframe(uri: str, timestamp=None) -> pd.DataFrame:
+    """Whole array -> pandas (reference ``dataframe_.py:782-808``)."""
+    from ..array import Array
+
+    arr = Array.load_typed(uri, timestamp=timestamp)
+    return arr.df[:]

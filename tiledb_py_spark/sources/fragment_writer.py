@@ -1,0 +1,142 @@
+"""Fragment writers: one immutable parquet directory per write.
+
+The reference's write path builds per-column buffers and submits a WRITE
+query that produces a timestamped fragment
+(``/root/reference/tiledb/array.py:820-985``; fragment info harvested at
+:966-985).  Here a fragment is a directory of parquet files plus a
+``FragmentRecord`` in the manifest carrying (ts, cell count, per-dim MBR).
+
+Two paths:
+- pandas/numpy input (the reference's native ingest shape): direct pyarrow
+  write on the driver — no Spark job for small writes, mirroring the
+  low-latency single-node write of the reference.
+- Spark DataFrame input (the scale path): ``df.write.parquet`` with rows
+  range-partitioned/sorted by dim columns so parquet row-group min/max
+  stats align with dim ranges — the analog of TileDB's space-tile layout,
+  and what makes range predicates prune at 100 TB.
+
+MBR stats are harvested from parquet footers (column chunk statistics) —
+driver-side metadata reads only, no data scan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..manifest import (FragmentRecord, Manifest, commit, fragment_path,
+                        new_fragment_name, now_ms)
+from ..schema import ArraySchema
+
+
+def _mbr_value(v):
+    """JSON-safe MBR bound; datetimes -> ISO strings (comparable after
+    np.datetime64 round-trip in plans.range_ir.mbr_intersects)."""
+    if isinstance(v, np.datetime64):
+        return str(v.astype("datetime64[us]"))
+    if isinstance(v, np.generic):
+        return v.item()
+    if hasattr(v, "isoformat"):  # datetime.datetime / pandas.Timestamp
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def stats_from_parquet_dir(frag_dir: str, dim_names: list[str]) -> tuple[int, dict]:
+    """(cell_num, per-dim MBR) from parquet footers only."""
+    total = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for root, _dirs, files in os.walk(frag_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(root, fn))
+            md = pf.metadata
+            total += md.num_rows
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    name = schema_names[ci]
+                    if name not in dim_names:
+                        continue
+                    st = g.column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if name not in mins or _lt(mn, mins[name]):
+                        mins[name] = mn
+                    if name not in maxs or _lt(maxs[name], mx):
+                        maxs[name] = mx
+    mbr = {d: [_mbr_value(mins[d]), _mbr_value(maxs[d])]
+           for d in dim_names if d in mins}
+    return total, mbr
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
+                          timestamp: Optional[int] = None,
+                          row_group_size: Optional[int] = None) -> FragmentRecord:
+    """Driver-side pyarrow write of one fragment from a pandas DataFrame
+    whose columns are dims + attrs (stored layout)."""
+    ts = timestamp if timestamp is not None else now_ms()
+    name = new_fragment_name(ts)
+    frag_dir = fragment_path(uri, name)
+    os.makedirs(frag_dir, exist_ok=True)
+    cols = schema.dim_names + schema.attr_names
+    pdf = pdf[[c for c in cols if c in pdf.columns]]
+    # sort by dims for row-group min/max locality (space-tile analog).
+    # 'global'/'hilbert' cell order would add a precomputed sort key here.
+    if schema.sparse and len(pdf) > 0 and schema.cell_order in ("row-major", "col-major", "hilbert"):
+        order = schema.dim_names if schema.cell_order != "col-major" else schema.dim_names[::-1]
+        pdf = pdf.sort_values(order, kind="stable")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(
+        table, os.path.join(frag_dir, "part-00000.parquet"),
+        compression="zstd",
+        row_group_size=row_group_size or max(schema.capacity, 4096),
+    )
+    cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
+    rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
+                         nonempty_domain=mbr)
+    commit(uri, lambda m: m.fragments.append(rec))
+    return rec
+
+
+def write_fragment_spark(uri: str, schema: ArraySchema, df,
+                         timestamp: Optional[int] = None,
+                         sort_within: bool = True) -> FragmentRecord:
+    """Cluster-scale fragment write from a Spark DataFrame.
+
+    ``repartitionByRange`` on the dim columns + ``sortWithinPartitions``
+    gives globally range-clustered parquet files whose footer stats make
+    both Spark row-group pruning and our manifest MBR pruning exact —
+    the 'global order write' of the reference (``dense_array.py:655-663``)
+    expressed as a Spark shuffle."""
+    ts = timestamp if timestamp is not None else now_ms()
+    name = new_fragment_name(ts)
+    frag_dir = fragment_path(uri, name)
+    cols = schema.dim_names + schema.attr_names
+    df = df.select(*[c for c in cols if c in df.columns])
+    if sort_within and schema.sparse and schema.dim_names:
+        n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        df = df.repartitionByRange(n, *schema.dim_names) \
+               .sortWithinPartitions(*schema.dim_names)
+    df.write.mode("overwrite").parquet(frag_dir)
+    cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
+    rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
+                         nonempty_domain=mbr)
+    commit(uri, lambda m: m.fragments.append(rec))
+    return rec
