@@ -1,0 +1,84 @@
+"""Driver benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + materialize to pandas,
+the user-facing edge).  The array-ingest cache is built in warmup so the
+timings measure query execution, not one-off ingestion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # engine compatibility surface
+    "qc_filter",
+    "multi_range",
+    "agg_whole_selection",
+    "array_range_read",
+    "array_cond_agg",
+    # relational layer
+    "group_agg",
+    "join_topk",
+    "join_multiway",
+    "window_rank",
+    "json_props",
+    # streaming-shaped
+    "events_tumbling",
+    "events_sessions",
+    # LLM-pipeline operators
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash",
+    "embedding_topk",
+    "text_quality",
+    "fingerprint_md5",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from tiledb_py_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen + the one-off lineitem array ingest cache
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    entry._lineitem_array(spark, sf_dir)
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.toPandas()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "bench_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""LLM-pipeline operators: dedup / similarity / text / multimodal.
+
+Oracles are plain-Python recomputations on tiny inputs.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),      # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "another unrelated document mentioning arrays"),
+    (6, ""),                                                  # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    from tiledb_py_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, ["text"], id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_duplicate_stats(docs):
+    from tiledb_py_spark.operators.dedup import duplicate_stats
+
+    out = duplicate_stats(docs, ["text"]).collect()
+    assert len(out) == 1 and out[0].n_copies == 2
+
+
+def test_word_shingles(spark):
+    from tiledb_py_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    [row] = df.select(word_shingles("t", 2).alias("s")).collect()
+    assert sorted(row.s) == ["a b", "b c", "c d"]
+    # short doc falls back to whole-text shingle
+    [row] = spark.createDataFrame([("a",)], ["t"]).select(
+        word_shingles("t", 3).alias("s")).collect()
+    assert row.s == ["a"]
+
+
+def test_minhash_dedup_catches_near_dup(docs):
+    from tiledb_py_spark.operators.dedup import minhash_dedup
+
+    out = minhash_dedup(docs, "text", "doc_id", num_perm=64, bands=32,
+                        shingle_k=2, threshold=0.5)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 2 not in kept          # exact dup dropped
+    assert 3 not in kept          # near dup dropped (j(1,3) at 2-shingles > 0.5)
+    assert {1, 4, 5, 6} <= set(kept)
+
+
+def test_ngram_jaccard_pairs(docs):
+    from tiledb_py_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                        shingle_k=1, threshold=0.5).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    # tokens of 1 vs 3: 9 distinct each ('the' repeats), 8 shared
+    a = set("the quick brown fox jumps over the lazy dog".split())
+    b = set("the quick brown fox leaps over the lazy dog".split())
+    assert out[(1, 3)] == pytest.approx(len(a & b) / len(a | b))
+    assert (1, 4) not in out
+
+
+def test_simhash_dup_collision(docs):
+    from tiledb_py_spark.operators.dedup import simhash_signatures, simhash_dedup
+
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]          # identical text -> identical simhash
+    assert sigs[1] != sigs[4]
+    out = simhash_dedup(docs, "text", "doc_id")
+    assert 2 not in {r.doc_id for r in out.collect()}
+
+
+def test_embedding_near_dup_exact(spark):
+    from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
+
+    vecs = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "v"])
+    out = embedding_near_dup_pairs(df, "v", "vec_id", threshold=0.95, exact=True)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, (base[i] + rng.randn(8) * 0.01).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(df, "v", "vec_id", 0.99,
+                                               exact=True).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in embedding_near_dup_pairs(df, "v", "vec_id", 0.99,
+                                                n_planes=8).collect()}
+    assert exact == {(i, 100 + i) for i in range(5)}
+    assert approx == exact  # near-identical vectors share all sign buckets
+
+
+def test_brute_force_topk(spark):
+    from tiledb_py_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 4)
+    df = spark.createDataFrame([(i, vecs[i].tolist()) for i in range(50)],
+                               ["vec_id", "v"])
+    q = vecs[0]
+    out = brute_force_topk(df, "v", "vec_id", q.tolist(), k=5).collect()
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = np.argsort(-sims)[:5].tolist()
+    assert [r.vec_id for r in out] == expected
+    assert out[0].score == pytest.approx(1.0)
+
+
+def test_ivf_recall(spark):
+    from tiledb_py_spark.operators.similarity import IVFIndex, brute_force_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 8)
+    df = spark.createDataFrame([(i, vecs[i].tolist()) for i in range(200)],
+                               ["vec_id", "v"])
+    q = vecs[17].tolist()
+    idx = IVFIndex(n_cells=4, n_probe=4).fit(df, "v")  # probe all -> exact
+    got = [r.vec_id for r in idx.search(df, "v", "vec_id", q, k=5).collect()]
+    want = [r.vec_id for r in brute_force_topk(df, "v", "vec_id", q, k=5).collect()]
+    assert got == want
+
+
+def test_token_count(docs):
+    from tiledb_py_spark.operators.text import whitespace_token_count
+
+    out = {r.doc_id: r.n for r in docs.select(
+        "doc_id", whitespace_token_count("text").alias("n")).collect()}
+    assert out[1] == 9
+    assert out[6] == 0
+
+
+def test_quality_features(docs):
+    from tiledb_py_spark.operators.text import quality_features
+
+    out = {r.doc_id: r for r in quality_features(docs, "text").collect()}
+    assert out[1].q_n_chars == len(DOCS[0][1])
+    assert out[1].q_n_tokens == 9
+    toks = DOCS[0][1].split()
+    assert out[1].q_mean_word_len == pytest.approx(
+        sum(len(t) for t in toks) / len(toks))
+    assert out[1].q_dup_token_ratio == pytest.approx(1 - len(set(toks)) / len(toks))
+
+
+def test_language_id(spark):
+    from tiledb_py_spark.operators.text import language_id
+
+    df = spark.createDataFrame([
+        (1, "the cat and the dog are in the house with a mouse"),
+        (2, "el gato y el perro estan en la casa con un raton"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+
+
+def test_fingerprint_deterministic(docs):
+    from tiledb_py_spark.operators.text import fingerprint
+
+    a = docs.select("doc_id", fingerprint("text").alias("fp")).collect()
+    b = docs.select("doc_id", fingerprint("text").alias("fp")).collect()
+    assert {r.doc_id: r.fp for r in a} == {r.doc_id: r.fp for r in b}
+    fps = {r.doc_id: r.fp for r in a}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[4]
+
+
+def test_multimodal_image_features(spark):
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      extract_image_features)
+
+    rows = [(1, "image", b"\x89PNG" + b"x" * 60, None, None, None, None),
+            (2, "image", b"\xff\xd8\xff" + b"y" * 40, None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = sorted(extract_image_features(df, feat_dim=8).collect(),
+                   key=lambda r: r.media_id)
+    assert len(feats) == 2
+    assert len(feats[0].feature) == 8
+    assert feats[0].feat_dim == 8
+    # deterministic across runs (crc32-seeded fake decode, not salted hash())
+    again = sorted(extract_image_features(df, feat_dim=8).collect(),
+                   key=lambda r: r.media_id)
+    assert feats[0].feature == again[0].feature
+    with pytest.raises(Exception):
+        extract_image_features(df, feat_dim=8, strict=True).collect()
+
+
+def test_multimodal_video_frames_and_audio(spark):
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      audio_stats,
+                                                      sample_video_frames)
+
+    rows = [(1, "video", b"vid", None, None, None, 3500),
+            (2, "audio", b"aud", None, None, None, 1000)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(df, every_ms=1000).collect()
+    assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
+    stats = audio_stats(df).collect()
+    assert len(stats) == 1 and stats[0].rms is not None

@@ -1,0 +1,171 @@
+"""Ingestion round-trips: from_pandas / from_csv / from_parquet /
+open_dataframe, pandas metadata restoration, categoricals, time travel,
+consolidation (mirrors test_pandas_dataframe.py + fragment tests).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pandas.testing import assert_frame_equal
+
+import tiledb_py_spark as tdb
+
+
+def _pdf():
+    return pd.DataFrame({
+        "k": np.arange(10, dtype=np.int64),
+        "v": np.arange(10) * 1.5,
+        "s": [f"row{i}" for i in range(10)],
+    })
+
+
+def test_from_pandas_sparse_roundtrip(uri, spark):
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.sparse
+    out = A.df[:].reset_index()
+    assert_frame_equal(out.sort_values("k").reset_index(drop=True), pdf,
+                       check_dtype=False)
+
+
+def test_from_pandas_dense_rowindex(uri, spark):
+    """Default RangeIndex -> dense array over __tiledb_rows."""
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf)
+    A = tdb.open(uri, spark=spark)
+    assert not A.schema.sparse
+    out = A.df[:]
+    assert_frame_equal(out.reset_index(drop=True), pdf, check_dtype=False)
+
+
+def test_from_pandas_append(uri, spark):
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    A = tdb.open(uri, spark=spark)
+    out = A.df[:].reset_index().sort_values("k").reset_index(drop=True)
+    assert_frame_equal(out, pdf, check_dtype=False)
+
+
+def test_categorical_roundtrip(uri, spark):
+    pdf = pd.DataFrame({
+        "k": np.arange(6, dtype=np.int64),
+        "cat": pd.Categorical(["a", "b", "a", "c", "b", "a"]),
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.attr("cat").enum_label == "cat"
+    out = A.df[:].reset_index().sort_values("k").reset_index(drop=True)
+    assert isinstance(out["cat"].dtype, pd.CategoricalDtype)
+    assert out["cat"].tolist() == pdf["cat"].tolist()
+
+
+def test_open_dataframe(uri, spark):
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    out = tdb.open_dataframe(uri).reset_index().sort_values("k").reset_index(drop=True)
+    assert_frame_equal(out, pdf, check_dtype=False)
+
+
+def test_from_csv(uri, tmp_path, spark):
+    pdf = _pdf()
+    csv = tmp_path / "data.csv"
+    pdf.to_csv(csv, index=False)
+    tdb.from_csv(uri, str(csv), index_dims=["k"])
+    out = tdb.open_dataframe(uri).reset_index().sort_values("k").reset_index(drop=True)
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+
+def test_from_parquet(uri, tmp_path, spark):
+    pdf = _pdf()
+    pq = tmp_path / "data.parquet"
+    pdf.to_parquet(pq)
+    tdb.from_parquet(uri, str(pq))
+    out = tdb.open_dataframe(uri)
+    assert len(out) == 10
+
+
+def test_timetravel(uri, spark):
+    """Open at timestamp sees only fragments committed by then
+    (reference array.py:321-339, examples/time_traveling.py)."""
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    frags = tdb.array_fragments(uri)
+    ts1 = frags[0].timestamp_range[1]
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    A_now = tdb.open(uri, spark=spark)
+    assert len(A_now.df[:]) == 10
+    A_then = tdb.open(uri, timestamp=ts1, spark=spark)
+    assert len(A_then.df[:]) == 5
+
+
+def test_fragment_info(uri, spark):
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    frags = tdb.array_fragments(uri)
+    assert len(frags) == 2
+    assert frags[0].cell_num == 5
+    ned = frags[0].nonempty_domain
+    assert ned[0] == (0, 4)
+
+
+def test_consolidate_vacuum(uri, spark):
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    assert len(tdb.array_fragments(uri)) == 2
+    tdb.consolidate(uri)
+    tdb.vacuum(uri)
+    assert len(tdb.array_fragments(uri)) == 1
+    out = tdb.open(uri, spark=spark).df[:].reset_index().sort_values("k")
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+
+def test_delete_mode(uri, spark):
+    """Mode 'd' delete query (S15): anti-predicate fragment."""
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v > 10.0").submit_delete()
+    out = tdb.open(uri, spark=spark).df[:].reset_index()
+    assert sorted(out["k"].tolist()) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_metadata_kv(uri, spark):
+    tdb.from_pandas(uri, _pdf(), index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    A.meta["owner"] = "test"
+    A.meta["version"] = 3
+    A.meta["ratio"] = 0.5
+    assert A.meta["owner"] == "test"
+    assert A.meta["version"] == 3
+    assert len(A.meta) >= 3
+    del A.meta["owner"]
+    assert "owner" not in A.meta
+
+
+def test_group(tmp_path, spark):
+    g = str(tmp_path / "grp")
+    tdb.Group.create(g)
+    a1 = str(tmp_path / "grp" / "a1")
+    tdb.from_pandas(a1, _pdf(), index_dims=["k"])
+    with tdb.Group(g, "w") as grp:
+        grp.add(a1, name="a1")
+    with tdb.Group(g) as grp:
+        assert len(grp) == 1
+        assert grp["a1"].uri == a1
+    assert tdb.object_type(g) == "group"
+    assert tdb.object_type(a1) == "array"
+
+
+def test_schema_evolution(uri, spark):
+    tdb.from_pandas(uri, _pdf(), index_dims=["k"])
+    ev = tdb.ArraySchemaEvolution()
+    ev.add_attribute(tdb.Attr(name="extra", dtype=np.float64))
+    ev.array_evolve(uri)
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.has_attr("extra")
+    out = A.df[:]
+    assert "extra" in out.columns

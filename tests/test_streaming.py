@@ -1,0 +1,90 @@
+"""Structured Streaming: batch/stream-shared window transforms and the
+fragment-committing stream sink (real readStream/writeStream run)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import tiledb_py_spark as tdb
+from tiledb_py_spark.streaming import (session_window_stats,
+                                       sliding_window_counts,
+                                       tumbling_window_counts)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ts = pd.to_datetime([
+        "2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:10",
+        "2024-01-01 01:40", "2024-01-01 03:00", "2024-01-01 03:10",
+    ])
+    pdf = pd.DataFrame({
+        "ts": ts,
+        "event_type": ["a", "b", "a", "a", "b", "b"],
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_tumbling(events):
+    out = {(r.window_start.hour, r.event_type): r.n_events
+           for r in tumbling_window_counts(events, "1 hour").collect()}
+    assert out[(0, "a")] == 1
+    assert out[(0, "b")] == 1
+    assert out[(1, "a")] == 2
+    assert out[(3, "b")] == 2
+
+
+def test_sliding(events):
+    rows = sliding_window_counts(events, "1 hour", "30 minutes").collect()
+    # event at 00:05 belongs to windows [23:30,00:30) and [00:00,01:00)
+    starts = [r.window_start for r in rows
+              if r.event_type == "a" and r.window_start.day == 1
+              and r.window_start.hour == 0 and r.n_events >= 1]
+    assert len(starts) >= 1
+
+
+def test_session_windows(events):
+    rows = session_window_stats(events, gap="30 minutes").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: events at 00:05, 00:20 (one session), 01:10 (second session)
+    assert len(by_user[1]) == 2
+    # user 2: 01:40 alone, then 03:00+03:10 together
+    assert len(by_user[2]) == 2
+    sizes = sorted(r.n_events for r in by_user[2])
+    assert sizes == [1, 2]
+
+
+def test_stream_to_array_fragments(spark, tmp_path):
+    """readStream -> foreachBatch fragment sink -> array time-travel read."""
+    from tiledb_py_spark.streaming import (read_event_stream,
+                                           stream_events_to_array)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf1 = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                         "v": np.arange(5) * 1.0})
+    pdf2 = pd.DataFrame({"k": np.arange(5, 10, dtype=np.int64),
+                         "v": np.arange(5, 10) * 1.0})
+    pdf1.to_parquet(src / "f1.parquet")
+    pdf2.to_parquet(src / "f2.parquet")
+
+    uri = str(tmp_path / "arr")
+    dom = tdb.Domain(tdb.Dim(name="k", domain=(0, 10**9), tile=10000,
+                             dtype=np.int64))
+    schema = tdb.ArraySchema(domain=dom,
+                             attrs=[tdb.Attr(name="v", dtype=np.float64)],
+                             sparse=True)
+    tdb.Array.create(uri, schema)
+
+    stream = read_event_stream(spark, str(src))
+    q = stream_events_to_array(stream, uri, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    A = tdb.open(uri, spark=spark)
+    res = A[:]
+    assert sorted(res["k"].tolist()) == list(range(10))
+    assert len(tdb.array_fragments(uri)) >= 1

@@ -112,15 +112,17 @@ def compute_aggregates(df: DataFrame, spec: dict[str, tuple],
 
 
 def unwrap(results: dict[str, dict[str, Any]], spec, attrs: list[str]):
-    """Singleton unwrapping (reference ``aggregation.py:72-79``):
-    one attr -> drop outer dict; one op per attr -> drop inner dict."""
-    shaped: Any = {a: (list(d.values())[0] if len(d) == 1 else d)
-                   for a, d in results.items()}
-    if isinstance(spec, str) or (isinstance(spec, (list, tuple)) and len(results) == 1):
-        pass
-    if len(shaped) == 1:
-        return list(shaped.values())[0]
-    return shaped
+    """Singleton unwrapping, exactly as the reference
+    (``aggregation.py:72-79``): only when there is a single attribute is
+    the outer dict dropped — and then, only if that attribute has a single
+    aggregate, the inner dict too.  Multi-attribute results keep inner
+    dicts even for single ops."""
+    if len(results) == 1:
+        inner = list(results.values())[0]
+        if len(inner) == 1:
+            return list(inner.values())[0]
+        return inner
+    return results
 
 
 def nan_safe_equal(a, b) -> bool:

@@ -303,6 +303,27 @@ class Array:
                                        nonempty=self.nonempty_domain())
         return ranges, drop_axes, steps
 
+    # -- delete queries (S15, reference core.cc:1474-1479) -------------------
+    def delete_cells(self, cond: str):
+        """Mode-'d' delete: record the condition as an anti-predicate
+        fragment; readers apply ``NOT(cond)`` to earlier cells and
+        consolidation materializes the removal (reference delete queries,
+        ``tests/test_query_condition.py:1074-1226``)."""
+        if self.mode != "d":
+            raise PermissionError("array not opened in delete mode")
+        if not cond:
+            raise ValueError("delete requires a condition")
+        self._compile_cond(cond)  # validate before committing
+        ts = mf.now_ms()
+
+        def _mut(m):
+            m.fragments.append(mf.FragmentRecord(
+                name=mf.new_fragment_name(ts), timestamp_range=(ts, ts),
+                cell_num=0, nonempty_domain={}, kind="delete",
+                delete_condition=cond))
+        mf.commit(self.uri, _mut)
+        self.reopen()
+
     # -- maintenance ---------------------------------------------------------
     def consolidate(self, timestamp=None):
         from .fragment import consolidate as _cons
@@ -599,9 +620,16 @@ class Query:
         return Aggregation(self, spec)
 
     def submit(self, selection=slice(None)) -> DataFrame:
-        """Spark-native: the query as a DataFrame (no materialization)."""
+        """Spark-native: the query as a DataFrame (no materialization).
+        On a mode-'d' array this submits the delete instead (reference
+        submit-routing at ``core.cc:1474-1479``)."""
+        if self.array.mode == "d":
+            return self.submit_delete()
         ranges, _d, _s = self.array.subarray_to_ranges(selection)
         return self.array._execute(self._plan(ranges))
+
+    def submit_delete(self):
+        return self.array.delete_cells(self.cond)
 
 
 class Aggregation:

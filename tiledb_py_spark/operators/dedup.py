@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the 100 TB story):
+
+- **Exact**: ``xxhash64`` of the normalized content -> groupBy hash.  One
+  shuffle on a 8-byte key; skew-safe (hash keys are uniform).  Never
+  shuffles document text — only (hash, id) pairs.
+- **MinHash**: the signature is computed *without any shuffle or UDF*:
+  shingles live in an array column and each of the ``num_perm``
+  permutations is ``array_min(transform(shingles, s -> xxhash64(seed, s)))``
+  — pure whole-stage-codegen.  LSH banding then shuffles only
+  (band_id, band_hash, doc_id) tuples, a few dozen bytes/doc regardless of
+  document size.  Candidate verification re-joins shingle sets only for
+  bucket-colliding pairs (a tiny fraction).
+- **SimHash**: 64 bit-counters folded JVM-side from the token-hash array;
+  near-dup = equal simhash (or banded Hamming blocks for distance>0).
+- **Cosine near-dup**: random-hyperplane sign buckets prune the pair space,
+  then exact cosine via ``zip_with``/``aggregate`` on the survivors.
+
+Deduplication "keep one per cluster" uses min-id-in-bucket propagation
+rather than full iterative connected components; for the canonical
+pipeline use-case (drop near-identical docs) one propagation round over
+LSH buckets is the standard practice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: str | Column) -> Column:
+    """Lowercase, collapse whitespace, strip punctuation-ish chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: str | Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array column — computed with
+    ``sequence``+``transform`` (JVM), no explode, no UDF."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_shingles(col: str | Column, k: int = 5) -> Column:
+    c = normalized_text(col)
+    return F.array_distinct(
+        F.when(
+            F.length(c) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - k + 1),
+                lambda i: F.substring(c, i, F.lit(k)),
+            ),
+        ).otherwise(F.array(c))
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """Array of ``num_perm`` minhash values: perm j =
+    min over shingles of xxhash64(j, shingle).  Zero shuffles.
+
+    NOTE: reference the result via a materialization barrier (aggregate /
+    exploded form) when fanning out further — Catalyst's CollapseProject
+    re-inlines projected aliases, so stacking another num_perm-wide
+    expression on top of this one squares the expression tree.  Prefer
+    ``minhash_signatures`` (exploded + groupBy) for the pipeline form."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        for j in range(num_perm)
+    ])
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
+    """(id, signature array) via explode + groupBy: one row per (doc,
+    shingle), ``num_perm`` small min-aggregates, map-side partial agg.
+    The Aggregate node is a hard optimizer barrier, so downstream banding
+    sees a plain array column — expression trees stay O(num_perm), not
+    O(num_perm^2)."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   F.explode(word_shingles(text_col, shingle_k)).alias("__s"))
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("__s"))).alias(f"__m{j}")
+            for j in range(num_perm)]
+    sig = sh.groupBy("__id").agg(*aggs)
+    return sig.select("__id", F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("__sig"))
+
+
+# bit masks 2^0..2^63 as long literals (2^63 wraps to long-min, valid mask)
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash folded from each token's xxhash64 via a single
+    ``aggregate`` over a 64-slot counter array (one pass, JVM-side):
+    token hash bit i set -> counter[i] += 1 else -= 1; sign -> bit."""
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1))),
+    )
+    return F.aggregate(
+        F.zip_with(counters, pow2,
+                   lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str],
+                id_col: Optional[str] = None, normalize: bool = False) -> DataFrame:
+    """Keep one row per distinct content; with ``id_col``, keep the min-id
+    row (deterministic).  Hash-groupBy: shuffles only (hash, id)."""
+    key = F.xxhash64(*[
+        normalized_text(c) if normalize else F.col(c) for c in content_cols
+    ])
+    if id_col is None:
+        return df.dropDuplicates(list(content_cols))
+    keep = (df.select(key.alias("__h"), F.col(id_col))
+              .groupBy("__h").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+def duplicate_stats(df: DataFrame, content_cols: Sequence[str],
+                    normalize: bool = False) -> DataFrame:
+    """Per-content duplicate counts (content hash, n copies) for groups with
+    more than one copy."""
+    key = F.xxhash64(*[
+        normalized_text(c) if normalize else F.col(c) for c in content_cols
+    ])
+    return (df.select(key.alias("content_hash"))
+              .groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+              .filter(F.col("n_copies") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    Shuffle cost: one exchange of (band_id, band_hash, id) rows + the
+    in-bucket self-join.  Buckets with huge membership (degenerate content,
+    e.g. empty docs) are capped to avoid quadratic blowup."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    banded = sigs.select(
+        "__id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
+                           for r in range(rows_per_band)]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    # cap degenerate buckets: keep at most 64 members per bucket
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy("__id")
+    banded = (banded.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= 64).drop("__rn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, on=["band", "band_hash"])
+              .filter(F.col("a.__id") < F.col("b.__id"))
+              .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+              .distinct())
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                  threshold: float = 0.8) -> DataFrame:
+    """Drop near-duplicates: verify candidates with exact shingle Jaccard,
+    cluster by min-id propagation, keep the smallest id per cluster."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    verified = verify_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
+    # min-id propagation: every doc maps to the smallest id it pairs with
+    edges = verified.select("id_a", "id_b")
+    rep = (edges.groupBy("id_b").agg(F.min("id_a").alias("__rep"))
+                .withColumnRenamed("id_b", id_col))
+    return (df.join(rep, on=id_col, how="left")
+              .filter(F.col("__rep").isNull())
+              .drop("__rep"))
+
+
+def verify_jaccard(df: DataFrame, pairs: DataFrame, text_col: str, id_col: str,
+                   shingle_k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   word_shingles(text_col, shingle_k).alias("__sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (j.withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above a threshold (the small-data
+    oracle path; LSH above is the scale path).  Pairs are pruned with a
+    length filter before the quadratic join."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   word_shingles(text_col, shingle_k).alias("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # size bound: |A∩B|/|A∪B| >= t requires |A| >= t*|B| and vice versa
+    j = j.filter(F.size("__sh_a") * threshold <= F.size("__sh_b"))
+    j = j.filter(F.size("__sh_b") * threshold <= F.size("__sh_a"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (j.withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Drop rows whose 64-bit SimHash collides with a smaller-id row
+    (Hamming distance 0).  For distance<=d, band the simhash into d+1
+    blocks and repeat per block (pigeonhole)."""
+    with_sh = df.withColumn("__simhash", simhash64(text_col))
+    keep = with_sh.groupBy("__simhash").agg(F.min(id_col).alias(id_col))
+    return (with_sh.join(keep, on=[id_col, "__simhash"], how="inner")
+                   .drop("__simhash"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                             threshold: float = 0.95,
+                             n_planes: int = 12,
+                             exact: bool = False) -> DataFrame:
+    """Pairs with cosine >= threshold.  ``exact=False`` prunes with
+    random-hyperplane sign buckets (near-identical vectors almost surely
+    share all sign bits), then verifies exactly; ``exact=True`` skips
+    pruning (oracle path for small data)."""
+    norm = _norm(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                     norm.alias("__n")).filter(F.col("__n") > 0)
+    if not exact:
+        dim_df = base.select(F.size("__v").alias("d")).limit(1).collect()
+        dim = dim_df[0]["d"] if dim_df else 0
+        import random
+
+        rng = random.Random(42)
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        bucket = None
+        for j, p in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(F.col("__v"), F.array(*[F.lit(x) for x in p]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << j)
+            bucket = bit if bucket is None else bucket + bit
+        base = base.withColumn("__bucket", bucket)
+        a = base.alias("a")
+        b = base.alias("b")
+        j = (a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
+              .filter(F.col("a.__id") < F.col("b.__id")))
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        j = a.crossJoin(b).filter(F.col("a.__id") < F.col("b.__id"))
+    cos = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    return (j.select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                     cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))

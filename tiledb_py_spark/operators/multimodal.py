@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic fake (or ``NotImplementedError`` when
+``strict=True``) — but all Spark-side plumbing is real and tested:
+schemas, batch iteration, UDF signatures, partition sizing.  Swapping the
+fake for Pillow/torchaudio is a one-function change inside the UDF.
+
+This corresponds to the reference's Filestore (blobs stored in arrays,
+``/root/reference/tiledb/filestore.py:9-151``) generalized to the
+training-pipeline shape: ``spark.read.format("binaryFile")`` ingestion +
+per-batch Python feature extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("content", T.BinaryType(), True),      # opaque bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("feat_dim", T.IntegerType(), True),
+])
+
+
+def ingest_binary_files(spark, path: str, kind: str = "image") -> DataFrame:
+    """Directory of files -> media table via the binaryFile source."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _content_seed(content: bytes) -> int:
+    # zlib.crc32, not hash(): Python's bytes hash is salted per-process,
+    # which would make results differ across executors
+    import zlib
+
+    return zlib.crc32(content) & 0x7FFFFFFF
+
+
+def _fake_decode_image(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """STUB: deterministic fake decode — a real build replaces this with
+    PIL.Image.open(BytesIO(content)).  Produces a pseudo-image whose pixels
+    are a hash-seeded deterministic function of the bytes."""
+    rng = np.random.default_rng(_content_seed(content))
+    return rng.random((out_hw[0], out_hw[1], 3), dtype=np.float32)
+
+
+def extract_image_features(df: DataFrame, feat_dim: int = 64,
+                           resize_hw: tuple[int, int] = (32, 32),
+                           strict: bool = False) -> DataFrame:
+    """decode -> resize -> pooled feature vector, Arrow-batched.
+
+    Partition note: mapInPandas streams Arrow record batches, so executor
+    memory is bounded by batch size (spark.sql.execution.arrow.
+    maxRecordsPerBatch), not partition size — the right shape for binary
+    blobs of MBs each."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "image decode requires an imaging library not present in this container")
+        for pdf in it:
+            feats = []
+            for content in pdf["content"]:
+                if content is None:
+                    feats.append(None)
+                    continue
+                img = _fake_decode_image(bytes(content), resize_hw)
+                pooled = img.reshape(-1)[:feat_dim].astype("float32")
+                if pooled.size < feat_dim:
+                    pooled = np.pad(pooled, (0, feat_dim - pooled.size))
+                feats.append(pooled.tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "feature": feats,
+                "feat_dim": feat_dim,
+            })
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        strict: bool = False) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame timestamp.
+    The frame decode is stubbed; timestamps come from duration metadata,
+    so the explode is real Spark (no Python)."""
+    if strict:
+        raise NotImplementedError("video decode requires codecs not present here")
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
+                       F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+    return frames.withColumn(
+        "frame_id", F.xxhash64(F.col("media_id"), F.col("frame_ts_ms")))
+
+
+def audio_stats(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio feature plumbing over mapInPandas with a fake PCM decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("audio decode requires codecs not present here")
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    rows.append((mid, None, None))
+                    continue
+                rng = np.random.default_rng(_content_seed(bytes(content)))
+                pcm = rng.standard_normal(1024).astype("float32")
+                rows.append((mid, float(np.abs(pcm).mean()), float(pcm.std())))
+            out = pd.DataFrame(rows, columns=["media_id", "mean_amplitude", "rms"])
+            yield out
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_amplitude", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ])
+    return df.filter(F.col("kind") == "audio").mapInPandas(batches, schema=schema)

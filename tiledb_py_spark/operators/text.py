@@ -1,0 +1,134 @@
+"""Text analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` (whole-stage codegen; zero Python in
+the per-row path).  The language-ID heuristic uses stopword-hit ratios
+against small built-in word lists broadcast as literals — the classic
+n-gram/stopword approach, good enough for corpus bucketing; a model-based
+classifier would slot in as a Pandas UDF behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists (top function words per language)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von",
+           "den", "im", "für", "auf", "des", "sich", "dem", "als", "auch"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que",
+           "pas", "pour", "dans", "qui", "sur", "avec", "au", "par"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "las", "del",
+           "se", "por", "con", "una", "para", "es", "al", "lo"],
+    "it": ["il", "di", "che", "la", "e", "un", "per", "non", "una", "del",
+           "con", "si", "da", "come", "le", "nel", "alla"],
+}
+
+
+def _tokens_lower(col: Column) -> Column:
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(t))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish subword count: word chunks + digits + punctuation marks each
+    count as tokens, long words count extra per 4 chars (a deterministic
+    regex approximation of byte-pair tokenizers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_count(c, F.lit(r"\w+|[^\w\s]"))
+    # long words contribute ~len/4 extra subword tokens
+    extra = F.aggregate(
+        F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 4),
+        F.lit(0),
+        lambda acc, w: acc + ((F.length(w) - 1) / F.lit(4)).cast("int"),
+    )
+    return (pieces + extra).cast("long")
+
+
+def language_id(col: str | Column) -> Column:
+    """Best-scoring language by stopword hit ratio; 'und' when nothing hits."""
+    toks = _tokens_lower(F.col(col) if isinstance(col, str) else col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    best_lang, best_score = F.lit("und"), F.lit(0.0)
+    for lang, words in _STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        score = hits.cast("double") / n
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append standard quality-signal columns (Gopher/C4-style filters):
+    length, token count, mean word length, punctuation ratio, stopword
+    ratio, digit ratio, uppercase ratio, repetition ratio."""
+    c = F.col(text_col)
+    toks = _tokens_lower(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_chars = F.length(c)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return (df
+            .withColumn("q_n_chars", n_chars.cast("long"))
+            .withColumn("q_n_tokens", F.size(toks).cast("long"))
+            .withColumn("q_mean_word_len",
+                        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+                        .cast("double") / n_tok)
+            .withColumn("q_punct_ratio",
+                        F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / safe_chars)
+            .withColumn("q_stopword_ratio",
+                        F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+                        .cast("double") / n_tok)
+            .withColumn("q_digit_ratio",
+                        F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / safe_chars)
+            .withColumn("q_upper_ratio",
+                        F.regexp_count(c, F.lit(r"[A-Z]")).cast("double") / safe_chars)
+            .withColumn("q_dup_token_ratio",
+                        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tok)))
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Scalar [0,1] quality score from the feature columns (simple
+    interpretable linear gate, matching common heuristic filters)."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.lit(1.0)
+        * F.when(F.col("q_n_tokens").between(5, 100000), 1.0).otherwise(0.2)
+        * F.when(F.col("q_mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.5)
+        * F.when(F.col("q_punct_ratio") < 0.2, 1.0).otherwise(0.5)
+        * F.when(F.col("q_dup_token_ratio") < 0.5, 1.0).otherwise(0.3)
+        * (F.lit(0.5) + F.least(F.col("q_stopword_ratio") * 2, F.lit(0.5)))
+    )
+    return feat.withColumn("quality", F.round(score, 6))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """64-bit document fingerprint: xxhash64 over the normalized text —
+    stable under whitespace/punctuation/case variation (rolling-hash
+    style canonicalization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def add_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop enrichment: language, token counts, fingerprint, quality."""
+    out = quality_score(df, text_col)
+    return (out
+            .withColumn("lang_pred", language_id(text_col))
+            .withColumn("n_tokens_ws", whitespace_token_count(text_col))
+            .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+            .withColumn("fingerprint", fingerprint(text_col)))

@@ -33,7 +33,12 @@ def get_spark(app_name: str = "tiledb_py_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        # NOTE: oversized local-mode heaps (48g+) trigger pathological GC
+        # behavior on warm queries (measured 30-60x slowdowns); 16g is ample
+        # for sf0.1 and keeps pauses short.  Real clusters size executors
+        # separately anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -1,0 +1,102 @@
+"""Structured Streaming ingestion + windowed analytics for event streams.
+
+The reference is a batch storage engine (SURVEY.md §2.7) — its nearest
+analogs are timestamped fragment writes (append-only commits,
+``/root/reference/tiledb/array.py:966-985``).  This module is the
+Spark-native extension: ``readStream`` over event files -> watermarked
+window aggregations -> ``foreachBatch`` committing each micro-batch as a
+timestamped array fragment, giving streaming writes the same time-travel
+/ consolidation story as batch writes.
+
+Each transformation is defined as a pure DataFrame function usable in BOTH
+batch and streaming mode (the Structured Streaming contract), which is how
+the driver's DuckDB oracle can check the batch equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(events: DataFrame, window: str = "1 hour",
+                           watermark: str = "1 hour",
+                           streaming: bool = False) -> DataFrame:
+    """Events per (window, event_type) with late-data watermarking."""
+    if streaming:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_window_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str = "30 minutes",
+                          watermark: str = "1 hour",
+                          streaming: bool = False) -> DataFrame:
+    if streaming:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour",
+                         streaming: bool = False) -> DataFrame:
+    """Per-user session windows (gap-based) — session count, length, value."""
+    if streaming:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def read_event_stream(spark, path: str, schema=None,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_events_to_array(stream_df: DataFrame, uri: str,
+                           checkpoint_dir: str,
+                           trigger_seconds: Optional[int] = None):
+    """Sink: each micro-batch commits one timestamped fragment — streaming
+    writes get time travel + consolidation for free."""
+    from ..manifest import read_manifest
+    from ..sources.fragment_writer import write_fragment_spark
+
+    schema = read_manifest(uri).schema
+
+    def commit_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        write_fragment_spark(uri, schema, batch_df)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

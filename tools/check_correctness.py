@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at sf0.01,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from tiledb_py_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(4)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        else:
+            df[c] = s.astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"columns {sorted(a.columns)} != {sorted(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rowcount {len(a)} != {len(b)}"
+    na, nb = normalize(a), normalize(b)
+    for c in na.columns:
+        ca, cb = na[c], nb[c]
+        if pd.api.types.is_float_dtype(ca):
+            ok = np.allclose(ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4)
+        else:
+            ok = (ca == cb).all()
+        if not ok:
+            diff = (ca != cb) if not pd.api.types.is_float_dtype(ca) else ~np.isclose(
+                ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4)
+            i = int(np.argmax(diff.to_numpy()))
+            return False, f"col {c} differs at sorted row {i}: {ca.iloc[i]!r} vs {cb.iloc[i]!r}"
+    return True, "ok"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} ({dt:.1f}s, no oracle)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(sdf, odf)
+        status = "pass" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status}  {name}: rows={len(sdf)} ({dt:.1f}s) {'' if ok else msg}")
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
