@@ -1,0 +1,183 @@
+"""S7/S8/S10/S23/S24/O2: domain_index, dimension labels, est_result_size,
+VFS/FileIO, Filestore, Hilbert cell order."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from numpy.testing import assert_array_equal
+
+import tiledb_py_spark as tdb
+
+
+# -- S8 dimension labels -----------------------------------------------------
+
+@pytest.fixture()
+def labeled(uri, spark):
+    """The reference's label_index doctest array (array.py:987-1061)."""
+    dim1 = tdb.Dim("d1", domain=(1, 4), tile=4, dtype=np.int64)
+    dim2 = tdb.Dim("d2", domain=(1, 3), tile=3, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim1, dim2), attrs=(tdb.Attr("a1", dtype=np.int64),),
+        dim_labels={
+            0: {"l1": dim1.create_label_schema("decreasing", np.int64)},
+            1: {"l2": dim2.create_label_schema("increasing", np.int64),
+                "l3": dim2.create_label_schema("increasing", np.float64)},
+        })
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[:, :] = {"a1": np.reshape(np.arange(1, 13), (4, 3)),
+                   "l1": np.arange(4, 0, -1),
+                   "l2": np.arange(-1, 2),
+                   "l3": np.linspace(0, 1.0, 3)}
+    return uri
+
+
+def test_label_index_reference_cases(labeled, spark):
+    A = tdb.open(labeled, spark=spark)
+    r = A.label_index(["l1"])[3:4]
+    assert r["l1"].tolist() == [4, 3]
+    assert r["a1"].tolist() == [[1, 2, 3], [4, 5, 6]]
+    r = A.label_index(["l1", "l3"])[2, 0.5:1.0]
+    assert r["l3"].tolist() == [0.5, 1.0]
+    assert r["l1"].tolist() == [2]
+    assert r["a1"].tolist() == [[8, 9]]
+    r = A.label_index(["l2"])[:, -1:0]
+    assert r["l2"].tolist() == [-1, 0]
+    assert r["a1"].tolist() == [[1, 2], [4, 5], [7, 8], [10, 11]]
+
+
+def test_label_index_errors(labeled, spark):
+    A = tdb.open(labeled, spark=spark)
+    with pytest.raises(KeyError):
+        A.label_index(["nope"])
+    with pytest.raises(ValueError):
+        A.label_index(["l2", "l3"])  # two labels on one dim
+
+
+def test_label_schema_roundtrip(labeled):
+    schema = tdb.open(labeled).schema
+    assert schema.has_dim_label("l1")
+    assert schema.dim_labels[1]["l3"].order == "increasing"
+
+
+# -- S7 domain_index / S10 est_result_size -----------------------------------
+
+def test_domain_index(uri, spark):
+    pdf = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                        "v": np.arange(50) * 2.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    res = A.domain_index[10:12]
+    assert sorted(res["k"].tolist()) == [10, 11, 12]  # inclusive
+
+
+def test_est_result_size(uri, spark):
+    pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": np.arange(100) * 2.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    est = A.est_result_size(slice(0, 50))  # half-open -> 50 cells
+    assert est["k"]["data_bytes"] == 50 * 8
+    assert est["v"]["data_bytes"] == 50 * 8
+    full = A.est_result_size()
+    assert full["k"]["data_bytes"] == 100 * 8
+
+
+# -- S23 VFS / FileIO --------------------------------------------------------
+
+def test_vfs_ops(tmp_path):
+    v = tdb.VFS()
+    d = str(tmp_path / "vd")
+    v.create_dir(d)
+    assert v.is_dir(d)
+    f = str(tmp_path / "vd" / "x.bin")
+    with v.open(f, "wb") as fh:
+        fh.write(b"hello")
+    assert v.is_file(f)
+    assert v.file_size(f) == 5
+    with v.open(f, "rb") as fh:
+        assert fh.read() == b"hello"
+        fh.seek(1)
+        assert fh.read(3) == b"ell"
+    v.copy_file(f, f + ".2")
+    assert v.file_size(f + ".2") == 5
+    assert len(v.ls(d)) == 2
+    assert v.dir_size(d) == 10
+    v.remove_file(f + ".2")
+    assert not v.is_file(f + ".2")
+    with pytest.raises(IOError):
+        with v.open(f, "rb") as fh:
+            fh.write(b"nope")
+    assert v.supports("file")
+
+
+def test_fileio_append(tmp_path):
+    v = tdb.VFS()
+    f = str(tmp_path / "a.log")
+    with v.open(f, "wb") as fh:
+        fh.write(b"one")
+    with v.open(f, "ab") as fh:
+        fh.write(b"two")
+    with v.open(f) as fh:
+        assert fh.read() == b"onetwo"
+        assert len(fh) == 6
+
+
+# -- S24 Filestore -----------------------------------------------------------
+
+def test_filestore_roundtrip(uri, spark):
+    fs = tdb.Filestore(uri)
+    data = bytes(range(256)) * 100
+    fs.write(data, mime_type="application/x-test")
+    assert len(fs) == len(data)
+    assert fs.read() == data
+    assert fs.read(10, 20) == data[10:30]
+    assert fs.mime_type == "application/x-test"
+    with pytest.raises(TypeError):
+        fs.write("not-bytes-protocol-str-is-ok-actually" and 123)
+
+
+def test_filestore_copy(tmp_path, spark):
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"payload" * 1000)
+    uri = str(tmp_path / "fsarr")
+    tdb.Filestore.copy_from(uri, str(src))
+    out = tmp_path / "out.bin"
+    tdb.Filestore.copy_to(uri, str(out))
+    assert out.read_bytes() == src.read_bytes()
+
+
+# -- O2 Hilbert cell order ---------------------------------------------------
+
+def test_hilbert_curve_properties():
+    from tiledb_py_spark.hilbert import hilbert_index
+
+    for bits, d in [(2, 2), (3, 2), (2, 3)]:
+        n = 1 << bits
+        coords = np.array(np.meshgrid(*[np.arange(n)] * d,
+                                      indexing="ij")).reshape(d, -1).T
+        keys = hilbert_index(coords, bits)
+        assert sorted(keys.tolist()) == list(range(n ** d))
+        walk = coords[np.argsort(keys)]
+        assert (np.abs(np.diff(walk, axis=0)).sum(axis=1) == 1).all()
+
+
+def test_hilbert_write_order(uri, spark):
+    """cell_order='hilbert' arrays round-trip and store curve-sorted rows."""
+    dom = tdb.Domain(tdb.Dim(name="x", domain=(0, 63), tile=8, dtype=np.int64),
+                     tdb.Dim(name="y", domain=(0, 63), tile=8, dtype=np.int64))
+    schema = tdb.ArraySchema(domain=dom,
+                             attrs=[tdb.Attr(name="v", dtype=np.float64)],
+                             sparse=True, cell_order="hilbert")
+    tdb.Array.create(uri, schema)
+    rng = np.random.RandomState(0)
+    xs = rng.randint(0, 64, 500)
+    ys = rng.randint(0, 64, 500)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[xs, ys] = xs * 1.0 + ys
+    A = tdb.open(uri, spark=spark)
+    res = A.multi_index[0:15, 0:15]
+    mask = (xs <= 15) & (ys <= 15)
+    assert len(res["x"]) == mask.sum()
+    assert_array_equal(np.sort(res["v"]),
+                       np.sort((xs * 1.0 + ys)[mask]))

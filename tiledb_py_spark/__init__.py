@@ -16,7 +16,10 @@ column plumbing; ``streaming`` package with Structured Streaming ingestion.
 
 from .aggregation import nan_safe_equal
 from .array import (Aggregation, Array, DataFrameIndexer, DenseArray,
-                    IncompleteIterator, MultiRangeIndexer, Query, SparseArray)
+                    DomainIndexer, IncompleteIterator, MultiRangeIndexer,
+                    Query, SparseArray)
+from .filestore import Filestore
+from .vfs import VFS, FileIO
 from .fragment import (ConsolidationPlan, FragmentInfo, FragmentInfoList,
                        array_fragments, create_array_from_fragments,
                        delete_fragments)
@@ -25,6 +28,7 @@ from .group import Group
 from .highlevel import (array_exists, consolidate, delete_array, empty_like,
                         from_numpy, ls, move, object_type, open, remove,
                         schema_like, vacuum, walk)
+from .labels import DimLabelSchema, LabelIndexer
 from .manifest import FragmentRecord, Manifest
 from .metadata import Metadata
 from .schema import ArraySchema, Attr, Dim, Domain, Enumeration
@@ -38,9 +42,10 @@ __version__ = "0.1.0"
 __all__ = [
     "Array", "ArraySchema", "ArraySchemaEvolution", "Attr", "Aggregation",
     "ConsolidationPlan", "DataFrameIndexer", "DenseArray", "Dim", "Domain",
-    "Enumeration", "FragmentInfo", "FragmentInfoList", "FragmentRecord",
+    "DimLabelSchema", "DomainIndexer", "Enumeration", "FileIO", "Filestore",
+    "FragmentInfo", "FragmentInfoList", "FragmentRecord", "LabelIndexer",
     "Group", "IncompleteIterator", "Manifest", "Metadata", "MultiRangeIndexer",
-    "Query", "QueryCondition", "SparseArray", "TileDBError",
+    "Query", "QueryCondition", "SparseArray", "TileDBError", "VFS",
     "array_exists", "array_fragments", "consolidate",
     "create_array_from_fragments", "delete_array", "delete_fragments",
     "empty_like", "from_csv", "from_numpy", "from_pandas", "from_parquet",

@@ -294,6 +294,69 @@ class Array:
     def df(self):
         return DataFrameIndexer(self, Query(self, coords=True))
 
+    def label_index(self, labels):
+        """Label-based reads (S8, reference ``array.py:987-1061``): resolve
+        label ranges to dim ranges through the label tables, then read."""
+        from .labels import LabelIndexer
+
+        return LabelIndexer(self, tuple(labels))
+
+    @property
+    def domain_index(self):
+        """Domain-value point/range reads (S7, reference
+        ``tiledb/domain_indexer.py:16-122``) — inclusive slices over the
+        dims' actual domain values; same range semantics as multi_index."""
+        return DomainIndexer(self, Query(self))
+
+    def est_result_size(self, selection=slice(None)) -> dict:
+        """Per-buffer byte estimates before execution (S10, reference
+        ``core.cc:1581-1628``), answered from manifest statistics: each
+        live fragment contributes cell_num scaled by the fraction of its
+        MBR the requested ranges overlap — no Spark job, no data touched."""
+        ranges, _d, _s = self.subarray_to_ranges(selection)
+        est_cells = self._est_cells(ranges)
+        out = {}
+        cols = list(self.schema.domain) + list(self.schema.attrs_list)
+        for c in cols:
+            dt = c.dtype
+            if dt.kind in ("U", "S", "O"):
+                # var-length: (offsets, data) pair like the reference
+                out[c.name] = {"offsets_bytes": est_cells * 8,
+                               "data_bytes": est_cells * 32}
+            else:
+                out[c.name] = {"data_bytes": est_cells * max(dt.itemsize, 1)}
+        return out
+
+    def _est_cells(self, ranges) -> int:
+        m = self._manifest
+        total = 0.0
+        for f in m.live_fragments(self.timestamp):
+            mbr = _decode_mbr(self.schema, f.nonempty_domain)
+            if ranges and not mbr_intersects(ranges, mbr):
+                continue
+            frac = 1.0
+            for dr in ranges or []:
+                box = mbr.get(dr.name)
+                if box is None or not hasattr(box[0], "__sub__"):
+                    continue
+                lo, hi = box
+                try:
+                    width = float(hi) - float(lo) + 1.0
+                except (TypeError, ValueError):
+                    continue
+                if width <= 0:
+                    continue
+                covered = 0.0
+                for (rlo, rhi) in dr.intervals:
+                    a = max(float(rlo), float(lo))
+                    b = min(float(rhi), float(hi))
+                    if b >= a:
+                        covered += b - a + 1.0
+                covered += len(dr.points)
+                frac *= min(covered / width, 1.0)
+            total += f.cell_num * frac
+        return int(total)
+
     def subarray_to_ranges(self, selection) -> tuple[list[DimRanges], tuple, list]:
         idx = index_as_tuple(selection)
         idx = replace_ellipsis(self.schema.ndim, idx)
@@ -522,11 +585,24 @@ class DenseArray(Array):
         n = int(np.prod(shape))
 
         if isinstance(value, dict):
-            vals = value
+            vals = dict(value)
         elif self.schema.nattr == 1 or self.view_attr:
             vals = {(self.view_attr or self.schema.attr(0).name): value}
         else:
             raise ValueError("multi-attribute dense write requires a dict")
+        # dimension-label data rides along in the value dict (reference
+        # dense_array.py label handling): route to the label tables
+        from .labels import write_label_data
+
+        for lbl_name in [k for k in vals if self.schema.has_dim_label(k)]:
+            v = np.asarray(vals.pop(lbl_name))
+            dim_idx = next(i for i, by in self.schema.dim_labels.items()
+                           if lbl_name in by)
+            if v.shape != (len(axes[dim_idx]),):
+                raise ValueError(
+                    f"label {lbl_name!r} data must match dim extent "
+                    f"{len(axes[dim_idx])}, got {v.shape}")
+            write_label_data(self.uri, lbl_name, axes[dim_idx], v)
         for an, v in vals.items():
             self.schema.attr(an)
             arr = np.asarray(v)
@@ -679,6 +755,27 @@ class _AggMultiIndex:
         ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
                                             nonempty=arr.nonempty_domain())
         return self.agg._run(ranges)
+
+
+class DomainIndexer:
+    """``A.domain_index[...]`` — slicing by domain values (S7, reference
+    ``tiledb/domain_indexer.py:16-122``).  Inclusive bounds per dim; point
+    values allowed; result shaping follows the regular read path."""
+
+    def __init__(self, array: Array, query: Query):
+        self.array = array
+        self.query = query
+
+    def __getitem__(self, selection):
+        arr = self.array
+        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
+                                            nonempty=arr.nonempty_domain())
+        plan = self.query._plan(ranges)
+        if plan.dims is not None and len(plan.dims) == 0:
+            plan.dims = arr.schema.dim_names
+        df = arr._execute(plan)
+        pdf = df.toPandas()
+        return pdf_to_numpy_dict(pdf, arr.schema, list(df.columns))
 
 
 class MultiRangeIndexer:

@@ -1,0 +1,204 @@
+"""Dimension labels (S8): label-based reads.
+
+Reference: ``DimLabel`` (``/root/reference/tiledb/dimension_label.py``),
+``Dim.create_label_schema``, ``Array.label_index``
+(``array.py:987-1061``) and the two-phase label-resolution query
+(``LabelIndexer``, ``multirange_indexing.py:663-733``).
+
+Model: a label is a monotonic (increasing/decreasing) mapping
+``dim coordinate -> label value`` attached to one dimension.  We store
+each label as its own small parquet table ``<uri>/__labels/<name>/`` with
+columns ``(__coord, __label)`` — the Spark analog of the reference's
+hidden label sub-arrays.
+
+Read path = the reference's two-phase plan: resolve label ranges to dim
+coordinate ranges via the label table (phase 1, a lookup over a tiny
+monotonic table), then run the main query with plain dim predicates
+(phase 2).  At scale the label table is broadcast-joined instead of
+collected; the compat API resolves driver-side exactly like the
+reference's label query does.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+
+LABELS_DIR = "__labels"
+
+
+class DimLabelSchema:
+    """Label declaration (reference ``Dim.create_label_schema``)."""
+
+    def __init__(self, order: str = "increasing", label_dtype: Any = np.int64,
+                 dim_index: int = 0):
+        if order not in ("increasing", "decreasing"):
+            raise ValueError("label order must be 'increasing' or 'decreasing'")
+        self.order = order
+        self.label_dtype = np.dtype(label_dtype)
+        self.dim_index = dim_index
+
+    def to_json(self):
+        return {"order": self.order, "dtype": self.label_dtype.str,
+                "dim_index": self.dim_index}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(order=d["order"], label_dtype=np.dtype(d["dtype"]),
+                   dim_index=d.get("dim_index", 0))
+
+
+def label_path(uri: str, name: str) -> str:
+    return os.path.join(uri, LABELS_DIR, name)
+
+
+def write_label_data(uri: str, name: str, coords: np.ndarray,
+                     labels: np.ndarray) -> None:
+    """Upsert label values for the given dim coordinates."""
+    d = label_path(uri, name)
+    os.makedirs(d, exist_ok=True)
+    pdf = pd.DataFrame({"__coord": coords, "__label": labels})
+    f = os.path.join(d, "labels.parquet")
+    if os.path.exists(f):
+        old = pd.read_parquet(f)
+        old = old[~old["__coord"].isin(pdf["__coord"])]
+        pdf = pd.concat([old, pdf], ignore_index=True)
+    pdf = pdf.sort_values("__coord", kind="stable").reset_index(drop=True)
+    tmp = f + ".tmp"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, f)
+
+
+def read_label_data(uri: str, name: str) -> pd.DataFrame:
+    f = os.path.join(label_path(uri, name), "labels.parquet")
+    if not os.path.exists(f):
+        raise KeyError(f"no data written for dimension label {name!r}")
+    return pd.read_parquet(f)
+
+
+def resolve_label_selection(uri: str, name: str, sel) -> tuple[Optional[tuple], np.ndarray]:
+    """Label-space selection -> (inclusive coord interval or None-if-empty,
+    label values in coord order).  ``sel`` is a scalar or an inclusive
+    slice in LABEL space (multi_index semantics, steps unsupported —
+    reference labels reject stepped slices too)."""
+    pdf = read_label_data(uri, name)
+    lab = pdf["__label"]
+    if isinstance(sel, slice):
+        if sel.step is not None:
+            raise ValueError("stepped slices are not supported for label ranges")
+        lo = sel.start
+        hi = sel.stop
+        mask = pd.Series(True, index=pdf.index)
+        if lo is not None:
+            mask &= lab >= lo
+        if hi is not None:
+            mask &= lab <= hi
+    else:
+        mask = lab == sel
+    hit = pdf[mask]
+    if len(hit) == 0:
+        return None, np.array([], dtype=pdf["__label"].dtype)
+    coords = hit["__coord"]
+    return (coords.min(), coords.max()), hit.sort_values("__coord")["__label"].to_numpy()
+
+
+class LabelIndexer:
+    """``A.label_index(["l1"])[...]`` (reference
+    ``multirange_indexing.py:663-733``)."""
+
+    def __init__(self, array, labels: tuple):
+        self.array = array
+        self.labels = tuple(labels)
+        schema = array.schema
+        self._by_dim: dict[int, str] = {}
+        declared = schema.dim_labels or {}
+        flat = {name: (dim_idx, spec)
+                for dim_idx, names in declared.items()
+                for name, spec in names.items()}
+        for lbl in self.labels:
+            if lbl not in flat:
+                raise KeyError(f"no dimension label {lbl!r}")
+            dim_idx, _spec = flat[lbl]
+            if dim_idx in self._by_dim:
+                raise ValueError(
+                    f"only one label per dimension (dim {dim_idx} given twice)")
+            self._by_dim[dim_idx] = lbl
+
+    def __getitem__(self, selection):
+        from .indexing import index_as_tuple, replace_ellipsis
+        from .plans import DimRanges
+
+        arr = self.array
+        schema = arr.schema
+        idx = index_as_tuple(selection)
+        idx = replace_ellipsis(schema.ndim, idx)
+        if len(idx) != schema.ndim:
+            idx = tuple(list(idx) + [slice(None)] * (schema.ndim - len(idx)))
+
+        ranges: list[DimRanges] = []
+        label_values: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        coord_slices = []
+        empty = False
+        ned = arr.nonempty_domain()
+        for i, (d, sel) in enumerate(zip(schema.domain, idx)):
+            if i in self._by_dim:
+                lbl = self._by_dim[i]
+                interval, vals = resolve_label_selection(arr.uri, lbl, sel)
+                label_values[lbl] = vals
+                if interval is None:
+                    empty = True
+                    coord_slices.append(slice(0, 0))
+                    continue
+                lo, hi = interval
+                ranges.append(DimRanges(name=d.name, intervals=[(lo, hi)]))
+                coord_slices.append(slice(int(lo), int(hi) + 1))
+            else:
+                # plain domain-value selection (inclusive, multi_index rules)
+                lo, hi = None, None
+                if isinstance(sel, slice):
+                    lo = sel.start
+                    hi = sel.stop
+                else:
+                    lo = hi = sel
+                if lo is None and ned is not None:
+                    lo = ned[i][0]
+                if hi is None and ned is not None:
+                    hi = ned[i][1]
+                if d.dtype.kind in "iu" and lo is not None:
+                    coord_slices.append(slice(int(lo), int(hi) + 1))
+                else:
+                    coord_slices.append(slice(None))
+                if lo is not None:
+                    ranges.append(DimRanges(name=d.name, intervals=[(lo, hi)]))
+
+        if schema.sparse:
+            from .plans import QueryPlan
+
+            if empty:
+                df = arr._empty_df()
+            else:
+                df = arr._execute(QueryPlan(dim_ranges=ranges))
+            pdf = df.toPandas()
+            from .materialize import pdf_to_numpy_dict
+
+            out = OrderedDict(label_values)
+            out.update(pdf_to_numpy_dict(pdf, schema, list(pdf.columns)))
+            return out
+
+        # dense: reuse the fill-join subarray read, shape preserved
+        out = OrderedDict(label_values)
+        if empty:
+            for a in schema.attr_names:
+                out[a] = np.empty(tuple(0 for _ in range(schema.ndim)),
+                                  dtype=schema.attr(a).dtype)
+            return out
+        res = arr.subarray(tuple(coord_slices))
+        if isinstance(res, dict):
+            out.update(res)
+        else:
+            out[arr.view_attr or schema.attr(0).name] = res
+        return out

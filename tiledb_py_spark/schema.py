@@ -120,6 +120,14 @@ class Dim:
         return (f"Dim(name={self.name!r}, domain={self.domain!r}, "
                 f"tile={self.tile!r}, dtype='{self.type_info.np_dtype}')")
 
+    def create_label_schema(self, order: str = "increasing",
+                            dtype: Any = np.int64):
+        """Declare a dimension label on this dim (reference
+        ``Dim.create_label_schema``; model in labels.py)."""
+        from .labels import DimLabelSchema
+
+        return DimLabelSchema(order=order, label_dtype=dtype)
+
     def to_json(self):
         return {"name": self.name, "domain": [self.domain[0], self.domain[1]],
                 "tile": self.tile, "type": self.type_info.to_json(),
@@ -279,7 +287,8 @@ class ArraySchema:
     def __init__(self, domain: Domain, attrs: Iterable[Attr], sparse: bool = False,
                  cell_order: str = "row-major", tile_order: str = "row-major",
                  capacity: int = 0, allows_duplicates: bool = False,
-                 enums: Optional[Sequence[Enumeration]] = None):
+                 enums: Optional[Sequence[Enumeration]] = None,
+                 dim_labels: Optional[dict] = None):
         if cell_order not in _ORDERS or tile_order not in _ORDERS:
             raise ValueError(f"unknown order; must be one of {_ORDERS}")
         if not sparse and allows_duplicates:
@@ -300,6 +309,22 @@ class ArraySchema:
         for a in self.attrs_list:
             if a.enum_label and a.enum_label not in self.enums:
                 raise ValueError(f"attr {a.name!r} references unknown enumeration {a.enum_label!r}")
+        # {dim_index: {label_name: DimLabelSchema}} (reference dim_labels
+        # kwarg, array_schema.py:53,128-130)
+        self.dim_labels = {}
+        for dim_idx, by_name in (dim_labels or {}).items():
+            dim_idx = int(dim_idx)
+            if dim_idx >= domain.ndim:
+                raise ValueError(f"dim_labels index {dim_idx} out of range")
+            self.dim_labels[dim_idx] = dict(by_name)
+            for spec in by_name.values():
+                spec.dim_index = dim_idx
+
+    def label_names(self) -> list[str]:
+        return [n for by in self.dim_labels.values() for n in by]
+
+    def has_dim_label(self, name: str) -> bool:
+        return name in self.label_names()
 
     # -- reference API parity ------------------------------------------------
     @property
@@ -373,10 +398,14 @@ class ArraySchema:
             "domain": self.domain.to_json(),
             "attrs": [a.to_json() for a in self.attrs_list],
             "enums": [e.to_json() for e in self.enums.values()],
+            "dim_labels": {str(i): {n: s.to_json() for n, s in by.items()}
+                           for i, by in self.dim_labels.items()},
         }
 
     @classmethod
     def from_json(cls, d):
+        from .labels import DimLabelSchema
+
         return cls(
             domain=Domain.from_json(d["domain"]),
             attrs=[Attr.from_json(a) for a in d["attrs"]],
@@ -386,4 +415,7 @@ class ArraySchema:
             capacity=d.get("capacity", 0),
             allows_duplicates=d.get("allows_duplicates", False),
             enums=[Enumeration.from_json(e) for e in d.get("enums", [])],
+            dim_labels={int(i): {n: DimLabelSchema.from_json(s)
+                                 for n, s in by.items()}
+                        for i, by in d.get("dim_labels", {}).items()},
         )

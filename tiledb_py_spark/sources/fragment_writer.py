@@ -97,11 +97,16 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
     os.makedirs(frag_dir, exist_ok=True)
     cols = schema.dim_names + schema.attr_names
     pdf = pdf[[c for c in cols if c in pdf.columns]]
-    # sort by dims for row-group min/max locality (space-tile analog).
-    # 'global'/'hilbert' cell order would add a precomputed sort key here.
-    if schema.sparse and len(pdf) > 0 and schema.cell_order in ("row-major", "col-major", "hilbert"):
-        order = schema.dim_names if schema.cell_order != "col-major" else schema.dim_names[::-1]
-        pdf = pdf.sort_values(order, kind="stable")
+    # sort by dims for row-group min/max locality (space-tile analog)
+    if schema.sparse and len(pdf) > 0:
+        if schema.cell_order == "hilbert":
+            from ..hilbert import hilbert_key_for_schema
+
+            key = hilbert_key_for_schema(pdf, schema)
+            pdf = pdf.iloc[np.argsort(key, kind="stable")]
+        elif schema.cell_order in ("row-major", "col-major"):
+            order = schema.dim_names if schema.cell_order != "col-major" else schema.dim_names[::-1]
+            pdf = pdf.sort_values(order, kind="stable")
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     pq.write_table(
         table, os.path.join(frag_dir, "part-00000.parquet"),
@@ -132,8 +137,30 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
     df = df.select(*[c for c in cols if c in df.columns])
     if sort_within and schema.sparse and schema.dim_names:
         n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-        df = df.repartitionByRange(n, *schema.dim_names) \
-               .sortWithinPartitions(*schema.dim_names)
+        if schema.cell_order == "hilbert":
+            # Arrow-batched Hilbert key; range-partition on the key so the
+            # whole fragment is globally curve-ordered
+            import pandas as pd
+            from pyspark.sql import functions as F
+            from pyspark.sql.functions import pandas_udf
+
+            dim_names = list(schema.dim_names)
+            schema_ref = schema
+
+            @pandas_udf("long")
+            def _hkey(*dims: pd.Series) -> pd.Series:
+                from ..hilbert import hilbert_key_for_schema
+
+                pdf = pd.DataFrame({d: s for d, s in zip(dim_names, dims)})
+                return pd.Series(hilbert_key_for_schema(pdf, schema_ref).astype("int64"))
+
+            df = (df.withColumn("__hkey", _hkey(*[F.col(c) for c in dim_names]))
+                    .repartitionByRange(n, "__hkey")
+                    .sortWithinPartitions("__hkey")
+                    .drop("__hkey"))
+        else:
+            df = df.repartitionByRange(n, *schema.dim_names) \
+                   .sortWithinPartitions(*schema.dim_names)
     df.write.mode("overwrite").parquet(frag_dir)
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
     rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,

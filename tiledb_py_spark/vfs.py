@@ -1,0 +1,270 @@
+"""VFS: virtual filesystem ops + ``FileIO`` file objects.
+
+Reference: ``/root/reference/tiledb/vfs.py:16-550`` — file/dir/bucket
+operations over local/S3/GCS/Azure/mem backends, and a Python file object
+(``FileIO``, vfs.py:349+).
+
+Spark rebuild: local paths use ``os``/``shutil`` directly; any URI with a
+scheme (s3://, gs://, ...) routes through ``fsspec`` when it is installed
+(the same backends Spark's Hadoop FS layer mounts for the data path).  The
+data plane never goes through this class — Spark reads parquet straight
+from the store — so VFS exists for the reference's management surface
+(ls/copy/remove/metadata files).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import io
+import os
+import shutil
+from typing import List, Optional, Union
+
+_AnyPath = Union[str, os.PathLike]
+
+
+def _fsspec_fs(uri: str):
+    import fsspec  # gated: not a hard dependency
+
+    return fsspec.core.url_to_fs(uri)[0]
+
+
+def _scheme(uri: str) -> str:
+    s = str(uri)
+    if "://" in s:
+        return s.split("://", 1)[0]
+    return "file"
+
+
+class VFS:
+    """Filesystem operations (reference ``tiledb/vfs.py:16-148``)."""
+
+    def __init__(self, config=None, ctx=None):
+        self.config = config or {}
+        self.ctx = ctx
+
+    # -- capability ----------------------------------------------------------
+    def supports(self, scheme: str) -> bool:
+        if scheme in ("file", ""):
+            return True
+        try:
+            import fsspec
+
+            return scheme in fsspec.available_protocols()
+        except ImportError:
+            return False
+
+    def _local(self, uri: _AnyPath) -> Optional[str]:
+        s = str(uri)
+        if s.startswith("file://"):
+            return s[len("file://"):]
+        if "://" not in s:
+            return s
+        return None
+
+    # -- dirs ----------------------------------------------------------------
+    def create_dir(self, uri: _AnyPath) -> None:
+        p = self._local(uri)
+        if p is not None:
+            os.makedirs(p, exist_ok=True)
+        else:
+            _fsspec_fs(str(uri)).makedirs(str(uri), exist_ok=True)
+
+    def is_dir(self, uri: _AnyPath) -> bool:
+        p = self._local(uri)
+        return os.path.isdir(p) if p is not None else _fsspec_fs(str(uri)).isdir(str(uri))
+
+    def remove_dir(self, uri: _AnyPath) -> None:
+        p = self._local(uri)
+        if p is not None:
+            shutil.rmtree(p)
+        else:
+            _fsspec_fs(str(uri)).rm(str(uri), recursive=True)
+
+    def dir_size(self, uri: _AnyPath) -> int:
+        p = self._local(uri)
+        if p is None:
+            fs = _fsspec_fs(str(uri))
+            return sum(fs.size(f) for f in fs.find(str(uri)))
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def move_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        shutil.move(str(old_uri), str(new_uri))
+
+    def copy_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        shutil.copytree(str(old_uri), str(new_uri))
+
+    # -- files ---------------------------------------------------------------
+    def is_file(self, uri: _AnyPath) -> bool:
+        p = self._local(uri)
+        return os.path.isfile(p) if p is not None else _fsspec_fs(str(uri)).isfile(str(uri))
+
+    def remove_file(self, uri: _AnyPath) -> None:
+        p = self._local(uri)
+        if p is not None:
+            os.unlink(p)
+        else:
+            _fsspec_fs(str(uri)).rm(str(uri))
+
+    def file_size(self, uri: _AnyPath) -> int:
+        p = self._local(uri)
+        return os.path.getsize(p) if p is not None else _fsspec_fs(str(uri)).size(str(uri))
+
+    def move_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        shutil.move(str(old_uri), str(new_uri))
+
+    def copy_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        shutil.copyfile(str(old_uri), str(new_uri))
+
+    def touch(self, uri: _AnyPath) -> None:
+        p = self._local(uri)
+        if p is not None:
+            open(p, "ab").close()
+        else:
+            _fsspec_fs(str(uri)).touch(str(uri))
+
+    # -- listing -------------------------------------------------------------
+    def ls(self, uri: _AnyPath, recursive: bool = False) -> List[str]:
+        p = self._local(uri)
+        if p is None:
+            fs = _fsspec_fs(str(uri))
+            return sorted(fs.find(str(uri)) if recursive else fs.ls(str(uri)))
+        if recursive:
+            out = []
+            for root, dirs, files in os.walk(p):
+                for name in sorted(dirs + files):
+                    out.append(os.path.join(root, name))
+            return sorted(out)
+        return sorted(os.path.join(p, n) for n in os.listdir(p))
+
+    def ls_recursive(self, uri: _AnyPath, callback=None) -> List[str]:
+        entries = self.ls(uri, recursive=True)
+        if callback is not None:
+            for e in entries:
+                if not callback(e, self.file_size(e) if os.path.isfile(e) else 0):
+                    break
+        return entries
+
+    # -- buckets (object stores; local dirs otherwise) -----------------------
+    def create_bucket(self, uri: _AnyPath) -> None:
+        self.create_dir(uri)
+
+    def remove_bucket(self, uri: _AnyPath) -> None:
+        self.remove_dir(uri)
+
+    def is_bucket(self, uri: _AnyPath) -> bool:
+        return _scheme(str(uri)) != "file" and self.is_dir(uri)
+
+    def empty_bucket(self, uri: _AnyPath) -> None:
+        for e in self.ls(uri):
+            if self.is_file(e):
+                self.remove_file(e)
+            else:
+                self.remove_dir(e)
+
+    def is_empty_bucket(self, uri: _AnyPath) -> bool:
+        return len(self.ls(uri)) == 0
+
+    # -- file handles --------------------------------------------------------
+    def open(self, uri: _AnyPath, mode: str = "rb") -> "FileIO":
+        return FileIO(self, uri, mode)
+
+    def close(self, file: "FileIO") -> "FileIO":
+        file.close()
+        return file
+
+    def write(self, file: "FileIO", buff: Union[str, bytes]) -> None:
+        if isinstance(buff, str):
+            buff = buff.encode()
+        file.write(buff)
+
+    def read(self, file: "FileIO", offset: int, nbytes: int) -> bytes:
+        file.seek(offset)
+        return file.read(nbytes)
+
+    # -- pickling (reference vfs.py:334-351) ---------------------------------
+    def __getstate__(self):
+        return {"config": self.config}
+
+    def __setstate__(self, state):
+        self.config = state["config"]
+        self.ctx = None
+
+
+class FileIO(io.RawIOBase):
+    """Python file object over VFS (reference ``vfs.py:353-560``)."""
+
+    def __init__(self, vfs: VFS, uri: _AnyPath, mode: str = "rb"):
+        if mode not in ("rb", "wb", "ab"):
+            raise ValueError(f"invalid mode {mode!r}")
+        self.vfs = vfs
+        self.uri = str(uri)
+        self._mode = mode
+        p = vfs._local(uri)
+        if p is not None:
+            self._fh = open(p, mode)
+        else:
+            self._fh = _fsspec_fs(self.uri).open(self.uri, mode)
+
+    @property
+    def mode(self) -> str:
+        return self._mode
+
+    def readable(self) -> bool:
+        return self._mode == "rb"
+
+    def writable(self) -> bool:
+        return self._mode in ("wb", "ab")
+
+    def seekable(self) -> bool:
+        return True
+
+    @property
+    def closed(self) -> bool:
+        return self._fh.closed
+
+    def close(self) -> None:
+        if not self._fh.closed:
+            self._fh.close()
+
+    def flush(self) -> None:
+        self._fh.flush()
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence not in (0, 1, 2):
+            raise ValueError(f"invalid whence {whence}")
+        return self._fh.seek(offset, whence)
+
+    def tell(self) -> int:
+        return self._fh.tell()
+
+    def read(self, size: int = -1) -> bytes:
+        if not self.readable():
+            raise IOError("Cannot read from write-only FileIO handle")
+        return self._fh.read(size)
+
+    def write(self, buff) -> int:
+        if not self.writable():
+            raise IOError("Cannot write to read-only FileIO handle")
+        if isinstance(buff, str):
+            buff = buff.encode()
+        return self._fh.write(buff)
+
+    def readinto(self, buff) -> int:
+        data = self.read(len(buff))
+        n = len(data)
+        buff[:n] = data
+        return n
+
+    def __len__(self) -> int:
+        return self.vfs.file_size(self.uri)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
