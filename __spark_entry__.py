@@ -175,6 +175,43 @@ def _lineitem_array(spark, sf_dir) -> str:
     return uri
 
 
+def q_enum_qc(spark, sf_dir):
+    """P10: QueryCondition on an ENUMERATED attr — labels in the condition
+    are translated to dictionary codes, decoded on materialization."""
+    uri = _orders_enum_array(spark, sf_dir)
+    import tiledb_py_spark as tdb
+
+    A = tdb.open(uri, spark=spark)
+    df = A.dataframe(cond="o_orderpriority in ['1-URGENT', '2-HIGH'] and o_totalprice > 100000.0")
+    enum = A.schema.enums["o_orderpriority"]
+    codes = F.array(*[F.lit(v) for v in enum.values])
+    return (df.withColumn("o_orderpriority",
+                          F.element_at(codes, F.col("o_orderpriority") + 1))
+              .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+
+
+_ENUM_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _orders_enum_array(spark, sf_dir) -> str:
+    """Orders with o_orderpriority stored as an enumeration (dictionary)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _ENUM_ARRAY_CACHE:
+        return _ENUM_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/orders_enum"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_orderpriority", "o_totalprice")
+               .toPandas())
+        pdf["o_orderpriority"] = pdf["o_orderpriority"].astype("category")
+        tdb.from_pandas(uri, pdf, index_dims=["o_orderkey"])
+    _ENUM_ARRAY_CACHE[key] = uri
+    return uri
+
+
 # ---------------------------------------------------------------------------
 # SQL-native relational layer (phase E: free-upside operators over arrays)
 # ---------------------------------------------------------------------------
@@ -376,6 +413,51 @@ def q_ivf_ann(spark, sf_dir):
     return out.withColumn("score", F.round("score", 5))
 
 
+def q_batch_topk(spark, sf_dir):
+    """Per-query top-3 cosine neighbors for the first 5 vectors (broadcast
+    crossJoin + per-query window)."""
+    from tiledb_py_spark.operators.similarity import batch_topk
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    qs = e.filter(F.col("vec_id") < 5)
+    base = e.filter(F.col("vec_id") >= 5)
+    out = batch_topk(base, "embedding", "vec_id", qs, "embedding", "vec_id", k=3)
+    return (out.withColumn("score", F.round("score", 5))
+               .orderBy("query_id", "rank"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): documents' text bytes treated as
+    opaque binary payloads -> Arrow-batched fake-decode feature vectors."""
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      extract_image_features)
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    out = extract_image_features(media, feat_dim=8)
+    return (out.select("media_id", "feat_dim",
+                       F.round(F.aggregate("feature", F.lit(0.0),
+                                           lambda a, x: a + x), 4).alias("feat_sum"))
+               .orderBy("media_id"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite quality gate (rows-only: the linear gate is engine-defined;
+    the underlying features are oracle-checked in q_text_quality)."""
+    from tiledb_py_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (quality_score(d, "text")
+            .select("doc_id", "quality").orderBy("doc_id"))
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace token counting per document."""
     from tiledb_py_spark.operators.text import whitespace_token_count
@@ -440,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_dim_values": q_unique_dim_values,
         "array_range_read": q_array_range_read,
         "array_cond_agg": q_array_cond_agg,
+        "enum_qc": q_enum_qc,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "join_multiway": q_join_multiway,
@@ -457,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann": q_ivf_ann,
+        "batch_topk": q_batch_topk,
+        "multimodal_features": q_multimodal_features,
+        "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -519,6 +605,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem WHERE l_tax > 0.05
+        """,
+        "enum_qc": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND o_totalprice > 100000.0
         """,
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -681,6 +773,21 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
             ORDER BY id_a, id_b
+        """,
+        "batch_topk": """
+            SELECT query_id, vec_id, score, rank FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])), 5) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b
+                  ON q.vec_id < 5 AND b.vec_id >= 5
+            ) WHERE rank <= 3
+            ORDER BY query_id, rank
         """,
         "token_counts": r"""
             SELECT doc_id,
