@@ -312,6 +312,17 @@ def q_events_tumbling(spark, sf_dir):
                .orderBy("window_start", "event_type"))
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (1h window, 30min slide): each event lands in two
+    overlapping windows."""
+    from tiledb_py_spark.streaming import sliding_window_counts
+
+    e = _events(spark, sf_dir)
+    out = sliding_window_counts(e, window="1 hour", slide="30 minutes")
+    return out.select("window_start", "event_type", "n_events") \
+              .orderBy("window_start", "event_type")
+
+
 def q_events_sessions(spark, sf_dir):
     from tiledb_py_spark.streaming import session_window_stats
 
@@ -531,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
@@ -683,6 +695,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2, 3 ORDER BY 1, 3
+        """,
+        "events_sliding": """
+            WITH w AS (
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+                       event_type FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                       event_type FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_sessions": """
             WITH flagged AS (
