@@ -36,6 +36,9 @@ from .schema_evolution import ArraySchemaEvolution
 from .session import get_spark
 from .sources.dataframe_ import (from_csv, from_pandas, from_parquet,
                                  from_spark, open_dataframe)
+from .stats import (stats_disable, stats_dump, stats_enable, stats_enabled,
+                    stats_reset)
+from .subarray import Subarray
 
 __version__ = "0.1.0"
 
@@ -45,7 +48,9 @@ __all__ = [
     "DimLabelSchema", "DomainIndexer", "Enumeration", "FileIO", "Filestore",
     "FragmentInfo", "FragmentInfoList", "FragmentRecord", "LabelIndexer",
     "Group", "IncompleteIterator", "Manifest", "Metadata", "MultiRangeIndexer",
-    "Query", "QueryCondition", "SparseArray", "TileDBError", "VFS",
+    "Query", "QueryCondition", "SparseArray", "Subarray", "TileDBError", "VFS",
+    "stats_disable", "stats_dump", "stats_enable", "stats_enabled",
+    "stats_reset",
     "array_exists", "array_fragments", "consolidate",
     "create_array_from_fragments", "delete_array", "delete_fragments",
     "empty_like", "from_csv", "from_numpy", "from_pandas", "from_parquet",

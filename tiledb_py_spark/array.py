@@ -203,9 +203,14 @@ class Array:
         """Fragment-pruned union scan with deletes + duplicate resolution."""
         m = self._manifest
         frs = m.live_fragments(self.timestamp)
+        n_live = len(frs)
         if dim_ranges:
             frs = [f for f in frs
                    if mbr_intersects(dim_ranges, _decode_mbr(self.schema, f.nonempty_domain))]
+        from .stats import record
+
+        record("py.fragments_scanned", len(frs))
+        record("py.fragments_pruned", n_live - len(frs))
         if not frs:
             return self._empty_df()
         deletes = m.delete_fragments_visible(self.timestamp)
@@ -244,7 +249,37 @@ class Array:
             df = df.drop("__frag_ts")
         return df
 
+    def read_subarray(self, subarray) -> "OrderedDict":
+        """Explicit-Subarray read (S14, reference ``dense_array.py:779-896``
+        / ``sparse_array.py:410-449``): dict of column arrays."""
+        from .stats import timed
+
+        with timed("py.read_subarray"):
+            ranges = subarray.to_dim_ranges()
+            if self.schema.sparse:
+                df = self._execute(QueryPlan(dim_ranges=ranges))
+                pdf = df.toPandas()
+                return pdf_to_numpy_dict(pdf, self.schema, list(df.columns))
+            sel = []
+            for d in self.schema.domain:
+                rs = [r for r in ranges if r.name == d.name]
+                if not rs:
+                    sel.append(slice(None))
+                elif len(rs[0].intervals) == 1 and not rs[0].points:
+                    lo, hi = rs[0].intervals[0]
+                    sel.append(slice(int(lo), int(hi) + 1))
+                else:
+                    raise NotImplementedError(
+                        "dense read_subarray supports one range per dim")
+            res = self.subarray(tuple(sel))
+            if isinstance(res, dict):
+                return res
+            return OrderedDict({(self.view_attr or self.schema.attr(0).name): res})
+
     def _execute(self, plan: QueryPlan) -> DataFrame:
+        from .stats import record
+
+        record("py.queries_planned")
         df = self._scan_df(plan.dim_ranges)
         pred = plan.range_predicate()
         if pred is not None:
@@ -565,6 +600,20 @@ class DenseArray(Array):
         if (self.view_attr or self.schema.nattr == 1) and len(result) == 1:
             return next(iter(result.values()))
         return result
+
+    def write_subarray(self, subarray, value):
+        """Explicit-Subarray dense write (S14)."""
+        sel = []
+        for d in self.schema.domain:
+            rs = [r for r in subarray.to_dim_ranges() if r.name == d.name]
+            if not rs:
+                sel.append(slice(None))
+            elif len(rs[0].intervals) == 1 and not rs[0].points:
+                lo, hi = rs[0].intervals[0]
+                sel.append(slice(int(lo), int(hi) + 1))
+            else:
+                raise NotImplementedError("write_subarray supports one range per dim")
+        self[tuple(sel)] = value
 
     def __setitem__(self, selection, value):
         """Dense region write (reference ``dense_array.py:375-612``):

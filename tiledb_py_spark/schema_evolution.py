@@ -27,6 +27,7 @@ class ArraySchemaEvolution:
         self._enum_adds: list[Enumeration] = []
         self._enum_drops: list[str] = []
         self._enum_extends: dict[str, list] = {}
+        self._domain_expands: dict[str, tuple] = {}
         self._timestamp: Optional[int] = None
 
     def timestamp(self, ts: int) -> None:
@@ -48,6 +49,11 @@ class ArraySchemaEvolution:
         """Replace an existing enumeration with a superset (reference allows
         appending values so existing codes stay valid)."""
         self._enum_extends[enum.name] = list(enum.values)
+
+    def expand_current_domain(self, new_domains: dict) -> None:
+        """Expand dim domains ({dim_name: (lo, hi)}); shrinking is rejected
+        at evolve time (reference ``expand_current_domain``)."""
+        self._domain_expands = dict(new_domains)
 
     def array_evolve(self, uri: str) -> None:
         def _apply(m: mf.Manifest):
@@ -73,6 +79,14 @@ class ArraySchemaEvolution:
                 if not schema.has_attr(name):
                     raise KeyError(name)
                 schema.attrs_list = [a for a in schema.attrs_list if a.name != name]
+            for name, (lo, hi) in self._domain_expands.items():
+                d = schema.domain.dim(name)
+                old_lo, old_hi = d.domain
+                if old_lo is not None and (lo > old_lo or hi < old_hi):
+                    raise ValueError(
+                        f"current domain of {name!r} can only expand "
+                        f"({(old_lo, old_hi)} -> {(lo, hi)})")
+                d.domain = (lo, hi)
             m.schema_version += 1
 
         mf.commit(uri, _apply)

@@ -1,0 +1,71 @@
+"""Explicit Subarray API (S14).
+
+Reference: ``/root/reference/tiledb/subarray.py:15-129`` (``add_ranges``,
+``add_dim_range``, ``num_dim_ranges``) and the ``read_subarray`` /
+``write_subarray`` entry points (``dense_array.py:779-896``,
+``sparse_array.py:410-449``).
+
+A Subarray is a per-dim list of inclusive ranges — the same Range IR the
+indexers compile to (plans.DimRanges); this class is the user-facing
+builder for it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from .plans import DimRanges
+
+
+class Subarray:
+    """Per-dimension inclusive range sets."""
+
+    def __init__(self, array, ctx=None):
+        self.array = array
+        self._ranges: dict[int, list[tuple]] = {}
+
+    def _dim_index(self, dim) -> int:
+        if isinstance(dim, int):
+            return dim
+        for i, d in enumerate(self.array.schema.domain):
+            if d.name == dim:
+                return i
+        raise KeyError(dim)
+
+    def add_dim_range(self, dim, rng: tuple) -> None:
+        """Add one inclusive (lo, hi) range on a dim (index or name)."""
+        if len(rng) != 2:
+            raise ValueError("range must be a (lo, hi) tuple")
+        self._ranges.setdefault(self._dim_index(dim), []).append(tuple(rng))
+
+    def add_ranges(self, ranges: Sequence[Sequence[tuple]]) -> None:
+        """Bulk add: one list of (lo, hi) tuples per dimension."""
+        for i, dim_ranges in enumerate(ranges):
+            for rng in dim_ranges:
+                self.add_dim_range(i, rng)
+
+    def num_dim_ranges(self, dim) -> int:
+        return len(self._ranges.get(self._dim_index(dim), []))
+
+    def to_dim_ranges(self) -> list[DimRanges]:
+        out = []
+        for i, d in enumerate(self.array.schema.domain):
+            rs = self._ranges.get(i)
+            if rs:
+                out.append(DimRanges(name=d.name, intervals=[tuple(r) for r in rs]))
+        return out
+
+    def shape(self) -> tuple:
+        """Total cells per dim for single-range integer subarrays."""
+        sizes = []
+        for i, d in enumerate(self.array.schema.domain):
+            rs = self._ranges.get(i)
+            if not rs:
+                lo, hi = d.domain
+            elif len(rs) == 1:
+                lo, hi = rs[0]
+            else:
+                sizes.append(sum(int(h) - int(l) + 1 for l, h in rs))
+                continue
+            sizes.append(int(hi) - int(lo) + 1)
+        return tuple(sizes)
