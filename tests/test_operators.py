@@ -189,6 +189,34 @@ def test_fingerprint_deterministic(docs):
     assert fps[1] != fps[4]
 
 
+def test_salted_agg_matches_plain(spark):
+    from tiledb_py_spark.operators.skew import salted_agg
+
+    pdf = pd.DataFrame({
+        "k": ["hot"] * 500 + ["a"] * 5 + ["b"] * 3,
+        "v": np.arange(508, dtype="float64"),
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r.k: (r.total, r.n, r.m, round(r.mean, 6)) for r in salted_agg(
+        df, ["k"], {"total": ("v", "sum"), "n": ("v", "count"),
+                    "m": ("v", "max"), "mean": ("v", "avg")}).collect()}
+    want = pdf.groupby("k")["v"].agg(["sum", "count", "max", "mean"])
+    for k in ("hot", "a", "b"):
+        w = want.loc[k]
+        assert got[k] == (w["sum"], w["count"], w["max"], round(w["mean"], 6))
+
+
+def test_salted_join_matches_plain(spark):
+    from tiledb_py_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 300 + [2] * 5, "v": np.arange(305)}))
+    small = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3],
+                                                "name": ["x", "y", "z"]}))
+    got = salted_join(big, small, ["k"]).groupBy("k", "name").count().collect()
+    assert {(r.k, r.name, r["count"]) for r in got} == {(1, "x", 300), (2, "y", 5)}
+
+
 def test_multimodal_image_features(spark):
     from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
                                                       extract_image_features)

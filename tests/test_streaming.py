@@ -58,6 +58,37 @@ def test_session_windows(events):
     assert sizes == [1, 2]
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user state carries ACROSS micro-batches
+    (two source files, maxFilesPerTrigger=1 -> two triggers)."""
+    from tiledb_py_spark.streaming import running_user_totals
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 2.0, 10.0]}) \
+        .to_parquet(src / "b1.parquet")
+    pd.DataFrame({"user_id": [1, 2], "value": [4.0, 20.0]}) \
+        .to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = running_user_totals(stream)
+    q = (out.writeStream.format("memory").queryName("running_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    # final state per user must reflect BOTH batches
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (3, 7.0)
+    assert final[2] == (2, 30.0)
+    # update mode emitted intermediate states too (state persisted)
+    assert len(rows) >= 3
+
+
 def test_stream_to_array_fragments(spark, tmp_path):
     """readStream -> foreachBatch fragment sink -> array time-travel read."""
     from tiledb_py_spark.streaming import (read_event_stream,
