@@ -424,6 +424,42 @@ def q_ivf_ann(spark, sf_dir):
     return out.withColumn("score", F.round("score", 5))
 
 
+def q_array_embedding_topk(spark, sf_dir):
+    """Similarity search over an ARRAY-stored embedding column: embeddings
+    ingested as a sparse array with a var-length float32 attr, cosine
+    top-k on its DataFrame surface (engine storage + phase-E operator)."""
+    from tiledb_py_spark.operators.similarity import brute_force_topk
+    import tiledb_py_spark as tdb
+
+    uri = _embeddings_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    e = A.dataframe().withColumn("embedding",
+                                 F.col("embedding").cast("array<double>"))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = brute_force_topk(e.filter(F.col("vec_id") != 0), "embedding",
+                           "vec_id", qv, k=10)
+    return (out.withColumn("score", F.round("score", 5))
+               .orderBy(F.col("score").desc(), "vec_id"))
+
+
+_EMB_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _embeddings_array(spark, sf_dir) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _EMB_ARRAY_CACHE:
+        return _EMB_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/embeddings"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = _t(spark, sf_dir, "embeddings").toPandas()
+        tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
+    _EMB_ARRAY_CACHE[key] = uri
+    return uri
+
+
 def q_batch_topk(spark, sf_dir):
     """Per-query top-3 cosine neighbors for the first 5 vectors (broadcast
     crossJoin + per-query window)."""
@@ -550,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann": q_ivf_ann,
         "batch_topk": q_batch_topk,
@@ -784,6 +821,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding,
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)), 5) AS score
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "array_embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 5) AS score
             FROM embeddings WHERE vec_id <> 0
             ORDER BY score DESC, vec_id LIMIT 10
         """,

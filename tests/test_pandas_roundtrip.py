@@ -61,6 +61,24 @@ def test_categorical_roundtrip(uri, spark):
     assert out["cat"].tolist() == pdf["cat"].tolist()
 
 
+def test_var_length_cells_roundtrip(uri, spark):
+    """Var-length multi-value cells (embeddings): list column -> ArrayType
+    attr -> object ndarray of numpy arrays (reference TILEDB_VAR_NUM)."""
+    rng = np.random.RandomState(1)
+    pdf = pd.DataFrame({
+        "k": np.arange(10, dtype=np.int64),
+        "emb": [rng.randn(4).astype("float32") for _ in range(10)],
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    a = A.schema.attr("emb")
+    assert a.var and a.dtype == np.dtype("float32")
+    res = A.multi_index[2:4]
+    assert [v.shape for v in res["emb"]] == [(4,)] * 3
+    for j, kk in enumerate(res["k"]):
+        np.testing.assert_allclose(res["emb"][j], pdf["emb"][kk])
+
+
 def test_open_dataframe(uri, spark):
     pdf = _pdf()
     tdb.from_pandas(uri, pdf, index_dims=["k"])

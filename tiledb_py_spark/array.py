@@ -670,6 +670,9 @@ class DenseArray(Array):
 
 def _np_to_pandas_col(arr):
     a = np.asarray(arr)
+    if a.ndim > 1:
+        # uniform multi-value cells: one row per outer element
+        return pd.Series(list(a))
     if a.dtype.kind == "M":
         unit = np.datetime_data(a.dtype)[0]
         if unit in ("s", "ms", "us", "ns"):

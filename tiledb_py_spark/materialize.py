@@ -54,6 +54,19 @@ def restore_column(values: pd.Series, ti, nullable: bool,
         unit = ann["timedelta_unit"]
         return values.to_numpy().astype("int64").view(f"timedelta64[{unit}]")
 
+    from pyspark.sql import types as T
+
+    if isinstance(ti.spark_type, T.ArrayType):
+        # multi-value cells: object ndarray of per-cell numpy arrays
+        elem = np.dtype(np_dtype) if np.dtype(np_dtype).kind in "iuf" else None
+        out = np.empty(len(values), dtype=object)
+        for i, v in enumerate(values):
+            if v is None:
+                out[i] = None
+            else:
+                out[i] = np.asarray(v, dtype=elem) if elem is not None else np.asarray(v)
+        return out
+
     if nullable:
         mask = pd.isna(values).to_numpy()
         dt = np.dtype(np_dtype)

@@ -218,6 +218,16 @@ class Attr:
         if var is None:
             var = self.type_info.np_dtype in ("<U0", "S0")
         self.var = bool(var)
+        # var-length multi-value cells on a primitive dtype (reference
+        # TILEDB_VAR_NUM attrs, attribute.py:74-79) -> ArrayType column
+        from pyspark.sql import types as T
+
+        if (self.var and not isinstance(self.type_info.spark_type,
+                                        (T.ArrayType, T.StringType, T.BinaryType))):
+            self.type_info = TypeInfo(
+                np_dtype=self.type_info.np_dtype,
+                spark_type=T.ArrayType(self.type_info.spark_type, containsNull=False),
+                annotations={**self.type_info.annotations, "var_cells": True})
         self.fill = numpy_to_python(fill) if fill is not None else default_fill(self.type_info)
 
     @property

@@ -57,6 +57,13 @@ def _infer_attr(name: str, s: pd.Series):
         first = s.dropna()
         if len(first) and isinstance(first.iloc[0], bytes):
             return Attr(name=name, dtype="S0" if False else np.bytes_, nullable=nullable), None, s
+        if len(first) and isinstance(first.iloc[0], (list, tuple, np.ndarray)):
+            # var-length multi-value cells (e.g. embeddings): element dtype
+            # from the first cell (reference var attrs, attribute.py:74-79)
+            elem = np.asarray(first.iloc[0])
+            elem_dtype = elem.dtype if elem.dtype.kind in "iuf" else np.float64
+            return Attr(name=name, dtype=elem_dtype, var=True,
+                        nullable=nullable), None, s
         return Attr(name=name, dtype=np.str_, nullable=nullable), None, s
     if np.issubdtype(dt, np.floating):
         # reference treats float NaN as data, not null, unless pandas NA
