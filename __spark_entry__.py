@@ -336,6 +336,25 @@ def q_events_sessions(spark, sf_dir):
 # LLM-pipeline operators (dedup / similarity / text)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    prior-or-equal click (point-in-time attribution)."""
+    from tiledb_py_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("event_id", "user_id", "ts", "value"))
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"],
+                    right_cols=["click_id"])
+    return (out.select("event_id", "user_id",
+                       F.round("value", 2).alias("value"),
+                       F.col("click_id_right").alias("click_id"),
+                       F.col("ts_right").alias("click_ts"))
+               .orderBy("event_id"))
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: union docs with a copy of the first 100, dedup must
     return exactly the original set (keep-min-id)."""
@@ -580,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
         "dup_stats": q_dup_stats,
         "minhash_dedup": q_minhash_dedup,
@@ -764,6 +784,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+                   c.click_id, c.ts AS click_ts
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                            FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "exact_dedup": """
             SELECT doc_id FROM documents ORDER BY doc_id

@@ -189,6 +189,53 @@ def test_fingerprint_deterministic(docs):
     assert fps[1] != fps[4]
 
 
+def test_asof_join_semantics(spark):
+    from tiledb_py_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [(1, 8, "r1"), (1, 20, "r2"), (2, 1, "r3"), (2, 14, "r4")],
+        ["k", "t", "rv"])
+    out = {r.lv: (r.rv_right, r.t_right)
+           for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert out["a"] == ("r1", 8)     # 10 >= 8
+    assert out["b"] == ("r2", 20)    # equal time matches (non-strict)
+    assert out["c"] == ("r4", 14)
+    assert out["d"] == (None, None)  # no right rows for k=3 -> left outer
+    # strict: equal-time right row excluded
+    out = {r.lv: r.rv_right
+           for r in asof_join(left, right, on="t", by=["k"],
+                              strict=True).collect()}
+    assert out["b"] == "r1"
+    # tolerance: match older than 3 ticks -> null
+    out = {r.lv: r.rv_right
+           for r in asof_join(left, right, on="t", by=["k"],
+                              tolerance=3).collect()}
+    assert out["a"] == "r1" and out["c"] == "r4"
+    assert out["b"] == "r2"          # lag 0 <= 3
+
+
+def test_asof_join_matches_pandas(spark):
+    from tiledb_py_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    lt = pd.DataFrame({"k": rng.randint(0, 5, 200),
+                       "t": rng.randint(0, 1000, 200)}).drop_duplicates(["k", "t"])
+    rt = pd.DataFrame({"k": rng.randint(0, 5, 300),
+                       "t": rng.randint(0, 1000, 300)}).drop_duplicates(["k", "t"])
+    rt["rv"] = rt["t"] * 10 + rt["k"]
+    got = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                    on="t", by=["k"]).toPandas()
+    want = pd.merge_asof(lt.sort_values("t"), rt.sort_values("t"),
+                         on="t", by="k")
+    got_s = got.sort_values(["k", "t"]).reset_index(drop=True)
+    want_s = want.sort_values(["k", "t"]).reset_index(drop=True)
+    assert (got_s["rv_right"].fillna(-1).to_numpy()
+            == want_s["rv"].fillna(-1).to_numpy()).all()
+
+
 def test_salted_agg_matches_plain(spark):
     from tiledb_py_spark.operators.skew import salted_agg
 
