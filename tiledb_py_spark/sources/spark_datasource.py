@@ -1,0 +1,313 @@
+"""Spark custom data source: ``spark.read.format("tiledb")`` /
+``df.write.format("tiledb")``.
+
+The north-star integration shape ("DataFrame read/write via custom data
+source"): a Spark 4 Python DataSource over the engine's
+parquet-fragment + manifest storage.
+
+Read path:
+- ``partitions()``: driver-side planning — time-travel fragment selection
+  and per-dim MBR pruning from pushed filters, then ONE InputPartition per
+  (parquet file, row-group span), so a 1000-executor cluster gets balanced
+  splits without listing data files on executors.
+- ``pushFilters()``: typed Spark filters are kept for pruning AND handed
+  back to Spark for re-evaluation (double-filtering keeps correctness
+  trivially safe; the win is skipping whole fragments/row-groups).
+- ``read()``: Arrow record batches straight from pyarrow with a row-level
+  filter expression — columnar end-to-end.
+- Delete-condition fragments are applied per batch (row-level, fragment
+  timestamp-aware).  Cross-fragment duplicate resolution cannot run
+  per-partition; reading a multi-fragment no-duplicates array with
+  overlapping MBRs raises, directing to ``tiledb_py_spark.open()`` whose
+  plan includes the last-write-wins aggregation.
+
+Write path: each task streams its Arrow batches into one parquet file of
+a staged fragment; ``commit()`` harvests footer stats and publishes one
+FragmentRecord in the manifest — an atomic multi-task commit with the
+same semantics as the engine's ``write_fragment_spark``.
+
+NOTE: the engine's primary scan path (``Array.dataframe()``) reads the
+pruned parquet files with Spark's native vectorized reader — faster than
+any Python data source can be (no Python in the scan loop).  This format
+exists for API parity and for composing with other Spark-source tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo, Filter,
+                                    GreaterThan, GreaterThanOrEqual, In,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual, WriterCommitMessage)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "tiledb"
+
+
+@dataclass
+class _Split(InputPartition):
+    file_path: str
+    row_groups: tuple
+    # simple conjunctive predicates for pyarrow: (col, op, value)
+    predicates: tuple = ()
+    # delete conditions visible to this fragment: tuple of expr strings
+    deletes: tuple = ()
+
+
+@dataclass
+class _FragCommit(WriterCommitMessage):
+    file_name: str = ""
+    rows: int = 0
+
+
+class TileDBDataSource(DataSource):
+    """``format("tiledb")`` entry point."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _uri(self) -> str:
+        uri = self.options.get("path") or self.options.get("uri")
+        if not uri:
+            raise ValueError("format('tiledb') requires .load(<array uri>)")
+        return uri
+
+    def schema(self) -> StructType:
+        from .. import manifest as mf
+
+        return mf.read_manifest(self._uri()).schema.spark_schema()
+
+    def reader(self, schema: StructType) -> "TileDBReader":
+        ts = self.options.get("timestamp")
+        return TileDBReader(self._uri(), int(ts) if ts is not None else None)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
+        if overwrite:
+            raise NotImplementedError(
+                "overwrite mode not supported; fragments are append-only "
+                "(use consolidate/vacuum to rewrite)")
+        return TileDBWriter(self._uri())
+
+
+_PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+             LessThanOrEqual, In)
+
+
+class TileDBReader(DataSourceReader):
+    def __init__(self, uri: str, timestamp: Optional[int]):
+        self.uri = uri
+        self.timestamp = timestamp
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        """Record pushable predicates for fragment/row-group pruning and
+        batch-level filtering; return EVERY filter as unsupported so Spark
+        re-applies them (pruning win without correctness risk)."""
+        for f in filters:
+            if isinstance(f, _PUSHABLE) and len(f.attribute) == 1:
+                col = f.attribute[0]
+                if isinstance(f, EqualTo):
+                    self._preds.append((col, "==", f.value))
+                elif isinstance(f, GreaterThan):
+                    self._preds.append((col, ">", f.value))
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._preds.append((col, ">=", f.value))
+                elif isinstance(f, LessThan):
+                    self._preds.append((col, "<", f.value))
+                elif isinstance(f, LessThanOrEqual):
+                    self._preds.append((col, "<=", f.value))
+                elif isinstance(f, In):
+                    self._preds.append((col, "in", tuple(f.value)))
+            yield f  # Spark re-evaluates everything
+
+    def _dim_ranges(self, schema):
+        """Pushed predicates on dim columns -> DimRanges for MBR pruning."""
+        from ..plans import DimRanges
+
+        out = []
+        for d in schema.domain:
+            intervals = []
+            points = []
+            lo = hi = None
+            for col, op, val in self._preds:
+                if col != d.name:
+                    continue
+                if op == "==":
+                    points.append(val)
+                elif op in (">", ">="):
+                    lo = val if lo is None else max(lo, val)
+                elif op in ("<", "<="):
+                    hi = val if hi is None else min(hi, val)
+                elif op == "in":
+                    points.extend(val)
+            if lo is not None or hi is not None:
+                intervals.append((lo if lo is not None else float("-inf"),
+                                  hi if hi is not None else float("inf")))
+            if intervals or points:
+                out.append(DimRanges(name=d.name, intervals=intervals,
+                                     points=points))
+        return out
+
+    def partitions(self) -> Sequence[_Split]:
+        import pyarrow.parquet as pq
+
+        from .. import manifest as mf
+        from ..array import _decode_mbr
+        from ..plans.range_ir import mbr_intersects
+
+        m = mf.read_manifest(self.uri)
+        schema = m.schema
+        frs = m.live_fragments(self.timestamp)
+        ranges = self._dim_ranges(schema)
+        if ranges:
+            frs = [f for f in frs
+                   if mbr_intersects(ranges, _decode_mbr(schema, f.nonempty_domain))]
+        deletes = m.delete_fragments_visible(self.timestamp)
+        if (not schema.allows_duplicates) and len(frs) > 1:
+            mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
+            if _any_overlap(schema, mbrs):
+                raise NotImplementedError(
+                    "overlapping fragments on a no-duplicates array need "
+                    "last-write-wins resolution; read via tiledb_py_spark.open()")
+        preds = tuple(self._preds)
+        splits: list[_Split] = []
+        for f in frs:
+            frag_deletes = tuple(
+                d.delete_condition for d in deletes
+                if d.timestamp_range[0] >= f.timestamp_range[0] and d.delete_condition)
+            frag_dir = mf.fragment_path(self.uri, f)
+            for root, _dirs, files in os.walk(frag_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    n_rg = pq.ParquetFile(p).metadata.num_row_groups
+                    # one split per ~4 row groups keeps tasks balanced
+                    step = 4
+                    for start in range(0, n_rg, step):
+                        rgs = tuple(range(start, min(start + step, n_rg)))
+                        splits.append(_Split(file_path=p, row_groups=rgs,
+                                             predicates=preds,
+                                             deletes=frag_deletes))
+        return splits or [_Split(file_path="", row_groups=(), predicates=(),
+                                 deletes=())]
+
+    def read(self, split: _Split):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if not split.file_path:
+            return
+        pf = pq.ParquetFile(split.file_path)
+        expr = None
+        for col, op, val in split.predicates:
+            f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
+                 ">=": pc.field(col) >= val, "<": pc.field(col) < val,
+                 "<=": pc.field(col) <= val,
+                 "in": pc.field(col).isin(list(val)) if op == "in" else None}[op]
+            expr = f if expr is None else expr & f
+        tbl = pf.read_row_groups(list(split.row_groups))
+        if expr is not None:
+            tbl = tbl.filter(expr)
+        if split.deletes:
+            import pandas as pd
+
+            pdf = tbl.to_pandas()
+            for cond in split.deletes:
+                mask = _eval_delete(pdf, cond)
+                pdf = pdf[~mask]
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False,
+                                       schema=tbl.schema)
+        for batch in tbl.to_batches():
+            yield batch
+
+
+def _eval_delete(pdf, cond: str):
+    """Evaluate a QueryCondition string against a pandas frame (executor-
+    side delete application; same comparison grammar, pandas backend).
+    Raises rather than silently skipping a delete it cannot evaluate."""
+    try:
+        return pdf.eval(cond.replace(" and ", " & ").replace(" or ", " | "))
+    except Exception as e:
+        raise NotImplementedError(
+            f"delete condition {cond!r} not evaluable in the tiledb format "
+            f"reader ({e}); read via tiledb_py_spark.open()") from e
+
+
+def _any_overlap(schema, mbrs) -> bool:
+    for i in range(len(mbrs)):
+        for j in range(i + 1, len(mbrs)):
+            if all(_box_overlap(mbrs[i].get(d.name), mbrs[j].get(d.name))
+                   for d in schema.domain):
+                return True
+    return False
+
+
+def _box_overlap(a, b) -> bool:
+    if a is None or b is None:
+        return True  # unknown extent: assume overlap (safe)
+    return not (a[1] < b[0] or b[1] < a[0])
+
+
+class TileDBWriter(DataSourceArrowWriter):
+    """Append one fragment per save(): tasks stream Arrow batches to
+    staged parquet files; commit publishes a single FragmentRecord."""
+
+    def __init__(self, uri: str):
+        from .. import manifest as mf
+
+        self.uri = uri
+        self.ts = mf.now_ms()
+        self.frag_name = mf.new_fragment_name(self.ts)
+        self.frag_dir = mf.fragment_path(uri, self.frag_name)
+
+    def write(self, iterator) -> _FragCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.frag_dir, exist_ok=True)
+        fn = f"part-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(self.frag_dir, fn)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema, compression="zstd")
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return _FragCommit(file_name=fn if writer else "", rows=rows)
+
+    def commit(self, messages):
+        from .. import manifest as mf
+        from .fragment_writer import stats_from_parquet_dir
+
+        schema = mf.read_manifest(self.uri).schema
+        cell_num, mbr = stats_from_parquet_dir(self.frag_dir, schema.dim_names)
+        rec = mf.FragmentRecord(name=self.frag_name,
+                                timestamp_range=(self.ts, self.ts),
+                                cell_num=cell_num, nonempty_domain=mbr)
+        mf.commit(self.uri, lambda m: m.fragments.append(rec))
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.frag_dir, ignore_errors=True)
+
+
+def register(spark) -> None:
+    """Register the 'tiledb' format on a session."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; session.py sets it at startup
+    spark.dataSource.register(TileDBDataSource)
