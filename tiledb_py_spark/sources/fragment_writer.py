@@ -86,6 +86,15 @@ def _lt(a, b) -> bool:
         return False
 
 
+def _schema_codec(schema: ArraySchema) -> str:
+    """Parquet codec from declared FilterLists (§2.9 mapping); zstd default."""
+    for c in list(schema.attrs_list) + list(schema.domain):
+        codec = getattr(c.filters, "parquet_codec", lambda: None)()
+        if codec:
+            return codec
+    return "zstd"
+
+
 def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
                           timestamp: Optional[int] = None,
                           row_group_size: Optional[int] = None) -> FragmentRecord:
@@ -110,7 +119,7 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     pq.write_table(
         table, os.path.join(frag_dir, "part-00000.parquet"),
-        compression="zstd",
+        compression=_schema_codec(schema),
         row_group_size=row_group_size or max(schema.capacity, 4096),
     )
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
