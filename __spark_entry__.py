@@ -175,6 +175,41 @@ def _lineitem_array(spark, sf_dir) -> str:
     return uri
 
 
+def q_array_time_slice(spark, sf_dir):
+    """Datetime-dimension array: orders keyed by (o_orderdate, o_orderkey),
+    multi_index slice by date strings (datetime dim semantics, S4 + §1.3)."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.plans import DimRanges, QueryPlan
+    import numpy as np
+
+    uri = _orders_time_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    plan = QueryPlan(dim_ranges=[DimRanges(name="o_orderdate", intervals=[(
+        np.datetime64("1996-01-01", "us"), np.datetime64("1996-12-31", "us"))])],
+        order="U")
+    return (A._execute(plan)
+             .select("o_orderkey", "o_orderdate", "o_totalprice"))
+
+
+_TIME_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _orders_time_array(spark, sf_dir) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _TIME_ARRAY_CACHE:
+        return _TIME_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/orders_time"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "orders")
+               .select("o_orderdate", "o_orderkey", "o_totalprice").toPandas())
+        tdb.from_pandas(uri, pdf, index_dims=["o_orderdate", "o_orderkey"])
+    _TIME_ARRAY_CACHE[key] = uri
+    return uri
+
+
 def q_datasource_read(spark, sf_dir):
     """S1 via the custom Spark data source: spark.read.format('tiledb')
     with filter pushdown into fragment/row-group pruning."""
@@ -601,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_dim_values": q_unique_dim_values,
         "array_range_read": q_array_range_read,
         "array_cond_agg": q_array_cond_agg,
+        "array_time_slice": q_array_time_slice,
         "datasource_read": q_datasource_read,
         "enum_qc": q_enum_qc,
         "group_agg": q_group_agg,
@@ -688,6 +724,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem WHERE l_tax > 0.05
+        """,
+        "array_time_slice": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <= TIMESTAMP '1996-12-31'
         """,
         "datasource_read": """
             SELECT l_orderkey, l_linenumber, l_quantity

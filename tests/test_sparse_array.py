@@ -140,6 +140,24 @@ def test_string_dim(uri, spark):
     assert sorted(res["name"].tolist()) == ["apple", "banana"]
 
 
+def test_datetime_dim(uri, spark):
+    """Datetime dimension: domain round-trip, np.datetime64 slicing,
+    parquet micros coercion (Spark rejects TIMESTAMP(NANOS))."""
+    import pandas as pd
+    import tiledb_py_spark as tdb_
+
+    dates = pd.date_range("2021-01-01", periods=30, freq="D")
+    pdf = pd.DataFrame({"d": dates, "v": np.arange(30) * 1.0})
+    tdb_.from_pandas(uri, pdf, index_dims=["d"])
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.domain.dim("d").dtype.kind == "M"
+    res = A.multi_index[np.datetime64("2021-01-05"):np.datetime64("2021-01-10")]
+    assert len(res["d"]) == 6  # inclusive both ends
+    assert res["d"].dtype.kind == "M"
+    with pytest.raises(Exception):
+        A.multi_index[5:10]  # non-datetime selector on datetime dim
+
+
 def test_write_requires_write_mode(sparse1d, spark):
     A = tdb.open(sparse1d, "r", spark=spark)
     with pytest.raises(PermissionError):

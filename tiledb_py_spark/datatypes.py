@@ -182,11 +182,15 @@ def default_fill(ti: TypeInfo) -> Any:
 
 
 def numpy_to_python(v: Any) -> Any:
-    """Convert numpy scalars to plain Python for JSON serialization."""
+    """Convert numpy scalars to plain Python for JSON serialization.
+    datetime64 must be checked BEFORE np.generic (it is one, and .item()
+    yields a datetime.datetime that json.dump rejects)."""
+    if isinstance(v, np.datetime64):
+        return str(v)
     if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, np.ndarray):
         return v.tolist()
-    if isinstance(v, np.datetime64):
-        return int(v.astype("int64"))
+    if hasattr(v, "isoformat"):  # datetime.datetime / pandas.Timestamp
+        return v.isoformat()
     return v

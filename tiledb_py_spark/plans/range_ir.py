@@ -50,6 +50,7 @@ class DimRanges:
         for lo, hi in self.intervals:
             if lo is None and hi is None:
                 return None  # any full interval makes the dim unconstrained
+            lo, hi = _plain(lo), _plain(hi)
             if lo is None:
                 disjuncts.append(c <= F.lit(hi))
             elif hi is None:

@@ -99,7 +99,12 @@ class Dim:
             if domain is None:
                 raise ValueError(f"dimension {name!r} requires a domain")
             lo, hi = domain
-            self.domain = (numpy_to_python(lo), numpy_to_python(hi))
+            if dt is not None and dt.kind == "M":
+                # keep datetime domains as np.datetime64 (comparable in the
+                # indexer); serialized to ISO strings in to_json
+                self.domain = (np.datetime64(lo), np.datetime64(hi))
+            else:
+                self.domain = (numpy_to_python(lo), numpy_to_python(hi))
             self.tile = numpy_to_python(tile) if tile is not None else None
             self.var = bool(var) if var is not None else False
         self.filters = _as_filter_list(filters)
@@ -138,7 +143,9 @@ class Dim:
         return DimLabelSchema(order=order, label_dtype=dtype)
 
     def to_json(self):
-        return {"name": self.name, "domain": [self.domain[0], self.domain[1]],
+        return {"name": self.name,
+                "domain": [numpy_to_python(self.domain[0]),
+                           numpy_to_python(self.domain[1])],
                 "tile": self.tile, "type": self.type_info.to_json(),
                 "var": self.var, "filters": self.filters.to_json()}
 
@@ -148,7 +155,10 @@ class Dim:
         obj = cls.__new__(cls)
         obj.name = d["name"]
         obj.type_info = ti
-        obj.domain = tuple(d["domain"])
+        if ti.np_dtype.startswith("datetime64") and d["domain"][0] is not None:
+            obj.domain = tuple(np.datetime64(x) for x in d["domain"])
+        else:
+            obj.domain = tuple(d["domain"])
         obj.tile = d["tile"]
         obj.var = d.get("var", False)
         obj.filters = FilterList.from_json(d.get("filters"))

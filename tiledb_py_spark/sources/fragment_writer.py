@@ -121,6 +121,8 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
         table, os.path.join(frag_dir, "part-00000.parquet"),
         compression=_schema_codec(schema),
         row_group_size=row_group_size or max(schema.capacity, 4096),
+        # Spark's vectorized reader rejects TIMESTAMP(NANOS); store micros
+        coerce_timestamps="us", allow_truncated_timestamps=True,
     )
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
     rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
