@@ -1,0 +1,89 @@
+"""Depth tests: global order, nullable attrs + null_count, Query.df with
+cond, chunked CSV ingest, labels on sparse arrays."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from numpy.testing import assert_array_equal
+
+import tiledb_py_spark as tdb
+
+
+def test_global_order_read(uri, spark):
+    """'G' order: fragment commit order, then within-fragment cell order."""
+    dom = tdb.Domain(tdb.Dim(name="k", domain=(0, 99), tile=10, dtype=np.int64))
+    schema = tdb.ArraySchema(domain=dom,
+                             attrs=[tdb.Attr(name="v", dtype=np.int64)],
+                             sparse=True, allows_duplicates=True)
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.array([50, 60])] = np.array([1, 2])   # fragment 1
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.array([10, 20])] = np.array([3, 4])   # fragment 2
+    A = tdb.open(uri, spark=spark)
+    res = A.query(order="G").submit().toPandas()
+    # fragment 1 rows first despite larger coords
+    assert res["k"].tolist() == [50, 60, 10, 20]
+    res_c = A.query(order="C").submit().toPandas()
+    assert res_c["k"].tolist() == [10, 20, 50, 60]
+
+
+def test_nullable_roundtrip_and_null_count(uri, spark):
+    pdf = pd.DataFrame({
+        "k": np.arange(6, dtype=np.int64),
+        "n": pd.array([1, None, 3, None, 5, 6], dtype="Int64"),
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.attr("n").nullable
+    res = A.multi_index[:]
+    n = res["n"]
+    assert isinstance(n, np.ma.MaskedArray)
+    order = np.argsort(res["k"])
+    assert list(n.mask[order]) == [False, True, False, True, False, False]
+    agg = A.query().agg({"n": ["null_count", "sum", "count"]})[:]
+    assert agg["null_count"] == 2
+    assert agg["sum"] == 15
+    assert agg["count"] == 6  # count counts cells, not non-nulls
+
+
+def test_query_df_with_cond(uri, spark):
+    pdf = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                        "v": np.arange(20) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    out = A.query(cond="v >= 10.0", attrs=["v"]).df[:]
+    assert sorted(out["v"].tolist()) == [float(x) for x in range(10, 20)]
+    assert out.index.name == "k"
+
+
+def test_from_csv_chunked(uri, tmp_path, spark):
+    pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": np.arange(100) * 0.5})
+    csv = tmp_path / "big.csv"
+    pdf.to_csv(csv, index=False)
+    tdb.from_csv(uri, str(csv), index_dims=["k"], chunksize=30)
+    assert len(tdb.array_fragments(uri)) == 4  # 30+30+30+10
+    out = tdb.open_dataframe(uri).reset_index().sort_values("k")
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+
+def test_sparse_label_index(uri, spark):
+    """Labels resolve on sparse arrays too (coords + attrs back)."""
+    from tiledb_py_spark.labels import write_label_data
+
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim),
+        attrs=[tdb.Attr(name="v", dtype=np.int64)], sparse=True,
+        dim_labels={0: {"temp": dim.create_label_schema("increasing",
+                                                        np.float64)}})
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.arange(10)] = np.arange(10) * 10
+    write_label_data(uri, "temp", np.arange(10), np.arange(10) * 0.5)
+    A = tdb.open(uri, spark=spark)
+    res = A.label_index(["temp"])[1.0:2.0]  # labels 1.0,1.5,2.0 -> coords 2,3,4
+    assert sorted(res["k"].tolist()) == [2, 3, 4]
+    assert sorted(res["v"].tolist()) == [20, 30, 40]
+    assert res["temp"].tolist() == [1.0, 1.5, 2.0]

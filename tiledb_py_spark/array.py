@@ -199,8 +199,11 @@ class Array:
     def _empty_df(self) -> DataFrame:
         return self.spark.createDataFrame([], self.schema.spark_schema())
 
-    def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None) -> DataFrame:
-        """Fragment-pruned union scan with deletes + duplicate resolution."""
+    def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None,
+                 keep_frag_ts: bool = False) -> DataFrame:
+        """Fragment-pruned union scan with deletes + duplicate resolution.
+        ``keep_frag_ts`` retains the fragment-order column for 'G'
+        (global-order) reads."""
         m = self._manifest
         frs = m.live_fragments(self.timestamp)
         n_live = len(frs)
@@ -215,10 +218,10 @@ class Array:
             return self._empty_df()
         deletes = m.delete_fragments_visible(self.timestamp)
         need_dedup = (not self.schema.allows_duplicates) and len(frs) > 1
-        need_frag_ts = bool(deletes) or need_dedup
+        need_frag_ts = bool(deletes) or need_dedup or keep_frag_ts
 
         sschema = self.schema.spark_schema()
-        if not need_frag_ts:
+        if not need_frag_ts and not keep_frag_ts:
             paths = [mf.fragment_path(self.uri, f) for f in frs]
             return self.spark.read.schema(sschema).parquet(*paths)
 
@@ -245,7 +248,7 @@ class Array:
             attrs = [F.expr(f"max_by(`{a}`, __frag_ts)").alias(a)
                      for a in self.schema.attr_names]
             df = df.groupBy(*dims).agg(*attrs)
-        else:
+        elif not keep_frag_ts:
             df = df.drop("__frag_ts")
         return df
 
@@ -280,7 +283,7 @@ class Array:
         from .stats import record
 
         record("py.queries_planned")
-        df = self._scan_df(plan.dim_ranges)
+        df = self._scan_df(plan.dim_ranges, keep_frag_ts=(plan.order == "G"))
         pred = plan.range_predicate()
         if pred is not None:
             df = df.filter(pred)
@@ -289,6 +292,16 @@ class Array:
         dims = list(plan.dims) if plan.dims is not None else self.schema.dim_names
         attrs = list(plan.attrs) if plan.attrs is not None else (
             [self.view_attr] if self.view_attr else self.schema.attr_names)
+        if plan.order == "G":
+            # global order (O1 'G'): fragment commit order, then the cell
+            # order rows were written in within each fragment (fragments
+            # are cell-order-sorted at write time, so dims stand in)
+            order_cols = ([F.col("__frag_ts")] if "__frag_ts" in df.columns else []) \
+                + [F.col(c) for c in self.schema.dim_names]
+            df = df.orderBy(*order_cols).select(*dims, *attrs)
+            if plan.limit is not None:
+                df = df.limit(plan.limit)
+            return df
         df = df.select(*dims, *attrs)
         if plan.order == "C":
             df = df.orderBy(*[c for c in self.schema.dim_names if c in dims]) \
