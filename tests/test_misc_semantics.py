@@ -68,6 +68,29 @@ def test_from_csv_chunked(uri, tmp_path, spark):
     assert out["v"].tolist() == pdf["v"].tolist()
 
 
+def test_consolidate_delete_timetravel_interplay(uri, spark):
+    """SURVEY hard part #6: deletes fold into consolidation; time travel
+    before the delete still sees pre-delete data until vacuum removes the
+    old fragments."""
+    pdf = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                        "v": np.arange(10) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    ts_before = tdb.array_fragments(uri)[0].timestamp_range[1]
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v >= 5.0").submit()
+    # pre-delete timestamp still sees all rows
+    assert len(tdb.open(uri, timestamp=ts_before, spark=spark).df[:]) == 10
+    assert len(tdb.open(uri, spark=spark).df[:]) == 5
+    tdb.consolidate(uri)
+    # delete is materialized; the delete fragment is gone from the manifest
+    assert len(tdb.open(uri, spark=spark).df[:]) == 5
+    m_frags = tdb.array_fragments(uri, include_deletes=True)
+    assert len(m_frags) == 1
+    n = tdb.vacuum(uri)
+    assert n >= 1  # old fragment dirs removed
+    assert len(tdb.open(uri, spark=spark).df[:]) == 5
+
+
 def test_sparse_label_index(uri, spark):
     """Labels resolve on sparse arrays too (coords + attrs back)."""
     from tiledb_py_spark.labels import write_label_data
