@@ -68,6 +68,33 @@ def test_from_csv_chunked(uri, tmp_path, spark):
     assert out["v"].tolist() == pdf["v"].tolist()
 
 
+@pytest.mark.parametrize("dtype,vals", [
+    ("uint16", np.array([0, 1, 65535], dtype="uint16")),
+    ("uint32", np.array([0, 5, 4294967295], dtype="uint32")),
+    ("uint64", np.array([0, 7, 2 ** 62], dtype="uint64")),
+    ("datetime64[ns]", np.array(["2020-01-01T00:00:00.123456789",
+                                 "2021-06-01T12:34:56.987654321"],
+                                dtype="datetime64[ns]")),
+    ("datetime64[s]", np.array(["2020-01-01T00:00:01",
+                                "2021-06-01T12:34:56"], dtype="datetime64[s]")),
+    ("timedelta64[ms]", np.array([1500, -200], dtype="timedelta64[ms]")),
+], ids=["u16", "u32", "u64", "dt_ns", "dt_s", "td_ms"])
+def test_dtype_roundtrip_fidelity(uri, spark, dtype, vals):
+    """SURVEY hard part #3: unsigned ints and sub-microsecond datetimes
+    round-trip to the EXACT numpy dtype and values (widen/annotate)."""
+    n = len(vals)
+    dom = tdb.Domain(tdb.Dim(name="k", domain=(0, n - 1), tile=n,
+                             dtype=np.int64))
+    tdb.Array.create(uri, tdb.ArraySchema(
+        domain=dom, attrs=[tdb.Attr(name="v", dtype=dtype)], sparse=True))
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.arange(n)] = vals
+    res = tdb.open(uri, spark=spark).multi_index[:]
+    got = res["v"][np.argsort(res["k"])]
+    assert got.dtype == np.dtype(dtype)
+    assert_array_equal(got, vals)
+
+
 def test_consolidate_delete_timetravel_interplay(uri, spark):
     """SURVEY hard part #6: deletes fold into consolidation; time travel
     before the delete still sees pre-delete data until vacuum removes the

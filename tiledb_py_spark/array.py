@@ -688,7 +688,11 @@ def _np_to_pandas_col(arr):
         return pd.Series(list(a))
     if a.dtype.kind == "M":
         unit = np.datetime_data(a.dtype)[0]
-        if unit in ("s", "ms", "us", "ns"):
+        # mirror datatypes.from_numpy: only s/ms/us are TimestampNTZ;
+        # ns (and coarser-than-day units) are stored as int64 + unit
+        # annotation — converting ns to us here would store micros under a
+        # LongType schema and reads would misread them as nanos
+        if unit in ("s", "ms", "us"):
             return pd.Series(a.astype("datetime64[us]"))
         if unit == "D":
             return pd.Series(a.astype("datetime64[s]")).dt.date
