@@ -95,6 +95,22 @@ def test_dtype_roundtrip_fidelity(uri, spark, dtype, vals):
     assert_array_equal(got, vals)
 
 
+def test_from_pandas_ns_datetime_attr(uri, spark):
+    """pandas' default ns-precision timestamps survive from_pandas exactly
+    (stored int64 + unit annotation, restored to datetime64[ns])."""
+    ts = pd.to_datetime(["2020-01-01 00:00:00.123456789",
+                         "2021-06-01 12:34:56.987654321"])
+    pdf = pd.DataFrame({"k": np.arange(2, dtype=np.int64), "t": ts})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    res = A.multi_index[:]
+    got = res["t"][np.argsort(res["k"])]
+    assert got.dtype == np.dtype("datetime64[ns]")
+    assert_array_equal(got, ts.to_numpy())
+    out = A.df[:]
+    assert str(out["t"].dtype) == "datetime64[ns]"
+
+
 def test_consolidate_delete_timetravel_interplay(uri, spark):
     """SURVEY hard part #6: deletes fold into consolidation; time travel
     before the delete still sees pre-delete data until vacuum removes the

@@ -86,6 +86,26 @@ def _lt(a, b) -> bool:
         return False
 
 
+def _normalize_storage(pdf, schema: ArraySchema):
+    """Coerce pandas columns to the schema's STORAGE representation: any
+    column whose TypeInfo says ``stored_as: int64`` (ns datetimes,
+    coarser-than-day units, timedeltas) must be written as int64 — writing
+    it as a pandas timestamp would let pyarrow store microseconds under a
+    LongType schema and reads would misread the unit."""
+    import pandas as pd
+
+    out = pdf.copy()
+    for c in list(schema.domain) + list(schema.attrs_list):
+        if c.name not in out.columns:
+            continue
+        ann = c.type_info.annotations
+        s = out[c.name]
+        if ann.get("stored_as") == "int64" and s.dtype.kind in ("M", "m"):
+            np_dt = np.dtype(c.type_info.np_dtype)
+            out[c.name] = s.to_numpy().astype(np_dt).view("int64")
+    return out
+
+
 def _schema_codec(schema: ArraySchema) -> str:
     """Parquet codec from declared FilterLists (§2.9 mapping); zstd default."""
     for c in list(schema.attrs_list) + list(schema.domain):
@@ -106,6 +126,7 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
     os.makedirs(frag_dir, exist_ok=True)
     cols = schema.dim_names + schema.attr_names
     pdf = pdf[[c for c in cols if c in pdf.columns]]
+    pdf = _normalize_storage(pdf, schema)
     # sort by dims for row-group min/max locality (space-tile analog)
     if schema.sparse and len(pdf) > 0:
         if schema.cell_order == "hilbert":
