@@ -581,6 +581,15 @@ def q_token_counts(spark, sf_dir):
              .orderBy("doc_id"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword counting (regex pieces + long-word extras)."""
+    from tiledb_py_spark.operators.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id", bpe_ish_token_count("text").alias("n_bpe"))
+             .orderBy("doc_id"))
+
+
 def q_text_quality(spark, sf_dir):
     """Quality features: char/token counts, mean word length, dup-token
     ratio (Gopher-style signals)."""
@@ -663,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        "bpe_tokens": q_bpe_tokens,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
@@ -952,6 +962,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                   + coalesce(list_sum(list_transform(
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     w -> length(w) > 4),
+                         w -> (length(w) - 1) // 4)), 0) AS n_bpe
             FROM documents ORDER BY doc_id
         """,
         "text_quality": r"""
