@@ -811,8 +811,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "json_props": """
+            -- sum(INTEGER) is HUGEINT in DuckDB (-> float64 in pandas);
+            -- cast to BIGINT so the dtype matches Spark's long sum.
             SELECT event_type, count(*) AS n,
-                   sum(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+                   CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -965,12 +967,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "bpe_tokens": r"""
+            -- list_sum yields HUGEINT (-> float64 in pandas); cast the whole
+            -- count to BIGINT so the dtype matches Spark's long.
             SELECT doc_id,
-                   len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
                    + coalesce(list_sum(list_transform(
                          list_filter(regexp_split_to_array(text, '\s+'),
                                      w -> length(w) > 4),
-                         w -> (length(w) - 1) // 4)), 0) AS n_bpe
+                         w -> (length(w) - 1) // 4)), 0) AS BIGINT) AS n_bpe
             FROM documents ORDER BY doc_id
         """,
         "text_quality": r"""

@@ -51,7 +51,7 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     extra = F.aggregate(
         F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 4),
         F.lit(0),
-        lambda acc, w: acc + ((F.length(w) - 1) / F.lit(4)).cast("int"),
+        lambda acc, w: acc + F.floor((F.length(w) - 1) / F.lit(4)).cast("int"),
     )
     return (pieces + extra).cast("long")
 

@@ -46,6 +46,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"columns {sorted(a.columns)} != {sorted(b.columns)}"
     if len(a) != len(b):
         return False, f"rowcount {len(a)} != {len(b)}"
+    # The driver's value hash is dtype-sensitive: an int64 Spark column vs a
+    # float64 oracle column (e.g. DuckDB HUGEINT sums) hash-mismatches even
+    # when values are equal.  Flag dtype-class drift before coercing.
+    for c in a.columns:
+        ka = "f" if pd.api.types.is_float_dtype(a[c]) else \
+             "i" if pd.api.types.is_integer_dtype(a[c]) else "o"
+        kb = "f" if pd.api.types.is_float_dtype(b[c]) else \
+             "i" if pd.api.types.is_integer_dtype(b[c]) else "o"
+        if ka != kb:
+            return False, (f"dtype-class mismatch col {c}: spark {a[c].dtype} "
+                           f"vs oracle {b[c].dtype} (driver hash would differ)")
     na, nb = normalize(a), normalize(b)
     for c in na.columns:
         ca, cb = na[c], nb[c]
