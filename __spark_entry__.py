@@ -450,11 +450,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures (hash-defined; rows-only check)."""
-    from tiledb_py_spark.operators.dedup import simhash_signatures
+    """SimHash signatures with the portable md5-60bit token hash, so the
+    full bit-counter fold is reproducible in DuckDB (the engine default is
+    xxhash64, same fold)."""
+    from tiledb_py_spark.operators.dedup import md5_hash60, simhash_signatures
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_signatures(d, "text", "doc_id").orderBy("doc_id")
+    return (simhash_signatures(d, "text", "doc_id",
+                               token_hash=md5_hash60, n_bits=60)
+            .orderBy("doc_id"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -481,14 +485,33 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF-bucketed approximate NN (scale path; rows-only check)."""
-    from tiledb_py_spark.operators.similarity import IVFIndex
+    """IVF-bucketed approximate NN, verified as assertions the oracle can
+    state: (a) probing ALL cells must reproduce the exact brute-force
+    top-10 — the bucketing machinery (spherical k-means assignment +
+    per-cell scan + merge) partitions without loss; (b) probing the 4
+    query-closest of 8 cells must recall at least the 4/8 coverage floor.
+    The synthetic embeddings are near-random unit vectors (pairwise cosine
+    ~N(0, 1/sqrt(64))), so partial-probe recall is bounded by probed data
+    fraction for ANY ann method — a fixed 0.9-recall bar would be
+    unattainable; the machinery-exactness check carries correctness."""
+    from tiledb_py_spark.operators.similarity import IVFIndex, brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    idx = IVFIndex(n_cells=8, n_probe=3).fit(e, "embedding")
-    out = idx.search(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10)
-    return out.withColumn("score", F.round("score", 5))
+    base = e.filter(F.col("vec_id") != 0)
+    exact = brute_force_topk(base, "embedding", "vec_id", qv, k=10) \
+        .select("vec_id", F.round("score", 5).alias("score"))
+    idx = IVFIndex(n_cells=8, n_probe=8).fit(e, "embedding")
+    full = idx.search(base, "embedding", "vec_id", qv, k=10) \
+        .select("vec_id", F.round("score", 5).alias("score"))
+    partial = IVFIndex(n_cells=8, n_probe=4).fit(e, "embedding") \
+        .search(base, "embedding", "vec_id", qv, k=10).select("vec_id")
+    n_full = full.join(exact, ["vec_id", "score"]).count()
+    n_partial = partial.join(exact.select("vec_id"), "vec_id").count()
+    return spark.createDataFrame(
+        [(10, n_full, bool(n_partial >= 5))],
+        "k int, probe_all_matches int, partial_ge_coverage boolean")
 
 
 def q_array_embedding_topk(spark, sf_dir):
@@ -605,8 +628,9 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    """Language-ID heuristic counts per predicted language (rows-only:
-    the stopword scoring isn't reasonably SQL-portable)."""
+    """Language-ID heuristic counts per predicted language.  The fold
+    (first language in en/de/fr/es/it order with the max stopword-hit
+    ratio, 'und' when nothing hits) is replicated as argmax SQL."""
     from tiledb_py_spark.operators.text import language_id
 
     d = _t(spark, sf_dir, "documents")
@@ -996,5 +1020,108 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
                                            '\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # SimHash with the portable md5-60bit token hash: same counter fold
+        # as operators.dedup.simhash64 (bit i of token hash set -> +1 else
+        # -1; sign -> bit), hash = first 15 md5 hex chars parsed base-16.
+        "simhash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(arr) AS w FROM toks
+            ), th AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+            ), bits AS (
+                SELECT doc_id, b.i AS i,
+                       sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+                FROM th CROSS JOIN range(0, 60) AS b(i)
+                GROUP BY doc_id, b.i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN cnt >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Stopword-hit argmax with ties to the earlier language in
+        # en/de/fr/es/it order ('und' when no stopword hits at all) —
+        # exactly the strict-improvement fold in operators.text.language_id.
+        "language_id": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       len(list_filter(arr, t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','had','not','are'], t))) AS h_en,
+                       len(list_filter(arr, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','den','im','für','auf','des','sich','dem','als','auch'], t))) AS h_de,
+                       len(list_filter(arr, t -> list_contains(['le','la','et','les','des','est','un','une','du','que','pas','pour','dans','qui','sur','avec','au','par'], t))) AS h_fr,
+                       len(list_filter(arr, t -> list_contains(['el','la','de','que','y','los','en','un','las','del','se','por','con','una','para','es','al','lo'], t))) AS h_es,
+                       len(list_filter(arr, t -> list_contains(['il','di','che','la','e','un','per','non','una','del','con','si','da','come','le','nel','alla'], t))) AS h_it
+                FROM toks
+            ), pred AS (
+                SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_it) = 0 THEN 'und'
+                            WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'en'
+                            WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'de'
+                            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'fr'
+                            WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'es'
+                            ELSE 'it' END AS lang_pred
+                FROM hits
+            )
+            SELECT lang_pred, count(*) AS n FROM pred
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        # The composite linear quality gate of operators.text.quality_score,
+        # multiplied in the same left-to-right association order.
+        "quality_score": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       len(arr) AS n_tok_raw,
+                       list_sum(list_transform(arr, w -> length(w))) * 1.0
+                           / greatest(len(arr), 1) AS mean_word_len,
+                       len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                           / greatest(length(text), 1) AS punct_ratio,
+                       1.0 - len(list_distinct(arr)) * 1.0 / greatest(len(arr), 1) AS dup_ratio,
+                       len(list_filter(arr, t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be','at','by','had','not','are'], t))) * 1.0
+                           / greatest(len(arr), 1) AS stop_ratio
+                FROM base
+            )
+            SELECT doc_id,
+                   round(((((1.0
+                       * CASE WHEN n_tok_raw BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.2 END)
+                       * CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+                       * CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+                       * CASE WHEN dup_ratio < 0.5 THEN 1.0 ELSE 0.3 END)
+                       * (0.5 + least(stop_ratio * 2, 0.5)), 6) AS quality
+            FROM feat ORDER BY doc_id
+        """,
+        # The deterministic fake decode is md5-seeded integer arithmetic
+        # with exact power-of-two division (multimodal._fake_decode_image),
+        # so the pooled feature sum is reproducible in SQL, float32
+        # rounding included.
+        "multimodal_features": r"""
+            WITH seeds AS (
+                SELECT doc_id AS media_id,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+                FROM documents
+            )
+            SELECT media_id, 8 AS feat_dim,
+                   round(list_sum(list_transform(range(0, 8),
+                       j -> CAST(CAST(((seed + 2654435761 * (j + 1)) % 2147483648)
+                                      / 2147483648.0 AS FLOAT) AS DOUBLE))), 4) AS feat_sum
+            FROM seeds ORDER BY media_id
+        """,
+        # Assertion oracle (see q_ivf_ann): probe-all IVF must match all 10
+        # exact results, and 4-of-8-cell probing must beat the coverage
+        # floor.  The Spark side computes both joins against the true
+        # brute-force top-10; a bucketing bug (lost cell, mis-assignment)
+        # breaks probe_all_matches.
+        "ivf_ann": """
+            SELECT 10 AS k, 10 AS probe_all_matches, true AS partial_ge_coverage
         """,
     }

@@ -110,15 +110,28 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
-def simhash64(col: str | Column) -> Column:
-    """64-bit SimHash folded from each token's xxhash64 via a single
-    ``aggregate`` over a 64-slot counter array (one pass, JVM-side):
-    token hash bit i set -> counter[i] += 1 else -= 1; sign -> bit."""
-    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5 parsed base-16.
+    Always positive, fits a signed 64-bit in every engine (DuckDB parses the
+    same via ``('0x' || substr(md5(w), 1, 15))::BIGINT``) — the
+    cross-engine-checkable alternative to ``xxhash64``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(col: str | Column, token_hash=None, n_bits: int = 64) -> Column:
+    """SimHash folded from each token's hash via a single ``aggregate``
+    over an ``n_bits``-slot counter array (one pass, JVM-side): token hash
+    bit i set -> counter[i] += 1 else -= 1; sign -> bit.
+
+    ``token_hash`` defaults to ``xxhash64`` (fastest); pass ``md5_hash60``
+    with ``n_bits=60`` for a hash reproducible in other SQL engines."""
+    th = token_hash or F.xxhash64
+    masks = _POW2[:n_bits] if n_bits < 64 else _POW2
+    hashes = F.transform(tokens(col), lambda t: th(t))
+    pow2 = F.array(*[F.lit(p).cast("long") for p in masks])
     counters = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), len(masks)),
         lambda acc, h: F.zip_with(
             acc, pow2,
             lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1))),
@@ -264,8 +277,10 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                    .drop("__simhash"))
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       token_hash=None, n_bits: int = 64) -> DataFrame:
+    return df.select(F.col(id_col),
+                     simhash64(text_col, token_hash, n_bits).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -55,19 +55,29 @@ def ingest_binary_files(spark, path: str, kind: str = "image") -> DataFrame:
 
 
 def _content_seed(content: bytes) -> int:
-    # zlib.crc32, not hash(): Python's bytes hash is salted per-process,
-    # which would make results differ across executors
-    import zlib
+    # md5, not hash(): Python's bytes hash is salted per-process, which
+    # would make results differ across executors.  First 8 hex chars =
+    # 32-bit seed, reproducible in any SQL engine via substr(md5(x),1,8).
+    import hashlib
 
-    return zlib.crc32(content) & 0x7FFFFFFF
+    return int(hashlib.md5(content).hexdigest()[:8], 16)
+
+
+# Knuth multiplicative-hash constant; seed + C*(j+1) stays under 2^63 for
+# any 32-bit seed and j < ~3.4e9, so the arithmetic is BIGINT-safe in SQL.
+_PIX_MULT = 2654435761
 
 
 def _fake_decode_image(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     """STUB: deterministic fake decode — a real build replaces this with
     PIL.Image.open(BytesIO(content)).  Produces a pseudo-image whose pixels
-    are a hash-seeded deterministic function of the bytes."""
-    rng = np.random.default_rng(_content_seed(content))
-    return rng.random((out_hw[0], out_hw[1], 3), dtype=np.float32)
+    are a hash-seeded deterministic function of the bytes, chosen to be
+    reproducible in plain SQL (md5 seed + integer sequence, exact
+    power-of-two division): pixel j = ((seed + C*(j+1)) mod 2^31) / 2^31."""
+    seed = _content_seed(content)
+    j = np.arange(out_hw[0] * out_hw[1] * 3, dtype=np.int64)
+    vals = ((seed + _PIX_MULT * (j + 1)) % (1 << 31)) / float(1 << 31)
+    return vals.astype(np.float32).reshape(out_hw[0], out_hw[1], 3)
 
 
 def extract_image_features(df: DataFrame, feat_dim: int = 64,

@@ -84,21 +84,44 @@ class IVFIndex:
 
     ``fit`` trains centroids on a driver-side sample (k-means, numpy);
     ``search`` probes the n_probe nearest cells.  The centroid table is a
-    broadcast literal — no state on executors, resilient to re-planning."""
+    broadcast literal — no state on executors, resilient to re-planning.
 
-    def __init__(self, n_cells: int = 16, n_probe: int = 3, seed: int = 42):
+    With ``metric="cosine"`` (the default) training is spherical k-means:
+    sample vectors are L2-normalized and centroids renormalized each
+    Lloyd step, and cell assignment is argmax dot(v, c) — for unit
+    centroids that equals the nearest cell of v/|v|, so the partition
+    agrees with the cosine search metric (plain L2 cells on unnormalized
+    vectors correlate poorly with cosine neighbors and gut recall)."""
+
+    def __init__(self, n_cells: int = 16, n_probe: int = 3, seed: int = 42,
+                 metric: str = "cosine"):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
         self.n_cells = n_cells
         self.n_probe = n_probe
         self.seed = seed
+        self.metric = metric
         self.centroids: Optional[np.ndarray] = None
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000) -> "IVFIndex":
+        # Order by a hash of the vector before taking sample_rows: a
+        # deterministic pseudo-random sample independent of partition
+        # layout (plain .limit() takes the first partitions — a biased
+        # sample on sorted data).  TakeOrdered keeps it one pass:
+        # per-partition top-n + driver merge, no full shuffle.
         sample = np.array(
             [r[0] for r in
-             df.select(vec_col).limit(sample_rows).collect()],
+             df.select(vec_col)
+               .orderBy(F.xxhash64(F.col(vec_col), F.lit(self.seed)))
+               .limit(sample_rows).collect()],
             dtype="float64")
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
+        def _unit(m):
+            n = np.linalg.norm(m, axis=-1, keepdims=True)
+            return m / np.where(n == 0, 1.0, n)
+        if self.metric == "cosine":
+            sample = _unit(sample)
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
         for _ in range(10):  # Lloyd iterations on the sample
             d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -107,14 +130,20 @@ class IVFIndex:
                 m = sample[assign == c]
                 if len(m):
                     centroids[c] = m.mean(axis=0)
+            if self.metric == "cosine":   # spherical k-means: re-project
+                centroids = _unit(centroids)
         self.centroids = centroids
         return self
 
     def _cell_expr(self, vec: Column) -> Column:
-        """argmin over centroid distances via array_min + array_position
-        (linear-size expression tree — a chained-when argmin would double
-        the tree per centroid under CollapseProject)."""
+        """Nearest-cell id via array_min/max + array_position (linear-size
+        expression tree — a chained-when argmin would double the tree per
+        centroid under CollapseProject).  Cosine: argmax dot(v, c) over
+        unit centroids (equals nearest cell of v/|v|, no per-row norm)."""
         assert self.centroids is not None
+        if self.metric == "cosine":
+            dots = F.array(*[dot(vec, _vec_lit(c)) for c in self.centroids])
+            return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
         dists = F.array(*[
             F.aggregate(
                 F.zip_with(vec, _vec_lit(c), lambda x, y: (x - y) * (x - y)),
@@ -130,7 +159,12 @@ class IVFIndex:
                query_vec: Sequence[float], k: int = 10) -> DataFrame:
         assert self.centroids is not None
         q = np.asarray(query_vec, dtype="float64")
-        dists = ((self.centroids - q) ** 2).sum(axis=1)
-        probe = np.argsort(dists)[: self.n_probe].tolist()
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q)
+            qu = q / (qn if qn else 1.0)
+            probe = np.argsort(-(self.centroids @ qu))[: self.n_probe].tolist()
+        else:
+            dists = ((self.centroids - q) ** 2).sum(axis=1)
+            probe = np.argsort(dists)[: self.n_probe].tolist()
         assigned = self.assign(df, vec_col).filter(F.col("__cell").isin(probe))
         return brute_force_topk(assigned, vec_col, id_col, query_vec, k=k)

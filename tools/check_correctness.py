@@ -65,9 +65,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         else:
             ok = (ca == cb).all()
         if not ok:
-            diff = (ca != cb) if not pd.api.types.is_float_dtype(ca) else ~np.isclose(
-                ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4)
-            i = int(np.argmax(diff.to_numpy()))
+            diff = np.asarray(
+                (ca != cb) if not pd.api.types.is_float_dtype(ca) else ~np.isclose(
+                    ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4))
+            i = int(np.argmax(diff))
             return False, f"col {c} differs at sorted row {i}: {ca.iloc[i]!r} vs {cb.iloc[i]!r}"
     return True, "ok"
 
