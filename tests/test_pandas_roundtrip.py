@@ -151,6 +151,36 @@ def test_delete_mode(uri, spark):
     assert sorted(out["k"].tolist()) == [0, 1, 2, 3, 4, 5, 6]
 
 
+def test_delete_null_cells_survive(uri, spark):
+    """TileDB QC semantics: NULL cells never match a delete condition, so
+    they must SURVIVE the delete — under SQL three-valued logic the
+    anti-filter would silently drop them (ADVICE r1, array.py delete)."""
+    pdf = pd.DataFrame({
+        "k": np.arange(6, dtype=np.int64),
+        "v": pd.array([1.0, None, 30.0, None, 5.0, 50.0], dtype="Float64"),
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v > 10.0").submit_delete()
+    out = tdb.open(uri, spark=spark).df[:].reset_index()
+    # rows 2 and 5 match (30, 50) and die; nulls (1, 3) survive
+    assert sorted(out["k"].tolist()) == [0, 1, 3, 4]
+
+
+def test_delete_negated_cond_null_semantics(uri, spark):
+    """Negation flips the leaf-level null->False: 'not (v > 10)' MATCHES
+    null cells (leaf false, NOT true), so they are deleted."""
+    pdf = pd.DataFrame({
+        "k": np.arange(5, dtype=np.int64),
+        "v": pd.array([1.0, None, 30.0, None, 50.0], dtype="Float64"),
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="not (v > 10.0)").submit_delete()
+    out = tdb.open(uri, spark=spark).df[:].reset_index()
+    assert sorted(out["k"].tolist()) == [2, 4]
+
+
 def test_metadata_kv(uri, spark):
     tdb.from_pandas(uri, _pdf(), index_dims=["k"])
     A = tdb.open(uri, spark=spark)

@@ -237,8 +237,13 @@ class Array:
             if cond is None:
                 continue
             cutoff = dfrag.timestamp_range[0] * 10000 + 10000
-            # delete applies only to cells written before the delete
-            df = df.filter(~(cond & (F.col("__frag_ts") < F.lit(cutoff))))
+            # Delete applies only to cells written before the delete.
+            # NULL-protect the condition: under SQL three-valued logic a
+            # NULL comparison makes the whole filter NULL and Spark drops
+            # the row — but TileDB QC semantics say NULL cells never match
+            # a condition, so they must SURVIVE the delete.
+            matches = F.coalesce(cond, F.lit(False))
+            df = df.filter(~(matches & (F.col("__frag_ts") < F.lit(cutoff))))
 
         if need_dedup:
             # last-write-wins on duplicate coordinates (array_schema.py:210-218

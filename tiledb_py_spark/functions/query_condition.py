@@ -34,6 +34,17 @@ class TileDBError(Exception):
     pass
 
 
+def _null_is_false(c: Column) -> Column:
+    """TileDB QC semantics: a comparison on a null cell is FALSE, and
+    boolean combinators (including NOT) operate on that boolean — unlike
+    SQL three-valued logic where NULL propagates and ``filter`` drops the
+    row.  Applying the coalesce at every comparison LEAF (not the top of
+    the tree) makes negation match the reference: null cells survive a
+    delete whose condition they don't match, and ``not in`` matches them
+    (reference leaf evaluation over validity buffers)."""
+    return F.coalesce(c, F.lit(False))
+
+
 @dataclass
 class _Ctx:
     """Compile-time info: which names are columns, enum mappings, dtypes."""
@@ -181,7 +192,7 @@ class _Compiler(ast.NodeVisitor):
             if not isinstance(values, list):
                 raise TileDBError("in/not in requires a list of values")
             values = [self._cast_value(col_name, self._map_enum(col_name, v)) for v in values]
-            c = F.col(col_name).isin(values)
+            c = _null_is_false(F.col(col_name).isin(values))
             return ~c if isinstance(op, ast.NotIn) else c
 
         lname = self._is_column_name(left)
@@ -189,7 +200,7 @@ class _Compiler(ast.NodeVisitor):
 
         if lname is not None and rname is not None:
             # column-vs-column comparison (beyond reference; allowed here)
-            return self._apply_op(F.col(lname), op, F.col(rname))
+            return _null_is_false(self._apply_op(F.col(lname), op, F.col(rname)))
         if lname is None and rname is None:
             raise TileDBError("comparison must reference at least one attribute or dimension")
         if lname is None:
@@ -206,7 +217,7 @@ class _Compiler(ast.NodeVisitor):
                 return F.col(lname).isNotNull()
             raise TileDBError("None only supports == / != (null test)")
         value = self._cast_value(lname, self._map_enum(lname, value))
-        return self._apply_op(F.col(lname), op, F.lit(value))
+        return _null_is_false(self._apply_op(F.col(lname), op, F.lit(value)))
 
     @staticmethod
     def _apply_op(lhs: Column, op, rhs) -> Column:
@@ -247,12 +258,12 @@ class _Compiler(ast.NodeVisitor):
 
     def visit_Name(self, node: ast.Name) -> Column:
         # bare boolean attribute, e.g. "flag and x > 2"
-        return F.col(node.id)
+        return _null_is_false(F.col(node.id))
 
     def visit_Call(self, node: ast.Call) -> Column:
         name = self._is_column_name(node)
         if name is not None:
-            return F.col(name)
+            return _null_is_false(F.col(name))
         raise TileDBError(f"unsupported call in QueryCondition: {ast.dump(node)}")
 
     def visit_Constant(self, node: ast.Constant) -> Column:

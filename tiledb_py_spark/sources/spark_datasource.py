@@ -231,9 +231,98 @@ class TileDBReader(DataSourceReader):
 def _eval_delete(pdf, cond: str):
     """Evaluate a QueryCondition string against a pandas frame (executor-
     side delete application; same comparison grammar, pandas backend).
-    Raises rather than silently skipping a delete it cannot evaluate."""
+
+    TileDB QC leaf semantics (functions/query_condition._null_is_false):
+    a comparison on a null cell is FALSE, and NOT/!= negate that boolean —
+    ``pdf.eval`` can't express this (``NaN != 3`` is True there), so this
+    walks the same ast the Spark compiler uses, AND-ing each comparison
+    with notna() of its referenced columns.  Raises rather than silently
+    skipping a delete it cannot evaluate."""
+    import ast
+
+    import numpy as np
+    import pandas as pd
+
+    def col_name(node):
+        if isinstance(node, ast.Name):
+            return node.id
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in ("attr", "dim", "val") and len(node.args) == 1
+                and isinstance(node.args[0], ast.Constant)
+                and isinstance(node.args[0].value, str)):
+            return node.args[0].value
+        return None
+
+    def const(node):
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, (ast.List, ast.Tuple)):
+            return [const(e) for e in node.elts]
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -const(node.operand)
+        raise NotImplementedError(f"unsupported literal {ast.dump(node)}")
+
+    _OPS = {ast.Eq: "==", ast.NotEq: "!=", ast.Lt: "<", ast.LtE: "<=",
+            ast.Gt: ">", ast.GtE: ">="}
+    _REV = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}
+
+    def pair(left, op, right):
+        lname, rname = col_name(left), col_name(right)
+        if isinstance(op, (ast.In, ast.NotIn)):
+            if lname is None:
+                raise NotImplementedError("in/not in needs a column lhs")
+            leaf = pdf[lname].isin(const(right)).to_numpy()  # NaN -> False
+            return ~leaf if isinstance(op, ast.NotIn) else leaf
+        sym = _OPS.get(type(op))
+        if sym is None:
+            raise NotImplementedError(f"operator {type(op).__name__}")
+        if lname is None and rname is not None:
+            lname, right, sym = rname, left, _REV[sym]
+            rname = None
+        if lname is None:
+            raise NotImplementedError("comparison must reference a column")
+        lcol = pdf[lname]
+        if rname is not None:
+            rhs, valid = pdf[rname], lcol.notna() & pdf[rname].notna()
+        else:
+            v = const(right)
+            if v is None:  # null test
+                m = lcol.isna() if sym == "==" else lcol.notna()
+                return m.to_numpy()
+            rhs, valid = v, lcol.notna()
+        raw = {"==": lcol == rhs, "!=": lcol != rhs, "<": lcol < rhs,
+               "<=": lcol <= rhs, ">": lcol > rhs, ">=": lcol >= rhs}[sym]
+        return (pd.Series(raw).fillna(False).to_numpy(dtype=bool)
+                & valid.to_numpy())
+
+    def ev(node):
+        if isinstance(node, ast.Compare):
+            out, left = None, node.left
+            for op, right in zip(node.ops, node.comparators):
+                t = pair(left, op, right)
+                out = t if out is None else out & t
+                left = right
+            return out
+        if isinstance(node, ast.BoolOp):
+            terms = [ev(v) for v in node.values]
+            f = np.logical_and if isinstance(node.op, ast.And) else np.logical_or
+            out = terms[0]
+            for t in terms[1:]:
+                out = f(out, t)
+            return out
+        if isinstance(node, ast.BinOp) and isinstance(node.op, (ast.BitAnd, ast.BitOr)):
+            f = np.logical_and if isinstance(node.op, ast.BitAnd) else np.logical_or
+            return f(ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.Not, ast.Invert)):
+            return ~ev(node.operand)
+        name = col_name(node)
+        if name is not None:  # bare boolean attribute
+            return pdf[name].fillna(False).to_numpy(dtype=bool)
+        raise NotImplementedError(f"unsupported node {ast.dump(node)}")
+
     try:
-        return pdf.eval(cond.replace(" and ", " & ").replace(" or ", " | "))
+        mask = ev(ast.parse(cond, mode="eval").body)
+        return pd.Series(np.asarray(mask, dtype=bool), index=pdf.index)
     except Exception as e:
         raise NotImplementedError(
             f"delete condition {cond!r} not evaluable in the tiledb format "
