@@ -205,6 +205,10 @@ def _orders_time_array(spark, sf_dir) -> str:
         os.makedirs(os.path.dirname(uri), exist_ok=True)
         pdf = (_t(spark, sf_dir, "orders")
                .select("o_orderdate", "o_orderkey", "o_totalprice").toPandas())
+        # day-precision dates: use a us-unit dim (TimestampNTZ storage).
+        # from_pandas now preserves the pandas unit, and the default ns
+        # would be int64-stored (raw counts on the Spark surface).
+        pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
         tdb.from_pandas(uri, pdf, index_dims=["o_orderdate", "o_orderkey"])
     _TIME_ARRAY_CACHE[key] = uri
     return uri

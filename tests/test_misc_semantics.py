@@ -153,3 +153,93 @@ def test_sparse_label_index(uri, spark):
     assert sorted(res["k"].tolist()) == [2, 3, 4]
     assert sorted(res["v"].tolist()) == [20, 30, 40]
     assert res["temp"].tolist() == [1.0, 1.5, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# int64-stored datetime predicates (ADVICE r1: range_ir/_cast_value mixed
+# timestamp literals with LongType storage on ns-unit dims/attrs)
+# ---------------------------------------------------------------------------
+
+def _ns_dim_array(uri, spark):
+    ts = pd.to_datetime(["2021-01-01 00:00:00.000000001",
+                         "2021-01-02 00:00:00.000000002",
+                         "2021-01-03 00:00:00.000000003",
+                         "2021-01-04 00:00:00.000000004",
+                         "2021-01-05 00:00:00.000000005"])
+    pdf = pd.DataFrame({"t": ts, "v": np.arange(5) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["t"])
+    return ts
+
+
+def test_ns_datetime_dim_range_read(uri, spark):
+    """Range read on a datetime64[ns] dim (stored int64): bounds must be
+    compiled into stored-space int64, not timestamp literals."""
+    ts = _ns_dim_array(uri, spark)
+    A = tdb.open(uri, spark=spark)
+    assert A.schema.domain.dim("t").dtype == np.dtype("datetime64[ns]")
+    res = A.multi_index[np.datetime64("2021-01-02"):np.datetime64("2021-01-04T12:00")]
+    got = np.sort(res["t"])
+    assert got.dtype == np.dtype("datetime64[ns]")
+    assert_array_equal(got, ts.to_numpy()[1:4])
+    # point lookup at exact ns precision
+    res = A.multi_index[np.datetime64("2021-01-03T00:00:00.000000003")]
+    assert len(res["t"]) == 1 and res["v"][0] == 2.0
+
+
+def test_ns_datetime_dim_fragment_pruning(uri, spark):
+    """Multiple fragments on a ns dim: MBR pruning must compare in int64
+    space (np.datetime64(int) raised ValueError and crashed the scan)."""
+    ts1 = pd.to_datetime(["2021-01-01", "2021-01-02"])
+    ts2 = pd.to_datetime(["2022-01-01", "2022-01-02"])
+    pdf = pd.DataFrame({"t": ts1, "v": [1.0, 2.0]})
+    tdb.from_pandas(uri, pdf, index_dims=["t"])
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[ts2.to_numpy()] = {"v": np.array([3.0, 4.0])}
+    A = tdb.open(uri, spark=spark)
+    res = A.multi_index[np.datetime64("2022-01-01"):np.datetime64("2022-12-31")]
+    assert sorted(res["v"].tolist()) == [3.0, 4.0]
+    res2 = A.multi_index[np.datetime64("2021-01-01"):np.datetime64("2021-06-01")]
+    assert sorted(res2["v"].tolist()) == [1.0, 2.0]
+
+
+def test_ns_datetime_attr_qc(uri, spark):
+    """QueryCondition on a ns attr (stored int64): string and datetime64
+    comparison values convert to the stored unit."""
+    ts = pd.to_datetime(["2020-01-01 00:00:00.123456789",
+                         "2021-06-01 12:34:56.987654321",
+                         "2022-03-05 08:00:00.000000001"])
+    pdf = pd.DataFrame({"k": np.arange(3, dtype=np.int64), "t": ts})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    res = A.query(cond="t >= '2021-01-01'").multi_index[:]
+    assert sorted(res["k"].tolist()) == [1, 2]
+    assert res["t"].dtype == np.dtype("datetime64[ns]")
+
+
+def test_ns_datetime_attr_delete(uri, spark):
+    """Delete with a condition on a ns attr applies in stored space."""
+    ts = pd.to_datetime(["2020-01-01", "2021-06-01", "2022-03-05"])
+    pdf = pd.DataFrame({"k": np.arange(3, dtype=np.int64),
+                        "t": ts})  # pandas default = ns unit
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="t < '2021-01-01'").submit_delete()
+    res = tdb.open(uri, spark=spark).multi_index[:]
+    assert sorted(res["k"].tolist()) == [1, 2]
+
+
+def test_coarse_unit_datetime_dim(uri, spark):
+    """Coarser-than-day units (datetime64[W]) are int64-stored too; range
+    reads and scans must work in stored space."""
+    dom = tdb.Domain(tdb.Dim(name="w", domain=(np.datetime64("2020-01-06", "W"),
+                                               np.datetime64("2021-01-04", "W")),
+                             tile=10, dtype="datetime64[W]"))
+    tdb.Array.create(uri, tdb.ArraySchema(
+        domain=dom, attrs=[tdb.Attr(name="v", dtype=np.float64)], sparse=True))
+    ws = np.array(["2020-01-06", "2020-03-02", "2020-06-01"], dtype="datetime64[W]")
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[ws] = np.array([1.0, 2.0, 3.0])
+    A = tdb.open(uri, spark=spark)
+    res = A.multi_index[np.datetime64("2020-02-01", "W"):np.datetime64("2020-12-01", "W")]
+    assert sorted(res["v"].tolist()) == [2.0, 3.0]
+    assert res["w"].dtype == np.dtype("datetime64[W]")

@@ -44,6 +44,7 @@ from .indexing import (apply_steps_pandas, getitem_ranges_multi_index,
                        replace_scalars_slice)
 from .materialize import pdf_to_numpy_dict
 from .metadata import Metadata
+from .datatypes import stored_scalar
 from .plans import DimRanges, QueryPlan
 from .plans.range_ir import mbr_intersects
 from .schema import ArraySchema
@@ -54,15 +55,20 @@ _ORDER_MAP = {"C": "row-major", "F": "col-major", "G": "global", "U": "unordered
 
 
 def _decode_mbr(schema: ArraySchema, mbr: dict) -> dict:
-    """Manifest MBR values back to comparable numpy types."""
+    """Manifest MBR values back to STORED-space comparables: int64-stored
+    datetime dims stay (or become) raw ints so pruning compares int-vs-int
+    against stored-space ranges (datetime-vs-int mixing raised ValueError
+    inside np.datetime64 and crashed fragment pruning)."""
     out = {}
     for d in schema.domain:
         box = mbr.get(d.name)
         if box is None:
             continue
         lo, hi = box
-        if d.dtype.kind == "M" and isinstance(lo, str):
-            lo, hi = np.datetime64(lo), np.datetime64(hi)
+        if d.dtype.kind in "Mm":
+            if isinstance(lo, str):
+                lo, hi = np.datetime64(lo), np.datetime64(hi)
+            lo, hi = stored_scalar(lo, d.dtype), stored_scalar(hi, d.dtype)
         out[d.name] = (lo, hi)
     return out
 
@@ -171,8 +177,16 @@ class Array:
                 out.append((None, None))
                 continue
             if d.dtype.kind == "M":
-                out.append((np.datetime64(lo).astype(d.dtype),
-                            np.datetime64(hi).astype(d.dtype)))
+                unit = np.datetime_data(d.dtype)[0]
+                # int64-stored units record raw counts in the manifest
+                conv = lambda v: (np.datetime64(int(v), unit)
+                                  if isinstance(v, (int, np.integer))
+                                  else np.datetime64(v).astype(d.dtype))
+                out.append((conv(lo), conv(hi)))
+            elif d.dtype.kind == "m":
+                unit = np.datetime_data(d.dtype)[0]
+                out.append((np.timedelta64(int(lo), unit),
+                            np.timedelta64(int(hi), unit)))
             elif d.dtype.kind in "iu":
                 out.append((d.dtype.type(lo), d.dtype.type(hi)))
             elif d.dtype.kind == "f":
@@ -191,6 +205,28 @@ class Array:
         return {a.name: {v: i for i, v in enumerate(self.schema.enums[a.enum_label].values)}
                 for a in self.schema.attrs_list if a.enum_label}
 
+    def _stored_ranges(self, dim_ranges):
+        """Rewrite range bounds/points into each dim's STORED representation
+        (int64 counts for ns / coarser-than-day datetime dims) so the
+        compiled predicate compares like-typed values against the scan and
+        MBR pruning compares int-vs-int.  Idempotent — raw ints pass
+        through — so double application along _execute -> _scan_df is safe."""
+        if not dim_ranges:
+            return dim_ranges
+        dims = {d.name: d for d in self.schema.domain}
+        out = []
+        for dr in dim_ranges:
+            d = dims.get(dr.name)
+            if d is None or d.dtype.kind not in "Mm":
+                out.append(dr)
+                continue
+            conv = lambda v, _dt=d.dtype: stored_scalar(v, _dt)
+            out.append(DimRanges(
+                name=dr.name,
+                intervals=[(conv(lo), conv(hi)) for lo, hi in dr.intervals],
+                points=[conv(p) for p in dr.points]))
+        return out
+
     def _compile_cond(self, cond) -> Optional[Column]:
         cols = set(self.schema.dim_names + self.schema.attr_names)
         return compile_condition(cond, columns=cols, enums=self._enum_code_maps(),
@@ -207,6 +243,7 @@ class Array:
         m = self._manifest
         frs = m.live_fragments(self.timestamp)
         n_live = len(frs)
+        dim_ranges = self._stored_ranges(dim_ranges)
         if dim_ranges:
             frs = [f for f in frs
                    if mbr_intersects(dim_ranges, _decode_mbr(self.schema, f.nonempty_domain))]
@@ -288,6 +325,7 @@ class Array:
         from .stats import record
 
         record("py.queries_planned")
+        plan.dim_ranges = self._stored_ranges(plan.dim_ranges)
         df = self._scan_df(plan.dim_ranges, keep_frag_ts=(plan.order == "G"))
         pred = plan.range_predicate()
         if pred is not None:
@@ -382,6 +420,7 @@ class Array:
 
     def _est_cells(self, ranges) -> int:
         m = self._manifest
+        ranges = self._stored_ranges(ranges)
         total = 0.0
         for f in m.live_fragments(self.timestamp):
             mbr = _decode_mbr(self.schema, f.nonempty_domain)

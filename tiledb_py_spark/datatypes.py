@@ -157,6 +157,41 @@ def from_numpy(dtype: Any, ncells: Optional[int] = None, ascii: bool = False) ->
     return ti
 
 
+def stored_scalar(v: Any, dt: Any) -> Any:
+    """User-space scalar -> the column's STORED representation.
+
+    datetime64[ns] and coarser-than-day units (and all timedelta64) are
+    stored as raw int64 counts in the declared unit (``stored_as: int64``
+    in TypeInfo); comparing such a LongType column to a timestamp literal
+    fails or miscompares, so predicate compilation (range IR, query
+    conditions, MBR pruning) converts bounds/values through this helper.
+    Native-unit datetimes normalize to ``datetime.datetime`` (TimestampNTZ
+    literals) / ``datetime.date`` for 'D'.  Identity for all other types;
+    raw ints pass through unchanged for int64-stored columns (idempotent).
+    """
+    if v is None:
+        return None
+    dt = np.dtype(dt)
+    if dt.kind == "M":
+        unit = np.datetime_data(dt)[0]
+        if unit in _TS_NATIVE_UNITS:
+            if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+                v = np.datetime64(int(v), unit)  # raw count in the dim unit
+            d64 = np.datetime64(v)
+            if unit == "D":
+                return d64.astype("datetime64[D]").item()
+            return d64.astype("datetime64[us]").item()
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return int(v)
+        return int(np.datetime64(v, unit).astype("int64"))
+    if dt.kind == "m":
+        unit = np.datetime_data(dt)[0]
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return int(v)
+        return int(np.timedelta64(v, unit).astype("int64"))
+    return v
+
+
 def default_fill(ti: TypeInfo) -> Any:
     """Default fill value for unwritten dense cells, mirroring the reference's
     per-type defaults (documented at

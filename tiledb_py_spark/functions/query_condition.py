@@ -34,15 +34,22 @@ class TileDBError(Exception):
     pass
 
 
-def _null_is_false(c: Column) -> Column:
+def _null_is_false(c: Column, *cols: Column) -> Column:
     """TileDB QC semantics: a comparison on a null cell is FALSE, and
     boolean combinators (including NOT) operate on that boolean — unlike
     SQL three-valued logic where NULL propagates and ``filter`` drops the
-    row.  Applying the coalesce at every comparison LEAF (not the top of
-    the tree) makes negation match the reference: null cells survive a
-    delete whose condition they don't match, and ``not in`` matches them
-    (reference leaf evaluation over validity buffers)."""
-    return F.coalesce(c, F.lit(False))
+    row.  Applying this at every comparison LEAF (not the top of the
+    tree) makes negation match the reference: null cells survive a delete
+    whose condition they don't match, and ``not in`` matches them
+    (reference leaf evaluation over validity buffers).
+
+    Expressed as ``cmp AND IsNotNull(col)`` rather than ``coalesce(cmp,
+    false)``: identical truth table (NULL AND false = false), but both
+    conjuncts are parquet-pushable — coalesce would block PushedFilters
+    and force full scans."""
+    for col in cols:
+        c = c & col.isNotNull()
+    return c
 
 
 @dataclass
@@ -145,8 +152,15 @@ class _Compiler(ast.NodeVisitor):
             return None
         if dt is not None:
             npdt = np.dtype(dt)
-            if npdt.kind == "M" and isinstance(value, str):
-                return np.datetime64(value).astype("datetime64[us]").item()
+            if npdt.kind in "Mm":
+                # stored-representation cast: ns / coarser-than-day units
+                # live in LongType columns -> int64 count in the stored
+                # unit; native units -> TimestampNTZ datetime literal
+                from ..datatypes import stored_scalar
+
+                if npdt.kind == "M" and isinstance(value, str):
+                    value = np.datetime64(value)
+                return stored_scalar(value, npdt)
             if npdt.kind in "iu" and isinstance(value, bool):
                 return int(value)
             if npdt.kind in "iuf" and isinstance(value, str):
@@ -192,7 +206,7 @@ class _Compiler(ast.NodeVisitor):
             if not isinstance(values, list):
                 raise TileDBError("in/not in requires a list of values")
             values = [self._cast_value(col_name, self._map_enum(col_name, v)) for v in values]
-            c = _null_is_false(F.col(col_name).isin(values))
+            c = _null_is_false(F.col(col_name).isin(values), F.col(col_name))
             return ~c if isinstance(op, ast.NotIn) else c
 
         lname = self._is_column_name(left)
@@ -200,7 +214,8 @@ class _Compiler(ast.NodeVisitor):
 
         if lname is not None and rname is not None:
             # column-vs-column comparison (beyond reference; allowed here)
-            return _null_is_false(self._apply_op(F.col(lname), op, F.col(rname)))
+            return _null_is_false(self._apply_op(F.col(lname), op, F.col(rname)),
+                                  F.col(lname), F.col(rname))
         if lname is None and rname is None:
             raise TileDBError("comparison must reference at least one attribute or dimension")
         if lname is None:
@@ -217,7 +232,8 @@ class _Compiler(ast.NodeVisitor):
                 return F.col(lname).isNotNull()
             raise TileDBError("None only supports == / != (null test)")
         value = self._cast_value(lname, self._map_enum(lname, value))
-        return _null_is_false(self._apply_op(F.col(lname), op, F.lit(value)))
+        return _null_is_false(self._apply_op(F.col(lname), op, F.lit(value)),
+                              F.col(lname))
 
     @staticmethod
     def _apply_op(lhs: Column, op, rhs) -> Column:
@@ -258,12 +274,12 @@ class _Compiler(ast.NodeVisitor):
 
     def visit_Name(self, node: ast.Name) -> Column:
         # bare boolean attribute, e.g. "flag and x > 2"
-        return _null_is_false(F.col(node.id))
+        return _null_is_false(F.col(node.id), F.col(node.id))
 
     def visit_Call(self, node: ast.Call) -> Column:
         name = self._is_column_name(node)
         if name is not None:
-            return _null_is_false(F.col(name))
+            return _null_is_false(F.col(name), F.col(name))
         raise TileDBError(f"unsupported call in QueryCondition: {ast.dump(node)}")
 
     def visit_Constant(self, node: ast.Constant) -> Column:

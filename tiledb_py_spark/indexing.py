@@ -205,6 +205,19 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
     points, lists = point sets; open slice ends clamped to the nonempty
     domain (reference ``multirange_indexing.py:128-241``; sparse full-domain
     fast path at :158-161 = leave unconstrained)."""
+    import datetime as _dt
+
+    def _check_dt(dim, v):
+        # datetime dims accept only datetime-like selectors (reference
+        # rejects integral selectors on DATETIME dims); int64-stored units
+        # would otherwise silently compare raw counts
+        if v is not None and dim.dtype.kind == "M" and not isinstance(
+                v, (np.datetime64, _dt.date, _dt.datetime, str)):
+            raise TypeError(
+                f"cannot index datetime dimension {dim.name!r} with "
+                f"non-datetime value {v!r}")
+        return v
+
     ndim = dom.ndim
     idx = replace_ellipsis(ndim, index_as_tuple(idx))
     out: list[DimRanges] = []
@@ -228,9 +241,9 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
                     start = ned[0]
                 if stop is None and ned is not None:
                     stop = ned[1]
-                dr.intervals.append((start, stop))
+                dr.intervals.append((_check_dt(dim, start), _check_dt(dim, stop)))
             elif np.isscalar(sel) or isinstance(sel, (np.datetime64, str, bytes)):
-                dr.points.append(sel)
+                dr.points.append(_check_dt(dim, sel))
             else:
                 raise TypeError(f"Unsupported selection {sel!r}")
         out.append(dr)

@@ -144,5 +144,7 @@ def _cmp_le(a, b) -> bool:
         if isinstance(a, np.datetime64) or isinstance(b, np.datetime64):
             return np.datetime64(a) <= np.datetime64(b)
         return a <= b
-    except TypeError:
-        return True  # incomparable (mixed types in manifest) -> conservative
+    except (TypeError, ValueError):
+        # incomparable (mixed types in manifest; np.datetime64(int) raises
+        # ValueError, not TypeError) -> conservative: don't prune
+        return True

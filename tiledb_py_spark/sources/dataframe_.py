@@ -77,9 +77,15 @@ def _infer_dim(name: str, s: pd.Series, full_domain: bool, tile: Optional[int],
     if dt == object or str(dt) == "string":
         return Dim(name=name, dtype=np.str_)
     if np.issubdtype(dt, np.datetime64):
-        lo, hi = s.min(), s.max()
-        return Dim(name=name, domain=(np.datetime64(lo, "us"), np.datetime64(hi, "us")),
-                   tile=tile or 86400000000, dtype=np.dtype("datetime64[us]"))
+        # keep the series' unit (pandas default ns -> DATETIME_NS dim, like
+        # the reference); coercing to us would corrupt sub-us coordinates
+        unit = np.datetime_data(dt)[0]
+        lo, hi = np.datetime64(s.min(), unit), np.datetime64(s.max(), unit)
+        try:
+            day = max(1, int(np.timedelta64(1, "D") / np.timedelta64(1, unit)))
+        except TypeError:  # units coarser than a day (W/M/Y)
+            day = 1
+        return Dim(name=name, domain=(lo, hi), tile=tile or day, dtype=dt)
     if full_domain and np.issubdtype(dt, np.integer):
         info = np.iinfo(dt)
         # leave headroom for tile extents like the reference
