@@ -125,13 +125,20 @@ def test_consolidate_delete_timetravel_interplay(uri, spark):
     assert len(tdb.open(uri, timestamp=ts_before, spark=spark).df[:]) == 10
     assert len(tdb.open(uri, spark=spark).df[:]) == 5
     tdb.consolidate(uri)
-    # delete is materialized; the delete fragment is gone from the manifest
+    # delete is materialized; the live listing shows only the new fragment
     assert len(tdb.open(uri, spark=spark).df[:]) == 5
     m_frags = tdb.array_fragments(uri, include_deletes=True)
     assert len(m_frags) == 1
+    # CONSOLIDATE MUST NOT BREAK TIME TRAVEL (ADVICE r1): a pre-delete
+    # open still reconstructs the superseded fragments until vacuum
+    assert len(tdb.open(uri, timestamp=ts_before, spark=spark).df[:]) == 10
+    assert m_frags.to_vacuum_num >= 1
     n = tdb.vacuum(uri)
     assert n >= 1  # old fragment dirs removed
     assert len(tdb.open(uri, spark=spark).df[:]) == 5
+    # after vacuum the superseded fragments are gone; time travel now
+    # resolves to whatever remains (the consolidated fragment only)
+    assert tdb.array_fragments(uri).to_vacuum_num == 0
 
 
 def test_sparse_label_index(uri, spark):

@@ -58,8 +58,15 @@ class FragmentInfoList:
         self.array_uri = uri
         m = mf.read_manifest(uri)
         recs = [f for f in m.fragments
-                if include_deletes or f.kind == "write"]
+                if (include_deletes or f.kind == "write")
+                and f.superseded_by is None]
         self._infos = [FragmentInfo(r, uri, m.schema) for r in recs]
+        # consolidated-away fragments awaiting vacuum (reference
+        # FragmentInfoList.to_vacuum / to_vacuum_num)
+        self.to_vacuum = tuple(
+            os.path.join(mf.fragments_dir(uri), f.name)
+            for f in m.fragments if f.superseded_by is not None)
+        self.to_vacuum_num = len(self.to_vacuum)
         self.unconsolidated_metadata_num = 0
 
     def __len__(self):
@@ -115,35 +122,50 @@ class ConsolidationPlan:
 
 
 def consolidate(uri: str, timestamp=None, spark=None) -> str:
-    """Rewrite all live fragments into one (reference ``array.py:729-792``).
+    """Rewrite the fragments visible at ``timestamp`` into one (reference
+    ``array.py:729-792``).
 
     The combined scan already applies delete conditions and duplicate
-    resolution, so consolidation *materializes* them — after which the
-    delete fragments are dropped from the manifest (same effect as the
-    reference's purge of consolidated deletes)."""
+    resolution, so consolidation *materializes* them.  The folded write
+    AND delete fragments stay in the manifest flagged ``superseded_by``
+    the new fragment — still readable by timestamped opens that predate
+    the consolidation (reference keeps consolidated fragments until
+    vacuum) — and only ``vacuum()`` drops them.
+
+    The new fragment's timestamp is the max ts_end over everything folded
+    in, deletes included: its content incorporates the deletes' effects,
+    so its logical time must dominate them (a write-only max would make a
+    post-write/pre-delete open see post-delete data)."""
     from .array import Array
     from .sources.fragment_writer import write_fragment_spark
 
     arr = Array.load_typed(uri, timestamp=timestamp, spark=spark)
     m = arr._manifest
-    old = [f.name for f in m.fragments]
-    if not old:
+    folded = m.live_fragments(arr.timestamp) + m.delete_fragments_visible(arr.timestamp)
+    if not folded:
         return uri
+    folded_names = {f.name for f in folded}
     df = arr._scan_df()  # deletes + dedup folded in
-    ts_end = max((f.timestamp_range[1] for f in m.fragments), default=mf.now_ms())
+    ts_end = max(f.timestamp_range[1] for f in folded)
     rec = write_fragment_spark(uri, arr.schema, df, timestamp=ts_end)
 
-    def _swap(man):
-        man.fragments = [f for f in man.fragments if f.name not in old]
+    def _supersede(man):
+        for f in man.fragments:
+            if f.name in folded_names and f.name != rec.name:
+                f.superseded_by = rec.name
 
-    mf.commit(uri, _swap)
+    mf.commit(uri, _supersede)
     return uri
 
 
 def vacuum(uri: str) -> int:
-    """Remove fragment directories no longer referenced by the latest
-    manifest (reference vacuum removes consolidated fragment files)."""
-    m = mf.read_manifest(uri)
+    """Drop superseded fragment records from the manifest, then remove
+    fragment directories no longer referenced (reference vacuum removes
+    consolidated fragment files)."""
+    def _purge(man):
+        man.fragments = [f for f in man.fragments if f.superseded_by is None]
+
+    m = mf.commit(uri, _purge)
     live = {f.name for f in m.fragments}
     removed = 0
     fdir = mf.fragments_dir(uri)

@@ -53,6 +53,12 @@ class FragmentRecord:
     # for kind="delete": the QueryCondition expression to anti-apply
     delete_condition: Optional[str] = None
     schema_version: int = 0
+    # set by consolidate(): the consolidated fragment that folded this one
+    # in.  Superseded fragments are excluded from any read where their
+    # superseder is visible, but still serve timestamped opens that predate
+    # the consolidation; vacuum() drops them (reference keeps consolidated
+    # fragments readable until vacuum).
+    superseded_by: Optional[str] = None
 
     @property
     def path(self) -> str:
@@ -67,6 +73,7 @@ class FragmentRecord:
             "kind": self.kind,
             "delete_condition": self.delete_condition,
             "schema_version": self.schema_version,
+            "superseded_by": self.superseded_by,
         }
 
     @classmethod
@@ -79,6 +86,7 @@ class FragmentRecord:
             kind=d.get("kind", "write"),
             delete_condition=d.get("delete_condition"),
             schema_version=d.get("schema_version", 0),
+            superseded_by=d.get("superseded_by"),
         )
 
 
@@ -123,32 +131,39 @@ class Manifest:
         )
 
     # -- fragment pruning ----------------------------------------------------
+    def _window(self, timestamp: Optional[Any]) -> list[FragmentRecord]:
+        if timestamp is None:
+            return list(self.fragments)
+        if isinstance(timestamp, tuple):
+            lo, hi = timestamp
+            lo = 0 if lo is None else lo
+            hi = 2**62 if hi is None else hi
+        else:
+            lo, hi = 0, timestamp
+        return [f for f in self.fragments
+                if lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi]
+
     def live_fragments(self, timestamp: Optional[Any] = None) -> list[FragmentRecord]:
         """Fragments visible at ``timestamp`` (None = all; int = end ts;
         (start, end) = range), mirroring timestamp-range open semantics
-        (reference ``array.py:321-339``, ``highlevel.py:13-34``)."""
-        frs = [f for f in self.fragments if f.kind == "write"]
-        if timestamp is None:
-            return frs
-        if isinstance(timestamp, tuple):
-            lo, hi = timestamp
-            lo = 0 if lo is None else lo
-            hi = 2**62 if hi is None else hi
-        else:
-            lo, hi = 0, timestamp
-        return [f for f in frs if lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi]
+        (reference ``array.py:321-339``, ``highlevel.py:13-34``).
+
+        A superseded fragment is visible only when its consolidation
+        product is NOT in the window — so a timestamped open that predates
+        the consolidation reconstructs the pre-consolidation view, while
+        any window containing the product reads the product instead."""
+        win = self._window(timestamp)
+        names = {f.name for f in win if f.kind == "write"}
+        return [f for f in win
+                if f.kind == "write" and f.superseded_by not in names]
 
     def delete_fragments_visible(self, timestamp: Optional[Any] = None) -> list[FragmentRecord]:
-        frs = [f for f in self.fragments if f.kind == "delete"]
-        if timestamp is None:
-            return frs
-        if isinstance(timestamp, tuple):
-            lo, hi = timestamp
-            lo = 0 if lo is None else lo
-            hi = 2**62 if hi is None else hi
-        else:
-            lo, hi = 0, timestamp
-        return [f for f in frs if lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi]
+        """Delete fragments to anti-apply: a delete superseded by a visible
+        consolidation product is already materialized in the product."""
+        win = self._window(timestamp)
+        write_names = {f.name for f in win if f.kind == "write"}
+        return [f for f in win
+                if f.kind == "delete" and f.superseded_by not in write_names]
 
     def nonempty_domain(self, timestamp=None) -> Optional[tuple]:
         """Union of fragment MBRs per dim — answers ``Array.nonempty_domain``
