@@ -217,3 +217,19 @@ def test_schema_evolution(uri, spark):
     assert A.schema.has_attr("extra")
     out = A.df[:]
     assert "extra" in out.columns
+    # sparse cells written before the attr existed read the FILL value,
+    # not null (ADVICE r1: only the dense path coalesced to fill)
+    assert np.isnan(out["extra"]).all()
+
+
+def test_schema_evolution_int_fill(uri, spark):
+    """Added int attr: pre-evolution cells read the int fill (type min for
+    signed, type MAX for unsigned, per TileDB default-fill docs)."""
+    tdb.from_pandas(uri, _pdf(), index_dims=["k"])
+    ev = tdb.ArraySchemaEvolution()
+    ev.add_attribute(tdb.Attr(name="xi", dtype=np.int32))
+    ev.add_attribute(tdb.Attr(name="xu", dtype=np.uint16))
+    ev.array_evolve(uri)
+    out = tdb.open(uri, spark=spark).df[:]
+    assert (out["xi"] == np.iinfo(np.int32).min).all()
+    assert (out["xu"] == np.iinfo(np.uint16).max).all()

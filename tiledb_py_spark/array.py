@@ -205,6 +205,24 @@ class Array:
         return {a.name: {v: i for i, v in enumerate(self.schema.enums[a.enum_label].values)}
                 for a in self.schema.attrs_list if a.enum_label}
 
+    def _fill_evolved(self, df: DataFrame, frs) -> DataFrame:
+        """Schema-evolution fill: fragments written before an attr existed
+        read NULL for it from parquet; TileDB semantics give such cells the
+        attr's fill value (non-nullable attrs can't surface nulls).  Only
+        applied when some scanned fragment predates the current schema
+        version — the common unevolved scan keeps its raw pushdown-friendly
+        columns."""
+        sv = self._manifest.schema_version
+        if not frs or all(f.schema_version >= sv for f in frs):
+            return df
+        for a in self.schema.attrs_list:
+            if a.nullable or a.name not in df.columns:
+                continue
+            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None else None
+            if fill is not None:
+                df = df.withColumn(a.name, F.coalesce(F.col(a.name), F.lit(fill)))
+        return df
+
     def _stored_ranges(self, dim_ranges):
         """Rewrite range bounds/points into each dim's STORED representation
         (int64 counts for ns / coarser-than-day datetime dims) so the
@@ -260,20 +278,21 @@ class Array:
         sschema = self.schema.spark_schema()
         if not need_frag_ts and not keep_frag_ts:
             paths = [mf.fragment_path(self.uri, f) for f in frs]
-            return self.spark.read.schema(sschema).parquet(*paths)
+            return self._fill_evolved(
+                self.spark.read.schema(sschema).parquet(*paths), frs)
 
         parts = []
         for i, f in enumerate(sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))):
             p = self.spark.read.schema(sschema).parquet(mf.fragment_path(self.uri, f))
-            parts.append(p.withColumn("__frag_ts",
-                                      F.lit(f.timestamp_range[0] * 10000 + i)))
-        df = reduce(lambda a, b: a.unionByName(b), parts)
+            parts.append(p.withColumn(
+                "__frag_ts", F.lit(mf.frag_order_key(f.timestamp_range[0], i))))
+        df = self._fill_evolved(reduce(lambda a, b: a.unionByName(b), parts), frs)
 
         for dfrag in deletes:
             cond = self._compile_cond(dfrag.delete_condition)
             if cond is None:
                 continue
-            cutoff = dfrag.timestamp_range[0] * 10000 + 10000
+            cutoff = mf.delete_cutoff(dfrag.timestamp_range[0])
             # Delete applies only to cells written before the delete.
             # NULL-protect the condition: under SQL three-valued logic a
             # NULL comparison makes the whole filter NULL and Spark drops
@@ -634,11 +653,11 @@ class DenseArray(Array):
         proj = [F.col(d) for d in dims]
         for an in attr_names:
             a = self.schema.attr(an)
-            fill = a.fill
+            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None else None
             c = F.col(an)
             if ccond is not None:
                 c = F.when(F.col("__match"), c)
-            if not a.nullable:
+            if not a.nullable and fill is not None:
                 c = F.coalesce(c, F.lit(fill))
             proj.append(c.alias(an))
         out = joined.select(*proj).orderBy(*dims)

@@ -189,6 +189,11 @@ def stored_scalar(v: Any, dt: Any) -> Any:
         if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
             return int(v)
         return int(np.timedelta64(v, unit).astype("int64"))
+    if dt.kind == "u" and dt.itemsize == 8:
+        # uint64 is stored as the int64 bit pattern (no wider signed type);
+        # values >= 2^63 (e.g. the max-value default fill) must be viewed,
+        # not cast, into the stored column
+        return int(np.array(v, dtype="uint64").view("int64")[()])
     return v
 
 
@@ -204,7 +209,10 @@ def default_fill(ti: TypeInfo) -> Any:
         return False
     if isinstance(st, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         if ti.annotations.get("unsigned"):
-            return 0
+            # TileDB default fill for unsigned ints is the type's MAX value
+            # (docs.tiledb.com writing#default-fill-values); np_dtype is the
+            # declared unsigned type, e.g. "uint16" -> 65535
+            return int(np.iinfo(np.dtype(ti.np_dtype)).max)
         bits = {"ByteType": 8, "ShortType": 16, "IntegerType": 32, "LongType": 64}[type(st).__name__]
         return -(2 ** (bits - 1))
     if isinstance(st, (T.FloatType, T.DoubleType)):

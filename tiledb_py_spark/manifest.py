@@ -94,6 +94,29 @@ def new_fragment_name(ts: int) -> str:
     return f"frag_{ts}_{ts}_{uuid.uuid4().hex[:12]}"
 
 
+# __frag_ts encoding: (timestamp_ms << SEQ_BITS) | within-ms sequence.
+# 20 bits = up to 1,048,576 fragments per millisecond slot in one scan;
+# ts_ms ~ 1.8e12 shifted left 20 stays under 2^63.  The old ts*10000+i
+# encoding overflowed its slot at >10000 fragments, corrupting
+# last-write-wins order and the delete cutoff.
+FRAG_SEQ_BITS = 20
+
+
+def frag_order_key(ts_ms: int, seq: int) -> int:
+    """Total order over fragments in one scan: commit ms, then sequence."""
+    if seq >= (1 << FRAG_SEQ_BITS):
+        raise ValueError(
+            f"more than {1 << FRAG_SEQ_BITS} fragments in one scan; "
+            "consolidate before reading")
+    return (ts_ms << FRAG_SEQ_BITS) | seq
+
+
+def delete_cutoff(ts_ms: int) -> int:
+    """Writes with commit ms <= the delete's ms count as pre-delete
+    (TileDB deletes apply to cells with timestamp <= the delete's)."""
+    return (ts_ms + 1) << FRAG_SEQ_BITS
+
+
 @dataclass
 class Manifest:
     """Snapshot of an array at one version."""
