@@ -214,6 +214,44 @@ def _orders_time_array(spark, sf_dir) -> str:
     return uri
 
 
+_LWW_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _lww_array(spark, sf_dir) -> str:
+    """part-based array written TWICE with overlapping coordinates:
+    p_partkey < 100 rows are overwritten with retailprice + 1000."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _LWW_ARRAY_CACHE:
+        return _LWW_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/part_lww"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "part")
+               .select("p_partkey", "p_retailprice").toPandas())
+        tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
+        upd = pdf[pdf["p_partkey"] < 100].copy()
+        upd["p_retailprice"] = upd["p_retailprice"] + 1000.0
+        tdb.from_pandas(uri, upd, index_dims=["p_partkey"], mode="append")
+    _LWW_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_datasource_lww(spark, sf_dir):
+    """format('tiledb') read over overlapping fragments on a no-duplicates
+    array: per-split merge-on-read anti-join resolves last-write-wins
+    (spark_datasource.py read path); oracle recomputes the overwrite."""
+    from tiledb_py_spark.sources.spark_datasource import register
+
+    register(spark)
+    uri = _lww_array(spark, sf_dir)
+    df = spark.read.format("tiledb").load(uri)
+    return (df.select("p_partkey",
+                      F.round("p_retailprice", 2).alias("price"))
+              .orderBy("p_partkey"))
+
+
 def q_datasource_read(spark, sf_dir):
     """S1 via the custom Spark data source: spark.read.format('tiledb')
     with filter pushdown into fragment/row-group pruning."""
@@ -675,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_cond_agg": q_array_cond_agg,
         "array_time_slice": q_array_time_slice,
         "datasource_read": q_datasource_read,
+        "datasource_lww": q_datasource_lww,
         "enum_qc": q_enum_qc,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
@@ -773,6 +812,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem
             WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_quantity > 30.0
+        """,
+        "datasource_lww": """
+            SELECT p_partkey,
+                   round(p_retailprice
+                         + CASE WHEN p_partkey < 100 THEN 1000.0 ELSE 0 END,
+                         2) AS price
+            FROM part ORDER BY p_partkey
         """,
         "enum_qc": """
             SELECT o_orderkey, o_orderpriority, o_totalprice

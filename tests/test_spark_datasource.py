@@ -63,11 +63,39 @@ def test_format_overwrite_rejected(arr, spark):
         df.write.format("tiledb").mode("overwrite").save(arr)
 
 
-def test_format_overlapping_nodup_rejected(uri, spark):
-    """Overlapping fragments on a no-duplicates array need the engine's
-    last-write-wins plan; the raw format reader must refuse, not lie."""
-    pdf = pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.zeros(10)})
+def test_format_overlapping_nodup_last_write_wins(uri, spark):
+    """Overlapping fragments on a no-duplicates array resolve to the LAST
+    write per coordinate, merge-on-read style (per-split anti-join against
+    newer overlapping fragments' coordinates)."""
+    pdf = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                        "v": np.zeros(10)})
     tdb.from_pandas(uri, pdf, index_dims=["k"])
-    tdb.from_pandas(uri, pdf, index_dims=["k"], mode="append")  # same coords
-    with pytest.raises(Exception):
-        spark.read.format("tiledb").load(uri).count()
+    pdf2 = pd.DataFrame({"k": np.arange(5, 15, dtype=np.int64),
+                         "v": np.ones(10)})
+    tdb.from_pandas(uri, pdf2, index_dims=["k"], mode="append")
+    out = (spark.read.format("tiledb").load(uri)
+           .orderBy("k").toPandas())
+    assert out["k"].tolist() == list(range(15))
+    # coords 0-4 keep the first write, 5-14 take the second
+    assert out["v"].tolist() == [0.0] * 5 + [1.0] * 10
+    # matches the engine's own scan exactly
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert out.equals(eng)
+
+
+def test_format_lww_after_delete_resurfaces_old(uri, spark):
+    """A newer row that was itself deleted no longer supersedes: the older
+    cell resurfaces (delete-then-dedup order, same as Array._scan_df)."""
+    pdf = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                        "v": np.arange(5) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    pdf2 = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                         "v": np.arange(5) + 100.0})
+    tdb.from_pandas(uri, pdf2, index_dims=["k"], mode="append")
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v >= 100.0").submit_delete()
+    out = (spark.read.format("tiledb").load(uri).orderBy("k").toPandas())
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert out.equals(eng)
+    # the delete killed the overwrites; originals resurface
+    assert out["v"].tolist() == [0.0, 1.0, 2.0, 3.0, 4.0]

@@ -16,10 +16,12 @@ Read path:
 - ``read()``: Arrow record batches straight from pyarrow with a row-level
   filter expression — columnar end-to-end.
 - Delete-condition fragments are applied per batch (row-level, fragment
-  timestamp-aware).  Cross-fragment duplicate resolution cannot run
-  per-partition; reading a multi-fragment no-duplicates array with
-  overlapping MBRs raises, directing to ``tiledb_py_spark.open()`` whose
-  plan includes the last-write-wins aggregation.
+  timestamp-aware).  Cross-fragment last-write-wins on no-duplicates
+  arrays is resolved per-task, merge-on-read style: planning attaches to
+  each split the parquet files of NEWER fragments whose MBR overlaps its
+  fragment, and ``read()`` anti-joins its rows against their (still-live)
+  coordinates — the equality-delete pattern, no shuffle, cost bounded by
+  actual MBR overlap.
 
 Write path: each task streams its Arrow batches into one parquet file of
 a staged fragment; ``commit()`` harvests footer stats and publishes one
@@ -56,6 +58,13 @@ class _Split(InputPartition):
     predicates: tuple = ()
     # delete conditions visible to this fragment: tuple of expr strings
     deletes: tuple = ()
+    # last-write-wins on no-duplicates arrays, merge-on-read style: rows
+    # whose coordinates also appear in a NEWER overlapping fragment are
+    # superseded.  Each entry is (parquet_path, deletes_for_that_fragment)
+    # — the task anti-joins its batch against the union of their (still
+    # live) coordinates.  No shuffle; cost bounded by MBR overlap.
+    newer: tuple = ()
+    dim_names: tuple = ()
 
 
 @dataclass
@@ -168,32 +177,52 @@ class TileDBReader(DataSourceReader):
             frs = [f for f in frs
                    if mbr_intersects(ranges, _decode_mbr(schema, f.nonempty_domain))]
         deletes = m.delete_fragments_visible(self.timestamp)
-        if (not schema.allows_duplicates) and len(frs) > 1:
-            mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
-            if _any_overlap(schema, mbrs):
-                raise NotImplementedError(
-                    "overlapping fragments on a no-duplicates array need "
-                    "last-write-wins resolution; read via tiledb_py_spark.open()")
-        preds = tuple(self._preds)
-        splits: list[_Split] = []
-        for f in frs:
-            frag_deletes = tuple(
+
+        def frag_files(f) -> list:
+            out = []
+            for root, _dirs, files in os.walk(mf.fragment_path(self.uri, f)):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        out.append(os.path.join(root, fn))
+            return out
+
+        def frag_deletes(f) -> tuple:
+            # deletes apply to cells written at or before the delete's ts
+            return tuple(
                 d.delete_condition for d in deletes
                 if d.timestamp_range[0] >= f.timestamp_range[0] and d.delete_condition)
-            frag_dir = mf.fragment_path(self.uri, f)
-            for root, _dirs, files in os.walk(frag_dir):
-                for fn in sorted(files):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    p = os.path.join(root, fn)
-                    n_rg = pq.ParquetFile(p).metadata.num_row_groups
-                    # one split per ~4 row groups keeps tasks balanced
-                    step = 4
-                    for start in range(0, n_rg, step):
-                        rgs = tuple(range(start, min(start + step, n_rg)))
-                        splits.append(_Split(file_path=p, row_groups=rgs,
-                                             predicates=preds,
-                                             deletes=frag_deletes))
+
+        # commit order for last-write-wins (same total order as
+        # Array._scan_df: timestamp, then fragment name)
+        frs = sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))
+        mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
+        need_lww = (not schema.allows_duplicates) and len(frs) > 1
+        newer_map: dict[str, tuple] = {}
+        if need_lww:
+            for i, f in enumerate(frs):
+                entries = []
+                for j in range(i + 1, len(frs)):
+                    if all(_box_overlap(mbrs[i].get(d.name), mbrs[j].get(d.name))
+                           for d in schema.domain):
+                        dels = frag_deletes(frs[j])
+                        entries.extend((p, dels) for p in frag_files(frs[j]))
+                newer_map[f.name] = tuple(entries)
+
+        preds = tuple(self._preds)
+        dim_names = tuple(d.name for d in schema.domain)
+        splits: list[_Split] = []
+        for f in frs:
+            fdel = frag_deletes(f)
+            newer = newer_map.get(f.name, ())
+            for p in frag_files(f):
+                n_rg = pq.ParquetFile(p).metadata.num_row_groups
+                # one split per ~4 row groups keeps tasks balanced
+                step = 4
+                for start in range(0, n_rg, step):
+                    rgs = tuple(range(start, min(start + step, n_rg)))
+                    splits.append(_Split(file_path=p, row_groups=rgs,
+                                         predicates=preds, deletes=fdel,
+                                         newer=newer, dim_names=dim_names))
         return splits or [_Split(file_path="", row_groups=(), predicates=(),
                                  deletes=())]
 
@@ -216,16 +245,38 @@ class TileDBReader(DataSourceReader):
         if expr is not None:
             tbl = tbl.filter(expr)
         if split.deletes:
-            import pandas as pd
-
-            pdf = tbl.to_pandas()
-            for cond in split.deletes:
-                mask = _eval_delete(pdf, cond)
-                pdf = pdf[~mask]
-            tbl = pa.Table.from_pandas(pdf, preserve_index=False,
-                                       schema=tbl.schema)
+            tbl = _apply_deletes(tbl, split.deletes)
+        if split.newer:
+            # last-write-wins: drop rows whose coordinates survive in a
+            # newer overlapping fragment (equality-delete / merge-on-read
+            # semantics, resolved per-task with a pyarrow anti-join —
+            # no shuffle, no cross-partition coordination)
+            dims = list(split.dim_names)
+            newer_parts = []
+            for path, dels in split.newer:
+                nt = pq.read_table(path, columns=None if dels else dims)
+                if dels:
+                    # a newer row that was itself deleted no longer
+                    # supersedes (the older cell resurfaces, matching
+                    # Array._scan_df delete-then-dedup order)
+                    nt = _apply_deletes(nt, dels)
+                newer_parts.append(nt.select(dims))
+            if newer_parts:
+                newer_coords = pa.concat_tables(newer_parts) \
+                    .group_by(dims).aggregate([])
+                tbl = tbl.join(newer_coords, keys=dims, join_type="left anti")
         for batch in tbl.to_batches():
             yield batch
+
+
+def _apply_deletes(tbl, conds):
+    """Anti-apply delete conditions to an Arrow table (pandas backend)."""
+    import pyarrow as pa
+
+    pdf = tbl.to_pandas()
+    for cond in conds:
+        pdf = pdf[~_eval_delete(pdf, cond)]
+    return pa.Table.from_pandas(pdf, preserve_index=False, schema=tbl.schema)
 
 
 def _eval_delete(pdf, cond: str):
@@ -327,15 +378,6 @@ def _eval_delete(pdf, cond: str):
         raise NotImplementedError(
             f"delete condition {cond!r} not evaluable in the tiledb format "
             f"reader ({e}); read via tiledb_py_spark.open()") from e
-
-
-def _any_overlap(schema, mbrs) -> bool:
-    for i in range(len(mbrs)):
-        for j in range(i + 1, len(mbrs)):
-            if all(_box_overlap(mbrs[i].get(d.name), mbrs[j].get(d.name))
-                   for d in schema.domain):
-                return True
-    return False
 
 
 def _box_overlap(a, b) -> bool:
