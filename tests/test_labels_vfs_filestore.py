@@ -54,6 +54,36 @@ def test_label_index_errors(labeled, spark):
         A.label_index(["l2", "l3"])  # two labels on one dim
 
 
+def test_label_dataframe_broadcast_join(uri, spark):
+    """Scale-path label read: LabelIndexer.dataframe() resolves the label
+    range to a dim interval in Spark (2 scalars to the driver) and
+    attaches label values via a BroadcastHashJoin — the plan shape
+    promised by labels.py's docstring."""
+    from tiledb_py_spark.labels import write_label_data
+
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim),
+        attrs=[tdb.Attr(name="v", dtype=np.int64)], sparse=True,
+        dim_labels={0: {"temp": dim.create_label_schema("increasing",
+                                                        np.float64)}})
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.arange(10)] = np.arange(10) * 10
+    write_label_data(uri, "temp", np.arange(10), np.arange(10) * 0.5)
+    A = tdb.open(uri, spark=spark)
+    df = A.label_index(["temp"]).dataframe(slice(1.0, 2.0))
+    out = df.orderBy("k").toPandas()
+    assert out["k"].tolist() == [2, 3, 4]
+    assert out["v"].tolist() == [20, 30, 40]
+    assert out["temp"].tolist() == [1.0, 1.5, 2.0]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # empty label selection -> empty result with the label column present
+    edf = A.label_index(["temp"]).dataframe(slice(100.0, 200.0))
+    assert edf.count() == 0 and "temp" in edf.columns
+
+
 def test_label_schema_roundtrip(labeled):
     schema = tdb.open(labeled).schema
     assert schema.has_dim_label("l1")

@@ -128,16 +128,90 @@ class LabelIndexer:
                     f"only one label per dimension (dim {dim_idx} given twice)")
             self._by_dim[dim_idx] = lbl
 
-    def __getitem__(self, selection):
+    def _normalized_idx(self, selection):
         from .indexing import index_as_tuple, replace_ellipsis
-        from .plans import DimRanges
 
-        arr = self.array
-        schema = arr.schema
+        schema = self.array.schema
         idx = index_as_tuple(selection)
         idx = replace_ellipsis(schema.ndim, idx)
         if len(idx) != schema.ndim:
             idx = tuple(list(idx) + [slice(None)] * (schema.ndim - len(idx)))
+        return idx
+
+    def dataframe(self, selection):
+        """Scale-path label read (the broadcast-join plan promised by the
+        module docstring): every phase is distributed.
+
+        Phase 1 reduces each label table to a (min, max) coord interval in
+        Spark — only TWO scalars reach the driver, never the label table
+        (the compat ``[]`` API materializes label values driver-side
+        because it must return numpy arrays).  Phase 2 runs the main scan
+        with the resolved dim interval (MBR pruning + parquet pushdown
+        intact) and broadcast-joins the filtered label table to attach
+        label columns — a BroadcastHashJoin, no shuffle of the main scan.
+        """
+        from pyspark.sql import functions as F
+
+        from .plans import DimRanges, QueryPlan
+
+        arr = self.array
+        schema = arr.schema
+        idx = self._normalized_idx(selection)
+
+        ranges: list = []
+        joins: list = []  # (dim_name, filtered label df aliased to lbl)
+        empty = False
+        for i, (d, sel) in enumerate(zip(schema.domain, idx)):
+            if i not in self._by_dim:
+                if isinstance(sel, slice):
+                    lo, hi = sel.start, sel.stop
+                else:
+                    lo = hi = sel
+                if lo is not None or hi is not None:
+                    ranges.append(DimRanges(name=d.name, intervals=[(lo, hi)]))
+                continue
+            lbl = self._by_dim[i]
+            f = os.path.join(label_path(arr.uri, lbl), "labels.parquet")
+            if not os.path.exists(f):
+                raise KeyError(f"no data written for dimension label {lbl!r}")
+            ldf = arr.spark.read.parquet(f)
+            if isinstance(sel, slice):
+                if sel.step is not None:
+                    raise ValueError(
+                        "stepped slices are not supported for label ranges")
+                if sel.start is not None:
+                    ldf = ldf.filter(F.col("__label") >= sel.start)
+                if sel.stop is not None:
+                    ldf = ldf.filter(F.col("__label") <= sel.stop)
+            else:
+                ldf = ldf.filter(F.col("__label") == sel)
+            row = ldf.agg(F.min("__coord").alias("lo"),
+                          F.max("__coord").alias("hi")).collect()[0]
+            joins.append((d.name, ldf.select(
+                F.col("__coord").alias(d.name), F.col("__label").alias(lbl))))
+            if row.lo is None:
+                empty = True
+            else:
+                ranges.append(DimRanges(name=d.name,
+                                        intervals=[(row.lo, row.hi)]))
+
+        if empty:
+            df = arr._empty_df()
+            for _dim, ldf in joins:
+                lbl = ldf.columns[1]
+                df = df.withColumn(lbl, F.lit(None).cast(ldf.schema[lbl].dataType))
+            return df
+        df = arr._execute(QueryPlan(dim_ranges=ranges))
+        for dim_name, ldf in joins:
+            df = df.join(F.broadcast(ldf), on=dim_name, how="inner")
+        return df
+
+    def __getitem__(self, selection):
+        from .plans import DimRanges
+
+        arr = self.array
+        schema = arr.schema
+        idx = self._normalized_idx(selection)
 
         ranges: list[DimRanges] = []
         label_values: "OrderedDict[str, np.ndarray]" = OrderedDict()
