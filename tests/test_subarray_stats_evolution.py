@@ -38,6 +38,55 @@ def test_subarray_dense_read_write(uri, spark):
     assert sub.shape() == (10,)
 
 
+def test_subarray_dense_multirange_read(uri, spark):
+    """Dense multi-range read: concatenated axes in ADD order, repeats
+    and out-of-order ranges included (reference
+    tests/test_read_subarray.py::test_read_multiple_ranges)."""
+    data = np.arange(11, dtype=np.float64) * 10
+    tdb.from_numpy(uri, data)
+    A = tdb.open(uri, spark=spark)
+    sub = tdb.Subarray(A)
+    sub.add_dim_range(0, (3, 3))
+    sub.add_dim_range(0, (1, 2))
+    sub.add_dim_range(0, (5, 10))
+    res = A.read_subarray(sub)
+    got = next(iter(res.values()))
+    order = np.array([3, 1, 2, 5, 6, 7, 8, 9, 10])
+    assert_array_equal(got, data[order])
+
+
+def test_subarray_dense_multirange_2d(uri, spark):
+    """2D: per-dim concatenation crosses into a (sum_d0, sum_d1) grid."""
+    data = np.arange(16, dtype=np.int64).reshape(4, 4)
+    tdb.from_numpy(uri, data)
+    A = tdb.open(uri, spark=spark)
+    sub = tdb.Subarray(A)
+    sub.add_dim_range(0, (2, 3))
+    sub.add_dim_range(0, (0, 0))
+    sub.add_dim_range(1, (1, 2))
+    res = A.read_subarray(sub)
+    got = next(iter(res.values()))
+    assert got.shape == (3, 2)
+    assert_array_equal(got, data[np.ix_([2, 3, 0], [1, 2])])
+
+
+def test_subarray_dense_multirange_write(uri, spark):
+    """Multi-range dense write: value shape == concatenated axes."""
+    tdb.from_numpy(uri, np.zeros(10, dtype=np.int64))
+    with tdb.open(uri, "w", spark=spark) as A:
+        sub = tdb.Subarray(A)
+        sub.add_dim_range(0, (1, 2))
+        sub.add_dim_range(0, (7, 8))
+        A.write_subarray(sub, np.array([1, 2, 7, 8]))
+    A = tdb.open(uri, spark=spark)
+    sub = tdb.Subarray(A)
+    sub.add_dim_range(0, (0, 9))
+    got = next(iter(A.read_subarray(sub).values()))
+    expected = np.zeros(10, dtype=np.int64)
+    expected[[1, 2, 7, 8]] = [1, 2, 7, 8]
+    assert_array_equal(got, expected)
+
+
 def test_stats(uri, spark):
     pdf = pd.DataFrame({"k": np.arange(10, dtype=np.int64), "v": np.zeros(10)})
     tdb.from_pandas(uri, pdf, index_dims=["k"])

@@ -325,21 +325,58 @@ class Array:
                 df = self._execute(QueryPlan(dim_ranges=ranges))
                 pdf = df.toPandas()
                 return pdf_to_numpy_dict(pdf, self.schema, list(df.columns))
-            sel = []
-            for d in self.schema.domain:
-                rs = [r for r in ranges if r.name == d.name]
-                if not rs:
-                    sel.append(slice(None))
-                elif len(rs[0].intervals) == 1 and not rs[0].points:
-                    lo, hi = rs[0].intervals[0]
-                    sel.append(slice(int(lo), int(hi) + 1))
-                else:
-                    raise NotImplementedError(
-                        "dense read_subarray supports one range per dim")
-            res = self.subarray(tuple(sel))
-            if isinstance(res, dict):
-                return res
-            return OrderedDict({(self.view_attr or self.schema.attr(0).name): res})
+            simple = all(
+                len(rs) == 0 or (len(rs[0].intervals) == 1 and not rs[0].points)
+                for rs in ([r for r in ranges if r.name == d.name]
+                           for d in self.schema.domain))
+            if simple:
+                sel = []
+                for d in self.schema.domain:
+                    rs = [r for r in ranges if r.name == d.name]
+                    if not rs:
+                        sel.append(slice(None))
+                    else:
+                        lo, hi = rs[0].intervals[0]
+                        sel.append(slice(int(lo), int(hi) + 1))
+                res = self.subarray(tuple(sel))
+                if isinstance(res, dict):
+                    return res
+                return OrderedDict(
+                    {(self.view_attr or self.schema.attr(0).name): res})
+            return self._read_dense_multirange(subarray)
+
+    def _read_dense_multirange(self, subarray) -> "OrderedDict":
+        """Dense multi-range read: scan once with the OR-of-ranges
+        predicate (one Spark job, pushdown intact), then place cells into
+        the concatenated-axes grid driver-side via a pandas reindex —
+        repeats and out-of-order ranges follow add order (reference
+        ``tests/test_read_subarray.py::test_read_multiple_ranges``)."""
+        axes = self._subarray_axes(subarray)
+        shape = tuple(len(a) for a in axes)
+        dims = self.schema.dim_names
+        df = self._execute(QueryPlan(dim_ranges=subarray.to_dim_ranges()))
+        pdf = df.toPandas()
+        stored_dtypes = {c: pdf[c].dtype for c in pdf.columns}
+        pdf = pdf.set_index(dims if len(dims) > 1 else dims[0])
+        idx = (pd.MultiIndex.from_product(axes, names=dims)
+               if len(dims) > 1 else pd.Index(axes[0], name=dims[0]))
+        pdf = pdf.reindex(idx)
+        attr_names = [self.view_attr] if self.view_attr else self.schema.attr_names
+        for an in attr_names:
+            a = self.schema.attr(an)
+            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None else None
+            if not a.nullable and fill is not None:
+                pdf[an] = pdf[an].fillna(fill)
+            try:
+                pdf[an] = pdf[an].astype(stored_dtypes[an])
+            except (TypeError, ValueError):
+                pass  # e.g. int col with remaining NaN stays float
+        arrs = pdf_to_numpy_dict(pdf.reset_index(), self.schema,
+                                 list(dims) + list(attr_names))
+        out = OrderedDict()
+        for an in attr_names:
+            out[an] = arrs[an].reshape(shape)
+        return out
 
     def _execute(self, plan: QueryPlan) -> DataFrame:
         from .stats import record
@@ -678,19 +715,31 @@ class DenseArray(Array):
             return next(iter(result.values()))
         return result
 
-    def write_subarray(self, subarray, value):
-        """Explicit-Subarray dense write (S14)."""
-        sel = []
+    def _subarray_axes(self, subarray) -> list:
+        """Per-dim ordered coordinate sequences for an explicit Subarray:
+        multi-range = ranges CONCATENATED in add order (reference
+        ``subarray.py:53-74`` / ``tests/test_read_subarray.py`` — ranges
+        may repeat or arrive out of order, and the result axis follows
+        the add order, e.g. (3,3)+(1,2)+(5,10) -> [3,1,2,5..10])."""
+        ranges = subarray.to_dim_ranges()
+        axes = []
         for d in self.schema.domain:
-            rs = [r for r in subarray.to_dim_ranges() if r.name == d.name]
-            if not rs:
-                sel.append(slice(None))
-            elif len(rs[0].intervals) == 1 and not rs[0].points:
-                lo, hi = rs[0].intervals[0]
-                sel.append(slice(int(lo), int(hi) + 1))
-            else:
-                raise NotImplementedError("write_subarray supports one range per dim")
-        self[tuple(sel)] = value
+            rs = [r for r in ranges if r.name == d.name]
+            if not rs or not (rs[0].intervals or rs[0].points):
+                lo, hi = d.domain
+                axes.append(np.arange(int(lo), int(hi) + 1, dtype="int64"))
+                continue
+            parts = [np.arange(int(lo), int(hi) + 1, dtype="int64")
+                     for lo, hi in rs[0].intervals]
+            if rs[0].points:
+                parts.append(np.asarray(rs[0].points, dtype="int64"))
+            axes.append(np.concatenate(parts))
+        return axes
+
+    def write_subarray(self, subarray, value):
+        """Explicit-Subarray dense write (S14), multi-range supported:
+        the value's shape must match the concatenated per-dim axes."""
+        self._write_dense_grid(self._subarray_axes(subarray), value)
 
     def __setitem__(self, selection, value):
         """Dense region write (reference ``dense_array.py:375-612``):
@@ -705,6 +754,11 @@ class DenseArray(Array):
         for dr, d in zip(ranges, self.schema.domain):
             lo, hi = dr.intervals[0]
             axes.append(np.arange(int(lo), int(hi) + 1, dtype="int64"))
+        self._write_dense_grid(axes, value)
+
+    def _write_dense_grid(self, axes: list, value):
+        if self.mode not in ("w", "m"):
+            raise PermissionError("array not opened in write mode")
         shape = tuple(len(a) for a in axes)
         grids = np.meshgrid(*axes, indexing="ij") if len(axes) > 1 else [axes[0]]
         data = {d.name: g.reshape(-1) for d, g in zip(self.schema.domain, grids)}
