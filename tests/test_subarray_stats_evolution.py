@@ -120,3 +120,101 @@ def test_expand_current_domain(uri, spark):
     ev2.expand_current_domain({"k": (0, 5)})  # shrink -> reject
     with pytest.raises(ValueError):
         ev2.array_evolve(uri)
+
+
+# ---------------------------------------------------------------------------
+# CurrentDomain / NDRectangle (reference current_domain.py, ndrectangle.py,
+# tests/test_current_domain.py)
+# ---------------------------------------------------------------------------
+
+def test_ndrectangle_roundtrip():
+    dom = tdb.Domain(tdb.Dim(name="x", domain=(0, 100), tile=10, dtype=np.int64),
+                     tdb.Dim(name="y", domain=(0, 100), tile=10, dtype=np.int64))
+    rect = tdb.NDRectangle(None, dom)
+    rect.set_range(0, 10, 20)
+    rect.set_range("y", 30, 40)
+    assert rect.range(0) == (10, 20)
+    assert rect.range("x") == (10, 20)
+    assert rect.range(1) == (30, 40)
+    cd = tdb.CurrentDomain()
+    assert cd.is_empty
+    cd.set_ndrectangle(rect)
+    assert not cd.is_empty
+    assert cd.type == "NDRECTANGLE"
+    assert cd.ndrectangle.range("y") == (30, 40)
+
+
+def test_current_domain_dense_read_clamp(uri, spark):
+    """Reference sc61914 dense behavior: A[:] clamps to the current-domain
+    box; explicit selections outside it raise."""
+    data = np.arange(10000, dtype=np.int64).reshape(100, 100)
+    tdb.from_numpy(uri, data)
+    A = tdb.open(uri, spark=spark)
+    dom = A.schema.domain
+    rect = tdb.NDRectangle(None, dom)
+    rect.set_range(0, 10, 20)
+    rect.set_range(1, 30, 35)
+    cd = tdb.CurrentDomain()
+    cd.set_ndrectangle(rect)
+    A.schema.set_current_domain(cd)
+
+    from numpy.testing import assert_array_equal as aeq
+    full = next(iter(A[:, :].values())) if isinstance(A[:, :], dict) else A[:, :]
+    aeq(full, data[10:21, 30:36])
+    sub = A[11:14, 33:35]
+    sub = next(iter(sub.values())) if isinstance(sub, dict) else sub
+    aeq(sub, data[11:14, 33:35])
+    # one-sided slices clamp to the box
+    one = A[11:, :35]
+    one = next(iter(one.values())) if isinstance(one, dict) else one
+    aeq(one, data[11:21, 30:35])
+    with pytest.raises(Exception):
+        A[11:55, 33:34]
+
+
+def test_current_domain_sparse_multi_index_clamp(uri, spark):
+    pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": np.arange(100) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    A = tdb.open(uri, spark=spark)
+    rect = tdb.NDRectangle(None, A.schema.domain)
+    rect.set_range("k", 10, 20)
+    cd = tdb.CurrentDomain()
+    cd.set_ndrectangle(rect)
+    A.schema.set_current_domain(cd)
+    res = A.multi_index[:]
+    assert sorted(res["k"].tolist()) == list(range(10, 21))
+    res = A.multi_index[12:15]
+    assert sorted(res["k"].tolist()) == [12, 13, 14, 15]
+    with pytest.raises(Exception):
+        A.multi_index[12:55]
+
+
+def test_current_domain_evolve_persists(uri, spark):
+    """expand_current_domain(CurrentDomain) persists in the manifest and
+    shrinking is rejected (reference test_current_domain_evolve)."""
+    pdf = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                        "v": np.arange(50) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    dom = tdb.open(uri).schema.domain
+    rect = tdb.NDRectangle(None, dom)
+    rect.set_range("k", 5, 30)
+    cd = tdb.CurrentDomain()
+    cd.set_ndrectangle(rect)
+    ev = tdb.ArraySchemaEvolution()
+    ev.expand_current_domain(cd)
+    ev.array_evolve(uri)
+    A = tdb.open(uri, spark=spark)
+    assert not A.schema.current_domain.is_empty
+    assert A.schema.current_domain.ndrectangle.range("k") == (5, 30)
+    res = A.multi_index[:]
+    assert sorted(res["k"].tolist()) == list(range(5, 31))
+    # shrink rejected
+    rect2 = tdb.NDRectangle(None, dom)
+    rect2.set_range("k", 10, 20)
+    cd2 = tdb.CurrentDomain()
+    cd2.set_ndrectangle(rect2)
+    ev2 = tdb.ArraySchemaEvolution()
+    ev2.expand_current_domain(cd2)
+    with pytest.raises(ValueError):
+        ev2.array_evolve(uri)

@@ -39,6 +39,7 @@ from .labels import DimLabelSchema, LabelIndexer
 from .manifest import FragmentRecord, Manifest
 from .metadata import Metadata
 from .schema import ArraySchema, Attr, Dim, Domain, Enumeration
+from .current_domain import CurrentDomain, NDRectangle
 from .schema_evolution import ArraySchemaEvolution
 from .session import get_spark
 from .sources.dataframe_ import (from_csv, from_pandas, from_parquet,

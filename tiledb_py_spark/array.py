@@ -511,8 +511,10 @@ class Array:
         idx = replace_ellipsis(self.schema.ndim, idx)
         idx, drop_axes = replace_scalars_slice(self.schema.domain, idx)
         steps = [s.step if isinstance(s, slice) else None for s in idx]
-        ranges = index_domain_subarray(self.schema.domain, idx, self.schema.sparse,
-                                       nonempty=self.nonempty_domain())
+        ranges = index_domain_subarray(
+            self.schema.domain, idx, self.schema.sparse,
+            nonempty=self.nonempty_domain(),
+            current_domain=self.schema.current_domain_box())
         return ranges, drop_axes, steps
 
     # -- delete queries (S15, reference core.cc:1474-1479) -------------------
@@ -939,8 +941,9 @@ class _AggMultiIndex:
 
     def __getitem__(self, selection):
         arr = self.agg.query.array
-        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
-                                            nonempty=arr.nonempty_domain())
+        ranges = getitem_ranges_multi_index(
+            arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
+            current_domain=arr.schema.current_domain_box())
         return self.agg._run(ranges)
 
 
@@ -955,8 +958,9 @@ class DomainIndexer:
 
     def __getitem__(self, selection):
         arr = self.array
-        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
-                                            nonempty=arr.nonempty_domain())
+        ranges = getitem_ranges_multi_index(
+            arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
+            current_domain=arr.schema.current_domain_box())
         plan = self.query._plan(ranges)
         if plan.dims is not None and len(plan.dims) == 0:
             plan.dims = arr.schema.dim_names
@@ -975,8 +979,9 @@ class MultiRangeIndexer:
 
     def __getitem__(self, selection):
         arr = self.array
-        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
-                                            nonempty=arr.nonempty_domain())
+        ranges = getitem_ranges_multi_index(
+            arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
+            current_domain=arr.schema.current_domain_box())
         if arr.schema.sparse:
             df = arr._execute(self.query._plan(ranges))
             if self.query.return_incomplete:
@@ -1012,8 +1017,9 @@ class DataFrameIndexer:
 
     def __getitem__(self, selection):
         arr = self.array
-        ranges = getitem_ranges_multi_index(arr.schema.domain, selection,
-                                            nonempty=arr.nonempty_domain())
+        ranges = getitem_ranges_multi_index(
+            arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
+            current_domain=arr.schema.current_domain_box())
         plan = self.query._plan(ranges)
         if plan.dims is not None and len(plan.dims) == 0:
             plan.dims = arr.schema.dim_names

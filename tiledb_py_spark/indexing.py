@@ -96,13 +96,18 @@ def _steps(idx: tuple) -> list:
 
 
 def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
-                          nonempty: tuple | None = None) -> list[DimRanges]:
+                          nonempty: tuple | None = None,
+                          current_domain: dict | None = None) -> list[DimRanges]:
     """numpy-slice semantics -> inclusive Range IR
     (algorithm of reference ``array.py:117-297``).
 
     ``nonempty`` (per-dim (lo, hi) of written cells) substitutes for the
     domain on string dims, as the reference does in read mode
     (``array.py:136-143``).
+
+    ``current_domain`` ({dim_name: (lo, hi)}) clamps open slice ends to
+    the current-domain box and REJECTS explicit selections outside it
+    (reference ``tests/test_current_domain.py`` sc61914 behavior).
     """
     ndim = dom.ndim
     if len(idx) != ndim:
@@ -118,6 +123,9 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
             dim_lb, dim_ub = nonempty[r]
         else:
             dim_lb, dim_ub = dim.domain
+        cd_box = (current_domain or {}).get(dim.name)
+        if cd_box is not None:
+            dim_lb, dim_ub = cd_box  # clamp defaults; explicit checked below
 
         dim_idx = idx[r]
         dr = DimRanges(name=dim.name)
@@ -167,6 +175,9 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
                 start += int(dim_ub) + 1
             if not is_datetime and start < dim_lb:
                 raise IndexError("index out of bounds")
+            if cd_box is not None and not is_datetime and start > dim_ub:
+                raise IndexError(
+                    f"selection on {dim.name!r} is outside the current domain {cd_box}")
         else:
             start = dim_lb
         if stop is not None:
@@ -176,6 +187,11 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
                 raise IndexError("cannot index integral domain dimension with floating point slice")
             if not is_datetime and stop < 0:
                 stop = int(stop) + int(dim_ub)
+            if cd_box is not None and not is_datetime and not is_string \
+                    and stop - 1 > dim_ub:
+                # explicit end beyond the current domain: reject, don't clamp
+                raise IndexError(
+                    f"selection on {dim.name!r} is outside the current domain {cd_box}")
             if not is_datetime and stop > dim_ub:
                 stop = dim_ub if np.issubdtype(dim_dtype, np.floating) else int(dim_ub) + 1
             if is_datetime and stop > dim_ub:
@@ -200,7 +216,8 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
 
 
 def getitem_ranges_multi_index(dom: Domain, idx: tuple,
-                               nonempty: tuple | None = None) -> list[DimRanges]:
+                               nonempty: tuple | None = None,
+                               current_domain: dict | None = None) -> list[DimRanges]:
     """multi_index semantics: slices INCLUSIVE of both endpoints, scalars =
     points, lists = point sets; open slice ends clamped to the nonempty
     domain (reference ``multirange_indexing.py:128-241``; sparse full-domain
@@ -221,9 +238,19 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
     ndim = dom.ndim
     idx = replace_ellipsis(ndim, index_as_tuple(idx))
     out: list[DimRanges] = []
+    def _cd_check(dim, box, v):
+        if box is not None and v is not None and not isinstance(
+                v, (np.datetime64, str, bytes)):
+            if v < box[0] or v > box[1]:
+                raise IndexError(
+                    f"selection on {dim.name!r} is outside the current "
+                    f"domain {box}")
+        return v
+
     for r in range(ndim):
         dim = dom.dim(r)
         dim_idx = idx[r]
+        box = (current_domain or {}).get(dim.name)
         dr = DimRanges(name=dim.name)
         sel_list = dim_idx if isinstance(dim_idx, (list, np.ndarray)) else [dim_idx]
         if isinstance(dim_idx, np.ndarray):
@@ -233,17 +260,21 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
                 if sel.step is not None:
                     raise ValueError("steps are not supported by multi_index")
                 start, stop = sel.start, sel.stop
-                if start is None and stop is None:
+                if start is None and stop is None and box is None:
                     # full-domain: unconstrained (fast path, :158-161)
                     continue
+                _cd_check(dim, box, start)
+                _cd_check(dim, box, stop)
                 ned = nonempty[r] if (nonempty is not None and r < len(nonempty)) else None
-                if start is None and ned is not None:
-                    start = ned[0]
-                if stop is None and ned is not None:
-                    stop = ned[1]
+                if start is None:
+                    start = box[0] if box is not None else (
+                        ned[0] if ned is not None else None)
+                if stop is None:
+                    stop = box[1] if box is not None else (
+                        ned[1] if ned is not None else None)
                 dr.intervals.append((_check_dt(dim, start), _check_dt(dim, stop)))
             elif np.isscalar(sel) or isinstance(sel, (np.datetime64, str, bytes)):
-                dr.points.append(_check_dt(dim, sel))
+                dr.points.append(_check_dt(dim, _cd_check(dim, box, sel)))
             else:
                 raise TypeError(f"Unsupported selection {sel!r}")
         out.append(dr)

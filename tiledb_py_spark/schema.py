@@ -349,6 +349,23 @@ class ArraySchema:
             for spec in by_name.values():
                 spec.dim_index = dim_idx
 
+        self._current_domain = None  # Optional[CurrentDomain]
+
+    # -- current domain (reference array_schema.py:401-416) ------------------
+    @property
+    def current_domain(self):
+        from .current_domain import CurrentDomain
+
+        return self._current_domain or CurrentDomain()
+
+    def set_current_domain(self, current_domain) -> None:
+        self._current_domain = current_domain
+
+    def current_domain_box(self) -> dict:
+        """{dim_name: (lo, hi)} when a current domain is set, else {}."""
+        cd = self._current_domain
+        return cd.box(self.domain) if cd is not None and not cd.is_empty else {}
+
     def label_names(self) -> list[str]:
         return [n for by in self.dim_labels.values() for n in by]
 
@@ -429,13 +446,16 @@ class ArraySchema:
             "enums": [e.to_json() for e in self.enums.values()],
             "dim_labels": {str(i): {n: s.to_json() for n, s in by.items()}
                            for i, by in self.dim_labels.items()},
+            "current_domain": (self._current_domain.ndrectangle.to_json()
+                               if self._current_domain is not None
+                               and not self._current_domain.is_empty else None),
         }
 
     @classmethod
     def from_json(cls, d):
         from .labels import DimLabelSchema
 
-        return cls(
+        return cls._restore_current_domain(cls(
             domain=Domain.from_json(d["domain"]),
             attrs=[Attr.from_json(a) for a in d["attrs"]],
             sparse=d["sparse"],
@@ -447,4 +467,15 @@ class ArraySchema:
             dim_labels={int(i): {n: DimLabelSchema.from_json(s)
                                  for n, s in by.items()}
                         for i, by in d.get("dim_labels", {}).items()},
-        )
+        ), d)
+
+    @staticmethod
+    def _restore_current_domain(schema, d):
+        cdj = d.get("current_domain")
+        if cdj:
+            from .current_domain import CurrentDomain, NDRectangle
+
+            cd = CurrentDomain()
+            cd.set_ndrectangle(NDRectangle.from_json(schema.domain, cdj))
+            schema._current_domain = cd
+        return schema

@@ -28,6 +28,7 @@ class ArraySchemaEvolution:
         self._enum_drops: list[str] = []
         self._enum_extends: dict[str, list] = {}
         self._domain_expands: dict[str, tuple] = {}
+        self._cd_expand = None  # Optional[CurrentDomain]
         self._timestamp: Optional[int] = None
 
     def timestamp(self, ts: int) -> None:
@@ -50,10 +51,17 @@ class ArraySchemaEvolution:
         appending values so existing codes stay valid)."""
         self._enum_extends[enum.name] = list(enum.values)
 
-    def expand_current_domain(self, new_domains: dict) -> None:
-        """Expand dim domains ({dim_name: (lo, hi)}); shrinking is rejected
-        at evolve time (reference ``expand_current_domain``)."""
-        self._domain_expands = dict(new_domains)
+    def expand_current_domain(self, new_domains) -> None:
+        """Expand the current domain.  Accepts a ``CurrentDomain`` (reference
+        ``schema_evolution.py:57-62``) or a {dim_name: (lo, hi)} dict
+        (legacy convenience expanding the dim domains); shrinking is
+        rejected at evolve time."""
+        from .current_domain import CurrentDomain
+
+        if isinstance(new_domains, CurrentDomain):
+            self._cd_expand = new_domains
+        else:
+            self._domain_expands = dict(new_domains)
 
     def array_evolve(self, uri: str) -> None:
         def _apply(m: mf.Manifest):
@@ -87,6 +95,17 @@ class ArraySchemaEvolution:
                         f"current domain of {name!r} can only expand "
                         f"({(old_lo, old_hi)} -> {(lo, hi)})")
                 d.domain = (lo, hi)
+            if self._cd_expand is not None:
+                new_box = self._cd_expand.box(schema.domain)
+                old_box = schema.current_domain_box()
+                for name, (lo, hi) in new_box.items():
+                    if name in old_box:
+                        olo, ohi = old_box[name]
+                        if lo > olo or hi < ohi:
+                            raise ValueError(
+                                f"current domain of {name!r} can only expand "
+                                f"({(olo, ohi)} -> {(lo, hi)})")
+                schema.set_current_domain(self._cd_expand)
             m.schema_version += 1
 
         mf.commit(uri, _apply)
