@@ -233,3 +233,36 @@ def test_schema_evolution_int_fill(uri, spark):
     out = tdb.open(uri, spark=spark).df[:]
     assert (out["xi"] == np.iinfo(np.int32).min).all()
     assert (out["xu"] == np.iinfo(np.uint16).max).all()
+
+
+def test_group_metadata_consolidate_vacuum(tmp_path, spark):
+    """Group metadata delta log: repeated writes accumulate delta files;
+    consolidate folds them into the base document (values preserved,
+    including overwrites and deletes); vacuum removes the folded files
+    (reference group.py:321-352)."""
+    import os
+
+    g = str(tmp_path / "grp")
+    tdb.Group.create(g)
+    with tdb.Group(g, "w") as grp:
+        grp.meta["a"] = 1
+        grp.meta["b"] = "x"
+        grp.meta["a"] = 2          # overwrite
+        grp.meta["c"] = 3.5
+        del grp.meta["b"]          # tombstone
+    meta_dir = os.path.join(g, "__group_meta")
+    assert len(os.listdir(meta_dir)) == 5
+    with tdb.Group(g) as grp:
+        assert grp.meta["a"] == 2 and grp.meta["c"] == 3.5
+        assert "b" not in grp.meta
+
+    n = tdb.Group.consolidate_metadata(g)
+    assert n == 5
+    removed = tdb.Group.vacuum_metadata(g)
+    assert removed == 5
+    assert [f for f in os.listdir(meta_dir) if f.startswith("meta_")] == []
+    with tdb.Group(g) as grp:
+        assert grp.meta["a"] == 2 and grp.meta["c"] == 3.5
+        assert "b" not in grp.meta
+    # vacuum without a prior consolidate is a no-op
+    assert tdb.Group.vacuum_metadata(g) == 0

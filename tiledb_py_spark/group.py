@@ -17,6 +17,7 @@ from typing import Any, Optional
 from .metadata import _pack, _unpack
 
 GROUP_FILE = "__group.json"
+META_DIR = "__group_meta"
 
 
 @dataclass
@@ -28,20 +29,28 @@ class Member:
 
 
 class GroupMetadata:
+    """Group metadata over a delta LOG (reference group meta fragments):
+    each write appends a small delta file under ``__group_meta/``; reads
+    fold base + deltas in commit order; ``Group.consolidate_metadata``
+    merges the log into the base document and ``vacuum_metadata`` removes
+    the folded delta files (reference ``group.py:321-352``)."""
+
     def __init__(self, group: "Group"):
         self._group = group
 
     def _meta(self) -> dict:
-        return self._group._state["metadata"]
+        return self._group._meta_view()
 
     def __setitem__(self, key: str, value: Any):
-        self._group._mutate(lambda s: s["metadata"].__setitem__(key, _pack(value)))
+        self._group._append_meta_delta({key: _pack(value)})
 
     def __getitem__(self, key: str) -> Any:
         return _unpack(self._meta()[key])
 
     def __delitem__(self, key: str):
-        self._group._mutate(lambda s: s["metadata"].__delitem__(key))
+        if key not in self._meta():
+            raise KeyError(key)
+        self._group._append_meta_delta({key: None})  # None = tombstone
 
     def __contains__(self, key: str) -> bool:
         return key in self._meta()
@@ -134,6 +143,79 @@ class Group:
     @property
     def meta(self) -> GroupMetadata:
         return GroupMetadata(self)
+
+    # -- metadata log --------------------------------------------------------
+    def _meta_dir(self) -> str:
+        return os.path.join(self.uri, META_DIR)
+
+    def _meta_deltas(self) -> list:
+        d = self._meta_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d)
+                      if n.startswith("meta_") and n.endswith(".json"))
+
+    def _meta_view(self) -> dict:
+        """Base metadata + delta log folded in commit order."""
+        out = dict(self._state["metadata"])
+        for name in self._meta_deltas():
+            with open(os.path.join(self._meta_dir(), name)) as f:
+                for k, v in json.load(f).items():
+                    if v is None:
+                        out.pop(k, None)
+                    else:
+                        out[k] = v
+        return out
+
+    def _append_meta_delta(self, delta: dict) -> None:
+        if self.mode != "w":
+            raise PermissionError("group not opened in write mode")
+        import time
+        import uuid
+
+        d = self._meta_dir()
+        os.makedirs(d, exist_ok=True)
+        name = f"meta_{int(time.time() * 1000):013d}_{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(d, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(delta, f)
+        os.replace(tmp, os.path.join(d, name))
+
+    @staticmethod
+    def consolidate_metadata(uri: str, config=None, ctx=None) -> int:
+        """Fold the metadata delta log into the base group document
+        (reference ``Group.consolidate_metadata``, ``group.py:321-338``).
+        The folded delta files stay on disk until ``vacuum_metadata``.
+        Returns the number of deltas folded."""
+        g = Group(uri, "w")
+        deltas = g._meta_deltas()
+        if not deltas:
+            return 0
+        folded = g._meta_view()
+        g._mutate(lambda s: s.__setitem__("metadata", folded))
+        marker = os.path.join(g._meta_dir(), ".consolidated.json")
+        with open(marker, "w") as f:
+            json.dump(deltas, f)
+        return len(deltas)
+
+    @staticmethod
+    def vacuum_metadata(uri: str, config=None, ctx=None) -> int:
+        """Remove delta files folded by a prior ``consolidate_metadata``
+        (reference ``Group.vacuum_metadata``, ``group.py:340-352``)."""
+        g = Group(uri, "w")
+        marker = os.path.join(g._meta_dir(), ".consolidated.json")
+        if not os.path.isfile(marker):
+            return 0
+        with open(marker) as f:
+            folded = json.load(f)
+        removed = 0
+        for name in folded:
+            p = os.path.join(g._meta_dir(), name)
+            if os.path.isfile(p):
+                os.remove(p)
+                removed += 1
+        os.remove(marker)
+        return removed
 
     def close(self):
         pass
