@@ -211,3 +211,72 @@ def test_hilbert_write_order(uri, spark):
     assert len(res["x"]) == mask.sum()
     assert_array_equal(np.sort(res["v"]),
                        np.sort((xs * 1.0 + ys)[mask]))
+
+
+# -- Profile (named config profiles, reference profile.py) -------------------
+
+def test_profile_lifecycle(tmp_path):
+    d = str(tmp_path / "profiles")
+    p = tdb.Profile("prod", dir=d)
+    p["rest.server_address"] = "https://example.invalid"
+    p["sm.io_concurrency_level"] = "4"
+    assert p["rest.server_address"] == "https://example.invalid"
+    assert p.get("nope", raise_keyerror=False) is None
+    with pytest.raises(KeyError):
+        p["nope"]
+    p.save()
+    # duplicate save rejected without overwrite
+    with pytest.raises(Exception):
+        tdb.Profile("prod", dir=d).save()
+    p2 = tdb.Profile.load("prod", dir=d)
+    assert p2["sm.io_concurrency_level"] == "4"
+    p2["sm.io_concurrency_level"] = "8"
+    p2.save(overwrite=True)
+    assert tdb.Profile.load("prod", dir=d)["sm.io_concurrency_level"] == "8"
+    tdb.Profile.remove("prod", dir=d)
+    with pytest.raises(Exception):
+        tdb.Profile.load("prod", dir=d)
+
+
+def test_profile_default_name(tmp_path):
+    d = str(tmp_path / "profiles")
+    p = tdb.Profile(dir=d)
+    assert p.name == "default"
+    p["a"] = "1"
+    p.save()
+    assert tdb.Profile.load(dir=d)["a"] == "1"
+    tdb.Profile.remove(dir=d)
+
+
+def test_write_label_dataframe_distributed(uri, spark):
+    """Scale-path label WRITE: Spark-side upsert (anti-join + union swap),
+    interoperable with the pandas compat reader/writer."""
+    from tiledb_py_spark.labels import (read_label_data, write_label_data,
+                                        write_label_dataframe)
+
+    dim = tdb.Dim(name="k", domain=(0, 99), tile=100, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim),
+        attrs=[tdb.Attr(name="v", dtype=np.int64)], sparse=True,
+        dim_labels={0: {"temp": dim.create_label_schema("increasing",
+                                                        np.float64)}})
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.arange(100)] = np.arange(100)
+    # seed via compat pandas writer, then upsert via Spark
+    write_label_data(uri, "temp", np.arange(50), np.arange(50) * 1.0)
+    upd = spark.createDataFrame(
+        pd.DataFrame({"__coord": np.arange(40, 100, dtype=np.int64),
+                      "__label": np.arange(40, 100) * 2.0}))
+    write_label_dataframe(uri, "temp", upd)
+    pdf = read_label_data(uri, "temp").sort_values("__coord")
+    assert len(pdf) == 100
+    # coords 0-39 keep the original labels; 40+ take the upsert
+    assert pdf[pdf["__coord"] == 10]["__label"].iloc[0] == 10.0
+    assert pdf[pdf["__coord"] == 45]["__label"].iloc[0] == 90.0
+    # label_index works over the directory-backed table
+    A = tdb.open(uri, spark=spark)
+    res = A.label_index(["temp"])[100.0:104.0]
+    assert sorted(res["k"].tolist()) == [50, 51, 52]
+    df = A.label_index(["temp"]).dataframe(slice(100.0, 104.0))
+    assert sorted(r.k for r in df.collect()) == [50, 51, 52]

@@ -40,6 +40,7 @@ from .manifest import FragmentRecord, Manifest
 from .metadata import Metadata
 from .schema import ArraySchema, Attr, Dim, Domain, Enumeration
 from .current_domain import CurrentDomain, NDRectangle
+from .profile import Profile
 from .schema_evolution import ArraySchemaEvolution
 from .session import get_spark
 from .sources.dataframe_ import (from_csv, from_pandas, from_parquet,

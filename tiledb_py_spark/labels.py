@@ -73,6 +73,41 @@ def write_label_data(uri: str, name: str, coords: np.ndarray,
     os.replace(tmp, f)
 
 
+def write_label_dataframe(uri: str, name: str, df) -> None:
+    """Distributed label upsert (the scale path for large label tables):
+    ``df`` is a Spark DataFrame with columns ``(__coord, __label)``.  The
+    existing table is anti-joined against the new coords (both sides stay
+    distributed; no driver materialization, unlike ``write_label_data``'s
+    read-modify-write), unioned, sorted by coord, and atomically swapped
+    in.  One shuffle of the label table — O(label bytes), not O(driver
+    RAM)."""
+    from pyspark.sql import functions as F
+
+    d = label_path(uri, name)
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, "labels.parquet")
+    new = df.select(F.col("__coord"), F.col("__label"))
+    if os.path.exists(f):
+        spark = df.sparkSession
+        old = spark.read.parquet(f)
+        keep = old.join(new.select("__coord"), on="__coord", how="left_anti")
+        new = keep.unionByName(new)
+    # labels.parquet may be a single file (write_label_data compat path)
+    # or a parquet directory (this path) — pandas and Spark read both.
+    import shutil
+
+    out_dir = f + ".staged"
+    new.sortWithinPartitions("__coord").write.mode("overwrite").parquet(out_dir)
+    for n in os.listdir(out_dir):  # _SUCCESS/.crc markers break pandas readers
+        if not n.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, n))
+    if os.path.isdir(f):
+        shutil.rmtree(f)
+    elif os.path.exists(f):
+        os.remove(f)
+    os.rename(out_dir, f)
+
+
 def read_label_data(uri: str, name: str) -> pd.DataFrame:
     f = os.path.join(label_path(uri, name), "labels.parquet")
     if not os.path.exists(f):
