@@ -378,12 +378,29 @@ class Array:
             out[an] = arrs[an].reshape(shape)
         return out
 
+    # point lists beyond this size become a broadcast semi-join instead of
+    # an isin literal expression (a 10k-literal In node is slow to compile
+    # and defeats codegen; the semi-join is the scale shape)
+    _POINTS_JOIN_THRESHOLD = 1024
+
     def _execute(self, plan: QueryPlan) -> DataFrame:
         from .stats import record
 
         record("py.queries_planned")
         plan.dim_ranges = self._stored_ranges(plan.dim_ranges)
         df = self._scan_df(plan.dim_ranges, keep_frag_ts=(plan.order == "G"))
+        big_points = [dr for dr in plan.dim_ranges
+                      if not dr.intervals
+                      and len(dr.points) > self._POINTS_JOIN_THRESHOLD]
+        if big_points:
+            plan.dim_ranges = [dr for dr in plan.dim_ranges
+                               if dr not in big_points]
+            for dr in big_points:
+                st = self.schema.spark_schema()[dr.name].dataType
+                pts = self.spark.createDataFrame(
+                    [(p,) for p in set(dr.points)],
+                    T.StructType([T.StructField(dr.name, st, False)]))
+                df = df.join(F.broadcast(pts), on=dr.name, how="leftsemi")
         pred = plan.range_predicate()
         if pred is not None:
             df = df.filter(pred)

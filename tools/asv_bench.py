@@ -1,0 +1,104 @@
+"""The reference's four ASV workload shapes, ported to this engine —
+filling the gap BASELINE.md documents (the reference defines these
+workloads but commits no numbers).
+
+Shapes (see ``/root/reference/tiledb/tests/perf/benchmarks/``):
+  - Basic.time_open        — N× reopen of a tiny dense array  (array.py:16-20)
+  - DenseRead.time_read    — full ``A[:]`` of (100,500) and (1000,100000)
+                             float64 dense arrays              (array.py:25-40)
+  - DenseWrite.time_write  — ``from_numpy`` of the same shapes (array.py:43-56)
+  - MultiIndex.time_multiindex_read — random point reads of
+    {10,100,1000,10000} coords from a 3M-cell sparse array  (indexing.py:8-43)
+
+Scaled-down knobs (opens, sparse cells) keep a local run in minutes; the
+shapes and access patterns are unchanged.  Prints ONE JSON line.
+
+Usage: python tools/asv_bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 4)
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="asv_")
+    try:
+        # -- Basic.time_open (reference: 5000 reopens; scaled to 500) --------
+        n_open = 50 if quick else 500
+        p = os.path.join(root, "tiny")
+        tdb.from_numpy(p, np.random.rand(4))
+        with tdb.open(p, spark=spark):
+            pass  # warm manifest cache path
+
+        def opens():
+            for _ in range(n_open):
+                with tdb.open(p, spark=spark):
+                    pass
+
+        results[f"basic_open_x{n_open}"] = timed(opens)
+
+        # -- DenseRead / DenseWrite ------------------------------------------
+        shapes = [(100, 500)] if quick else [(100, 500), (1000, 100000)]
+        for shape in shapes:
+            arr = np.random.rand(*shape)
+            path = os.path.join(root, f"dense_{shape[0]}x{shape[1]}")
+            results[f"dense_write_{shape[0]}x{shape[1]}"] = timed(
+                lambda: tdb.from_numpy(path, arr))
+            A = tdb.open(path, spark=spark)
+            A[:]  # warm
+            results[f"dense_read_{shape[0]}x{shape[1]}"] = timed(
+                lambda: A[:])
+
+        # -- MultiIndex point reads (3M cells scaled to 300k) ----------------
+        dmin, dmax = -10_000_000, 10_000_000
+        ncoords = 30_000 if quick else 300_000
+        suri = os.path.join(root, "sparse_points")
+        dom = tdb.Domain(tdb.Dim(name="d", domain=(dmin, dmax),
+                                 tile=100_000, dtype=np.int64))
+        tdb.Array.create(suri, tdb.ArraySchema(
+            domain=dom, attrs=[tdb.Attr(name="a", dtype=np.float64)],
+            capacity=1000, sparse=True))
+        rng = np.random.default_rng(42)
+        coords = rng.choice(dmax - dmin + 1, size=ncoords, replace=False) + dmin
+        with tdb.open(suri, "w", spark=spark) as A:
+            A[coords] = rng.random(ncoords)
+        A = tdb.open(suri, spark=spark)
+        A.multi_index[coords[:10].tolist()]  # warm
+        for k in (10, 100, 1000, 10_000):
+            sel = rng.choice(coords, size=min(k, ncoords), replace=False)
+            results[f"multi_index_points_{k}"] = timed(
+                lambda: A.multi_index[sel.tolist()])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({"metric": "asv_workloads", "unit": "sec",
+                      "value": round(sum(results.values()), 3),
+                      "queries": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
