@@ -99,3 +99,45 @@ def test_format_lww_after_delete_resurfaces_old(uri, spark):
     assert out.equals(eng)
     # the delete killed the overwrites; originals resurface
     assert out["v"].tolist() == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_rg_stats_pruning_plans_fewer_splits(uri, spark):
+    """Driver-side planning skips whole row groups whose parquet min/max
+    statistics cannot match the pushed predicates (the 100 TB lever: a
+    selective dim filter should cost row groups, not a file scan)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiledb_py_spark import manifest as mf
+    from tiledb_py_spark.sources.spark_datasource import (TileDBReader,
+                                                          _rg_matches)
+
+    pdf = pd.DataFrame({"k": np.arange(100_000, dtype=np.int64),
+                        "v": np.arange(100_000) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    # rewrite the fragment's parquet with small row groups so stats
+    # pruning has something to prune
+    frag = mf.read_manifest(uri).fragments[0]
+    import glob
+    import os
+    [pq_path] = glob.glob(os.path.join(mf.fragment_path(uri, frag.name),
+                                       "**", "*.parquet"), recursive=True)
+    tbl = pq.read_table(pq_path)
+    pq.write_table(tbl.sort_by("k"), pq_path, row_group_size=10_000)
+    md = pq.ParquetFile(pq_path).metadata
+    assert md.num_row_groups == 10
+
+    preds = (("k", ">=", 45_000), ("k", "<", 52_000))
+    live = [i for i in range(md.num_row_groups)
+            if _rg_matches(md.row_group(i), preds)]
+    assert live == [4, 5]  # 8 of 10 row groups pruned at the driver
+
+    r = TileDBReader(uri, None)
+    r._preds = list(preds)
+    splits = r.partitions()
+    assert sum(len(s.row_groups) for s in splits) == 2
+
+    # end-to-end through Spark stays correct
+    df = spark.read.format("tiledb").load(uri)
+    got = df.filter((df.k >= 45_000) & (df.k < 52_000)).count()
+    assert got == 7_000

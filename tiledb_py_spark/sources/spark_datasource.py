@@ -211,16 +211,28 @@ class TileDBReader(DataSourceReader):
         preds = tuple(self._preds)
         dim_names = tuple(d.name for d in schema.domain)
         splits: list[_Split] = []
+        # ~96 MB of compressed row groups per task: big enough to amortize
+        # the Python worker round-trip, small enough to balance a cluster
+        target_bytes = 96 << 20
         for f in frs:
             fdel = frag_deletes(f)
             newer = newer_map.get(f.name, ())
             for p in frag_files(f):
-                n_rg = pq.ParquetFile(p).metadata.num_row_groups
-                # one split per ~4 row groups keeps tasks balanced
-                step = 4
-                for start in range(0, n_rg, step):
-                    rgs = tuple(range(start, min(start + step, n_rg)))
-                    splits.append(_Split(file_path=p, row_groups=rgs,
+                md = pq.ParquetFile(p).metadata
+                live = [i for i in range(md.num_row_groups)
+                        if _rg_matches(md.row_group(i), preds)]
+                group: list = []
+                size = 0
+                for i in live:
+                    group.append(i)
+                    size += md.row_group(i).total_byte_size
+                    if size >= target_bytes:
+                        splits.append(_Split(file_path=p, row_groups=tuple(group),
+                                             predicates=preds, deletes=fdel,
+                                             newer=newer, dim_names=dim_names))
+                        group, size = [], 0
+                if group:
+                    splits.append(_Split(file_path=p, row_groups=tuple(group),
                                          predicates=preds, deletes=fdel,
                                          newer=newer, dim_names=dim_names))
         return splits or [_Split(file_path="", row_groups=(), predicates=(),
@@ -229,11 +241,11 @@ class TileDBReader(DataSourceReader):
     def read(self, split: _Split):
         import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
         if not split.file_path:
             return
-        pf = pq.ParquetFile(split.file_path)
         expr = None
         for col, op, val in split.predicates:
             f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
@@ -241,11 +253,8 @@ class TileDBReader(DataSourceReader):
                  "<=": pc.field(col) <= val,
                  "in": pc.field(col).isin(list(val)) if op == "in" else None}[op]
             expr = f if expr is None else expr & f
-        tbl = pf.read_row_groups(list(split.row_groups))
-        if expr is not None:
-            tbl = tbl.filter(expr)
-        if split.deletes:
-            tbl = _apply_deletes(tbl, split.deletes)
+
+        newer_coords = None
         if split.newer:
             # last-write-wins: drop rows whose coordinates survive in a
             # newer overlapping fragment (equality-delete / merge-on-read
@@ -264,9 +273,33 @@ class TileDBReader(DataSourceReader):
             if newer_parts:
                 newer_coords = pa.concat_tables(newer_parts) \
                     .group_by(dims).aggregate([])
-                tbl = tbl.join(newer_coords, keys=dims, join_type="left anti")
-        for batch in tbl.to_batches():
-            yield batch
+
+        # stream the split's row groups through a dataset fragment so the
+        # filter is evaluated with page/row-group statistics (no whole-
+        # split materialization — bounded memory regardless of split size)
+        import pyarrow.fs as pafs
+
+        if "://" in split.file_path:
+            fs, fs_path = pafs.FileSystem.from_uri(split.file_path)
+        else:
+            fs, fs_path = pafs.LocalFileSystem(), os.path.abspath(split.file_path)
+        frag = ds.ParquetFileFormat().make_fragment(
+            fs_path, filesystem=fs, row_groups=list(split.row_groups))
+        for batch in frag.to_batches(filter=expr):
+            if batch.num_rows == 0:
+                continue
+            if split.deletes or newer_coords is not None:
+                tbl = pa.Table.from_batches([batch])
+                if split.deletes:
+                    tbl = _apply_deletes(tbl, split.deletes)
+                if newer_coords is not None:
+                    tbl = tbl.join(newer_coords, keys=list(split.dim_names),
+                                   join_type="left anti")
+                for b in tbl.to_batches():
+                    if b.num_rows:
+                        yield b
+            else:
+                yield batch
 
 
 def _apply_deletes(tbl, conds):
@@ -378,6 +411,42 @@ def _eval_delete(pdf, cond: str):
         raise NotImplementedError(
             f"delete condition {cond!r} not evaluable in the tiledb format "
             f"reader ({e}); read via tiledb_py_spark.open()") from e
+
+
+def _rg_matches(rg_md, preds: tuple) -> bool:
+    """Row-group min/max statistics vs the pushed conjunctive predicates:
+    False only when a predicate PROVABLY matches no row in the group
+    (missing/partial stats keep the group — pruning is best-effort,
+    correctness comes from the batch-level filter + Spark re-evaluation)."""
+    if not preds:
+        return True
+    stats = {}
+    for j in range(rg_md.num_columns):
+        cc = rg_md.column(j)
+        s = cc.statistics
+        if s is not None and s.has_min_max:
+            stats[cc.path_in_schema] = (s.min, s.max)
+    for col, op, val in preds:
+        mm = stats.get(col)
+        if mm is None:
+            continue
+        lo, hi = mm
+        try:
+            if op == "==" and (val < lo or val > hi):
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+        except TypeError:
+            continue  # incomparable stats (e.g. binary vs str) — keep
+    return True
 
 
 def _box_overlap(a, b) -> bool:
