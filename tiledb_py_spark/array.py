@@ -255,12 +255,16 @@ class Array:
         return self.spark.createDataFrame([], self.schema.spark_schema())
 
     def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None,
-                 keep_frag_ts: bool = False) -> DataFrame:
+                 keep_frag_ts: bool = False,
+                 fragments: Optional[set] = None) -> DataFrame:
         """Fragment-pruned union scan with deletes + duplicate resolution.
         ``keep_frag_ts`` retains the fragment-order column for 'G'
-        (global-order) reads."""
+        (global-order) reads.  ``fragments`` restricts the scan to the
+        named write fragments (partial consolidation)."""
         m = self._manifest
         frs = m.live_fragments(self.timestamp)
+        if fragments is not None:
+            frs = [f for f in frs if f.name in fragments]
         n_live = len(frs)
         dim_ranges = self._stored_ranges(dim_ranges)
         if dim_ranges:
@@ -556,10 +560,11 @@ class Array:
         self.reopen()
 
     # -- maintenance ---------------------------------------------------------
-    def consolidate(self, timestamp=None):
+    def consolidate(self, timestamp=None, fragment_uris=None):
         from .fragment import consolidate as _cons
 
-        return _cons(self.uri, timestamp=timestamp, spark=self.spark)
+        return _cons(self.uri, timestamp=timestamp, spark=self.spark,
+                     fragment_uris=fragment_uris)
 
     def vacuum(self):
         from .fragment import vacuum as _vac

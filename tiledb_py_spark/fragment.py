@@ -96,32 +96,90 @@ def array_fragments(uri: str, include_deletes: bool = False) -> FragmentInfoList
 
 
 class ConsolidationPlan:
-    """Which fragments would consolidate together
-    (reference ``consolidation_plan.py:9``): greedy size-tiered grouping by
-    cell count, adjacent in timestamp order."""
+    """Which fragments would consolidate together (reference
+    ``consolidation_plan.py:9-117``): fragments are divided into *nodes*;
+    each node's members should be rewritten into one fragment.
 
-    def __init__(self, uri: str, max_fragment_cells: int = 50_000_000):
+    Grouping is greedy size-tiered in timestamp order: accumulate adjacent
+    fragments until the node reaches ``fragment_size`` bytes (the reference
+    constructor's "desired fragment size").  Fragment bytes come from the
+    on-disk parquet footprint — a metadata-scale walk, no data read.
+
+    Accepts an open :class:`Array` or a bare URI as ``array`` (the
+    reference requires an open array; the URI form is a convenience).
+    """
+
+    def __init__(self, ctx, array, fragment_size: int = 1 << 30):
+        del ctx  # compat slot (reference passes a Ctx first)
+        uri = getattr(array, "uri", array)
+        if not isinstance(fragment_size, int):
+            raise ValueError("`fragment_size` argument must be of type int")
         m = mf.read_manifest(uri)
-        frags = sorted((f for f in m.fragments if f.kind == "write"),
-                       key=lambda f: f.timestamp_range)
-        self.nodes: list[list[str]] = []
+        frags = sorted((f for f in m.fragments
+                        if f.kind == "write" and f.superseded_by is None),
+                       key=lambda f: (f.timestamp_range, f.name))
+        self._nodes: list[list[str]] = []
         cur: list[str] = []
-        cells = 0
+        size = 0
         for f in frags:
-            if cur and cells + f.cell_num > max_fragment_cells:
-                self.nodes.append(cur)
-                cur, cells = [], 0
-            cur.append(f.name)
-            cells += f.cell_num
+            fbytes = _dir_bytes(mf.fragment_path(uri, f))
+            if cur and size + fbytes > fragment_size:
+                self._nodes.append(cur)
+                cur, size = [], 0
+            cur.append(os.path.join(mf.fragments_dir(uri), f.name))
+            size += fbytes
         if cur:
-            self.nodes.append(cur)
+            self._nodes.append(cur)
 
     @property
     def num_nodes(self) -> int:
-        return len(self.nodes)
+        return len(self._nodes)
+
+    def __len__(self) -> int:
+        return self.num_nodes
+
+    def num_fragments(self, node_idx: int) -> int:
+        return len(self._nodes[node_idx])
+
+    def fragment_uri(self, node_idx: int, fragment_idx: int) -> str:
+        return self._nodes[node_idx][fragment_idx]
+
+    def __getitem__(self, idx: int) -> dict:
+        if idx < 0 or idx >= self.num_nodes:
+            raise IndexError("Index out of bounds")
+        return {"num_fragments": len(self._nodes[idx]),
+                "fragment_uris": list(self._nodes[idx])}
+
+    def __repr__(self) -> str:
+        import pprint
+
+        return pprint.PrettyPrinter().pformat({
+            "num_nodes": self.num_nodes,
+            "fragments": {f"node_{i}": self[i] for i in range(self.num_nodes)},
+        })
+
+    def dump(self) -> str:
+        """JSON string for the plan (reference ``dump()``)."""
+        import json
+
+        return json.dumps(
+            {"nodes": [{"uris": [{"uri": u} for u in node]}
+                       for node in self._nodes]}, indent=2)
 
 
-def consolidate(uri: str, timestamp=None, spark=None) -> str:
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def consolidate(uri: str, timestamp=None, spark=None,
+                fragment_uris=None) -> str:
     """Rewrite the fragments visible at ``timestamp`` into one (reference
     ``array.py:729-792``).
 
@@ -135,18 +193,38 @@ def consolidate(uri: str, timestamp=None, spark=None) -> str:
     The new fragment's timestamp is the max ts_end over everything folded
     in, deletes included: its content incorporates the deletes' effects,
     so its logical time must dominate them (a write-only max would make a
-    post-write/pre-delete open see post-delete data)."""
+    post-write/pre-delete open see post-delete data).
+
+    ``fragment_uris`` (reference ``Array.consolidate(fragment_uris=...)``,
+    typically a :class:`ConsolidationPlan` node) restricts the rewrite to
+    the named write fragments — full paths or bare ``__ts1_ts2_...``
+    names.  Delete fragments then stay live (they still govern the
+    untouched fragments); their effect on the folded subset is
+    materialized, and re-application to the new fragment on read is a
+    no-op.  Like the reference, consolidate timestamp-adjacent fragments
+    (a plan node) — folding around an interleaved unfolded fragment can
+    reorder same-millisecond last-write-wins ties."""
     from .array import Array
     from .sources.fragment_writer import write_fragment_spark
 
     arr = Array.load_typed(uri, timestamp=timestamp, spark=spark)
     m = arr._manifest
-    folded = m.live_fragments(arr.timestamp) + m.delete_fragments_visible(arr.timestamp)
-    if not folded:
-        return uri
+    if fragment_uris is not None:
+        names = {os.path.basename(os.path.normpath(u)) for u in fragment_uris}
+        folded = [f for f in m.live_fragments(arr.timestamp)
+                  if f.name in names]
+        if not folded:
+            return uri
+        df = arr._scan_df(fragments=names)  # deletes applied, dedup within
+        ts_end = max(f.timestamp_range[1] for f in folded)
+    else:
+        folded = (m.live_fragments(arr.timestamp)
+                  + m.delete_fragments_visible(arr.timestamp))
+        if not folded:
+            return uri
+        df = arr._scan_df()  # deletes + dedup folded in
+        ts_end = max(f.timestamp_range[1] for f in folded)
     folded_names = {f.name for f in folded}
-    df = arr._scan_df()  # deletes + dedup folded in
-    ts_end = max(f.timestamp_range[1] for f in folded)
     rec = write_fragment_spark(uri, arr.schema, df, timestamp=ts_end)
 
     def _supersede(man):
