@@ -265,6 +265,128 @@ def q_datasource_read(spark, sf_dir):
               .select("l_orderkey", "l_linenumber", "l_quantity"))
 
 
+_DENSE_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _nation_dense_array(spark, sf_dir) -> str:
+    """nation ingested as a DENSE array over n_nationkey domain (0, 29):
+    keys 0-24 are written, 25-29 stay unwritten (fill = -1)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _DENSE_ARRAY_CACHE:
+        return _DENSE_ARRAY_CACHE[key]
+    import numpy as np
+
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/nation_dense"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "nation")
+               .select("n_nationkey", "n_regionkey")
+               .orderBy("n_nationkey").toPandas())
+        dom = tdb.Domain(tdb.Dim(name="n_nationkey", domain=(0, 29),
+                                 tile=30, dtype=np.int64))
+        schema = tdb.ArraySchema(
+            domain=dom, sparse=False,
+            attrs=[tdb.Attr(name="n_regionkey", dtype=np.int64, fill=-1)])
+        tdb.Array.create(uri, schema)
+        with tdb.open(uri, "w", spark=spark) as A:
+            A[0:len(pdf)] = {"n_regionkey": pdf["n_regionkey"].to_numpy()}
+    _DENSE_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_dense_fill_read(spark, sf_dir):
+    """S2/J3/P11 as a DataFrame: dense read materializes unwritten cells
+    as the attr fill value, and a QueryCondition keeps the shape —
+    non-matching cells become fill instead of being dropped."""
+    import tiledb_py_spark as tdb
+
+    uri = _nation_dense_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    return (A.dataframe(cond="n_regionkey <= 2")
+             .orderBy("n_nationkey"))
+
+
+_LABEL_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _supplier_labeled_array(spark, sf_dir) -> str:
+    """supplier keyed by s_suppkey with a dimension label 's_name'
+    (zero-padded supplier names are monotonic in the key)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _LABEL_ARRAY_CACHE:
+        return _LABEL_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.labels import DimLabelSchema, write_label_data
+
+    uri = f"/tmp/tdbps_arrays/{key}/supplier_labeled"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "supplier")
+               .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+               .toPandas())
+        tdb.from_pandas(uri, pdf[["s_suppkey", "s_nationkey", "s_acctbal"]],
+                        index_dims=["s_suppkey"])
+        import tiledb_py_spark.manifest as mf
+
+        mf.commit(uri, lambda m: m.schema.dim_labels.update(
+            {0: {"s_name": DimLabelSchema("increasing", "U0", 0)}}))
+        write_label_data(uri, "s_name", pdf["s_suppkey"].to_numpy(),
+                         pdf["s_name"].to_numpy())
+    _LABEL_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_label_read(spark, sf_dir):
+    """S8/J1: label-range read through the distributed LabelIndexer —
+    label range -> dim interval in Spark, label column attached via
+    broadcast join."""
+    import tiledb_py_spark as tdb
+
+    uri = _supplier_labeled_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    df = A.label_index(["s_name"]).dataframe(
+        slice("Supplier#000000010", "Supplier#000000050"))
+    return (df.select("s_suppkey", "s_name", "s_nationkey",
+                      F.round("s_acctbal", 2).alias("s_acctbal"))
+              .orderBy("s_suppkey"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py): same answer
+    as a plain groupBy, but no reducer ever sees a whole hot key."""
+    from tiledb_py_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"],
+                     {"sum_qty": ("l_quantity", "sum"),
+                      "n_rows": ("l_quantity", "count"),
+                      "max_price": ("l_extendedprice", "max")})
+    return (out.select("l_returnflag",
+                       F.round("sum_qty", 2).alias("sum_qty"),
+                       "n_rows", "max_price")
+               .orderBy("l_returnflag"))
+
+
+def q_asof_forward(spark, sf_dir):
+    """Keyless FORWARD as-of join on the bucket-decomposed scale path:
+    each purchase matched to the next error event at-or-after it,
+    globally (no keys) — the single-task global window is replaced by
+    per-bucket windows + a broadcast carry table."""
+    from tiledb_py_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("event_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+               .select("ts"))
+    out = asof_join(purchases, errors, on="ts", right_cols=[],
+                    direction="forward", num_buckets=32)
+    return (out.select("event_id", F.col("ts_right").alias("next_err_ts"))
+               .orderBy("event_id"))
+
+
 def q_enum_qc(spark, sf_dir):
     """P10: QueryCondition on an ENUMERATED attr — labels in the condition
     are translated to dictionary codes, decoded on materialization."""
@@ -714,6 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_time_slice": q_array_time_slice,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
+        "dense_fill_read": q_dense_fill_read,
+        "label_read": q_label_read,
+        "salted_agg": q_salted_agg,
+        "asof_forward": q_asof_forward,
         "enum_qc": q_enum_qc,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
@@ -819,6 +945,40 @@ def oracle_sql() -> dict[str, str]:
                          + CASE WHEN p_partkey < 100 THEN 1000.0 ELSE 0 END,
                          2) AS price
             FROM part ORDER BY p_partkey
+        """,
+        "dense_fill_read": """
+            SELECT g.n_nationkey,
+                   coalesce(CASE WHEN n.n_regionkey <= 2
+                                 THEN n.n_regionkey END, -1) AS n_regionkey
+            FROM generate_series(0, 29) g(n_nationkey)
+            LEFT JOIN nation n ON n.n_nationkey = g.n_nationkey
+            ORDER BY g.n_nationkey
+        """,
+        "label_read": """
+            SELECT s_suppkey, s_name, s_nationkey,
+                   round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            WHERE s_name >= 'Supplier#000000010'
+              AND s_name <= 'Supplier#000000050'
+            ORDER BY s_suppkey
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_quantity) AS n_rows,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "asof_forward": """
+            SELECT p.event_id, er.ts AS next_err_ts
+            FROM (SELECT event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT ts FROM events
+                            WHERE event_type = 'error') er
+              ON p.ts <= er.ts
+            ORDER BY p.event_id
         """,
         "enum_qc": """
             SELECT o_orderkey, o_orderpriority, o_totalprice

@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "events_tumbling",
     "events_sessions",
     "asof_join",
+    "asof_forward",
+    # skew-safe aggregation
+    "salted_agg",
     # LLM-pipeline operators
     "exact_dedup",
     "minhash_dedup",

@@ -59,3 +59,43 @@ def test_whole_stage_codegen(arr, spark):
     df = A.dataframe(cond="a > 100.0 and b < 900.0")
     s = _plan(df)
     assert "codegen id" in s  # filter runs in whole-stage generated code
+
+
+def test_dense_fill_join_broadcasts_small_cells(uri, spark):
+    """The dense fill join (generated grid ⟕ written cells) must not
+    single-task: the grid is a distributed spark.range, and the written
+    cells side joins without an exchange of the grid when broadcastable."""
+    dom = tdb.Domain(tdb.Dim(name="k", domain=(0, 999), tile=1000,
+                             dtype=np.int64))
+    schema = tdb.ArraySchema(domain=dom, sparse=False,
+                             attrs=[tdb.Attr(name="v", dtype=np.float64,
+                                             fill=-1.0)])
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[0:500] = {"v": np.arange(500) * 1.0}
+    with tdb.open(uri, spark=spark) as A:
+        df = A.dataframe()
+        s = _plan(df)
+        assert "Range (0, 1000" in s  # distributed grid generator
+        assert df.count() == 1000
+        # fill materialized for the unwritten half
+        assert df.filter(F.col("v") == -1.0).count() == 500
+
+
+def test_keyless_asof_avoids_global_window(spark):
+    """Keyless as-of joins must not degrade to one global single-task
+    window: the bucket decomposition partitions the window by time
+    bucket."""
+    from tiledb_py_spark.operators.asof import asof_join
+
+    left = spark.range(0, 10_000).select(F.col("id").alias("t"))
+    right = spark.range(0, 100).select((F.col("id") * 100).alias("t"),
+                                       (F.col("id") * 2).alias("rv"))
+    out = asof_join(left, right, on="t", num_buckets=8)
+    s = _plan(out)
+    # window partition spec carries the bucket column, not a constant
+    assert "__asof_bkt" in s
+    # and the answer equals the naive single-bucket result
+    naive = asof_join(left, right, on="t", num_buckets=1)
+    assert (out.orderBy("t").toPandas()["rv_right"].tolist()
+            == naive.orderBy("t").toPandas()["rv_right"].tolist())

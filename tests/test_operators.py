@@ -296,3 +296,56 @@ def test_multimodal_video_frames_and_audio(spark):
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
     stats = audio_stats(df).collect()
     assert len(stats) == 1 and stats[0].rms is not None
+
+
+def test_asof_join_forward_direction(spark):
+    from tiledb_py_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [(1, 12, "r1"), (1, 20, "r2"), (2, 1, "r3")], ["k", "t", "rv"])
+    out = {r.lv: (r.rv_right, r.t_right)
+           for r in asof_join(left, right, on="t", by=["k"],
+                              direction="forward").collect()}
+    assert out["a"] == ("r1", 12)    # earliest right at/after 10
+    assert out["b"] == ("r2", 20)    # equal time matches
+    assert out["c"] == (None, None)  # nothing at/after 15 for k=2
+    # strict excludes the equal-time match
+    out = {r.lv: r.rv_right
+           for r in asof_join(left, right, on="t", by=["k"],
+                              direction="forward", strict=True).collect()}
+    assert out["b"] is None
+    # forward tolerance: gap right.t - left.t must be <= tol
+    out = {r.lv: r.rv_right
+           for r in asof_join(left, right, on="t", by=["k"],
+                              direction="forward", tolerance=1).collect()}
+    assert out["a"] is None and out["b"] == "r2"
+
+
+def test_asof_join_keyless_bucketed_matches_pandas(spark):
+    """No `by` keys: the bucket-decomposed parallel path must equal the
+    global-window answer (checked via pandas merge_asof), both directions,
+    across bucket boundaries."""
+    from tiledb_py_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    lt = pd.DataFrame({"t": np.sort(rng.choice(100_000, 500, replace=False))})
+    rt = pd.DataFrame({"t": np.sort(rng.choice(100_000, 80, replace=False))})
+    rt["rv"] = rt["t"] * 3
+    for direction in ("backward", "forward"):
+        got = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                        on="t", direction=direction, num_buckets=16) \
+            .orderBy("t").toPandas()
+        want = pd.merge_asof(lt, rt.rename(columns={"rv": "rv_right",
+                                                    "t": "t_kept"}),
+                             left_on="t", right_on="t_kept",
+                             direction=direction)
+        norm = lambda s: [None if pd.isna(v) else float(v) for v in s]
+        assert norm(got["rv_right"]) == norm(want["rv_right"]), direction
+    # plan shape: the stitched path windows per bucket, never a single
+    # global partition
+    plan = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                     on="t", num_buckets=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "__asof_bkt" in plan

@@ -696,11 +696,12 @@ class DenseArray(Array):
         grid = reduce(lambda a, b: a.crossJoin(b), dfs)
         return grid, shape
 
-    def subarray(self, selection, attrs=None, cond=None, order="C"):
-        ranges, drop_axes, steps = self.subarray_to_ranges(selection)
-        attr_names = list(attrs) if attrs is not None else (
-            [self.view_attr] if self.view_attr else self.schema.attr_names)
-
+    def _dense_frame(self, ranges: list, attr_names: list,
+                     cond=None) -> tuple[DataFrame, list[int]]:
+        """The dense fill join as a DataFrame (J3): generated domain grid
+        ⟕ written cells, ``coalesce(attr, fill)``, and QC fill semantics
+        (P11: with a condition the shape is kept and non-matching cells
+        become fill, reference ``query_condition.py:35-40``)."""
         cells = self._scan_df(ranges)
         pred = QueryPlan(dim_ranges=ranges).range_predicate()
         if pred is not None:
@@ -722,7 +723,36 @@ class DenseArray(Array):
             if not a.nullable and fill is not None:
                 c = F.coalesce(c, F.lit(fill))
             proj.append(c.alias(an))
-        out = joined.select(*proj).orderBy(*dims)
+        return joined.select(*proj), shape
+
+    def dataframe(self, attrs=None, dims=None, cond=None,
+                  timestamp=None, selection=slice(None)) -> DataFrame:
+        """Spark-native DENSE read: every cell of the requested subarray
+        (default: the whole clamped domain) with unwritten cells
+        materialized as fill values — the DataFrame twin of ``A[...]``."""
+        if timestamp is not None:
+            saved, self.timestamp = self.timestamp, timestamp
+            try:
+                return self.dataframe(attrs=attrs, dims=dims, cond=cond,
+                                      selection=selection)
+            finally:
+                self.timestamp = saved
+        ranges, _drop, _steps = self.subarray_to_ranges(selection)
+        attr_names = list(attrs) if attrs is not None else (
+            [self.view_attr] if self.view_attr else self.schema.attr_names)
+        df, _shape = self._dense_frame(ranges, attr_names, cond)
+        if dims is not None:
+            keep = list(dims) + attr_names
+            df = df.select(*keep)
+        return df
+
+    def subarray(self, selection, attrs=None, cond=None, order="C"):
+        ranges, drop_axes, steps = self.subarray_to_ranges(selection)
+        attr_names = list(attrs) if attrs is not None else (
+            [self.view_attr] if self.view_attr else self.schema.attr_names)
+        out, shape = self._dense_frame(ranges, attr_names, cond)
+        dims = self.schema.dim_names
+        out = out.orderBy(*dims)
         pdf = out.toPandas()
         arrs = pdf_to_numpy_dict(pdf, self.schema, dims + attr_names)
 

@@ -1,18 +1,28 @@
 """As-of (time-travel) join — a custom operator Spark's built-ins lack.
 
 ``asof_join(left, right, ...)`` matches each left row to the most recent
-right row with ``right.time <= left.time`` within the same key group
-(optionally within a tolerance) — the standard point-in-time join for
-feature lookup and event attribution.
+right row with ``right.time <= left.time`` (``direction='backward'``, the
+default) or the earliest with ``right.time >= left.time``
+(``direction='forward'``) within the same key group, optionally within a
+tolerance — the standard point-in-time join for feature lookup and event
+attribution (pandas ``merge_asof`` semantics).
 
 Spark-first implementation: a UNION + single window pass, not a range
 join or per-row UDF.  Both sides are tagged and unioned, then one
 ``last(..., ignorenulls=True)`` window ordered by (time, tag) carries the
-latest right-side values forward onto left rows.  Cost: ONE shuffle of
+latest right-side values onto left rows.  Cost: ONE shuffle of
 (keys, time) — the same partitioning both inputs would need anyway — and
 no quadratic range expansion, so it scales to arbitrarily dense right
 sides (a range join explodes when many right rows fall in each left
-window; this stays linear)."""
+window; this stays linear).
+
+With no ``by`` keys a naive global window is a single task.  Instead the
+union is decomposed into ``num_buckets`` time-range buckets: the window
+runs per bucket (parallel), and each bucket's carry-in — the latest
+right-side values from earlier buckets — is a ``num_buckets``-row
+aggregate, forward-filled at the driver and broadcast back.  Two small
+extra jobs, full parallelism, same answer.
+"""
 
 from __future__ import annotations
 
@@ -22,24 +32,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_src"
+_BKT = "__asof_bkt"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               by: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
               tolerance=None, suffix: str = "_right",
-              strict: bool = False) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[on] <= left[on]`` (``<`` when ``strict``) per ``by`` group.
+              strict: bool = False, direction: str = "backward",
+              num_buckets: int = 64) -> DataFrame:
+    """For each left row, attach the adjacent right row per ``by`` group:
+    the latest with ``right[on] <= left[on]`` (backward) or the earliest
+    with ``right[on] >= left[on]`` (forward); ``strict`` excludes equal
+    times.
 
     - ``on``: ordering column (timestamp or numeric), same name both sides.
-    - ``by``: equi-join keys (optional).
+    - ``by``: equi-join keys (optional; without them the join is
+      decomposed into ``num_buckets`` time buckets for parallelism).
     - ``right_cols``: right columns to carry (default: all but on/by).
-    - ``tolerance``: max allowed ``left[on] - right[on]`` (e.g.
-      ``F.expr("INTERVAL 1 HOUR")`` or a number); matches older than this
-      come back null.
+    - ``tolerance``: max allowed gap ``|left[on] - right[on]|`` (e.g.
+      ``F.expr("INTERVAL 1 HOUR")`` or a number); matches further than
+      this come back null.
     - unmatched left rows keep nulls (left-outer semantics, like pandas
       ``merge_asof``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
     by = list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
@@ -63,19 +81,100 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     rhs = rhs.select(*lhs.columns)
 
     u = lhs.unionByName(rhs)
-    # right rows sort before left rows at equal time unless strict, in
-    # which case they sort after (so an equal-time right row is excluded)
+    fill_cols = [*carried, f"{on}{suffix}"]
+
+    # window order: time ascending (backward) / descending (forward), with
+    # right rows sorting before left rows at equal time unless strict (an
+    # equal-time right row then sorts after, excluding itself)
+    on_order = F.col(on).asc() if backward else F.col(on).desc()
     tag_order = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
-    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))) \
-        .orderBy(F.col(on).asc(), tag_order) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    filled = u
-    for cc in [*carried, f"{on}{suffix}"]:
-        filled = filled.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-    out = filled.filter(F.col(_TAG) == 1).drop(_TAG)
+
+    if by:
+        w = Window.partitionBy(*by).orderBy(on_order, tag_order) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = u
+        for cc in fill_cols:
+            out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    else:
+        out = _bucketed_fill(u, on, fill_cols, backward, tag_order,
+                             num_buckets)
+
+    out = out.filter(F.col(_TAG) == 1).drop(_TAG)
     if tolerance is not None:
-        lag_ok = (F.col(on) - F.col(f"{on}{suffix}")) <= tolerance
+        gap = (F.col(on) - F.col(f"{on}{suffix}")) if backward \
+            else (F.col(f"{on}{suffix}") - F.col(on))
+        ok = gap <= tolerance
         for cc in carried:
-            out = out.withColumn(cc, F.when(lag_ok, F.col(cc)))
-        out = out.withColumn(f"{on}{suffix}", F.when(lag_ok, F.col(f"{on}{suffix}")))
+            out = out.withColumn(cc, F.when(ok, F.col(cc)))
+        out = out.withColumn(f"{on}{suffix}", F.when(ok, F.col(f"{on}{suffix}")))
     return out
+
+
+def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
+                   tag_order, num_buckets: int) -> DataFrame:
+    """Keyless as-of carry without a global single-task window: range-
+    bucket by time, window per bucket, and stitch buckets with a tiny
+    carry-in table (latest right values from earlier buckets, per
+    traversal order), forward-filled at the driver and broadcast."""
+    spark = u.sparkSession
+    # monotonic numeric view of the time column (timestamps -> epoch
+    # micros); used only to assign buckets, never returned
+    if dict(u.dtypes)[on].startswith("timestamp"):
+        d = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+    else:
+        d = F.col(on).cast("double")
+    lo, hi = u.agg(F.min(d), F.max(d)).first()
+    if lo is None or lo == hi or num_buckets <= 1:
+        w = Window.partitionBy(F.lit(1)) \
+            .orderBy(F.col(on).asc() if backward else F.col(on).desc(),
+                     tag_order) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = u
+        for cc in fill_cols:
+            out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+        return out
+
+    b = F.least(F.lit(num_buckets - 1),
+                F.greatest(F.lit(0),
+                           ((d - F.lit(lo)) / F.lit((hi - lo) / num_buckets))
+                           .cast("int")))
+    u = u.withColumn(_BKT, b)
+
+    # per-bucket last non-null value per carried column among RIGHT rows
+    # (the window below is per-column last-non-null; the boundary carry
+    # must match that semantic)
+    order_key = "max_by" if backward else "min_by"
+    aggs = [F.expr(f"{order_key}(`{cc}`, `{on}`) FILTER (WHERE `{cc}` IS NOT NULL)")
+            .alias(cc) for cc in fill_cols]
+    bnd = (u.filter(F.col(_TAG) == 0).groupBy(_BKT).agg(*aggs)
+           .collect())
+
+    # driver-side: traverse buckets in window order, forward-fill, shift
+    # by one so bucket b gets the fill from buckets strictly before it
+    by_bkt = {r[_BKT]: r for r in bnd}
+    order = range(num_buckets) if backward else range(num_buckets - 1, -1, -1)
+    carry_rows = []
+    run: dict = {cc: None for cc in fill_cols}
+    for bkt in order:
+        carry_rows.append((bkt, *[run[cc] for cc in fill_cols]))
+        r = by_bkt.get(bkt)
+        if r is not None:
+            for cc in fill_cols:
+                if r[cc] is not None:
+                    run[cc] = r[cc]
+    carry_schema = u.select(
+        F.col(_BKT).alias(_BKT),
+        *[F.col(cc).alias(f"{cc}__carry") for cc in fill_cols]).schema
+    carry = spark.createDataFrame(carry_rows, carry_schema)
+
+    w = Window.partitionBy(_BKT) \
+        .orderBy(F.col(on).asc() if backward else F.col(on).desc(), tag_order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = u
+    for cc in fill_cols:
+        out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    out = out.join(F.broadcast(carry), on=_BKT, how="left")
+    for cc in fill_cols:
+        out = out.withColumn(cc, F.coalesce(F.col(cc), F.col(f"{cc}__carry"))) \
+                 .drop(f"{cc}__carry")
+    return out.drop(_BKT)
