@@ -1,0 +1,111 @@
+"""Reference-API parity shims: Object, save, as_built, version,
+EmptyRange, DimLabel, WebpFilter, copy_fragments_to_existing_array,
+Impl aliases (reference __init__.py exports)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tiledb_py_spark as tdb
+
+
+def test_exports_cover_reference_names():
+    for name in ["CompressionFilter", "WebpFilter", "DenseArrayImpl",
+                 "SparseArrayImpl", "DimLabel", "EmptyRange", "Object",
+                 "save", "as_built", "version",
+                 "copy_fragments_to_existing_array"]:
+        assert hasattr(tdb, name), name
+
+
+def test_save_and_version_and_as_built(uri, spark):
+    tdb.save(uri, np.arange(10) * 2.0)
+    with tdb.open(uri, spark=spark) as A:
+        assert A[:].tolist() == (np.arange(10) * 2.0).tolist()
+    assert tdb.version() >= (0, 1, 0)
+    built = tdb.as_built()
+    assert "spark" in built["backends"]
+    assert isinstance(tdb.as_built(return_json_string=True), str)
+
+
+def test_object_handle():
+    o = tdb.Object("array", "/tmp/x", name="x")
+    assert o.uri == "/tmp/x" and o.name == "x" and o.type is tdb.Array
+    assert tdb.Object("group", "/tmp/g").type is tdb.Group
+    with pytest.raises(KeyError):
+        tdb.Object("invalid", "/tmp/y").type
+
+
+def test_empty_range_reads(uri, spark):
+    pdf = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                        "v": np.arange(50) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    with tdb.open(uri, spark=spark) as A:
+        r = A.multi_index[tdb.EmptyRange]
+        assert r["v"].shape == (0,) and r["k"].shape == (0,)
+        df = A.df[tdb.EmptyRange]
+        assert len(df) == 0 and "v" in df.columns
+    assert tdb.is_empty_range(tdb.EmptyRange)
+    assert tdb.is_empty_range([])
+    assert not tdb.is_empty_range("")
+    assert not tdb.is_empty_range(slice(None))
+
+
+def test_dim_label_accessor(uri, spark):
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim), sparse=True,
+        attrs=[tdb.Attr(name="v", dtype=np.float64)],
+        dim_labels={0: {"temp": tdb.DimLabelSchema("increasing",
+                                                   np.float64, 0)}})
+    assert schema.has_dim_label("temp")
+    lbl = schema.dim_label("temp")
+    assert lbl.dim_index == 0
+    assert lbl.dtype == np.float64
+    assert not lbl.isvar and not lbl.isascii
+    assert lbl.order == "increasing"
+    assert "DimLabel(name=temp" in repr(lbl)
+    with pytest.raises(KeyError):
+        schema.dim_label("nope")
+
+
+def test_webp_filter_roundtrip(uri, spark):
+    f = tdb.WebpFilter(input_format=tdb.WebpFilter.WEBP_RGB,
+                       quality=80.0, lossless=False)
+    fl = tdb.FilterList([f])
+    pdf = pd.DataFrame({"k": np.arange(4, dtype=np.int64),
+                        "img": [b"\x00" * 8] * 4})
+    tdb.from_pandas(uri, pdf, index_dims=["k"],
+                    attr_filters={"img": fl})
+    with tdb.open(uri, spark=spark) as A:
+        got = A.schema.attr("img").filters
+        assert any(isinstance(x, tdb.WebpFilter) for x in got)
+        [wf] = [x for x in got if isinstance(x, tdb.WebpFilter)]
+        assert wf.options["quality"] == 80.0
+
+
+def test_copy_fragments_to_existing_array(tmp_path, spark):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for i in range(3):
+        pdf = pd.DataFrame({"k": np.arange(i * 10, (i + 1) * 10,
+                                           dtype=np.int64),
+                            "v": np.full(10, float(i))})
+        tdb.from_pandas(src, pdf, index_dims=["k"], full_domain=True,
+                        mode="ingest" if i == 0 else "append")
+    frags = tdb.array_fragments(src)
+    ts1 = frags[1].timestamp_range
+    # destination: same schema (full_domain => identical dim domains),
+    # one fragment of its own
+    tdb.from_pandas(dst, pd.DataFrame({"k": np.arange(100, 110, dtype=np.int64),
+                                       "v": np.zeros(10)}), index_dims=["k"],
+                    full_domain=True)
+    with pytest.raises(FileNotFoundError):
+        tdb.copy_fragments_to_existing_array(src, str(tmp_path / "nope"),
+                                             ts1)
+    dry = tdb.copy_fragments_to_existing_array(src, dst, ts1, dry_run=True)
+    assert len(dry) == 1
+    assert len(tdb.array_fragments(dst)) == 1  # dry run copies nothing
+    copied = tdb.copy_fragments_to_existing_array(src, dst, ts1)
+    assert copied == dry
+    with tdb.open(dst, spark=spark) as A:
+        out = A.dataframe().orderBy("k").toPandas()
+    assert out["k"].tolist() == list(range(10, 20)) + list(range(100, 110))

@@ -18,24 +18,27 @@ from .aggregation import nan_safe_equal
 from .ctx import Config, Ctx, default_ctx, scope_ctx
 from .filter_ import (BitShuffleFilter, BitWidthReductionFilter, Bzip2Filter,
                       ByteShuffleFilter, ChecksumMD5Filter,
-                      ChecksumSHA256Filter, DeltaFilter, DictionaryFilter,
-                      DoubleDeltaFilter, Filter, FilterList, FloatScaleFilter,
-                      GzipFilter, LZ4Filter, NoOpFilter, PositiveDeltaFilter,
-                      RleFilter, XORFilter, ZstdFilter)
+                      ChecksumSHA256Filter, CompressionFilter, DeltaFilter,
+                      DictionaryFilter, DoubleDeltaFilter, Filter, FilterList,
+                      FloatScaleFilter, GzipFilter, LZ4Filter, NoOpFilter,
+                      PositiveDeltaFilter, RleFilter, WebpFilter, XORFilter,
+                      ZstdFilter)
 from .array import (Aggregation, Array, DataFrameIndexer, DenseArray,
                     DomainIndexer, IncompleteIterator, MultiRangeIndexer,
                     Query, SparseArray)
 from .filestore import Filestore
 from .vfs import VFS, FileIO
 from .fragment import (ConsolidationPlan, FragmentInfo, FragmentInfoList,
-                       array_fragments, create_array_from_fragments,
-                       delete_fragments)
+                       array_fragments, copy_fragments_to_existing_array,
+                       create_array_from_fragments, delete_fragments)
 from .functions.query_condition import QueryCondition, TileDBError
 from .group import Group
-from .highlevel import (array_exists, consolidate, delete_array, empty_like,
-                        from_numpy, ls, move, object_type, open, remove,
-                        schema_like, vacuum, walk)
-from .labels import DimLabelSchema, LabelIndexer
+from .highlevel import (Object, array_exists, as_built, consolidate,
+                        delete_array, empty_like, from_numpy, ls, move,
+                        object_type, open, remove, save, schema_like, vacuum,
+                        walk)
+from .indexing import EmptyRange, is_empty_range
+from .labels import DimLabel, DimLabelSchema, LabelIndexer
 from .manifest import FragmentRecord, Manifest
 from .metadata import Metadata
 from .schema import ArraySchema, Attr, Dim, Domain, Enumeration
@@ -50,6 +53,16 @@ from .stats import (stats_disable, stats_dump, stats_enable, stats_enabled,
 from .subarray import Subarray
 
 __version__ = "0.1.0"
+
+#: legacy impl aliases (reference exports DenseArrayImpl/SparseArrayImpl)
+DenseArrayImpl = DenseArray
+SparseArrayImpl = SparseArray
+
+
+def version() -> tuple:
+    """Engine version as a tuple (reference ``tiledb.version()`` returns
+    the core library version triple)."""
+    return tuple(int(p) for p in __version__.split("."))
 
 __all__ = [
     "Array", "ArraySchema", "ArraySchemaEvolution", "Attr", "Aggregation",
@@ -66,9 +79,14 @@ __all__ = [
     "Query", "QueryCondition", "SparseArray", "Subarray", "TileDBError", "VFS",
     "stats_disable", "stats_dump", "stats_enable", "stats_enabled",
     "stats_reset",
-    "array_exists", "array_fragments", "consolidate",
+    "CompressionFilter", "WebpFilter", "DenseArrayImpl", "SparseArrayImpl",
+    "DimLabel", "EmptyRange", "Object", "Profile", "CurrentDomain",
+    "NDRectangle",
+    "array_exists", "array_fragments", "as_built", "consolidate",
+    "copy_fragments_to_existing_array",
     "create_array_from_fragments", "delete_array", "delete_fragments",
     "empty_like", "from_csv", "from_numpy", "from_pandas", "from_parquet",
-    "from_spark", "get_spark", "ls", "move", "nan_safe_equal", "object_type",
-    "open", "open_dataframe", "remove", "schema_like", "vacuum", "walk",
+    "from_spark", "get_spark", "is_empty_range", "ls", "move",
+    "nan_safe_equal", "object_type", "open", "open_dataframe", "remove",
+    "save", "schema_like", "vacuum", "version", "walk",
 ]

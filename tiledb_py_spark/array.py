@@ -254,6 +254,13 @@ class Array:
     def _empty_df(self) -> DataFrame:
         return self.spark.createDataFrame([], self.schema.spark_schema())
 
+    def _empty_projected(self, plan: QueryPlan) -> DataFrame:
+        """Zero-row result with the plan's projection (EmptyRange reads)."""
+        dims = list(plan.dims) if plan.dims is not None else self.schema.dim_names
+        attrs = list(plan.attrs) if plan.attrs is not None else (
+            [self.view_attr] if self.view_attr else self.schema.attr_names)
+        return self._empty_df().select(*dims, *attrs)
+
     def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None,
                  keep_frag_ts: bool = False,
                  fragments: Optional[set] = None) -> DataFrame:
@@ -1030,7 +1037,15 @@ class MultiRangeIndexer:
         self.query = query
 
     def __getitem__(self, selection):
+        from .indexing import is_empty_range
+
         arr = self.array
+        if is_empty_range(selection):
+            df = arr._empty_projected(self.query._plan([]))
+            if self.query.return_arrow:
+                return _to_arrow(df)
+            pdf = df.toPandas()
+            return pdf_to_numpy_dict(pdf, arr.schema, list(df.columns))
         ranges = getitem_ranges_multi_index(
             arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
             current_domain=arr.schema.current_domain_box())
@@ -1068,7 +1083,15 @@ class DataFrameIndexer:
         self.query = query
 
     def __getitem__(self, selection):
+        from .indexing import is_empty_range
+
         arr = self.array
+        if is_empty_range(selection):
+            plan = self.query._plan([])
+            if plan.dims is not None and len(plan.dims) == 0:
+                plan.dims = arr.schema.dim_names
+            return self._restore_pandas_meta(
+                arr._empty_projected(plan).toPandas())
         ranges = getitem_ranges_multi_index(
             arr.schema.domain, selection, nonempty=arr.nonempty_domain(),
             current_domain=arr.schema.current_domain_box())

@@ -135,11 +135,27 @@ class XORFilter(Filter):
     pass
 
 
+class WebpFilter(Filter):
+    """WebP image codec declaration (reference ``filter.py:690-780``):
+    quality/input_format/lossless knobs for uint8 image attributes.  No
+    parquet analog — annotation only; image bytes stay raw binary and the
+    multimodal operators handle decode (SURVEY §2.9 / multimodal.py)."""
+
+    #: input colorspace formats (reference WebpFilter.WebpInputFormat)
+    WEBP_NONE, WEBP_RGB, WEBP_BGR, WEBP_RGBA, WEBP_BGRA = range(5)
+
+    def __init__(self, input_format: int = 0, quality: float = 100.0,
+                 lossless: bool = False, **kw):
+        super().__init__(input_format=input_format, quality=quality,
+                         lossless=lossless, **kw)
+
+
 _BY_NAME = {c.__name__: c for c in [
     NoOpFilter, GzipFilter, ZstdFilter, LZ4Filter, Bzip2Filter, RleFilter,
     DeltaFilter, DoubleDeltaFilter, DictionaryFilter, BitShuffleFilter,
     ByteShuffleFilter, BitWidthReductionFilter, PositiveDeltaFilter,
     ChecksumMD5Filter, ChecksumSHA256Filter, FloatScaleFilter, XORFilter,
+    WebpFilter,
 ]}
 
 

@@ -275,6 +275,41 @@ def delete_fragments(uri: str, ts_start: int, ts_end: int) -> int:
     return len(dropped)
 
 
+def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
+                                     timestamp_range, verbose: bool = False,
+                                     dry_run: bool = False) -> list:
+    """Copy fragments in ``timestamp_range`` (inclusive) from one EXISTING
+    array to another with an identical schema (reference
+    ``fragment.py:387-510``).  Returns the copied fragment names."""
+    if not mf.array_exists(dst_uri):
+        raise FileNotFoundError(f"Array URI `{dst_uri}` does not exist")
+    if not (isinstance(timestamp_range, tuple) and len(timestamp_range) == 2):
+        raise TypeError(
+            "'timestamp_range' argument expects tuple(start: int, end: int)")
+    src = mf.read_manifest(src_uri)
+    dst = mf.read_manifest(dst_uri)
+    if src.schema.to_json() != dst.schema.to_json():
+        raise ValueError(
+            "source and destination array schemas must be identical")
+    lo, hi = timestamp_range
+    existing = {f.name for f in dst.fragments}
+    picked = [f for f in src.fragments
+              if f.kind == "write" and f.superseded_by is None
+              and lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi
+              and f.name not in existing]
+    if verbose or dry_run:
+        for f in picked:
+            print(f"copy {mf.fragment_path(src_uri, f)} -> "
+                  f"{mf.fragment_path(dst_uri, f)}")
+    if dry_run:
+        return [f.name for f in picked]
+    for f in picked:
+        shutil.copytree(mf.fragment_path(src_uri, f),
+                        mf.fragment_path(dst_uri, f))
+    mf.commit(dst_uri, lambda man: man.fragments.extend(picked))
+    return [f.name for f in picked]
+
+
 def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> str:
     """Copy fragments in a timestamp range to a new array
     (reference ``fragment.py:273-510``)."""

@@ -8,6 +8,7 @@ with a JSON member registry (catalog-namespace analog).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -167,6 +168,11 @@ class Group:
                         out[k] = v
         return out
 
+    #: process-wide monotonic sequence: same-millisecond deltas must still
+    #: replay in write order (filenames sort by (ts, seq); the uuid only
+    #: disambiguates across processes)
+    _meta_seq = itertools.count()
+
     def _append_meta_delta(self, delta: dict) -> None:
         if self.mode != "w":
             raise PermissionError("group not opened in write mode")
@@ -175,7 +181,8 @@ class Group:
 
         d = self._meta_dir()
         os.makedirs(d, exist_ok=True)
-        name = f"meta_{int(time.time() * 1000):013d}_{uuid.uuid4().hex[:8]}.json"
+        name = (f"meta_{int(time.time() * 1000):013d}_"
+                f"{next(self._meta_seq):06d}_{uuid.uuid4().hex[:8]}.json")
         tmp = os.path.join(d, name + ".tmp")
         with open(tmp, "w") as f:
             json.dump(delta, f)

@@ -100,6 +100,64 @@ def object_type(uri: str) -> Optional[str]:
     return None
 
 
+class Object:
+    """A TileDB object handle: Array, Group, or invalid (reference
+    ``tiledb/object.py:7-42``)."""
+
+    def __init__(self, type, uri: str, name: Optional[str] = None):
+        self._type = type
+        self._uri = uri
+        self._name = name
+
+    @property
+    def uri(self) -> str:
+        return self._uri
+
+    @property
+    def type(self):
+        from .array import Array
+        from .group import Group
+
+        if self._type in ("array", Array) or (isinstance(self._type, type)
+                                              and issubclass(self._type, Array)):
+            return Array
+        if self._type in ("group", Group):
+            return Group
+        raise KeyError(f"Unknown object type: {self._type}")
+
+    @property
+    def name(self) -> Optional[str]:
+        return self._name
+
+    def __repr__(self):
+        return f"Object(type={self._type}, uri={self._uri!r}, name={self._name!r})"
+
+
+def save(uri: str, array, **kwargs):
+    """Save an array-like object at ``uri`` (reference
+    ``highlevel.py:37-48``; alias of :func:`from_numpy`)."""
+    return from_numpy(uri, array, **kwargs)
+
+
+def as_built(return_json_string: bool = False):
+    """Build configuration dump (reference ``highlevel.py:397-409``):
+    what this engine is built on, in the same nested-dict shape."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyspark
+
+    info = {"backends": {
+        "spark": {"version": pyspark.__version__},
+        "pyarrow": {"version": pa.__version__},
+        "pandas": {"version": pd.__version__},
+        "numpy": {"version": np.__version__},
+    }}
+    return json.dumps(info) if return_json_string else info
+
+
 def ls(path: str, func) -> None:
     """Apply func(uri, object_type) to each tiledb object under path."""
     for name in sorted(os.listdir(path)):

@@ -30,6 +30,37 @@ from .schema import Dim, Domain
 _inttypes = (int, np.integer)
 
 
+class _EmptyRangeType:
+    """Singleton sentinel: ``A.multi_index[EmptyRange]`` selects nothing
+    (reference ``multirange_indexing.py:56-66``)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "EmptyRange"
+
+
+EmptyRange = _EmptyRangeType()
+
+
+def is_empty_range(idx) -> bool:
+    """True for the EmptyRange sentinel or any zero-length sized selection
+    except the empty string (reference ``multirange_indexing.py:59-65``)."""
+    if idx is EmptyRange:
+        return True
+    try:
+        if hasattr(idx, "__len__") and len(idx) == 0 and idx != "":
+            return True
+    except (TypeError, ValueError):
+        pass
+    return False
+
+
 def index_as_tuple(idx) -> tuple:
     if isinstance(idx, tuple):
         return idx

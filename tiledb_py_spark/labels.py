@@ -52,6 +52,56 @@ class DimLabelSchema:
                    dim_index=d.get("dim_index", 0))
 
 
+class DimLabel:
+    """Read-only view of one dimension label's declaration
+    (reference ``tiledb/dimension_label.py:12-100``): name, the dimension
+    it labels, dtype, var-length flag, and data order."""
+
+    def __init__(self, name: str, schema: DimLabelSchema,
+                 uri: Optional[str] = None, dim_index: Optional[int] = None):
+        self.name = name
+        self._schema = schema
+        self._uri = uri
+        self._dim_index = dim_index
+
+    @property
+    def dim_index(self) -> int:
+        return self._dim_index if self._dim_index is not None \
+            else self._schema.dim_index
+
+    @property
+    def dtype(self):
+        return self._schema.label_dtype
+
+    @property
+    def isvar(self) -> bool:
+        """Var-length labels: variable-size strings/bytes."""
+        return self._schema.label_dtype.kind in ("U", "S", "O") \
+            and self._schema.label_dtype.itemsize == 0
+
+    @property
+    def isascii(self) -> bool:
+        return self._schema.label_dtype.kind == "S"
+
+    @property
+    def label_attr_name(self) -> str:
+        return "__label"
+
+    @property
+    def order(self) -> str:
+        return self._schema.order
+
+    @property
+    def uri(self) -> Optional[str]:
+        """Path of the label table, when attached to a stored array."""
+        return self._uri
+
+    def __repr__(self) -> str:
+        dtype = "ascii" if self.isascii else self.dtype
+        return (f"DimLabel(name={self.name}, dtype='{dtype!s}', "
+                f"var={self.isvar!s}, order={self.order!s})")
+
+
 def label_path(uri: str, name: str) -> str:
     return os.path.join(uri, LABELS_DIR, name)
 

@@ -372,6 +372,16 @@ class ArraySchema:
     def has_dim_label(self, name: str) -> bool:
         return name in self.label_names()
 
+    def dim_label(self, name: str):
+        """The named dimension label's declaration (reference
+        ``array_schema.py:371-385``)."""
+        from .labels import DimLabel
+
+        for dim_idx, by_name in self.dim_labels.items():
+            if name in by_name:
+                return DimLabel(name, by_name[name], dim_index=dim_idx)
+        raise KeyError(f"unknown dimension label {name!r}")
+
     # -- reference API parity ------------------------------------------------
     @property
     def ndim(self) -> int:

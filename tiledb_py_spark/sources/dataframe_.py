@@ -138,13 +138,29 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
         write_fragment_pandas(uri, schema, stored)
         return
 
+    # filter declarations (reference parse_tiledb_kwargs: attr_filters /
+    # dim_filters, each a FilterList/Filter-list or {name: filters} dict)
+    attr_filters = kwargs.pop("attr_filters", None)
+    dim_filters = kwargs.pop("dim_filters", None)
+
+    def _filters_for(spec, name):
+        if spec is None:
+            return None
+        return spec.get(name) if isinstance(spec, dict) else spec
+
     ndim = max(len(index_dims), 1)
     dims = []
     tiles = tile if isinstance(tile, dict) else {}
     if index_dims:
         for dname in index_dims:
             t = tiles.get(dname, tile if isinstance(tile, int) else None)
-            dims.append(_infer_dim(dname, pdf[dname], full_domain, t, ndim))
+            d = _infer_dim(dname, pdf[dname], full_domain, t, ndim)
+            fl = _filters_for(dim_filters, dname)
+            if fl is not None:
+                from ..schema import _as_filter_list
+
+                d.filters = _as_filter_list(fl)
+            dims.append(d)
     else:
         n = len(pdf)
         hi = np.iinfo(np.int64).max - _tile_default(1) if full_domain else max(n - 1, 0)
@@ -159,6 +175,11 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
         if cname in index_dims:
             continue
         attr, enum, stored = _infer_attr(cname, pdf[cname])
+        fl = _filters_for(attr_filters, cname)
+        if fl is not None:
+            from ..schema import _as_filter_list
+
+            attr.filters = _as_filter_list(fl)
         attrs.append(attr)
         if enum is not None:
             enums.append(enum)
