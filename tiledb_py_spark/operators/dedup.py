@@ -45,22 +45,24 @@ def normalized_text(col: str | Column) -> Column:
 
 
 def tokens(col: str | Column) -> Column:
-    return F.split(normalized_text(col), " ")
+    """Maximal ``\\w``-runs of the lowercased text, one regex pass.
+    Semantics identical to ``split(normalized_text(col), " ")`` including
+    the all-punctuation edge (a single empty token), at ~4x less regex
+    work — this sits under every shingle/simhash expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = F.filter(F.split(F.lower(c), r"[^\w]+"), lambda x: x != "")
+    return F.when(F.size(f) > 0, f).otherwise(F.array(F.lit("")))
 
 
 def word_shingles(col: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column — computed with
-    ``sequence``+``transform`` (JVM), no explode, no UDF."""
-    toks = tokens(col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    ``sequence``+``transform`` (JVM), no explode, no UDF.
+
+    Convenience form over a raw text column; the token array is an inline
+    expression here, so the per-position lambda re-evaluates it (fine for
+    one-off use).  Pipelines should stage ``tokens`` into a column first
+    and use the attribute form (see ``minhash_signatures``)."""
+    return _shingles_over(tokens(col), k)
 
 
 def char_shingles(col: str | Column, k: int = 5) -> Column:
@@ -76,34 +78,56 @@ def char_shingles(col: str | Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """Array of ``num_perm`` minhash values: perm j =
-    min over shingles of xxhash64(j, shingle).  Zero shuffles.
+def _perm_min(hashes_col: Column, j: int) -> Column:
+    """min over the base-hash array of perm j = xxhash64(j, h).  A factory
+    (not an inline lambda with a default arg): pyspark treats a 2-param
+    lambda as an (element, index) function, which would silently shadow
+    the seed and make every permutation identical."""
+    return F.array_min(F.transform(hashes_col, lambda h: F.xxhash64(F.lit(j), h)))
 
-    NOTE: reference the result via a materialization barrier (aggregate /
-    exploded form) when fanning out further — Catalyst's CollapseProject
-    re-inlines projected aliases, so stacking another num_perm-wide
-    expression on top of this one squares the expression tree.  Prefer
-    ``minhash_signatures`` (exploded + groupBy) for the pipeline form."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-        for j in range(num_perm)
-    ])
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """Array of ``num_perm`` minhash values over an ALREADY-MATERIALIZED
+    shingle array column (an attribute, not an expression): each shingle
+    is string-hashed once, then every permutation is a cheap rehash of
+    that 8-byte value.  Zero shuffles.
+
+    NOTE: pass an attribute (``F.col``) — referencing an unmaterialized
+    expression inside per-element lambdas re-evaluates it per element
+    (Catalyst inlines it), turning O(n) work into O(n^2).  The pipeline
+    form is ``minhash_signatures``, which stages its projections."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.array(*[_perm_min(base, j) for j in range(num_perm)])
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 3) -> DataFrame:
-    """(id, signature array) via explode + groupBy: one row per (doc,
-    shingle), ``num_perm`` small min-aggregates, map-side partial agg.
-    The Aggregate node is a hard optimizer barrier, so downstream banding
-    sees a plain array column — expression trees stay O(num_perm), not
-    O(num_perm^2)."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   F.explode(word_shingles(text_col, shingle_k)).alias("__s"))
-    aggs = [F.min(F.xxhash64(F.lit(j), F.col("__s"))).alias(f"__m{j}")
-            for j in range(num_perm)]
-    sig = sh.groupBy("__id").agg(*aggs)
-    return sig.select("__id", F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("__sig"))
+    """(id, signature array) with NO shuffle and no per-element
+    recomputation: tokens, shingles, and the base string-hash array are
+    each materialized in their own projection stage (multi-use non-cheap
+    aliases, which CollapseProject declines to inline), then the
+    ``num_perm`` permutations are rehashes of the 8-byte base values."""
+    staged = (df.select(F.col(id_col).alias("__id"),
+                        tokens(text_col).alias("__toks"))
+                .select("__id",
+                        _shingles_over(F.col("__toks"), shingle_k).alias("__sh"))
+                .select("__id",
+                        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h")))
+    sig = F.array(*[_perm_min(F.col("__h"), j) for j in range(num_perm)])
+    return staged.select("__id", sig.alias("__sig"))
+
+
+def _shingles_over(toks: Column, k: int) -> Column:
+    """k-word shingle array over a materialized token-array attribute."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
 
 
 # bit masks 2^0..2^63 as long literals (2^63 wraps to long-min, valid mask)
