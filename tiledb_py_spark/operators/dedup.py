@@ -130,6 +130,17 @@ def _shingles_over(toks: Column, k: int) -> Column:
     )
 
 
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str,
+                     k: int) -> DataFrame:
+    """(``__id``, ``__sh``) with the token array staged in its own
+    projection so the shingle lambda slices an attribute, not a
+    re-evaluated regex expression (the O(n) vs O(n^2) distinction that
+    ``minhash_signatures`` documents)."""
+    return (df.select(F.col(id_col).alias("__id"),
+                      tokens(text_col).alias("__toks"))
+              .select("__id", _shingles_over(F.col("__toks"), k).alias("__sh")))
+
+
 # bit masks 2^0..2^63 as long literals (2^63 wraps to long-min, valid mask)
 _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
@@ -255,8 +266,7 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 def verify_jaccard(df: DataFrame, pairs: DataFrame, text_col: str, id_col: str,
                    shingle_k: int = 3, threshold: float = 0.8) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   word_shingles(text_col, shingle_k).alias("__sh"))
+    sh = _staged_shingles(df, text_col, id_col, shingle_k)
     j = (pairs
          .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
          .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b"))
@@ -272,8 +282,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """Exact all-pairs n-gram Jaccard above a threshold (the small-data
     oracle path; LSH above is the scale path).  Pairs are pruned with a
     length filter before the quadratic join."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   word_shingles(text_col, shingle_k).alias("__sh"))
+    sh = _staged_shingles(df, text_col, id_col, shingle_k)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
