@@ -349,3 +349,40 @@ def test_asof_join_keyless_bucketed_matches_pandas(spark):
                      on="t", num_buckets=16)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "__asof_bkt" in plan
+
+
+def test_asof_keyless_skewed_buckets_balanced(spark):
+    """Quantile-derived buckets: with 99% of rows packed into 1% of the
+    time range, per-bucket row counts stay within ~4x of each other
+    (uniform [min,max] buckets would put ~99% in one task), and the
+    answer still matches pandas merge_asof."""
+    from tiledb_py_spark.operators import asof as asof_mod
+    from tiledb_py_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    dense = rng.choice(1_000, 2970, replace=True)          # 99% in [0, 1e3)
+    sparse_t = rng.choice(99_000, 30, replace=False) + 1_000
+    lt = pd.DataFrame({"t": np.sort(np.concatenate([dense, sparse_t]))})
+    lt = lt.drop_duplicates("t").reset_index(drop=True)
+    rt = pd.DataFrame({"t": np.sort(rng.choice(100_000, 50, replace=False))})
+    rt["rv"] = rt["t"] * 7
+
+    got = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                    on="t", num_buckets=8).orderBy("t").toPandas()
+    want = pd.merge_asof(lt, rt.rename(columns={"rv": "rv_right",
+                                                "t": "t_kept"}),
+                         left_on="t", right_on="t_kept", direction="backward")
+    norm = lambda s: [None if pd.isna(v) else float(v) for v in s]
+    assert norm(got["rv_right"]) == norm(want["rv_right"])
+
+    asof_mod._KEEP_BKT = True
+    try:
+        out = asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                        on="t", num_buckets=8)
+        counts = [r["n"] for r in
+                  out.groupBy(asof_mod._BKT).agg(F.count("*").alias("n"))
+                     .collect()]
+    finally:
+        asof_mod._KEEP_BKT = False
+    assert len(counts) >= 4  # genuinely decomposed, not one mega-bucket
+    assert max(counts) <= 4 * min(counts), counts

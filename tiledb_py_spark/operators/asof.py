@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 _TAG = "__asof_src"
 _BKT = "__asof_bkt"
+# test hook: keep the bucket column on the output so balance is observable
+_KEEP_BKT = False
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -123,8 +125,17 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
         d = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
     else:
         d = F.col(on).cast("double")
-    lo, hi = u.agg(F.min(d), F.max(d)).first()
-    if lo is None or lo == hi or num_buckets <= 1:
+    # bucket bounds from approximate quantiles, NOT a uniform split of
+    # [min, max]: a skewed time distribution (99% of rows in 1% of the
+    # range) puts almost everything in one uniform bucket — a single task
+    # again.  Quantile bounds give ~equal ROW counts per bucket by
+    # construction; duplicate quantiles (heavy point masses) collapse,
+    # shrinking the effective bucket count instead of emitting empties.
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    qs = (u.select(d.alias("__asof_d"))
+           .approxQuantile("__asof_d", probs, 0.001)) if num_buckets > 1 else []
+    bounds = sorted(set(qs))
+    if not bounds:
         w = Window.partitionBy(F.lit(1)) \
             .orderBy(F.col(on).asc() if backward else F.col(on).desc(),
                      tag_order) \
@@ -134,11 +145,12 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
             out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
         return out
 
-    b = F.least(F.lit(num_buckets - 1),
-                F.greatest(F.lit(0),
-                           ((d - F.lit(lo)) / F.lit((hi - lo) / num_buckets))
-                           .cast("int")))
-    u = u.withColumn(_BKT, b)
+    num_buckets = len(bounds) + 1
+    b = None
+    for bd in bounds:  # bucket id = #bounds strictly below the value
+        t = F.when(d > F.lit(bd), 1).otherwise(0)
+        b = t if b is None else b + t
+    u = u.withColumn(_BKT, F.when(d.isNotNull(), b))  # null time -> null bucket
 
     # per-bucket last non-null value per carried column among RIGHT rows
     # (the window below is per-column last-non-null; the boundary carry
@@ -177,4 +189,4 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     for cc in fill_cols:
         out = out.withColumn(cc, F.coalesce(F.col(cc), F.col(f"{cc}__carry"))) \
                  .drop(f"{cc}__carry")
-    return out.drop(_BKT)
+    return out if _KEEP_BKT else out.drop(_BKT)

@@ -104,17 +104,23 @@ class IVFIndex:
         self.centroids: Optional[np.ndarray] = None
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000) -> "IVFIndex":
-        # Order by a hash of the vector before taking sample_rows: a
-        # deterministic pseudo-random sample independent of partition
-        # layout (plain .limit() takes the first partitions — a biased
-        # sample on sorted data).  TakeOrdered keeps it one pass:
-        # per-partition top-n + driver merge, no full shuffle.
-        sample = np.array(
-            [r[0] for r in
-             df.select(vec_col)
-               .orderBy(F.xxhash64(F.col(vec_col), F.lit(self.seed)))
-               .limit(sample_rows).collect()],
-            dtype="float64")
+        # Bernoulli sample + limit: unbiased regardless of partition layout
+        # (plain .limit() takes the first partitions — biased on sorted
+        # data) and, unlike the previous orderBy(xxhash64).limit TakeOrdered
+        # pass, it never hashes or per-partition-sorts the full table —
+        # the scan short-circuits once the limit is satisfied.  The 3x
+        # oversampling makes a Bernoulli shortfall below sample_rows
+        # astronomically unlikely; tiny tables fall through to fraction 1.
+        n_rows = df.select(vec_col).count()
+        if n_rows <= sample_rows:
+            rows = df.select(vec_col).collect()
+        else:
+            fraction = min(1.0, 3.0 * sample_rows / n_rows)
+            rows = (df.select(vec_col)
+                      .sample(withReplacement=False, fraction=fraction,
+                              seed=self.seed)
+                      .limit(sample_rows).collect())
+        sample = np.array([r[0] for r in rows], dtype="float64")
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
         def _unit(m):

@@ -303,29 +303,31 @@ class TileDBReader(DataSourceReader):
 
 
 def _apply_deletes(tbl, conds):
-    """Anti-apply delete conditions to an Arrow table (pandas backend)."""
-    import pyarrow as pa
+    """Anti-apply delete conditions to an Arrow table — fully columnar
+    (pyarrow.compute mask + ``Table.filter``; the format-read path never
+    round-trips through pandas)."""
+    import pyarrow.compute as pc
 
-    pdf = tbl.to_pandas()
     for cond in conds:
-        pdf = pdf[~_eval_delete(pdf, cond)]
-    return pa.Table.from_pandas(pdf, preserve_index=False, schema=tbl.schema)
+        tbl = tbl.filter(pc.invert(_eval_delete(tbl, cond)))
+    return tbl
 
 
-def _eval_delete(pdf, cond: str):
-    """Evaluate a QueryCondition string against a pandas frame (executor-
-    side delete application; same comparison grammar, pandas backend).
+def _eval_delete(tbl, cond: str):
+    """Evaluate a QueryCondition string against an Arrow table, returning
+    an all-valid boolean mask (executor-side delete application; same
+    comparison grammar as the Spark compiler, pyarrow.compute backend).
 
     TileDB QC leaf semantics (functions/query_condition._null_is_false):
     a comparison on a null cell is FALSE, and NOT/!= negate that boolean —
-    ``pdf.eval`` can't express this (``NaN != 3`` is True there), so this
-    walks the same ast the Spark compiler uses, AND-ing each comparison
-    with notna() of its referenced columns.  Raises rather than silently
-    skipping a delete it cannot evaluate."""
+    Arrow comparisons propagate null instead, so every leaf is
+    ``fill_null(cmp, False) AND is_valid(col)``, keeping the mask
+    null-free before combinators.  Raises rather than silently skipping a
+    delete it cannot evaluate."""
     import ast
 
-    import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def col_name(node):
         if isinstance(node, ast.Name):
@@ -346,67 +348,70 @@ def _eval_delete(pdf, cond: str):
             return -const(node.operand)
         raise NotImplementedError(f"unsupported literal {ast.dump(node)}")
 
-    _OPS = {ast.Eq: "==", ast.NotEq: "!=", ast.Lt: "<", ast.LtE: "<=",
-            ast.Gt: ">", ast.GtE: ">="}
-    _REV = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}
+    _OPS = {ast.Eq: pc.equal, ast.NotEq: pc.not_equal, ast.Lt: pc.less,
+            ast.LtE: pc.less_equal, ast.Gt: pc.greater, ast.GtE: pc.greater_equal}
+    _REV = {pc.less: pc.greater, pc.less_equal: pc.greater_equal,
+            pc.greater: pc.less, pc.greater_equal: pc.less_equal,
+            pc.equal: pc.equal, pc.not_equal: pc.not_equal}
+
+    def leaf(raw, *cols):
+        m = pc.fill_null(raw, False)
+        for c in cols:
+            m = pc.and_(m, pc.is_valid(c))
+        return m
 
     def pair(left, op, right):
         lname, rname = col_name(left), col_name(right)
         if isinstance(op, (ast.In, ast.NotIn)):
             if lname is None:
                 raise NotImplementedError("in/not in needs a column lhs")
-            leaf = pdf[lname].isin(const(right)).to_numpy()  # NaN -> False
-            return ~leaf if isinstance(op, ast.NotIn) else leaf
-        sym = _OPS.get(type(op))
-        if sym is None:
+            col = tbl[lname]
+            m = leaf(pc.is_in(col, value_set=pa.array(const(right))), col)
+            return pc.invert(m) if isinstance(op, ast.NotIn) else m
+        fn = _OPS.get(type(op))
+        if fn is None:
             raise NotImplementedError(f"operator {type(op).__name__}")
         if lname is None and rname is not None:
-            lname, right, sym = rname, left, _REV[sym]
+            lname, right, fn = rname, left, _REV[fn]
             rname = None
         if lname is None:
             raise NotImplementedError("comparison must reference a column")
-        lcol = pdf[lname]
+        lcol = tbl[lname]
         if rname is not None:
-            rhs, valid = pdf[rname], lcol.notna() & pdf[rname].notna()
-        else:
-            v = const(right)
-            if v is None:  # null test
-                m = lcol.isna() if sym == "==" else lcol.notna()
-                return m.to_numpy()
-            rhs, valid = v, lcol.notna()
-        raw = {"==": lcol == rhs, "!=": lcol != rhs, "<": lcol < rhs,
-               "<=": lcol <= rhs, ">": lcol > rhs, ">=": lcol >= rhs}[sym]
-        return (pd.Series(raw).fillna(False).to_numpy(dtype=bool)
-                & valid.to_numpy())
+            rcol = tbl[rname]
+            return leaf(fn(lcol, rcol), lcol, rcol)
+        v = const(right)
+        if v is None:  # null test
+            return pc.is_null(lcol) if fn is pc.equal else pc.is_valid(lcol)
+        return leaf(fn(lcol, pa.scalar(v)), lcol)
 
     def ev(node):
         if isinstance(node, ast.Compare):
             out, left = None, node.left
             for op, right in zip(node.ops, node.comparators):
                 t = pair(left, op, right)
-                out = t if out is None else out & t
+                out = t if out is None else pc.and_(out, t)
                 left = right
             return out
         if isinstance(node, ast.BoolOp):
+            f = pc.and_ if isinstance(node.op, ast.And) else pc.or_
             terms = [ev(v) for v in node.values]
-            f = np.logical_and if isinstance(node.op, ast.And) else np.logical_or
             out = terms[0]
             for t in terms[1:]:
                 out = f(out, t)
             return out
         if isinstance(node, ast.BinOp) and isinstance(node.op, (ast.BitAnd, ast.BitOr)):
-            f = np.logical_and if isinstance(node.op, ast.BitAnd) else np.logical_or
+            f = pc.and_ if isinstance(node.op, ast.BitAnd) else pc.or_
             return f(ev(node.left), ev(node.right))
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.Not, ast.Invert)):
-            return ~ev(node.operand)
+            return pc.invert(ev(node.operand))
         name = col_name(node)
         if name is not None:  # bare boolean attribute
-            return pdf[name].fillna(False).to_numpy(dtype=bool)
+            return pc.fill_null(tbl[name], False)
         raise NotImplementedError(f"unsupported node {ast.dump(node)}")
 
     try:
-        mask = ev(ast.parse(cond, mode="eval").body)
-        return pd.Series(np.asarray(mask, dtype=bool), index=pdf.index)
+        return ev(ast.parse(cond, mode="eval").body)
     except Exception as e:
         raise NotImplementedError(
             f"delete condition {cond!r} not evaluable in the tiledb format "
