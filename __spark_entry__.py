@@ -252,6 +252,50 @@ def q_datasource_lww(spark, sf_dir):
               .orderBy("p_partkey"))
 
 
+_LWW_MANY_CACHE: dict[str, str] = {}
+
+
+def _lww_many_array(spark, sf_dir) -> str:
+    """Hot-key upsert pattern: 50 appends all overwriting p_partkey < 100
+    (update i writes retailprice + 1000 + i), on top of a full base write.
+    51 mutually-overlapping fragments — far past the datasource's
+    lww_group_threshold, so the scan plans ONE streaming-merge group split
+    per overlap component (spark_datasource._read_group) instead of
+    stacking O(F^2) per-split anti-join reads."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _LWW_MANY_CACHE:
+        return _LWW_MANY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/part_lww_many"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "part")
+               .select("p_partkey", "p_retailprice").toPandas())
+        tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
+        upd = pdf[pdf["p_partkey"] < 100].copy()
+        for i in range(1, 51):
+            u = upd.copy()
+            u["p_retailprice"] = upd["p_retailprice"] + 1000.0 + i
+            tdb.from_pandas(uri, u, index_dims=["p_partkey"], mode="append")
+    _LWW_MANY_CACHE[key] = uri
+    return uri
+
+
+def q_datasource_lww_many(spark, sf_dir):
+    """format('tiledb') over 51 mutually-overlapping fragments: the
+    many-overlap streaming-merge fallback must produce the same
+    last-write-wins answer (each file read once, not per-split)."""
+    from tiledb_py_spark.sources.spark_datasource import register
+
+    register(spark)
+    uri = _lww_many_array(spark, sf_dir)
+    df = spark.read.format("tiledb").load(uri)
+    return (df.select("p_partkey",
+                      F.round("p_retailprice", 2).alias("price"))
+              .orderBy("p_partkey"))
+
+
 def q_datasource_read(spark, sf_dir):
     """S1 via the custom Spark data source: spark.read.format('tiledb')
     with filter pushdown into fragment/row-group pruning."""
@@ -836,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_time_slice": q_array_time_slice,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
+        "datasource_lww_many": q_datasource_lww_many,
         "dense_fill_read": q_dense_fill_read,
         "label_read": q_label_read,
         "salted_agg": q_salted_agg,
@@ -943,6 +988,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    round(p_retailprice
                          + CASE WHEN p_partkey < 100 THEN 1000.0 ELSE 0 END,
+                         2) AS price
+            FROM part ORDER BY p_partkey
+        """,
+        "datasource_lww_many": """
+            SELECT p_partkey,
+                   round(p_retailprice
+                         + CASE WHEN p_partkey < 100 THEN 1050.0 ELSE 0 END,
                          2) AS price
             FROM part ORDER BY p_partkey
         """,

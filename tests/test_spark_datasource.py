@@ -101,6 +101,73 @@ def test_format_lww_after_delete_resurfaces_old(uri, spark):
     assert out["v"].tolist() == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
+def test_format_lww_many_overlaps_streams_each_file_once(uri, spark):
+    """Hot-key upsert: 20 updates all overlapping the base fragment.
+    Planning must route the overlap component through a streaming-merge
+    group split where every parquet file is referenced exactly ONCE
+    (per-split `newer` stacking would reference newer files O(F^2) times),
+    and the result must match the engine's shuffle-dedup scan."""
+    base = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                         "v": np.zeros(200)})
+    tdb.from_pandas(uri, base, index_dims=["k"])
+    for i in range(1, 21):
+        upd = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                            "v": np.full(50, float(i))})
+        tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+
+    from tiledb_py_spark.sources.spark_datasource import TileDBReader
+
+    r = TileDBReader(uri, None)
+    splits = r.partitions()
+    group_splits = [s for s in splits if s.group]
+    assert group_splits, "expected the overlap component to be grouped"
+    refs = []
+    for s in splits:
+        refs.extend(p for paths, _d in s.group for p in paths)
+        if s.file_path:
+            refs.append(s.file_path)
+        refs.extend(p for p, _d in s.newer)
+    assert len(refs) == len(set(refs)) == 21  # each file planned exactly once
+
+    out = spark.read.format("tiledb").load(uri).orderBy("k").toPandas()
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert out.equals(eng)
+    assert out["v"].tolist() == [20.0] * 50 + [0.0] * 150
+
+    # group path is delete-aware: killing the winning write resurfaces
+    # the previous one (same delete-then-dedup order as Array._scan_df)
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v >= 20.0").submit_delete()
+    out = spark.read.format("tiledb").load(uri).orderBy("k").toPandas()
+    assert out["v"].tolist() == [19.0] * 50 + [0.0] * 150
+
+    # pushed filters still prune the OUTPUT of the group split without
+    # breaking supersession (newer out-of-range rows still tombstone)
+    df = spark.read.format("tiledb").load(uri)
+    got = df.filter(df.k < 10).orderBy("k").toPandas()
+    assert got["v"].tolist() == [19.0] * 10
+
+
+def test_format_lww_few_overlaps_keeps_per_split_anti_join(uri, spark):
+    """At or below the threshold the shuffle-free per-split anti-join is
+    the right plan (cost bounded by actual overlap) — no group splits."""
+    base = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "v": np.zeros(100)})
+    tdb.from_pandas(uri, base, index_dims=["k"])
+    for i in range(1, 4):
+        upd = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                            "v": np.full(10, float(i))})
+        tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+
+    from tiledb_py_spark.sources.spark_datasource import TileDBReader
+
+    splits = TileDBReader(uri, None).partitions()
+    assert not any(s.group for s in splits)
+    assert any(s.newer for s in splits)
+    out = spark.read.format("tiledb").load(uri).orderBy("k").toPandas()
+    assert out["v"].tolist() == [3.0] * 10 + [0.0] * 90
+
+
 def test_rg_stats_pruning_plans_fewer_splits(uri, spark):
     """Driver-side planning skips whole row groups whose parquet min/max
     statistics cannot match the pushed predicates (the 100 TB lever: a

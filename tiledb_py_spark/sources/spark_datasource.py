@@ -21,7 +21,12 @@ Read path:
   each split the parquet files of NEWER fragments whose MBR overlaps its
   fragment, and ``read()`` anti-joins its rows against their (still-live)
   coordinates — the equality-delete pattern, no shuffle, cost bounded by
-  actual MBR overlap.
+  actual MBR overlap.  When a fragment has more than
+  ``lww_group_threshold`` (default 8) newer overlapping fragments — the
+  hot-key upsert pattern, where per-split stacking would re-read newer
+  files O(F^2) times — its whole overlap component becomes ONE
+  streaming-merge split that reads each file exactly once (see
+  ``_read_group``).
 
 Write path: each task streams its Arrow batches into one parquet file of
 a staged fragment; ``commit()`` harvests footer stats and publishes one
@@ -65,6 +70,13 @@ class _Split(InputPartition):
     # live) coordinates.  No shuffle; cost bounded by MBR overlap.
     newer: tuple = ()
     dim_names: tuple = ()
+    # many-overlap fallback: one split per connected component of
+    # mutually-overlapping fragments, entries (file_paths, deletes) in
+    # NEWEST-fragment-first order.  The task streams fragments newest
+    # first, anti-joining each against the coordinates already seen —
+    # every file is read exactly ONCE (the per-split `newer` stacking
+    # above is O(F^2) reads when F fragments all overlap).
+    group: tuple = ()
 
 
 @dataclass
@@ -93,7 +105,9 @@ class TileDBDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "TileDBReader":
         ts = self.options.get("timestamp")
-        return TileDBReader(self._uri(), int(ts) if ts is not None else None)
+        thr = self.options.get("lww_group_threshold")
+        return TileDBReader(self._uri(), int(ts) if ts is not None else None,
+                            lww_group_threshold=int(thr) if thr is not None else 8)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
@@ -108,9 +122,11 @@ _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
 
 
 class TileDBReader(DataSourceReader):
-    def __init__(self, uri: str, timestamp: Optional[int]):
+    def __init__(self, uri: str, timestamp: Optional[int],
+                 lww_group_threshold: int = 8):
         self.uri = uri
         self.timestamp = timestamp
+        self.lww_group_threshold = lww_group_threshold
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
@@ -197,24 +213,79 @@ class TileDBReader(DataSourceReader):
         frs = sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))
         mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
         need_lww = (not schema.allows_duplicates) and len(frs) > 1
-        newer_map: dict[str, tuple] = {}
-        if need_lww:
-            for i, f in enumerate(frs):
-                entries = []
-                for j in range(i + 1, len(frs)):
-                    if all(_box_overlap(mbrs[i].get(d.name), mbrs[j].get(d.name))
-                           for d in schema.domain):
-                        dels = frag_deletes(frs[j])
-                        entries.extend((p, dels) for p in frag_files(frs[j]))
-                newer_map[f.name] = tuple(entries)
-
         preds = tuple(self._preds)
         dim_names = tuple(d.name for d in schema.domain)
-        splits: list[_Split] = []
+        newer_map: dict[str, tuple] = {}
+        grouped: set = set()
+        group_splits: list[_Split] = []
+        if need_lww:
+            # pairwise MBR-overlap graph (i < j means j is newer)
+            n = len(frs)
+            edges = [[] for _ in range(n)]
+            newer_count = [0] * n
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if all(_box_overlap(mbrs[i].get(d.name), mbrs[j].get(d.name))
+                           for d in schema.domain):
+                        edges[i].append(j)
+                        edges[j].append(i)
+                        newer_count[i] += 1
+            # Hot-key upsert workloads produce F mutually-overlapping
+            # fragments; stacking each fragment's newer files onto every
+            # split is O(F^2) file reads across the scan.  Above the
+            # threshold, route each connected overlap component through
+            # ONE streaming-merge split instead: fragments are processed
+            # newest first against a running seen-coordinate set, so each
+            # file is read exactly once (O(F)).  Parallelism drops to one
+            # task per component — for a single giant component prefer the
+            # native scan (Array.dataframe()), which resolves LWW with a
+            # fully parallel max_by shuffle (array.py _scan_df).
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i in range(n):
+                for j in edges[i]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[ri] = rj
+            comps: dict[int, list] = {}
+            for i in range(n):
+                comps.setdefault(find(i), []).append(i)
+            for members in comps.values():
+                if (len(members) > 1
+                        and max(newer_count[i] for i in members) > self.lww_group_threshold):
+                    entries = [(tuple(frag_files(frs[i])), frag_deletes(frs[i]))
+                               for i in sorted(
+                                   members,
+                                   key=lambda i: (frs[i].timestamp_range[0], frs[i].name),
+                                   reverse=True)]
+                    group_splits.append(_Split(
+                        file_path="", row_groups=(), predicates=preds,
+                        deletes=(), group=tuple(entries), dim_names=dim_names))
+                    grouped.update(members)
+            for i, f in enumerate(frs):
+                if i in grouped:
+                    continue
+                entries = []
+                for j in sorted(edges[i]):
+                    if j <= i:
+                        continue
+                    dels = frag_deletes(frs[j])
+                    entries.extend((p, dels) for p in frag_files(frs[j]))
+                newer_map[f.name] = tuple(entries)
+
+        splits: list[_Split] = list(group_splits)
         # ~96 MB of compressed row groups per task: big enough to amortize
         # the Python worker round-trip, small enough to balance a cluster
         target_bytes = 96 << 20
-        for f in frs:
+        for i, f in enumerate(frs):
+            if i in grouped:
+                continue
             fdel = frag_deletes(f)
             newer = newer_map.get(f.name, ())
             for p in frag_files(f):
@@ -244,6 +315,9 @@ class TileDBReader(DataSourceReader):
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
+        if split.group:
+            yield from self._read_group(split)
+            return
         if not split.file_path:
             return
         expr = None
@@ -300,6 +374,46 @@ class TileDBReader(DataSourceReader):
                         yield b
             else:
                 yield batch
+
+    def _read_group(self, split: _Split):
+        """Streaming last-write-wins merge over one connected component of
+        mutually-overlapping fragments (many-overlap fallback): fragments
+        arrive NEWEST first; each is anti-joined against the coordinates
+        of all newer fragments seen so far, then contributes its own
+        (post-delete) coordinates to the seen set.  Every parquet file is
+        read exactly once; memory holds one fragment plus the distinct
+        dim-coordinate set of the component."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        expr = None
+        for col, op, val in split.predicates:
+            f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
+                 ">=": pc.field(col) >= val, "<": pc.field(col) < val,
+                 "<=": pc.field(col) <= val,
+                 "in": pc.field(col).isin(list(val)) if op == "in" else None}[op]
+            expr = f if expr is None else expr & f
+
+        dims = list(split.dim_names)
+        seen = None  # distinct coordinates of all newer fragments
+        for paths, dels in split.group:
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            if dels:
+                tbl = _apply_deletes(tbl, dels)
+            surv = tbl if seen is None else tbl.join(
+                seen, keys=dims, join_type="left anti")
+            if expr is not None:
+                # output-side pruning only; the full (unfiltered) fragment
+                # still feeds the seen set — a newer row outside the
+                # predicate still supersedes an older in-range row
+                surv = surv.filter(expr)
+            for b in surv.to_batches():
+                if b.num_rows:
+                    yield b
+            coords = tbl.select(dims).group_by(dims).aggregate([])
+            seen = coords if seen is None else pa.concat_tables(
+                [seen, coords]).group_by(dims).aggregate([])
 
 
 def _apply_deletes(tbl, conds):
