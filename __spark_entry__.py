@@ -669,6 +669,22 @@ def q_simhash(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Banded-pigeonhole SimHash near-dup pairs at Hamming distance <= 3
+    (d+1 block buckets + exact bit_count verify), portable md5-60bit hash
+    so DuckDB recomputes the same simhashes and cross-joins exactly."""
+    from tiledb_py_spark.operators.dedup import md5_hash60, simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    # bucket_cap lifted for the exactness gate: the default 64 is the
+    # scale guard against degenerate boilerplate buckets and (by design)
+    # drops pairs beyond the cap, which the exact O(n^2) oracle would flag
+    return (simhash_neardup_pairs(d, "text", "doc_id", d=3,
+                                  token_hash=md5_hash60, n_bits=60,
+                                  bucket_cap=1_000_000)
+            .orderBy("id_a", "id_b"))
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 embedding."""
     from tiledb_py_spark.operators.similarity import brute_force_topk
@@ -902,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
         "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1305,6 +1322,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN cnt >= 0 THEN (1::BIGINT << i) ELSE 0 END)
                         AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Same md5-60bit simhash CTE as the `simhash` oracle, then the
+        # exact O(n^2) Hamming cross-join — independent of the banded
+        # pigeonhole bucketing the Spark side uses to avoid the n^2.
+        "simhash_neardup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(arr) AS w FROM toks
+            ), th AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+            ), bits AS (
+                SELECT doc_id, b.i AS i,
+                       sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+                FROM th CROSS JOIN range(0, 60) AS b(i)
+                GROUP BY doc_id, b.i
+            ), sh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN cnt >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
         """,
         # Stopword-hit argmax with ties to the earlier language in
         # en/de/fr/es/it order ('und' when no stopword hits at all) —

@@ -87,6 +87,56 @@ def test_simhash_dup_collision(docs):
     assert 2 not in {r.doc_id for r in out.collect()}
 
 
+def test_simhash_neardup_banded_matches_bruteforce(spark):
+    """Banded pigeonhole candidates + exact bit_count verify == the full
+    O(n^2) Hamming scan, for every d in 1..3 (d+1-block split must never
+    miss a pair within distance d)."""
+    from tiledb_py_spark.operators.dedup import (simhash_neardup_pairs,
+                                                 simhash_signatures)
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron"]
+    rows = []
+    for i in range(30):
+        base = list(rng.choice(words, 12))
+        rows.append((i, " ".join(base)))
+        # one-word perturbation -> a few flipped simhash bits
+        mut = list(base)
+        mut[rng.randint(12)] = str(rng.choice(words))
+        rows.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(df, "text", "doc_id").collect()}
+    ids = sorted(sigs)
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    for d in (1, 2, 3):
+        want = {(a, b): ham(a, b)
+                for ai, a in enumerate(ids) for b in ids[ai + 1:]
+                if ham(a, b) <= d}
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_neardup_pairs(df, "text", "doc_id",
+                                              d=d).collect()}
+        assert got == want, f"d={d}"
+
+
+def test_simhash_dedup_distance_d(spark):
+    """d>0 dedup drops near-identical rows the d=0 path keeps."""
+    from tiledb_py_spark.operators.dedup import simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("jumps", "leaps")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "totally unrelated words about engines")],
+        ["doc_id", "text"])
+    kept0 = {r.doc_id for r in simhash_dedup(df, "text", "doc_id").collect()}
+    assert kept0 == {1, 2, 3}  # distance-0 keeps the near-dup
+    kept = {r.doc_id
+            for r in simhash_dedup(df, "text", "doc_id", d=16).collect()}
+    assert 1 in kept and 3 in kept and 2 not in kept
+
+
 def test_embedding_near_dup_exact(spark):
     from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
 

@@ -300,14 +300,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Drop rows whose 64-bit SimHash collides with a smaller-id row
-    (Hamming distance 0).  For distance<=d, band the simhash into d+1
-    blocks and repeat per block (pigeonhole)."""
-    with_sh = df.withColumn("__simhash", simhash64(text_col))
-    keep = with_sh.groupBy("__simhash").agg(F.min(id_col).alias(id_col))
-    return (with_sh.join(keep, on=[id_col, "__simhash"], how="inner")
-                   .drop("__simhash"))
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  d: int = 0, token_hash=None, n_bits: int = 64,
+                  bucket_cap: int = 64) -> DataFrame:
+    """Drop rows whose SimHash is within Hamming distance ``d`` of a
+    smaller-id row.  ``d=0`` is a plain hash groupBy (one 8-byte-key
+    shuffle); ``d>0`` goes through the banded pigeonhole candidates of
+    ``simhash_neardup_pairs`` + min-id propagation."""
+    if d == 0:
+        with_sh = df.withColumn("__simhash", simhash64(text_col, token_hash,
+                                                       n_bits))
+        keep = with_sh.groupBy("__simhash").agg(F.min(id_col).alias(id_col))
+        return (with_sh.join(keep, on=[id_col, "__simhash"], how="inner")
+                       .drop("__simhash"))
+    pairs = simhash_neardup_pairs(df, text_col, id_col, d=d,
+                                  token_hash=token_hash, n_bits=n_bits,
+                                  bucket_cap=bucket_cap)
+    rep = (pairs.groupBy("id_b").agg(F.min("id_a").alias("__rep"))
+                .withColumnRenamed("id_b", id_col))
+    return (df.join(rep, on=id_col, how="left")
+              .filter(F.col("__rep").isNull())
+              .drop("__rep"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str,
+                          d: int = 3, token_hash=None, n_bits: int = 64,
+                          bucket_cap: int = 64) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with SimHash Hamming distance <= ``d``,
+    via the banded pigeonhole: the ``n_bits`` hash splits into ``d+1``
+    contiguous blocks, and two hashes within distance d must agree on at
+    least one whole block (d flipped bits can dirty at most d blocks).
+    Bucketing per (block, value) shuffles only (block, value, id, hash)
+    tuples; candidates are verified with an exact ``bit_count(a XOR b)``.
+    Degenerate buckets (boilerplate/empty docs) are capped at
+    ``bucket_cap`` members, same policy as the MinHash banding path."""
+    from pyspark.sql import Window
+
+    sigs = simhash_signatures(df, text_col, id_col, token_hash, n_bits)
+    n_blocks = d + 1
+    base, rem = divmod(n_bits, n_blocks)
+    blocks = []
+    off = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append(F.shiftrightunsigned("simhash", off)
+                       .bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    banded = sigs.select(
+        F.col(id_col).alias("__id"), "simhash",
+        F.posexplode(F.array(*blocks)).alias("block", "bval"))
+    win = Window.partitionBy("block", "bval").orderBy("__id")
+    banded = (banded.withColumn("__rn", F.row_number().over(win))
+                    .filter(F.col("__rn") <= bucket_cap).drop("__rn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, on=["block", "bval"])
+              .filter(F.col("a.__id") < F.col("b.__id"))
+              .select(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"),
+                      F.col("a.simhash").alias("__sh_a"),
+                      F.col("b.simhash").alias("__sh_b"))
+              .distinct())
+    ham = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+                 .filter(F.col("hamming") <= d))
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
