@@ -165,6 +165,63 @@ def test_embedding_near_dup_lsh_matches_exact(spark):
     assert approx == exact  # near-identical vectors share all sign buckets
 
 
+def test_embedding_near_dup_multitable_recall_at_085(spark):
+    """At cosine ~0.86 a single sign-bucket table provably loses most
+    pairs (P[all r sign bits agree] = (1 - theta/pi)^r ~ 9% for r=12);
+    OR'ing independent tables recovers them: 8 tables x 6 planes should
+    find the large majority, single-table a small minority."""
+    rng = np.random.RandomState(23)
+    dim, n_pairs, target = 16, 40, 0.86
+    rows = []
+    for i in range(n_pairs):
+        u = rng.randn(dim)
+        u /= np.linalg.norm(u)
+        w = rng.randn(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = target * u + math.sqrt(1 - target * target) * w
+        rows.append((i, u.tolist()))
+        rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
+
+    want = {(i, 1000 + i) for i in range(n_pairs)}
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(df, "v", "vec_id", 0.85,
+                                               exact=True).collect()}
+    assert exact == want
+    multi = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(df, "v", "vec_id", 0.85,
+                                               n_planes=6, n_tables=8).collect()}
+    single = {(r.id_a, r.id_b)
+              for r in embedding_near_dup_pairs(df, "v", "vec_id", 0.85,
+                                                n_planes=12, n_tables=1).collect()}
+    assert multi <= want and single <= want  # verify step never lies
+    assert len(multi) / n_pairs >= 0.75, f"multi-table recall {len(multi)}/{n_pairs}"
+    assert len(single) / n_pairs <= 0.40, f"single-table recall {len(single)}/{n_pairs}"
+    assert len(multi) > len(single)
+
+
+def test_embedding_near_dup_bucket_cap_bounds_join(spark):
+    """Clustered embeddings pile into one bucket; the cap keeps the
+    in-bucket self-join from going quadratic (pairs beyond the cap are
+    dropped by design — the exact path is the oracle)."""
+    rng = np.random.RandomState(9)
+    u = rng.randn(8)
+    u /= np.linalg.norm(u)
+    rows = [(i, (u + rng.randn(8) * 1e-4).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
+
+    got = embedding_near_dup_pairs(df, "v", "vec_id", 0.999,
+                                   bucket_cap=10).count()
+    # 100 near-identical vectors pile into ~one bucket per table, capped
+    # at 10 members -> at most n_tables * C(10,2) = 360 pairs can survive
+    # (vs C(100,2) = 4950 uncapped); well above 0 because caps still let
+    # each table contribute its C(cap,2)
+    assert 0 < got <= 8 * 45
+
+
 def test_brute_force_topk(spark):
     from tiledb_py_spark.operators.similarity import brute_force_topk
 

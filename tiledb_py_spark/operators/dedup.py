@@ -407,12 +407,26 @@ def _norm(a: Column) -> Column:
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                              threshold: float = 0.95,
-                             n_planes: int = 12,
+                             n_planes: int = 8, n_tables: int = 8,
+                             bucket_cap: int = 64, seed: int = 42,
                              exact: bool = False) -> DataFrame:
-    """Pairs with cosine >= threshold.  ``exact=False`` prunes with
-    random-hyperplane sign buckets (near-identical vectors almost surely
-    share all sign bits), then verifies exactly; ``exact=True`` skips
-    pruning (oracle path for small data)."""
+    """Pairs with cosine >= threshold.
+
+    ``exact=False`` prunes with BANDED random-hyperplane LSH — ``n_tables``
+    independent tables of ``n_planes`` sign bits each, OR'd (a pair is a
+    candidate if ALL bits of ANY table agree) — then verifies candidates
+    with the exact cosine.  A single table's recall falls off a cliff
+    below cosine ~0.98 (one flipped sign bit loses the pair forever);
+    with b tables of r planes the miss probability is
+    ``(1 - p^r)^b`` for ``p = 1 - theta/pi`` — e.g. at cosine 0.85,
+    8x8 tables recover ~85% of pairs where one 12-plane table finds ~9%.
+    Per-table buckets with more than ``bucket_cap`` members are capped
+    (same policy as the MinHash banding path) so clustered embeddings
+    can't send an in-bucket self-join quadratic.
+
+    Shuffle cost: one exchange of (table, bucket, id) rows — never the
+    vectors — plus the candidate-only verify join.  ``exact=True`` is the
+    O(n^2) oracle path for small data."""
     norm = _norm(F.col(vec_col))
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                      norm.alias("__n")).filter(F.col("__n") > 0)
@@ -421,25 +435,48 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         dim = dim_df[0]["d"] if dim_df else 0
         import random
 
-        rng = random.Random(42)
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-        bucket = None
-        for j, p in enumerate(planes):
-            dot = F.aggregate(
-                F.zip_with(F.col("__v"), F.array(*[F.lit(x) for x in p]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, v: acc + v)
-            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << j)
-            bucket = bit if bucket is None else bucket + bit
-        base = base.withColumn("__bucket", bucket)
-        a = base.alias("a")
-        b = base.alias("b")
-        j = (a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
-              .filter(F.col("a.__id") < F.col("b.__id")))
-    else:
-        a = base.alias("a")
-        b = base.alias("b")
-        j = a.crossJoin(b).filter(F.col("a.__id") < F.col("b.__id"))
+        from pyspark.sql import Window
+
+        def table_bucket(t: int) -> Column:
+            rng = random.Random(seed + 7919 * t)  # independent planes per table
+            bucket = None
+            for j in range(n_planes):
+                p = [rng.gauss(0, 1) for _ in range(dim)]
+                dot = F.aggregate(
+                    F.zip_with(F.col("__v"), F.array(*[F.lit(x) for x in p]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                bit = (F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+                       .cast("long") * F.lit(1 << j))
+                bucket = bit if bucket is None else bucket + bit
+            return bucket
+
+        buckets = base.select(
+            "__id",
+            F.posexplode(F.array(*[table_bucket(t) for t in range(n_tables)]))
+             .alias("__table", "__bucket"))
+        win = Window.partitionBy("__table", "__bucket").orderBy("__id")
+        buckets = (buckets.withColumn("__rn", F.row_number().over(win))
+                          .filter(F.col("__rn") <= bucket_cap).drop("__rn"))
+        cand = (buckets.alias("x").join(buckets.alias("y"),
+                                        on=["__table", "__bucket"])
+                .filter(F.col("x.__id") < F.col("y.__id"))
+                .select(F.col("x.__id").alias("id_a"),
+                        F.col("y.__id").alias("id_b"))
+                .distinct())
+        j = (cand
+             .join(base.select(F.col("__id").alias("id_a"),
+                               F.col("__v").alias("__va"),
+                               F.col("__n").alias("__na")), "id_a")
+             .join(base.select(F.col("__id").alias("id_b"),
+                               F.col("__v").alias("__vb"),
+                               F.col("__n").alias("__nb")), "id_b"))
+        cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        return (j.select("id_a", "id_b", cos.alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
+    a = base.alias("a")
+    b = base.alias("b")
+    j = a.crossJoin(b).filter(F.col("a.__id") < F.col("b.__id"))
     cos = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     return (j.select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
                      cos.alias("cosine"))
