@@ -391,6 +391,40 @@ def test_multimodal_image_features(spark):
         extract_image_features(df, feat_dim=8, strict=True).collect()
 
 
+def test_multimodal_injected_decoder(spark):
+    # A trivial REAL decoder (raw interleaved-RGB uint8 bytes) injected in
+    # place of the stub must round-trip through the mapInPandas path, and
+    # strict=True must not raise when a decoder is supplied.
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      audio_stats,
+                                                      extract_image_features)
+
+    hw = (2, 2)
+    raw = bytes(range(hw[0] * hw[1] * 3))  # 12 raw RGB bytes
+
+    def decode_raw_rgb(content, out_hw):
+        arr = np.frombuffer(content, dtype=np.uint8).astype("float32") / 255.0
+        return arr.reshape(out_hw[0], out_hw[1], 3)
+
+    rows = [(1, "image", raw, None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_image_features(df, feat_dim=12, resize_hw=hw, strict=True,
+                                 decode_fn=decode_raw_rgb).collect()
+    assert len(got) == 1
+    expect = [b / 255.0 for b in raw]
+    assert got[0].feature == pytest.approx(expect)
+
+    # audio: inject a decoder that reads content as int8 PCM
+    arows = [(7, "audio", bytes([0, 100, 200, 50]), None, None, None, None)]
+    adf = spark.createDataFrame(arows, MEDIA_SCHEMA)
+    stats = audio_stats(adf, strict=True,
+                        decode_fn=lambda c: np.frombuffer(c, dtype=np.int8)
+                        .astype("float32")).collect()
+    pcm = np.frombuffer(bytes([0, 100, 200, 50]), dtype=np.int8).astype("float32")
+    assert stats[0].mean_amplitude == pytest.approx(float(np.abs(pcm).mean()))
+    assert stats[0].rms == pytest.approx(float(pcm.std()))
+
+
 def test_multimodal_video_frames_and_audio(spark):
     from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
                                                       audio_stats,

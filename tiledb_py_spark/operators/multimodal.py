@@ -82,16 +82,23 @@ def _fake_decode_image(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
 
 def extract_image_features(df: DataFrame, feat_dim: int = 64,
                            resize_hw: tuple[int, int] = (32, 32),
-                           strict: bool = False) -> DataFrame:
+                           strict: bool = False,
+                           decode_fn=None) -> DataFrame:
     """decode -> resize -> pooled feature vector, Arrow-batched.
+
+    ``decode_fn(content: bytes, out_hw: (h, w)) -> np.ndarray[h, w, 3]``
+    is the decoder; it defaults to the deterministic fake above.  Pass a
+    real one (e.g. wrapping ``PIL.Image.open``) to run actual decode —
+    the Spark plumbing is identical either way.
 
     Partition note: mapInPandas streams Arrow record batches, so executor
     memory is bounded by batch size (spark.sql.execution.arrow.
     maxRecordsPerBatch), not partition size — the right shape for binary
     blobs of MBs each."""
+    decode = decode_fn or _fake_decode_image
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        if strict and decode_fn is None:
             raise NotImplementedError(
                 "image decode requires an imaging library not present in this container")
         for pdf in it:
@@ -100,7 +107,7 @@ def extract_image_features(df: DataFrame, feat_dim: int = 64,
                 if content is None:
                     feats.append(None)
                     continue
-                img = _fake_decode_image(bytes(content), resize_hw)
+                img = decode(bytes(content), resize_hw)
                 pooled = img.reshape(-1)[:feat_dim].astype("float32")
                 if pooled.size < feat_dim:
                     pooled = np.pad(pooled, (0, feat_dim - pooled.size))
@@ -132,11 +139,23 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         "frame_id", F.xxhash64(F.col("media_id"), F.col("frame_ts_ms")))
 
 
-def audio_stats(df: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio feature plumbing over mapInPandas with a fake PCM decode."""
+def _fake_decode_audio(content: bytes) -> np.ndarray:
+    """STUB: deterministic fake PCM decode — a real build replaces this
+    with e.g. soundfile/torchaudio.  Returns float32 samples."""
+    rng = np.random.default_rng(_content_seed(content))
+    return rng.standard_normal(1024).astype("float32")
+
+
+def audio_stats(df: DataFrame, strict: bool = False,
+                decode_fn=None) -> DataFrame:
+    """Audio feature plumbing over mapInPandas.
+
+    ``decode_fn(content: bytes) -> np.ndarray`` of float32 PCM samples;
+    defaults to the deterministic fake above."""
+    decode = decode_fn or _fake_decode_audio
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        if strict and decode_fn is None:
             raise NotImplementedError("audio decode requires codecs not present here")
         for pdf in it:
             rows = []
@@ -144,8 +163,7 @@ def audio_stats(df: DataFrame, strict: bool = False) -> DataFrame:
                 if content is None:
                     rows.append((mid, None, None))
                     continue
-                rng = np.random.default_rng(_content_seed(bytes(content)))
-                pcm = rng.standard_normal(1024).astype("float32")
+                pcm = np.asarray(decode(bytes(content)), dtype="float32")
                 rows.append((mid, float(np.abs(pcm).mean()), float(pcm.std())))
             out = pd.DataFrame(rows, columns=["media_id", "mean_amplitude", "rms"])
             yield out
