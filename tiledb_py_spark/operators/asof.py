@@ -20,8 +20,9 @@ With no ``by`` keys a naive global window is a single task.  Instead the
 union is decomposed into ``num_buckets`` time-range buckets: the window
 runs per bucket (parallel), and each bucket's carry-in — the latest
 right-side values from earlier buckets — is a ``num_buckets``-row
-aggregate, forward-filled at the driver and broadcast back.  Two small
-extra jobs, full parallelism, same answer.
+aggregate, forward-filled over a tiny spine and broadcast back inside
+the same job.  One extra (sampled) quantile job, full parallelism,
+same answer.
 """
 
 from __future__ import annotations
@@ -117,7 +118,8 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     """Keyless as-of carry without a global single-task window: range-
     bucket by time, window per bucket, and stitch buckets with a tiny
     carry-in table (latest right values from earlier buckets, per
-    traversal order), forward-filled at the driver and broadcast."""
+    traversal order), forward-filled over a num_buckets-row spine and
+    broadcast-joined — all lazily, within the main job."""
     spark = u.sparkSession
     # monotonic numeric view of the time column (timestamps -> epoch
     # micros); used only to assign buckets, never returned
@@ -132,8 +134,18 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     # construction; duplicate quantiles (heavy point masses) collapse,
     # shrinking the effective bucket count instead of emitting empties.
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    qs = (u.select(d.alias("__asof_d"))
-           .approxQuantile("__asof_d", probs, 0.001)) if num_buckets > 1 else []
+    # bounds only need to BALANCE tasks, not be precise: a coarse
+    # relativeError (0.01) over a Bernoulli sample gives the same balance
+    # as an exact quantile at a fraction of the pass cost (the r3 bench
+    # regression was an eps=0.001 full-union summary here).  A too-small
+    # sample merely collapses duplicate bounds -> fewer buckets -> still
+    # correct (the carry logic is bounds-agnostic), so sampling is safe.
+    if num_buckets > 1:
+        qs = (u.select(d.alias("__asof_d"))
+               .sample(fraction=0.1, seed=42)
+               .approxQuantile("__asof_d", probs, 0.01))
+    else:
+        qs = []
     bounds = sorted(set(qs))
     if not bounds:
         w = Window.partitionBy(F.lit(1)) \
@@ -154,30 +166,31 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
 
     # per-bucket last non-null value per carried column among RIGHT rows
     # (the window below is per-column last-non-null; the boundary carry
-    # must match that semantic)
+    # must match that semantic).  The carry table is built as a LAZY
+    # broadcast side — a num_buckets-row spine joined to the per-bucket
+    # aggregate, forward-filled by a window over the (tiny) spine and
+    # shifted one bucket (rowsBetween ..., -1) so bucket b sees only
+    # buckets strictly before it in traversal order.  No collect: the
+    # whole carry computation runs as a stage of the SAME job as the
+    # windows, saving a full pass over the union.
     order_key = "max_by" if backward else "min_by"
     aggs = [F.expr(f"{order_key}(`{cc}`, `{on}`) FILTER (WHERE `{cc}` IS NOT NULL)")
             .alias(cc) for cc in fill_cols]
-    bnd = (u.filter(F.col(_TAG) == 0).groupBy(_BKT).agg(*aggs)
-           .collect())
-
-    # driver-side: traverse buckets in window order, forward-fill, shift
-    # by one so bucket b gets the fill from buckets strictly before it
-    by_bkt = {r[_BKT]: r for r in bnd}
-    order = range(num_buckets) if backward else range(num_buckets - 1, -1, -1)
-    carry_rows = []
-    run: dict = {cc: None for cc in fill_cols}
-    for bkt in order:
-        carry_rows.append((bkt, *[run[cc] for cc in fill_cols]))
-        r = by_bkt.get(bkt)
-        if r is not None:
-            for cc in fill_cols:
-                if r[cc] is not None:
-                    run[cc] = r[cc]
-    carry_schema = u.select(
-        F.col(_BKT).alias(_BKT),
-        *[F.col(cc).alias(f"{cc}__carry") for cc in fill_cols]).schema
-    carry = spark.createDataFrame(carry_rows, carry_schema)
+    bndagg = u.filter(F.col(_TAG) == 0).groupBy(_BKT).agg(*aggs)
+    # complete spine: buckets with no right rows must inherit the carry
+    # from earlier buckets, so every bucket id needs a row
+    spine = spark.range(num_buckets).select(
+        F.col("id").cast(dict(u.dtypes)[_BKT]).alias(_BKT))
+    # single-partition window is deliberate and safe: the spine is
+    # exactly num_buckets rows (partitionBy(lit(0)) silences the
+    # single-task warning without changing the plan)
+    wb = Window.partitionBy(F.lit(0)) \
+        .orderBy(F.col(_BKT).asc() if backward else F.col(_BKT).desc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carry = (spine.join(bndagg, on=_BKT, how="left")
+             .select(F.col(_BKT),
+                     *[F.last(cc, ignorenulls=True).over(wb)
+                       .alias(f"{cc}__carry") for cc in fill_cols]))
 
     w = Window.partitionBy(_BKT) \
         .orderBy(F.col(on).asc() if backward else F.col(on).desc(), tag_order) \

@@ -103,23 +103,22 @@ class IVFIndex:
         self.metric = metric
         self.centroids: Optional[np.ndarray] = None
 
-    def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000) -> "IVFIndex":
-        # Bernoulli sample + limit: unbiased regardless of partition layout
-        # (plain .limit() takes the first partitions — biased on sorted
-        # data) and, unlike the previous orderBy(xxhash64).limit TakeOrdered
-        # pass, it never hashes or per-partition-sorts the full table —
-        # the scan short-circuits once the limit is satisfied.  The 3x
-        # oversampling makes a Bernoulli shortfall below sample_rows
-        # astronomically unlikely; tiny tables fall through to fraction 1.
-        n_rows = df.select(vec_col).count()
-        if n_rows <= sample_rows:
-            rows = df.select(vec_col).collect()
-        else:
-            fraction = min(1.0, 3.0 * sample_rows / n_rows)
-            rows = (df.select(vec_col)
-                      .sample(withReplacement=False, fraction=fraction,
-                              seed=self.seed)
-                      .limit(sample_rows).collect())
+    def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
+            sample_fraction: float = 0.05) -> "IVFIndex":
+        # Single-pass training sample: Bernoulli sample at a fixed
+        # conservative fraction + limit (no count() pre-scan — sizing the
+        # fraction exactly would cost a full extra pass).  Any Bernoulli
+        # sample is unbiased regardless of partition layout, so if the
+        # table is smaller than sample_rows/fraction we simply train on
+        # however many rows came back; only a genuinely tiny result
+        # (too few rows to seed n_cells centroids meaningfully) triggers
+        # a second, full collect — trivial at that size by definition.
+        rows = (df.select(vec_col)
+                  .sample(withReplacement=False, fraction=sample_fraction,
+                          seed=self.seed)
+                  .limit(sample_rows).collect())
+        if len(rows) < max(10 * self.n_cells, 256):
+            rows = df.select(vec_col).limit(sample_rows).collect()
         sample = np.array([r[0] for r in rows], dtype="float64")
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
