@@ -422,7 +422,25 @@ def test_multimodal_injected_decoder(spark):
                         .astype("float32")).collect()
     pcm = np.frombuffer(bytes([0, 100, 200, 50]), dtype=np.int8).astype("float32")
     assert stats[0].mean_amplitude == pytest.approx(float(np.abs(pcm).mean()))
-    assert stats[0].rms == pytest.approx(float(pcm.std()))
+    # true RMS — differs from std() because this PCM has a DC offset
+    assert stats[0].rms == pytest.approx(float(np.sqrt(np.mean(pcm ** 2))))
+    assert stats[0].rms != pytest.approx(float(pcm.std()))
+
+
+def test_multimodal_decoder_contract_violation(spark):
+    # A decoder returning the wrong shape must fail loudly, not silently
+    # truncate/pad features.
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      extract_image_features)
+
+    def bad_decode(content, out_hw):
+        return np.zeros((1, 1, 3), dtype="float32")  # wrong shape
+
+    df = spark.createDataFrame([(1, "image", b"x", None, None, None, None)],
+                               MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="decode_fn returned shape"):
+        extract_image_features(df, feat_dim=4, resize_hw=(2, 2),
+                               decode_fn=bad_decode).collect()
 
 
 def test_multimodal_video_frames_and_audio(spark):

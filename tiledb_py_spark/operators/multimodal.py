@@ -107,7 +107,15 @@ def extract_image_features(df: DataFrame, feat_dim: int = 64,
                 if content is None:
                     feats.append(None)
                     continue
-                img = decode(bytes(content), resize_hw)
+                img = np.asarray(decode(bytes(content), resize_hw))
+                # contract check: a decoder returning the wrong shape
+                # would otherwise silently yield truncated features
+                if img.shape != (resize_hw[0], resize_hw[1], 3):
+                    raise ValueError(
+                        f"decode_fn returned shape {img.shape}, expected "
+                        f"{(resize_hw[0], resize_hw[1], 3)}")
+                if img.dtype == np.uint8:  # normalize integer decoders
+                    img = img.astype("float32") / 255.0
                 pooled = img.reshape(-1)[:feat_dim].astype("float32")
                 if pooled.size < feat_dim:
                     pooled = np.pad(pooled, (0, feat_dim - pooled.size))
@@ -164,7 +172,10 @@ def audio_stats(df: DataFrame, strict: bool = False,
                     rows.append((mid, None, None))
                     continue
                 pcm = np.asarray(decode(bytes(content)), dtype="float32")
-                rows.append((mid, float(np.abs(pcm).mean()), float(pcm.std())))
+                # true RMS sqrt(mean(x^2)), NOT std() — they differ for
+                # any signal with a DC offset
+                rows.append((mid, float(np.abs(pcm).mean()),
+                             float(np.sqrt(np.mean(pcm.astype("float64") ** 2)))))
             out = pd.DataFrame(rows, columns=["media_id", "mean_amplitude", "rms"])
             yield out
 
