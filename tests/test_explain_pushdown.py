@@ -82,6 +82,64 @@ def test_dense_fill_join_broadcasts_small_cells(uri, spark):
         assert df.filter(F.col("v") == -1.0).count() == 500
 
 
+def test_minhash_signatures_plan_has_no_exchange(spark):
+    """The staged-projection minhash signature pass is the crown-jewel
+    shuffle-free plan (signatures are per-row expressions): any Exchange
+    appearing here is a regression that would shuffle full document text
+    at 100 TB."""
+    from tiledb_py_spark.operators.dedup import minhash_signatures
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.concat(F.lit("some words here repeated tokens "),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    sig = minhash_signatures(df, "text", "id", num_perm=16)
+    s = _plan(sig)
+    assert "Exchange" not in s
+    assert sig.count() == 200
+
+
+def test_simhash_signatures_plan_has_no_exchange(spark):
+    """Same guarantee for the simhash signature pass: single scan,
+    JVM-side higher-order functions, zero shuffles."""
+    from tiledb_py_spark.operators.dedup import simhash_signatures
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.concat(F.lit("alpha beta gamma delta "),
+                 (F.col("id") % 5).cast("string")).alias("text"))
+    sig = simhash_signatures(df, "text", "id", n_bits=16)
+    s = _plan(sig)
+    assert "Exchange" not in s
+    assert sig.count() == 200
+
+
+def test_format_lww_few_overlap_read_plans_no_shuffle(uri, spark):
+    """format('tiledb') few-overlap LWW: supersession is resolved inside
+    each read task by a pyarrow anti-join against newer fragments'
+    coordinates — the SPARK plan must stay a plain BatchScan with no
+    Exchange (a shuffle here would mean LWW leaked into the engine plan)."""
+    from tiledb_py_spark.sources.spark_datasource import (TileDBReader,
+                                                          register)
+
+    register(spark)
+    pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "v": np.zeros(100)})
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    upd = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                        "v": np.ones(10)})
+    tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+
+    # planning really does take the per-split anti-join route
+    splits = TileDBReader(uri, None).partitions()
+    assert any(s.newer for s in splits) and not any(s.group for s in splits)
+
+    df = spark.read.format("tiledb").load(uri)
+    s = _plan(df)
+    assert "Exchange" not in s
+    assert df.count() == 100
+
+
 def test_keyless_asof_avoids_global_window(spark):
     """Keyless as-of joins must not degrade to one global single-task
     window: the bucket decomposition partitions the window by time
