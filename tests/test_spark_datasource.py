@@ -148,6 +148,52 @@ def test_format_lww_many_overlaps_streams_each_file_once(uri, spark):
     assert got["v"].tolist() == [19.0] * 10
 
 
+def test_format_lww_giant_component_auto_slices(uri, spark):
+    """A mutually-overlapping component above lww_split_bytes must NOT
+    serialize into one task: planning slices it into first-dim coordinate
+    ranges (one independent streaming merge per slice), and the sliced
+    result is identical to the engine's shuffle-dedup scan."""
+    rng = np.random.RandomState(7)
+    base = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                         "v": np.zeros(5000)})
+    tdb.from_pandas(uri, base, index_dims=["k"])
+    for i in range(1, 12):
+        # every update overlaps the full domain -> one component
+        ks = np.sort(rng.choice(5000, 2000, replace=False)).astype(np.int64)
+        upd = pd.DataFrame({"k": ks, "v": np.full(len(ks), float(i))})
+        tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+
+    from tiledb_py_spark.sources.spark_datasource import TileDBReader
+
+    # tiny byte threshold forces slicing of this small test component
+    r = TileDBReader(uri, None, lww_split_bytes=16 << 10)
+    splits = r.partitions()
+    group_splits = [s for s in splits if s.group]
+    assert len(group_splits) > 1, "giant component should slice into >1 task"
+    # slices must partition the domain: contiguous half-open ranges
+    rngs = sorted((s.group_range for s in group_splits),
+                  key=lambda r: (r[0] is not None, r[0]))
+    assert rngs[0][0] is None and rngs[-1][1] is None
+    for a, b in zip(rngs, rngs[1:]):
+        assert a[1] == b[0]
+
+    sliced = (spark.read.format("tiledb")
+              .option("lww_split_bytes", 16 << 10).load(uri)
+              .orderBy("k").toPandas())
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert sliced.equals(eng)
+
+    # delete-awareness survives slicing: killing the winning writes
+    # resurfaces previous values, identically to the engine scan
+    with tdb.open(uri, "d", spark=spark) as A:
+        A.query(cond="v >= 11.0").submit_delete()
+    sliced = (spark.read.format("tiledb")
+              .option("lww_split_bytes", 16 << 10).load(uri)
+              .orderBy("k").toPandas())
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert sliced.equals(eng)
+
+
 def test_format_lww_few_overlaps_keeps_per_split_anti_join(uri, spark):
     """At or below the threshold the shuffle-free per-split anti-join is
     the right plan (cost bounded by actual overlap) — no group splits."""

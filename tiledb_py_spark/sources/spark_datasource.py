@@ -24,9 +24,13 @@ Read path:
   actual MBR overlap.  When a fragment has more than
   ``lww_group_threshold`` (default 8) newer overlapping fragments — the
   hot-key upsert pattern, where per-split stacking would re-read newer
-  files O(F^2) times — its whole overlap component becomes ONE
+  files O(F^2) times — its whole overlap component becomes a
   streaming-merge split that reads each file exactly once (see
-  ``_read_group``).
+  ``_read_group``).  A component bigger than ``lww_split_bytes``
+  (default 1 GiB) is further auto-sliced into first-dim coordinate
+  ranges derived from row-group stats, one merge task per slice —
+  a giant component regains parallelism and bounded memory instead of
+  serializing into one task.
 
 Write path: each task streams its Arrow batches into one parquet file of
 a staged fragment; ``commit()`` harvests footer stats and publishes one
@@ -77,6 +81,11 @@ class _Split(InputPartition):
     # every file is read exactly ONCE (the per-split `newer` stacking
     # above is O(F^2) reads when F fragments all overlap).
     group: tuple = ()
+    # giant-component auto-split: restrict this group task to first-dim
+    # coordinates in [lo, hi) — (None, None) / () means the whole domain.
+    # A coordinate lives in exactly one slice, so per-slice merges are
+    # independent and the component regains parallelism + bounded memory.
+    group_range: tuple = ()
 
 
 @dataclass
@@ -106,8 +115,10 @@ class TileDBDataSource(DataSource):
     def reader(self, schema: StructType) -> "TileDBReader":
         ts = self.options.get("timestamp")
         thr = self.options.get("lww_group_threshold")
+        sb = self.options.get("lww_split_bytes")
         return TileDBReader(self._uri(), int(ts) if ts is not None else None,
-                            lww_group_threshold=int(thr) if thr is not None else 8)
+                            lww_group_threshold=int(thr) if thr is not None else 8,
+                            lww_split_bytes=int(sb) if sb is not None else 1 << 30)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
@@ -123,10 +134,12 @@ _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
 
 class TileDBReader(DataSourceReader):
     def __init__(self, uri: str, timestamp: Optional[int],
-                 lww_group_threshold: int = 8):
+                 lww_group_threshold: int = 8,
+                 lww_split_bytes: int = 1 << 30):
         self.uri = uri
         self.timestamp = timestamp
         self.lww_group_threshold = lww_group_threshold
+        self.lww_split_bytes = lww_split_bytes
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
@@ -259,14 +272,23 @@ class TileDBReader(DataSourceReader):
             for members in comps.values():
                 if (len(members) > 1
                         and max(newer_count[i] for i in members) > self.lww_group_threshold):
-                    entries = [(tuple(frag_files(frs[i])), frag_deletes(frs[i]))
-                               for i in sorted(
-                                   members,
-                                   key=lambda i: (frs[i].timestamp_range[0], frs[i].name),
-                                   reverse=True)]
-                    group_splits.append(_Split(
-                        file_path="", row_groups=(), predicates=preds,
-                        deletes=(), group=tuple(entries), dim_names=dim_names))
+                    entries = tuple(
+                        (tuple(frag_files(frs[i])), frag_deletes(frs[i]))
+                        for i in sorted(
+                            members,
+                            key=lambda i: (frs[i].timestamp_range[0], frs[i].name),
+                            reverse=True))
+                    # a giant component must not serialize into ONE task:
+                    # slice it by first-dim coordinate ranges (from parquet
+                    # row-group stats) so each slice is an independent,
+                    # memory-bounded streaming merge — parallelism is
+                    # restored without shuffling (a coordinate lives in
+                    # exactly one slice)
+                    for rng in self._component_ranges(entries, dim_names[0]):
+                        group_splits.append(_Split(
+                            file_path="", row_groups=(), predicates=preds,
+                            deletes=(), group=entries, dim_names=dim_names,
+                            group_range=rng))
                     grouped.update(members)
             for i, f in enumerate(frs):
                 if i in grouped:
@@ -308,6 +330,60 @@ class TileDBReader(DataSourceReader):
                                          newer=newer, dim_names=dim_names))
         return splits or [_Split(file_path="", row_groups=(), predicates=(),
                                  deletes=())]
+
+    def _component_ranges(self, entries, dim0: str):
+        """First-dim range slicing for a giant overlap component.
+
+        Returns a list of ``(lo, hi)`` half-open first-dim ranges (``None``
+        = unbounded; ``[()]`` = a single whole-domain slice) sized so each
+        slice covers roughly ``lww_split_bytes`` of row-group data.
+        Boundaries are taken from row-group min values, so for fragments
+        sorted on the first dim each row group feeds ~1 slice; in the
+        worst (unsorted) case a row group is re-read once per slice it
+        straddles — still far better than one serialized mega-task.
+        Components below the threshold, or with missing first-dim stats,
+        keep the single-task streaming merge."""
+        import pyarrow.parquet as pq
+
+        rgs = []  # ((min, max) | None, bytes)
+        total = 0
+        for paths, _dels in entries:
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    mm = None
+                    for j in range(rg.num_columns):
+                        cc = rg.column(j)
+                        if cc.path_in_schema == dim0:
+                            st = cc.statistics
+                            if st is not None and st.has_min_max:
+                                mm = (st.min, st.max)
+                            break
+                    rgs.append((mm, rg.total_byte_size))
+                    total += rg.total_byte_size
+        if total <= self.lww_split_bytes or any(mm is None for mm, _ in rgs):
+            return [()]
+        n_slices = min(64, -(-total // self.lww_split_bytes))
+        rgs.sort(key=lambda t: (t[0][0], t[0][1]))
+        target = total / n_slices
+        bounds: list = []
+        acc = 0.0
+        next_cut = target
+        for (mn, _mx), size in rgs:
+            if acc >= next_cut and (not bounds or mn > bounds[-1]):
+                bounds.append(mn)
+                next_cut += target
+            acc += size
+        if not bounds:
+            return [()]
+        ranges = []
+        lo = None
+        for b in bounds:
+            ranges.append((lo, b))
+            lo = b
+        ranges.append((lo, None))
+        return ranges
 
     def read(self, split: _Split):
         import pyarrow as pa
@@ -380,9 +456,17 @@ class TileDBReader(DataSourceReader):
         mutually-overlapping fragments (many-overlap fallback): fragments
         arrive NEWEST first; each is anti-joined against the coordinates
         of all newer fragments seen so far, then contributes its own
-        (post-delete) coordinates to the seen set.  Every parquet file is
-        read exactly once; memory holds one fragment plus the distinct
-        dim-coordinate set of the component."""
+        (post-delete) coordinates to the seen set.
+
+        Memory: the seen set holds ONE uint64 hash per distinct
+        coordinate (8 bytes/coord regardless of dim count/width; a 64-bit
+        collision wrongly superseding a live row is ~n^2/2^65 — negligible
+        at any realistic component size), plus one fragment slice at a
+        time.  With a ``group_range`` the task reads only the row groups
+        whose first-dim stats intersect its slice and filters rows to the
+        slice, so both I/O and the seen set scale with the slice, not the
+        component."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -396,24 +480,73 @@ class TileDBReader(DataSourceReader):
             expr = f if expr is None else expr & f
 
         dims = list(split.dim_names)
-        seen = None  # distinct coordinates of all newer fragments
+        dim0 = dims[0]
+        lo, hi = (tuple(split.group_range) + (None, None))[:2] \
+            if split.group_range else (None, None)
+
+        def read_sliced(p):
+            f = pq.ParquetFile(p)
+            if lo is None and hi is None:
+                return f.read()
+            md = f.metadata
+            keep = []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                mm = None
+                for j in range(rg.num_columns):
+                    cc = rg.column(j)
+                    if cc.path_in_schema == dim0:
+                        st = cc.statistics
+                        if st is not None and st.has_min_max:
+                            mm = (st.min, st.max)
+                        break
+                if mm is None:  # no stats: must read; row filter below
+                    keep.append(i)
+                elif ((lo is None or mm[1] >= lo)
+                        and (hi is None or mm[0] < hi)):
+                    keep.append(i)
+            if not keep:
+                return pa.Table.from_batches([], schema=f.schema_arrow)
+            tbl = f.read_row_groups(keep)
+            mask = None
+            if lo is not None:
+                mask = pc.greater_equal(tbl[dim0], lo)
+            if hi is not None:
+                m2 = pc.less(tbl[dim0], hi)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return tbl.filter(mask) if mask is not None else tbl
+
+        seen = None  # sorted unique coord hashes of all newer fragments
         for paths, dels in split.group:
-            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            tbl = pa.concat_tables([read_sliced(p) for p in paths])
             if dels:
                 tbl = _apply_deletes(tbl, dels)
-            surv = tbl if seen is None else tbl.join(
-                seen, keys=dims, join_type="left anti")
+            h = _coord_hashes(tbl, dims)
+            surv = tbl if seen is None else tbl.filter(
+                pa.array(~np.isin(h, seen, assume_unique=False)))
             if expr is not None:
-                # output-side pruning only; the full (unfiltered) fragment
+                # output-side pruning only; the full (slice-local) fragment
                 # still feeds the seen set — a newer row outside the
                 # predicate still supersedes an older in-range row
                 surv = surv.filter(expr)
             for b in surv.to_batches():
                 if b.num_rows:
                     yield b
-            coords = tbl.select(dims).group_by(dims).aggregate([])
-            seen = coords if seen is None else pa.concat_tables(
-                [seen, coords]).group_by(dims).aggregate([])
+            hs = np.unique(h)
+            seen = hs if seen is None else np.union1d(seen, hs)
+
+
+def _coord_hashes(tbl, dims):
+    """uint64 hash per row of the dim-coordinate tuple (deterministic
+    pandas hashing — stable across processes/executors)."""
+    import pandas as pd
+
+    if tbl.num_rows == 0:
+        import numpy as np
+
+        return np.empty(0, dtype="uint64")
+    pdf = tbl.select(dims).to_pandas()
+    return pd.util.hash_pandas_object(pdf, index=False).to_numpy()
 
 
 def _apply_deletes(tbl, conds):
