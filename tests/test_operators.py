@@ -121,6 +121,25 @@ def test_simhash_neardup_banded_matches_bruteforce(spark):
         assert got == want, f"d={d}"
 
 
+def test_simhash_neardup_bucket_cap_bounds_pairs(spark):
+    """Degenerate corpus (all docs identical): with bucket_cap=k the
+    candidate join must stay bounded at k*(k-1)/2 pairs, never the
+    quadratic n*(n-1)/2 — this is the production cap the oracle gate
+    bypasses (it lifts the cap to compare against the O(n^2) oracle)."""
+    from tiledb_py_spark.operators.dedup import simhash_neardup_pairs
+
+    n, k = 200, 8
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"])
+    pairs = simhash_neardup_pairs(df, "text", "doc_id", d=2,
+                                  bucket_cap=k).collect()
+    assert 0 < len(pairs) <= k * (k - 1) // 2
+    # the capped survivors are the smallest ids per bucket (deterministic)
+    ids = {i for p in pairs for i in (p.id_a, p.id_b)}
+    assert ids == set(range(k))
+
+
 def test_simhash_dedup_distance_d(spark):
     """d>0 dedup drops near-identical rows the d=0 path keeps."""
     from tiledb_py_spark.operators.dedup import simhash_dedup
