@@ -708,6 +708,24 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 5)).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The BANDED hyperplane-LSH scale path, oracle-gated: with caps
+    lifted, candidates that survive the exact-cosine verify are a subset
+    of the true pairs, and with 24 tables x 2 planes at threshold 0.40
+    the seed-42 tables deterministically recover EVERY true pair on this
+    slice (analytic miss ~5e-6/pair; equality to the exact O(n^2) oracle
+    is therefore exact, not approximate).  Cosine recomputed in float64
+    on both sides."""
+    from tiledb_py_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.40,
+                                   exact=False, n_planes=2, n_tables=24,
+                                   bucket_cap=10**6)
+    return out.withColumn("cosine", F.round("cosine", 5)).orderBy("id_a", "id_b")
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF-bucketed approximate NN, verified as assertions the oracle can
     state: (a) probing ALL cells must reproduce the exact brute-force
@@ -922,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_ann": q_ivf_ann,
         "batch_topk": q_batch_topk,
         "multimodal_features": q_multimodal_features,
@@ -1246,6 +1265,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
+            ORDER BY id_a, id_b
+        """,
+        "embedding_near_dup_lsh": """
+            -- oracle for the BANDED LSH path: exact pairs at >= 0.40; the
+            -- seeded 24x2 tables deterministically recover all of them on
+            -- this slice, so set equality is exact (see q_embedding_near_dup_lsh)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40
             ORDER BY id_a, id_b
         """,
         "batch_topk": """

@@ -431,30 +431,36 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
                      norm.alias("__n")).filter(F.col("__n") > 0)
     if not exact:
-        dim_df = base.select(F.size("__v").alias("d")).limit(1).collect()
-        dim = dim_df[0]["d"] if dim_df else 0
         import random
 
         from pyspark.sql import Window
 
-        def table_bucket(t: int) -> Column:
+        # Planes live in a BROADCAST side table, not in the expression
+        # tree: unrolling n_tables*n_planes dot products as literal-array
+        # expressions makes planning/codegen cost scale with the config
+        # (a 32x3 config spent ~10s planning).  One crossJoin against the
+        # tiny (n_tables*n_planes)-row planes table keeps the plan
+        # constant-size; map-side partial aggregation collapses the
+        # per-plane bits to one (table, id, bucket) row per table before
+        # any shuffle, so vectors still never leave their partition.
+        # Plane values are drawn in the same per-table rng sequence as
+        # the previous unrolled form — buckets are bit-identical.
+        probe = base.select(F.size("__v").alias("d")).limit(1).collect()
+        dim = probe[0]["d"] if probe else 0
+        plane_rows = []
+        for t in range(n_tables):
             rng = random.Random(seed + 7919 * t)  # independent planes per table
-            bucket = None
             for j in range(n_planes):
-                p = [rng.gauss(0, 1) for _ in range(dim)]
-                dot = F.aggregate(
-                    F.zip_with(F.col("__v"), F.array(*[F.lit(x) for x in p]),
-                               lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, v: acc + v)
-                bit = (F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-                       .cast("long") * F.lit(1 << j))
-                bucket = bit if bucket is None else bucket + bit
-            return bucket
-
-        buckets = base.select(
-            "__id",
-            F.posexplode(F.array(*[table_bucket(t) for t in range(n_tables)]))
-             .alias("__table", "__bucket"))
+                plane_rows.append((t, j, [rng.gauss(0, 1) for _ in range(dim)]))
+        planes = df.sparkSession.createDataFrame(
+            plane_rows, "__table int, __j int, __p array<double>")
+        bit = (F.when(_dot(F.col("__v"), F.col("__p")) >= 0,
+                      F.expr("shiftleft(CAST(1 AS BIGINT), __j)"))
+               .otherwise(F.lit(0).cast("long")))
+        buckets = (base.crossJoin(F.broadcast(planes))
+                   .select("__id", "__table", bit.alias("__bit"))
+                   .groupBy("__table", "__id")
+                   .agg(F.sum("__bit").alias("__bucket")))
         win = Window.partitionBy("__table", "__bucket").orderBy("__id")
         buckets = (buckets.withColumn("__rn", F.row_number().over(win))
                           .filter(F.col("__rn") <= bucket_cap).drop("__rn"))
