@@ -67,12 +67,17 @@ def main() -> int:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     entry._lineitem_array(spark, sf_dir)
 
+    # optional subset, e.g. SPARK_GRAFT_QUERIES=minhash_dedup,simhash for
+    # the sf1 plan-quality artifact (BENCH_sf1.json)
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    bench_queries = subset.split(",") if subset else BENCH_QUERIES
+
     qs = entry.queries()
     times: dict[str, float] = {}
     # best-of-2: the round driver shares CPUs with other work, and a single
     # contended run can read 10-30x slow; min-of-two is the standard
     # noise-resistant estimator for short benchmarks
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

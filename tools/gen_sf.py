@@ -1,0 +1,209 @@
+"""Deterministic scale-factor data generator (seed 42) for bench runs at
+scale factors the read-only driver testdata does not provide
+(``TESTDATA.md`` tops out at sf0.1, where per-query runtime is dominated
+by fixed session overhead rather than plan quality).
+
+Generates the same star schema + events/documents/embeddings tables with
+distributions matched to the profiled sf0.1 driver data (value ranges,
+key cardinalities, group frequencies, text length and near-dup rate), so
+per-query cost should scale ~linearly in sf and a BENCH_sf1 run measures
+plan behavior, not constant factors.
+
+Usage:
+    python tools/gen_sf.py 1 [/root/repo/.bench_data/sf1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+# sf0.1 row counts x 10 = rows per unit sf
+ROWS = {
+    "lineitem": 6_000_000,
+    "orders": 1_500_000,
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
+}
+
+_DAY_US = 86_400_000_000
+
+_VOCAB = ("batch part spark line column order small sort fast value scan a "
+          "hash slow group vector query agg spark table big join scan shuffle "
+          "read write plan stage task row").split()
+
+_MKTSEG = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_PADJ = ["large", "hot", "blue", "old", "cold", "red", "small", "new"]
+_PNOUN = ["ring", "bolt", "plate", "tube", "rod", "disk", "cap", "wheel"]
+
+
+def _ts_us(date_str: str) -> int:
+    return np.datetime64(date_str, "us").astype("int64")
+
+
+def _write(out_dir: str, name: str, cols: dict) -> None:
+    tbl = pa.table(cols)
+    pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {tbl.num_rows} rows")
+
+
+def generate(sf: float, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+    n = {t: max(1, int(r * sf)) for t, r in ROWS.items()}
+
+    # --- dimensions -------------------------------------------------------
+    _write(out_dir, "region", {
+        "r_regionkey": pa.array(range(5), pa.int64()),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]})
+    _write(out_dir, "nation", {
+        "n_nationkey": pa.array(range(25), pa.int64()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64())})
+
+    nc = n["customer"]
+    _write(out_dir, "customer", {
+        "c_custkey": pa.array(np.arange(nc, dtype=np.int64)),
+        "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+        "c_nationkey": pa.array(rng.randint(0, 25, nc).astype(np.int64)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nc), 2)),
+        "c_mktsegment": pa.array(np.array(_MKTSEG)[rng.randint(0, 5, nc)])})
+
+    ns = n["supplier"]
+    _write(out_dir, "supplier", {
+        "s_suppkey": pa.array(np.arange(ns, dtype=np.int64)),
+        "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+        "s_nationkey": pa.array(rng.randint(0, 25, ns).astype(np.int64)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, ns), 2))})
+
+    np_ = n["part"]
+    _write(out_dir, "part", {
+        "p_partkey": pa.array(np.arange(np_, dtype=np.int64)),
+        "p_name": [f"{_PADJ[i % 8]} {_PNOUN[(i // 8) % 8]}" for i in range(np_)],
+        "p_brand": [f"Brand#{i % 25}" for i in range(np_)],
+        "p_type": pa.array(np.array(_PTYPES)[rng.randint(0, len(_PTYPES), np_)]),
+        "p_size": pa.array(rng.randint(1, 51, np_).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, np_), 2))})
+
+    # --- orders -----------------------------------------------------------
+    no = n["orders"]
+    od_lo, od_hi = _ts_us("1995-01-01"), _ts_us("2001-08-02")
+    odate = (rng.randint(0, (od_hi - od_lo) // _DAY_US, no) * _DAY_US + od_lo)
+    odate.sort()  # orderkey correlates with date, like the driver data
+    _write(out_dir, "orders", {
+        "o_orderkey": pa.array(np.arange(no, dtype=np.int64)),
+        "o_custkey": pa.array(rng.randint(0, nc, no).astype(np.int64)),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.randint(0, 3, no)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, no), 2)),
+        "o_orderdate": pa.array(odate).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )[rng.randint(0, 5, no)])})
+
+    # --- lineitem ---------------------------------------------------------
+    nl = n["lineitem"]
+    lines_per_order = 1 + rng.poisson(nl / no - 1, no)  # mean = nl/no, min 1
+    okeys = np.repeat(np.arange(no, dtype=np.int64), lines_per_order)[:nl]
+    if len(okeys) < nl:  # top up from the last orders if the draw fell short
+        okeys = np.concatenate([okeys, rng.randint(0, no, nl - len(okeys))
+                                .astype(np.int64)])
+        okeys.sort()
+    # per-order line numbers 1..k (vectorized cumulative count within
+    # runs of equal orderkey)
+    same = okeys[1:] == okeys[:-1]
+    idx = np.arange(nl)
+    start = np.concatenate([[0], idx[1:][~same]])
+    starts_per_row = np.repeat(start, np.diff(np.concatenate([start, [nl]])))
+    linenum = (idx - starts_per_row + 1).astype(np.int32)
+    ship = odate[okeys] + rng.randint(1, 96, nl) * _DAY_US
+    _write(out_dir, "lineitem", {
+        "l_orderkey": pa.array(okeys),
+        "l_partkey": pa.array(rng.randint(0, np_, nl).astype(np.int64)),
+        "l_suppkey": pa.array(rng.randint(0, ns, nl).astype(np.int64)),
+        "l_linenumber": pa.array(linenum),
+        "l_quantity": pa.array(rng.randint(1, 51, nl).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, nl), 2)),
+        "l_discount": pa.array(np.round(rng.randint(0, 11, nl) / 100.0, 2)),
+        "l_tax": pa.array(np.round(rng.randint(0, 9, nl) / 100.0, 2)),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, nl)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, nl)]),
+        "l_shipdate": pa.array(ship).cast(pa.timestamp("us"))})
+
+    # --- events -----------------------------------------------------------
+    ne = n["events"]
+    ev_lo, ev_hi = _ts_us("2024-01-01"), _ts_us("2024-01-31")
+    ts = np.sort(rng.randint(ev_lo, ev_hi, ne))
+    n_users = max(1, int(15_000 * sf))
+    _write(out_dir, "events", {
+        "event_id": pa.array(np.arange(ne, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, n_users, ne).astype(np.int64)),
+        "event_type": pa.array(np.array(
+            ["view", "click", "purchase", "signup", "error"]
+        )[rng.randint(0, 5, ne)]),
+        "value": pa.array(np.round(np.minimum(rng.exponential(50, ne), 600), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.randint(0, 100, ne)])})
+
+    # --- documents (with the profiled ~3% near-dup / ~0.2% exact-dup mix) -
+    nd = n["documents"]
+    vocab = np.array(_VOCAB)
+    texts: list[str] = []
+    langs = np.array(["en", "en", "zh", "es", "fr", "de"])  # ~2:1:1:1:1
+    doc_langs = []
+    for i in range(nd):
+        r = rng.random_sample()
+        if i > 100 and r < 0.002:  # exact dup
+            j = rng.randint(0, i)
+            texts.append(texts[j])
+        elif i > 100 and r < 0.032:  # near dup: mutate one word
+            j = rng.randint(0, i)
+            ws = texts[j].split()
+            ws[rng.randint(0, len(ws))] = str(vocab[rng.randint(0, len(vocab))])
+            texts.append(" ".join(ws))
+        else:
+            k = rng.randint(8, 106)
+            texts.append(" ".join(vocab[rng.randint(0, len(vocab), k)]))
+        doc_langs.append(langs[rng.randint(0, len(langs))])
+    _write(out_dir, "documents", {
+        "doc_id": pa.array(np.arange(nd, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(doc_langs),
+        "source": pa.array([f"src{i % 20}" for i in range(nd)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64))})
+
+    # --- embeddings (clustered so IVF/LSH have structure) -----------------
+    nv = n["embeddings"]
+    dim = 64
+    labels = rng.randint(0, 10, nv).astype(np.int32)
+    centers = rng.standard_normal((10, dim)) * 0.8
+    vecs = (centers[labels] + rng.standard_normal((nv, dim)) * 0.6) \
+        .astype(np.float32)
+    _write(out_dir, "embeddings", {
+        "vec_id": pa.array(np.arange(nv, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels)})
+
+
+def main() -> int:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_data", f"sf{sf:g}")
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else default
+    print(f"generating sf={sf} -> {out_dir}")
+    generate(sf, out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
