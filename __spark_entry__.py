@@ -881,6 +881,74 @@ def q_language_id(spark, sf_dir):
              .orderBy("lang_pred"))
 
 
+def q_det_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: sort by a seeded portable
+    md5-60bit hash of the id — the permutation is a pure function of
+    (ids, seed), replayable in any engine (the oracle recomputes the
+    identical keys)."""
+    from tiledb_py_spark.operators.pipeline import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return (deterministic_shuffle(d, ["doc_id"], seed=42)
+            .select("doc_id", "shuffle_key"))
+
+
+def q_hash_split(spark, sf_dir):
+    """Hash-bucket train/val/test split — stable under reruns, row order,
+    and partitioning (unlike randomSplit)."""
+    from tiledb_py_spark.operators.pipeline import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, ["doc_id"],
+                     {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsample (downsample dominant 'en' to
+    10%, keep 30% of the rest): kept set is a pure function of
+    (doc_id, seed), exactly reproducible in SQL."""
+    from tiledb_py_spark.operators.pipeline import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.1}, ["doc_id"], seed=42,
+                            default_fraction=0.3)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Context-window packing (offset mode): documents laid out
+    contiguously per source in doc_id order; each doc joins the 512-token
+    window its start offset falls in.  One window cumsum per source."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+    from tiledb_py_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", whitespace_token_count("text").alias("n_tok"))
+    out = pack_sequences(d, "n_tok", ["doc_id"], max_tokens=512, by="source")
+    return (out.select("doc_id", "source", "pack_id", "pack_offset")
+               .orderBy("doc_id"))
+
+
+def q_scrub_text(spark, sf_dir):
+    """PII scrubbing: emails / URLs / long digit runs -> typed
+    placeholders, RE2-safe patterns so DuckDB applies the identical
+    chain.  Synthetic PII is injected deterministically (the corpus has
+    none) so the redaction is actually exercised."""
+    from tiledb_py_spark.operators.pipeline import scrub_text
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or http://ex.com/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" tel 5551234567"))).otherwise(F.col("text"))
+    return (d.select("doc_id", scrub_text(injected).alias("clean"))
+             .orderBy("doc_id"))
+
+
 def q_fingerprint_md5(spark, sf_dir):
     """Document fingerprint over normalized text (md5 for portability;
     the engine's xxhash64 variant is operators.text.fingerprint)."""
@@ -950,6 +1018,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
+        "det_shuffle": q_det_shuffle,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "scrub_text": q_scrub_text,
     }
 
 
@@ -1329,6 +1402,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
                                            '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        # portable seeded hash used by the corpus-assembly operators:
+        # ('0x' || first 15 md5 hex chars)::BIGINT of
+        # concat_ws(chr(31), id..., seed)
+        "det_shuffle": r"""
+            SELECT doc_id,
+                   ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                                   1, 15))::BIGINT AS shuffle_key
+            FROM documents ORDER BY shuffle_key, doc_id
+        """,
+        "hash_split": r"""
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                                         1, 15))::BIGINT % 10000 AS b
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "stratified_sample": r"""
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                                         1, 15))::BIGINT % 10000 AS b
+                  FROM documents)
+            WHERE b < CASE WHEN lang = 'en' THEN 1000 ELSE 3000 END
+            ORDER BY doc_id
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n,
+                       SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS start
+                FROM t)
+            SELECT doc_id, source,
+                   CAST(floor(start / 512) AS BIGINT) AS pack_id,
+                   CAST(start % 512 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id
+        """,
+        "scrub_text": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or http://ex.com/p/'
+                                 || CAST(doc_id AS VARCHAR) || ' tel 5551234567'
+                            ELSE text END,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '\b\d{7,}\b', '<NUM>', 'g') AS clean
             FROM documents ORDER BY doc_id
         """,
         # SimHash with the portable md5-60bit token hash: same counter fold

@@ -564,3 +564,129 @@ def test_asof_keyless_skewed_buckets_balanced(spark):
         asof_mod._KEEP_BKT = False
     assert len(counts) >= 4  # genuinely decomposed, not one mega-bucket
     assert max(counts) <= 4 * min(counts), counts
+
+
+# ---------------------------------------------------------------------------
+# corpus-assembly pipeline operators
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_greedy_matches_reference(spark):
+    """Greedy first-fit packing == a pure-Python fold, and no pack exceeds
+    max_tokens unless it holds a single oversized document."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+
+    rng = np.random.RandomState(3)
+    rows = [(i, f"g{i % 4}", int(s))
+            for i, s in enumerate(rng.randint(10, 400, 200))]
+    rows.append((200, "g0", 900))  # oversized single doc
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+
+    got = (pack_sequences(df, "n_tok", ["doc_id"], max_tokens=512,
+                          by="grp", mode="greedy")
+           .orderBy("doc_id").collect())
+
+    # pure-Python reference fold per group
+    want = {}
+    for g in ["g0", "g1", "g2", "g3"]:
+        pid, used = 0, 0
+        for i, grp, s in sorted(rows):
+            if grp != g:
+                continue
+            if used > 0 and used + s > 512:
+                pid, used = pid + 1, 0
+            want[i] = (pid, used)
+            used += s
+    assert {r.doc_id: (r.pack_id, r.pack_offset) for r in got} == want
+
+    # budget property: per (grp, pack), total <= 512 unless single doc
+    sums = {}
+    counts = {}
+    for r in got:
+        k = (r.grp, r.pack_id)
+        sums[k] = sums.get(k, 0) + r.n_tok
+        counts[k] = counts.get(k, 0) + 1
+    for k, s in sums.items():
+        assert s <= 512 or counts[k] == 1, (k, s, counts[k])
+
+
+def test_pack_sequences_offset_contiguous(spark):
+    """Offset mode: pack_id/pack_offset derive from the contiguous layout
+    (start // N, start % N) in id order per group."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, "g", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    got = (pack_sequences(df, "n_tok", ["doc_id"], max_tokens=256, by="grp")
+           .orderBy("doc_id").collect())
+    starts = [i * 100 for i in range(10)]
+    assert [r.pack_id for r in got] == [s // 256 for s in starts]
+    assert [r.pack_offset for r in got] == [s % 256 for s in starts]
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """The split assignment is a pure function of (id, seed): identical
+    across reruns and repartitionings, and weights are approximately
+    honored."""
+    from tiledb_py_spark.operators.pipeline import hash_split
+
+    df = spark.range(0, 5000).select(F.col("id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.id: r.split for r in hash_split(df, ["id"], w).collect()}
+    b = {r.id: r.split
+         for r in hash_split(df.repartition(17), ["id"], w).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+    # different seed -> different assignment (not a constant function)
+    c2 = {r.id: r.split
+          for r in hash_split(df, ["id"], w, seed=7).collect()}
+    assert a != c2
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    """Kept set is reproducible and per-stratum rates track fractions."""
+    from tiledb_py_spark.operators.pipeline import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.when(F.col("id") % 4 == 0, "en").otherwise("de"))
+        .alias("lang"))
+    out1 = {r.id for r in stratified_sample(
+        df, "lang", {"en": 0.5}, ["id"], default_fraction=0.1).collect()}
+    out2 = {r.id for r in stratified_sample(
+        df.repartition(13), "lang", {"en": 0.5}, ["id"],
+        default_fraction=0.1).collect()}
+    assert out1 == out2
+    en = sum(1 for i in out1 if i % 4 == 0)
+    de = len(out1) - en
+    assert abs(en / 1000 - 0.5) < 0.06
+    assert abs(de / 3000 - 0.1) < 0.03
+
+
+def test_scrub_text_redacts_pii(spark):
+    from tiledb_py_spark.operators.pipeline import scrub_text
+
+    rows = [(1, "mail me at jane.doe+spam@corp.example.org now"),
+            (2, "see https://ex.com/a?b=1 and call 5551234567"),
+            (3, "short 123456 stays, 1234567 goes")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.clean for r in
+           df.select("id", scrub_text("text").alias("clean")).collect()}
+    assert got[1] == "mail me at <EMAIL> now"
+    assert got[2] == "see <URL> and call <NUM>"
+    assert got[3] == "short 123456 stays, <NUM> goes"
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark):
+    from tiledb_py_spark.operators.pipeline import deterministic_shuffle
+
+    df = spark.range(0, 1000).select(F.col("id"))
+    a = [r.id for r in deterministic_shuffle(df, ["id"], seed=1).collect()]
+    b = [r.id for r in deterministic_shuffle(df, ["id"], seed=1).collect()]
+    c = [r.id for r in deterministic_shuffle(df, ["id"], seed=2).collect()]
+    assert a == b            # reproducible
+    assert a != c            # seed changes the permutation
+    assert sorted(a) == list(range(1000))  # it IS a permutation
+    assert a != list(range(1000))          # and not the identity

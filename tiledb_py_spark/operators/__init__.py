@@ -8,6 +8,6 @@ hot path is whole-stage-codegen'd; Python appears only in clearly-marked
 multimodal decode stubs behind ``mapInPandas``.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]

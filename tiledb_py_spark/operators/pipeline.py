@@ -1,0 +1,174 @@
+"""Corpus-assembly operators for LLM training-data pipelines:
+deterministic shuffle, hash-based train/test split, stratified sampling,
+sequence packing, and PII scrubbing.
+
+Everything here is DETERMINISTIC and hash-based (no RNG state): results
+are identical across runs, executor counts, and engines — the property a
+reproducible data pipeline needs (``sample()``'s Bernoulli draw depends
+on partition layout; a hash predicate does not).  The portable 60-bit
+md5 hash makes every decision replayable in plain SQL, so each operator
+is oracle-checkable in DuckDB.
+
+Scale notes:
+- shuffle/split/sample are pure row-local column expressions — zero
+  shuffles beyond what the caller asks for (the shuffle operator's sort
+  is the one intentional exchange: that IS the shuffle).
+- sequence packing is one window cumsum per group (one shuffle on the
+  group key); the greedy variant is ``applyInPandas`` per group with the
+  same single shuffle.
+- scrubbing is a chain of ``regexp_replace`` — whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"  # unit separator: unambiguous multi-column packing
+_BUCKETS = 10_000
+
+
+def portable_hash60(cols: Sequence, seed: int = 42) -> Column:
+    """Positive 60-bit hash of the concatenated columns + seed, computable
+    bit-for-bit in any SQL engine:
+    ``('0x' || substr(md5(concat_ws(chr(31), cols..., '<seed>')), 1, 15))::BIGINT``."""
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+             for c in cols]
+    packed = F.concat_ws(_SEP, *parts, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(packed), 1, 15), 16, 10).cast("long")
+
+
+def deterministic_shuffle(df: DataFrame, id_cols: Sequence[str],
+                          seed: int = 42,
+                          key_col: str = "shuffle_key") -> DataFrame:
+    """Reproducible global shuffle for training-example ordering: sort by
+    a seeded portable hash of the id columns.  The sort is a range
+    exchange on the 8-byte key — the minimum any true global shuffle
+    costs — and the permutation is a pure function of (ids, seed), so
+    re-runs, resumed jobs, and other engines produce the same order.
+    Change ``seed`` per epoch for fresh permutations."""
+    return (df.withColumn(key_col, portable_hash60(id_cols, seed))
+              .orderBy(key_col, *id_cols))
+
+
+def hash_split(df: DataFrame, id_cols: Sequence[str],
+               weights: Dict[str, float], seed: int = 42,
+               split_col: str = "split") -> DataFrame:
+    """Assign each row to a named split ('train'/'val'/'test', any names)
+    by hash bucket — stable under reruns and insensitive to row order or
+    partitioning, unlike ``randomSplit``.  Weights must sum to ~1; each
+    row lands in exactly one split."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    expr = None
+    acc = 0.0
+    last = list(weights)[-1]
+    for name, w in weights.items():
+        acc += w
+        hi = _BUCKETS if name == last else int(round(acc * _BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Dict[str, float], id_cols: Sequence[str],
+                      seed: int = 42,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    bucket falls below the stratum's fraction.  Unlike ``sampleBy`` the
+    kept set is a pure function of (ids, seed) — rerunning, adding
+    executors, or repartitioning returns the SAME sample, and the rates
+    are exact in expectation per stratum."""
+    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(int(round(frac * _BUCKETS)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(int(round(default_fraction * _BUCKETS))))
+    return df.filter(bucket < thr)
+
+
+def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
+                   max_tokens: int, by: Optional[str] = None,
+                   mode: str = "offset") -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context windows).
+
+    ``mode="offset"`` (default, SQL-expressible): documents are laid out
+    contiguously in id order within each ``by`` group; a document joins
+    the pack its START offset falls in (concat-then-chunk semantics —
+    packs may overflow by at most one document's tail).  One window
+    cumsum per group, fully parallel across groups.
+
+    ``mode="greedy"``: classic first-fit-in-order — a document that
+    would overflow the current pack starts a new one, so no pack exceeds
+    ``max_tokens`` (oversized single documents get their own pack).
+    Runs as ``applyInPandas`` per group (sequential within a group by
+    definition — packing is a running-state fold; parallelism comes from
+    the ``by`` grouping).
+
+    Adds ``pack_id`` (long, per group) and ``pack_offset`` (the
+    document's token start within its group layout for offset mode /
+    within its pack for greedy mode)."""
+    grp = F.col(by) if by else F.lit(0)
+    if mode == "offset":
+        w = (Window.partitionBy(grp).orderBy(*[F.col(c) for c in id_cols])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        start = F.sum(size_col).over(w) - F.col(size_col)
+        return (df.withColumn("pack_id", F.floor(start / max_tokens))
+                  .withColumn("pack_offset",
+                              (start % max_tokens).cast("long")))
+    if mode != "greedy":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pack_id", T.LongType()),
+           T.StructField("pack_offset", T.LongType())])
+    sort_cols = list(id_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        pack_ids, offsets = [], []
+        pid, used = 0, 0
+        for size in pdf[size_col]:
+            size = int(size)
+            if used > 0 and used + size > max_tokens:
+                pid += 1
+                used = 0
+            pack_ids.append(pid)
+            offsets.append(used)
+            used += size
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    key = [by] if by else [F.lit(0)]
+    return df.groupBy(*key).applyInPandas(pack, schema=out_schema)
+
+
+# PII scrub patterns: RE2-safe (no lookaround) so the same pattern runs
+# in Spark (java.util.regex) and DuckDB (RE2) with identical matches.
+_SCRUB_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{7,}\b", "<NUM>"),  # long digit runs: phones, SSNs, ids
+)
+
+
+def scrub_text(col: str | Column,
+               rules: Sequence = _SCRUB_RULES) -> Column:
+    """Redact emails / URLs / long digit runs with typed placeholders —
+    a chain of ``regexp_replace`` (whole-stage codegen, zero Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in rules:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
