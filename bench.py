@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "batch_topk",
     "text_quality",
     "fingerprint_md5",
+    # corpus assembly (round 4)
+    "det_shuffle",
+    "hash_split",
+    "pack_sequences",
+    "scrub_text",
 ]
 
 
