@@ -140,6 +140,41 @@ def test_format_lww_few_overlap_read_plans_no_shuffle(uri, spark):
     assert df.count() == 100
 
 
+def test_corpus_assembly_row_local_ops_plan_no_exchange(spark):
+    """hash_split / stratified_sample / scrub_text are pure row-local
+    column expressions — any Exchange in their plans is a regression
+    (deterministic_shuffle's sort exchange is intentional and excluded:
+    that exchange IS the shuffle being requested)."""
+    from tiledb_py_spark.operators.pipeline import (hash_split, scrub_text,
+                                                    stratified_sample)
+
+    df = spark.range(0, 100).select(
+        F.col("id"), F.lit("en").alias("lang"),
+        F.lit("text with words").alias("text"))
+    for out in (
+        hash_split(df, ["id"], {"train": 0.9, "test": 0.1}),
+        stratified_sample(df, "lang", {"en": 0.5}, ["id"]),
+        df.select("id", scrub_text("text").alias("clean")),
+    ):
+        s = _plan(out)
+        assert "Exchange" not in s
+
+
+def test_pack_sequences_offset_single_group_shuffle(spark):
+    """Offset packing is one window per group: exactly one Exchange (on
+    the group key), never a global sort."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), F.lit(100).alias("n"))
+    out = pack_sequences(df, "n", ["id"], max_tokens=512, by="grp")
+    s = _plan(out)
+    # formatted plans list each node twice (tree + "(n) Node" detail
+    # header) — count the detail headers
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
+
+
 def test_keyless_asof_avoids_global_window(spark):
     """Keyless as-of joins must not degrade to one global single-task
     window: the bucket decomposition partitions the window by time
