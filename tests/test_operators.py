@@ -690,3 +690,20 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
     assert a != c            # seed changes the permutation
     assert sorted(a) == list(range(1000))  # it IS a permutation
     assert a != list(range(1000))          # and not the identity
+
+
+def test_ivf_assign_arrow_matches_expr(spark):
+    """Arrow (matmul) and expression (codegen) cell assignment agree on
+    both metrics — the arrow path must be a pure implementation swap."""
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    for metric in ("cosine", "l2"):
+        idx = IVFIndex(n_cells=8, n_probe=2, metric=metric).fit(df, "v")
+        a = {r.vec_id: r["__cell"]
+             for r in idx.assign(df, "v", impl="expr").collect()}
+        b = {r.vec_id: r["__cell"]
+             for r in idx.assign(df, "v", impl="arrow").collect()}
+        assert a == b, metric

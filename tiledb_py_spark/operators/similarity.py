@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,7 +158,45 @@ class IVFIndex:
         ])
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+    def _cell_arrow_udf(self):
+        """Arrow-batched nearest-cell assignment: one numpy matmul per
+        batch against the broadcast centroid matrix.  The unrolled
+        ``_cell_expr`` expression tree grows (and plans) linearly in
+        n_cells x dim; this stays constant-size — the right shape once
+        n_cells goes past a few dozen (IVF at 100 TB wants thousands of
+        cells).  Ties resolve to the lowest cell id in both paths
+        (np.argmax/argmin and array_position both take the first hit)."""
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.ascontiguousarray(self.centroids)
+        cosine = self.metric == "cosine"
+
+        @pandas_udf("int")
+        def cell(vs: pd.Series) -> pd.Series:
+            M = np.asarray([np.asarray(v, dtype="float64") for v in vs])
+            if len(M) == 0:
+                return pd.Series(np.empty(0, dtype="int32"))
+            dots = M @ C.T
+            if cosine:
+                out = dots.argmax(axis=1)
+            else:
+                # argmin ||v - c||^2 = argmin (|c|^2 - 2 v.c), |v|^2 constant
+                out = ((C * C).sum(axis=1)[None, :] - 2 * dots).argmin(axis=1)
+            return pd.Series(out.astype("int32"))
+
+        return cell
+
+    def assign(self, df: DataFrame, vec_col: str,
+               impl: str = "auto") -> DataFrame:
+        """Append ``__cell``.  ``impl``: "expr" = inline codegen expression
+        (cheapest for small cell counts), "arrow" = batched numpy matmul
+        (constant-size plan, wins for large n_cells), "auto" = expr up to
+        32 cells."""
+        assert self.centroids is not None
+        if impl == "auto":
+            impl = "expr" if len(self.centroids) <= 32 else "arrow"
+        if impl == "arrow":
+            return df.withColumn("__cell", self._cell_arrow_udf()(F.col(vec_col)))
         return df.withColumn("__cell", self._cell_expr(F.col(vec_col)))
 
     def search(self, df: DataFrame, vec_col: str, id_col: str,
