@@ -685,6 +685,21 @@ def q_simhash_neardup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_repeated_ngrams(spark, sf_dir):
+    """Cross-document repeated 10-gram spans (substring-dedup primitive):
+    per doc, total grams and grams shared with >= 2 distinct docs.
+    Whitespace tokenizer + portable md5-60bit gram hash so DuckDB builds
+    the identical inverted index."""
+    from tiledb_py_spark.operators.dedup import (md5_hash60,
+                                                 repeated_ngram_stats)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws_toks = F.split(F.trim(F.col("text")), r"\s+")
+    out = repeated_ngram_stats(d, "text", "doc_id", n=10, min_docs=2,
+                               gram_hash=md5_hash60, tokens_col=ws_toks)
+    return out.orderBy("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 embedding."""
     from tiledb_py_spark.operators.similarity import brute_force_topk
@@ -1018,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
+        "repeated_ngrams": q_repeated_ngrams,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1403,6 +1419,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
                                            '\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "repeated_ngrams": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(arr[i:i+9], ' ')), 1, 15))::BIGINT AS gh
+              FROM t, UNNEST(generate_series(1, len(arr) - 9)) AS u(i)
+              WHERE len(arr) >= 10
+            ),
+            d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2)
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   count(*) FILTER (WHERE g.gh IN (SELECT gh FROM d)) AS n_dup_grams
+            FROM g GROUP BY g.doc_id ORDER BY doc_id
         """,
         # portable seeded hash used by the corpus-assembly operators:
         # ('0x' || first 15 md5 hex chars)::BIGINT of

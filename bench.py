@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "hash_split",
     "pack_sequences",
     "scrub_text",
+    "repeated_ngrams",
 ]
 
 

@@ -707,3 +707,23 @@ def test_ivf_assign_arrow_matches_expr(spark):
         b = {r.vec_id: r["__cell"]
              for r in idx.assign(df, "v", impl="arrow").collect()}
         assert a == b, metric
+
+
+def test_repeated_ngram_stats(spark):
+    """Docs sharing a 5-token span are flagged; unique docs are not; docs
+    shorter than n contribute nothing."""
+    from tiledb_py_spark.operators.dedup import repeated_ngram_stats
+
+    span = "one two three four five"
+    rows = [(1, span + " alpha beta gamma"),
+            (2, "prefix words here " + span),
+            (3, "totally different content with many unique tokens here"),
+            (4, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams)
+           for r in repeated_ngram_stats(df, "text", "doc_id", n=5).collect()}
+    assert 4 not in got                       # < n tokens: no grams
+    assert got[3][1] == 0                     # unique doc: no dup grams
+    # doc1: 8 tokens -> 4 grams; doc2: 8 tokens -> 4 grams; they share
+    # exactly the one span gram
+    assert got[1] == (4, 1) and got[2] == (4, 1)

@@ -466,6 +466,61 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return staged.select(F.col(id_col), sh.alias("simhash"))
 
 
+def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
+                         n: int = 10, min_docs: int = 2,
+                         gram_hash=None, tokens_col: Optional[Column] = None
+                         ) -> DataFrame:
+    """Cross-document repeated n-gram spans (the substring-dedup
+    primitive behind "dedup the training data at the span level"): for
+    each document, count its n-token grams and how many of them also
+    appear in at least ``min_docs`` distinct documents.
+
+    Classic inverted-index shape: explode (doc, gram_hash) postings,
+    aggregate gram document-frequency, join back, re-aggregate per doc —
+    the postings shuffle carries only (8-byte hash, id) pairs, never
+    text, and both aggregations keep map-side partial combine.  Docs
+    shorter than ``n`` tokens contribute (and receive) nothing.
+
+    ``gram_hash`` defaults to ``xxhash64``; pass ``md5_hash60`` for a
+    cross-engine-checkable hash.  ``tokens_col`` overrides the default
+    lowercasing tokenizer (e.g. a plain whitespace split)."""
+    gh = gram_hash or F.xxhash64
+    toks = tokens_col if tokens_col is not None else tokens(text_col)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    # Explode cheap POSITIONS, hash after the generate: exploding a
+    # per-doc array of gram hashes looks natural but
+    # InferFiltersFromGenerate clones the generator's child expression
+    # into inferred predicates, so the full slice+concat+hash transform
+    # runs ~3x per row (interpreted) — measured 10x slower.  With the
+    # generate over sequence(0, size-n) the cloned expression is a cheap
+    # int sequence, and each gram is sliced+hashed exactly once, on its
+    # own posting row.  The when() guard keeps the sequence ascending
+    # (empty) for short docs — a bare filter is not enough because the
+    # inferred predicates evaluate on unfiltered rows.
+    pos = F.when(F.size("__toks") >= n,
+                 F.sequence(F.lit(0), F.size("__toks") - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
+             .select("__id",
+                     gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
+                     .alias("__gh")))
+    # single evaluation of the postings: collapse to per-(id, gram)
+    # counts, get each gram's document frequency as a window count over
+    # that compact table (rows per __gh == distinct docs), then fold back
+    # per doc.  A groupBy-then-join formulation recomputes the whole
+    # posting scan once per join side.
+    from pyspark.sql import Window
+
+    c = g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
+    nd = F.count("*").over(Window.partitionBy("__gh"))
+    c = c.withColumn("__nd", nd)
+    return (c.groupBy("__id")
+             .agg(F.sum("__cnt").cast("long").alias("n_grams"),
+                  F.coalesce(F.sum(F.when(F.col("__nd") >= min_docs, F.col("__cnt"))),
+                             F.lit(0)).cast("long").alias("n_dup_grams"))
+             .withColumnRenamed("__id", id_col))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
