@@ -945,6 +945,21 @@ def q_pack_sequences(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: per source, keep the longest-first
+    (then doc_id) ranked prefix of docs whose cumulative whitespace-token
+    total stays within 500 tokens."""
+    from tiledb_py_spark.operators.pipeline import select_token_budget
+    from tiledb_py_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", whitespace_token_count("text").alias("n_tok"))
+    out = select_token_budget(d, "n_tok",
+                              [F.col("n_tok").desc(), F.col("doc_id")],
+                              budget=500, by="source")
+    return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
+
+
 def q_scrub_text(spark, sf_dir):
     """PII scrubbing: emails / URLs / long digit runs -> typed
     placeholders, RE2-safe patterns so DuckDB applies the identical
@@ -1038,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "token_budget": q_token_budget,
         "scrub_text": q_scrub_text,
     }
 
@@ -1481,6 +1497,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 512) AS BIGINT) AS pack_id,
                    CAST(start % 512 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id
+        """,
+        "token_budget": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY source
+                                        ORDER BY n_tok DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+            SELECT doc_id, source, n_tok FROM c WHERE cum <= 500
+            ORDER BY doc_id
         """,
         "scrub_text": r"""
             SELECT doc_id,

@@ -727,3 +727,16 @@ def test_repeated_ngram_stats(spark):
     # doc1: 8 tokens -> 4 grams; doc2: 8 tokens -> 4 grams; they share
     # exactly the one span gram
     assert got[1] == (4, 1) and got[2] == (4, 1)
+
+
+def test_select_token_budget_prefix_semantics(spark):
+    from tiledb_py_spark.operators.pipeline import select_token_budget
+
+    rows = [(1, "g", 300), (2, "g", 300), (3, "g", 300), (4, "g", 200),
+            (5, "h", 1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n"])
+    kept = {r.doc_id for r in select_token_budget(
+        df, "n", ["doc_id"], budget=650, by="grp").collect()}
+    # group g: 300+300=600 <= 650, adding doc3 would hit 900 -> prefix {1,2}
+    # group h: single 1000-token doc exceeds the budget -> dropped
+    assert kept == {1, 2}

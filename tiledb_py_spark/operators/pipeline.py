@@ -155,6 +155,25 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     return df.groupBy(*key).applyInPandas(pack, schema=out_schema)
 
 
+def select_token_budget(df: DataFrame, size_col: str,
+                        order_cols: Sequence, budget: int,
+                        by: Optional[str] = None) -> DataFrame:
+    """Corpus selection under a token budget: walk rows in ``order_cols``
+    order (e.g. quality descending, id for determinism) within each
+    ``by`` group and keep rows while the running token total stays under
+    ``budget`` — a row is kept iff its cumulative size up to and
+    including it is <= budget, so the kept set is a prefix of the
+    ranking.  One window cumsum per group, parallel across groups."""
+    grp = F.col(by) if by else F.lit(0)
+    w = (Window.partitionBy(grp)
+         .orderBy(*[c if isinstance(c, Column) else F.col(c)
+                    for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__cum", F.sum(size_col).over(w))
+              .filter(F.col("__cum") <= budget)
+              .drop("__cum"))
+
+
 # PII scrub patterns: RE2-safe (no lookaround) so the same pattern runs
 # in Spark (java.util.regex) and DuckDB (RE2) with identical matches.
 _SCRUB_RULES = (
