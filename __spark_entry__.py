@@ -945,6 +945,21 @@ def q_pack_sequences(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_pack_global(spark, sf_dir):
+    """GLOBAL (ungrouped) context-window packing: the naive plan is one
+    single-task window; the engine instead runs the bucketed distributed
+    prefix sum (range buckets + per-bucket windows + broadcast carry),
+    which the oracle's plain global window must equal exactly."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+    from tiledb_py_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_tok"))
+    out = pack_sequences(d, "n_tok", ["doc_id"], max_tokens=2048)
+    return (out.select("doc_id", "pack_id", "pack_offset")
+               .orderBy("doc_id"))
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget corpus selection: per source, keep the longest-first
     (then doc_id) ranked prefix of docs whose cumulative whitespace-token
@@ -1053,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_global": q_pack_global,
         "token_budget": q_token_budget,
         "scrub_text": q_scrub_text,
     }
@@ -1496,6 +1512,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(floor(start / 512) AS BIGINT) AS pack_id,
                    CAST(start % 512 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id
+        """,
+        "pack_global": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       SUM(n) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS start
+                FROM t)
+            SELECT doc_id,
+                   CAST(floor(start / 2048) AS BIGINT) AS pack_id,
+                   CAST(start % 2048 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id
         """,
         "token_budget": r"""

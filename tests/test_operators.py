@@ -740,3 +740,21 @@ def test_select_token_budget_prefix_semantics(spark):
     # group g: 300+300=600 <= 650, adding doc3 would hit 900 -> prefix {1,2}
     # group h: single 1000-token doc exceeds the budget -> dropped
     assert kept == {1, 2}
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """Bucketed distributed prefix sum == single global window, including
+    on a skewed key distribution."""
+    from tiledb_py_spark.operators.pipeline import global_running_sum
+
+    rng = np.random.RandomState(13)
+    keys = np.concatenate([rng.choice(100, 1500), rng.choice(100000, 50)])
+    keys = np.unique(keys)  # distinct ordering keys
+    rows = [(int(k), int(rng.randint(1, 50))) for k in keys]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = (global_running_sum(df, ["k"], "v", cum_col="cum", num_buckets=8)
+           .orderBy("k").collect())
+    want = 0
+    for r in got:
+        want += r.v
+        assert r.cum == want

@@ -182,9 +182,10 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     spine = spark.range(num_buckets).select(
         F.col("id").cast(dict(u.dtypes)[_BKT]).alias(_BKT))
     # single-partition window is deliberate and safe: the spine is
-    # exactly num_buckets rows (partitionBy(lit(0)) silences the
-    # single-task warning without changing the plan)
-    wb = Window.partitionBy(F.lit(0)) \
+    # exactly num_buckets rows (partition key shiftright(bkt,31)==0
+    # always, but unlike lit(0) it is not constant-folded into an empty
+    # partition spec, which would trip the WindowExec warning)
+    wb = Window.partitionBy(F.shiftright(F.col(_BKT), 31)) \
         .orderBy(F.col(_BKT).asc() if backward else F.col(_BKT).desc()) \
         .rowsBetween(Window.unboundedPreceding, -1)
     carry = (spine.join(bndagg, on=_BKT, how="left")

@@ -95,6 +95,59 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(bucket < thr)
 
 
+def global_running_sum(df: DataFrame, order_cols: Sequence[str],
+                       value_col: str, cum_col: str = "cum",
+                       num_buckets: int = 64) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-task window: range-
+    bucket on the first order column (sampled coarse quantiles — bounds
+    only need to balance tasks), window-cumsum per bucket in parallel,
+    then add each bucket's carry-in (the total of all earlier buckets,
+    a num_buckets-row lazy spine cumsum, broadcast back).  Same
+    decomposition as the keyless as-of carry; the answer equals the
+    naive global window exactly.  First order column must be numeric/
+    timestamp (it defines the range buckets); remaining columns break
+    ties within a bucket."""
+    spark = df.sparkSession
+    first = order_cols[0]
+    if dict(df.dtypes)[first].startswith("timestamp"):
+        d = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
+    else:
+        d = F.col(first).cast("double")
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    qs = (df.select(d.alias("__gcs_d")).sample(fraction=0.1, seed=42)
+            .approxQuantile("__gcs_d", probs, 0.01)) if num_buckets > 1 else []
+    bounds = sorted(set(qs))
+    order = [F.col(c) for c in order_cols]
+    if not bounds:
+        w = (Window.partitionBy(F.lit(0)).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return df.withColumn(cum_col, F.sum(value_col).over(w))
+    b = None
+    for bd in bounds:
+        t = F.when(d > F.lit(bd), 1).otherwise(0)
+        b = t if b is None else b + t
+    df2 = df.withColumn("__gcs_bkt", b)
+    wb = (Window.partitionBy("__gcs_bkt").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = df2.groupBy("__gcs_bkt").agg(F.sum(value_col).alias("__t"))
+    spine = spark.range(len(bounds) + 1).select(
+        F.col("id").cast("int").alias("__gcs_bkt"))
+    # rowsBetween(..., -1): bucket k's carry-in excludes its own total;
+    # the num_buckets-row single-partition window is deliberate and
+    # trivial (partition key shiftright(bkt,31)==0 always, but unlike a
+    # lit(0) it is not constant-folded into an empty partition spec,
+    # which would trip the WindowExec warning)
+    wc = (Window.partitionBy(F.shiftright(F.col("__gcs_bkt"), 31)).orderBy("__gcs_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (spine.join(totals, on="__gcs_bkt", how="left")
+             .select("__gcs_bkt",
+                     F.coalesce(F.sum("__t").over(wc), F.lit(0)).alias("__gcs_carry")))
+    return (df2.join(F.broadcast(carry), on="__gcs_bkt", how="left")
+               .withColumn(cum_col,
+                           F.sum(value_col).over(wb) + F.col("__gcs_carry"))
+               .drop("__gcs_bkt", "__gcs_carry"))
+
+
 def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
                    max_tokens: int, by: Optional[str] = None,
                    mode: str = "offset") -> DataFrame:
@@ -118,6 +171,16 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     within its pack for greedy mode)."""
     grp = F.col(by) if by else F.lit(0)
     if mode == "offset":
+        if by is None:
+            # no grouping: a plain window would be one global task —
+            # use the bucketed distributed prefix sum instead
+            out = global_running_sum(df, list(id_cols), size_col,
+                                     cum_col="__cum")
+            start = F.col("__cum") - F.col(size_col)
+            return (out.withColumn("pack_id", F.floor(start / max_tokens))
+                       .withColumn("pack_offset",
+                                   (start % max_tokens).cast("long"))
+                       .drop("__cum"))
         w = (Window.partitionBy(grp).orderBy(*[F.col(c) for c in id_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         start = F.sum(size_col).over(w) - F.col(size_col)
