@@ -153,6 +153,13 @@ def test_format_lww_giant_component_auto_slices(uri, spark):
     serialize into one task: planning slices it into first-dim coordinate
     ranges (one independent streaming merge per slice), and the sliced
     result is identical to the engine's shuffle-dedup scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tiledb_py_spark import manifest as mf
+
     rng = np.random.RandomState(7)
     base = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
                          "v": np.zeros(5000)})
@@ -162,6 +169,15 @@ def test_format_lww_giant_component_auto_slices(uri, spark):
         ks = np.sort(rng.choice(5000, 2000, replace=False)).astype(np.int64)
         upd = pd.DataFrame({"k": ks, "v": np.full(len(ks), float(i))})
         tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+    # tiny test fragments land in ONE row group each; rewrite with small
+    # sorted row groups to model a real multi-row-group fragment (where
+    # range slicing actually prunes I/O — the planner refuses to slice
+    # single-giant-row-group layouts, see the unsorted test)
+    for f in mf.read_manifest(uri).fragments:
+        for p in glob.glob(os.path.join(mf.fragment_path(uri, f.name),
+                                        "**", "*.parquet"), recursive=True):
+            pq.write_table(pq.read_table(p).sort_by("k"), p,
+                           row_group_size=250)
 
     from tiledb_py_spark.sources.spark_datasource import TileDBReader
 
@@ -192,6 +208,46 @@ def test_format_lww_giant_component_auto_slices(uri, spark):
               .orderBy("k").toPandas())
     eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
     assert sliced.equals(eng)
+
+
+def test_format_lww_unsorted_component_skips_slicing(uri, spark):
+    """Wide row groups (unsorted data) would be re-read by every slice —
+    the planner must detect the amplification and fall back to fewer (or
+    one) slices instead of multiplying I/O."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tiledb_py_spark import manifest as mf
+    from tiledb_py_spark.sources.spark_datasource import TileDBReader
+
+    rng = np.random.RandomState(3)
+    base = pd.DataFrame({"k": np.arange(4000, dtype=np.int64),
+                         "v": np.zeros(4000)})
+    tdb.from_pandas(uri, base, index_dims=["k"])
+    for i in range(1, 12):
+        upd = pd.DataFrame({"k": np.arange(0, 4000, 2, dtype=np.int64),
+                            "v": np.full(2000, float(i))})
+        tdb.from_pandas(uri, upd, index_dims=["k"], mode="append")
+    # shuffle every fragment file and rewrite with small row groups:
+    # each row group now spans ~the whole key domain
+    for f in mf.read_manifest(uri).fragments:
+        for p in glob.glob(os.path.join(mf.fragment_path(uri, f.name),
+                                        "**", "*.parquet"), recursive=True):
+            tbl = pq.read_table(p)
+            perm = rng.permutation(tbl.num_rows)
+            pq.write_table(tbl.take(perm), p, row_group_size=500)
+
+    r = TileDBReader(uri, None, lww_split_bytes=16 << 10)
+    splits = r.partitions()
+    group_splits = [s for s in splits if s.group]
+    assert len(group_splits) == 1 and group_splits[0].group_range in ((), (None, None))
+    # and the merge still resolves LWW correctly on the shuffled files
+    out = spark.read.format("tiledb") \
+        .option("lww_split_bytes", 16 << 10).load(uri).orderBy("k").toPandas()
+    eng = tdb.open(uri, spark=spark).dataframe().orderBy("k").toPandas()
+    assert out.equals(eng)
 
 
 def test_format_lww_few_overlaps_keeps_per_split_anti_join(uri, spark):

@@ -377,6 +377,28 @@ class TileDBReader(DataSourceReader):
             acc += size
         if not bounds:
             return [()]
+
+        def amplification(bnds) -> float:
+            """Bytes read across all slices / component bytes: a row
+            group is re-read by every slice it straddles."""
+            read = 0
+            for (mn, mx), size in rgs:
+                k = 1 + sum(1 for b in bnds if mn < b <= mx)
+                read += k * size
+            return read / total
+
+        # engine-written fragments are range-clustered (sorted on the
+        # first dim), so row groups are narrow and each feeds ~1 slice.
+        # For unsorted data (wide row groups spanning many slices) the
+        # re-read cost can exceed the parallelism win — halve the slice
+        # count until amplification is acceptable (sorted fragments sit
+        # at ~1.0x; 1.5x tolerates boundary straddle, rejects layouts
+        # where most row groups span multiple slices), degrading to the
+        # single-task merge in the worst case.
+        while bounds and amplification(bounds) > 1.5:
+            bounds = bounds[1::2]
+        if not bounds:
+            return [()]
         ranges = []
         lo = None
         for b in bounds:
