@@ -1,6 +1,8 @@
 """Corpus-assembly operators for LLM training-data pipelines:
 deterministic shuffle, hash-based train/test split, stratified sampling,
-sequence packing, and PII scrubbing.
+sequence packing (grouped and global), token-budget corpus selection,
+and PII scrubbing — plus the distributed global prefix sum that backs
+the ungrouped variants.
 
 Everything here is DETERMINISTIC and hash-based (no RNG state): results
 are identical across runs, executor counts, and engines — the property a
