@@ -700,6 +700,23 @@ def q_repeated_ngrams(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: exact 1-gram Jaccard pairs (same
+    graph as the ngram_jaccard gate) -> distributed connected components
+    (min-label propagation + pointer jumping) -> every node labeled with
+    the minimum doc_id reachable from it.  The oracle computes the same
+    closure with a recursive CTE."""
+    from tiledb_py_spark.operators.dedup import (connected_components,
+                                                 ngram_jaccard_pairs)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=1,
+                                threshold=0.7)
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"), "rep")
+            .orderBy("doc_id"))
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 embedding."""
     from tiledb_py_spark.operators.similarity import brute_force_topk
@@ -1063,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
+        "dedup_clusters": q_dedup_clusters,
         "repeated_ngrams": q_repeated_ngrams,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
@@ -1362,6 +1380,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(a.s || b.s)) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS s
+                FROM documents WHERE doc_id < 100
+            ),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.7
+            ),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            )
+            SELECT a AS doc_id, min(b) AS rep
+            FROM reach GROUP BY a ORDER BY doc_id
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -758,3 +758,19 @@ def test_global_running_sum_matches_naive_window(spark):
     for r in got:
         want += r.v
         assert r.cum == want
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b-c-d collapses to one component even though (a, d) was
+    never a pair; separate cliques stay separate; pointer jumping
+    converges on a long chain."""
+    from tiledb_py_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 25)]          # 16-node chain
+    clique = [(1, 2), (2, 3), (1, 3)]
+    lone = [(100, 101)]
+    df = spark.createDataFrame(chain + clique + lone, ["id_a", "id_b"])
+    reps = {r.id: r.rep for r in connected_components(df).collect()}
+    assert all(reps[i] == 10 for i in range(10, 26))
+    assert all(reps[i] == 1 for i in (1, 2, 3))
+    assert reps[100] == reps[101] == 100

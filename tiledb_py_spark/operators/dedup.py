@@ -466,6 +466,49 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return staged.select(F.col(id_col), sh.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node gets
+    the MINIMUM id reachable from it (``rep``), making "keep one doc per
+    duplicate cluster" fully transitive (a->b and b->c collapse to one
+    cluster even when (a, c) was never a candidate pair — the one-round
+    min-id-in-bucket propagation ``*_dedup`` use by default is a
+    documented approximation of exactly this).
+
+    Distributed min-label propagation with pointer jumping: each
+    iteration (1) pulls the min label across edges, (2) jumps
+    ``l(v) <- l(l(v))``, so label trees halve in height — convergence in
+    O(log(diameter)) rounds, each a pair of 8-byte-key shuffles.  The
+    per-iteration convergence check is one small count action; near-dup
+    graphs (stars/cliques) typically converge in 2-3 rounds."""
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+             .distinct())
+    labels = (edges.select(F.col("u").alias("id"))
+              .distinct()
+              .withColumn("rep", F.col("id")))
+    for _ in range(max_iter):
+        # (1) min label over neighbors (and self)
+        nbr = (edges.join(labels.withColumnRenamed("id", "v")
+                          .withColumnRenamed("rep", "__vrep"), on="v")
+               .groupBy("u").agg(F.min("__vrep").alias("__nmin"))
+               .withColumnRenamed("u", "id"))
+        new = (labels.join(nbr, on="id", how="left")
+               .select("id", F.least("rep", F.coalesce("__nmin", "rep"))
+                       .alias("rep")))
+        # (2) pointer jump: rep <- rep's rep
+        jump = new.select(F.col("id").alias("rep"),
+                          F.col("rep").alias("__rrep"))
+        new = (new.join(jump, on="rep", how="left")
+               .select("id", F.coalesce("__rrep", "rep").alias("rep")))
+        changed = (new.alias("n").join(labels.alias("o"), on="id")
+                   .filter(F.col("n.rep") != F.col("o.rep")).count())
+        labels = new.localCheckpoint(eager=True) if changed else new
+        if not changed:
+            break
+    return labels
+
+
 def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
                          n: int = 10, min_docs: int = 2,
                          gram_hash=None, tokens_col: Optional[Column] = None
