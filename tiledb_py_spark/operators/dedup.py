@@ -501,9 +501,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                           F.col("rep").alias("__rrep"))
         new = (new.join(jump, on="rep", how="left")
                .select("id", F.coalesce("__rrep", "rep").alias("rep")))
+        # checkpoint BEFORE the convergence count so the iteration is
+        # evaluated once (the count then reads checkpointed partitions);
+        # checkpointing also truncates the lineage, which would otherwise
+        # double in size every round
+        new = new.localCheckpoint(eager=True)
         changed = (new.alias("n").join(labels.alias("o"), on="id")
                    .filter(F.col("n.rep") != F.col("o.rep")).count())
-        labels = new.localCheckpoint(eager=True) if changed else new
+        labels = new
         if not changed:
             break
     return labels
