@@ -119,3 +119,42 @@ def test_stream_to_array_fragments(spark, tmp_path):
     res = A[:]
     assert sorted(res["k"].tolist()) == list(range(10))
     assert len(tdb.array_fragments(uri)) >= 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids across micro-batches are dropped within the
+    watermark horizon; the same helper runs as plain dropDuplicates on a
+    batch DataFrame."""
+    from tiledb_py_spark.streaming import dedup_event_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    b1 = pd.DataFrame({
+        "event_id": [1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                              "2024-01-01 00:01"]).astype("datetime64[us]"),
+        "v": [1.0, 2.0, 2.0]})
+    b2 = pd.DataFrame({
+        "event_id": [1, 3],  # 1 is a cross-batch duplicate
+        "ts": pd.to_datetime(["2024-01-01 00:02",
+                              "2024-01-01 00:03"]).astype("datetime64[us]"),
+        "v": [1.0, 3.0]})
+    b1.to_parquet(src / "b1.parquet")
+    b2.to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = dedup_event_stream(stream, keys=["event_id"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r.event_id
+                 for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert ids == [1, 2, 3]
+
+    # batch mode: same helper, plain dropDuplicates
+    batch = spark.createDataFrame(pd.concat([b1, b2]))
+    got = sorted(r.event_id
+                 for r in dedup_event_stream(batch, keys=["event_id"]).collect())
+    assert got == [1, 2, 3]

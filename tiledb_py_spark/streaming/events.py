@@ -66,6 +66,28 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def dedup_event_stream(events: DataFrame, keys=("event_id",),
+                       time_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: drop events whose key
+    was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — a plain streaming
+    ``dropDuplicates`` keeps every key ever seen and its state grows
+    without bound; the watermark variant evicts keys once they age out,
+    which is the only shape that survives an unbounded stream).  Batch
+    DataFrames take the ordinary ``dropDuplicates`` path, so the same
+    call works in backfill and live modes."""
+    keys = list(keys)
+    if events.isStreaming:
+        if dict(events.dtypes).get(time_col) == "timestamp_ntz":
+            # watermarks require session-tz timestamps
+            events = events.withColumn(time_col,
+                                       F.col(time_col).cast("timestamp"))
+        return (events.withWatermark(time_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
 def read_event_stream(spark, path: str, schema=None,
                       max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a directory of event parquet files."""
