@@ -962,6 +962,20 @@ def q_pack_sequences(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_resample_strata(spark, sf_dir):
+    """Domain-mixture resampling: downsample 'en' to 0.5x, upsample 'zh'
+    to 2.5x, keep the rest at 1x — every decision a pure function of
+    (doc_id, seed), exactly replayable in SQL."""
+    from tiledb_py_spark.operators.pipeline import resample_strata
+
+    d = _t(spark, sf_dir, "documents")
+    out = resample_strata(d, "lang", {"en": 0.5, "zh": 2.5}, ["doc_id"],
+                          seed=42)
+    return (out.select("doc_id", "lang",
+                       F.col("copy_id").cast("long").alias("copy_id"))
+               .orderBy("doc_id", "copy_id"))
+
+
 def q_pack_global(spark, sf_dir):
     """GLOBAL (ungrouped) context-window packing: the naive plan is one
     single-task window; the engine instead runs the bucketed distributed
@@ -1085,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "resample_strata": q_resample_strata,
         "pack_sequences": q_pack_sequences,
         "pack_global": q_pack_global,
         "token_budget": q_token_budget,
@@ -1552,6 +1567,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 512) AS BIGINT) AS pack_id,
                    CAST(start % 512 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id
+        """,
+        "resample_strata": r"""
+            WITH c AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                                       1, 15))::BIGINT % 10000 AS b
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'en' THEN 0 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+                            WHEN lang = 'zh' THEN 2 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+                            ELSE 1 END AS n_copies
+                FROM c
+            )
+            SELECT doc_id, lang, u.copy_id
+            FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
+            WHERE n_copies > 0
+            ORDER BY doc_id, copy_id
         """,
         "pack_global": r"""
             WITH t AS (

@@ -774,3 +774,27 @@ def test_connected_components_transitive_chain(spark):
     assert all(reps[i] == 10 for i in range(10, 26))
     assert all(reps[i] == 1 for i in (1, 2, 3))
     assert reps[100] == reps[101] == 100
+
+
+def test_resample_strata_rates_and_determinism(spark):
+    """Expected copies == rate per stratum, the multiset is reproducible,
+    and rate-0 strata vanish."""
+    from tiledb_py_spark.operators.pipeline import resample_strata
+
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "a")
+         .when(F.col("id") % 3 == 1, "b").otherwise("c").alias("s"))
+    rates = {"a": 2.5, "b": 0.5, "c": 0.0}
+    out = resample_strata(df, "s", rates, ["id"]).collect()
+    from collections import Counter
+    per = Counter(r.s for r in out)
+    assert abs(per["a"] / 1000 - 2.5) < 0.15
+    assert abs(per["b"] / 1000 - 0.5) < 0.1
+    assert per["c"] == 0
+    # copies are disambiguated and dense per row
+    copies = Counter((r.id, r.copy_id) for r in out)
+    assert max(copies.values()) == 1
+    # deterministic under repartitioning
+    again = resample_strata(df.repartition(13), "s", rates, ["id"]).collect()
+    assert Counter((r.id, r.copy_id) for r in again) == copies

@@ -97,6 +97,43 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(bucket < thr)
 
 
+def resample_strata(df: DataFrame, strata_col: str,
+                    rates: Dict[str, float], id_cols: Sequence[str],
+                    seed: int = 42, default_rate: float = 1.0,
+                    copy_col: str = "copy_id") -> DataFrame:
+    """Deterministic per-stratum resampling at arbitrary rates — the
+    domain-mixture primitive (`rates={'en': 0.5, 'code': 2.5}` halves
+    'en' and emits 2-3 copies of each 'code' row).
+
+    Rate r = k + f (k integer, f fractional): every row gets k copies,
+    plus one more iff its hash bucket < f — so expected copies = r
+    exactly, and the output is a pure function of (ids, seed): rerunning
+    or repartitioning yields the identical multiset.  Rows are
+    replicated via ``explode(sequence(...))`` (no shuffle); ``copy_col``
+    (0..k) disambiguates copies downstream (e.g. for a per-copy shuffle
+    key)."""
+    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    n_copies = None
+    for value, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {value!r}")
+        k, f = int(r), r - int(r)
+        n = F.lit(k) + F.when(bucket < F.lit(int(round(f * _BUCKETS))), 1) \
+            .otherwise(0)
+        cond = F.col(strata_col) == value
+        n_copies = F.when(cond, n) if n_copies is None \
+            else n_copies.when(cond, n)
+    kd, fd = int(default_rate), default_rate - int(default_rate)
+    nd = F.lit(kd) + F.when(bucket < F.lit(int(round(fd * _BUCKETS))), 1) \
+        .otherwise(0)
+    n_copies = nd if n_copies is None else n_copies.otherwise(nd)
+    return (df.withColumn("__n_copies", n_copies)
+              .filter(F.col("__n_copies") > 0)
+              .withColumn(copy_col,
+                          F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+              .drop("__n_copies"))
+
+
 def global_running_sum(df: DataFrame, order_cols: Sequence[str],
                        value_col: str, cum_col: str = "cum",
                        num_buckets: int = 64) -> DataFrame:
