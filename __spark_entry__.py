@@ -142,6 +142,27 @@ def q_array_range_read(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
 
 
+def q_array_sql(spark, sf_dir):
+    """SQL-native surface over the ARRAY storage path: the array exposed
+    as a temp view, a plain ``spark.sql`` aggregation running against the
+    pruned fragment scan (pushdown flows through the view)."""
+    uri = _lineitem_array(spark, sf_dir)
+    import tiledb_py_spark as tdb
+
+    A = tdb.open(uri, spark=spark)
+    A.create_view("li_arr")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 2) AS avg_price
+        FROM li_arr
+        WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
 def q_array_cond_agg(spark, sf_dir):
     """S1 + P5 + A2/A3 through the array path: condition + aggregates."""
     uri = _lineitem_array(spark, sf_dir)
@@ -1055,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_dim_values": q_unique_dim_values,
         "array_range_read": q_array_range_read,
         "array_cond_agg": q_array_cond_agg,
+        "array_sql": q_array_sql,
         "array_time_slice": q_array_time_slice,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
@@ -1162,6 +1184,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(max(l_extendedprice), 2) AS max_price
             FROM lineitem WHERE l_tax > 0.05
+        """,
+        "array_sql": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem
+            WHERE l_orderkey < 5000
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "array_time_slice": """
             SELECT o_orderkey, o_orderdate, o_totalprice

@@ -82,6 +82,20 @@ def test_dense_fill_join_broadcasts_small_cells(uri, spark):
         assert df.filter(F.col("v") == -1.0).count() == 500
 
 
+def test_sql_view_pushes_filters_to_scan(arr, spark):
+    """A spark.sql query over Array.create_view() must push its predicate
+    into the fragment parquet scan — the view is the lazy dataframe()
+    plan, not a materialization."""
+    A = tdb.open(arr, spark=spark)
+    A.create_view("arr_view_t")
+    df = spark.sql(
+        "SELECT k, a FROM arr_view_t WHERE k >= 100 AND k <= 200")
+    s = _plan(df)
+    assert "PushedFilters" in s
+    assert "GreaterThanOrEqual(k,100)" in s
+    assert df.count() == 101
+
+
 def test_minhash_signatures_plan_has_no_exchange(spark):
     """The staged-projection minhash signature pass is the crown-jewel
     shuffle-free plan (signatures are per-row expressions): any Exchange

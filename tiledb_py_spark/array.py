@@ -455,6 +455,15 @@ class Array:
         return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
                                        attrs=attrs, dims=dims))
 
+    def create_view(self, name: str, timestamp=None) -> str:
+        """Expose the array as a Spark SQL temp view: any ``spark.sql``
+        query then runs against the pruned fragment scan (pushdown and
+        column pruning flow through the view — it is just the lazy
+        ``dataframe()`` plan under a name).  With ``timestamp``, the view
+        is a frozen time-travel snapshot."""
+        self.dataframe(timestamp=timestamp).createOrReplaceTempView(name)
+        return name
+
     # -- query / indexers ----------------------------------------------------
     def query(self, attrs=None, cond=None, dims=None, coords=None, order="C",
               return_incomplete=False, return_arrow=False, index_col=True):
