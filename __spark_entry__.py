@@ -983,6 +983,16 @@ def q_pack_sequences(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16 overlap so
+    the small gate docs actually split)."""
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, "text", ["doc_id"], chunk_tokens=64, overlap=16)
+    return out.orderBy("doc_id", "chunk_id")
+
+
 def q_resample_strata(spark, sf_dir):
     """Domain-mixture resampling: downsample 'en' to 0.5x, upsample 'zh'
     to 2.5x, keep the rest at 1x — every decision a pure function of
@@ -1122,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "resample_strata": q_resample_strata,
+        "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "pack_global": q_pack_global,
         "token_budget": q_token_budget,
@@ -1599,6 +1610,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 512) AS BIGINT) AS pack_id,
                    CAST(start % 512 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, arr,
+                       GREATEST(1, CAST(ceil((len(arr) - 16) / 48.0) AS INT)) AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(u.ci AS BIGINT) AS chunk_id,
+                   array_to_string(arr[u.ci * 48 + 1 : u.ci * 48 + 64], ' ') AS chunk_text,
+                   CAST(len(arr[u.ci * 48 + 1 : u.ci * 48 + 64]) AS BIGINT) AS chunk_n_tokens
+            FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(ci)
+            ORDER BY doc_id, chunk_id
         """,
         "resample_strata": r"""
             WITH c AS (

@@ -798,3 +798,24 @@ def test_resample_strata_rates_and_determinism(spark):
     # deterministic under repartitioning
     again = resample_strata(df.repartition(13), "s", rates, ["id"]).collect()
     assert Counter((r.id, r.copy_id) for r in again) == copies
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, long_text), (2, "just three tokens")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (chunk_documents(df, "text", ["doc_id"], chunk_tokens=8, overlap=4)
+           .orderBy("doc_id", "chunk_id").collect())
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: 10 tokens, stride 4 -> chunks at 0 and 4: [w0..w7], [w4..w9]
+    c = by_doc[1]
+    assert [r.chunk_text for r in c] == [
+        " ".join(f"w{i}" for i in range(8)),
+        " ".join(f"w{i}" for i in range(4, 10))]
+    assert [r.chunk_n_tokens for r in c] == [8, 6]
+    # short doc: one whole-document chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "just three tokens"

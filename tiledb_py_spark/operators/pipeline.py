@@ -97,6 +97,37 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(bucket < thr)
 
 
+def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
+                    chunk_tokens: int = 512, overlap: int = 64,
+                    tokens_col: Optional[Column] = None) -> DataFrame:
+    """Split documents into overlapping token windows (context-length
+    preprocessing): chunks start every ``chunk_tokens - overlap`` tokens;
+    short documents yield one whole-document chunk.
+
+    Explodes cheap chunk INDICES, then slices each chunk once on its own
+    row — exploding an array of pre-built chunk strings would let
+    InferFiltersFromGenerate clone the whole slice+concat expression into
+    inferred predicates (evaluated ~3x per row, interpreted).  Adds
+    ``chunk_id``, ``chunk_text``, ``chunk_n_tokens``.  ``tokens_col``
+    overrides the whitespace tokenizer."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col if tokens_col is not None else \
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(*[F.col(c) for c in id_cols], toks.alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.lit(1),
+                          F.ceil((n - overlap) / F.lit(stride)).cast("int"))
+    pos = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = F.slice("__toks", F.col("__ci") * stride + 1, chunk_tokens)
+    return (base.select(*id_cols, "__toks", F.explode(pos).alias("__ci"))
+                .select(*id_cols,
+                        F.col("__ci").cast("long").alias("chunk_id"),
+                        F.concat_ws(" ", chunk).alias("chunk_text"),
+                        F.size(chunk).cast("long").alias("chunk_n_tokens")))
+
+
 def resample_strata(df: DataFrame, strata_col: str,
                     rates: Dict[str, float], id_cols: Sequence[str],
                     seed: int = 42, default_rate: float = 1.0,
