@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "scrub_text",
     "repeated_ngrams",
+    "chunk_documents",
 ]
 
 
