@@ -819,3 +819,25 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     assert [r.chunk_n_tokens for r in c] == [8, 6]
     # short doc: one whole-document chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "just three tokens"
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    """The portable hash must agree bit-for-bit with its documented SQL
+    form in another engine — every corpus-assembly decision (shuffle
+    order, splits, samples, resampling) rides on this equality."""
+    import duckdb
+
+    from tiledb_py_spark.operators.pipeline import portable_hash60
+
+    vals = ["", "a", "hello world", "Ünïcødé ☃", "tab\there",
+            "0123456789" * 10, "line\nbreak"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["i", "s"])
+    got = {r.i: r.h for r in df.select(
+        "i", portable_hash60(["s"], seed=7).alias("h")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(concat_ws(chr(31), ?, '7')), 1, 15))::BIGINT",
+            [v]).fetchone()[0]
+        assert got[i] == want, (v, got[i], want)
