@@ -74,3 +74,45 @@ def test_dense_halfopen_steps_property(dense_uri, spark, lo, hi, step):
     A = tdb.open(dense_uri, spark=spark)
     got = A[lo:hi:step]
     assert_array_equal(got, VALS[lo:hi:step])
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs pandas merge_asof (flagship custom operator)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+asof_cfg = st.tuples(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),   # left times
+    st.lists(st.integers(0, 500), min_size=0, max_size=25),   # right times
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),                                            # strict
+    st.sampled_from([1, 4]),                                  # num_buckets
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(asof_cfg)
+def test_asof_join_matches_pandas(spark, cfg):
+    from tiledb_py_spark.operators.asof import asof_join
+
+    lt_raw, rt_raw, direction, strict, nb = cfg
+    lt = pd.DataFrame({"t": pd.Series(sorted(set(lt_raw)), dtype="int64")})
+    rt = pd.DataFrame({"t": pd.Series(sorted(set(rt_raw)), dtype="int64")})
+    rt["rv"] = rt["t"] * 3 + 1
+    got = (asof_join(spark.createDataFrame(lt),
+                     spark.createDataFrame(rt) if len(rt) else
+                     spark.createDataFrame([], "t bigint, rv bigint"),
+                     on="t", direction=direction, strict=strict,
+                     num_buckets=nb)
+           .orderBy("t").toPandas())
+    want = pd.merge_asof(
+        lt, rt.rename(columns={"rv": "rv_right", "t": "t_kept"}),
+        left_on="t", right_on="t_kept", direction=direction,
+        allow_exact_matches=not strict)
+    norm = lambda s: [None if pd.isna(v) else float(v) for v in s]
+    assert norm(got["rv_right"]) == norm(want["rv_right"]), \
+        (direction, strict, nb)
