@@ -1,8 +1,9 @@
 """Corpus-assembly operators for LLM training-data pipelines:
 deterministic shuffle, hash-based train/test split, stratified sampling,
-sequence packing (grouped and global), token-budget corpus selection,
-and PII scrubbing — plus the distributed global prefix sum that backs
-the ungrouped variants.
+domain-mixture resampling (arbitrary rates, upsampling included),
+overlapping token-window chunking, sequence packing (grouped and
+global), token-budget corpus selection, and PII scrubbing — plus the
+distributed global prefix sum that backs the ungrouped variants.
 
 Everything here is DETERMINISTIC and hash-based (no RNG state): results
 are identical across runs, executor counts, and engines — the property a
