@@ -926,10 +926,10 @@ def q_language_id(spark, sf_dir):
     """Language-ID heuristic counts per predicted language.  The fold
     (first language in en/de/fr/es/it order with the max stopword-hit
     ratio, 'und' when nothing hits) is replicated as argmax SQL."""
-    from tiledb_py_spark.operators.text import language_id
+    from tiledb_py_spark.operators.text import language_id_df
 
     d = _t(spark, sf_dir, "documents")
-    return (d.select(language_id("text").alias("lang_pred"))
+    return (language_id_df(d, "text")
              .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
              .orderBy("lang_pred"))
 

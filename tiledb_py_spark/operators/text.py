@@ -10,6 +10,8 @@ classifier would slot in as a Pandas UDF behind the same column contract.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,9 +58,15 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return (pieces + extra).cast("long")
 
 
-def language_id(col: str | Column) -> Column:
-    """Best-scoring language by stopword hit ratio; 'und' when nothing hits."""
-    toks = _tokens_lower(F.col(col) if isinstance(col, str) else col)
+def language_id(col: str | Column, tokens_col: Optional[Column] = None) -> Column:
+    """Best-scoring language by stopword hit ratio; 'und' when nothing hits.
+
+    The expression references its token array ~11 times (a hit count per
+    language plus the total); pass ``tokens_col`` pointing at a STAGED
+    token-array column (see ``language_id_df``) so the tokenizer runs
+    once per row instead of once per reference."""
+    toks = tokens_col if tokens_col is not None else \
+        _tokens_lower(F.col(col) if isinstance(col, str) else col)
     n = F.greatest(F.size(toks), F.lit(1))
     best_lang, best_score = F.lit("und"), F.lit(0.0)
     for lang, words in _STOPWORDS.items():
@@ -69,6 +77,15 @@ def language_id(col: str | Column) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)
     return best_lang
+
+
+def language_id_df(df: DataFrame, text_col: str,
+                   out_col: str = "lang_pred") -> DataFrame:
+    """DataFrame-level language ID with the token array staged once."""
+    return (df.withColumn("__lid_toks", _tokens_lower(F.col(text_col)))
+              .withColumn(out_col,
+                          language_id(text_col, tokens_col=F.col("__lid_toks")))
+              .drop("__lid_toks"))
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -133,9 +150,8 @@ def fingerprint(col: str | Column) -> Column:
 
 def add_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop enrichment: language, token counts, fingerprint, quality."""
-    out = quality_score(df, text_col)
+    out = language_id_df(quality_score(df, text_col), text_col)
     return (out
-            .withColumn("lang_pred", language_id(text_col))
             .withColumn("n_tokens_ws", whitespace_token_count(text_col))
             .withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
             .withColumn("fingerprint", fingerprint(text_col)))
