@@ -934,6 +934,21 @@ def q_language_id(spark, sf_dir):
              .orderBy("lang_pred"))
 
 
+def q_unigram_surprisal(spark, sf_dir):
+    """Corpus-statistics quality score: mean -ln(p(token)) per doc under
+    the corpus's own unigram distribution (whitespace tokens, oracle
+    replays the identical two-pass computation)."""
+    from tiledb_py_spark.operators.text import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = unigram_surprisal(d.filter(F.length(F.trim("text")) > 0),
+                            "text", "doc_id", tokens_col=ws)
+    return (out.select("doc_id", F.round("surprisal", 5).alias("surprisal"),
+                       "n_tokens")
+               .orderBy("doc_id"))
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training shuffle: sort by a seeded portable
     md5-60bit hash of the id — the permutation is a pure function of
@@ -1128,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "dedup_clusters": q_dedup_clusters,
         "repeated_ngrams": q_repeated_ngrams,
+        "unigram_surprisal": q_unigram_surprisal,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1565,6 +1581,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_grams,
                    count(*) FILTER (WHERE g.gh IN (SELECT gh FROM d)) AS n_dup_grams
             FROM g GROUP BY g.doc_id ORDER BY doc_id
+        """,
+        "unigram_surprisal": r"""
+            WITH g AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            freq AS (SELECT tok, count(*) AS cnt FROM g GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM freq)
+            SELECT g.doc_id,
+                   round(avg(-ln(freq.cnt * 1.0 / tot.total)), 5) AS surprisal,
+                   count(*) AS n_tokens
+            FROM g JOIN freq USING (tok), tot
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         # portable seeded hash used by the corpus-assembly operators:
         # ('0x' || first 15 md5 hex chars)::BIGINT of

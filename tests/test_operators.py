@@ -841,3 +841,24 @@ def test_portable_hash60_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(concat_ws(chr(31), ?, '7')), 1, 15))::BIGINT",
             [v]).fetchone()[0]
         assert got[i] == want, (v, got[i], want)
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """Docs made of rare tokens score higher surprisal than docs of
+    common tokens, and the value matches a hand computation."""
+    import math
+
+    from tiledb_py_spark.operators.text import unigram_surprisal
+
+    rows = [(1, "common common common common"),
+            (2, "common common rare1 rare2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.surprisal, r.n_tokens)
+           for r in unigram_surprisal(df, "text", "doc_id").collect()}
+    # corpus: common x6, rare1 x1, rare2 x1, total 8
+    s_common = -math.log(6 / 8)
+    s_rare = -math.log(1 / 8)
+    assert got[1][1] == 4 and got[2][1] == 4
+    assert got[1][0] == pytest.approx(s_common)
+    assert got[2][0] == pytest.approx((2 * s_common + 2 * s_rare) / 4)
+    assert got[2][0] > got[1][0]

@@ -139,6 +139,33 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     return feat.withColumn("quality", F.round(score, 6))
 
 
+def unigram_surprisal(df: DataFrame, text_col: str, id_col: str,
+                      tokens_col: Optional[Column] = None) -> DataFrame:
+    """Perplexity-proxy quality score from corpus statistics: mean
+    per-token surprisal ``-ln(count(token)/total_tokens)`` under the
+    corpus's own unigram distribution — the cheap stand-in for a KenLM
+    quality filter (high surprisal = tokens rare in this corpus:
+    gibberish, boilerplate-free noise; low = common fluent text).
+
+    Two aggregation passes over the exploded (id, token) postings — a
+    token-frequency table (hash shuffle on the token), then a join back
+    and a per-doc mean (shuffle on the id).  Postings carry only
+    (token, id); the frequency table is vocabulary-sized.  Docs with no
+    tokens are dropped (no distribution to score against)."""
+    toks = tokens_col if tokens_col is not None else _tokens_lower(F.col(text_col))
+    g = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+           .select("__id", F.explode("__toks").alias("__tok")))
+    freq = g.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    return (g.join(freq, on="__tok")
+             .crossJoin(F.broadcast(total))
+             .groupBy("__id")
+             .agg(F.avg(-F.log(F.col("__cnt") / F.col("__total")))
+                  .alias("surprisal"),
+                  F.count("*").cast("long").alias("n_tokens"))
+             .withColumnRenamed("__id", id_col))
+
+
 def fingerprint(col: str | Column) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text —
     stable under whitespace/punctuation/case variation (rolling-hash
