@@ -189,6 +189,24 @@ def test_pack_sequences_offset_single_group_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
 
 
+def test_repeated_ngrams_single_pass_three_exchanges(spark):
+    """The inverted-index formulation evaluates the posting scan ONCE:
+    (gh,id) partial-agg exchange, gh window exchange, id agg exchange —
+    a groupBy-then-join formulation doubles the scan and was measured 2x
+    slower at sf1."""
+    import re
+
+    from tiledb_py_spark.operators.dedup import repeated_ngram_stats
+
+    df = spark.range(0, 50).select(
+        F.col("id"), F.concat(F.lit("a b c d e f g h i j k l m n o p "),
+                              (F.col("id") % 5).cast("string")).alias("text"))
+    out = repeated_ngram_stats(df, "text", "id", n=5)
+    s = _plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange", s)) <= 3
+    assert out.count() == 50
+
+
 def test_keyless_asof_avoids_global_window(spark):
     """Keyless as-of joins must not degrade to one global single-task
     window: the bucket decomposition partitions the window by time

@@ -862,3 +862,31 @@ def test_unigram_surprisal_orders_rarity(spark):
     assert got[1][0] == pytest.approx(s_common)
     assert got[2][0] == pytest.approx((2 * s_common + 2 * s_rare) / 4)
     assert got[2][0] > got[1][0]
+
+
+def test_pipeline_composition_chunk_then_pack(spark):
+    """End-to-end corpus prep: chunk long docs into overlapping windows,
+    then pack the chunks into fixed-token training sequences — the
+    composed pipeline keeps ids traceable and every pack within budget."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    rng = np.random.RandomState(21)
+    rows = [(i, " ".join(f"t{rng.randint(100)}" for _ in range(rng.randint(5, 200))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(df, "text", ["doc_id"],
+                             chunk_tokens=64, overlap=8)
+    packed = pack_sequences(chunks, "chunk_n_tokens", ["doc_id", "chunk_id"],
+                            max_tokens=256, mode="greedy")
+    got = packed.collect()
+    # traceability: every chunk survived with its ids
+    assert {(r.doc_id, r.chunk_id) for r in got} == \
+        {(r2.doc_id, r2.chunk_id) for r2 in chunks.collect()}
+    # budget: no pack exceeds 256 unless it is a single oversized chunk
+    sums, counts = {}, {}
+    for r in got:
+        sums[r.pack_id] = sums.get(r.pack_id, 0) + r.chunk_n_tokens
+        counts[r.pack_id] = counts.get(r.pack_id, 0) + 1
+    for pid, s in sums.items():
+        assert s <= 256 or counts[pid] == 1

@@ -285,7 +285,9 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
         pdf["pack_offset"] = pd.Series(offsets, dtype="int64")
         return pdf
 
-    key = [by] if by else [F.lit(0)]
+    # string literal, NOT F.lit(0): an integer literal in groupBy is
+    # parsed as a group-by-ordinal and fails analysis
+    key = [by] if by else [F.lit("__all")]
     return df.groupBy(*key).applyInPandas(pack, schema=out_schema)
 
 
