@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "scrub_text",
     "repeated_ngrams",
     "chunk_documents",
+    "unigram_surprisal",
 ]
 
 
