@@ -1600,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         # concat_ws(chr(31), id..., seed)
         "det_shuffle": r"""
             SELECT doc_id,
-                   ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                   ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'shuffle:42')),
                                    1, 15))::BIGINT AS shuffle_key
             FROM documents ORDER BY shuffle_key, doc_id
         """,
@@ -1610,7 +1610,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
-                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'split:42')),
                                          1, 15))::BIGINT % 10000 AS b
                   FROM documents)
             ORDER BY doc_id
@@ -1618,7 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": r"""
             SELECT doc_id, lang
             FROM (SELECT doc_id, lang,
-                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                         ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'sample:42')),
                                          1, 15))::BIGINT % 10000 AS b
                   FROM documents)
             WHERE b < CASE WHEN lang = 'en' THEN 1000 ELSE 3000 END
@@ -1642,7 +1642,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_documents": r"""
             WITH t AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
                 FROM documents
             ),
             n AS (
@@ -1660,7 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_strata": r"""
             WITH c AS (
                 SELECT doc_id, lang,
-                       ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '42')),
+                       ('0x' || substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'resample:42')),
                                        1, 15))::BIGINT % 10000 AS b
                 FROM documents
             ),

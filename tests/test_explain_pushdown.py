@@ -189,11 +189,11 @@ def test_pack_sequences_offset_single_group_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
 
 
-def test_repeated_ngrams_single_pass_three_exchanges(spark):
-    """The inverted-index formulation evaluates the posting scan ONCE:
-    (gh,id) partial-agg exchange, gh window exchange, id agg exchange —
-    a groupBy-then-join formulation doubles the scan and was measured 2x
-    slower at sf1."""
+def test_repeated_ngrams_bounded_exchanges_no_window(spark):
+    """The inverted-index formulation: pre-aggregated postings, document
+    frequency folded back through a JOIN (AQE can skew-split a hot
+    boilerplate gram; a window over the gram key cannot), within a fixed
+    exchange budget."""
     import re
 
     from tiledb_py_spark.operators.dedup import repeated_ngram_stats
@@ -203,7 +203,8 @@ def test_repeated_ngrams_single_pass_three_exchanges(spark):
                               (F.col("id") % 5).cast("string")).alias("text"))
     out = repeated_ngram_stats(df, "text", "id", n=5)
     s = _plan(out)
-    assert len(re.findall(r"\(\d+\) Exchange", s)) <= 3
+    assert len(re.findall(r"\(\d+\) Exchange", s)) <= 4
+    assert "Window" not in s  # hot-gram skew must stay on the join path
     assert out.count() == 50
 
 

@@ -94,6 +94,13 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     is string-hashed once, then every permutation is a cheap rehash of
     that 8-byte value.  Zero shuffles.
 
+    FAMILY NOTE: this column-level form uses the ``xxhash64(j, h)``
+    permutation family; the DataFrame-level ``minhash_signatures``
+    defaults to a DIFFERENT (multiply-add, Arrow-evaluated) family for
+    throughput — signatures from the two are NOT comparable.  To match
+    persisted signatures produced by this function, call
+    ``minhash_signatures(..., impl="sql")``.
+
     NOTE: pass an attribute (``F.col``) — referencing an unmaterialized
     expression inside per-element lambdas re-evaluates it per element
     (Catalyst inlines it), turning O(n) work into O(n^2).  The pipeline
@@ -142,7 +149,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     ``num_perm`` permutations are computed from the 8-byte base values —
     by default in ONE Arrow-vectorized pass (``impl="arrow"``, ~4x the
     throughput of the ``impl="sql"`` per-permutation rehash loop, still
-    shuffle-free: the plan is scan -> project -> ArrowEvalPython)."""
+    shuffle-free: the plan is scan -> project -> ArrowEvalPython).
+
+    FAMILY NOTE: ``impl="arrow"`` and ``impl="sql"`` use different
+    permutation families (seeded multiply-add vs ``xxhash64(j, h)``) —
+    signatures are NOT comparable across impls or with signatures
+    persisted before the arrow default.  Compare signatures only within
+    one impl; LSH semantics (banding guarantees, downstream exact-Jaccard
+    verification) are identical for both."""
     staged = (df.select(F.col(id_col).alias("__id"),
                         tokens(text_col).alias("__toks"))
                 .select("__id",
@@ -552,19 +566,22 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
              .select("__id",
                      gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
                      .alias("__gh")))
-    # single evaluation of the postings: collapse to per-(id, gram)
-    # counts, get each gram's document frequency as a window count over
-    # that compact table (rows per __gh == distinct docs), then fold back
-    # per doc.  A groupBy-then-join formulation recomputes the whole
-    # posting scan once per join side.
-    from pyspark.sql import Window
-
+    # Skew-safe document frequency: collapse to per-(id, gram) counts,
+    # aggregate gram document frequency, JOIN it back.  A window over
+    # __gh would evaluate the postings once instead of twice, but a
+    # boilerplate gram present in millions of docs serializes a window
+    # partition into one unsplittable straggler task — AQE's skew-join
+    # splitting handles the same hot key on a join, and the measured
+    # cost difference at sf1 is noise (the gram hashing dominates both
+    # formulations).
     c = g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
-    nd = F.count("*").over(Window.partitionBy("__gh"))
-    c = c.withColumn("__nd", nd)
-    return (c.groupBy("__id")
+    dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__gh", F.lit(1).alias("__isdup")))
+    return (c.join(dup, on="__gh", how="left")
+             .groupBy("__id")
              .agg(F.sum("__cnt").cast("long").alias("n_grams"),
-                  F.coalesce(F.sum(F.when(F.col("__nd") >= min_docs, F.col("__cnt"))),
+                  F.coalesce(F.sum(F.when(F.col("__isdup") == 1, F.col("__cnt"))),
                              F.lit(0)).cast("long").alias("n_dup_grams"))
              .withColumnRenamed("__id", id_col))
 

@@ -34,14 +34,22 @@ _SEP = "\x1f"  # unit separator: unambiguous multi-column packing
 _BUCKETS = 10_000
 
 
-def portable_hash60(cols: Sequence, seed: int = 42) -> Column:
+def portable_hash60(cols: Sequence, seed: int = 42, salt: str = "") -> Column:
     """Positive 60-bit hash of the concatenated columns + seed, computable
     bit-for-bit in any SQL engine:
-    ``('0x' || substr(md5(concat_ws(chr(31), cols..., '<seed>')), 1, 15))::BIGINT``."""
+    ``('0x' || substr(md5(concat_ws(chr(31), cols..., '<tag>')), 1, 15))::BIGINT``
+    where ``<tag>`` is ``'<salt>:<seed>'`` (or just ``'<seed>'`` with no
+    salt).  Every operator in this module passes its own ``salt`` so that
+    COMPOSED decisions are independent: without it, a split and a sample
+    sharing the default seed read the identical bucket — e.g. a 10%
+    sample drawn after an 80/10/10 split would consist entirely of
+    'train' rows (buckets 0-999)."""
+    from .dedup import md5_hash60
+
     parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
              for c in cols]
-    packed = F.concat_ws(_SEP, *parts, F.lit(str(seed)))
-    return F.conv(F.substring(F.md5(packed), 1, 15), 16, 10).cast("long")
+    tag = f"{salt}:{seed}" if salt else str(seed)
+    return md5_hash60(F.concat_ws(_SEP, *parts, F.lit(tag)))
 
 
 def deterministic_shuffle(df: DataFrame, id_cols: Sequence[str],
@@ -53,7 +61,7 @@ def deterministic_shuffle(df: DataFrame, id_cols: Sequence[str],
     costs — and the permutation is a pure function of (ids, seed), so
     re-runs, resumed jobs, and other engines produce the same order.
     Change ``seed`` per epoch for fresh permutations."""
-    return (df.withColumn(key_col, portable_hash60(id_cols, seed))
+    return (df.withColumn(key_col, portable_hash60(id_cols, seed, salt="shuffle"))
               .orderBy(key_col, *id_cols))
 
 
@@ -67,7 +75,7 @@ def hash_split(df: DataFrame, id_cols: Sequence[str],
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt="split") % _BUCKETS
     expr = None
     acc = 0.0
     last = list(weights)[-1]
@@ -88,13 +96,14 @@ def stratified_sample(df: DataFrame, strata_col: str,
     kept set is a pure function of (ids, seed) — rerunning, adding
     executors, or repartitioning returns the SAME sample, and the rates
     are exact in expectation per stratum."""
-    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt="sample") % _BUCKETS
     thr = None
+    default_thr = F.lit(int(round(default_fraction * _BUCKETS)))
     for value, frac in fractions.items():
         cond = F.col(strata_col) == value
         t = F.lit(int(round(frac * _BUCKETS)))
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(F.lit(int(round(default_fraction * _BUCKETS))))
+    thr = default_thr if thr is None else thr.otherwise(default_thr)
     return df.filter(bucket < thr)
 
 
@@ -114,8 +123,16 @@ def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_col if tokens_col is not None else \
-        F.split(F.trim(F.col(text_col)), r"\s+")
+    if tokens_col is not None:
+        toks = tokens_col
+    else:
+        # empty/whitespace-only text = ZERO tokens (split would yield
+        # ['']: one phantom token, disagreeing with whitespace_token_count
+        # and inflating downstream packing budgets); such docs still emit
+        # one empty chunk for id traceability
+        toks = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                      F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = df.select(*[F.col(c) for c in id_cols], toks.alias("__toks"))
     n = F.size("__toks")
     n_chunks = F.greatest(F.lit(1),
@@ -144,7 +161,7 @@ def resample_strata(df: DataFrame, strata_col: str,
     replicated via ``explode(sequence(...))`` (no shuffle); ``copy_col``
     (0..k) disambiguates copies downstream (e.g. for a per-copy shuffle
     key)."""
-    bucket = portable_hash60(id_cols, seed) % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt="resample") % _BUCKETS
     n_copies = None
     for value, r in rates.items():
         if r < 0:
@@ -174,10 +191,13 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     only need to balance tasks), window-cumsum per bucket in parallel,
     then add each bucket's carry-in (the total of all earlier buckets,
     a num_buckets-row lazy spine cumsum, broadcast back).  Same
-    decomposition as the keyless as-of carry; the answer equals the
-    naive global window exactly.  First order column must be numeric/
-    timestamp (it defines the range buckets); remaining columns break
-    ties within a bucket."""
+    decomposition as the keyless as-of carry (operators/asof.py
+    ``_bucketed_fill`` — kept separate because that carry is per-column
+    last-non-null, not a sum); the answer equals the naive global window
+    exactly.  First order column must be numeric/timestamp (it defines
+    the range buckets); remaining columns break ties within a bucket.
+    Rows with a null first order column land in bucket 0, matching the
+    nulls-first position a plain ascending global window gives them."""
     spark = df.sparkSession
     first = order_cols[0]
     if dict(df.dtypes)[first].startswith("timestamp"):
@@ -299,7 +319,14 @@ def select_token_budget(df: DataFrame, size_col: str,
     ``by`` group and keep rows while the running token total stays under
     ``budget`` — a row is kept iff its cumulative size up to and
     including it is <= budget, so the kept set is a prefix of the
-    ranking.  One window cumsum per group, parallel across groups."""
+    ranking.  One window cumsum per group, parallel across groups; with
+    no ``by`` and name-only ``order_cols`` (first one numeric) the
+    cumsum routes through the bucketed distributed prefix sum instead of
+    a single global window task."""
+    if by is None and all(isinstance(c, str) for c in order_cols):
+        out = global_running_sum(df, list(order_cols), size_col,
+                                 cum_col="__cum")
+        return out.filter(F.col("__cum") <= budget).drop("__cum")
     grp = F.col(by) if by else F.lit(0)
     w = (Window.partitionBy(grp)
          .orderBy(*[c if isinstance(c, Column) else F.col(c)

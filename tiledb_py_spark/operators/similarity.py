@@ -111,15 +111,26 @@ class IVFIndex:
         # fraction exactly would cost a full extra pass).  Any Bernoulli
         # sample is unbiased regardless of partition layout, so if the
         # table is smaller than sample_rows/fraction we simply train on
-        # however many rows came back; only a genuinely tiny result
-        # (too few rows to seed n_cells centroids meaningfully) triggers
-        # a second, full collect — trivial at that size by definition.
+        # however many rows came back.  Only a shortfall below the
+        # centroid-seeding floor triggers the fallback: count (cheap —
+        # the shortfall bounds the table at ~floor/fraction rows) and
+        # resample at an exact fraction.  NOT plain .limit(): that takes
+        # the first partitions, which on label-clustered or sorted data
+        # trains every centroid on one cluster.
         rows = (df.select(vec_col)
                   .sample(withReplacement=False, fraction=sample_fraction,
                           seed=self.seed)
                   .limit(sample_rows).collect())
         if len(rows) < max(10 * self.n_cells, 256):
-            rows = df.select(vec_col).limit(sample_rows).collect()
+            n_rows = df.count()
+            if n_rows <= sample_rows:
+                rows = df.select(vec_col).collect()
+            else:
+                frac = min(1.0, 3.0 * sample_rows / n_rows)
+                rows = (df.select(vec_col)
+                          .sample(withReplacement=False, fraction=frac,
+                                  seed=self.seed)
+                          .limit(sample_rows).collect())
         sample = np.array([r[0] for r in rows], dtype="float64")
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))

@@ -74,9 +74,14 @@ def dedup_event_stream(events: DataFrame, keys=("event_id",),
     (``dropDuplicatesWithinWatermark`` — a plain streaming
     ``dropDuplicates`` keeps every key ever seen and its state grows
     without bound; the watermark variant evicts keys once they age out,
-    which is the only shape that survives an unbounded stream).  Batch
-    DataFrames take the ordinary ``dropDuplicates`` path, so the same
-    call works in backfill and live modes."""
+    which is the only shape that survives an unbounded stream).
+
+    Batch DataFrames take a GLOBAL ``dropDuplicates`` — deliberately
+    stricter than the stream: a batch backfill drops a duplicate no
+    matter how far apart the two occurrences are, while the live stream
+    can re-emit a key whose state aged out past the watermark.  Treat
+    the watermark as an upper bound on live-mode duplicates, not as a
+    horizon the batch path replays."""
     keys = list(keys)
     if events.isStreaming:
         if dict(events.dtypes).get(time_col) == "timestamp_ntz":
