@@ -116,3 +116,41 @@ def test_asof_join_matches_pandas(spark, cfg):
     norm = lambda s: [None if pd.isna(v) else float(v) for v in s]
     assert norm(got["rv_right"]) == norm(want["rv_right"]), \
         (direction, strict, nb)
+
+
+chunk_cfg = st.tuples(
+    st.integers(0, 120),                    # token count
+    st.sampled_from([(8, 2), (16, 4), (64, 16)]),  # (chunk, overlap)
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(chunk_cfg)
+def test_chunk_documents_covers_every_token(spark, cfg):
+    """Invariants for any doc length: every token appears in >= 1 chunk,
+    consecutive chunks overlap by exactly `overlap` (except the tail),
+    and chunk ids are dense from 0."""
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    n_tok, (chunk, overlap) = cfg
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (chunk_documents(df, "text", ["doc_id"],
+                            chunk_tokens=chunk, overlap=overlap)
+            .orderBy("chunk_id").collect())
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    seen = []
+    stride = chunk - overlap
+    for r in rows:
+        toks = r.chunk_text.split() if r.chunk_text else []
+        assert len(toks) == r.chunk_n_tokens
+        assert len(toks) <= chunk
+        seen.extend(toks)
+    if n_tok == 0:
+        assert len(rows) == 1 and rows[0].chunk_n_tokens == 0
+    else:
+        assert set(seen) == {f"w{i}" for i in range(n_tok)}
+        # chunk k starts at k*stride
+        for k, r in enumerate(rows):
+            assert r.chunk_text.split()[0] == f"w{k * stride}"
