@@ -208,6 +208,37 @@ def test_repeated_ngrams_bounded_exchanges_no_window(spark):
     assert out.count() == 50
 
 
+def test_chunk_documents_plan_no_exchange(spark):
+    """Chunking is a narrow transform (project + generate): any Exchange
+    is a regression."""
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    df = spark.range(0, 100).select(
+        F.col("id"), F.lit("a b c d e f g h i j").alias("text"))
+    out = chunk_documents(df, "text", ["id"], chunk_tokens=4, overlap=1)
+    s = _plan(out)
+    assert "Exchange" not in s
+    assert out.count() == 300
+
+
+def test_unigram_surprisal_bounded_exchanges(spark):
+    """Two aggregation passes + one token join + one broadcast total:
+    at most 4 data exchanges (broadcast exchanges excluded)."""
+    import re
+
+    from tiledb_py_spark.operators.text import unigram_surprisal
+
+    df = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("x y z w "),
+                              (F.col("id") % 3).cast("string")).alias("text"))
+    out = unigram_surprisal(df, "text", "id")
+    s = _plan(out)
+    data_exchanges = [m for m in re.findall(r"\(\d+\) (Broadcast)?Exchange", s)
+                      if m != "Broadcast"]
+    assert len(data_exchanges) <= 4
+    assert out.count() == 100
+
+
 def test_keyless_asof_avoids_global_window(spark):
     """Keyless as-of joins must not degrade to one global single-task
     window: the bucket decomposition partitions the window by time
