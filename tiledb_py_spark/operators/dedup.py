@@ -495,9 +495,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     O(log(diameter)) rounds, each a pair of 8-byte-key shuffles.  The
     per-iteration convergence check is one small count action; near-dup
     graphs (stars/cliques) typically converge in 2-3 rounds."""
+    # materialize the (usually expensive) pair-generation lineage ONCE:
+    # every iteration runs two actions (join + convergence count), and
+    # without the checkpoint each would re-execute the upstream candidate
+    # join / LSH plan from scratch
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("rep", F.col("id")))

@@ -54,20 +54,21 @@ def portable_hash60(cols: Sequence, seed: int = 42, salt: str = "") -> Column:
 
 def deterministic_shuffle(df: DataFrame, id_cols: Sequence[str],
                           seed: int = 42,
-                          key_col: str = "shuffle_key") -> DataFrame:
+                          key_col: str = "shuffle_key",
+                          salt: str = "shuffle") -> DataFrame:
     """Reproducible global shuffle for training-example ordering: sort by
     a seeded portable hash of the id columns.  The sort is a range
     exchange on the 8-byte key — the minimum any true global shuffle
     costs — and the permutation is a pure function of (ids, seed), so
     re-runs, resumed jobs, and other engines produce the same order.
     Change ``seed`` per epoch for fresh permutations."""
-    return (df.withColumn(key_col, portable_hash60(id_cols, seed, salt="shuffle"))
+    return (df.withColumn(key_col, portable_hash60(id_cols, seed, salt=salt))
               .orderBy(key_col, *id_cols))
 
 
 def hash_split(df: DataFrame, id_cols: Sequence[str],
                weights: Dict[str, float], seed: int = 42,
-               split_col: str = "split") -> DataFrame:
+               split_col: str = "split", salt: str = "split") -> DataFrame:
     """Assign each row to a named split ('train'/'val'/'test', any names)
     by hash bucket — stable under reruns and insensitive to row order or
     partitioning, unlike ``randomSplit``.  Weights must sum to ~1; each
@@ -75,7 +76,7 @@ def hash_split(df: DataFrame, id_cols: Sequence[str],
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = portable_hash60(id_cols, seed, salt="split") % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt=salt) % _BUCKETS
     expr = None
     acc = 0.0
     last = list(weights)[-1]
@@ -90,13 +91,14 @@ def hash_split(df: DataFrame, id_cols: Sequence[str],
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float], id_cols: Sequence[str],
                       seed: int = 42,
-                      default_fraction: float = 0.0) -> DataFrame:
+                      default_fraction: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
     """Deterministic per-stratum subsample: keep a row iff its hash
     bucket falls below the stratum's fraction.  Unlike ``sampleBy`` the
     kept set is a pure function of (ids, seed) — rerunning, adding
     executors, or repartitioning returns the SAME sample, and the rates
     are exact in expectation per stratum."""
-    bucket = portable_hash60(id_cols, seed, salt="sample") % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt=salt) % _BUCKETS
     thr = None
     default_thr = F.lit(int(round(default_fraction * _BUCKETS)))
     for value, frac in fractions.items():
@@ -126,13 +128,12 @@ def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
     if tokens_col is not None:
         toks = tokens_col
     else:
-        # empty/whitespace-only text = ZERO tokens (split would yield
-        # ['']: one phantom token, disagreeing with whitespace_token_count
-        # and inflating downstream packing budgets); such docs still emit
-        # one empty chunk for id traceability
-        toks = F.when(F.length(F.trim(F.col(text_col))) == 0,
-                      F.array().cast("array<string>")) \
-            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        # the canonical whitespace tokenizer (empty text = ZERO tokens,
+        # same rule whitespace_token_count counts by); empty docs still
+        # emit one empty chunk for id traceability
+        from .text import whitespace_tokens
+
+        toks = whitespace_tokens(F.col(text_col))
     base = df.select(*[F.col(c) for c in id_cols], toks.alias("__toks"))
     n = F.size("__toks")
     n_chunks = F.greatest(F.lit(1),
@@ -149,7 +150,8 @@ def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
 def resample_strata(df: DataFrame, strata_col: str,
                     rates: Dict[str, float], id_cols: Sequence[str],
                     seed: int = 42, default_rate: float = 1.0,
-                    copy_col: str = "copy_id") -> DataFrame:
+                    copy_col: str = "copy_id",
+                    salt: str = "resample") -> DataFrame:
     """Deterministic per-stratum resampling at arbitrary rates — the
     domain-mixture primitive (`rates={'en': 0.5, 'code': 2.5}` halves
     'en' and emits 2-3 copies of each 'code' row).
@@ -161,7 +163,7 @@ def resample_strata(df: DataFrame, strata_col: str,
     replicated via ``explode(sequence(...))`` (no shuffle); ``copy_col``
     (0..k) disambiguates copies downstream (e.g. for a per-copy shuffle
     key)."""
-    bucket = portable_hash60(id_cols, seed, salt="resample") % _BUCKETS
+    bucket = portable_hash60(id_cols, seed, salt=salt) % _BUCKETS
     n_copies = None
     for value, r in rates.items():
         if r < 0:
@@ -200,10 +202,22 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     nulls-first position a plain ascending global window gives them."""
     spark = df.sparkSession
     first = order_cols[0]
-    if dict(df.dtypes)[first].startswith("timestamp"):
+    first_dt = dict(df.dtypes)[first]
+    if first_dt.startswith("timestamp"):
         d = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
-    else:
+    elif first_dt in ("tinyint", "smallint", "int", "bigint",
+                      "float", "double", "date") or first_dt.startswith("decimal"):
         d = F.col(first).cast("double")
+    else:
+        # a non-numeric first order column (e.g. string ids) cannot
+        # range-bucket consistently with its sort order ('10' < '9'
+        # lexicographically but 9.0 < 10.0 numerically — buckets and
+        # windows would disagree and the carry would add in the wrong
+        # order).  Fall back to the correct-but-single-task window.
+        w = (Window.partitionBy(F.lit(0))
+             .orderBy(*[F.col(c) for c in order_cols])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return df.withColumn(cum_col, F.sum(value_col).over(w))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     qs = (df.select(d.alias("__gcs_d")).sample(fraction=0.1, seed=42)
             .approxQuantile("__gcs_d", probs, 0.01)) if num_buckets > 1 else []

@@ -107,30 +107,34 @@ class IVFIndex:
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
             sample_fraction: float = 0.05) -> "IVFIndex":
         # Single-pass training sample: Bernoulli sample at a fixed
-        # conservative fraction + limit (no count() pre-scan — sizing the
-        # fraction exactly would cost a full extra pass).  Any Bernoulli
-        # sample is unbiased regardless of partition layout, so if the
-        # table is smaller than sample_rows/fraction we simply train on
-        # however many rows came back.  Only a shortfall below the
-        # centroid-seeding floor triggers the fallback: count (cheap —
-        # the shortfall bounds the table at ~floor/fraction rows) and
-        # resample at an exact fraction.  NOT plain .limit(): that takes
-        # the first partitions, which on label-clustered or sorted data
-        # trains every centroid on one cluster.
+        # conservative fraction, capped at sample_rows by a HASH-ordered
+        # limit (TakeOrdered: per-partition top-k + driver merge over the
+        # sampled subset only).  A plain .limit() would keep the first
+        # partitions of the sample — on label-clustered or sorted data
+        # that trains every centroid on one cluster; ordering by a hash
+        # of the vector makes the kept subset position-independent.  No
+        # count() pre-scan on the happy path.  Only a shortfall below
+        # the centroid-seeding floor triggers the fallback: count (cheap
+        # — the shortfall bounds the table size) and resample exactly.
+        h = F.xxhash64(F.col(vec_col))
         rows = (df.select(vec_col)
                   .sample(withReplacement=False, fraction=sample_fraction,
                           seed=self.seed)
-                  .limit(sample_rows).collect())
+                  .orderBy(h).limit(sample_rows).collect())
         if len(rows) < max(10 * self.n_cells, 256):
             n_rows = df.count()
-            if n_rows <= sample_rows:
+            if n_rows <= 3 * sample_rows:
                 rows = df.select(vec_col).collect()
+                if len(rows) > sample_rows:
+                    rng0 = np.random.default_rng(self.seed)
+                    idx = rng0.choice(len(rows), sample_rows, replace=False)
+                    rows = [rows[i] for i in idx]
             else:
                 frac = min(1.0, 3.0 * sample_rows / n_rows)
                 rows = (df.select(vec_col)
                           .sample(withReplacement=False, fraction=frac,
                                   seed=self.seed)
-                          .limit(sample_rows).collect())
+                          .orderBy(h).limit(sample_rows).collect())
         sample = np.array([r[0] for r in rows], dtype="float64")
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
@@ -184,16 +188,22 @@ class IVFIndex:
 
         @pandas_udf("int")
         def cell(vs: pd.Series) -> pd.Series:
-            M = np.asarray([np.asarray(v, dtype="float64") for v in vs])
-            if len(M) == 0:
-                return pd.Series(np.empty(0, dtype="int32"))
-            dots = M @ C.T
-            if cosine:
-                out = dots.argmax(axis=1)
-            else:
-                # argmin ||v - c||^2 = argmin (|c|^2 - 2 v.c), |v|^2 constant
-                out = ((C * C).sum(axis=1)[None, :] - 2 * dots).argmin(axis=1)
-            return pd.Series(out.astype("int32"))
+            # null vectors assign to a null cell, matching the expr path
+            # (np.asarray(None) would throw and fail the whole stage)
+            valid = np.array([v is not None for v in vs], dtype=bool)
+            out = np.full(len(vs), None, dtype=object)
+            if valid.any():
+                M = np.asarray([np.asarray(v, dtype="float64")
+                                for v, ok in zip(vs, valid) if ok])
+                dots = M @ C.T
+                if cosine:
+                    cells = dots.argmax(axis=1)
+                else:
+                    # argmin ||v-c||^2 = argmin(|c|^2 - 2 v.c), |v|^2 const
+                    cells = ((C * C).sum(axis=1)[None, :] - 2 * dots) \
+                        .argmin(axis=1)
+                out[valid] = cells.astype("int32")
+            return pd.Series(out)
 
         return cell
 

@@ -36,11 +36,21 @@ def _tokens_lower(col: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
 
 
+def whitespace_tokens(col: str | Column) -> Column:
+    """Canonical whitespace token array: maximal non-whitespace runs of
+    the trimmed text; empty/whitespace-only text is ZERO tokens (a bare
+    ``split`` would yield ``['']`` — one phantom token).  The single
+    source of the rule shared by ``whitespace_token_count`` and
+    ``pipeline.chunk_documents``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(c), r"\s+"))
+
+
 def whitespace_token_count(col: str | Column) -> Column:
     """Whitespace token count."""
-    c = F.col(col) if isinstance(col, str) else col
-    t = F.split(F.trim(c), r"\s+")
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(t))
+    return F.size(whitespace_tokens(col))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
