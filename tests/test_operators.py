@@ -878,7 +878,8 @@ def test_pipeline_composition_chunk_then_pack(spark):
     chunks = chunk_documents(df, "text", ["doc_id"],
                              chunk_tokens=64, overlap=8)
     packed = pack_sequences(chunks, "chunk_n_tokens", ["doc_id", "chunk_id"],
-                            max_tokens=256, mode="greedy")
+                            max_tokens=256, mode="greedy",
+                            allow_single_task=True)
     got = packed.collect()
     # traceability: every chunk survived with its ids
     assert {(r.doc_id, r.chunk_id) for r in got} == \
@@ -890,3 +891,203 @@ def test_pipeline_composition_chunk_then_pack(spark):
         counts[r.pack_id] = counts.get(r.pack_id, 0) + 1
     for pid, s in sums.items():
         assert s <= 256 or counts[pid] == 1
+
+
+def test_connected_components_over_lsh_candidates(spark):
+    """Round-5 verdict item: CC over the SCALE candidate graph (banded
+    LSH), not the O(n^2) oracle pairs.  Three staggered documents form a
+    transitive chain: LSH emits (1,2) and (2,3) but NOT (1,3) — doc 1
+    and doc 3 share too few shingles to co-bucket — yet the cluster must
+    close over all three."""
+    from tiledb_py_spark.operators.dedup import (connected_components,
+                                                 minhash_lsh_candidates)
+
+    step, ntok = 6, 30
+    docs = [(i + 1, " ".join(f"t{j}" for j in range(i * step, i * step + ntok)))
+            for i in range(3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(df, "text", "doc_id",
+                                   num_perm=64, bands=16, shingle_k=3)
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    # premise (deterministic — hashes are seed-free): the chain edges
+    # exist and the transitive closure edge does not
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    labels = {r.id: r.rep for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_bucket_cap_is_recall_not_correctness(spark):
+    """The 64-member bucket cap in minhash_lsh_candidates drops edges for
+    members beyond the cap: with 70 IDENTICAL documents, ids 1..64 close
+    into one cluster while 65..70 receive no candidate edges at all —
+    they are absent from the CC labels (treated as 'keep' by dedup).
+    This documents the cap as a RECALL limit, not a correctness bug: no
+    wrong cluster is ever produced, extra uniques survive."""
+    from tiledb_py_spark.operators.dedup import (connected_components,
+                                                 minhash_lsh_candidates)
+
+    text = " ".join(f"w{j}" for j in range(20))
+    df = spark.createDataFrame([(i, text) for i in range(1, 71)],
+                               ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(df, "text", "doc_id",
+                                   num_perm=64, bands=16, shingle_k=3)
+    labels = {r.id: r.rep for r in connected_components(pairs).collect()}
+    assert {i for i in labels} == set(range(1, 65))
+    assert all(rep == 1 for rep in labels.values())
+
+
+def test_connected_components_warns_on_max_iter(spark):
+    """Exhausting max_iter with labels still moving must warn loudly —
+    silent non-convergence returns split clusters."""
+    from tiledb_py_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+    # with enough rounds the same graph converges warning-free
+    labels = {r.id: r.rep for r in connected_components(pairs).collect()}
+    assert set(labels.values()) == {1}
+
+
+def test_global_running_sum_date_order_column(spark):
+    """DATE first order column: must route through unix_date (DATE cannot
+    cast to DOUBLE) and still equal the naive global window."""
+    import datetime
+
+    from tiledb_py_spark.operators.pipeline import global_running_sum
+
+    rng = np.random.RandomState(7)
+    days = sorted(rng.choice(3000, 200, replace=False))
+    rows = [(datetime.date(2017, 1, 1) + datetime.timedelta(days=int(d)),
+             int(rng.randint(1, 50))) for d in days]
+    df = spark.createDataFrame(rows, ["d", "v"])
+    got = (global_running_sum(df, ["d"], "v", cum_col="cum", num_buckets=8)
+           .orderBy("d").collect())
+    want = 0
+    for r in got:
+        want += r.v
+        assert r.cum == want
+
+
+def test_pack_sequences_greedy_ungrouped_refused(spark):
+    """Greedy packing with by=None serializes the whole corpus through
+    ONE task — refused unless explicitly allowed (mirrors the LWW
+    read-amplification guard)."""
+    from tiledb_py_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["doc_id", "n_tok"])
+    with pytest.raises(ValueError, match="ONE task"):
+        pack_sequences(df, "n_tok", ["doc_id"], max_tokens=64, mode="greedy")
+    out = pack_sequences(df, "n_tok", ["doc_id"], max_tokens=64,
+                         mode="greedy", allow_single_task=True)
+    assert out.count() == 2
+
+
+def test_chunk_documents_keep_cols_passthrough(spark):
+    """keep_cols metadata rides along on every chunk row; all other
+    non-id columns are dropped (narrow-generate contract)."""
+    from tiledb_py_spark.operators.pipeline import chunk_documents
+
+    rows = [(1, " ".join(f"t{j}" for j in range(20)), "en", 0.9),
+            (2, " ".join(f"u{j}" for j in range(5)), "zh", 0.2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "quality"])
+    out = chunk_documents(df, "text", ["doc_id"], chunk_tokens=8, overlap=2,
+                          keep_cols=["lang"]).collect()
+    assert set(out[0].asDict()) == {"doc_id", "lang", "chunk_id",
+                                    "chunk_text", "chunk_n_tokens"}
+    langs = {(r.doc_id, r.lang) for r in out}
+    assert langs == {(1, "en"), (2, "zh")}
+    assert sum(1 for r in out if r.doc_id == 1) == 3  # ceil((20-2)/6)
+
+
+def test_asof_keyless_bounds_param_matches_sampled(spark, tmp_path):
+    """Caller-supplied footer-stat bounds give the identical keyless
+    as-of answer as the sampled-quantile path (bounds only balance)."""
+    import datetime
+
+    from tiledb_py_spark.operators.asof import asof_join
+    from tiledb_py_spark.operators.stats_bounds import parquet_range_bounds
+
+    rng = np.random.RandomState(5)
+    t0 = datetime.datetime(2024, 1, 1)
+    lts = sorted(rng.randint(0, 10**7, 400))
+    rts = sorted(rng.randint(0, 10**7, 80))
+    left = spark.createDataFrame(
+        [(int(i), t0 + datetime.timedelta(seconds=int(s))) for i, s in enumerate(lts)],
+        ["lid", "ts"])
+    right = spark.createDataFrame(
+        [(t0 + datetime.timedelta(seconds=int(s)), float(s)) for s in rts],
+        ["ts", "val"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # arrow-written parquet (timestamp[us] + row-group stats) — Spark's
+    # own writer defaults to INT96 timestamps whose footers carry no
+    # usable min/max, in which case parquet_range_bounds returns None
+    # and the operator falls back to sampling
+    p = str(tmp_path / "left.parquet")
+    pq.write_table(pa.Table.from_pandas(left.toPandas()), p,
+                   row_group_size=100)
+    bounds = parquet_range_bounds(p, "ts", 8)
+    assert bounds and len(bounds) >= 4
+
+    def run(**kw):
+        out = asof_join(left, right, on="ts", direction="backward",
+                        num_buckets=8, **kw)
+        return sorted((r.lid, r.val_right) for r in out.collect())
+
+    assert run(bounds=bounds) == run()
+
+
+def test_ivf_index_save_load_file_roundtrip(spark, tmp_path):
+    """fit -> save -> load gives an index with bit-identical centroids
+    and identical search results (fit-once ANN)."""
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(11)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(300)], ["vec_id", "v"])
+    idx = IVFIndex(n_cells=6, n_probe=6).fit(df, "v")
+    p = str(tmp_path / "index.json")
+    idx.save(p)
+    loaded = IVFIndex.load(p)
+    assert np.array_equal(loaded.centroids, idx.centroids)
+    assert (loaded.n_cells, loaded.n_probe, loaded.metric, loaded.seed) == \
+        (idx.n_cells, idx.n_probe, idx.metric, idx.seed)
+    q = rng.randn(8).tolist()
+    a = [(r.vec_id, round(r.score, 9))
+         for r in idx.search(df, "v", "vec_id", q, k=5).collect()]
+    b = [(r.vec_id, round(r.score, 9))
+         for r in loaded.search(df, "v", "vec_id", q, k=5).collect()]
+    assert a == b
+
+
+def test_ivf_index_save_load_array_manifest(spark, tmp_path):
+    """Centroids persist INSIDE an engine array's manifest metadata — the
+    stored embedding array carries its own ANN index across sessions."""
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(12)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "x": rng.randn(200),
+    })
+    uri = str(tmp_path / "vec_array")
+    tdb.from_pandas(uri, pdf, sparse=True, index_dims=["vec_id"], spark=spark)
+
+    df = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(200)], ["vec_id", "v"])
+    idx = IVFIndex(n_cells=4, n_probe=4).fit(df, "v")
+    idx.save(uri, name="emb")
+    loaded = IVFIndex.load(uri, name="emb")
+    assert np.array_equal(loaded.centroids, idx.centroids)
+    # unknown name fails loudly
+    with pytest.raises(KeyError):
+        IVFIndex.load(uri, name="nope")
+    # unfitted index refuses to save
+    with pytest.raises(ValueError):
+        IVFIndex(n_cells=2).save(str(tmp_path / "x.json"))

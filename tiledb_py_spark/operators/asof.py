@@ -21,7 +21,9 @@ union is decomposed into ``num_buckets`` time-range buckets: the window
 runs per bucket (parallel), and each bucket's carry-in — the latest
 right-side values from earlier buckets — is a ``num_buckets``-row
 aggregate, forward-filled over a tiny spine and broadcast back inside
-the same job.  One extra (sampled) quantile job, full parallelism,
+the same job.  One extra (sampled) quantile job — or ZERO extra jobs
+when the caller passes ``bounds`` derived from parquet footer
+statistics (``stats_bounds.parquet_range_bounds``) — full parallelism,
 same answer.
 """
 
@@ -43,7 +45,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               right_cols: Optional[Sequence[str]] = None,
               tolerance=None, suffix: str = "_right",
               strict: bool = False, direction: str = "backward",
-              num_buckets: int = 64) -> DataFrame:
+              num_buckets: int = 64,
+              bounds: Optional[Sequence[float]] = None) -> DataFrame:
     """For each left row, attach the adjacent right row per ``by`` group:
     the latest with ``right[on] <= left[on]`` (backward) or the earliest
     with ``right[on] >= left[on]`` (forward); ``strict`` excludes equal
@@ -56,6 +59,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     - ``tolerance``: max allowed gap ``|left[on] - right[on]|`` (e.g.
       ``F.expr("INTERVAL 1 HOUR")`` or a number); matches further than
       this come back null.
+    - ``bounds``: precomputed keyless-bucket cut values in the monotonic
+      numeric space of ``on`` (epoch micros for timestamps, epoch days
+      for dates, raw value otherwise) — e.g. from
+      ``stats_bounds.parquet_range_bounds`` over the inputs' footer
+      statistics.  Skips the sampled-quantile job; bounds only need to
+      BALANCE buckets, any cut set gives the same answer.
     - unmatched left rows keep nulls (left-outer semantics, like pandas
       ``merge_asof``)."""
     if direction not in ("backward", "forward"):
@@ -100,7 +109,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
     else:
         out = _bucketed_fill(u, on, fill_cols, backward, tag_order,
-                             num_buckets)
+                             num_buckets, bounds)
 
     out = out.filter(F.col(_TAG) == 1).drop(_TAG)
     if tolerance is not None:
@@ -114,7 +123,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
 
 def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
-                   tag_order, num_buckets: int) -> DataFrame:
+                   tag_order, num_buckets: int,
+                   bounds=None) -> DataFrame:
     """Keyless as-of carry without a global single-task window: range-
     bucket by time, window per bucket, and stitch buckets with a tiny
     carry-in table (latest right values from earlier buckets, per
@@ -122,9 +132,13 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     broadcast-joined — all lazily, within the main job."""
     spark = u.sparkSession
     # monotonic numeric view of the time column (timestamps -> epoch
-    # micros); used only to assign buckets, never returned
-    if dict(u.dtypes)[on].startswith("timestamp"):
+    # micros, dates -> epoch days; DATE cannot cast straight to DOUBLE);
+    # used only to assign buckets, never returned
+    on_dt = dict(u.dtypes)[on]
+    if on_dt.startswith("timestamp"):
         d = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+    elif on_dt == "date":
+        d = F.unix_date(F.col(on)).cast("double")
     else:
         d = F.col(on).cast("double")
     # bucket bounds from approximate quantiles, NOT a uniform split of
@@ -140,7 +154,11 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     # regression was an eps=0.001 full-union summary here).  A too-small
     # sample merely collapses duplicate bounds -> fewer buckets -> still
     # correct (the carry logic is bounds-agnostic), so sampling is safe.
-    if num_buckets > 1:
+    # Caller-supplied bounds (e.g. from parquet footer statistics via
+    # stats_bounds.parquet_range_bounds) skip even that sampling job.
+    if bounds is not None:
+        qs = [float(b) for b in bounds]
+    elif num_buckets > 1:
         qs = (u.select(d.alias("__asof_d"))
                .sample(fraction=0.1, seed=42)
                .approxQuantile("__asof_d", probs, 0.01))

@@ -499,13 +499,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # every iteration runs two actions (join + convergence count), and
     # without the checkpoint each would re-execute the upstream candidate
     # join / LSH plan from scratch
+    sc = pairs.sparkSession.sparkContext
+    pre_edges = {jid for jid in
+                 sc._jsc.getPersistentRDDs().keySet().toArray()}
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint(eager=True))
+    edge_ids = [jid for jid in
+                sc._jsc.getPersistentRDDs().keySet().toArray()
+                if jid not in pre_edges]
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("rep", F.col("id")))
+    prev_ids: list = []  # previous round's checkpoint block RDD ids
+    changed = 0
     for _ in range(max_iter):
         # (1) min label over neighbors (and self)
         nbr = (edges.join(labels.withColumnRenamed("id", "v")
@@ -524,12 +532,42 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # evaluated once (the count then reads checkpointed partitions);
         # checkpointing also truncates the lineage, which would otherwise
         # double in size every round
+        before = {jid for jid in
+                  sc._jsc.getPersistentRDDs().keySet().toArray()}
         new = new.localCheckpoint(eager=True)
+        round_ids = [jid for jid in
+                     sc._jsc.getPersistentRDDs().keySet().toArray()
+                     if jid not in before]
         changed = (new.alias("n").join(labels.alias("o"), on="id")
                    .filter(F.col("n.rep") != F.col("o.rep")).count())
+        # free the PREVIOUS round's checkpoint blocks (this round's
+        # convergence count was their last reader) — without this, up to
+        # max_iter label snapshots accumulate in block storage
+        jmap = sc._jsc.getPersistentRDDs()
+        for jid in prev_ids:
+            jrdd = jmap.get(jid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        prev_ids = round_ids
         labels = new
         if not changed:
             break
+    # the edge list has no readers after the loop; the final labels
+    # checkpoint is the caller's result and stays persisted
+    jmap = sc._jsc.getPersistentRDDs()
+    for jid in edge_ids:
+        jrdd = jmap.get(jid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge after {max_iter} "
+            f"iterations ({changed} labels still changing); returned "
+            "clusters may be split (non-minimal representatives).  "
+            "Raise max_iter — convergence needs O(log(graph diameter)) "
+            "rounds.", RuntimeWarning)
     return labels
 
 

@@ -111,17 +111,25 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
 def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
                     chunk_tokens: int = 512, overlap: int = 64,
-                    tokens_col: Optional[Column] = None) -> DataFrame:
+                    tokens_col: Optional[Column] = None,
+                    keep_cols: Optional[Sequence[str]] = None) -> DataFrame:
     """Split documents into overlapping token windows (context-length
     preprocessing): chunks start every ``chunk_tokens - overlap`` tokens;
     short documents yield one whole-document chunk.
 
+    Output columns are ``id_cols`` (+ ``keep_cols``) plus ``chunk_id``,
+    ``chunk_text``, ``chunk_n_tokens`` — all OTHER input columns
+    (including ``text_col`` itself) are deliberately dropped before the
+    explode so the generate stays narrow (wide passthrough would
+    replicate every enrichment column once per chunk).  Pass metadata
+    that each chunk must carry via ``keep_cols``, or join enrichments
+    back on ``id_cols`` afterwards.
+
     Explodes cheap chunk INDICES, then slices each chunk once on its own
     row — exploding an array of pre-built chunk strings would let
     InferFiltersFromGenerate clone the whole slice+concat expression into
-    inferred predicates (evaluated ~3x per row, interpreted).  Adds
-    ``chunk_id``, ``chunk_text``, ``chunk_n_tokens``.  ``tokens_col``
-    overrides the whitespace tokenizer."""
+    inferred predicates (evaluated ~3x per row, interpreted).
+    ``tokens_col`` overrides the whitespace tokenizer."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
@@ -134,14 +142,15 @@ def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
         from .text import whitespace_tokens
 
         toks = whitespace_tokens(F.col(text_col))
-    base = df.select(*[F.col(c) for c in id_cols], toks.alias("__toks"))
+    carried = [*id_cols, *(keep_cols or ())]
+    base = df.select(*[F.col(c) for c in carried], toks.alias("__toks"))
     n = F.size("__toks")
     n_chunks = F.greatest(F.lit(1),
                           F.ceil((n - overlap) / F.lit(stride)).cast("int"))
     pos = F.sequence(F.lit(0), n_chunks - 1)
     chunk = F.slice("__toks", F.col("__ci") * stride + 1, chunk_tokens)
-    return (base.select(*id_cols, "__toks", F.explode(pos).alias("__ci"))
-                .select(*id_cols,
+    return (base.select(*carried, "__toks", F.explode(pos).alias("__ci"))
+                .select(*carried,
                         F.col("__ci").cast("long").alias("chunk_id"),
                         F.concat_ws(" ", chunk).alias("chunk_text"),
                         F.size(chunk).cast("long").alias("chunk_n_tokens")))
@@ -187,7 +196,8 @@ def resample_strata(df: DataFrame, strata_col: str,
 
 def global_running_sum(df: DataFrame, order_cols: Sequence[str],
                        value_col: str, cum_col: str = "cum",
-                       num_buckets: int = 64) -> DataFrame:
+                       num_buckets: int = 64,
+                       bounds: Optional[Sequence[float]] = None) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-task window: range-
     bucket on the first order column (sampled coarse quantiles — bounds
     only need to balance tasks), window-cumsum per bucket in parallel,
@@ -199,14 +209,24 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     exactly.  First order column must be numeric/timestamp (it defines
     the range buckets); remaining columns break ties within a bucket.
     Rows with a null first order column land in bucket 0, matching the
-    nulls-first position a plain ascending global window gives them."""
+    nulls-first position a plain ascending global window gives them.
+
+    ``bounds``: precomputed cut values in the first column's monotonic
+    numeric space (epoch micros for timestamps, epoch days for dates,
+    raw value otherwise) — e.g. from
+    ``stats_bounds.parquet_range_bounds`` — skipping the sampled
+    quantile job; any cut set gives the same answer."""
     spark = df.sparkSession
     first = order_cols[0]
     first_dt = dict(df.dtypes)[first]
     if first_dt.startswith("timestamp"):
         d = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
+    elif first_dt == "date":
+        # DATE cannot cast straight to DOUBLE (DATATYPE_MISMATCH):
+        # epoch days preserve the sort order exactly
+        d = F.unix_date(F.col(first)).cast("double")
     elif first_dt in ("tinyint", "smallint", "int", "bigint",
-                      "float", "double", "date") or first_dt.startswith("decimal"):
+                      "float", "double") or first_dt.startswith("decimal"):
         d = F.col(first).cast("double")
     else:
         # a non-numeric first order column (e.g. string ids) cannot
@@ -218,9 +238,14 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
              .orderBy(*[F.col(c) for c in order_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    qs = (df.select(d.alias("__gcs_d")).sample(fraction=0.1, seed=42)
-            .approxQuantile("__gcs_d", probs, 0.01)) if num_buckets > 1 else []
+    if bounds is not None:
+        qs = [float(b) for b in bounds]
+    elif num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qs = (df.select(d.alias("__gcs_d")).sample(fraction=0.1, seed=42)
+                .approxQuantile("__gcs_d", probs, 0.01))
+    else:
+        qs = []
     bounds = sorted(set(qs))
     order = [F.col(c) for c in order_cols]
     if not bounds:
@@ -255,7 +280,9 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
 
 def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
                    max_tokens: int, by: Optional[str] = None,
-                   mode: str = "offset") -> DataFrame:
+                   mode: str = "offset",
+                   bounds: Optional[Sequence[float]] = None,
+                   allow_single_task: bool = False) -> DataFrame:
     """Assign documents to fixed-token-budget packs (context windows).
 
     ``mode="offset"`` (default, SQL-expressible): documents are laid out
@@ -269,7 +296,14 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     ``max_tokens`` (oversized single documents get their own pack).
     Runs as ``applyInPandas`` per group (sequential within a group by
     definition — packing is a running-state fold; parallelism comes from
-    the ``by`` grouping).
+    the ``by`` grouping).  With ``by=None`` the ENTIRE input funnels
+    through one executor task — refused unless ``allow_single_task=True``
+    (use ``mode="offset"``, which distributes via the bucketed prefix
+    sum, or pass a ``by`` grouping).
+
+    ``bounds`` (offset mode, ``by=None`` only): precomputed range-bucket
+    cut values for the first id column, forwarded to
+    ``global_running_sum`` — skips its sampled-quantile job.
 
     Adds ``pack_id`` (long, per group) and ``pack_offset`` (the
     document's token start within its group layout for offset mode /
@@ -280,7 +314,7 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
             # no grouping: a plain window would be one global task —
             # use the bucketed distributed prefix sum instead
             out = global_running_sum(df, list(id_cols), size_col,
-                                     cum_col="__cum")
+                                     cum_col="__cum", bounds=bounds)
             start = F.col("__cum") - F.col(size_col)
             return (out.withColumn("pack_id", F.floor(start / max_tokens))
                        .withColumn("pack_offset",
@@ -294,6 +328,16 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
                               (start % max_tokens).cast("long")))
     if mode != "greedy":
         raise ValueError(f"unknown mode {mode!r}")
+    if by is None and not allow_single_task:
+        # same guard pattern as the LWW read-amplification refusal
+        # (sources/spark_datasource.py): fail loudly BEFORE silently
+        # serializing the whole corpus through one executor
+        raise ValueError(
+            "pack_sequences(mode='greedy', by=None) runs the entire input "
+            "as ONE task (first-fit is a sequential fold).  Use "
+            "mode='offset' (distributed, concat-then-chunk semantics), "
+            "pass a 'by' grouping, or set allow_single_task=True for "
+            "small inputs.")
 
     from pyspark.sql import types as T
 
@@ -327,7 +371,8 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
 
 def select_token_budget(df: DataFrame, size_col: str,
                         order_cols: Sequence, budget: int,
-                        by: Optional[str] = None) -> DataFrame:
+                        by: Optional[str] = None,
+                        bounds: Optional[Sequence[float]] = None) -> DataFrame:
     """Corpus selection under a token budget: walk rows in ``order_cols``
     order (e.g. quality descending, id for determinism) within each
     ``by`` group and keep rows while the running token total stays under
@@ -339,7 +384,7 @@ def select_token_budget(df: DataFrame, size_col: str,
     a single global window task."""
     if by is None and all(isinstance(c, str) for c in order_cols):
         out = global_running_sum(df, list(order_cols), size_col,
-                                 cum_col="__cum")
+                                 cum_col="__cum", bounds=bounds)
         return out.filter(F.col("__cum") <= budget).drop("__cum")
     grp = F.col(by) if by else F.lit(0)
     w = (Window.partitionBy(grp)

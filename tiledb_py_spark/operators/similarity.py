@@ -156,6 +156,76 @@ class IVFIndex:
         self.centroids = centroids
         return self
 
+    # -- persistence ------------------------------------------------------
+    # IVF training is fit-once by design (reference ANN practice: centroids
+    # are part of the index, not recomputed per query).  Centroids persist
+    # either into an engine array's manifest metadata (alongside enums /
+    # labels / KV metadata — the array carries its own index) or as a
+    # plain JSON file for ad-hoc DataFrames.
+
+    _META_PREFIX = "__ivf_index:"
+
+    def to_json(self) -> str:
+        if self.centroids is None:
+            raise ValueError("fit() the index before saving")
+        import json
+
+        return json.dumps({
+            "format": 1, "n_cells": self.n_cells, "n_probe": self.n_probe,
+            "seed": self.seed, "metric": self.metric,
+            "centroids": self.centroids.tolist()})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "IVFIndex":
+        import json
+
+        d = json.loads(payload)
+        idx = cls(n_cells=d["n_cells"], n_probe=d["n_probe"],
+                  seed=d["seed"], metric=d["metric"])
+        idx.centroids = np.asarray(d["centroids"], dtype="float64")
+        return idx
+
+    def save(self, uri: str, name: str = "default") -> "IVFIndex":
+        """Persist the fitted centroids.  If ``uri`` is an engine array,
+        the index is committed into the array's manifest metadata under
+        ``__ivf_index:<name>`` (one manifest version, same durability as
+        ``A.meta``); otherwise ``uri`` is written as a JSON file."""
+        from .. import manifest as mf
+
+        payload = self.to_json()
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            Metadata(uri)[self._META_PREFIX + name] = payload
+        else:
+            import os
+            import tempfile
+
+            d = os.path.dirname(os.path.abspath(uri)) or "."
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ivf.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, uri)
+        return self
+
+    @classmethod
+    def load(cls, uri: str, name: str = "default") -> "IVFIndex":
+        """Load a saved index from an array's manifest metadata or a JSON
+        file — ``search``/``assign`` work immediately, no refit."""
+        from .. import manifest as mf
+
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            payload = Metadata(uri).get(cls._META_PREFIX + name)
+            if payload is None:
+                raise KeyError(
+                    f"no IVF index named {name!r} stored at {uri}")
+        else:
+            with open(uri) as f:
+                payload = f.read()
+        return cls.from_json(payload)
+
     def _cell_expr(self, vec: Column) -> Column:
         """Nearest-cell id via array_min/max + array_position (linear-size
         expression tree — a chained-when argmin would double the tree per

@@ -1,0 +1,154 @@
+"""Range-bucket bounds from parquet footer statistics — no Spark job.
+
+The keyless as-of join (``operators/asof.py``) and the distributed
+prefix sum (``operators/pipeline.py::global_running_sum``) decompose a
+global window into ``num_buckets`` time-range buckets.  The bounds only
+need to BALANCE tasks, not be precise — duplicate or skewed bounds
+merely collapse buckets, never change the answer (the carry logic is
+bounds-agnostic).  By default both operators derive bounds from a
+sampled ``approxQuantile``, which costs one extra (small) Spark job
+before the main one.  When the input is parquet the engine already has
+better information for free: every row-group footer records (min, max,
+num_rows) per column.  ``parquet_range_bounds`` turns those statistics
+into quantile bounds entirely driver-side — footers are a few KB each,
+read in parallel — so the separate sampling job disappears.
+
+Model: each row group's rows are spread uniformly over its [min, max];
+quantiles of the mixture CDF are found by bisection.  For data written
+in time order (the overwhelmingly common case for event tables) row
+groups are narrow and the mixture is near-exact; for shuffled data the
+uniform assumption still lands within a row group's width — fine for
+balance.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _to_num(v) -> Optional[float]:
+    """Footer stat -> the numeric space the bucketing expressions use:
+    timestamps as epoch MICROSECONDS (matching ``F.unix_micros``; any
+    constant tz offset shifts all bounds uniformly — irrelevant for
+    balance), dates as epoch DAYS (matching ``F.unix_date``), numerics
+    as-is."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH).total_seconds() * 1e6
+    if isinstance(v, _dt.date):
+        return float((v - _EPOCH_DATE).days)
+    if isinstance(v, (int, float)):
+        return float(v)
+    return None
+
+
+def _collect_paths(path_or_paths) -> list:
+    paths = ([path_or_paths] if isinstance(path_or_paths, (str, os.PathLike))
+             else list(path_or_paths))
+    out = []
+    for p in paths:
+        p = os.fspath(p)
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out.extend(os.path.join(root, f) for f in sorted(files)
+                           if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return out
+
+
+def row_group_stats(path_or_paths, column: str,
+                    max_workers: int = 16) -> Optional[list]:
+    """Per-row-group ``(min, max, num_rows)`` for ``column`` across the
+    given parquet file(s)/director(ies), footers read concurrently.
+    Returns ``None`` if any row group lacks min/max statistics for the
+    column (caller should fall back to sampling)."""
+    import pyarrow.parquet as pq
+
+    paths = _collect_paths(path_or_paths)
+    if not paths:
+        return None
+
+    def one(p):
+        md = pq.ParquetFile(p).metadata
+        rgs = []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            mm = None
+            for j in range(rg.num_columns):
+                cc = rg.column(j)
+                if cc.path_in_schema == column:
+                    st = cc.statistics
+                    if st is not None and st.has_min_max:
+                        mm = (_to_num(st.min), _to_num(st.max))
+                    break
+            if mm is None or mm[0] is None or mm[1] is None:
+                return None
+            rgs.append((mm[0], mm[1], rg.num_rows))
+        return rgs
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        per_file = list(ex.map(one, paths))
+    if any(r is None for r in per_file):
+        return None
+    return [rg for rgs in per_file for rg in rgs]
+
+
+def mixture_quantile_bounds(rgs: Sequence, num_buckets: int) -> list:
+    """Quantile bounds of the uniform-mixture CDF over per-row-group
+    ``(min, max, rows)`` triples: ``num_buckets - 1`` cut values giving
+    ~equal row counts per bucket (duplicates collapse downstream)."""
+    rgs = [(mn, mx, n) for mn, mx, n in rgs if n > 0]
+    if not rgs or num_buckets <= 1:
+        return []
+    lo = min(mn for mn, _, _ in rgs)
+    hi = max(mx for _, mx, _ in rgs)
+    if lo >= hi:
+        return []
+    total = sum(n for _, _, n in rgs)
+
+    def cdf(x: float) -> float:
+        s = 0.0
+        for mn, mx, n in rgs:
+            if x >= mx:
+                s += n
+            elif x > mn:
+                s += n * (x - mn) / (mx - mn)
+        return s
+
+    bounds = []
+    for k in range(1, num_buckets):
+        target = total * k / num_buckets
+        a, b = lo, hi
+        for _ in range(48):
+            m = (a + b) / 2
+            if cdf(m) < target:
+                a = m
+            else:
+                b = m
+        bounds.append(b)
+    return sorted(set(bounds))
+
+
+def parquet_range_bounds(path_or_paths, column: str, num_buckets: int,
+                         max_workers: int = 16) -> Optional[list]:
+    """Bucket bounds for a range decomposition of ``column``, derived
+    purely from parquet footer statistics (no Spark job).  Returns a
+    sorted list of floats in the operator's numeric space (epoch micros
+    for timestamps, epoch days for dates, value otherwise), or ``None``
+    when statistics are unavailable — callers fall back to the sampled
+    ``approxQuantile`` path."""
+    rgs = row_group_stats(path_or_paths, column, max_workers=max_workers)
+    if rgs is None:
+        return None
+    bounds = mixture_quantile_bounds(rgs, num_buckets)
+    return bounds or None

@@ -159,12 +159,17 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str,
 
     Two aggregation passes over the exploded (id, token) postings — a
     token-frequency table (hash shuffle on the token), then a join back
-    and a per-doc mean (shuffle on the id).  Postings carry only
-    (token, id); the frequency table is vocabulary-sized.  Docs with no
-    tokens are dropped (no distribution to score against)."""
+    and a per-doc mean (shuffle on the id).  Postings carry only an
+    8-byte token HASH plus the id — the raw string never shuffles, and
+    the stopword-skewed string join key becomes a uniform hash (same
+    convention as the dedup module; a 64-bit collision merging two
+    vocabulary entries is negligible at any realistic vocabulary size).
+    The frequency table is vocabulary-sized.  Docs with no tokens are
+    dropped (no distribution to score against)."""
     toks = tokens_col if tokens_col is not None else _tokens_lower(F.col(text_col))
     g = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-           .select("__id", F.explode("__toks").alias("__tok")))
+           .select("__id", F.explode("__toks").alias("__tok"))
+           .select("__id", F.xxhash64("__tok").alias("__tok")))
     freq = g.groupBy("__tok").agg(F.count("*").alias("__cnt"))
     total = freq.agg(F.sum("__cnt").alias("__total"))
     return (g.join(freq, on="__tok")

@@ -342,26 +342,40 @@ class TileDBReader(DataSourceReader):
         worst (unsorted) case a row group is re-read once per slice it
         straddles — still far better than one serialized mega-task.
         Components below the threshold, or with missing first-dim stats,
-        keep the single-task streaming merge."""
+        keep the single-task streaming merge.  Footers are read with a
+        thread pool: a giant component has many files by construction,
+        and serial footer fetches (one round-trip each on object
+        storage) would put unbounded planning latency on the driver."""
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        all_paths = [p for paths, _dels in entries for p in paths]
+
+        def footer(p):
+            md = pq.ParquetFile(p).metadata
+            out = []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                mm = None
+                for j in range(rg.num_columns):
+                    cc = rg.column(j)
+                    if cc.path_in_schema == dim0:
+                        st = cc.statistics
+                        if st is not None and st.has_min_max:
+                            mm = (st.min, st.max)
+                        break
+                out.append((mm, rg.total_byte_size))
+            return out
 
         rgs = []  # ((min, max) | None, bytes)
         total = 0
-        for paths, _dels in entries:
-            for p in paths:
-                md = pq.ParquetFile(p).metadata
-                for i in range(md.num_row_groups):
-                    rg = md.row_group(i)
-                    mm = None
-                    for j in range(rg.num_columns):
-                        cc = rg.column(j)
-                        if cc.path_in_schema == dim0:
-                            st = cc.statistics
-                            if st is not None and st.has_min_max:
-                                mm = (st.min, st.max)
-                            break
-                    rgs.append((mm, rg.total_byte_size))
-                    total += rg.total_byte_size
+        if all_paths:
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(all_paths))) as ex:
+                for file_rgs in ex.map(footer, all_paths):
+                    for mm, size in file_rgs:
+                        rgs.append((mm, size))
+                        total += size
         if total <= self.lww_split_bytes or any(mm is None for mm, _ in rgs):
             return [()]
         n_slices = min(64, -(-total // self.lww_split_bytes))
