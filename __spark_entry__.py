@@ -17,8 +17,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+_READ_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # cache the (lazy) DataFrame per (session, table): re-creating it per
+    # gate call re-runs parquet schema inference on the driver every time
+    key = (id(spark), sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _READ_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,6 +36,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader rejects; read nanos as long and convert to microsecond NTZ."""
     from pyspark.sql import types as T
 
+    key = (id(spark), sf_dir, "__events")
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -34,6 +48,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(e.schema["ts"].dataType, T.LongType):
         e = e.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    _READ_CACHE[key] = e
     return e
 
 
@@ -749,6 +764,30 @@ def q_dedup_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """Transitive clusters over the SCALE candidate graph: banded MinHash
+    LSH candidates over the WHOLE documents table (not the O(n^2)
+    oracle slice) -> exact-Jaccard verify -> connected components.  This
+    is the 100 TB shape: postings-sized shuffles, capped buckets,
+    O(log d) CC rounds.  No SQL oracle (xxhash64-based banding is not
+    replayable in DuckDB); correctness of the closure is pytest-gated
+    (test_connected_components_over_lsh_candidates) and the summary here
+    is deterministic for a given input."""
+    from tiledb_py_spark.operators.dedup import (connected_components,
+                                                 minhash_lsh_candidates,
+                                                 verify_jaccard)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, "text", "doc_id")
+    verified = verify_jaccard(d, pairs, "text", "doc_id", threshold=0.8)
+    labels = connected_components(verified.select("id_a", "id_b"))
+    return (labels.groupBy("rep")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 embedding."""
     from tiledb_py_spark.operators.similarity import brute_force_topk
@@ -1183,6 +1222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
+        # rows-only (no SQL oracle: xxhash64 banding isn't replayable in
+        # DuckDB; closure semantics pytest-gated) — the LSH-fed scale
+        # path for dedup_clusters, benchable at sf0.1/sf1
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
     }
 
 

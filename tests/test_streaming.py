@@ -158,3 +158,55 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = sorted(r.event_id
                  for r in dedup_event_stream(batch, keys=["event_id"]).collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_dedup_to_array_end_to_end(spark, tmp_path):
+    """The full streaming pipeline the module advertises, composed:
+    file-source stream -> bounded-state dedup (watermarked) -> fragment-
+    committing array sink.  The array's final contents must equal the
+    batch-mode answer over the same files, and each micro-batch must have
+    committed its own timestamped fragment."""
+    from tiledb_py_spark.streaming import (dedup_event_stream,
+                                           read_event_stream,
+                                           stream_events_to_array)
+
+    src = tmp_path / "e2e_src"
+    src.mkdir()
+    b1 = pd.DataFrame({
+        "event_id": np.array([1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                              "2024-01-01 00:01"]).astype("datetime64[us]"),
+        "v": [10.0, 20.0, 20.0]})
+    b2 = pd.DataFrame({
+        "event_id": np.array([1, 3], dtype=np.int64),  # 1 = cross-batch dup
+        "ts": pd.to_datetime(["2024-01-01 00:02",
+                              "2024-01-01 00:03"]).astype("datetime64[us]"),
+        "v": [10.0, 30.0]})
+    b1.to_parquet(src / "b1.parquet")
+    b2.to_parquet(src / "b2.parquet")
+
+    uri = str(tmp_path / "e2e_arr")
+    dom = tdb.Domain(tdb.Dim(name="event_id", domain=(0, 10**9), tile=10000,
+                             dtype=np.int64))
+    schema = tdb.ArraySchema(domain=dom,
+                             attrs=[tdb.Attr(name="v", dtype=np.float64)],
+                             sparse=True)
+    tdb.Array.create(uri, schema)
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = dedup_event_stream(stream, keys=["event_id"],
+                                 watermark="1 hour").select("event_id", "v")
+    q = stream_events_to_array(deduped, uri, str(tmp_path / "e2e_ckpt"))
+    q.awaitTermination(120)
+
+    A = tdb.open(uri, spark=spark)
+    res = A[:]
+    got = sorted(zip(res["event_id"].tolist(), res["v"].tolist()))
+
+    batch = spark.createDataFrame(pd.concat([b1, b2]))
+    want = sorted((r.event_id, r.v)
+                  for r in dedup_event_stream(batch, keys=["event_id"])
+                  .select("event_id", "v").collect())
+    assert got == want == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # one fragment per non-empty micro-batch (maxFilesPerTrigger=1)
+    assert len(tdb.array_fragments(uri)) >= 2

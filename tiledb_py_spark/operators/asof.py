@@ -176,10 +176,12 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
         return out
 
     num_buckets = len(bounds) + 1
-    b = None
-    for bd in bounds:  # bucket id = #bounds strictly below the value
-        t = F.when(d > F.lit(bd), 1).otherwise(0)
-        b = t if b is None else b + t
+    # bucket id = #bounds strictly below the value, via one array filter
+    # over a literal bounds array — a chained-when sum builds an
+    # O(num_buckets)-deep expression tree that costs ~3x in analysis +
+    # codegen on every fresh plan
+    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
+    b = F.size(F.filter(barr, lambda bd: d > bd))
     u = u.withColumn(_BKT, F.when(d.isNotNull(), b))  # null time -> null bucket
 
     # per-bucket last non-null value per carried column among RIGHT rows

@@ -252,11 +252,11 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
         w = (Window.partitionBy(F.lit(0)).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
-    b = None
-    for bd in bounds:
-        t = F.when(d > F.lit(bd), 1).otherwise(0)
-        b = t if b is None else b + t
-    df2 = df.withColumn("__gcs_bkt", b)
+    # bucket id = #bounds strictly below the value (array filter over a
+    # literal bounds array — shallow tree, cheap to analyze; see asof.py)
+    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
+    df2 = df.withColumn("__gcs_bkt",
+                        F.size(F.filter(barr, lambda bd: d > bd)))
     wb = (Window.partitionBy("__gcs_bkt").orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     totals = df2.groupBy("__gcs_bkt").agg(F.sum(value_col).alias("__t"))
