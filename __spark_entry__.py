@@ -747,6 +747,25 @@ def q_repeated_ngrams(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination scan: docs 0-49 act as the held-out
+    benchmark, the rest as training corpus; per corpus doc, count 5-gram
+    occurrences shared with any benchmark doc (portable md5-60bit gram
+    hash + whitespace tokenizer so DuckDB builds the identical inverted
+    index).  decontaminate() = anti-join on these stats (pytest-gated)."""
+    from tiledb_py_spark.operators.dedup import (md5_hash60,
+                                                 ngram_contamination_stats)
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    corpus = d.filter((F.col("doc_id") >= 50) & (F.length(F.trim("text")) > 0))
+    bench = d.filter((F.col("doc_id") < 50) & (F.length(F.trim("text")) > 0))
+    out = ngram_contamination_stats(corpus, bench, "text", "doc_id",
+                                    n=5, gram_hash=md5_hash60,
+                                    tokens_col=ws, bench_tokens_col=ws)
+    return out.orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clusters: exact 1-gram Jaccard pairs (same
     graph as the ngram_jaccard gate) -> distributed connected components
@@ -827,6 +846,20 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
                                    exact=False, n_planes=2, n_tables=24,
                                    bucket_cap=10**6)
     return out.withColumn("cosine", F.round("cosine", 5)).orderBy("id_a", "id_b")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup, oracle-gated on its exact setting:
+    with n_cells=1 the drop rule ("a smaller-id vector with cosine >=
+    0.30 exists") is the plain quadratic rule DuckDB can state with
+    NOT EXISTS; n_cells>1 only moves pairs across cell boundaries
+    (recall, pytest-gated)."""
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+
+    e = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    out = semantic_dedup(e, "embedding", "vec_id", threshold=0.30, n_cells=1)
+    return out.select("vec_id").orderBy("vec_id")
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -1160,7 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc_filter": q_qc_filter,
         "qc_in_chain": q_qc_in_chain,
-        "qc_datetime": q_qc_datetime,
+        "contamination": q_contamination,
         "multi_range": q_multi_range,
         "agg_whole_selection": q_agg_whole_selection,
         "array_range_read": q_array_range_read,
@@ -1180,7 +1213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -1192,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_ann": q_ivf_ann,
         "batch_topk": q_batch_topk,
         "multimodal_features": q_multimodal_features,
@@ -1210,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         # --- below the driver's 50-entry snapshot window: long-stable
         # compat gates, each also covered by pytest + oracle_sql() ---
+        "qc_datetime": q_qc_datetime,
+        "events_sliding": q_events_sliding,
         "projection_pushdown": q_projection_pushdown,
         "nonempty_domain": q_nonempty_domain,
         "unique_dim_values": q_unique_dim_values,
@@ -1574,6 +1609,15 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
             ORDER BY id_a, id_b
         """,
+        "semantic_dedup": """
+            SELECT e.vec_id FROM embeddings e
+            WHERE e.vec_id < 200 AND NOT EXISTS (
+              SELECT 1 FROM embeddings a
+              WHERE a.vec_id < e.vec_id AND a.vec_id < 200
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) >= 0.30)
+            ORDER BY vec_id
+        """,
         "embedding_near_dup_lsh": """
             -- oracle for the BANDED LSH path: exact pairs at >= 0.40; the
             -- seeded 24x2 tables deterministically recover all of them on
@@ -1654,6 +1698,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_grams,
                    count(*) FILTER (WHERE g.gh IN (SELECT gh FROM d)) AS n_dup_grams
             FROM g GROUP BY g.doc_id ORDER BY doc_id
+        """,
+        "contamination": r"""
+            WITH corpus AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE doc_id >= 50 AND length(trim(text)) > 0
+            ),
+            bench AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
+            ),
+            cg AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(arr[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+              FROM corpus, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+              WHERE len(arr) >= 5
+            ),
+            bg AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(array_to_string(arr[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+              FROM bench, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+              WHERE len(arr) >= 5
+            )
+            SELECT c.doc_id,
+                   coalesce(sum(g.cnt), 0)::BIGINT AS n_grams,
+                   coalesce(sum(g.cnt) FILTER (WHERE g.gh IN (SELECT gh FROM bg)), 0)::BIGINT
+                       AS n_contaminated
+            FROM corpus c
+            LEFT JOIN (SELECT doc_id, gh, count(*) AS cnt
+                       FROM cg GROUP BY doc_id, gh) g USING (doc_id)
+            GROUP BY c.doc_id ORDER BY c.doc_id
         """,
         "unigram_surprisal": r"""
             WITH g AS (

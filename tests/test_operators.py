@@ -1091,3 +1091,104 @@ def test_ivf_index_save_load_array_manifest(spark, tmp_path):
     # unfitted index refuses to save
     with pytest.raises(ValueError):
         IVFIndex(n_cells=2).save(str(tmp_path / "x.json"))
+
+
+def test_contamination_stats_counts(spark):
+    """Per-corpus-doc gram occurrence counts vs a hand-computed oracle;
+    zero-gram (short) docs get a clean row."""
+    from tiledb_py_spark.operators.dedup import ngram_contamination_stats
+
+    corpus = spark.createDataFrame([
+        (10, "a b c d e f"),          # grams: abc bcd cde def
+        (11, "x y z w a b c"),        # grams: xyz yzw zwa wab abc
+        (12, "q r"),                  # too short for n=3 -> 0 grams
+        (13, "m m m m"),              # grams: mmm mmm (repeat counts twice)
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1, "a b c zz"), (2, "m m m qq")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_grams, r.n_contaminated)
+           for r in ngram_contamination_stats(corpus, bench, "text",
+                                              "doc_id", n=3).collect()}
+    # bench grams: {abc, bc-zz, mmm, mm-qq} -> corpus hits: abc (docs 10,
+    # 11), mmm (doc 13, twice)
+    assert got == {10: (4, 1), 11: (5, 1), 12: (0, 0), 13: (2, 2)}
+
+
+def test_decontaminate_strict_and_fraction(spark):
+    from tiledb_py_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([
+        (10, "a b c d e f"),          # 1/4 grams contaminated
+        (11, "u v w x y z"),          # clean
+        (12, "q r"),                  # no grams -> always kept
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    # strict (any shared gram drops)
+    kept = sorted(r.doc_id for r in decontaminate(
+        corpus, bench, "text", "doc_id", n=3).collect())
+    assert kept == [11, 12]
+    # tolerant: doc 10 is 25% contaminated -> survives a 30% ceiling
+    kept = sorted(r.doc_id for r in decontaminate(
+        corpus, bench, "text", "doc_id", n=3, max_fraction=0.3).collect())
+    assert kept == [10, 11, 12]
+
+
+def test_semantic_dedup_single_cell_matches_exact_rule(spark):
+    """n_cells=1: kept set equals the quadratic rule 'drop j iff some
+    i<j has cosine >= threshold' computed in numpy."""
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(9)
+    M = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(40)], ["vec_id", "v"])
+    thr = 0.5
+    got = sorted(r.vec_id for r in semantic_dedup(
+        df, "v", "vec_id", threshold=thr, n_cells=1).collect())
+    U = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = U @ U.T
+    want = [j for j in range(40)
+            if not any(S[i, j] >= thr for i in range(j))]
+    assert got == want
+
+
+def test_semantic_dedup_multicell_drops_near_identical(spark):
+    """Near-identical vectors share a cell (argmax dot is stable under
+    tiny perturbations), so the duplicate is dropped even with many
+    cells; cross-cell misses are recall, never a wrong drop."""
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(10)
+    base = rng.randn(30, 8)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(100 + i, (base[i] + rng.randn(8) * 1e-3).tolist())
+             for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    kept = {r.vec_id for r in semantic_dedup(
+        df, "v", "vec_id", threshold=0.999, n_cells=6).collect()}
+    assert set(range(30)) <= kept          # originals all keep (smaller ids)
+    assert kept.isdisjoint({100 + i for i in range(5)})  # clones dropped
+    # null and zero vectors are never dropped and never drop others
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0]), (4, [1.0, 1e-9])],
+        "vec_id long, v array<double>")
+    kept2 = sorted(r.vec_id for r in semantic_dedup(
+        df2, "v", "vec_id", threshold=0.9, n_cells=1).collect())
+    assert kept2 == [1, 2, 3]              # 4 ~ 1; null/zero survive
+
+
+def test_semantic_dedup_reuses_fitted_index(spark):
+    """Passing a persisted/fitted IVFIndex skips refitting and gives the
+    same answer as an inline fit with the same seed."""
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(14)
+    df = spark.createDataFrame(
+        [(i, rng.randn(6).tolist()) for i in range(60)], ["vec_id", "v"])
+    idx = IVFIndex(n_cells=4, n_probe=4, seed=42).fit(df, "v")
+    a = sorted(r.vec_id for r in semantic_dedup(
+        df, "v", "vec_id", threshold=0.6, index=idx).collect())
+    b = sorted(r.vec_id for r in semantic_dedup(
+        df, "v", "vec_id", threshold=0.6, n_cells=4, seed=42).collect())
+    assert a == b

@@ -571,6 +571,99 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return labels
 
 
+def _explode_gram_postings(base: DataFrame, n: int, gh) -> DataFrame:
+    """(__id, __toks) -> exploded (__id, __gh) n-gram hash postings.
+    Explodes cheap POSITIONS and hashes after the generate (see the
+    InferFiltersFromGenerate note in repeated_ngram_stats); the when()
+    guard keeps the sequence ascending (empty) for short docs."""
+    pos = F.when(F.size("__toks") >= n,
+                 F.sequence(F.lit(0), F.size("__toks") - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    return (base.select("__id", "__toks", F.explode(pos).alias("__i"))
+                .select("__id",
+                        gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
+                        .alias("__gh")))
+
+
+def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
+                              text_col: str, id_col: str,
+                              bench_text_col: Optional[str] = None,
+                              n: int = 8, gram_hash=None,
+                              tokens_col: Optional[Column] = None,
+                              bench_tokens_col: Optional[Column] = None
+                              ) -> DataFrame:
+    """Benchmark-contamination scan — the standard eval-decontamination
+    step for LLM training corpora (drop training documents that overlap
+    the test set): for each corpus document, count its n-token grams and
+    how many of them occur anywhere in ``benchmark``.
+
+    Same inverted-index shape as ``repeated_ngram_stats``, across two
+    tables: corpus postings carry only (8-byte gram hash, id); the
+    benchmark side collapses to its DISTINCT gram-hash set — for typical
+    benchmark sizes that table is megabytes, so AQE broadcasts the join
+    and the corpus is never shuffled; at worst it is a hash join on the
+    8-byte gram key.  Documents shorter than ``n`` tokens have no grams
+    (``n_grams = 0``) and can never be flagged.
+
+    Returns one row per corpus document: ``(id_col, n_grams,
+    n_contaminated)`` where counts are gram OCCURRENCES (a gram repeated
+    in the document counts each time, matching repeated_ngram_stats).
+
+    ``gram_hash`` defaults to ``xxhash64``; pass ``md5_hash60`` for a
+    cross-engine-checkable hash.  ``tokens_col``/``bench_tokens_col``
+    override the default lowercasing tokenizer per side."""
+    gh = gram_hash or F.xxhash64
+    bt = bench_text_col or text_col
+    toks = tokens_col if tokens_col is not None else tokens(text_col)
+    btoks = bench_tokens_col if bench_tokens_col is not None else tokens(bt)
+    cbase = corpus.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    bbase = benchmark.select(F.lit(0).alias("__id"), btoks.alias("__toks"))
+    cg = _explode_gram_postings(cbase, n, gh)
+    bg = (_explode_gram_postings(bbase, n, gh)
+          .select("__gh").distinct()
+          .withColumn("__hit", F.lit(1)))
+    c = cg.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
+    per_doc = (c.join(bg, on="__gh", how="left")
+               .groupBy("__id")
+               .agg(F.sum("__cnt").cast("long").alias("n_grams"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__hit") == 1, F.col("__cnt"))),
+                        F.lit(0)).cast("long").alias("n_contaminated")))
+    # re-attach zero-gram documents (shorter than n tokens): they emit no
+    # postings but the caller still gets a row (n_grams = 0, clean)
+    ids = corpus.select(F.col(id_col).alias("__id")).distinct()
+    return (ids.join(per_doc, on="__id", how="left")
+               .select(F.col("__id").alias(id_col),
+                       F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                       F.coalesce("n_contaminated", F.lit(0))
+                        .alias("n_contaminated")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str, id_col: str,
+                  bench_text_col: Optional[str] = None,
+                  n: int = 8, max_fraction: float = 0.0,
+                  min_hits: int = 1, gram_hash=None,
+                  tokens_col: Optional[Column] = None,
+                  bench_tokens_col: Optional[Column] = None) -> DataFrame:
+    """Drop corpus documents contaminated by ``benchmark``: a document is
+    removed when it has at least ``min_hits`` contaminated gram
+    occurrences AND its contaminated share ``n_contaminated / n_grams``
+    exceeds ``max_fraction`` (default 0.0 with min_hits=1 = drop on any
+    shared n-gram, the strict setting eval decontamination usually
+    wants).  Documents with no grams are always kept.  One extra
+    anti-join shuffle on the id beyond the contamination scan."""
+    stats = ngram_contamination_stats(
+        corpus, benchmark, text_col, id_col, bench_text_col=bench_text_col,
+        n=n, gram_hash=gram_hash, tokens_col=tokens_col,
+        bench_tokens_col=bench_tokens_col)
+    bad = (stats.filter((F.col("n_contaminated") >= min_hits)
+                        & (F.col("n_contaminated")
+                           > F.lit(max_fraction) * F.col("n_grams")))
+                .select(id_col))
+    return corpus.join(bad, on=id_col, how="left_anti")
+
+
 def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
                          n: int = 10, min_docs: int = 2,
                          gram_hash=None, tokens_col: Optional[Column] = None
@@ -602,13 +695,7 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
     # own posting row.  The when() guard keeps the sequence ascending
     # (empty) for short docs — a bare filter is not enough because the
     # inferred predicates evaluate on unfiltered rows.
-    pos = F.when(F.size("__toks") >= n,
-                 F.sequence(F.lit(0), F.size("__toks") - n)
-                 ).otherwise(F.array().cast("array<int>"))
-    g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
-             .select("__id",
-                     gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
-                     .alias("__gh")))
+    g = _explode_gram_postings(base, n, gh)
     # Skew-safe document frequency: collapse to per-(id, gram) counts,
     # aggregate gram document frequency, JOIN it back.  A window over
     # __gh would evaluate the postings once instead of twice, but a
@@ -725,3 +812,66 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     return (j.select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
                      cos.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   threshold: float = 0.95, n_cells: int = 16,
+                   index=None, seed: int = 42,
+                   block: int = 1024) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023: cluster embeddings, drop near-identical members
+    within each cluster): assign every vector to its nearest of
+    ``n_cells`` spherical-k-means centroids (``operators.similarity.
+    IVFIndex`` — pass a fitted ``index`` to reuse persisted centroids),
+    then drop a row iff a SMALLER-id row in the SAME cell has cosine >=
+    ``threshold``.
+
+    The drop rule matches ``minhash_dedup``'s one-round min-id semantics
+    ("exists an earlier neighbor", whether or not that neighbor
+    survived), which keeps it SQL-expressible: with ``n_cells=1`` the
+    result equals the exact quadratic rule (the oracle gate), and with
+    ``n_cells>1`` cell boundaries trade RECALL (a cross-cell near-dup
+    pair survives), never correctness — the standard SemDeDup tradeoff.
+
+    Scale shape: one (cell, id) shuffle; per-cell work is a vectorized
+    numpy cosine scan in ``block``-column strips, O(m^2) flops but only
+    O(m*block) memory for an m-vector cell — cells are ~n/n_cells by
+    construction, so pick ``n_cells`` such that cells fit an executor
+    (the same knob IVF search already exposes).  Vectors cross the wire
+    once, Arrow-batched.  Null/zero vectors are never dropped and never
+    drop others (no defined cosine)."""
+    from .similarity import IVFIndex
+
+    if index is None:
+        index = IVFIndex(n_cells=n_cells, n_probe=n_cells, seed=seed) \
+            .fit(df, vec_col)
+    assigned = index.assign(df, vec_col)
+    out_cols = df.columns
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m <= 1:
+            return pdf[out_cols]
+        vecs = [np.asarray(v, dtype="float64") if v is not None else None
+                for v in pdf[vec_col]]
+        dim = next((len(v) for v in vecs if v is not None), 0)
+        M = np.zeros((m, dim), dtype="float64")
+        for i, v in enumerate(vecs):
+            if v is not None:
+                M[i] = v
+        norms = np.linalg.norm(M, axis=1)
+        unit = M / np.where(norms == 0, 1.0, norms)[:, None]
+        # zero/null vectors become zero rows -> cosine 0 with everything
+        keep = np.ones(m, dtype=bool)
+        rows = np.arange(m)[:, None]
+        for s in range(1, m, block):
+            e = min(s + block, m)
+            S = unit @ unit[s:e].T                      # (m, e-s)
+            cols = np.arange(s, e)[None, :]
+            S = np.where(rows < cols, S, -np.inf)       # only i < j count
+            keep[s:e] = S.max(axis=0) < threshold
+        return pdf.loc[keep, out_cols]
+
+    return (assigned.groupBy("__cell")
+            .applyInPandas(dedup_cell, schema=df.schema))

@@ -116,6 +116,9 @@ class IVFIndex:
         # count() pre-scan on the happy path.  Only a shortfall below
         # the centroid-seeding floor triggers the fallback: count (cheap
         # — the shortfall bounds the table size) and resample exactly.
+        # null vectors carry no training signal and would make the
+        # sample matrix ragged (assign() already maps them to a null cell)
+        df = df.filter(F.col(vec_col).isNotNull())
         h = F.xxhash64(F.col(vec_col))
         rows = (df.select(vec_col)
                   .sample(withReplacement=False, fraction=sample_fraction,
