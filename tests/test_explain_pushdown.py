@@ -256,3 +256,47 @@ def test_keyless_asof_avoids_global_window(spark):
     naive = asof_join(left, right, on="t", num_buckets=1)
     assert (out.orderBy("t").toPandas()["rv_right"].tolist()
             == naive.orderBy("t").toPandas()["rv_right"].tolist())
+
+
+def test_contamination_bounded_exchanges_no_text_shuffle(spark):
+    """Two-table inverted index: corpus postings pre-aggregate, benchmark
+    collapses to a distinct gram-hash set, one join + per-doc
+    re-aggregation + zero-gram re-attach — a fixed exchange budget, and
+    the text column itself must never appear in an Exchange input
+    (only 8-byte gram hashes and ids shuffle)."""
+    import re
+
+    from tiledb_py_spark.operators.dedup import ngram_contamination_stats
+
+    corpus = spark.range(0, 60).select(
+        F.col("id"), F.concat(F.lit("a b c d e f g h "),
+                              (F.col("id") % 7).cast("string")).alias("text"))
+    bench = spark.range(0, 10).select(
+        F.col("id"), F.lit("a b c d e").alias("text"))
+    out = ngram_contamination_stats(corpus, bench, "text", "id", n=5)
+    s = _plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange", s)) <= 6
+    assert "Window" not in s
+    assert out.count() == 60
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """Semantic dedup moves each vector across the wire exactly once:
+    one Exchange on the cell id feeding the Arrow-batched per-cell scan
+    (plus the driver-side fit, which is not in this plan)."""
+    import re
+
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(300)], ["vec_id", "v"])
+    idx = IVFIndex(n_cells=4, n_probe=4).fit(df, "v")
+    out = semantic_dedup(df, "v", "vec_id", threshold=0.9, index=idx)
+    s = _plan(out)
+    data_exchanges = [m for m in re.findall(r"\(\d+\) (Broadcast)?Exchange", s)
+                      if m != "Broadcast"]
+    assert len(data_exchanges) == 1
+    assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsIn" in s
+    assert out.count() > 0
