@@ -902,7 +902,7 @@ def test_connected_components_over_lsh_candidates(spark):
     from tiledb_py_spark.operators.dedup import (connected_components,
                                                  minhash_lsh_candidates)
 
-    step, ntok = 6, 30
+    step, ntok = 8, 30
     docs = [(i + 1, " ".join(f"t{j}" for j in range(i * step, i * step + ntok)))
             for i in range(3)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
