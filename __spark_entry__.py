@@ -22,8 +22,12 @@ _READ_CACHE: dict = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # cache the (lazy) DataFrame per (session, table): re-creating it per
-    # gate call re-runs parquet schema inference on the driver every time
-    key = (id(spark), sf_dir, name)
+    # gate call re-runs parquet schema inference on the driver every time.
+    # Keyed on applicationId (stable and never recycled, unlike id(spark)
+    # which CPython can reuse after a stopped session is collected);
+    # assumes the sf_dir contents are immutable within one application,
+    # which holds for the driver's read-only testdata
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _READ_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -36,7 +40,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader rejects; read nanos as long and convert to microsecond NTZ."""
     from pyspark.sql import types as T
 
-    key = (id(spark), sf_dir, "__events")
+    key = (spark.sparkContext.applicationId, sf_dir, "__events")
     cached = _READ_CACHE.get(key)
     if cached is not None:
         return cached
@@ -888,8 +892,17 @@ def q_ivf_ann(spark, sf_dir):
     exact = brute_force_topk(base, "embedding", "vec_id", qv, k=10) \
         .select("vec_id", F.round("score", 5).alias("score"))
     uri = _embeddings_array(spark, sf_dir)
-    fit = IVFIndex(n_cells=8, n_probe=8).fit(e, "embedding").save(uri, name="gate")
-    idx = IVFIndex.load(uri, name="gate")
+    fit = IVFIndex(n_cells=8, n_probe=8).fit(e, "embedding")
+    # save only on first run: the gate must stay idempotent on persisted
+    # array state (no manifest-version growth per bench/correctness run).
+    # The fit is deterministic (seeded, hash-ordered sample), so a prior
+    # run's stored index equals this run's fit — the roundtrip assert
+    # stays exact either way.
+    try:
+        idx = IVFIndex.load(uri, name="gate")
+    except KeyError:
+        fit.save(uri, name="gate")
+        idx = IVFIndex.load(uri, name="gate")
     roundtrip = bool(np.array_equal(idx.centroids, fit.centroids))
     full = idx.search(base, "embedding", "vec_id", qv, k=10) \
         .select("vec_id", F.round("score", 5).alias("score"))

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "batch_topk",
     "text_quality",
     "fingerprint_md5",
+    # decontamination (round 5)
+    "contamination",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

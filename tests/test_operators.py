@@ -1192,3 +1192,19 @@ def test_semantic_dedup_reuses_fitted_index(spark):
     b = sorted(r.vec_id for r in semantic_dedup(
         df, "v", "vec_id", threshold=0.6, n_cells=4, seed=42).collect())
     assert a == b
+
+
+def test_semantic_dedup_nan_vector_never_drops_others(spark):
+    """A NaN-containing embedding must behave like a null/zero vector:
+    kept itself, and it must NOT poison the cosine matrix into dropping
+    every later vector in its cell (NaN < threshold is False)."""
+    from tiledb_py_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]),
+         (3, [0.0, 1.0]), (4, [0.0, 1.0 + 1e-12])],
+        "vec_id long, v array<double>")
+    kept = sorted(r.vec_id for r in semantic_dedup(
+        df, "v", "vec_id", threshold=0.9, n_cells=1).collect())
+    # 4 duplicates 3 and is dropped; 1, 2 (NaN), 3 survive
+    assert kept == [1, 2, 3]

@@ -130,41 +130,23 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     carry-in table (latest right values from earlier buckets, per
     traversal order), forward-filled over a num_buckets-row spine and
     broadcast-joined — all lazily, within the main job."""
+    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+
     spark = u.sparkSession
-    # monotonic numeric view of the time column (timestamps -> epoch
-    # micros, dates -> epoch days; DATE cannot cast straight to DOUBLE);
-    # used only to assign buckets, never returned
-    on_dt = dict(u.dtypes)[on]
-    if on_dt.startswith("timestamp"):
-        d = F.unix_micros(F.col(on).cast("timestamp")).cast("double")
-    elif on_dt == "date":
-        d = F.unix_date(F.col(on)).cast("double")
-    else:
-        d = F.col(on).cast("double")
+    # monotonic numeric view of the time column; used only to assign
+    # buckets, never returned
+    d = monotonic_view(on, dict(u.dtypes)[on])
     # bucket bounds from approximate quantiles, NOT a uniform split of
     # [min, max]: a skewed time distribution (99% of rows in 1% of the
     # range) puts almost everything in one uniform bucket — a single task
     # again.  Quantile bounds give ~equal ROW counts per bucket by
     # construction; duplicate quantiles (heavy point masses) collapse,
     # shrinking the effective bucket count instead of emitting empties.
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    # bounds only need to BALANCE tasks, not be precise: a coarse
-    # relativeError (0.01) over a Bernoulli sample gives the same balance
-    # as an exact quantile at a fraction of the pass cost (the r3 bench
-    # regression was an eps=0.001 full-union summary here).  A too-small
-    # sample merely collapses duplicate bounds -> fewer buckets -> still
-    # correct (the carry logic is bounds-agnostic), so sampling is safe.
-    # Caller-supplied bounds (e.g. from parquet footer statistics via
-    # stats_bounds.parquet_range_bounds) skip even that sampling job.
-    if bounds is not None:
-        qs = [float(b) for b in bounds]
-    elif num_buckets > 1:
-        qs = (u.select(d.alias("__asof_d"))
-               .sample(fraction=0.1, seed=42)
-               .approxQuantile("__asof_d", probs, 0.01))
-    else:
-        qs = []
-    bounds = sorted(set(qs))
+    # A coarse sampled approxQuantile balances as well as an exact
+    # quantile at a fraction of the cost (the r3 bench regression was an
+    # eps=0.001 full-union summary here); caller-supplied bounds (e.g.
+    # parquet footer statistics) skip even that sampling job.
+    bounds = resolve_bounds(u, d, num_buckets, bounds)
     if not bounds:
         w = Window.partitionBy(F.lit(1)) \
             .orderBy(F.col(on).asc() if backward else F.col(on).desc(),
@@ -176,12 +158,7 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
         return out
 
     num_buckets = len(bounds) + 1
-    # bucket id = #bounds strictly below the value, via one array filter
-    # over a literal bounds array — a chained-when sum builds an
-    # O(num_buckets)-deep expression tree that costs ~3x in analysis +
-    # codegen on every fresh plan
-    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
-    b = F.size(F.filter(barr, lambda bd: d > bd))
+    b = bucket_index(d, bounds)
     u = u.withColumn(_BKT, F.when(d.isNotNull(), b))  # null time -> null bucket
 
     # per-bucket last non-null value per carried column among RIGHT rows

@@ -506,6 +506,27 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return staged.select(F.col(id_col), sh.alias("simhash"))
 
 
+def _persisted_ancestor(df: DataFrame):
+    """The persisted RDD backing a just-``localCheckpoint``-ed DataFrame,
+    found by walking the DataFrame's OWN dependency chain (toRdd ->
+    SQLExecutionRDD -> ... -> the storage-level-bearing ancestor).
+    Returns None if none is found within a few hops.  This is the
+    thread-safe way to later free the checkpoint blocks — diffing the
+    global ``getPersistentRDDs`` registry would attribute a concurrent
+    computation's checkpoint to us and unpersist it (unrecoverable for
+    truncated-lineage RDDs)."""
+    r = df._jdf.queryExecution().toRdd()
+    for _ in range(10):
+        sl = r.getStorageLevel()
+        if sl.useMemory() or sl.useDisk():
+            return r
+        deps = r.dependencies()
+        if deps.isEmpty():
+            return None
+        r = deps.head().rdd()
+    return None
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """Connected components over a near-dup pair graph: every node gets
@@ -525,20 +546,15 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # every iteration runs two actions (join + convergence count), and
     # without the checkpoint each would re-execute the upstream candidate
     # join / LSH plan from scratch
-    sc = pairs.sparkSession.sparkContext
-    pre_edges = {jid for jid in
-                 sc._jsc.getPersistentRDDs().keySet().toArray()}
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint(eager=True))
-    edge_ids = [jid for jid in
-                sc._jsc.getPersistentRDDs().keySet().toArray()
-                if jid not in pre_edges]
+    edge_rdd = _persisted_ancestor(edges)
     labels = (edges.select(F.col("u").alias("id"))
               .distinct()
               .withColumn("rep", F.col("id")))
-    prev_ids: list = []  # previous round's checkpoint block RDD ids
+    prev_rdd = None  # previous round's checkpointed block RDD
     changed = 0
     for _ in range(max_iter):
         # (1) min label over neighbors (and self)
@@ -558,33 +574,28 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # evaluated once (the count then reads checkpointed partitions);
         # checkpointing also truncates the lineage, which would otherwise
         # double in size every round
-        before = {jid for jid in
-                  sc._jsc.getPersistentRDDs().keySet().toArray()}
         new = new.localCheckpoint(eager=True)
-        round_ids = [jid for jid in
-                     sc._jsc.getPersistentRDDs().keySet().toArray()
-                     if jid not in before]
+        round_rdd = _persisted_ancestor(new)
         changed = (new.alias("n").join(labels.alias("o"), on="id")
                    .filter(F.col("n.rep") != F.col("o.rep")).count())
         # free the PREVIOUS round's checkpoint blocks (this round's
         # convergence count was their last reader) — without this, up to
-        # max_iter label snapshots accumulate in block storage
-        jmap = sc._jsc.getPersistentRDDs()
-        for jid in prev_ids:
-            jrdd = jmap.get(jid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
-        prev_ids = round_ids
+        # max_iter label snapshots accumulate in block storage.  The RDD
+        # handle comes from walking THIS DataFrame's own dependency chain
+        # (never the global persistent-RDD registry, which would race
+        # with concurrent computations checkpointing in other threads).
+        # The resulting "lineage truncated, cannot be recomputed" WARN is
+        # expected: the freed snapshot has no readers left.
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = round_rdd
         labels = new
         if not changed:
             break
     # the edge list has no readers after the loop; the final labels
     # checkpoint is the caller's result and stays persisted
-    jmap = sc._jsc.getPersistentRDDs()
-    for jid in edge_ids:
-        jrdd = jmap.get(jid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+    if edge_rdd is not None:
+        edge_rdd.unpersist(False)
     if changed:
         import warnings
 
@@ -893,9 +904,15 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
         for i, v in enumerate(vecs):
             if v is not None:
                 M[i] = v
+        # null, zero, AND non-finite (NaN/inf) vectors become zero rows:
+        # cosine 0 with everything, so they are never dropped and never
+        # drop others.  Without the finite mask a single NaN component
+        # would propagate through the cosine matrix and -- because
+        # NaN < threshold is False -- silently delete every higher-id
+        # vector in the cell.
+        M[~np.isfinite(M).all(axis=1)] = 0.0
         norms = np.linalg.norm(M, axis=1)
         unit = M / np.where(norms == 0, 1.0, norms)[:, None]
-        # zero/null vectors become zero rows -> cosine 0 with everything
         keep = np.ones(m, dtype=bool)
         rows = np.arange(m)[:, None]
         for s in range(1, m, block):

@@ -216,18 +216,15 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     raw value otherwise) — e.g. from
     ``stats_bounds.parquet_range_bounds`` — skipping the sampled
     quantile job; any cut set gives the same answer."""
+    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+
     spark = df.sparkSession
     first = order_cols[0]
     first_dt = dict(df.dtypes)[first]
-    if first_dt.startswith("timestamp"):
-        d = F.unix_micros(F.col(first).cast("timestamp")).cast("double")
-    elif first_dt == "date":
-        # DATE cannot cast straight to DOUBLE (DATATYPE_MISMATCH):
-        # epoch days preserve the sort order exactly
-        d = F.unix_date(F.col(first)).cast("double")
-    elif first_dt in ("tinyint", "smallint", "int", "bigint",
-                      "float", "double") or first_dt.startswith("decimal"):
-        d = F.col(first).cast("double")
+    if (first_dt.startswith("timestamp") or first_dt.startswith("decimal")
+            or first_dt in ("tinyint", "smallint", "int", "bigint",
+                            "float", "double", "date")):
+        d = monotonic_view(first, first_dt)
     else:
         # a non-numeric first order column (e.g. string ids) cannot
         # range-bucket consistently with its sort order ('10' < '9'
@@ -238,25 +235,15 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
              .orderBy(*[F.col(c) for c in order_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
-    if bounds is not None:
-        qs = [float(b) for b in bounds]
-    elif num_buckets > 1:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        qs = (df.select(d.alias("__gcs_d")).sample(fraction=0.1, seed=42)
-                .approxQuantile("__gcs_d", probs, 0.01))
-    else:
-        qs = []
-    bounds = sorted(set(qs))
+    bounds = resolve_bounds(df, d, num_buckets, bounds)
     order = [F.col(c) for c in order_cols]
     if not bounds:
         w = (Window.partitionBy(F.lit(0)).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
-    # bucket id = #bounds strictly below the value (array filter over a
-    # literal bounds array — shallow tree, cheap to analyze; see asof.py)
-    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
-    df2 = df.withColumn("__gcs_bkt",
-                        F.size(F.filter(barr, lambda bd: d > bd)))
+    # null first-order values yield bucket 0 (bucket_index's default),
+    # matching the nulls-first position of a plain ascending window
+    df2 = df.withColumn("__gcs_bkt", bucket_index(d, bounds))
     wb = (Window.partitionBy("__gcs_bkt").orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     totals = df2.groupBy("__gcs_bkt").agg(F.sum(value_col).alias("__t"))

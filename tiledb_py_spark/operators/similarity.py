@@ -139,6 +139,9 @@ class IVFIndex:
                                   seed=self.seed)
                           .orderBy(h).limit(sample_rows).collect())
         sample = np.array([r[0] for r in rows], dtype="float64")
+        if sample.ndim == 2:
+            # a NaN/inf vector would corrupt every centroid it touches
+            sample = sample[np.isfinite(sample).all(axis=1)]
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
         def _unit(m):

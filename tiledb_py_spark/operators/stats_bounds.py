@@ -66,6 +66,22 @@ def _collect_paths(path_or_paths) -> list:
     return out
 
 
+def column_chunk_minmax(rg, column: str):
+    """Raw ``(min, max)`` statistics for ``column`` in one row-group
+    footer (pyarrow ``RowGroupMetaData``), or ``None`` when the column
+    is absent or carries no min/max.  Shared by the driver-side bounds
+    derivation here and the LWW component slicer
+    (``sources/spark_datasource.py``) so the footer walk cannot drift."""
+    for j in range(rg.num_columns):
+        cc = rg.column(j)
+        if cc.path_in_schema == column:
+            st = cc.statistics
+            if st is not None and st.has_min_max:
+                return (st.min, st.max)
+            return None
+    return None
+
+
 def row_group_stats(path_or_paths, column: str,
                     max_workers: int = 16) -> Optional[list]:
     """Per-row-group ``(min, max, num_rows)`` for ``column`` across the
@@ -83,17 +99,13 @@ def row_group_stats(path_or_paths, column: str,
         rgs = []
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
-            mm = None
-            for j in range(rg.num_columns):
-                cc = rg.column(j)
-                if cc.path_in_schema == column:
-                    st = cc.statistics
-                    if st is not None and st.has_min_max:
-                        mm = (_to_num(st.min), _to_num(st.max))
-                    break
-            if mm is None or mm[0] is None or mm[1] is None:
+            mm = column_chunk_minmax(rg, column)
+            if mm is None:
                 return None
-            rgs.append((mm[0], mm[1], rg.num_rows))
+            lo, hi = _to_num(mm[0]), _to_num(mm[1])
+            if lo is None or hi is None:
+                return None
+            rgs.append((lo, hi, rg.num_rows))
         return rgs
 
     with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
@@ -152,3 +164,55 @@ def parquet_range_bounds(path_or_paths, column: str, num_buckets: int,
         return None
     bounds = mixture_quantile_bounds(rgs, num_buckets)
     return bounds or None
+
+
+# ---------------------------------------------------------------------------
+# shared range-bucket machinery (keyless as-of + distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def monotonic_view(col: str, dtype: str):
+    """DOUBLE-valued monotonic view of a column, used only for range-
+    bucket ASSIGNMENT (never returned): timestamps -> epoch micros,
+    dates -> epoch days (DATE cannot cast straight to DOUBLE), anything
+    else -> a plain double cast.  Shared by ``operators/asof.py`` and
+    ``operators/pipeline.py`` so the numeric space always matches what
+    ``parquet_range_bounds`` produces."""
+    from pyspark.sql import functions as F
+
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.unix_date(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
+def resolve_bounds(df, d, num_buckets: int, bounds=None,
+                   fraction: float = 0.1, seed: int = 42,
+                   rel_err: float = 0.01) -> list:
+    """Sorted distinct bucket cut values: caller-supplied ``bounds``
+    verbatim (no job), else coarse approxQuantile over a Bernoulli
+    sample of the monotonic view ``d`` (one small job).  Bounds only
+    need to BALANCE tasks — duplicates collapse, a bad set merely
+    shrinks parallelism, never the answer."""
+    if bounds is not None:
+        qs = [float(b) for b in bounds]
+    elif num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qs = (df.select(d.alias("__rb_d"))
+                .sample(fraction=fraction, seed=seed)
+                .approxQuantile("__rb_d", probs, rel_err))
+    else:
+        qs = []
+    return sorted(set(qs))
+
+
+def bucket_index(d, bounds) -> "object":
+    """Bucket id = number of bounds strictly below ``d``, computed as ONE
+    array filter over a literal bounds array — a chained-when sum builds
+    an O(num_buckets)-deep expression tree that costs ~3x in analysis +
+    codegen on every fresh plan.  Null ``d`` yields 0 (no element passes
+    a null predicate); callers wanting null-bucket semantics wrap it."""
+    from pyspark.sql import functions as F
+
+    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
+    return F.size(F.filter(barr, lambda bd: d > bd))

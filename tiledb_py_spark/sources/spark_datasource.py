@@ -351,20 +351,15 @@ class TileDBReader(DataSourceReader):
 
         all_paths = [p for paths, _dels in entries for p in paths]
 
+        from ..operators.stats_bounds import column_chunk_minmax
+
         def footer(p):
             md = pq.ParquetFile(p).metadata
             out = []
             for i in range(md.num_row_groups):
                 rg = md.row_group(i)
-                mm = None
-                for j in range(rg.num_columns):
-                    cc = rg.column(j)
-                    if cc.path_in_schema == dim0:
-                        st = cc.statistics
-                        if st is not None and st.has_min_max:
-                            mm = (st.min, st.max)
-                        break
-                out.append((mm, rg.total_byte_size))
+                out.append((column_chunk_minmax(rg, dim0),
+                            rg.total_byte_size))
             return out
 
         rgs = []  # ((min, max) | None, bytes)
