@@ -1133,13 +1133,24 @@ def q_pack_global(spark, sf_dir):
     """GLOBAL (ungrouped) context-window packing: the naive plan is one
     single-task window; the engine instead runs the bucketed distributed
     prefix sum (range buckets + per-bucket windows + broadcast carry),
-    which the oracle's plain global window must equal exactly."""
+    which the oracle's plain global window must equal exactly.  Bucket
+    bounds come from the doc_id footer statistics (no sampling job);
+    None falls back to the sampled pass."""
+    import os
+
     from tiledb_py_spark.operators.pipeline import pack_sequences
+    from tiledb_py_spark.operators.stats_bounds import parquet_range_bounds
     from tiledb_py_spark.operators.text import whitespace_token_count
 
+    try:
+        bounds = parquet_range_bounds(
+            os.path.join(sf_dir, "documents.parquet"), "doc_id", 64)
+    except Exception:
+        bounds = None
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", whitespace_token_count("text").alias("n_tok"))
-    out = pack_sequences(d, "n_tok", ["doc_id"], max_tokens=2048)
+    out = pack_sequences(d, "n_tok", ["doc_id"], max_tokens=2048,
+                         bounds=bounds)
     return (out.select("doc_id", "pack_id", "pack_offset")
                .orderBy("doc_id"))
 
