@@ -866,6 +866,34 @@ def q_semantic_dedup(spark, sf_dir):
     return out.select("vec_id").orderBy("vec_id")
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination (the semantic complement
+    of the n-gram `contamination` gate): corpus rows (vec_id >= 100,
+    < 300) whose embedding is within cosine 0.30 of ANY benchmark
+    embedding (vec_id < 100) are dropped via the broadcast-matrix scan;
+    DuckDB states the same rule with NOT EXISTS."""
+    from tiledb_py_spark.operators.dedup import semantic_decontaminate
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    corpus = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    bench = e.filter(F.col("vec_id") < 100)
+    out = semantic_decontaminate(corpus, bench, "embedding", "vec_id",
+                                 threshold=0.30)
+    return out.select("vec_id").orderBy("vec_id")
+
+
+def q_sample_exact(spark, sf_dir):
+    """Deterministic exact-n sampling: exactly 20 documents per language
+    (or all of them for languages with fewer), ranked by the portable
+    seeded hash — DuckDB replays the identical ranking with QUALIFY."""
+    from tiledb_py_spark.operators.pipeline import sample_exact
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_exact(d, ["doc_id"], n=20, by="lang", seed=42)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF-bucketed approximate NN, verified as assertions the oracle can
     state: (a) probing ALL cells must reproduce the exact brute-force
@@ -1241,14 +1269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
         "array_embedding_topk": q_array_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
+        "sample_exact": q_sample_exact,
         "ivf_ann": q_ivf_ann,
         "batch_topk": q_batch_topk,
         "multimodal_features": q_multimodal_features,
@@ -1269,6 +1297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat gates, each also covered by pytest + oracle_sql() ---
         "qc_datetime": q_qc_datetime,
         "events_sliding": q_events_sliding,
+        # ngram_jaccard / embedding_near_dup are the exact O(n^2) ORACLE
+        # paths of minhash_dedup / embedding_near_dup_lsh (both still in
+        # the window); each is pytest-covered and oracle-checked locally
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         "projection_pushdown": q_projection_pushdown,
         "nonempty_domain": q_nonempty_domain,
         "unique_dim_values": q_unique_dim_values,
@@ -1632,6 +1665,24 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
             ORDER BY id_a, id_b
+        """,
+        "semantic_decontam": """
+            SELECT e.vec_id FROM embeddings e
+            WHERE e.vec_id >= 100 AND e.vec_id < 300 AND NOT EXISTS (
+              SELECT 1 FROM embeddings b
+              WHERE b.vec_id < 100
+                AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) >= 0.30)
+            ORDER BY vec_id
+        """,
+        "sample_exact": r"""
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY ('0x' || substr(md5(concat_ws(chr(31),
+                        CAST(doc_id AS VARCHAR), 'sample_exact:42')), 1, 15))::BIGINT,
+                       doc_id) <= 20
+            ORDER BY doc_id
         """,
         "semantic_dedup": """
             SELECT e.vec_id FROM embeddings e

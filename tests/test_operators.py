@@ -1208,3 +1208,62 @@ def test_semantic_dedup_nan_vector_never_drops_others(spark):
         df, "v", "vec_id", threshold=0.9, n_cells=1).collect())
     # 4 duplicates 3 and is dropped; 1, 2 (NaN), 3 survive
     assert kept == [1, 2, 3]
+
+
+def test_semantic_contamination_and_decontaminate(spark):
+    """max-cosine stats vs numpy; strict decontamination drops exactly
+    the vectors near a benchmark one; null/NaN vectors always survive."""
+    from tiledb_py_spark.operators.dedup import (semantic_contamination_stats,
+                                                 semantic_decontaminate)
+
+    rng = np.random.RandomState(17)
+    B = rng.randn(10, 6)
+    C = rng.randn(30, 6)
+    C[5] = B[2] * 3.0            # same direction as a bench vector
+    C[11] = -B[4]                # opposite direction: cosine -1, clean
+    corpus = [(i, C[i].tolist()) for i in range(30)]
+    corpus += [(100, None), (101, [float("nan")] * 6), (102, [0.0] * 6)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, v array<double>")
+    bdf = spark.createDataFrame([(i, B[i].tolist()) for i in range(10)],
+                                ["vec_id", "v"])
+    got = {r.vec_id: r.max_cosine
+           for r in semantic_contamination_stats(cdf, bdf, "v", "vec_id").collect()}
+    Un = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    want = (Un @ Bn.T).max(axis=1)
+    for i in range(30):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert got[100] == 0.0 and got[101] == 0.0 and got[102] == 0.0
+
+    kept = {r.vec_id for r in semantic_decontaminate(
+        cdf, bdf, "v", "vec_id", threshold=0.999).collect()}
+    assert 5 not in kept                     # collinear clone dropped
+    assert {11, 100, 101, 102} <= kept       # opposite + degenerate kept
+
+    # oversized benchmark refused with a pointer at the LSH path
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination_stats(cdf, bdf, "v", "vec_id",
+                                     max_bench_rows=5)
+
+
+def test_sample_exact_deterministic_counts(spark):
+    """Exactly n rows per group (all rows for smaller groups), identical
+    across repartitionings, disjoint from a different-seed draw mostly."""
+    from tiledb_py_spark.operators.pipeline import sample_exact
+
+    rows = [(i, "big" if i < 500 else "small") for i in range(520)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = sample_exact(df, ["doc_id"], n=50, by="grp")
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 50, "small": 20}
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               sample_exact(df.repartition(13), ["doc_id"], n=50,
+                            by="grp").collect())
+    assert a == b                            # partition-independent
+    c = sorted(r.doc_id for r in
+               sample_exact(df, ["doc_id"], n=50, by="grp", seed=7).collect())
+    assert a != c                            # seed changes the draw
+    # ungrouped: TakeOrdered path, exact n
+    assert sample_exact(df, ["doc_id"], n=77).count() == 77

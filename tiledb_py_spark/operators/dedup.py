@@ -925,3 +925,80 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
 
     return (assigned.groupBy("__cell")
             .applyInPandas(dedup_cell, schema=df.schema))
+
+
+def semantic_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
+                                 vec_col: str, id_col: str,
+                                 bench_vec_col: Optional[str] = None,
+                                 max_bench_rows: int = 2_000_000,
+                                 block: int = 4096) -> DataFrame:
+    """Embedding-level benchmark contamination scan — the semantic
+    complement of ``ngram_contamination_stats`` (paraphrased or
+    re-tokenized eval leakage that shares no exact n-gram): for each
+    corpus row, the maximum cosine similarity against ANY benchmark
+    embedding.
+
+    Scale shape: the benchmark matrix is collected, L2-normalized, and
+    closed over by an Arrow-batched UDF — one blockwise numpy matmul per
+    batch, ZERO shuffles, corpus vectors never leave their partitions
+    (eval sets are small by definition; the ``max_bench_rows`` guard
+    refuses inputs where the broadcast-matrix assumption breaks,
+    pointing at ``embedding_near_dup_pairs``' banded-LSH join for
+    corpus-vs-corpus scale).  Null / zero / non-finite vectors on either
+    side score 0 (no defined cosine).
+
+    Returns one row per corpus row: ``(id_col, max_cosine)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    bvc = bench_vec_col or vec_col
+    brows = (benchmark.select(bvc).filter(F.col(bvc).isNotNull())
+             .limit(max_bench_rows + 1).collect())
+    if len(brows) > max_bench_rows:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_rows={max_bench_rows}: the "
+            "broadcast-matrix scan assumes an eval-set-sized benchmark; "
+            "for corpus-vs-corpus similarity use embedding_near_dup_pairs "
+            "(banded LSH).")
+    B = np.asarray([r[0] for r in brows], dtype="float64") \
+        if brows else np.zeros((0, 1))
+    if B.ndim == 2 and len(B):
+        B = B[np.isfinite(B).all(axis=1)]
+        nb = np.linalg.norm(B, axis=1)
+        B = (B[nb > 0] / nb[nb > 0, None])
+
+    @pandas_udf("double")
+    def max_cos(vs: pd.Series) -> pd.Series:
+        if not len(B):
+            return pd.Series(np.zeros(len(vs)))
+        out = np.zeros(len(vs))
+        valid = np.array([v is not None for v in vs], dtype=bool)
+        if valid.any():
+            M = np.asarray([np.asarray(v, dtype="float64")
+                            for v, ok in zip(vs, valid) if ok])
+            M[~np.isfinite(M).all(axis=1)] = 0.0
+            nm = np.linalg.norm(M, axis=1)
+            M = M / np.where(nm == 0, 1.0, nm)[:, None]
+            best = np.full(len(M), -np.inf)
+            for s in range(0, B.shape[0], block):
+                best = np.maximum(best, (M @ B[s:s + block].T).max(axis=1))
+            best[nm == 0] = 0.0
+            out[valid] = best
+        return pd.Series(out)
+
+    return corpus.select(F.col(id_col), max_cos(F.col(vec_col)).alias("max_cosine"))
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           vec_col: str, id_col: str,
+                           threshold: float = 0.95,
+                           bench_vec_col: Optional[str] = None,
+                           max_bench_rows: int = 2_000_000) -> DataFrame:
+    """Drop corpus rows whose embedding is within cosine ``threshold``
+    of ANY benchmark embedding (SemDeDup-style eval decontamination).
+    Rows with null/zero/non-finite vectors are always kept.  One extra
+    anti-join shuffle on the id beyond the broadcast-matrix scan."""
+    stats = semantic_contamination_stats(
+        corpus, benchmark, vec_col, id_col, bench_vec_col=bench_vec_col,
+        max_bench_rows=max_bench_rows)
+    bad = stats.filter(F.col("max_cosine") >= threshold).select(id_col)
+    return corpus.join(bad, on=id_col, how="left_anti")

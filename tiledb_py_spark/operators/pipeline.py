@@ -400,3 +400,32 @@ def scrub_text(col: str | Column,
     for pattern, repl in rules:
         c = F.regexp_replace(c, pattern, repl)
     return c
+
+
+def sample_exact(df: DataFrame, id_cols: Sequence[str], n: int,
+                 by: Optional[str] = None, seed: int = 42,
+                 salt: str = "sample_exact") -> DataFrame:
+    """Deterministic EXACT-n sample — "give me exactly n rows" (per
+    ``by`` group if given), reproducible across runs, partitionings, and
+    engines: rows are ranked by the portable seeded hash of their ids
+    (ids as tiebreak) and the n smallest win.  The rate-based
+    ``stratified_sample`` keeps each row independently (exact only in
+    expectation); this is the eval-set / demo-slice builder where the
+    count must be exact.
+
+    Scale shape: ungrouped -> ``orderBy(hash).limit(n)``, which Spark
+    executes as TakeOrderedAndProject (per-partition top-n + driver
+    merge — no global sort, no single-task window); grouped -> one
+    ``row_number`` window per group, a single shuffle on the group key.
+    Groups smaller than ``n`` keep all their rows."""
+    h = portable_hash60(id_cols, seed, salt=salt)
+    if by is None:
+        return (df.withColumn("__se_h", h)
+                  .orderBy("__se_h", *id_cols).limit(n)
+                  .drop("__se_h"))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col("__se_h"), *[F.col(c) for c in id_cols]))
+    return (df.withColumn("__se_h", h)
+              .withColumn("__se_rn", F.row_number().over(w))
+              .filter(F.col("__se_rn") <= n)
+              .drop("__se_h", "__se_rn"))
