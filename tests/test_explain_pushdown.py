@@ -300,3 +300,34 @@ def test_semantic_dedup_single_cell_shuffle(spark):
     assert len(data_exchanges) == 1
     assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsIn" in s
     assert out.count() > 0
+
+
+def test_sample_exact_ungrouped_takes_ordered_no_global_sort(spark):
+    """Ungrouped exact-n must plan as TakeOrderedAndProject (per-partition
+    top-n + driver merge), never a full global Sort+Exchange."""
+    from tiledb_py_spark.operators.pipeline import sample_exact
+
+    df = spark.range(0, 100_000).select(F.col("id").alias("doc_id"))
+    out = sample_exact(df, ["doc_id"], n=50)
+    s = _plan(out)
+    assert "TakeOrderedAndProject" in s
+    assert out.count() == 50
+
+
+def test_semantic_contamination_plan_no_exchange(spark):
+    """The broadcast-matrix scan is shuffle-free: scan -> ArrowEvalPython,
+    zero Exchanges (the benchmark matrix lives inside the UDF closure)."""
+    import re
+
+    from tiledb_py_spark.operators.dedup import semantic_contamination_stats
+
+    rng = np.random.RandomState(2)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(200)], ["vec_id", "v"])
+    bench = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(10)], ["vec_id", "v"])
+    out = semantic_contamination_stats(corpus, bench, "v", "vec_id")
+    s = _plan(out)
+    assert "Exchange" not in s
+    assert "ArrowEvalPython" in s
+    assert out.count() == 200
