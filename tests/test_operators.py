@@ -1267,3 +1267,36 @@ def test_sample_exact_deterministic_counts(spark):
     assert a != c                            # seed changes the draw
     # ungrouped: TakeOrdered path, exact n
     assert sample_exact(df, ["doc_id"], n=77).count() == 77
+
+
+def test_array_level_ann_index_build_and_search(spark, tmp_path):
+    """The array-level ANN surface end-to-end: a var-length embedding
+    attr array -> build_ann_index (fit + centroids persisted into the
+    manifest) -> ann_search (loads, no refit); probing all cells equals
+    the exact brute-force top-k over the same array."""
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(23)
+    V = rng.randn(150, 6)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(150, dtype=np.int64),
+        "embedding": [V[i] for i in range(150)],
+    })
+    uri = str(tmp_path / "emb_arr")
+    tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
+
+    idx = tdb.build_ann_index(uri, "embedding", name="e2e", spark=spark,
+                              n_cells=4, n_probe=4)
+    assert idx.centroids is not None
+    q = rng.randn(6).tolist()
+    got = [(r.vec_id, round(r.score, 7))
+           for r in tdb.ann_search(uri, "embedding", "vec_id", q, k=5,
+                                   name="e2e", spark=spark).collect()]
+    base = tdb.open(uri, spark=spark).dataframe()
+    want = [(r.vec_id, round(r.score, 7))
+            for r in brute_force_topk(base, "embedding", "vec_id", q,
+                                      k=5).collect()]
+    assert got == want

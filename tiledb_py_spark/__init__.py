@@ -33,7 +33,7 @@ from .fragment import (ConsolidationPlan, FragmentInfo, FragmentInfoList,
                        create_array_from_fragments, delete_fragments)
 from .functions.query_condition import QueryCondition, TileDBError
 from .group import Group
-from .highlevel import (Object, array_exists, as_built, consolidate,
+from .highlevel import (Object, ann_search, array_exists, as_built, build_ann_index, consolidate,
                         delete_array, empty_like, from_numpy, ls, move,
                         object_type, open, remove, save, schema_like, vacuum,
                         walk)

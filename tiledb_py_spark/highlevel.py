@@ -208,3 +208,33 @@ def vacuum(uri: str, **kwargs):
     from .fragment import vacuum as _v
 
     return _v(uri)
+
+
+def build_ann_index(uri: str, vec_col: str, name: str = "default",
+                    spark=None, n_cells: int = 16, n_probe: int = 3,
+                    metric: str = "cosine", seed: int = 42):
+    """Fit an IVF ANN index over a stored embedding array and persist its
+    centroids into the array's manifest metadata (``__ivf_index:<name>``)
+    — fit once, search forever.  Returns the fitted
+    ``operators.similarity.IVFIndex``."""
+    from .operators.similarity import IVFIndex
+
+    A = open(uri, spark=spark)
+    df = A.dataframe()
+    idx = IVFIndex(n_cells=n_cells, n_probe=n_probe, metric=metric,
+                   seed=seed).fit(df, vec_col)
+    idx.save(uri, name=name)
+    return idx
+
+
+def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
+               k: int = 10, name: str = "default", spark=None):
+    """Approximate top-k over a stored embedding array using the index
+    persisted by :func:`build_ann_index` — loads centroids from the
+    manifest (no refit) and probes only the ``n_probe`` nearest cells.
+    Returns a DataFrame of (id, score)."""
+    from .operators.similarity import IVFIndex
+
+    idx = IVFIndex.load(uri, name=name)
+    A = open(uri, spark=spark)
+    return idx.search(A.dataframe(), vec_col, id_col, query_vec, k=k)
