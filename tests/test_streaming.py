@@ -210,3 +210,45 @@ def test_stream_dedup_to_array_end_to_end(spark, tmp_path):
     assert got == want == [(1, 10.0), (2, 20.0), (3, 30.0)]
     # one fragment per non-empty micro-batch (maxFilesPerTrigger=1)
     assert len(tdb.array_fragments(uri)) >= 2
+
+
+def test_stream_neardup_within_watermark(spark, tmp_path):
+    """SimHash-keyed streaming near-dup: an identical-text event in a
+    later micro-batch is dropped; distinct texts survive; batch mode uses
+    a global signature dropDuplicates."""
+    from tiledb_py_spark.streaming import neardup_event_stream
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    msg = "breaking news something happened in the town today"
+    b1 = pd.DataFrame({
+        "event_id": np.array([1, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 00:00",
+                              "2024-01-01 00:01"]).astype("datetime64[us]"),
+        "text": [msg, "a completely different story"]})
+    b2 = pd.DataFrame({
+        "event_id": np.array([3, 4], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 00:02",
+                              "2024-01-01 00:03"]).astype("datetime64[us]"),
+        # 3 = same text as 1 (different event_id!), 4 = new
+        "text": [msg, "yet another unrelated report"]})
+    b1.to_parquet(src / "b1.parquet")
+    b2.to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = neardup_event_stream(stream, "text", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("neardup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r.event_id
+                 for r in spark.sql("SELECT * FROM neardup_stream").collect())
+    assert ids == [1, 2, 4]          # 3 suppressed despite fresh event_id
+    assert "__simhash" not in spark.sql(
+        "SELECT * FROM neardup_stream").columns
+
+    batch = spark.createDataFrame(pd.concat([b1, b2]))
+    got = sorted(r.event_id for r in
+                 neardup_event_stream(batch, "text").collect())
+    assert got == [1, 2, 4]

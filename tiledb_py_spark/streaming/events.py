@@ -127,3 +127,36 @@ def stream_events_to_array(stream_df: DataFrame, uri: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_event_stream(events: DataFrame, text_col: str,
+                         keys=(), time_col: str = "ts",
+                         watermark: str = "1 hour",
+                         token_hash=None) -> DataFrame:
+    """Streaming NEAR-duplicate suppression with bounded state: drop an
+    event whose text's 64-bit SimHash (optionally together with ``keys``,
+    e.g. a channel id) was already seen within the watermark horizon.
+    SimHash collapses reorderings/minor edits to the same signature, so
+    this catches the "same message, slightly rephrased" stream spam an
+    exact-id dedup misses; state is one 8-byte signature per surviving
+    event, evicted as the watermark advances
+    (``dropDuplicatesWithinWatermark`` — same bounded-state story as
+    ``dedup_event_stream``).
+
+    Batch DataFrames take a global ``dropDuplicates`` on the signature —
+    stricter than the stream, same caveat as ``dedup_event_stream``.
+    The ``__simhash`` column is dropped from the output; pass
+    ``token_hash`` to override the signature's token hash family."""
+    from ..operators.dedup import simhash64
+
+    keys = list(keys)
+    sig = simhash64(F.col(text_col), token_hash=token_hash)
+    tagged = events.withColumn("__simhash", sig)
+    if events.isStreaming:
+        if dict(events.dtypes).get(time_col) == "timestamp_ntz":
+            tagged = tagged.withColumn(time_col,
+                                       F.col(time_col).cast("timestamp"))
+        return (tagged.withWatermark(time_col, watermark)
+                .dropDuplicatesWithinWatermark([*keys, "__simhash"])
+                .drop("__simhash"))
+    return tagged.dropDuplicates([*keys, "__simhash"]).drop("__simhash")
