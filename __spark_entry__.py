@@ -461,8 +461,6 @@ def q_asof_forward(spark, sf_dir):
     from the parquet footer statistics the input already carries
     (driver-side, no sampling job); when stats are unavailable the
     operator falls back to its sampled-quantile pass."""
-    import os
-
     from tiledb_py_spark.operators.asof import asof_join
     from tiledb_py_spark.operators.stats_bounds import parquet_range_bounds
 
@@ -868,11 +866,13 @@ def q_semantic_dedup(spark, sf_dir):
 
 def q_fuzzy_join(spark, sf_dir):
     """Cross-table near-duplicate text join (record linkage): documents
-    0-99 as the left table, a word-perturbed copy of documents 0-149 as
-    the right table; banded-MinHash candidates + exact shingle-Jaccard
-    verify at >= 0.9 — at that threshold the 16x4 banding miss
-    probability is ~1e-8/pair, so the result equals the exact O(n*m)
-    cross Jaccard the oracle computes."""
+    0-99 as the left table, a RE-IDENTIFIED copy of documents 0-149 as
+    the right table (ids shifted by 5000, text verbatim — so matches
+    include the guaranteed jaccard-1.0 self pairs plus the corpus's
+    injected sub-1.0 near-duplicates); banded-MinHash candidates + exact
+    shingle-Jaccard verify at >= 0.9 — at that threshold the 16x4
+    banding miss probability is ~1e-8/pair, so the result equals the
+    exact O(n*m) cross Jaccard the oracle computes."""
     from tiledb_py_spark.operators.dedup import fuzzy_text_join
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1184,8 +1184,6 @@ def q_pack_global(spark, sf_dir):
     which the oracle's plain global window must equal exactly.  Bucket
     bounds come from the doc_id footer statistics (no sampling job);
     None falls back to the sampled pass."""
-    import os
-
     from tiledb_py_spark.operators.pipeline import pack_sequences
     from tiledb_py_spark.operators.stats_bounds import parquet_range_bounds
     from tiledb_py_spark.operators.text import whitespace_token_count

@@ -5,14 +5,22 @@ n-gram benchmark decontamination -> deterministic split -> exact-n eval
 draw -> chunking -> sequence packing -> token budget.  Asserts the
 invariants each stage must preserve for the next one."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_DOCS),
+    reason="driver testdata not present on this machine")
+
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return (spark.read.parquet(_DOCS)
             .select("doc_id", "lang", "source", "text"))
 
 

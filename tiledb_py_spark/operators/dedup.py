@@ -345,8 +345,12 @@ def fuzzy_text_join(left: DataFrame, right: DataFrame, text_col: str,
 
     Scale shape: each side shuffles only its (band, band_hash, id)
     bucket rows — text never crosses the wire — and the cross join runs
-    bucket-local with both sides capped at ``bucket_cap``; the verify
-    join re-reads shingle hashes for candidate ids only.  At
+    bucket-local with both sides capped at ``bucket_cap``.  The
+    candidate pair list is materialized once (eager localCheckpoint —
+    it is tiny relative to the inputs) so the verify stage can
+    SEMI-JOIN each table down to candidate ids BEFORE tokenizing and
+    shingle-hashing: verify cost scales with matched rows, not table
+    size, and the expensive LSH lineage is never re-executed.  At
     ``threshold >= 0.9`` with the default 16 bands x 4 rows the banding
     miss probability is ~1e-8 per true pair (same argument as
     ``minhash_dedup``), so the output matches the exact O(n*m) cross
@@ -359,10 +363,20 @@ def fuzzy_text_join(left: DataFrame, right: DataFrame, text_col: str,
     cand = (lb.join(rb, on=["band", "band_hash"])
               .select(F.col("a.__id").alias("__lid"),
                       F.col("b.__id").alias("__rid"))
-              .distinct())
-    lsh = (_staged_shingle_hashes(left, text_col, left_id, shingle_k)
+              .distinct()
+              .localCheckpoint(eager=True))
+    # no broadcast hint: AQE broadcasts the (usually tiny) id sets and
+    # falls back to a hash semi-join if a pathological match volume
+    # makes them large
+    lpruned = left.join(
+        cand.select(F.col("__lid").alias("__cid")).distinct(),
+        left[left_id] == F.col("__cid"), "left_semi")
+    rpruned = right.join(
+        cand.select(F.col("__rid").alias("__cid")).distinct(),
+        right[right_id] == F.col("__cid"), "left_semi")
+    lsh = (_staged_shingle_hashes(lpruned, text_col, left_id, shingle_k)
            .select(F.col("__id").alias("__lid"), F.col("__h").alias("__lsh")))
-    rsh = (_staged_shingle_hashes(right, rtc, right_id, shingle_k)
+    rsh = (_staged_shingle_hashes(rpruned, rtc, right_id, shingle_k)
            .select(F.col("__id").alias("__rid"), F.col("__h").alias("__rsh")))
     j = cand.join(lsh, on="__lid").join(rsh, on="__rid")
     inter = F.size(F.array_intersect("__lsh", "__rsh"))

@@ -133,30 +133,42 @@ def neardup_event_stream(events: DataFrame, text_col: str,
                          keys=(), time_col: str = "ts",
                          watermark: str = "1 hour",
                          token_hash=None) -> DataFrame:
-    """Streaming NEAR-duplicate suppression with bounded state: drop an
-    event whose text's 64-bit SimHash (optionally together with ``keys``,
-    e.g. a channel id) was already seen within the watermark horizon.
-    SimHash collapses reorderings/minor edits to the same signature, so
-    this catches the "same message, slightly rephrased" stream spam an
-    exact-id dedup misses; state is one 8-byte signature per surviving
-    event, evicted as the watermark advances
-    (``dropDuplicatesWithinWatermark`` — same bounded-state story as
-    ``dedup_event_stream``).
+    """Streaming content-duplicate suppression with bounded state: drop
+    an event whose text's 64-bit SimHash (optionally together with
+    ``keys``, e.g. a channel id) was already seen within the watermark
+    horizon.  The signature is ORDER- and CASE-insensitive over the
+    token multiset (lowercased, punctuation stripped), so reposts with
+    shuffled words, changed punctuation, or whitespace noise collapse to
+    one event — but it is an EXACT signature match: a single substituted
+    token flips sign bits and the edited message passes through.  (True
+    edit-distance near-dup needs banded multi-key matching —
+    ``simhash_neardup_pairs`` — which streaming per-key state cannot
+    express; this operator is the bounded-state streaming complement,
+    not a replacement.)  State: one 8-byte signature per surviving
+    event, evicted as the watermark advances (delegates to
+    ``dedup_event_stream``'s watermark machinery).
 
-    Batch DataFrames take a global ``dropDuplicates`` on the signature —
-    stricter than the stream, same caveat as ``dedup_event_stream``.
-    The ``__simhash`` column is dropped from the output; pass
-    ``token_hash`` to override the signature's token hash family."""
+    Batch DataFrames keep the EARLIEST event per signature group
+    (``time_col``, then ``keys`` as tiebreak) — deterministic under any
+    partitioning, unlike a plain ``dropDuplicates`` whose survivor is
+    evaluation-order dependent.  The ``__simhash`` column is dropped
+    from the output; ``token_hash`` overrides the signature's token
+    hash family."""
     from ..operators.dedup import simhash64
 
     keys = list(keys)
     sig = simhash64(F.col(text_col), token_hash=token_hash)
     tagged = events.withColumn("__simhash", sig)
     if events.isStreaming:
-        if dict(events.dtypes).get(time_col) == "timestamp_ntz":
-            tagged = tagged.withColumn(time_col,
-                                       F.col(time_col).cast("timestamp"))
-        return (tagged.withWatermark(time_col, watermark)
-                .dropDuplicatesWithinWatermark([*keys, "__simhash"])
-                .drop("__simhash"))
-    return tagged.dropDuplicates([*keys, "__simhash"]).drop("__simhash")
+        return dedup_event_stream(tagged, keys=[*keys, "__simhash"],
+                                  time_col=time_col,
+                                  watermark=watermark).drop("__simhash")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*keys, "__simhash")
+         .orderBy(F.col(time_col).asc_nulls_last(),
+                  *[F.col(c) for c in events.columns
+                    if c not in (*keys, time_col)]))
+    return (tagged.withColumn("__nd_rn", F.row_number().over(w))
+                  .filter(F.col("__nd_rn") == 1)
+                  .drop("__nd_rn", "__simhash"))
