@@ -788,24 +788,37 @@ def q_dedup_clusters(spark, sf_dir):
 def q_dedup_clusters_lsh(spark, sf_dir):
     """Transitive clusters over the SCALE candidate graph: banded MinHash
     LSH candidates over the WHOLE documents table (not the O(n^2)
-    oracle slice) -> exact-Jaccard verify -> connected components.  This
-    is the 100 TB shape: postings-sized shuffles, capped buckets,
-    O(log d) CC rounds.  No SQL oracle (xxhash64-based banding is not
-    replayable in DuckDB); correctness of the closure is pytest-gated
-    (test_connected_components_over_lsh_candidates) and the summary here
-    is deterministic for a given input."""
+    oracle slice) -> exact-Jaccard verify -> connected components ->
+    cluster-size histogram.  This is the 100 TB shape: postings-sized
+    shuffles, capped buckets, O(log d) CC rounds.
+
+    Oracle-able because the verify threshold is 1.0 over the default
+    3-gram shingles: Jaccard 1 means EQUAL distinct-shingle sets — an
+    equivalence relation, so the CC closure equals DuckDB's plain GROUP
+    BY on the sorted distinct-shingle list (equal sets give equal
+    signatures, so the pair is always banded), with no dependence on
+    the unreplayable banding hashes.  (1-gram shingles would degenerate
+    here: the synthetic docs share a ~30-word vocabulary, so k=1
+    buckets hold hundreds of docs and the 64-cap truncates the clique —
+    k=3 keeps buckets tight and the cap irrelevant.)  Sub-1.0
+    transitive closure stays pytest-gated
+    (test_connected_components_over_lsh_candidates)."""
     from tiledb_py_spark.operators.dedup import (connected_components,
                                                  minhash_lsh_candidates,
                                                  verify_jaccard)
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(d, "text", "doc_id")
-    verified = verify_jaccard(d, pairs, "text", "doc_id", threshold=0.8)
+    d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (d0.filter(F.col("doc_id") < 50)
+             .withColumn("doc_id", F.col("doc_id") + 1000000))
+    d = d0.unionByName(dup)  # guaranteed non-empty clusters (i, i+1M)
+    pairs = minhash_lsh_candidates(d, "text", "doc_id", shingle_k=3)
+    verified = verify_jaccard(d, pairs, "text", "doc_id", shingle_k=3,
+                              threshold=1.0)
     labels = connected_components(verified.select("id_a", "id_b"))
     return (labels.groupBy("rep")
             .agg(F.count("*").alias("cluster_size"))
             .groupBy("cluster_size")
-            .agg(F.count("*").alias("n_clusters"))
+            .agg(F.count("*").cast("long").alias("n_clusters"))
             .orderBy("cluster_size"))
 
 
@@ -1333,9 +1346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
-        # rows-only (no SQL oracle: xxhash64 banding isn't replayable in
-        # DuckDB; closure semantics pytest-gated) — the LSH-fed scale
-        # path for dedup_clusters, benchable at sf0.1/sf1
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
     }
 
@@ -1684,6 +1694,32 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters_lsh": r"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
+                FROM all_docs
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN list_sort(list_distinct(list_transform(range(1, len(arr) - 1),
+                                     i -> array_to_string(arr[i:i+2], ' '))))
+                            ELSE [array_to_string(arr, ' ')] END AS s
+                FROM toks
+            ),
+            c AS (
+                SELECT s, count(*) AS cluster_size
+                FROM sh GROUP BY s HAVING count(*) >= 2
+            )
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            FROM c GROUP BY cluster_size ORDER BY cluster_size
         """,
         "fuzzy_join": r"""
             WITH lt AS (
