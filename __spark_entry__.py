@@ -1294,7 +1294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk": q_join_topk,
         "join_multiway": q_join_multiway,
         "json_props": q_json_props,
-        "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -1305,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "semantic_decontam": q_semantic_decontam,
         "sample_exact": q_sample_exact,
         "fuzzy_join": q_fuzzy_join,
@@ -1327,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver's 50-entry snapshot window: long-stable
         # compat gates, each also covered by pytest + oracle_sql() ---
         "qc_datetime": q_qc_datetime,
+        "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "window_rank": q_window_rank,
         # ngram_jaccard / embedding_near_dup are the exact O(n^2) ORACLE
@@ -1346,7 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
     }
 
 
