@@ -666,7 +666,7 @@ def q_exact_dedup(spark, sf_dir):
     from tiledb_py_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
-    dup = d.filter(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 1000000)
+    dup = d.filter(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
     deduped = exact_dedup(d.unionByName(dup), ["text"], id_col="doc_id")
     return deduped.select("doc_id").orderBy("doc_id")
 
@@ -674,7 +674,7 @@ def q_exact_dedup(spark, sf_dir):
 def q_dup_stats(spark, sf_dir):
     """Duplicate-group stats keyed on md5 (portable content hash)."""
     d = _t(spark, sf_dir, "documents")
-    dup = d.filter(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 1000000)
+    dup = d.filter(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
     u = d.unionByName(dup)
     return (u.groupBy(F.md5(F.col("text")).alias("content_hash"))
              .agg(F.count(F.lit(1)).alias("n_copies"))
@@ -690,7 +690,7 @@ def q_minhash_dedup(spark, sf_dir):
     from tiledb_py_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    dup = d.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
     out = minhash_dedup(d.unionByName(dup), "text", "doc_id",
                         num_perm=32, bands=16, shingle_k=3, threshold=0.9)
     return out.select("doc_id").orderBy("doc_id")
@@ -797,28 +797,35 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     equivalence relation, so the CC closure equals DuckDB's plain GROUP
     BY on the sorted distinct-shingle list (equal sets give equal
     signatures, so the pair is always banded), with no dependence on
-    the unreplayable banding hashes.  (1-gram shingles would degenerate
-    here: the synthetic docs share a ~30-word vocabulary, so k=1
-    buckets hold hundreds of docs and the 64-cap truncates the clique —
-    k=3 keeps buckets tight and the cap irrelevant.)  Sub-1.0
-    transitive closure stays pytest-gated
-    (test_connected_components_over_lsh_candidates)."""
+    the unreplayable banding hashes.  The bucket cap is LIFTED on this
+    oracle path (same policy as embedding_near_dup_lsh): a capped
+    bucket drops pairs of any equal class larger than the cap, which
+    would break the equivalence argument — production recall semantics
+    of the cap stay pytest-gated, as does sub-1.0 transitive closure
+    (test_connected_components_over_lsh_candidates).  NULL texts are
+    excluded on both sides (Spark tokenizes NULL like empty text;
+    DuckDB keeps it a distinct group — the one tokenizer divergence).
+    (1-gram shingles would degenerate here: the synthetic docs share a
+    ~30-word vocabulary, so k=1 buckets hold hundreds of docs — k=3
+    keeps buckets tight.)"""
     from tiledb_py_spark.operators.dedup import (connected_components,
                                                  minhash_lsh_candidates,
                                                  verify_jaccard)
 
-    d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d0 = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+          .filter(F.col("text").isNotNull()))
     dup = (d0.filter(F.col("doc_id") < 50)
-             .withColumn("doc_id", F.col("doc_id") + 1000000))
-    d = d0.unionByName(dup)  # guaranteed non-empty clusters (i, i+1M)
-    pairs = minhash_lsh_candidates(d, "text", "doc_id", shingle_k=3)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
+    d = d0.unionByName(dup)  # guaranteed non-empty clusters (i, i+1e9)
+    pairs = minhash_lsh_candidates(d, "text", "doc_id", shingle_k=3,
+                                   bucket_cap=1 << 30)
     verified = verify_jaccard(d, pairs, "text", "doc_id", shingle_k=3,
                               threshold=1.0)
     labels = connected_components(verified.select("id_a", "id_b"))
     return (labels.groupBy("rep")
             .agg(F.count("*").alias("cluster_size"))
             .groupBy("cluster_size")
-            .agg(F.count("*").cast("long").alias("n_clusters"))
+            .agg(F.count("*").alias("n_clusters"))
             .orderBy("cluster_size"))
 
 
@@ -1613,7 +1620,7 @@ def oracle_sql() -> dict[str, str]:
             WITH all_docs AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
-                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+                SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id < 50
             ), toks AS (
                 SELECT doc_id,
                        regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS arr
@@ -1697,9 +1704,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters_lsh": r"""
             WITH all_docs AS (
-                SELECT doc_id, text FROM documents
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
                 UNION ALL
-                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+                SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+                WHERE doc_id < 50 AND text IS NOT NULL
             ),
             toks AS (
                 SELECT doc_id,
@@ -1718,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, count(*) AS cluster_size
                 FROM sh GROUP BY s HAVING count(*) >= 2
             )
-            SELECT cluster_size, count(*)::BIGINT AS n_clusters
+            SELECT cluster_size, count(*) AS n_clusters
             FROM c GROUP BY cluster_size ORDER BY cluster_size
         """,
         "fuzzy_join": r"""

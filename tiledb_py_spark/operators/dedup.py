@@ -315,13 +315,17 @@ def _banded_buckets(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 3) -> DataFrame:
+                           shingle_k: int = 3,
+                           bucket_cap: int = 64) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     Shuffle cost: one exchange of (band_id, band_hash, id) rows + the
-    in-bucket self-join.  Buckets with huge membership (degenerate content,
-    e.g. empty docs) are capped to avoid quadratic blowup."""
-    banded = _banded_buckets(df, text_col, id_col, num_perm, bands, shingle_k)
+    in-bucket self-join.  Buckets with more than ``bucket_cap`` members
+    (degenerate content, e.g. empty docs) are capped to avoid quadratic
+    blowup — a RECALL tradeoff: beyond-cap members lose their pairs.
+    Oracle paths that need exact recall lift the cap."""
+    banded = _banded_buckets(df, text_col, id_col, num_perm, bands,
+                             shingle_k, bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, on=["band", "band_hash"])
@@ -533,10 +537,11 @@ def _simhash_arrow_udf(n_bits: int):
     def sig(hs: pd.Series) -> pd.Series:
         out = np.empty(len(hs), dtype=np.uint64)
         for i, h in enumerate(hs):
-            a = np.asarray(h, dtype=np.int64)
-            # unpackbits on the raw little-endian bytes: bit j of word w
-            # lands at flat position w*64+j — ~1.6x the (tokens x 64)
-            # shift-broadcast, bit-identical
+            # force little-endian byte order so bit j of word w lands at
+            # flat position w*64+j on ANY host (a plain .view(uint8) would
+            # byte-reverse each word on a big-endian executor) — ~1.6x the
+            # (tokens x 64) shift-broadcast, bit-identical
+            a = np.asarray(h, dtype=np.int64).astype("<i8", copy=False)
             ones = (np.unpackbits(a.view(np.uint8), bitorder="little")
                     .reshape(len(a), 64)
                     .sum(axis=0, dtype=np.int64))
