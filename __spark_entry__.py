@@ -768,6 +768,22 @@ def q_contamination(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_remove_spans(spark, sf_dir):
+    """Substring-level dedup: REMOVE every token covered by a 10-gram
+    shared by >= 2 docs (whitespace tokens + portable md5-60bit gram
+    hash, so DuckDB computes the identical span mask and rebuilt
+    text)."""
+    from tiledb_py_spark.operators.dedup import (md5_hash60,
+                                                 remove_repeated_spans)
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    out = remove_repeated_spans(d, "text", "doc_id", n=10, min_docs=2,
+                                gram_hash=md5_hash60,
+                                tokens_col=whitespace_tokens(F.col("text")))
+    return out.orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup clusters: exact 1-gram Jaccard pairs (same
     graph as the ngram_jaccard gate) -> distributed connected components
@@ -1300,7 +1316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "join_multiway": q_join_multiway,
-        "json_props": q_json_props,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -1321,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "dedup_clusters": q_dedup_clusters,
         "repeated_ngrams": q_repeated_ngrams,
+        "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
@@ -1334,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver's 50-entry snapshot window: long-stable
         # compat gates, each also covered by pytest + oracle_sql() ---
         "qc_datetime": q_qc_datetime,
+        "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "window_rank": q_window_rank,
@@ -1885,6 +1902,34 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, gh, count(*) AS cnt
                        FROM cg GROUP BY doc_id, gh) g USING (doc_id)
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "remove_spans": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     ('0x' || substr(md5(array_to_string(arr[i:i+9], ' ')), 1, 15))::BIGINT AS gh
+              FROM t, UNNEST(generate_series(1, len(arr) - 9)) AS u(i)
+              WHERE len(arr) >= 10
+            ),
+            d AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+                  GROUP BY gh HAVING count(*) >= 2),
+            p AS (SELECT doc_id, list(pos) AS P FROM g
+                  WHERE gh IN (SELECT gh FROM d) GROUP BY doc_id),
+            k AS (
+              SELECT t.doc_id, t.arr,
+                     list_filter(range(1, len(t.arr) + 1),
+                                 j -> len(list_filter(coalesce(p.P, CAST([] AS BIGINT[])),
+                                                      q -> j >= q AND j < q + 10)) = 0) AS keep
+              FROM t LEFT JOIN p USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(list_transform(keep, j -> arr[j]), ' '), '')
+                       AS clean_text,
+                   (len(arr) - len(keep))::BIGINT AS n_removed
+            FROM k ORDER BY doc_id
         """,
         "unigram_surprisal": r"""
             WITH g AS (

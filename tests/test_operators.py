@@ -1328,3 +1328,33 @@ def test_fuzzy_text_join_matches_exact_cross_jaccard(spark):
     wide = fuzzy_text_join(left, right, "text", "doc_id", "doc_id",
                            threshold=0.5, shingle_k=1)
     assert {(r.doc_id, r.doc_id_right) for r in wide.collect()} >= set(got)
+
+
+def test_remove_repeated_spans(spark):
+    """Tokens covered by any cross-document repeated n-gram are removed
+    (every occurrence); overlapping spans merge; short/unique/empty docs
+    pass through untouched."""
+    from tiledb_py_spark.operators.dedup import remove_repeated_spans
+
+    docs = [
+        (1, "SHARED HEADER one two three unique body alpha beta"),
+        (2, "SHARED HEADER one two three different tail gamma delta"),
+        # 3+4 share two OVERLAPPING 5-grams (a b c d e / b c d e f):
+        # the union span a..f (6 tokens) must go, not just one gram
+        (3, "a b c d e f own words here"),
+        (4, "x y a b c d e f z w"),
+        (5, "totally original content with no shared spans here at all"),
+        (6, "short doc"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in remove_repeated_spans(df, "text", "doc_id",
+                                          n=5, min_docs=2).collect()}
+    assert out[1] == ("unique body alpha beta", 5)
+    assert out[2] == ("different tail gamma delta", 5)
+    assert out[3] == ("own words here", 6)
+    assert out[4] == ("x y z w", 6)
+    assert out[5] == (docs[4][1], 0)
+    assert out[6] == ("short doc", 0)
+    assert out[7] == ("", 0)

@@ -835,6 +835,69 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
              .withColumnRenamed("__id", id_col))
 
 
+def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
+                          n: int = 10, min_docs: int = 2,
+                          gram_hash=None,
+                          tokens_col: Optional[Column] = None) -> DataFrame:
+    """SUBSTRING-level dedup — actually REMOVE cross-document repeated
+    spans (the operation ``repeated_ngram_stats`` only counts): a token
+    is dropped iff it is covered by at least one n-token gram that
+    occurs in >= ``min_docs`` distinct documents (boilerplate headers,
+    license blocks, navigation chrome).  Every occurrence is scrubbed —
+    the "remove duplicated substrings" normalization of training-data
+    dedup practice.
+
+    Returns one row per input document: ``(id_col, clean_text,
+    n_removed)`` where ``clean_text`` is the surviving tokens re-joined
+    with single spaces (whitespace-normalized; the default tokenizer is
+    the WHITESPACE split so original token spelling survives — pass
+    ``tokens_col`` to override, at the cost of reconstructing from the
+    override's tokens).
+
+    Scale shape: the postings shuffle carries (8-byte gram hash, id,
+    position); gram document-frequency keeps map-side combine; the
+    per-doc duplicated-position list rides one (id)-keyed aggregation
+    and the span mask is a row-local array expression — no text ever
+    shuffles except the final rebuilt column.  Docs shorter than ``n``
+    tokens pass through untouched."""
+    gh = gram_hash or F.xxhash64
+    if tokens_col is None:
+        from .text import whitespace_tokens
+
+        toks = whitespace_tokens(F.col(text_col))
+    else:
+        toks = tokens_col
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    pos = F.when(F.size("__toks") >= n,
+                 F.sequence(F.lit(0), F.size("__toks") - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
+             .select("__id", "__i",
+                     gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
+                     .alias("__gh")))
+    dup = (g.select("__id", "__gh").distinct()
+            .groupBy("__gh").agg(F.count("*").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__gh"))
+    starts = (g.join(dup, on="__gh")
+               .groupBy("__id")
+               .agg(F.collect_list("__i").alias("__P")))
+    joined = (base.join(starts, on="__id", how="left")
+              .withColumn("__P", F.coalesce("__P", F.array().cast("array<int>"))))
+    idx = F.sequence(F.lit(0), F.size("__toks") - 1)
+    keep = F.filter(idx, lambda j: ~F.exists(
+        "__P", lambda p: (j >= p) & (j < p + F.lit(n))))
+    # empty docs: whitespace_tokens yields [] -> sequence(0, -1) would
+    # DESCEND; guard to an empty index list
+    keep = F.when(F.size("__toks") > 0, keep).otherwise(
+        F.array().cast("array<int>"))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(" ", F.transform(keep, lambda j: F.element_at(
+            "__toks", j + 1))).alias("clean_text"),
+        (F.size("__toks") - F.size(keep)).cast("long").alias("n_removed"))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
