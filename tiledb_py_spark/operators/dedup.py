@@ -1,5 +1,9 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+"""Deduplication + corpus-hygiene operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup, SemDeDup-style semantic dedup,
+transitive connected-components clusters, repeated n-gram statistics AND
+span removal (substring-level dedup), benchmark decontamination (n-gram
+and semantic/embedding), and cross-table fuzzy text join (record
+linkage).
 
 Scale design notes (the 100 TB story):
 
@@ -21,7 +25,9 @@ Scale design notes (the 100 TB story):
 Deduplication "keep one per cluster" uses min-id-in-bucket propagation
 rather than full iterative connected components; for the canonical
 pipeline use-case (drop near-identical docs) one propagation round over
-LSH buckets is the standard practice.
+LSH buckets is the standard practice.  ``connected_components`` provides
+the fully transitive closure when needed (O(log diameter) rounds of
+8-byte-key shuffles with per-round checkpoint hygiene).
 """
 
 from __future__ import annotations
