@@ -775,12 +775,10 @@ def q_remove_spans(spark, sf_dir):
     text)."""
     from tiledb_py_spark.operators.dedup import (md5_hash60,
                                                  remove_repeated_spans)
-    from tiledb_py_spark.operators.text import whitespace_tokens
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     out = remove_repeated_spans(d, "text", "doc_id", n=10, min_docs=2,
-                                gram_hash=md5_hash60,
-                                tokens_col=whitespace_tokens(F.col("text")))
+                                gram_hash=md5_hash60)
     return out.orderBy("doc_id")
 
 
@@ -1348,7 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "scrub_text": q_scrub_text,
         # --- below the driver's 50-entry snapshot window: long-stable
-        # compat gates, each also covered by pytest + oracle_sql() ---
+        # gates, each still oracle-checked every round by
+        # tools/check_correctness.py (most also pytest-covered) ---
         "qc_datetime": q_qc_datetime,
         "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,

@@ -250,3 +250,24 @@ def test_coarse_unit_datetime_dim(uri, spark):
     res = A.multi_index[np.datetime64("2020-02-01", "W"):np.datetime64("2020-12-01", "W")]
     assert sorted(res["v"].tolist()) == [2.0, 3.0]
     assert res["w"].dtype == np.dtype("datetime64[W]")
+
+
+def test_json_extraction_semantics(spark):
+    """get_json_object semantics backing the json_props gate: path hits,
+    missing keys -> NULL, cast of extracted scalars (kept pytest-covered
+    while the gate sits below the driver's correctness window)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 11}'),
+         (3, '{"tag": "b"}'), (4, None)],
+        ["id", "props"])
+    got = {r.id: (r.k, r.tag) for r in df.select(
+        "id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.tag").alias("tag")).collect()}
+    assert got == {1: (7, "a"), 2: (11, None), 3: (None, "b"),
+                   4: (None, None)}
+    agg = df.agg(F.sum(F.get_json_object("props", "$.k").cast("int"))
+                 .alias("s")).collect()[0].s
+    assert agg == 18

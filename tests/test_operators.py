@@ -1358,3 +1358,10 @@ def test_remove_repeated_spans(spark):
     assert out[5] == (docs[4][1], 0)
     assert out[6] == ("short doc", 0)
     assert out[7] == ("", 0)
+    # NULL text passes through as NULL clean_text with 0 removed
+    df2 = spark.createDataFrame([(1, None), (2, "a b")],
+                                "doc_id long, text string")
+    got2 = {r.doc_id: (r.clean_text, r.n_removed)
+            for r in remove_repeated_spans(df2, "text", "doc_id",
+                                           n=2, min_docs=2).collect()}
+    assert got2 == {1: (None, 0), 2: ("a b", 0)}

@@ -689,11 +689,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return labels
 
 
-def _explode_gram_postings(base: DataFrame, n: int, gh) -> DataFrame:
-    """(__id, __toks) -> exploded (__id, __gh) n-gram hash postings.
-    Explodes cheap POSITIONS and hashes after the generate (see the
-    InferFiltersFromGenerate note in repeated_ngram_stats); the when()
-    guard keeps the sequence ascending (empty) for short docs.
+def _explode_gram_postings(base: DataFrame, n: int, gh,
+                           keep_positions: bool = False) -> DataFrame:
+    """(__id, __toks) -> exploded (__id[, __i], __gh) n-gram hash
+    postings.  Explodes cheap POSITIONS and hashes after the generate
+    (see the InferFiltersFromGenerate note in repeated_ngram_stats); the
+    when() guard keeps the sequence ascending (empty) for short docs.
+    ``keep_positions`` carries the 0-based gram start ``__i`` (span
+    removal needs it; frequency counting does not).
 
     Gram identity is the hash of the space-joined gram STRING — measured
     2-4x faster than hashing n consecutive token hashes on the exploded
@@ -704,8 +707,9 @@ def _explode_gram_postings(base: DataFrame, n: int, gh) -> DataFrame:
     pos = F.when(F.size("__toks") >= n,
                  F.sequence(F.lit(0), F.size("__toks") - n)
                  ).otherwise(F.array().cast("array<int>"))
+    cols = ["__id", "__i"] if keep_positions else ["__id"]
     return (base.select("__id", "__toks", F.explode(pos).alias("__i"))
-                .select("__id",
+                .select(*cols,
                         gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
                         .alias("__gh")))
 
@@ -874,20 +878,19 @@ def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
     else:
         toks = tokens_col
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    pos = F.when(F.size("__toks") >= n,
-                 F.sequence(F.lit(0), F.size("__toks") - n)
-                 ).otherwise(F.array().cast("array<int>"))
-    g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
-             .select("__id", "__i",
-                     gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
-                     .alias("__gh")))
-    dup = (g.select("__id", "__gh").distinct()
-            .groupBy("__gh").agg(F.count("*").alias("__nd"))
+    # ONE pass over the (expensive) gram-hash postings: collapse to
+    # per-(id, gram) position lists first, then both the document
+    # frequency and the per-doc duplicated starts derive from that
+    # aggregate — the frequency exchange on __gh is reused by the join,
+    # and the slice+hash never evaluates twice
+    g = _explode_gram_postings(base, n, gh, keep_positions=True)
+    c = g.groupBy("__id", "__gh").agg(F.collect_list("__i").alias("__ps"))
+    dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__gh"))
-    starts = (g.join(dup, on="__gh")
+    starts = (c.join(dup, on="__gh")
                .groupBy("__id")
-               .agg(F.collect_list("__i").alias("__P")))
+               .agg(F.flatten(F.collect_list("__ps")).alias("__P")))
     joined = (base.join(starts, on="__id", how="left")
               .withColumn("__P", F.coalesce("__P", F.array().cast("array<int>"))))
     idx = F.sequence(F.lit(0), F.size("__toks") - 1)
@@ -897,11 +900,16 @@ def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
     # DESCEND; guard to an empty index list
     keep = F.when(F.size("__toks") > 0, keep).otherwise(
         F.array().cast("array<int>"))
+    # NULL text passes through as NULL clean_text with 0 removed (the
+    # arithmetic would otherwise emit a NULL count and concat_ws would
+    # coerce the text to '')
     return joined.select(
         F.col("__id").alias(id_col),
-        F.concat_ws(" ", F.transform(keep, lambda j: F.element_at(
-            "__toks", j + 1))).alias("clean_text"),
-        (F.size("__toks") - F.size(keep)).cast("long").alias("n_removed"))
+        F.when(F.col("__toks").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.concat_ws(" ", F.transform(keep, lambda j: F.element_at(
+             "__toks", j + 1)))).alias("clean_text"),
+        F.coalesce(F.size("__toks") - F.size(keep), F.lit(0))
+         .cast("long").alias("n_removed"))
 
 
 # ---------------------------------------------------------------------------
