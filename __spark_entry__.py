@@ -1138,6 +1138,77 @@ def q_unigram_surprisal(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: dup-line fraction / dup-line char
+    fraction (pseudo-lines injected every 8 tokens so the line stats are
+    non-trivial on the single-line corpus), top-{2,3}-gram char
+    coverage, and positionally-masked dup-{5,10}-gram char coverage —
+    all row-local array expressions; the oracle replays the identical
+    accounting with unnest + window SQL."""
+    from tiledb_py_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.withColumn("text",
+                     F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
+    out = repetition_stats(d, "text", top_ns=(2, 3), dup_ns=(5, 10))
+    return (out.select(
+        "doc_id", "r_n_lines",
+        F.round("r_dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("r_dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("r_top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("r_top3gram_char_frac", 6).alias("top3gram_char_frac"),
+        F.round("r_dup5gram_char_frac", 6).alias("dup5gram_char_frac"),
+        F.round("r_dup10gram_char_frac", 6).alias("dup10gram_char_frac"))
+        .withColumnRenamed("r_n_lines", "n_lines")
+        .orderBy("doc_id"))
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line cleaning: pseudo-lines every 8 tokens, then keep
+    only >= 8-word lines free of blockwords; doc-level block flag on a
+    phrase / curly brace.  The oracle replays the list filter."""
+    from tiledb_py_spark.operators.text import clean_lines
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.withColumn("text",
+                     F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
+    out = clean_lines(d, "text", min_words=8,
+                      line_blocklist=("query", "window"),
+                      require_terminal_punct=False,
+                      doc_blocklist=("customer query",), block_curly=True)
+    return (out.select("doc_id", "clean_text", "n_lines_kept",
+                       "n_lines_dropped", "doc_blocked")
+               .orderBy("doc_id"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """LINE-level cross-document dedup: pseudo-lines every 3 tokens
+    (short enough that the synthetic vocabulary repeats lines across
+    docs), any line in >= 2 distinct docs removed everywhere; rebuilt
+    text hash-verified against DuckDB's identical mask."""
+    from tiledb_py_spark.operators.dedup import (md5_hash60,
+                                                 remove_repeated_lines)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.withColumn("text",
+                     F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n"))
+    out = remove_repeated_lines(d, "text", "doc_id", min_docs=2,
+                                line_hash=md5_hash60)
+    return out.orderBy("doc_id")
+
+
+def q_sessionize(spark, sf_dir):
+    """Per-event session assignment (gap > 30 min starts a new session):
+    session ordinal + event ordinal per user, one shuffle on the user
+    key; the oracle replays the lag/cumsum/row_number windows."""
+    from tiledb_py_spark.streaming.events import sessionize
+
+    e = _events(spark, sf_dir)
+    out = sessionize(e, by="user_id", ts_col="ts", gap_minutes=30.0)
+    return (out.select("event_id", "user_id", "session_idx", "event_idx")
+               .orderBy("event_id"))
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training shuffle: sort by a seeded portable
     md5-60bit hash of the id — the permutation is a pure function of
@@ -1336,6 +1407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
+        "repetition_stats": q_repetition_stats,
+        "clean_lines": q_clean_lines,
+        "line_dedup": q_line_dedup,
+        "sessionize": q_sessionize,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1929,6 +2004,230 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_text,
                    (len(arr) - len(keep))::BIGINT AS n_removed
             FROM k ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                      '\1' || chr(10), 'g') AS text
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            toks AS (
+                SELECT doc_id, arr[i] AS tok, i::INT AS pos
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS arr
+                      FROM base),
+                     UNNEST(generate_series(1, len(arr))) AS t(i)
+            ),
+            doc AS (
+                SELECT doc_id, greatest(sum(length(tok)), 1)::DOUBLE AS chars
+                FROM toks GROUP BY doc_id
+            ),
+            lines AS (
+                SELECT doc_id, u.l AS l
+                FROM base, unnest(string_split(text, chr(10))) AS u(l)
+                WHERE length(trim(u.l)) > 0
+            ),
+            lstats AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(*) - count(DISTINCT l) AS n_dup,
+                       sum(length(l))::DOUBLE AS lchars
+                FROM lines GROUP BY doc_id
+            ),
+            dstats AS (
+                SELECT doc_id, sum(length(l)) AS dchars
+                FROM (SELECT DISTINCT doc_id, l FROM lines) GROUP BY doc_id
+            ),
+            g2 AS (
+                SELECT doc_id, pos, tok || ' ' || lead(tok, 1) OVER w AS gram
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            top2 AS (
+                SELECT doc_id, max(cnt * (length(gram) - 1)) AS cover
+                FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+                      WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            ),
+            g3 AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || lead(tok, 1) OVER w
+                           || ' ' || lead(tok, 2) OVER w AS gram
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            top3 AS (
+                SELECT doc_id, max(cnt * (length(gram) - 2)) AS cover
+                FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
+                      WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            ),
+            g5 AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || lead(tok, 1) OVER w
+                           || ' ' || lead(tok, 2) OVER w
+                           || ' ' || lead(tok, 3) OVER w
+                           || ' ' || lead(tok, 4) OVER w AS gram
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            d5 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN count(*) OVER (PARTITION BY doc_id, gram) >= 2
+                            THEN 1 ELSE 0 END AS dup
+                FROM g5 WHERE gram IS NOT NULL
+            ),
+            cov5m AS (
+                SELECT t.doc_id, t.pos, t.tok,
+                       max(coalesce(d.dup, 0)) OVER (
+                           PARTITION BY t.doc_id ORDER BY t.pos
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+                FROM toks t LEFT JOIN d5 d
+                     ON t.doc_id = d.doc_id AND t.pos = d.pos
+            ),
+            cov5 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN covered = 1 THEN length(tok) ELSE 0 END) AS cch
+                FROM cov5m GROUP BY doc_id
+            ),
+            g10 AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || lead(tok, 1) OVER w
+                           || ' ' || lead(tok, 2) OVER w
+                           || ' ' || lead(tok, 3) OVER w
+                           || ' ' || lead(tok, 4) OVER w
+                           || ' ' || lead(tok, 5) OVER w
+                           || ' ' || lead(tok, 6) OVER w
+                           || ' ' || lead(tok, 7) OVER w
+                           || ' ' || lead(tok, 8) OVER w
+                           || ' ' || lead(tok, 9) OVER w AS gram
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            d10 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN count(*) OVER (PARTITION BY doc_id, gram) >= 2
+                            THEN 1 ELSE 0 END AS dup
+                FROM g10 WHERE gram IS NOT NULL
+            ),
+            cov10m AS (
+                SELECT t.doc_id, t.pos, t.tok,
+                       max(coalesce(d.dup, 0)) OVER (
+                           PARTITION BY t.doc_id ORDER BY t.pos
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+                FROM toks t LEFT JOIN d10 d
+                     ON t.doc_id = d.doc_id AND t.pos = d.pos
+            ),
+            cov10 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN covered = 1 THEN length(tok) ELSE 0 END) AS cch
+                FROM cov10m GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   l.n_lines AS n_lines,
+                   round(l.n_dup / l.n_lines::DOUBLE, 6) AS dup_line_frac,
+                   round((l.lchars - ds.dchars) / l.lchars, 6) AS dup_line_char_frac,
+                   round(least(coalesce(t2.cover, 0) / d.chars, 1.0), 6) AS top2gram_char_frac,
+                   round(least(coalesce(t3.cover, 0) / d.chars, 1.0), 6) AS top3gram_char_frac,
+                   round(coalesce(c5.cch, 0) / d.chars, 6) AS dup5gram_char_frac,
+                   round(coalesce(c10.cch, 0) / d.chars, 6) AS dup10gram_char_frac
+            FROM doc d
+            JOIN lstats l USING (doc_id)
+            JOIN dstats ds USING (doc_id)
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN top3 t3 USING (doc_id)
+            LEFT JOIN cov5 c5 USING (doc_id)
+            LEFT JOIN cov10 c10 USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "clean_lines": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                      '\1' || chr(10), 'g') AS text
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> length(x) > 0) AS lines,
+                       lower(text) AS low
+                FROM base
+            ),
+            k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines,
+                           x -> len(regexp_split_to_array(x, '\s+')) >= 8
+                                AND NOT contains(lower(x), 'query')
+                                AND NOT contains(lower(x), 'window')) AS kept,
+                       (contains(low, 'customer query')
+                        OR contains(low, '{')) AS blocked
+                FROM l
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   len(kept)::BIGINT AS n_lines_kept,
+                   (len(lines) - len(kept))::BIGINT AS n_lines_dropped,
+                   blocked AS doc_blocked
+            FROM k ORDER BY doc_id
+        """,
+        "line_dedup": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){2}\S+) ',
+                                      '\1' || chr(10), 'g') AS text
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            t AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> length(x) > 0) AS ls
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, i AS pos, ls[i] AS line
+                FROM t, UNNEST(generate_series(1, len(ls))) AS u(i)
+            ),
+            d AS (
+                SELECT line FROM (SELECT DISTINCT doc_id, line FROM g)
+                GROUP BY line HAVING count(*) >= 2
+            ),
+            p AS (
+                SELECT doc_id, list(pos) AS P FROM g
+                WHERE line IN (SELECT line FROM d) GROUP BY doc_id
+            ),
+            k AS (
+                SELECT t.doc_id, t.ls,
+                       coalesce(p.P, CAST([] AS BIGINT[])) AS P
+                FROM t LEFT JOIN p USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                       list_transform(
+                           list_filter(range(1, len(ls) + 1),
+                                       j -> NOT list_contains(P, j)),
+                           j -> ls[j]),
+                       chr(10)), '') AS clean_text,
+                   len(P)::BIGINT AS n_removed
+            FROM k ORDER BY doc_id
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+                SELECT event_id, user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM s
+            )
+            SELECT event_id, user_id, session_idx::BIGINT AS session_idx,
+                   (row_number() OVER (PARTITION BY user_id, session_idx
+                                       ORDER BY ts, event_id))::BIGINT AS event_idx
+            FROM s2 ORDER BY event_id
         """,
         "unigram_surprisal": r"""
             WITH g AS (

@@ -1365,3 +1365,120 @@ def test_remove_repeated_spans(spark):
             for r in remove_repeated_spans(df2, "text", "doc_id",
                                            n=2, min_docs=2).collect()}
     assert got2 == {1: (None, 0), 2: ("a b", 0)}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals against hand-computed fractions."""
+    from tiledb_py_spark.operators.text import repetition_stats
+
+    docs = [
+        (1, "a b a b a b c d"),        # top-2-gram 'a b' x3 covers 6/8 chars
+        (2, "x y z\nx y z\nq r s"),    # one dup line of three
+        (3, "one two three four five"),
+        (4, ""),
+        (5, "w w w w w w w w w w"),    # degenerate: clamp to 1.0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in
+           repetition_stats(df, "text", top_ns=(2,), dup_ns=(2, 3))
+           .collect()}
+    assert out[1]["r_top2gram_char_frac"] == pytest.approx(6 / 8)
+    assert out[1]["r_dup2gram_char_frac"] == pytest.approx(6 / 8)
+    assert out[1]["r_n_lines"] == 1 and out[1]["r_dup_line_frac"] == 0.0
+    assert out[2]["r_n_lines"] == 3
+    assert out[2]["r_dup_line_frac"] == pytest.approx(1 / 3)
+    assert out[2]["r_dup_line_char_frac"] == pytest.approx(5 / 15)
+    # dup 2-grams in doc2: 'x y' and 'y z' (each twice) cover tokens
+    # 1..6 of 9 -> 6/9 token chars
+    assert out[2]["r_dup2gram_char_frac"] == pytest.approx(6 / 9)
+    assert out[3]["r_dup2gram_char_frac"] == 0.0
+    assert out[3]["r_dup_line_frac"] == 0.0
+    assert out[4]["r_n_lines"] == 0
+    assert out[4]["r_top2gram_char_frac"] == 0.0
+    assert out[5]["r_top2gram_char_frac"] == 1.0  # clamped
+    assert out[5]["r_dup3gram_char_frac"] == 1.0
+
+
+def test_clean_lines_c4_rules(spark):
+    """C4 line filter: min words, blocklist, terminal punctuation,
+    doc-level block flags."""
+    from tiledb_py_spark.operators.text import clean_lines
+
+    docs = [
+        (1, "This is a fine sentence.\nok\nEnable javascript to view.\n"
+            "Another good line here!"),
+        (2, "lorem ipsum dolor sit amet.\nA normal line follows here."),
+        (3, "var x = {a: 1};\nSome real prose in this document."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in
+           clean_lines(df, "text", min_words=3,
+                       require_terminal_punct=True).collect()}
+    assert out[1]["clean_text"] == ("This is a fine sentence.\n"
+                                    "Another good line here!")
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 2
+    assert out[1]["doc_blocked"] is False
+    assert out[2]["doc_blocked"] is True       # lorem ipsum
+    assert out[3]["doc_blocked"] is True       # curly brace
+    assert out[4]["n_lines_kept"] == 0 and out[4]["doc_blocked"] is False
+
+
+def test_remove_repeated_lines(spark):
+    """A line in >= min_docs distinct docs is dropped everywhere;
+    within-doc repeats of a unique line survive; order preserved."""
+    from tiledb_py_spark.operators.dedup import remove_repeated_lines
+
+    docs = [
+        (1, "COMMON HEADER\nbody one\nunique tail"),
+        (2, "COMMON HEADER\nbody two"),
+        (3, "solo doc line\nsolo doc line"),    # repeats only within doc 3
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           remove_repeated_lines(df, "text", "doc_id", min_docs=2).collect()}
+    assert out[1] == ("body one\nunique tail", 1)
+    assert out[2] == ("body two", 1)
+    assert out[3] == ("solo doc line\nsolo doc line", 0)
+    assert out[4] == ("", 0)
+    assert out[5] == (None, 0)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session boundaries at gap > threshold; ordinals 1-based; single
+    Exchange on the entity key."""
+    import datetime as dt
+
+    from tiledb_py_spark.streaming.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 20 | gap | 120, 125
+        (1, ts(0), 1), (2, ts(10), 1), (3, ts(20), 1),
+        (4, ts(120), 1), (5, ts(125), 1),
+        # user 2: single event
+        (6, ts(5), 2),
+        # user 3: boundary exactly AT the gap stays in-session (strict >)
+        (7, ts(0), 3), (8, ts(30), 3), (9, ts(60, ), 3),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u) for e, t, u in rows], "event_id long, ts timestamp, user_id long")
+    out = sessionize(df, by="user_id", ts_col="ts", gap_minutes=30.0)
+    # plan asserted BEFORE execution: post-collect AQE explain prints
+    # the final AND initial plans, double-counting the one Exchange
+    plan = out._jdf.queryExecution().explainString(
+        out._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    got = {r.event_id: (r.session_idx, r.event_idx) for r in out.collect()}
+    assert got[1] == (1, 1) and got[2] == (1, 2) and got[3] == (1, 3)
+    assert got[4] == (2, 1) and got[5] == (2, 2)
+    assert got[6] == (1, 1)
+    assert got[7] == (1, 1) and got[8] == (1, 2) and got[9] == (1, 3)

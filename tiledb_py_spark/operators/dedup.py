@@ -912,6 +912,64 @@ def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
          .cast("long").alias("n_removed"))
 
 
+def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
+                          min_docs: int = 2, line_sep: str = "\n",
+                          line_hash=None) -> DataFrame:
+    """LINE-level cross-document dedup (the C4/CCNet "discard any line
+    occurring in more than one document" normalization — boilerplate
+    headers, navigation chrome, cookie banners): a line is dropped from
+    EVERY document iff its trimmed form appears in at least ``min_docs``
+    distinct documents.
+
+    Returns one row per input document: ``(id_col, clean_text,
+    n_removed)`` — surviving lines re-joined with ``line_sep`` in their
+    original order (each line whitespace-trimmed; empty/whitespace-only
+    lines are dropped as noise, not counted as removed duplicates).
+
+    Scale shape mirrors ``remove_repeated_spans``: the postings shuffle
+    carries (8-byte line hash, id, position) — never text; line
+    document-frequency keeps map-side partial combine; the per-doc
+    removed-position list rides one (id)-keyed aggregation and the
+    rebuild is a row-local array expression over the doc's own line
+    array.  ``line_hash`` defaults to ``xxhash64``; pass ``md5_hash60``
+    for a cross-engine-checkable hash."""
+    lh = line_hash or F.xxhash64
+    lines = F.transform(F.split(F.col(text_col), line_sep, -1),
+                        lambda l: F.trim(l))
+    lines = F.filter(lines, lambda l: F.length(l) > 0)
+    base = df.select(F.col(id_col).alias("__id"), lines.alias("__ls"))
+    pos = F.when(F.size("__ls") > 0,
+                 F.sequence(F.lit(0), F.size("__ls") - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    g = (base.filter(F.col("__ls").isNotNull())
+             .select("__id", "__ls", F.explode(pos).alias("__i"))
+             .select("__id", "__i",
+                     lh(F.element_at("__ls", F.col("__i") + 1)).alias("__lh")))
+    # collapse to per-(id, hash) position lists first: the doc frequency
+    # and the per-doc removed positions both derive from one aggregate
+    c = g.groupBy("__id", "__lh").agg(F.collect_list("__i").alias("__ps"))
+    dup = (c.groupBy("__lh").agg(F.count("*").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__lh"))
+    removed = (c.join(dup, on="__lh")
+                .groupBy("__id")
+                .agg(F.flatten(F.collect_list("__ps")).alias("__P")))
+    joined = (base.join(removed, on="__id", how="left")
+              .withColumn("__P", F.coalesce("__P", F.array().cast("array<int>"))))
+    idx = F.when(F.size("__ls") > 0,
+                 F.sequence(F.lit(0), F.size("__ls") - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    keep = F.filter(idx, lambda j: ~F.exists("__P", lambda p: p == j))
+    # NULL text passes through as NULL clean_text with 0 removed
+    # (matching remove_repeated_spans)
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__ls").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.concat_ws(line_sep, F.transform(
+             keep, lambda j: F.element_at("__ls", j + 1)))).alias("clean_text"),
+        F.size("__P").cast("long").alias("n_removed"))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

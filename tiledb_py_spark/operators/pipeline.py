@@ -429,3 +429,94 @@ def sample_exact(df: DataFrame, id_cols: Sequence[str], n: int,
               .withColumn("__se_rn", F.row_number().over(w))
               .filter(F.col("__se_rn") <= n)
               .drop("__se_h", "__se_rn"))
+
+
+def importance_weights(df: DataFrame, text_col: str, id_col: str,
+                       target: DataFrame,
+                       target_text_col: Optional[str] = None,
+                       n_buckets: int = 8192, smoothing: float = 1.0,
+                       token_hash=None,
+                       tokens_col: Optional[Column] = None,
+                       target_tokens_col: Optional[Column] = None
+                       ) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more its hashed-unigram features look like the
+    TARGET corpus than like the raw corpus itself:
+
+        log_weight(doc) = sum over tokens of
+            ln p_target(bucket(tok)) - ln p_raw(bucket(tok))
+
+    where ``bucket(tok) = hash(tok) mod n_buckets`` and both bucket
+    distributions carry add-``smoothing`` mass.  High log_weight = the
+    document is target-like; feed the result to ``dsir_resample`` to
+    draw the selection.
+
+    Scale shape: one postings pass per corpus ((id, 4-byte bucket)
+    rows, map-side combine into at-most-``n_buckets``-row count
+    tables), the bucket log-ratio table is broadcast back onto the raw
+    postings (n_buckets rows — never a shuffle of the corpus), and one
+    (id)-keyed aggregation sums per-doc.  Raw text never shuffles.
+    Docs with zero tokens are dropped (no features to weigh).
+
+    ``token_hash`` defaults to ``xxhash64``; pass
+    ``dedup.md5_hash60`` for a cross-engine-checkable bucketing."""
+    from .text import whitespace_tokens
+
+    th = token_hash or F.xxhash64
+    toks = (tokens_col if tokens_col is not None
+            else whitespace_tokens(text_col))
+    t_toks = (target_tokens_col if target_tokens_col is not None
+              else whitespace_tokens(target_text_col or text_col))
+
+    bucket = lambda c: F.pmod(th(c), F.lit(n_buckets))  # noqa: E731
+    g = (df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
+           .select("__id", bucket(F.col("__tok")).alias("__b")))
+    tg = (target.select(F.explode(t_toks).alias("__tok"))
+                .select(bucket(F.col("__tok")).alias("__b")))
+
+    rc = g.groupBy("__b").agg(F.count("*").alias("__rc"))
+    tc = tg.groupBy("__b").agg(F.count("*").alias("__tc"))
+    rt = rc.agg(F.sum("__rc").alias("__rtot"))
+    tt = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__ttot"))
+    ratio = (rc.join(tc, on="__b", how="full_outer")
+               .crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(tt))
+               .select(
+                   "__b",
+                   (F.log((F.coalesce("__tc", F.lit(0)) + F.lit(smoothing))
+                          / (F.col("__ttot") + F.lit(smoothing * n_buckets)))
+                    - F.log((F.coalesce("__rc", F.lit(0)) + F.lit(smoothing))
+                            / (F.col("__rtot") + F.lit(smoothing * n_buckets)))
+                    ).alias("__lr")))
+    return (g.join(F.broadcast(ratio), on="__b")
+             .groupBy("__id")
+             .agg(F.sum("__lr").alias("log_weight"),
+                  F.count("*").cast("long").alias("n_tokens"))
+             .withColumnRenamed("__id", id_col))
+
+
+def dsir_resample(df: DataFrame, text_col: str, id_col: str,
+                  target: DataFrame, n: int,
+                  target_text_col: Optional[str] = None,
+                  n_buckets: int = 8192, smoothing: float = 1.0,
+                  token_hash=None, seed: int = 42,
+                  salt: str = "dsir") -> DataFrame:
+    """Draw ``n`` documents (without replacement) with probability
+    proportional to their DSIR importance weight, DETERMINISTICALLY:
+    the Gumbel-top-k trick — rank by ``log_weight + Gumbel(u)`` where
+    ``u`` derives from the portable seeded hash of the id, and keep the
+    n largest.  A pure function of (corpus, target, seed): replayable
+    in any engine, stable under repartitioning.
+
+    Scale shape: ``importance_weights``'s two aggregations, then a
+    TakeOrdered top-n (per-partition heads + driver merge — no global
+    sort)."""
+    w = importance_weights(df, text_col, id_col, target,
+                           target_text_col=target_text_col,
+                           n_buckets=n_buckets, smoothing=smoothing,
+                           token_hash=token_hash)
+    # u in (0, 1) strictly: (hash60 + 0.5) / 2^60
+    u = (portable_hash60([id_col], seed, salt=salt) + F.lit(0.5)) / F.lit(float(2 ** 60))
+    gumbel = -F.log(-F.log(u))
+    return (w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
+             .orderBy(F.desc("gumbel_key"), id_col).limit(n))

@@ -10,7 +10,7 @@ classifier would slot in as a Pandas UDF behind the same column contract.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -179,6 +179,212 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str,
                   .alias("surprisal"),
                   F.count("*").cast("long").alias("n_tokens"))
              .withColumnRenamed("__id", id_col))
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda a, x: a + F.length(x))
+
+
+def repetition_stats(df: DataFrame, text_col: str,
+                     line_sep: str = "\n",
+                     top_ns: Sequence[int] = (2, 3),
+                     dup_ns: Sequence[int] = (5, 10)) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    document-level repetitiousness signals used to drop boilerplate and
+    degenerate text from web corpora.
+
+    Appends, per document (all ROW-LOCAL array expressions — zero
+    shuffles, the whole operator rides the scan stage):
+
+    - ``r_n_lines`` — non-empty lines (split on ``line_sep``)
+    - ``r_dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line: ``(n_lines - n_distinct_lines) / n_lines``
+    - ``r_dup_line_char_frac`` — fraction of line characters inside
+      those repeats (each distinct line's chars counted once)
+    - ``r_top{n}gram_char_frac`` for n in ``top_ns`` — fraction of token
+      characters covered by the single most-covering n-gram:
+      ``max over grams of count(gram) * gram_token_chars / doc_token_chars``
+      clamped to 1.0 (overlapping occurrences of a degenerate gram can
+      nominally cover a char twice; ties collapse — the fraction, not
+      the gram, is the statistic)
+    - ``r_dup{n}gram_char_frac`` for n in ``dup_ns`` — fraction of token
+      characters lying inside ANY n-gram that occurs >= 2 times within
+      the document, with overlapping duplicate grams counted once per
+      token (positional mask, the paper's no-double-count accounting)
+
+    Also emitted per dup-n: ``r_dup{n}gram_distinct`` (distinct grams
+    occurring >= 2x) and ``r_dup{n}gram_positions`` (gram start
+    positions belonging to those grams) — useful on their own, and they
+    double-reference the staged arrays (see below).
+
+    Char accounting is whitespace-normalized: a document's size is the
+    sum of its token lengths (separators excluded), a gram's size the
+    sum of its n tokens' lengths.  Documents shorter than n tokens score
+    0 for that n; empty documents score 0 everywhere.
+
+    EVERY intermediate array (tokens, lines, grams, sorted grams, dup
+    set, per-position flags) is STAGED as its own column and referenced
+    at least twice downstream.  This is load-bearing, not style: a
+    single-referenced non-cheap alias gets inlined by CollapseProject,
+    and an array expression inlined inside a higher-order-function
+    lambda re-evaluates once PER ELEMENT of the outer array — the
+    un-staged form of the positional mask is O(L * G * D) per row
+    (measured: minutes for one sf0.001 gate run vs ~1 s staged)."""
+    c = F.col(text_col)
+    df = df.withColumn("__r_toks", whitespace_tokens(c))
+    toks = F.col("__r_toks")
+    L = F.size(toks)
+    tok_chars = _sum_lengths(toks)
+    safe_chars = F.greatest(tok_chars, F.lit(1)).cast("double")
+
+    # --- line repetition ---------------------------------------------------
+    lines_e = F.coalesce(F.filter(F.split(c, line_sep, -1),
+                                  lambda l: F.length(F.trim(l)) > 0),
+                         F.array().cast("array<string>"))
+    df = df.withColumn("__r_lines", lines_e)
+    lines = F.col("__r_lines")
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    line_chars = _sum_lengths(lines)
+    safe_line_chars = F.greatest(line_chars, F.lit(1)).cast("double")
+    df = (df
+          .withColumn("r_n_lines", n_lines.cast("long"))
+          .withColumn("r_dup_line_frac",
+                      (n_lines - F.size(dlines)) / safe_lines)
+          .withColumn("r_dup_line_char_frac",
+                      (line_chars - _sum_lengths(dlines)) / safe_line_chars))
+
+    def grams_expr(n: int) -> Column:
+        # gram string at 1-based start i covers tokens i..i+n-1; its
+        # token-char size is length(gram) - (n-1) separators
+        return F.when(L >= n, F.transform(
+            F.sequence(F.lit(1), L - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    # --- top n-gram coverage ----------------------------------------------
+    for n in top_ns:
+        # max over distinct grams of count * token_chars, via one pass
+        # over the sorted gram array (a run's cover peaks at its end, so
+        # taking the max at every step captures it).  The sorted array is
+        # the HOF's array argument — evaluated once per row even inlined.
+        srt = F.array_sort(grams_expr(n))
+        acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("best"))
+        step = lambda a, g: F.struct(  # noqa: E731
+            g.alias("prev"),
+            F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.greatest(
+                a["best"],
+                (F.when(g == a["prev"], a["run"] + 1)
+                  .otherwise(F.lit(1).cast("long")))
+                * (F.length(g) - F.lit(n - 1))).alias("best"))
+        best = F.aggregate(srt, acc0, step, lambda a: a["best"])
+        # overlapping occurrences can cover a char repeatedly — clamp so
+        # the statistic stays a fraction (degenerate "w w w ..." docs)
+        df = df.withColumn(f"r_top{n}gram_char_frac",
+                           F.least(best / safe_chars, F.lit(1.0)))
+
+    # --- duplicated n-gram coverage (positional mask) ----------------------
+    for n in dup_ns:
+        gc, sc_, dc, fc = (f"__r_g{n}", f"__r_s{n}", f"__r_d{n}", f"__r_f{n}")
+        df = df.withColumn(gc, grams_expr(n))
+        df = df.withColumn(sc_, F.array_sort(F.col(gc)))
+        srt = F.col(sc_)
+        # grams appearing >= 2 times: adjacent equal pairs in the sorted
+        # array (>= 3 srt references here keep the stage un-collapsed)
+        df = df.withColumn(dc, F.when(F.size(srt) >= 2, F.array_distinct(
+            F.filter(
+                F.transform(F.sequence(F.lit(2), F.greatest(F.size(srt), F.lit(2))),
+                            lambda i: F.when(
+                                F.element_at(srt, i) == F.element_at(srt, i - 1),
+                                F.element_at(srt, i))),
+                lambda x: x.isNotNull()))
+        ).otherwise(F.array().cast("array<string>")))
+        dup = F.col(dc)
+        df = df.withColumn(fc, F.transform(
+            F.col(gc), lambda g: F.array_contains(dup, g)))
+        flags = F.col(fc)
+        G = F.size(flags)
+        # token i is covered iff some duplicated gram starts in
+        # [max(1, i-n+1), min(i, G)]
+        covered = F.aggregate(
+            F.sequence(F.lit(1), L),
+            F.lit(0).cast("long"),
+            lambda a, i: a + F.when(
+                F.exists(
+                    F.slice(flags,
+                            F.greatest(i - (n - 1), F.lit(1)),
+                            F.least(i, G)
+                            - F.greatest(i - (n - 1), F.lit(1)) + 1),
+                    lambda x: x),
+                F.length(F.element_at(toks, i))).otherwise(F.lit(0)))
+        covered = F.when(G > 0, covered).otherwise(F.lit(0).cast("long"))
+        df = (df
+              .withColumn(f"r_dup{n}gram_distinct",
+                          F.size(dup).cast("long"))
+              .withColumn(f"r_dup{n}gram_positions",
+                          F.size(F.filter(flags, lambda x: x)).cast("long"))
+              .withColumn(f"r_dup{n}gram_char_frac", covered / safe_chars)
+              .drop(gc, sc_, dc, fc))
+
+    return df.drop("__r_toks", "__r_lines")
+
+
+def clean_lines(df: DataFrame, text_col: str,
+                line_sep: str = "\n",
+                min_words: int = 3,
+                line_blocklist: Sequence[str] = ("javascript",
+                                                 "cookie policy",
+                                                 "terms of use"),
+                require_terminal_punct: bool = False,
+                doc_blocklist: Sequence[str] = ("lorem ipsum",),
+                block_curly: bool = True) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): drop
+    noisy lines from each document, flag documents that should be
+    dropped wholesale.
+
+    A line survives iff (on its TRIMMED form): it has at least
+    ``min_words`` whitespace words, its lowercase form contains no
+    ``line_blocklist`` phrase, and (when ``require_terminal_punct``) it
+    ends in ``. ! ?`` or a closing quote.  ``clean_text`` re-joins the
+    surviving trimmed lines with ``line_sep``.  ``doc_blocked`` marks
+    documents whose lowercase text contains a ``doc_blocklist`` phrase
+    or (``block_curly``) a curly brace — C4 drops these entirely; the
+    operator only flags so callers choose filter vs audit.
+
+    All row-local array expressions — zero shuffles."""
+    c = F.col(text_col)
+    lines = F.transform(F.split(c, line_sep, -1), lambda l: F.trim(l))
+    lines = F.filter(lines, lambda l: F.length(l) > 0)
+    lines = F.coalesce(lines, F.array().cast("array<string>"))
+
+    def keep(l: Column) -> Column:
+        k = F.size(whitespace_tokens(l)) >= min_words
+        low = F.lower(l)
+        for phrase in line_blocklist:
+            k = k & ~low.contains(phrase.lower())
+        if require_terminal_punct:
+            k = k & l.rlike(r"""[.!?"']$""")
+        return k
+
+    kept = F.filter(lines, keep)
+    low_doc = F.lower(c)
+    blocked = F.lit(False)
+    for phrase in doc_blocklist:
+        blocked = blocked | low_doc.contains(phrase.lower())
+    if block_curly:
+        blocked = blocked | low_doc.contains("{")
+    return (df
+            .withColumn("clean_text", F.array_join(kept, line_sep))
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn("n_lines_dropped",
+                        (F.size(lines) - F.size(kept)).cast("long"))
+            .withColumn("doc_blocked", F.coalesce(blocked, F.lit(False))))
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -66,6 +66,48 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def sessionize(events: DataFrame, by="user_id", ts_col: str = "ts",
+               gap_minutes: float = 30.0,
+               tiebreak_cols=("event_id",)) -> DataFrame:
+    """Per-EVENT session assignment (the row-level complement of
+    ``session_window_stats``, which only aggregates): every event gains
+
+    - ``session_idx`` — 1-based ordinal of its session within the
+      ``by`` entity (a new session starts when the gap to the previous
+      event exceeds ``gap_minutes``, or at the entity's first event)
+    - ``event_idx`` — 1-based ordinal of the event within its session
+
+    This is the funnel/sequence-analysis primitive: downstream joins,
+    per-session paths, and "nth event in session" predicates all key on
+    ``(by, session_idx)``.
+
+    Scale shape: ONE shuffle on the entity key (two stacked window
+    functions over the same ``partitionBy(by) orderBy(ts)`` spec reuse
+    a single Exchange+Sort); no driver-side state.  Ties on ``ts``
+    order deterministically via ``tiebreak_cols``.  Gap comparison is
+    strict ``>`` on microsecond timestamps."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.lit(int(gap_minutes * 60_000_000)).cast("long")
+    delta_us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp")))
+    new_sess = F.when(prev.isNull() | (delta_us > gap_us), 1).otherwise(0)
+    out = (events
+           .withColumn("__new", new_sess)
+           .withColumn("session_idx",
+                       F.sum("__new").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))
+                       .cast("long")))
+    w2 = Window.partitionBy(*by, "session_idx").orderBy(*order)
+    return (out.withColumn("event_idx",
+                           F.row_number().over(w2).cast("long"))
+               .drop("__new"))
+
+
 def dedup_event_stream(events: DataFrame, keys=("event_id",),
                        time_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:
