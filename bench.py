@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "fingerprint_md5",
     # decontamination (round 5)
     "contamination",
+    # corpus quality + selection (round 6)
+    "repetition_stats",
+    "clean_lines",
+    "line_dedup",
+    "sessionize",
+    "dsir_weights",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -331,3 +331,51 @@ def test_semantic_contamination_plan_no_exchange(spark):
     assert "Exchange" not in s
     assert "ArrowEvalPython" in s
     assert out.count() == 200
+
+
+def test_repetition_stats_and_clean_lines_row_local_no_exchange(spark):
+    """Gopher repetition stats and C4 line cleaning are row-local array
+    expressions — any Exchange is a regression (they must ride the scan
+    stage untouched at 100 TB)."""
+    from tiledb_py_spark.operators.text import clean_lines, repetition_stats
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.concat(F.lit("alpha beta gamma delta line one\nalpha beta "),
+                 F.col("id").cast("string")).alias("text"))
+    for out in (repetition_stats(df, "text", top_ns=(2,), dup_ns=(3,)),
+                clean_lines(df, "text")):
+        s = _plan(out)
+        assert "Exchange" not in s
+
+
+def test_line_dedup_bounded_exchanges_no_text_shuffle(spark):
+    """remove_repeated_lines: postings carry only (hash, id, pos) — the
+    exchange budget is fixed and no Window appears (hot boilerplate
+    lines must stay on the AQE-splittable join path)."""
+    import re
+
+    from tiledb_py_spark.operators.dedup import remove_repeated_lines
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.concat(F.lit("shared header\nbody "),
+                 F.col("id").cast("string")).alias("text"))
+    out = remove_repeated_lines(df, "text", "id", min_docs=2)
+    s = _plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange", s)) <= 5
+    assert "Window" not in s
+
+
+def test_dsir_weights_ratio_join_broadcast(spark):
+    """The bucket log-ratio table must reach the postings via a
+    BroadcastHashJoin — a sort-merge join here would shuffle the whole
+    postings relation against an at-most-n_buckets-row table."""
+    from tiledb_py_spark.operators.pipeline import importance_weights
+
+    df = spark.range(0, 200).select(
+        F.col("id"), F.lit("alpha beta gamma delta").alias("text"))
+    tgt = df.filter(F.col("id") < 50)
+    out = importance_weights(df, "text", "id", tgt, n_buckets=64)
+    s = _plan(out)
+    assert "BroadcastHashJoin" in s

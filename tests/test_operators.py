@@ -1482,3 +1482,127 @@ def test_sessionize_gap_semantics(spark):
     assert got[4] == (2, 1) and got[5] == (2, 2)
     assert got[6] == (1, 1)
     assert got[7] == (1, 1) and got[8] == (1, 2) and got[9] == (1, 3)
+
+
+def test_dsir_importance_weights_prefer_target_like(spark):
+    """Docs sharing the target's vocabulary score higher; weights match
+    a numpy replay of the smoothed bucket log-likelihood ratio."""
+    import math
+
+    from tiledb_py_spark.operators.pipeline import importance_weights
+
+    raw = [
+        (1, "alpha beta alpha gamma"),      # target-like vocabulary
+        (2, "delta epsilon zeta delta"),    # off-target vocabulary
+        (3, "alpha delta"),                 # mixed
+    ]
+    target = [(100, "alpha beta gamma alpha beta")]
+    df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt = spark.createDataFrame(target, ["doc_id", "text"])
+    B, S = 64, 1.0
+    out = {r.doc_id: r for r in
+           importance_weights(df, "text", "doc_id", tgt,
+                              n_buckets=B, smoothing=S).collect()}
+    assert out[1].log_weight > out[3].log_weight > out[2].log_weight
+    assert out[1].n_tokens == 4
+
+    # numpy replay for doc 1
+    from pyspark.sql import functions as F
+    tok_rows = (df.select(F.explode(F.split("text", " ")).alias("t"))
+                  .withColumn("b", F.pmod(F.xxhash64("t"), F.lit(B)))
+                  .collect())
+    tgt_rows = (tgt.select(F.explode(F.split("text", " ")).alias("t"))
+                   .withColumn("b", F.pmod(F.xxhash64("t"), F.lit(B)))
+                   .collect())
+    from collections import Counter
+    rc = Counter(r.b for r in tok_rows)
+    tc = Counter(r.b for r in tgt_rows)
+    rtot, ttot = sum(rc.values()), sum(tc.values())
+
+    def lr(b):
+        return (math.log((tc.get(b, 0) + S) / (ttot + S * B))
+                - math.log((rc.get(b, 0) + S) / (rtot + S * B)))
+
+    doc1 = ["alpha", "beta", "alpha", "gamma"]
+    b1 = {r.t: r.b for r in tok_rows}
+    expect = sum(lr(b1[t]) for t in doc1)
+    assert out[1].log_weight == pytest.approx(expect, rel=1e-9)
+
+
+def test_dsir_resample_deterministic_and_exact_n(spark):
+    """Gumbel-top-k draw: exactly n rows, identical across invocations,
+    and biased toward high-weight docs."""
+    from tiledb_py_spark.operators.pipeline import dsir_resample
+
+    raw = ([(i, "alpha beta gamma " * 5) for i in range(20)]
+           + [(i, "delta epsilon zeta " * 5) for i in range(20, 40)])
+    tgt = [(99, "alpha beta gamma alpha")]
+    df = spark.createDataFrame(raw, ["doc_id", "text"])
+    t = spark.createDataFrame(tgt, ["doc_id", "text"])
+    s1 = sorted(r.doc_id for r in
+                dsir_resample(df, "text", "doc_id", t, n=10).collect())
+    s2 = sorted(r.doc_id for r in
+                dsir_resample(df, "text", "doc_id", t, n=10).collect())
+    assert s1 == s2 and len(s1) == 10
+    # the target-like half (ids < 20) should dominate the draw
+    assert sum(1 for i in s1 if i < 20) >= 8
+
+
+def test_pq_index_encode_search_and_roundtrip(spark, tmp_path):
+    """PQ codes reconstruct their own vectors' ADC scores exactly;
+    save/load round-trips the codebooks; null vectors encode to null
+    and never reach the top-k."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import PQIndex
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 16)).tolist()
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex(m=4, n_codes=8, metric="cosine").fit(df, "embedding")
+    enc = idx.encode(df, "embedding")
+    got = enc.filter("vec_id = 999").select("pq_codes").collect()
+    assert got[0].pq_codes is None
+    qv = vecs[0]
+    top = idx.search(enc, "vec_id", qv, k=5).collect()
+    assert len(top) == 5 and all(r.vec_id != 999 for r in top)
+    # ADC score == dot(q_unit, reconstruction) for every scored row
+    q = np.asarray(qv)
+    q = q / np.linalg.norm(q)
+    codes = {r.vec_id: r.pq_codes for r in
+             enc.filter("vec_id != 999").collect()}
+    allscores = {r.vec_id: r.score for r in
+                 idx.search(enc, "vec_id", qv, k=100).collect()}
+    for v, s in allscores.items():
+        recon = np.concatenate([idx.codebooks[j][codes[v][j]]
+                                for j in range(4)])
+        assert s == pytest.approx(float(q @ recon), abs=1e-9)
+    # persistence round-trip through a JSON file
+    p = str(tmp_path / "pq.json")
+    idx.save(p)
+    idx2 = PQIndex.load(p)
+    assert np.array_equal(idx2.codebooks, idx.codebooks)
+    top2 = idx2.search(enc, "vec_id", qv, k=5).collect()
+    assert [r.vec_id for r in top2] == [r.vec_id for r in top]
+
+
+def test_pq_index_l2_metric_ordering(spark):
+    """L2 metric: ascending partial distances; the self-vector (distance
+    ~quantization error) ranks first on an easy clustered dataset."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import PQIndex
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 8)) * 10
+    vecs = [(i, (centers[i % 4] + rng.normal(scale=0.01, size=8)).tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = PQIndex(m=2, n_codes=8, metric="l2").fit(df, "embedding")
+    enc = idx.encode(df, "embedding")
+    top = idx.search(enc, "vec_id", vecs[0][1], k=10).collect()
+    # all 10 nearest should be from the query's own cluster (ids % 4 == 0)
+    assert all(r.vec_id % 4 == 0 for r in top)
+    scores = [r.score for r in top]
+    assert scores == sorted(scores)

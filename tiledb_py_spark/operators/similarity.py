@@ -309,3 +309,256 @@ class IVFIndex:
             probe = np.argsort(dists)[: self.n_probe].tolist()
         assigned = self.assign(df, vec_col).filter(F.col("__cell").isin(probe))
         return brute_force_topk(assigned, vec_col, id_col, query_vec, k=k)
+
+
+class PQIndex:
+    """Product-quantization compression + ANN search (the PQ of
+    Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): each d-dim vector splits into ``m`` contiguous subspaces
+    of d/m dims; each subspace gets its own ``n_codes``-centroid k-means
+    codebook; a vector is stored as m small codes (1-2 bytes each) —
+    e.g. 64-dim float32 = 256 bytes -> 8 bytes at m=8.
+
+    Search is ADC (asymmetric distance computation): the QUERY stays
+    exact — per query, precompute an m x n_codes lookup table of
+    partial distances from the query's sub-vectors to every codebook
+    centroid; a database vector's score is the sum of m table lookups
+    on its codes.  The LUT is a driver-side numpy array broadcast into
+    an Arrow-batched UDF — scoring never touches the original vectors,
+    so a 100 TB embedding column scans as an ``m``-byte code column.
+
+    ``metric``: "l2" (classic ADC, ascending) or "cosine" (vectors
+    L2-normalized at fit/encode time, LUT holds partial dots,
+    descending).  Fit-once persistence mirrors ``IVFIndex`` (array
+    manifest metadata or JSON file)."""
+
+    _META_PREFIX = "__pq_index:"
+
+    def __init__(self, m: int = 8, n_codes: int = 16, seed: int = 42,
+                 metric: str = "cosine", n_iter: int = 10):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.m = m
+        self.n_codes = n_codes
+        self.seed = seed
+        self.metric = metric
+        self.n_iter = n_iter
+        self.codebooks: Optional[np.ndarray] = None  # (m, n_codes, dsub)
+        self.dim: Optional[int] = None
+
+    # -- training ---------------------------------------------------------
+
+    def _sample(self, df: DataFrame, vec_col: str, sample_rows: int,
+                sample_fraction: float) -> np.ndarray:
+        # same single-pass hash-ordered sampling shape as IVFIndex.fit
+        df = df.filter(F.col(vec_col).isNotNull())
+        h = F.xxhash64(F.col(vec_col))
+        rows = (df.select(vec_col)
+                  .sample(withReplacement=False, fraction=sample_fraction,
+                          seed=self.seed)
+                  .orderBy(h).limit(sample_rows).collect())
+        if len(rows) < max(4 * self.n_codes, 256):
+            n_rows = df.count()
+            if n_rows <= 3 * sample_rows:
+                rows = df.select(vec_col).collect()
+                if len(rows) > sample_rows:
+                    rng0 = np.random.default_rng(self.seed)
+                    idx = rng0.choice(len(rows), sample_rows, replace=False)
+                    rows = [rows[i] for i in idx]
+            else:
+                frac = min(1.0, 3.0 * sample_rows / n_rows)
+                rows = (df.select(vec_col)
+                          .sample(withReplacement=False, fraction=frac,
+                                  seed=self.seed)
+                          .orderBy(h).limit(sample_rows).collect())
+        sample = np.array([r[0] for r in rows], dtype="float64")
+        if sample.ndim == 2:
+            sample = sample[np.isfinite(sample).all(axis=1)]
+        return sample
+
+    def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
+            sample_fraction: float = 0.05) -> "PQIndex":
+        sample = self._sample(df, vec_col, sample_rows, sample_fraction)
+        if sample.ndim != 2 or not len(sample):
+            raise ValueError("PQIndex.fit: no trainable vectors")
+        d = sample.shape[1]
+        if d % self.m:
+            raise ValueError(
+                f"dim {d} not divisible by m={self.m} subspaces")
+        if self.metric == "cosine":
+            n = np.linalg.norm(sample, axis=1, keepdims=True)
+            sample = sample / np.where(n == 0, 1.0, n)
+        dsub = d // self.m
+        k = min(self.n_codes, len(sample))
+        rng = np.random.default_rng(self.seed)
+        books = np.zeros((self.m, k, dsub))
+        for j in range(self.m):
+            sub = sample[:, j * dsub:(j + 1) * dsub]
+            cent = sub[rng.choice(len(sub), size=k, replace=False)]
+            for _ in range(self.n_iter):
+                dist = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = dist.argmin(axis=1)
+                for c in range(k):
+                    pts = sub[assign == c]
+                    if len(pts):
+                        cent[c] = pts.mean(axis=0)
+            books[j] = cent
+        self.codebooks = books
+        self.dim = d
+        return self
+
+    # -- persistence (same contract as IVFIndex) --------------------------
+
+    def to_json(self) -> str:
+        if self.codebooks is None:
+            raise ValueError("fit() the index before saving")
+        import json
+
+        return json.dumps({
+            "format": 1, "m": self.m, "n_codes": self.n_codes,
+            "seed": self.seed, "metric": self.metric, "dim": self.dim,
+            "codebooks": self.codebooks.tolist()})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "PQIndex":
+        import json
+
+        d = json.loads(payload)
+        idx = cls(m=d["m"], n_codes=d["n_codes"], seed=d["seed"],
+                  metric=d["metric"])
+        idx.codebooks = np.asarray(d["codebooks"], dtype="float64")
+        idx.dim = d["dim"]
+        return idx
+
+    def save(self, uri: str, name: str = "default") -> "PQIndex":
+        from .. import manifest as mf
+
+        payload = self.to_json()
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            Metadata(uri)[self._META_PREFIX + name] = payload
+        else:
+            import os
+            import tempfile
+
+            d = os.path.dirname(os.path.abspath(uri)) or "."
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".pq.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, uri)
+        return self
+
+    @classmethod
+    def load(cls, uri: str, name: str = "default") -> "PQIndex":
+        from .. import manifest as mf
+
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            payload = Metadata(uri).get(cls._META_PREFIX + name)
+            if payload is None:
+                raise KeyError(f"no PQ index named {name!r} stored at {uri}")
+        else:
+            with open(uri) as f:
+                payload = f.read()
+        return cls.from_json(payload)
+
+    # -- encode / search --------------------------------------------------
+
+    def _encode_arrow_udf(self):
+        """Arrow-batched encoder: per batch one (rows, n_codes) distance
+        matrix per subspace — constant-size plan regardless of m or
+        n_codes.  Null / wrong-dim vectors encode to null (mirroring
+        IVFIndex.assign's null handling)."""
+        from pyspark.sql.functions import pandas_udf
+
+        B = np.ascontiguousarray(self.codebooks)
+        m, _, dsub = B.shape
+        d = self.dim
+        cosine = self.metric == "cosine"
+
+        @pandas_udf("array<int>")
+        def enc(vs: pd.Series) -> pd.Series:
+            valid = np.array(
+                [v is not None and len(v) == d for v in vs], dtype=bool)
+            out = np.full(len(vs), None, dtype=object)
+            if valid.any():
+                M = np.asarray([np.asarray(v, dtype="float64")
+                                for v, ok in zip(vs, valid) if ok])
+                if cosine:
+                    n = np.linalg.norm(M, axis=1, keepdims=True)
+                    M = M / np.where(n == 0, 1.0, n)
+                codes = np.empty((len(M), m), dtype="int32")
+                for j in range(m):
+                    sub = M[:, j * dsub:(j + 1) * dsub]
+                    # argmin ||s-c||^2 = argmin |c|^2 - 2 s.c
+                    dots = sub @ B[j].T
+                    codes[:, j] = ((B[j] * B[j]).sum(axis=1)[None, :]
+                                   - 2 * dots).argmin(axis=1)
+                # itemwise: a bulk [list,...] assignment numpy coerces
+                # to a 2-D array and rejects for object targets
+                for r, i in enumerate(np.nonzero(valid)[0]):
+                    out[i] = codes[r].tolist()
+            return pd.Series(out)
+
+        return enc
+
+    def encode(self, df: DataFrame, vec_col: str,
+               code_col: str = "pq_codes") -> DataFrame:
+        """Append the m-code column.  Store THIS (plus the id) instead of
+        the raw vectors: the search path never reads ``vec_col``."""
+        assert self.codebooks is not None
+        return df.withColumn(code_col, self._encode_arrow_udf()(F.col(vec_col)))
+
+    def _lut(self, query_vec: Sequence[float]) -> np.ndarray:
+        q = np.asarray(query_vec, dtype="float64")
+        if self.metric == "cosine":
+            n = np.linalg.norm(q)
+            q = q / (n if n else 1.0)
+        m, _, dsub = self.codebooks.shape
+        lut = np.empty((m, self.codebooks.shape[1]))
+        for j in range(m):
+            qs = q[j * dsub:(j + 1) * dsub]
+            if self.metric == "cosine":
+                lut[j] = self.codebooks[j] @ qs
+            else:
+                lut[j] = ((self.codebooks[j] - qs[None, :]) ** 2).sum(axis=1)
+        return lut
+
+    def search(self, df: DataFrame, id_col: str,
+               query_vec: Sequence[float], k: int = 10,
+               code_col: str = "pq_codes",
+               vec_col: Optional[str] = None) -> DataFrame:
+        """ADC top-k.  ``df`` should carry ``code_col`` (from ``encode``);
+        pass ``vec_col`` to encode on the fly instead (testing / one-off
+        — at scale you store the codes).  Returns (id_col, score):
+        ascending partial-l2 for "l2", descending partial-dot for
+        "cosine"; top-k via TakeOrdered (no global sort)."""
+        assert self.codebooks is not None
+        if code_col not in df.columns:
+            if vec_col is None:
+                raise ValueError(f"no {code_col!r} column and no vec_col "
+                                 "to encode from")
+            df = self.encode(df, vec_col, code_col)
+        from pyspark.sql.functions import pandas_udf
+
+        lut = self._lut(query_vec)
+
+        @pandas_udf("double")
+        def adc(codes: pd.Series) -> pd.Series:
+            out = np.full(len(codes), np.nan)
+            valid = np.array([c is not None for c in codes], dtype=bool)
+            if valid.any():
+                C = np.asarray([np.asarray(c) for c, ok
+                                in zip(codes, valid) if ok], dtype="int64")
+                out[valid] = lut[np.arange(lut.shape[0])[None, :],
+                                 C].sum(axis=1)
+            return pd.Series(out)
+
+        scored = (df.withColumn("score", adc(F.col(code_col)))
+                    .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+                    .select(id_col, "score"))
+        if self.metric == "cosine":
+            return scored.orderBy(F.desc("score"), id_col).limit(k)
+        return scored.orderBy(F.asc("score"), id_col).limit(k)
