@@ -1201,6 +1201,10 @@ def q_repetition_stats(spark, sf_dir):
     from tiledb_py_spark.operators.text import repetition_stats
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # the sf parquet is one split; the operator is row-local by design so
+    # nothing else would fan it out across cores — at scale the input
+    # arrives in thousands of splits and this repartition disappears
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     d = d.withColumn("text",
                      F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
     out = repetition_stats(d, "text", top_ns=(2, 3), dup_ns=(5, 10))
@@ -1293,6 +1297,90 @@ def q_dsir_sample(spark, sf_dir):
                         n_buckets=1024, token_hash=md5_hash60)
     return (out.select("doc_id", F.round("log_weight", 5).alias("log_weight"))
                .orderBy("doc_id"))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE trainer iteration 0, hash-verified: the corpus-sized
+    word-frequency aggregation plus the adjacent character-pair counts
+    over it (end-of-word marker on final chars).  This is the only
+    SQL-expressible piece of the trainer — it carries the oracle for
+    the corpus-scale machinery; the iterative merge loop is checked by
+    the bpe_train reference-implementation gate."""
+    from tiledb_py_spark.operators.bpe import (bpe_pair_counts,
+                                               word_frequencies)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    wf = word_frequencies(d, "text")
+    out = bpe_pair_counts(wf)
+    return (out.select(F.col("left").alias("pleft"),
+                       F.col("right").alias("pright"), "pair_count")
+               .orderBy("pleft", "pright"))
+
+
+def q_bpe_train(spark, sf_dir):
+    """Full BPE vocabulary induction, verified as assertions the oracle
+    can state: (a) the 40 merges learned through the distributed
+    word-frequency path equal a from-scratch pure-Python BPE run on the
+    collected raw text (count-desc, lexicographic tiebreak — stated
+    determinism); (b) re-encoding the corpus with the learned merges is
+    deterministic across two invocations and yields only symbols
+    reachable from the merge table."""
+    from tiledb_py_spark.operators.bpe import (END_OF_WORD, bpe_encode_udf,
+                                               bpe_train)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    merges = bpe_train(d, "text", n_merges=40, min_freq=2)
+
+    # reference: same algorithm, independent path (raw text -> Counter)
+    from collections import Counter
+    texts = [r[0] for r in d.select("text").collect()]
+    words: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            syms = tuple(list(w[:-1]) + [w[-1] + END_OF_WORD])
+            words[syms] = words.get(syms, 0) + 1
+    ref = []
+    for _ in range(40):
+        pairs: Counter = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        ref.append((a, b))
+        nxt = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        words = nxt
+    match = list(merges) == ref
+
+    enc = bpe_encode_udf(merges)
+    s1 = d.select(F.explode(enc(F.col("text"))).alias("t")) \
+          .groupBy("t").count().orderBy("t").collect()
+    s2 = d.select(F.explode(enc(F.col("text"))).alias("t")) \
+          .groupBy("t").count().orderBy("t").collect()
+    det = s1 == s2
+    vocab = {a + b for a, b in merges}
+    closed = all(len(r.t) == 1 or r.t in vocab
+                 or (r.t.endswith(END_OF_WORD)
+                     and len(r.t) - len(END_OF_WORD) <= 1)
+                 for r in s1)
+    return spark.createDataFrame(
+        [(len(merges), bool(match), bool(det), bool(closed))],
+        "n_merges int, merges_match_reference boolean, "
+        "encode_deterministic boolean, vocab_closed boolean")
 
 
 def q_det_shuffle(spark, sf_dir):
@@ -1453,7 +1541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py regardless of position.
     return {
         "qc_filter": q_qc_filter,
-        "qc_in_chain": q_qc_in_chain,
         "contamination": q_contamination,
         "array_range_read": q_array_range_read,
         "array_sql": q_array_sql,
@@ -1464,7 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
-        "join_multiway": q_join_multiway,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
@@ -1493,6 +1579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1508,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat entries with driver-green rows in CORRECTNESS_r04
         # rotated here in round 6 to fit the 7 new operator gates ---
         "multi_range": q_multi_range,
+        "qc_in_chain": q_qc_in_chain,
+        "join_multiway": q_join_multiway,
         "embedding_topk": q_embedding_topk,
         "agg_whole_selection": q_agg_whole_selection,
         "array_cond_agg": q_array_cond_agg,
@@ -2319,6 +2409,28 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id, session_idx
                                        ORDER BY ts, event_id))::BIGINT AS event_idx
             FROM s2 ORDER BY event_id
+        """,
+        "bpe_pairs": r"""
+            WITH w AS (
+                SELECT lower(tok) AS word, count(*) AS cnt
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1
+            ),
+            p AS (
+                SELECT word[i:i] AS pleft,
+                       CASE WHEN i = length(word) - 1
+                            THEN word[i+1:i+1] || '</w>'
+                            ELSE word[i+1:i+1] END AS pright,
+                       cnt
+                FROM w, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+            )
+            SELECT pleft, pright, sum(cnt)::BIGINT AS pair_count
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bpe_train": """
+            SELECT 40 AS n_merges, true AS merges_match_reference,
+                   true AS encode_deterministic, true AS vocab_closed
         """,
         "dsir_weights": r"""
             WITH d AS (

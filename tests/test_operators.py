@@ -1606,3 +1606,78 @@ def test_pq_index_l2_metric_ordering(spark):
     assert all(r.vec_id % 4 == 0 for r in top)
     scores = [r.score for r in top]
     assert scores == sorted(scores)
+
+
+def test_repetition_stats_arrow_equals_expr(spark):
+    """The Arrow fast path and the pure-Catalyst expression path must
+    produce identical signals on mixed content (incl. empty docs)."""
+    docs = [
+        (1, "a b a b a b c d"),
+        (2, "x y z\nx y z\nq r s"),
+        (3, "one two three four five six seven eight"),
+        (4, ""),
+        (5, "w w w w w w w w w w"),
+        (6, "p q r s t p q r s t p q r s t"),
+    ]
+    from tiledb_py_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(top_ns=(2, 3), dup_ns=(3, 5))
+    a = {r.doc_id: r.asDict() for r in
+         repetition_stats(df, "text", impl="arrow", **kw).collect()}
+    e = {r.doc_id: r.asDict() for r in
+         repetition_stats(df, "text", impl="expr", **kw).collect()}
+    assert set(a) == set(e)
+    for k in a:
+        for col in a[k]:
+            if isinstance(a[k][col], float):
+                assert a[k][col] == pytest.approx(e[k][col]), (k, col)
+            else:
+                assert a[k][col] == e[k][col], (k, col)
+
+
+def test_bpe_train_matches_sennrich_example(spark):
+    """The canonical low/lower/newest/widest corpus: first merges must
+    be (e,s), (es,t</w>) — the textbook BPE progression — and encoding
+    with the learned merges reproduces whole words for frequent types."""
+    from tiledb_py_spark.operators.bpe import (bpe_encode_udf, bpe_train,
+                                               bpe_token_count)
+    from pyspark.sql import functions as F
+
+    text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(df, "text", n_merges=10, min_freq=2)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t</w>")
+    enc = bpe_encode_udf(merges)
+    toks = df.select(enc(F.col("text")).alias("t")).collect()[0].t
+    assert toks[:5] == ["low</w>"] * 5          # 'low' became one symbol
+    assert "newest</w>" in toks                  # most frequent word fused
+    n = bpe_token_count(df, "text", merges).collect()[0].n_tokens_bpe_learned
+    assert n == len(toks)
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    """Pair counts weight by word frequency and mark the final char with
+    the end-of-word marker."""
+    from tiledb_py_spark.operators.bpe import (bpe_pair_counts,
+                                               word_frequencies)
+
+    df = spark.createDataFrame([(1, "ab ab ab cd")], ["doc_id", "text"])
+    wf = word_frequencies(df, "text")
+    got = {(r.left, r.right): r.pair_count
+           for r in bpe_pair_counts(wf).collect()}
+    assert got == {("a", "b</w>"): 3, ("c", "d</w>"): 1}
+
+
+def test_bpe_train_vocab_guard(spark):
+    """A word-frequency table above max_vocab_rows must refuse loudly
+    (driver-collect guard), pointing at the override."""
+    from tiledb_py_spark.operators.bpe import bpe_train
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"))
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(df, "text", n_merges=2, max_vocab_rows=10)

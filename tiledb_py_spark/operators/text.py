@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -186,16 +187,92 @@ def _sum_lengths(arr: Column) -> Column:
                        lambda a, x: a + F.length(x))
 
 
+def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
+    """Per-document repetition signals, plain Python — the single
+    definition the Arrow path executes; accounting identical to the
+    expr path (pytest asserts equality)."""
+    from collections import Counter
+
+    out: dict = {}
+    if t is None:
+        t = ""  # the expr path scores NULL text as an empty document
+    toks = t.split()
+    chars = max(sum(len(x) for x in toks), 1)
+    lines = [l for l in (x.strip() for x in t.split(line_sep)) if l]
+    n_lines = len(lines)
+    dlines = set(lines)
+    lchars = max(sum(len(l) for l in lines), 1)
+    out["r_n_lines"] = n_lines
+    out["r_dup_line_frac"] = (n_lines - len(dlines)) / max(n_lines, 1)
+    out["r_dup_line_char_frac"] = \
+        (sum(len(l) for l in lines) - sum(len(l) for l in dlines)) / lchars
+    for n in top_ns:
+        grams = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+        best = max((cnt * (len(g) - (n - 1)) for g, cnt in grams.items()),
+                   default=0)
+        out[f"r_top{n}gram_char_frac"] = min(best / chars, 1.0)
+    for n in dup_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        cnt = Counter(grams)
+        starts = [i for i, g in enumerate(grams) if cnt[g] >= 2]
+        covered = 0
+        last = -1          # last covered 0-based token index
+        for p in starts:   # ascending; intervals [p, p+n-1] merge in order
+            lo = max(p, last + 1)
+            hi = p + n - 1
+            covered += sum(len(toks[j]) for j in range(lo, hi + 1))
+            last = hi
+        out[f"r_dup{n}gram_distinct"] = sum(
+            1 for g, c in cnt.items() if c >= 2)
+        out[f"r_dup{n}gram_positions"] = len(starts)
+        out[f"r_dup{n}gram_char_frac"] = covered / chars
+    return out
+
+
+def _repetition_stats_arrow(df: DataFrame, text_col: str, line_sep: str,
+                            top_ns, dup_ns) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    fields = (["r_n_lines: long", "r_dup_line_frac: double",
+               "r_dup_line_char_frac: double"]
+              + [f"r_top{n}gram_char_frac: double" for n in top_ns]
+              + sum([[f"r_dup{n}gram_distinct: long",
+                      f"r_dup{n}gram_positions: long",
+                      f"r_dup{n}gram_char_frac: double"] for n in dup_ns],
+                    []))
+    schema = "struct<" + ", ".join(fields) + ">"
+    names = [f.split(":")[0] for f in fields]
+
+    @pandas_udf(schema)
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = [_rep_stats_py(t, line_sep, top_ns, dup_ns) for t in texts]
+        return pd.DataFrame(rows, columns=names)
+
+    out = df.withColumn("__r", stats(F.col(text_col)))
+    for name in names:
+        out = out.withColumn(name, F.col("__r")[name])
+    return out.drop("__r")
+
+
 def repetition_stats(df: DataFrame, text_col: str,
                      line_sep: str = "\n",
                      top_ns: Sequence[int] = (2, 3),
-                     dup_ns: Sequence[int] = (5, 10)) -> DataFrame:
+                     dup_ns: Sequence[int] = (5, 10),
+                     impl: str = "auto") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
     document-level repetitiousness signals used to drop boilerplate and
     degenerate text from web corpora.
 
-    Appends, per document (all ROW-LOCAL array expressions — zero
-    shuffles, the whole operator rides the scan stage):
+    ``impl``: "arrow" (default via "auto") computes all signals in one
+    Arrow-batched pandas UDF — tiny constant-size plan, ~4x faster cold
+    (no Janino compile of the big lambda trees) and ~3x warm at sf0.1;
+    "expr" is the pure-Catalyst array-expression path (zero Python, the
+    plan-purity reference both the pytest equivalence check and the
+    DuckDB oracle hold the arrow path to).  Both are row-local: zero
+    shuffles, the operator rides the scan stage.
+
+    Appends, per document:
 
     - ``r_n_lines`` — non-empty lines (split on ``line_sep``)
     - ``r_dup_line_frac`` — fraction of lines that are repeats of an
@@ -231,6 +308,11 @@ def repetition_stats(df: DataFrame, text_col: str,
     lambda re-evaluates once PER ELEMENT of the outer array — the
     un-staged form of the positional mask is O(L * G * D) per row
     (measured: minutes for one sf0.001 gate run vs ~1 s staged)."""
+    if impl == "auto":
+        impl = "arrow"
+    if impl == "arrow":
+        return _repetition_stats_arrow(df, text_col, line_sep,
+                                       tuple(top_ns), tuple(dup_ns))
     c = F.col(text_col)
     df = df.withColumn("__r_toks", whitespace_tokens(c))
     toks = F.col("__r_toks")
@@ -289,48 +371,64 @@ def repetition_stats(df: DataFrame, text_col: str,
         df = df.withColumn(f"r_top{n}gram_char_frac",
                            F.least(best / safe_chars, F.lit(1.0)))
 
-    # --- duplicated n-gram coverage (positional mask) ----------------------
+    # --- duplicated n-gram coverage (positional interval union) ------------
+    # A token is covered iff it lies inside [p, p+n-1] for some start p
+    # of a within-doc duplicated n-gram.  Formulation: sort (gram, pos)
+    # structs; every position whose gram equals a sorted neighbor is a
+    # duplicated occurrence; the ascending start list then merges into
+    # disjoint intervals in ONE aggregate pass, and each merged
+    # interval's char mass is one bounded token slice.  Per-row cost
+    # O(G log G + covered_span) — the earlier per-token slice+exists
+    # mask was O(L*n) slices with an O(G*D) membership array on top
+    # (measured ~3x slower steady-state and ~2x slower to JIT).
     for n in dup_ns:
-        gc, sc_, dc, fc = (f"__r_g{n}", f"__r_s{n}", f"__r_d{n}", f"__r_f{n}")
+        gc, pc, dc = (f"__r_g{n}", f"__r_p{n}", f"__r_ds{n}")
         df = df.withColumn(gc, grams_expr(n))
-        df = df.withColumn(sc_, F.array_sort(F.col(gc)))
-        srt = F.col(sc_)
-        # grams appearing >= 2 times: adjacent equal pairs in the sorted
-        # array (>= 3 srt references here keep the stage un-collapsed)
-        df = df.withColumn(dc, F.when(F.size(srt) >= 2, F.array_distinct(
-            F.filter(
-                F.transform(F.sequence(F.lit(2), F.greatest(F.size(srt), F.lit(2))),
-                            lambda i: F.when(
-                                F.element_at(srt, i) == F.element_at(srt, i - 1),
-                                F.element_at(srt, i))),
-                lambda x: x.isNotNull()))
-        ).otherwise(F.array().cast("array<string>")))
-        dup = F.col(dc)
-        df = df.withColumn(fc, F.transform(
-            F.col(gc), lambda g: F.array_contains(dup, g)))
-        flags = F.col(fc)
-        G = F.size(flags)
-        # token i is covered iff some duplicated gram starts in
-        # [max(1, i-n+1), min(i, G)]
-        covered = F.aggregate(
-            F.sequence(F.lit(1), L),
-            F.lit(0).cast("long"),
-            lambda a, i: a + F.when(
-                F.exists(
-                    F.slice(flags,
-                            F.greatest(i - (n - 1), F.lit(1)),
-                            F.least(i, G)
-                            - F.greatest(i - (n - 1), F.lit(1)) + 1),
-                    lambda x: x),
-                F.length(F.element_at(toks, i))).otherwise(F.lit(0)))
-        covered = F.when(G > 0, covered).otherwise(F.lit(0).cast("long"))
+        grams = F.col(gc)
+        G = F.size(grams)
+        df = df.withColumn(pc, F.array_sort(F.transform(
+            grams, lambda g, i: F.struct(g.alias("g"),
+                                         (i + 1).alias("p")))))
+        srt = F.col(pc)
+
+        def _g(j):
+            return F.element_at(srt, j)["g"]
+
+        # duplicated occurrences: gram equals the previous or next entry
+        # in gram-sorted order (when() guards keep element_at in range)
+        is_dup = lambda j: (  # noqa: E731
+            F.when(j > 1, _g(j) == _g(j - 1)).otherwise(F.lit(False))
+            | F.when(j < G, _g(j) == _g(j + 1)).otherwise(F.lit(False)))
+        dupstarts = F.array_sort(F.transform(
+            F.filter(F.sequence(F.lit(1), G), is_dup),
+            lambda j: F.element_at(srt, j)["p"]))
+        df = df.withColumn(dc, F.when(G >= 2, dupstarts)
+                           .otherwise(F.array().cast("array<int>")))
+        ds = F.col(dc)
+
+        acc0 = F.struct(F.lit(0).alias("last"),
+                        F.lit(0).cast("long").alias("chars"))
+
+        def step(a, p):
+            lo = F.greatest(p, a["last"] + 1)
+            hi = p + (n - 1)
+            add = F.when(lo <= hi, F.aggregate(
+                F.slice(toks, lo, hi - lo + 1), F.lit(0).cast("long"),
+                lambda s, t: s + F.length(t))).otherwise(F.lit(0).cast("long"))
+            return F.struct(hi.alias("last"), (a["chars"] + add).alias("chars"))
+
+        covered = F.aggregate(ds, acc0, step, lambda a: a["chars"])
+        # distinct duplicated grams: first element of each >= 2 run
+        run_heads = F.when(G >= 2, F.size(F.filter(
+            F.sequence(F.lit(1), F.greatest(G - 1, F.lit(1))),
+            lambda j: (_g(j) == _g(j + 1))
+            & F.when(j > 1, _g(j) != _g(j - 1)).otherwise(F.lit(True))))
+        ).otherwise(F.lit(0))
         df = (df
-              .withColumn(f"r_dup{n}gram_distinct",
-                          F.size(dup).cast("long"))
-              .withColumn(f"r_dup{n}gram_positions",
-                          F.size(F.filter(flags, lambda x: x)).cast("long"))
+              .withColumn(f"r_dup{n}gram_distinct", run_heads.cast("long"))
+              .withColumn(f"r_dup{n}gram_positions", F.size(ds).cast("long"))
               .withColumn(f"r_dup{n}gram_char_frac", covered / safe_chars)
-              .drop(gc, sc_, dc, fc))
+              .drop(gc, pc, dc))
 
     return df.drop("__r_toks", "__r_lines")
 
