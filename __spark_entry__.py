@@ -1299,6 +1299,27 @@ def q_dsir_sample(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup against persisted fingerprint state:
+    batch 1 (doc_id < 250) commits its content fingerprints to a fresh
+    state array; batch 2 (doc_id >= 200) must drop every doc whose
+    normalized text already appeared (the 200-249 overlap plus any
+    cross-batch content dup) and keep one copy per within-batch dup.
+    The state lives in a per-call temp dir so the gate is a pure
+    function of the inputs; the oracle replays both batches in SQL."""
+    import tempfile
+
+    from tiledb_py_spark.operators.dedup import incremental_exact_dedup
+
+    state = os.path.join(tempfile.mkdtemp(prefix="tdbps_incdedup_"), "state")
+    d = _t(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") < 250)
+    b2 = d.filter(F.col("doc_id") >= 200)
+    incremental_exact_dedup(b1, "text", "doc_id", state).count()
+    out = incremental_exact_dedup(b2, "text", "doc_id", state)
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE trainer iteration 0, hash-verified: the corpus-sized
     word-frequency aggregation plus the adjacent character-pair counts
@@ -1551,7 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
-        "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -1581,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "incremental_dedup": q_incremental_dedup,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1596,6 +1617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat entries with driver-green rows in CORRECTNESS_r04
         # rotated here in round 6 to fit the 7 new operator gates ---
         "multi_range": q_multi_range,
+        # per-event sessionize (in-window) exercises the same gap
+        # semantics row-level; the aggregated form rotates out
+        "events_sessions": q_events_sessions,
         "qc_in_chain": q_qc_in_chain,
         "join_multiway": q_join_multiway,
         "embedding_topk": q_embedding_topk,
@@ -2409,6 +2433,22 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id, session_idx
                                        ORDER BY ts, event_id))::BIGINT AS event_idx
             FROM s2 ORDER BY event_id
+        """,
+        "incremental_dedup": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            b1 AS (SELECT * FROM norm WHERE doc_id < 250),
+            b2 AS (SELECT * FROM norm WHERE doc_id >= 200)
+            SELECT b2.doc_id
+            FROM b2
+            WHERE b2.nt NOT IN (SELECT nt FROM b1)
+              AND b2.doc_id = (SELECT min(x.doc_id) FROM b2 x
+                               WHERE x.nt = b2.nt)
+            ORDER BY b2.doc_id
         """,
         "bpe_pairs": r"""
             WITH w AS (

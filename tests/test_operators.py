@@ -1681,3 +1681,38 @@ def test_bpe_train_vocab_guard(spark):
         F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"))
     with pytest.raises(ValueError, match="max_vocab_rows"):
         bpe_train(df, "text", n_merges=2, max_vocab_rows=10)
+
+
+def test_incremental_exact_dedup_state_roundtrip(spark, tmp_path):
+    """Batch 2 drops content seen in batch 1 (even under different ids /
+    punctuation), keeps one copy of within-batch dups, and commits one
+    fragment per batch; the pinned-timestamp read keeps the returned
+    lazy plan valid after its own commit."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "fresh content one")],
+        ["doc_id", "text"])
+    out1 = incremental_exact_dedup(b1, "text", "doc_id", state)
+    assert sorted(r.doc_id for r in out1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(10, "hello world"),           # batch-1 dup (normalization)
+         (11, "brand new content"),
+         (12, "brand new content"),     # within-batch dup of 11
+         (13, "fresh content one!!")],  # batch-1 dup under punctuation
+        ["doc_id", "text"])
+    out2 = incremental_exact_dedup(b2, "text", "doc_id", state)
+    # collect AFTER the commit inside the call: pinned read must still
+    # exclude only batch-1 state, not batch-2's own fingerprints
+    assert sorted(r.doc_id for r in out2.collect()) == [11]
+    assert len(tdb.array_fragments(state)) == 2
+    # a third batch sees both commits
+    b3 = spark.createDataFrame([(20, "BRAND new content"),
+                                (21, "truly unseen text")],
+                               ["doc_id", "text"])
+    out3 = incremental_exact_dedup(b3, "text", "doc_id", state,
+                                   commit=False)
+    assert sorted(r.doc_id for r in out3.collect()) == [21]
+    assert len(tdb.array_fragments(state)) == 2   # commit=False: no write

@@ -320,7 +320,12 @@ class Array:
             dims = self.schema.dim_names
             attrs = [F.expr(f"max_by(`{a}`, __frag_ts)").alias(a)
                      for a in self.schema.attr_names]
-            df = df.groupBy(*dims).agg(*attrs)
+            if attrs:
+                df = df.groupBy(*dims).agg(*attrs)
+            else:
+                # dimension-only arrays (coordinate sets, e.g. a dedup
+                # fingerprint state): LWW degenerates to distinct coords
+                df = df.select(*dims).dropDuplicates(list(dims))
         elif not keep_frag_ts:
             df = df.drop("__frag_ts")
         return df

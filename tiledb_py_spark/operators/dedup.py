@@ -970,6 +970,54 @@ def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
         F.size("__P").cast("long").alias("n_removed"))
 
 
+def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                            state_uri: str, commit: bool = True) -> DataFrame:
+    """Continuous-ingest exact dedup: drop rows whose normalized content
+    fingerprint (``text.fingerprint``: lowercase, punctuation/whitespace
+    collapsed, xxhash64) appeared in ANY previously committed batch,
+    dedup within the batch (minimum ``id_col`` per fingerprint wins —
+    an AQE-splittable aggregate+join, not a hot-key window), then
+    COMMIT the survivors' fingerprints to ``state_uri`` as one new
+    timestamped fragment.  The crawl-pipeline shape: each ingest batch
+    is one state commit with the engine's usual time-travel /
+    consolidation story.
+
+    The state read is PINNED to the pre-commit timestamp, so the
+    returned (lazy) DataFrame stays correct when the caller executes it
+    after the commit — the batch never anti-joins against its own
+    fingerprints.  ``commit=True`` evaluates the survivor plan once to
+    extract fingerprints; persist/checkpoint upstream if recomputation
+    is expensive.
+
+    Scale shape: the anti-join and the within-batch first-wins join
+    shuffle only (8-byte fingerprint, id); the state array read is
+    column-pruned to the fingerprint dimension."""
+    from .text import fingerprint
+
+    spark = df.sparkSession
+    new = df.withColumn("__fp", fingerprint(text_col))
+    from .. import highlevel as hl
+    from ..fragment import array_fragments
+
+    exists = hl.array_exists(state_uri)
+    if exists:
+        frs = array_fragments(state_uri)
+        ts_pin = max(f.timestamp_range[1] for f in frs) if len(frs) else None
+        seen = (hl.open(state_uri, timestamp=ts_pin, spark=spark)
+                .dataframe().select(F.col("fp").alias("__fp")))
+        new = new.join(seen, on="__fp", how="left_anti")
+    firsts = new.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    surv = new.join(firsts, on=["__fp", id_col], how="left_semi")
+    if commit:
+        fps = surv.select(F.col("__fp").alias("fp")).distinct().toPandas()
+        if len(fps):
+            from ..sources.dataframe_ import from_pandas
+
+            from_pandas(state_uri, fps, index_dims=["fp"],
+                        mode="append" if exists else "ingest")
+    return surv.drop("__fp")
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
