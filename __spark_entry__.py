@@ -1227,6 +1227,9 @@ def q_clean_lines(spark, sf_dir):
     from tiledb_py_spark.operators.text import clean_lines
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     d = d.withColumn("text",
                      F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
     out = clean_lines(d, "text", min_words=8,
@@ -1247,6 +1250,9 @@ def q_line_dedup(spark, sf_dir):
                                                  remove_repeated_lines)
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     d = d.withColumn("text",
                      F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n"))
     out = remove_repeated_lines(d, "text", "doc_id", min_docs=2,
@@ -1275,6 +1281,9 @@ def q_dsir_weights(spark, sf_dir):
     from tiledb_py_spark.operators.pipeline import importance_weights
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     target = d.filter(F.col("lang") == "en")
     out = importance_weights(d, "text", "doc_id", target,
                              n_buckets=1024, token_hash=md5_hash60)
@@ -1292,6 +1301,9 @@ def q_dsir_sample(spark, sf_dir):
     from tiledb_py_spark.operators.pipeline import dsir_resample
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     target = d.filter(F.col("lang") == "en")
     out = dsir_resample(d, "text", "doc_id", target, n=100,
                         n_buckets=1024, token_hash=md5_hash60)
@@ -1331,6 +1343,9 @@ def q_bpe_pairs(spark, sf_dir):
                                                word_frequencies)
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     wf = word_frequencies(d, "text")
     out = bpe_pair_counts(wf)
     return (out.select(F.col("left").alias("pleft"),

