@@ -1311,6 +1311,44 @@ def q_dsir_sample(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature (p^alpha) mixture resampling over the language
+    strata: alpha=0.5 upsamples tail languages toward sqrt-proportional
+    shares.  Rates quantize to 4 decimals so the hash-bucket thresholds
+    are integral and DuckDB replays the identical kept multiset."""
+    from tiledb_py_spark.operators.pipeline import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mix(d, "lang", ["doc_id"], alpha=0.5)
+    return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 relevance scoring for a 3-term query over the documents
+    corpus — the Lucene/Elastic default weighting, replayed exactly in
+    SQL (same smoothed idf, same length normalization)."""
+    from tiledb_py_spark.operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = bm25_scores(d, "text", "doc_id", ["query", "window", "spark"],
+                      tokens_col=ws)
+    return (out.select("doc_id", F.round("score", 5).alias("score"))
+               .orderBy("doc_id"))
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by smoothed TF-IDF,
+    rank stabilized by (rounded score desc, term asc) so DuckDB's
+    QUALIFY replays the identical ranking."""
+    from tiledb_py_spark.operators.retrieval import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = tfidf_top_terms(d, "text", "doc_id", k=3, tokens_col=ws)
+    return out.orderBy("doc_id", "rank")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Continuous-ingest dedup against persisted fingerprint state:
     batch 1 (doc_id < 250) commits its content fingerprints to a fresh
@@ -1588,11 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "asof_join": q_asof_join,
-        "exact_dedup": q_exact_dedup,
-        "minhash_dedup": q_minhash_dedup,
+"minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "array_embedding_topk": q_array_embedding_topk,
+"array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
@@ -1601,8 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
-        "batch_topk": q_batch_topk,
-        "multimodal_features": q_multimodal_features,
+"multimodal_features": q_multimodal_features,
         "text_quality": q_text_quality,
         "dedup_clusters": q_dedup_clusters,
         "repeated_ngrams": q_repeated_ngrams,
@@ -1617,6 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "incremental_dedup": q_incremental_dedup,
+        "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
+        "temperature_mix": q_temperature_mix,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1632,6 +1670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat entries with driver-green rows in CORRECTNESS_r04
         # rotated here in round 6 to fit the 7 new operator gates ---
         "multi_range": q_multi_range,
+        "exact_dedup": q_exact_dedup,
+        "simhash_neardup": q_simhash_neardup,
+        "batch_topk": q_batch_topk,
         # per-event sessionize (in-window) exercises the same gap
         # semantics row-level; the aggregated form rotates out
         "events_sessions": q_events_sessions,
@@ -2448,6 +2489,81 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id, session_idx
                                        ORDER BY ts, event_id))::BIGINT AS event_idx
             FROM s2 ORDER BY event_id
+        """,
+        "temperature_mix": r"""
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n) AS T, sum(pow(n, 0.5)) AS wsum FROM c),
+            r AS (
+                SELECT lang,
+                       round((pow(n, 0.5) / tot.wsum) * tot.T / n, 4) AS rate
+                FROM c, tot
+            ),
+            rows_ AS (
+                SELECT d.doc_id, d.lang,
+                       floor(r.rate)::BIGINT AS k,
+                       round((r.rate - floor(r.rate)) * 10000)::BIGINT AS thr,
+                       ('0x' || substr(md5(concat_ws(chr(31),
+                            CAST(d.doc_id AS VARCHAR), 'tempmix:42')),
+                            1, 15))::BIGINT % 10000 AS b
+                FROM documents d JOIN r USING (lang)
+            ),
+            n AS (
+                SELECT doc_id, lang,
+                       k + CASE WHEN b < thr THEN 1 ELSE 0 END AS n_copies
+                FROM rows_
+            )
+            SELECT doc_id, lang, u.copy_id
+            FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
+            WHERE n_copies > 0
+            ORDER BY doc_id, copy_id
+        """,
+        "bm25": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+            stats AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM lens),
+            tf AS (
+                SELECT doc_id, t.tok AS term, count(*) AS tf
+                FROM d, unnest(toks) AS t(tok)
+                WHERE t.tok IN ('query', 'window', 'spark')
+                GROUP BY doc_id, t.tok
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1 + (s.N - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                   ), 5) AS score
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN lens l ON tf.doc_id = l.doc_id, stats s
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
+        """,
+        "tfidf_terms": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+                SELECT doc_id, t.tok AS term, count(*) AS tf
+                FROM d, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM g GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS N FROM d),
+            scored AS (
+                SELECT g.doc_id, g.term, g.tf,
+                       round(g.tf * ln(n.N / dfreq.df), 6) AS tfidf
+                FROM g JOIN dfreq USING (term), n
+            )
+            SELECT doc_id, term, tf::BIGINT AS tf, tfidf,
+                   (row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC))::BIGINT AS rank
+            FROM scored
+            QUALIFY rank <= 3
+            ORDER BY doc_id, rank
         """,
         "incremental_dedup": r"""
             WITH norm AS (

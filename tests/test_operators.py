@@ -1716,3 +1716,70 @@ def test_incremental_exact_dedup_state_roundtrip(spark, tmp_path):
                                    commit=False)
     assert sorted(r.doc_id for r in out3.collect()) == [21]
     assert len(tdb.array_fragments(state)) == 2   # commit=False: no write
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 against a hand-computed value on a 3-doc corpus."""
+    import math
+
+    from tiledb_py_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian elderberry fig grape"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.score for r in
+           bm25_scores(df, "text", "doc_id", ["apple"]).collect()}
+    # N=3, df(apple)=1, tf in doc1 = 2, len=3, avgdl=3
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    k1, b = 1.2, 0.75
+    expect = idf * 2 * (k1 + 1) / (2 + k1 * (1 - b + b * 3 / 3))
+    assert set(out) == {1}
+    assert out[1] == pytest.approx(expect, rel=1e-9)
+    top = bm25_topk(df, "text", "doc_id", ["banana", "cherry"], k=2).collect()
+    assert [r.doc_id for r in top] == [2, 1]   # doc2 matches both terms
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """Corpus-common terms rank below doc-specific terms; k respected;
+    rank ties break on the term."""
+    from tiledb_py_spark.operators.retrieval import tfidf_top_terms
+
+    docs = [
+        (1, "common zebra zebra"),
+        (2, "common yak"),
+        (3, "common xerus xerus xerus"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    first = {r.doc_id: r.term for r in out if r.rank == 1}
+    assert first == {1: "zebra", 2: "yak", 3: "xerus"}
+    # 'common' has df=N -> tfidf 0, always ranked below the specific term
+    second = {r.doc_id: r.term for r in out if r.rank == 2}
+    assert second == {1: "common", 2: "common", 3: "common"}
+
+
+def test_temperature_mix_alpha_shapes(spark):
+    """alpha=1 is the identity mixture (every rate 1.0 -> one copy per
+    row); alpha=0 equalizes strata in expectation; alpha=0.5 moves the
+    tail share up and the head share down."""
+    from tiledb_py_spark.operators.pipeline import temperature_mix
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(900 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    ident = temperature_mix(df, "src", ["doc_id"], alpha=1.0)
+    assert ident.count() == 1000
+    assert ident.groupBy("src").count().filter("count <> 900 and count <> 100").count() == 0
+    half = temperature_mix(df, "src", ["doc_id"], alpha=0.5)
+    got = {r.src: r.cnt for r in
+           half.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # sqrt mixture: shares 0.75/0.25 of 1000 -> ~750 big / ~250 small
+    assert 650 <= got["big"] <= 820 and 200 <= got["small"] <= 300
+    # deterministic across invocations
+    again = {r.src: r.cnt for r in
+             temperature_mix(df, "src", ["doc_id"], alpha=0.5)
+             .groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert got == again

@@ -528,3 +528,34 @@ def dsir_resample(df: DataFrame, text_col: str, id_col: str,
     gumbel = -F.log(-F.log(u))
     return (w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
              .orderBy(F.desc("gumbel_key"), id_col).limit(n))
+
+
+def temperature_mix(df: DataFrame, strata_col: str,
+                    id_cols: Sequence[str], alpha: float = 0.5,
+                    target_total: Optional[int] = None, seed: int = 42,
+                    salt: str = "tempmix") -> DataFrame:
+    """Temperature-based mixture resampling — the ``p^alpha``
+    reweighting of multilingual / multi-source pretraining: stratum s
+    with n_s rows receives target fraction ``n_s^alpha / sum(n^alpha)``
+    of ``target_total`` (default: the input size), i.e. per-row rate
+    ``r_s = (n_s^alpha / sum) * T / n_s``.  ``alpha < 1`` upsamples the
+    tail and downsamples the head; ``alpha = 1`` is the identity
+    mixture; ``alpha = 0`` equalizes strata.
+
+    The driver collects only the stratum COUNTS (vocabulary-sized);
+    rates are quantized to 4 decimals so the fractional hash-bucket
+    threshold is integral — the kept multiset is then a pure function
+    of (ids, counts, alpha, seed), replayable bit-for-bit in any
+    engine.  Row replication rides ``resample_strata`` (explode, no
+    shuffle)."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()}
+    if not counts:
+        return resample_strata(df, strata_col, {}, id_cols, seed=seed,
+                               salt=salt)
+    T = target_total if target_total is not None else sum(counts.values())
+    wsum = sum(n ** alpha for n in counts.values())
+    rates = {s: round((n ** alpha / wsum) * T / n, 4)
+             for s, n in counts.items()}
+    return resample_strata(df, strata_col, rates, id_cols, seed=seed,
+                           salt=salt)
