@@ -2668,10 +2668,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             keyed AS (
                 SELECT doc_id, lw,
-                       lw + -ln(-ln(
+                       round(lw + -ln(-ln(
                            (('0x' || substr(md5(concat_ws(chr(31),
                                 CAST(doc_id AS VARCHAR), 'dsir:42')), 1, 15))::BIGINT
-                            + 0.5) / 1152921504606846976.0)) AS k
+                            + 0.5) / 1152921504606846976.0)), 6) AS k
                 FROM w
             )
             SELECT doc_id, round(lw, 5) AS log_weight

@@ -1783,3 +1783,63 @@ def test_temperature_mix_alpha_shapes(spark):
              temperature_mix(df, "src", ["doc_id"], alpha=0.5)
              .groupBy("src").agg(F.count("*").alias("cnt")).collect()}
     assert got == again
+
+
+def test_review_fixes_round6(spark, tmp_path):
+    """Round-6 review fixes: untrimmed line accounting parity, NULL
+    stratum rates, NULL clean_lines passthrough, literal line_sep,
+    memoized BPE encode equivalence."""
+    from tiledb_py_spark.operators.pipeline import temperature_mix
+    from tiledb_py_spark.operators.text import clean_lines, repetition_stats
+
+    # (1) arrow/expr parity on whitespace-padded lines
+    df = spark.createDataFrame([(1, "a b \n a b"), (2, "x|y")],
+                               ["doc_id", "text"])
+    for impl in ("arrow", "expr"):
+        r = {x.doc_id: x for x in
+             repetition_stats(df, "text", impl=impl,
+                              top_ns=(), dup_ns=()).collect()}
+        assert r[1].r_dup_line_frac == pytest.approx(0.0), impl
+        assert r[1].r_n_lines == 2, impl
+    # (2) literal '|' separator must not regex-split everywhere
+    for impl in ("arrow", "expr"):
+        r = {x.doc_id: x for x in
+             repetition_stats(df, "text", line_sep="|", impl=impl,
+                              top_ns=(), dup_ns=()).collect()}
+        assert r[2].r_n_lines == 2, impl
+    # (3) NULL stratum carries its own temperature rate
+    rows = ([(i, "big") for i in range(90)]
+            + [(90 + i, None) for i in range(10)])
+    sdf = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(sdf, "src", ["doc_id"], alpha=0.0)
+    got = {r[0]: r[1] for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # alpha=0 equalizes strata: each should land near 50, far from the
+    # 90/10 input shares
+    assert 30 <= got["big"] <= 70 and 30 <= got[None] <= 70
+    # (4) NULL text -> NULL clean_text
+    ndf = spark.createDataFrame([(1, None), (2, "some ok line here")],
+                                "doc_id long, text string")
+    c = {r.doc_id: r for r in clean_lines(ndf, "text").collect()}
+    assert c[1].clean_text is None and c[1].n_lines_kept == 0
+    assert c[2].clean_text == "some ok line here"
+
+
+def test_incremental_dedup_state_full_domain(spark, tmp_path):
+    """The fingerprint state array must accept arbitrary 64-bit hashes
+    in later batches (full-domain schema) — an indexed read on a
+    batch-2 fingerprint must not fall outside the declared domain."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    incremental_exact_dedup(b1, "text", "doc_id", state).collect()
+    b2 = spark.createDataFrame([(2, "zzzz")], ["doc_id", "text"])
+    incremental_exact_dedup(b2, "text", "doc_id", state).collect()
+    A = tdb.open(state, spark=spark)
+    fps = sorted(r.fp for r in A.dataframe().collect())
+    assert len(fps) == 2
+    # indexed point read on the batch-2 coordinate must succeed
+    got = A.df[fps[-1]]
+    assert len(got) == 1

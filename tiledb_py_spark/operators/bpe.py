@@ -116,13 +116,15 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 100,
     OOM the driver (same pattern as the LWW read-amplification guard)."""
     wf = word_frequencies(df, text_col, tokens_col=tokens_col,
                           lowercase=lowercase)
-    n_vocab = wf.count()
-    if n_vocab > max_vocab_rows:
+    # ONE corpus-sized job: the limit probe both enforces the guard and
+    # fetches the rows with bounded driver memory (a count() + collect()
+    # pair would run the full aggregation twice)
+    rows = wf.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"bpe_train: word-frequency table has {n_vocab} rows > "
+            f"bpe_train: word-frequency table exceeds "
             f"max_vocab_rows={max_vocab_rows}; is {text_col!r} tokenized "
             "text? Raise max_vocab_rows to override.")
-    rows = wf.collect()
     # driver-side merge loop over the vocabulary-sized summary
     from collections import Counter
 
@@ -161,10 +163,12 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
     once, row-local forever."""
     from pyspark.sql.functions import pandas_udf
 
-    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    merges = [tuple(p) for p in merges]
+    ranks = {p: i for i, p in enumerate(merges)}
 
-    def encode_word(word: str) -> List[str]:
-        syms = list(word[:-1]) + [word[-1] + end_of_word]
+    def encode_word(word: str) -> Tuple[str, ...]:
+        syms: Tuple[str, ...] = tuple(list(word[:-1])
+                                      + [word[-1] + end_of_word])
         while len(syms) > 1:
             cand = [(ranks[(syms[i], syms[i + 1])], i)
                     for i in range(len(syms) - 1)
@@ -172,21 +176,14 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
             if not cand:
                 break
             rank, _ = min(cand)
-            a, b = merges[rank]
-            out: List[str] = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
+            syms = _merge_word(syms, merges[rank])
         return syms
 
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
+        # word -> tokens memo: Zipfian text re-encodes the same types
+        # constantly; caching cuts UDF CPU by ~the token/type ratio
+        memo: dict = {}
         out = []
         for t in texts:
             if t is None:
@@ -196,7 +193,10 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
                 t = t.lower()
             toks: List[str] = []
             for w in t.split():
-                toks.extend(encode_word(w))
+                cached = memo.get(w)
+                if cached is None:
+                    cached = memo[w] = encode_word(w)
+                toks.extend(cached)
             out.append(toks)
         return pd.Series(out)
 

@@ -933,8 +933,10 @@ def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
     rebuild is a row-local array expression over the doc's own line
     array.  ``line_hash`` defaults to ``xxhash64``; pass ``md5_hash60``
     for a cross-engine-checkable hash."""
+    import re as _re
+
     lh = line_hash or F.xxhash64
-    lines = F.transform(F.split(F.col(text_col), line_sep, -1),
+    lines = F.transform(F.split(F.col(text_col), _re.escape(line_sep), -1),
                         lambda l: F.trim(l))
     lines = F.filter(lines, lambda l: F.length(l) > 0)
     base = df.select(F.col(id_col).alias("__id"), lines.alias("__ls"))
@@ -1013,8 +1015,12 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
         if len(fps):
             from ..sources.dataframe_ import from_pandas
 
+            # full_domain: later batches append arbitrary 64-bit hashes;
+            # a domain pinned to batch 1's min/max would put them
+            # outside the declared coordinate domain
             from_pandas(state_uri, fps, index_dims=["fp"],
-                        mode="append" if exists else "ingest")
+                        mode="append" if exists else "ingest",
+                        full_domain=not exists)
     return surv.drop("__fp")
 
 

@@ -180,7 +180,11 @@ def resample_strata(df: DataFrame, strata_col: str,
         k, f = int(r), r - int(r)
         n = F.lit(k) + F.when(bucket < F.lit(int(round(f * _BUCKETS))), 1) \
             .otherwise(0)
-        cond = F.col(strata_col) == value
+        # null-safe: a NULL stratum must be able to carry its own rate
+        # (a plain == is never true for NULL and the row would silently
+        # fall through to default_rate)
+        cond = (F.col(strata_col).isNull() if value is None
+                else F.col(strata_col) == value)
         n_copies = F.when(cond, n) if n_copies is None \
             else n_copies.when(cond, n)
     kd, fd = int(default_rate), default_rate - int(default_rate)
@@ -523,10 +527,14 @@ def dsir_resample(df: DataFrame, text_col: str, id_col: str,
                            target_text_col=target_text_col,
                            n_buckets=n_buckets, smoothing=smoothing,
                            token_hash=token_hash)
-    # u in (0, 1) strictly: (hash60 + 0.5) / 2^60
+    # u in (0, 1) strictly: (hash60 + 0.5) / 2^60.  The key is ROUNDED
+    # before ranking so a last-ulp ln() difference between engines
+    # cannot flip the boundary pair of the draw (same stabilization as
+    # tfidf_top_terms); ids break the (now possible) exact ties.
     u = (portable_hash60([id_col], seed, salt=salt) + F.lit(0.5)) / F.lit(float(2 ** 60))
     gumbel = -F.log(-F.log(u))
-    return (w.withColumn("gumbel_key", F.col("log_weight") + gumbel)
+    return (w.withColumn("gumbel_key",
+                         F.round(F.col("log_weight") + gumbel, 6))
              .orderBy(F.desc("gumbel_key"), id_col).limit(n))
 
 

@@ -198,7 +198,9 @@ def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
         t = ""  # the expr path scores NULL text as an empty document
     toks = t.split()
     chars = max(sum(len(x) for x in toks), 1)
-    lines = [l for l in (x.strip() for x in t.split(line_sep)) if l]
+    # line pieces stay UNTRIMMED (matching the expr path and the SQL
+    # oracle); only the emptiness test trims
+    lines = [x for x in t.split(line_sep) if x.strip()]
     n_lines = len(lines)
     dlines = set(lines)
     lchars = max(sum(len(l) for l in lines), 1)
@@ -321,7 +323,11 @@ def repetition_stats(df: DataFrame, text_col: str,
     safe_chars = F.greatest(tok_chars, F.lit(1)).cast("double")
 
     # --- line repetition ---------------------------------------------------
-    lines_e = F.coalesce(F.filter(F.split(c, line_sep, -1),
+    # line_sep is a LITERAL separator: escape it for the regex split
+    # (a '|' or '.' separator would otherwise split everywhere)
+    import re as _re
+
+    lines_e = F.coalesce(F.filter(F.split(c, _re.escape(line_sep), -1),
                                   lambda l: F.length(F.trim(l)) > 0),
                          F.array().cast("array<string>"))
     df = df.withColumn("__r_lines", lines_e)
@@ -455,10 +461,16 @@ def clean_lines(df: DataFrame, text_col: str,
     or (``block_curly``) a curly brace — C4 drops these entirely; the
     operator only flags so callers choose filter vs audit.
 
-    All row-local array expressions — zero shuffles."""
+    All row-local array expressions — zero shuffles.  NULL text passes
+    through as NULL ``clean_text`` with zero counts (matching
+    ``dedup.remove_repeated_lines``)."""
+    import re as _re
+
     c = F.col(text_col)
-    lines = F.transform(F.split(c, line_sep, -1), lambda l: F.trim(l))
+    lines = F.transform(F.split(c, _re.escape(line_sep), -1),
+                        lambda l: F.trim(l))
     lines = F.filter(lines, lambda l: F.length(l) > 0)
+    was_null = c.isNull()
     lines = F.coalesce(lines, F.array().cast("array<string>"))
 
     def keep(l: Column) -> Column:
@@ -478,7 +490,9 @@ def clean_lines(df: DataFrame, text_col: str,
     if block_curly:
         blocked = blocked | low_doc.contains("{")
     return (df
-            .withColumn("clean_text", F.array_join(kept, line_sep))
+            .withColumn("clean_text",
+                        F.when(was_null, F.lit(None).cast("string"))
+                         .otherwise(F.array_join(kept, line_sep)))
             .withColumn("n_lines_kept", F.size(kept).cast("long"))
             .withColumn("n_lines_dropped",
                         (F.size(lines) - F.size(kept)).cast("long"))
