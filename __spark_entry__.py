@@ -1457,6 +1457,22 @@ def q_bpe_train(spark, sf_dir):
         "encode_deterministic boolean, vocab_closed boolean")
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet perplexity tiers: every doc scored by corpus-unigram
+    surprisal, then bucketed into equal-population thirds by exact
+    percent_rank (ties on the id) — the oracle replays the identical
+    ranking in SQL."""
+    from tiledb_py_spark.operators.text import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = perplexity_buckets(d, "text", "doc_id", n_buckets=3,
+                             tokens_col=ws)
+    return (out.select("doc_id", F.round("surprisal", 5).alias("surprisal"),
+                       "ppl_bucket")
+               .orderBy("doc_id"))
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training shuffle: sort by a seeded portable
     md5-60bit hash of the id — the permutation is a pure function of
@@ -1620,7 +1636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_sql": q_array_sql,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
-        "label_read": q_label_read,
         "salted_agg": q_salted_agg,
         "asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
@@ -1655,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
         "temperature_mix": q_temperature_mix,
+        "ppl_buckets": q_ppl_buckets,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1670,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat entries with driver-green rows in CORRECTNESS_r04
         # rotated here in round 6 to fit the 7 new operator gates ---
         "multi_range": q_multi_range,
+        "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
         "batch_topk": q_batch_topk,
@@ -2602,6 +2619,25 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "ppl_buckets": r"""
+            WITH g AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            freq AS (SELECT tok, count(*) AS cnt FROM g GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM freq),
+            s AS (
+                SELECT g.doc_id,
+                       avg(-ln(freq.cnt * 1.0 / tot.total)) AS surprisal
+                FROM g JOIN freq USING (tok), tot
+                GROUP BY g.doc_id
+            )
+            SELECT doc_id, round(surprisal, 5) AS surprisal,
+                   least(floor(percent_rank()
+                           OVER (ORDER BY round(surprisal, 6), doc_id) * 3),
+                         2)::BIGINT AS ppl_bucket
+            FROM s ORDER BY doc_id
         """,
         "dsir_weights": r"""
             WITH d AS (

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "sessionize",
     "dsir_weights",
+    "bm25",
+    "temperature_mix",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -252,3 +252,49 @@ def test_stream_neardup_within_watermark(spark, tmp_path):
     got = sorted(r.event_id for r in
                  neardup_event_stream(batch, "text").collect())
     assert got == [1, 2, 4]
+
+
+def test_stateless_quality_ops_run_on_streams(spark, tmp_path):
+    """The round-6 quality/cleaning operators are pure column
+    expressions, so they compose into a readStream unchanged — run
+    clean_lines + repetition_stats(impl='expr') + scrub_text over a
+    file stream and check the sink matches the batch answer."""
+    from tiledb_py_spark.operators.pipeline import scrub_text
+    from tiledb_py_spark.operators.text import clean_lines, repetition_stats
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["good line one here\nok\ngood line two here",
+                 "a b a b a b",
+                 "email me at a@b.co now please",
+                 "plain text document body"],
+    })
+    pdf.to_parquet(src / "f1.parquet")
+
+    def enrich(df):
+        out = clean_lines(df, "text", min_words=3)
+        out = repetition_stats(out, "text", impl="expr",
+                               top_ns=(2,), dup_ns=())
+        return out.withColumn("scrubbed", scrub_text("text"))
+
+    batch = {r.doc_id: r for r in
+             enrich(spark.read.parquet(str(src))).collect()}
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(str(src)).schema)
+              .parquet(str(src)))
+    rows = []
+    q = (enrich(stream).writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(batch)
+    for k in got:
+        assert got[k].clean_text == batch[k].clean_text
+        assert got[k].r_top2gram_char_frac == batch[k].r_top2gram_char_frac
+        assert got[k].scrubbed == batch[k].scrubbed
+    assert "a@b.co" not in got[2].scrubbed

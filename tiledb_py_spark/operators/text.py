@@ -499,6 +499,34 @@ def clean_lines(df: DataFrame, text_col: str,
             .withColumn("doc_blocked", F.coalesce(blocked, F.lit(False))))
 
 
+def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
+                       n_buckets: int = 3,
+                       tokens_col: Optional[Column] = None) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-unigram surprisal proxy
+    (``unigram_surprisal``) and assign it to one of ``n_buckets``
+    equal-population quality tiers — bucket 0 = lowest surprisal
+    ("head", most fluent), last = highest ("tail").  CCNet keeps head+
+    middle and drops or downweights the tail.
+
+    Bucket = ``floor(percent_rank * n) clamped to n-1`` over the
+    surprisal ordering ROUNDED to 6 decimals (ties broken by id) —
+    deterministic and SQL-replayable, unlike an approxQuantile cut,
+    and the rounding keeps a last-ulp ln() difference between engines
+    from flipping ranks at a bucket boundary.  The percent_rank window
+    is ungrouped: it globally sorts only the (id, surprisal) pairs —
+    16 bytes/doc, the same cost class as the deterministic global
+    shuffle — not the documents."""
+    s = unigram_surprisal(df, text_col, id_col, tokens_col=tokens_col)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.round(F.col("surprisal"), 6), F.col(id_col))
+    pr = F.percent_rank().over(w)
+    bucket = F.least(F.floor(pr * n_buckets).cast("int"),
+                     F.lit(n_buckets - 1))
+    return s.withColumn("ppl_bucket", bucket.cast("long"))
+
+
 def fingerprint(col: str | Column) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text —
     stable under whitespace/punctuation/case variation (rolling-hash
