@@ -1843,3 +1843,32 @@ def test_incremental_dedup_state_full_domain(spark, tmp_path):
     # indexed point read on the batch-2 coordinate must succeed
     got = A.df[fps[-1]]
     assert len(got) == 1
+
+
+def test_array_level_pq_index(spark, tmp_path):
+    """build_ann_index(kind='pq') persists codebooks into the array
+    manifest; ann_search(kind='pq') loads and scores without refit."""
+    import numpy as np
+
+    import tiledb_py_spark as tdb
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": [rng.normal(size=16).astype("float64")
+                      for _ in range(60)],
+    })
+    uri = str(tmp_path / "emb")
+    tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
+    idx = tdb.build_ann_index(uri, "embedding", kind="pq", m=4, n_codes=8,
+                              spark=spark)
+    q = pdf["embedding"][0].tolist()
+    got = tdb.ann_search(uri, "embedding", "vec_id", q, k=5, kind="pq",
+                         spark=spark).collect()
+    assert len(got) == 5
+    # same result from the returned fitted index directly
+    import numpy as np
+    direct = idx.search(idx.encode(
+        tdb.open(uri, spark=spark).dataframe(), "embedding"),
+        "vec_id", q, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in direct]

@@ -211,30 +211,52 @@ def vacuum(uri: str, **kwargs):
 
 
 def build_ann_index(uri: str, vec_col: str, name: str = "default",
-                    spark=None, n_cells: int = 16, n_probe: int = 3,
+                    spark=None, kind: str = "ivf",
+                    n_cells: int = 16, n_probe: int = 3,
+                    m: int = 8, n_codes: int = 16,
                     metric: str = "cosine", seed: int = 42):
-    """Fit an IVF ANN index over a stored embedding array and persist its
-    centroids into the array's manifest metadata (``__ivf_index:<name>``)
-    — fit once, search forever.  Returns the fitted
-    ``operators.similarity.IVFIndex``."""
-    from .operators.similarity import IVFIndex
-
+    """Fit an ANN index over a stored embedding array and persist it into
+    the array's manifest metadata — fit once, search forever.
+    ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
+    probe-pruned search); ``kind="pq"`` trains product-quantization
+    codebooks (``__pq_index:<name>``, m-byte codes + ADC search).
+    Returns the fitted index object."""
     A = open(uri, spark=spark)
     df = A.dataframe()
-    idx = IVFIndex(n_cells=n_cells, n_probe=n_probe, metric=metric,
-                   seed=seed).fit(df, vec_col)
+    if kind == "ivf":
+        from .operators.similarity import IVFIndex
+
+        idx = IVFIndex(n_cells=n_cells, n_probe=n_probe, metric=metric,
+                       seed=seed).fit(df, vec_col)
+    elif kind == "pq":
+        from .operators.similarity import PQIndex
+
+        idx = PQIndex(m=m, n_codes=n_codes, metric=metric,
+                      seed=seed).fit(df, vec_col)
+    else:
+        raise ValueError(f"unknown ANN index kind {kind!r}")
     idx.save(uri, name=name)
     return idx
 
 
 def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
-               k: int = 10, name: str = "default", spark=None):
+               k: int = 10, name: str = "default", kind: str = "ivf",
+               spark=None):
     """Approximate top-k over a stored embedding array using the index
-    persisted by :func:`build_ann_index` — loads centroids from the
-    manifest (no refit) and probes only the ``n_probe`` nearest cells.
-    Returns a DataFrame of (id, score)."""
-    from .operators.similarity import IVFIndex
-
-    idx = IVFIndex.load(uri, name=name)
+    persisted by :func:`build_ann_index` — loads it from the manifest
+    (no refit).  ``kind="ivf"`` probes the nearest cells; ``kind="pq"``
+    encodes on the fly and scores via the ADC lookup table.  Returns a
+    DataFrame of (id, score)."""
     A = open(uri, spark=spark)
-    return idx.search(A.dataframe(), vec_col, id_col, query_vec, k=k)
+    if kind == "ivf":
+        from .operators.similarity import IVFIndex
+
+        idx = IVFIndex.load(uri, name=name)
+        return idx.search(A.dataframe(), vec_col, id_col, query_vec, k=k)
+    if kind == "pq":
+        from .operators.similarity import PQIndex
+
+        idx = PQIndex.load(uri, name=name)
+        return idx.search(A.dataframe(), id_col, query_vec, k=k,
+                          vec_col=vec_col)
+    raise ValueError(f"unknown ANN index kind {kind!r}")
