@@ -1457,6 +1457,36 @@ def q_bpe_train(spark, sf_dir):
         "encode_deterministic boolean, vocab_closed boolean")
 
 
+def q_winnow(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=5 token grams, window=4): each
+    window's minimum gram hash, rightmost on ties, deduped — any
+    shared token run >= k+window-1 guarantees a shared fingerprint.
+    The oracle replays the window-min + rightmost-argmin selection."""
+    from tiledb_py_spark.operators.dedup import md5_hash60, winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    out = winnow_fingerprints(d, "text", "doc_id", k=5, window=4,
+                              gram_hash=md5_hash60)
+    return out.orderBy("doc_id", "pos")
+
+
+def q_bigram_surprisal(spark, sf_dir):
+    """Conditional bigram surprisal: mean -ln(C(w1 w2)/C(w1)-as-prefix)
+    per doc under the corpus's own MLE bigram model — catches shuffled
+    or gibberish transitions unigram stats cannot.  The oracle replays
+    the identical two-count computation."""
+    from tiledb_py_spark.operators.text import ngram_surprisal
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = ngram_surprisal(d, "text", "doc_id", n=2, tokens_col=ws)
+    return (out.select("doc_id", F.round("surprisal", 5).alias("surprisal"),
+                       "n_grams")
+               .orderBy("doc_id"))
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet perplexity tiers: every doc scored by corpus-unigram
     surprisal, then bucketed into equal-population thirds by exact
@@ -1636,8 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_sql": q_array_sql,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
-        "salted_agg": q_salted_agg,
-        "asof_forward": q_asof_forward,
+"asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "asof_join": q_asof_join,
@@ -1654,8 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
 "multimodal_features": q_multimodal_features,
         "text_quality": q_text_quality,
-        "dedup_clusters": q_dedup_clusters,
-        "repeated_ngrams": q_repeated_ngrams,
+"repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
         "repetition_stats": q_repetition_stats,
@@ -1671,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "temperature_mix": q_temperature_mix,
         "ppl_buckets": q_ppl_buckets,
+        "bigram_surprisal": q_bigram_surprisal,
+        "winnow": q_winnow,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1686,6 +1716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compat entries with driver-green rows in CORRECTNESS_r04
         # rotated here in round 6 to fit the 7 new operator gates ---
         "multi_range": q_multi_range,
+        "salted_agg": q_salted_agg,
+        "multimodal_features": q_multimodal_features,
+        # dedup_clusters is the O(n^2)-oracle form; its scale path
+        # dedup_clusters_lsh stays in-window
+        "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
@@ -2619,6 +2654,57 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "winnow": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+                SELECT doc_id, i AS pos,
+                       ('0x' || substr(md5(array_to_string(a[i:i+4], ' ')),
+                                       1, 15))::BIGINT AS h,
+                       len(a) - 4 AS G
+                FROM d, UNNEST(generate_series(1, len(a) - 4)) AS u(i)
+                WHERE len(a) >= 5
+            ),
+            win AS (
+                SELECT doc_id, pos AS j, G,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                FROM g
+            ),
+            starts AS (SELECT * FROM win WHERE j <= greatest(G - 3, 1)),
+            sel AS (
+                SELECT w1.doc_id, w1.j, max(g2.pos) AS pos
+                FROM starts w1 JOIN g g2
+                  ON g2.doc_id = w1.doc_id
+                 AND g2.pos BETWEEN w1.j AND w1.j + 3
+                 AND g2.h = w1.m
+                GROUP BY w1.doc_id, w1.j
+            )
+            SELECT DISTINCT s.doc_id, s.pos, g.h AS fp
+            FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+            ORDER BY s.doc_id, s.pos
+        """,
+        "bigram_surprisal": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+                SELECT doc_id,
+                       a[i] || chr(31) || a[i+1] AS bg,
+                       a[i] AS pre
+                FROM d, UNNEST(generate_series(1, len(a) - 1)) AS u(i)
+            ),
+            c2 AS (SELECT bg, count(*) AS c2 FROM g GROUP BY bg),
+            c1 AS (SELECT pre, count(*) AS c1 FROM g GROUP BY pre)
+            SELECT doc_id,
+                   round(avg(-ln(c2.c2 * 1.0 / c1.c1)), 5) AS surprisal,
+                   count(*)::BIGINT AS n_grams
+            FROM g JOIN c2 USING (bg) JOIN c1 USING (pre)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "ppl_buckets": r"""
             WITH g AS (

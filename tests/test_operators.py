@@ -1872,3 +1872,69 @@ def test_array_level_pq_index(spark, tmp_path):
         tdb.open(uri, spark=spark).dataframe(), "embedding"),
         "vec_id", q, k=5).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in direct]
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Winnowing matches a from-scratch reference (window min, rightmost
+    tie) and honors the k+window-1 shared-substring guarantee; short
+    docs take one partial window; sub-k docs emit nothing."""
+    from tiledb_py_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "a b c d e f g h i j k l m n"),
+        (2, "x y z a b c d e f g h i j q r"),   # shares a 10-token run
+        (3, "p q r s t"),                        # exactly one 5-gram
+        (4, "u v"),                              # shorter than k
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.doc_id, []).append((r.pos, r.fp))
+
+    # reference implementation over the same xxhash64 gram hashes
+    def ref(text, k, w):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            return []
+        hs = [r[0] for r in spark.createDataFrame(
+            [(g,) for g in grams], ["g"]).select(F.xxhash64("g")).collect()]
+        G = len(hs)
+        sels = {}
+        for j in range(max(G - w + 1, 1)):
+            size = min(w, G - j)
+            win = hs[j:j + size]
+            m = min(win)
+            pos = j + max(i for i, h in enumerate(win) if h == m)
+            sels[pos + 1] = hs[pos]
+        return sorted(sels.items())
+
+    for doc_id, text in docs:
+        assert sorted(by.get(doc_id, [])) == ref(text, 5, 4), doc_id
+    f1 = {fp for _, fp in by[1]}
+    f2 = {fp for _, fp in by[2]}
+    assert f1 & f2        # the guarantee
+    assert 4 not in by    # sub-k doc emits nothing
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Conditional bigram surprisal against a hand computation."""
+    import math
+
+    from tiledb_py_spark.operators.text import ngram_surprisal
+
+    docs = [(1, "a b a b"), (2, "a b c"), (3, "x")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = {r.doc_id: r for r in
+           ngram_surprisal(df, "text", "doc_id", n=2,
+                           tokens_col=ws).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; prefixes: a->3, b->2
+    s_ab = -math.log(3 / 3)   # C(ab)/C(a-prefix) = 3/3
+    s_ba = -math.log(1 / 2)
+    s_bc = -math.log(1 / 2)
+    assert out[1].surprisal == pytest.approx((s_ab + s_ba + s_ab) / 3)
+    assert out[1].n_grams == 3
+    assert out[2].surprisal == pytest.approx((s_ab + s_bc) / 2)
+    assert 3 not in out       # single-token doc dropped

@@ -972,6 +972,84 @@ def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
         F.size("__P").cast("long").alias("n_removed"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, window: int = 4,
+                        gram_hash=None,
+                        tokens_col: Optional[Column] = None) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting"): hash every k-token
+    gram, slide a window over ``window`` consecutive gram hashes, and
+    select each window's MINIMUM hash (rightmost position on ties);
+    consecutive windows selecting the same position collapse.  The
+    guarantee: two documents sharing any token run of at least
+    ``k + window - 1`` share at least one selected fingerprint — the
+    sub-quadratic local fingerprint behind plagiarism / near-copy
+    detection, with density ~2/(window+1) instead of every gram.
+
+    Returns exploded rows ``(id_col, pos, fp)`` (pos = 1-based gram
+    start) — self-join or cross-corpus-join on ``fp`` for candidate
+    matches.  Documents with fewer than ``window`` grams winnow their
+    single partial window; docs shorter than ``k`` tokens emit nothing.
+
+    Row-local array machinery (each stage a multi-referenced column,
+    same CollapseProject staging rule as ``text.repetition_stats``);
+    only the selected (8-byte fp, pos, id) rows leave the row.
+    ``gram_hash`` defaults to xxhash64; pass ``md5_hash60`` for the
+    cross-engine-checkable form."""
+    gh = gram_hash or F.xxhash64
+    if tokens_col is None:
+        from .text import whitespace_tokens
+
+        toks = whitespace_tokens(F.col(text_col))
+    else:
+        toks = tokens_col
+    w = window
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    L = F.size("__toks")
+    base = base.withColumn("__gh", F.when(L >= k, F.transform(
+        F.sequence(F.lit(1), L - (k - 1)),
+        lambda i: gh(F.concat_ws(" ", F.slice("__toks", i, k))))
+    ).otherwise(F.array().cast("array<bigint>")))
+    ghs = F.col("__gh")
+    G = F.size(ghs)
+    n_wins = F.greatest(G - (w - 1), F.lit(1))
+    # per window j: size = min(w, G-j+1) (partial only when G < w);
+    # rightmost position attaining the window minimum, in ONE pass
+    # (an array_min + argmin-filter pair would re-evaluate the min per
+    # element once CollapseProject inlines it into the lambda)
+    def sel(j):
+        size = F.least(F.lit(w), G - j + 1)
+        acc0 = F.struct(F.lit(None).cast("bigint").alias("best"),
+                        F.lit(0).alias("pos"))
+        return F.aggregate(
+            F.sequence(j, j + size - 1), acc0,
+            lambda a, p: F.when(
+                a["best"].isNull()
+                | (F.element_at(ghs, p) <= a["best"]),
+                F.struct(F.element_at(ghs, p).alias("best"),
+                         p.alias("pos"))).otherwise(a),
+            lambda a: a["pos"])
+    sels = F.when(G > 0, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_wins), sel))
+    ).otherwise(F.array().cast("array<int>"))
+    # (pos, fp) structs are built HERE, where __gh is still a bound
+    # attribute, and the explode is explode_OUTER: a plain explode lets
+    # InferFiltersFromGenerate clone the generator child — the ENTIRE
+    # winnowing expression, un-staged — into a size()>0 predicate that
+    # pushdown carries to the scan, where the gram-hash transform
+    # re-evaluates inside every window lambda step (measured 125 s for
+    # 500 sf0.01 docs vs ~2 s).  explode_outer infers nothing; the
+    # empty-doc null rows drop in a cheap post-generate filter.
+    pairs = F.transform(sels, lambda p: F.struct(
+        p.alias("pos"), F.element_at(ghs, p).alias("fp")))
+    return (base.withColumn("__sel", pairs)
+                .select("__id", F.explode_outer("__sel").alias("__s"))
+                .filter(F.col("__s").isNotNull())
+                .select(F.col("__id").alias(id_col),
+                        F.col("__s.pos").alias("pos"),
+                        F.col("__s.fp").alias("fp")))
+
+
 def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
                             state_uri: str, commit: bool = True) -> DataFrame:
     """Continuous-ingest exact dedup: drop rows whose normalized content

@@ -499,6 +499,50 @@ def clean_lines(df: DataFrame, text_col: str,
             .withColumn("doc_blocked", F.coalesce(blocked, F.lit(False))))
 
 
+def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
+                    n: int = 2,
+                    tokens_col: Optional[Column] = None) -> DataFrame:
+    """Conditional n-gram surprisal (the KenLM-proxy upgrade of
+    ``unigram_surprisal``): per document, the mean of
+    ``-ln( C(w_{i-n+1..i}) / C(w_{i-n+1..i-1}) )`` under the corpus's
+    own MLE n-gram model — every observed n-gram's prefix count is
+    positive by construction, so the estimate needs no smoothing.
+    Low = text made of corpus-typical continuations; high = unusual
+    transitions (gibberish, shuffled text that unigram stats cannot
+    see).
+
+    Scale shape: one postings pass exploding positions; each posting
+    carries the id plus TWO 8-byte hashes (the n-gram and its prefix,
+    ``\\x1f``-joined so token boundaries stay unambiguous); n-gram and
+    prefix counts are two combine-enabled aggregations joined back on
+    their hash; one (id)-keyed mean.  Raw text never shuffles.  Docs
+    shorter than n tokens are dropped."""
+    if n < 2:
+        raise ValueError("use unigram_surprisal for n=1")
+    toks = (tokens_col if tokens_col is not None
+            else _tokens_lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    pos = F.when(F.size("__toks") >= n,
+                 F.sequence(F.lit(1), F.size("__toks") - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
+             .select("__id",
+                     F.xxhash64(F.concat_ws(
+                         "\x1f", F.slice("__toks", F.col("__i"), n)))
+                     .alias("__g"),
+                     F.xxhash64(F.concat_ws(
+                         "\x1f", F.slice("__toks", F.col("__i"), n - 1)))
+                     .alias("__p")))
+    c2 = g.groupBy("__g").agg(F.count("*").alias("__c2"))
+    c1 = g.groupBy("__p").agg(F.count("*").alias("__c1"))
+    return (g.join(c2, on="__g").join(c1, on="__p")
+             .groupBy("__id")
+             .agg(F.avg(-F.log(F.col("__c2") / F.col("__c1")))
+                  .alias("surprisal"),
+                  F.count("*").cast("long").alias("n_grams"))
+             .withColumnRenamed("__id", id_col))
+
+
 def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
                        n_buckets: int = 3,
                        tokens_col: Optional[Column] = None) -> DataFrame:
