@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "bm25",
     "temperature_mix",
+    "winnow",
+    "bigram_surprisal",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -379,3 +379,24 @@ def test_dsir_weights_ratio_join_broadcast(spark):
     out = importance_weights(df, "text", "id", tgt, n_buckets=64)
     s = _plan(out)
     assert "BroadcastHashJoin" in s
+
+
+def test_winnow_no_generator_child_clone(spark):
+    """The winnowing explode must stay explode_outer: a plain explode
+    lets InferFiltersFromGenerate clone the whole un-staged winnowing
+    expression into a scan-pushed predicate (measured 80x slower).
+    Regression: the gram-hash transform appears exactly once in the
+    optimized plan and no Filter node carries an aggregate()."""
+    from tiledb_py_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        F.concat(F.lit("tok a b c d e f g h i j "),
+                 F.col("id").cast("string")).alias("text"))
+    out = winnow_fingerprints(df, "text", "id", k=5, window=4)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("xxhash64") == 1
+    for line in opt.splitlines():
+        if "Filter" in line:
+            assert "aggregate(" not in line and "xxhash64" not in line
+    assert out.count() > 0
