@@ -1666,13 +1666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_sql": q_array_sql,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
-"asof_forward": q_asof_forward,
+        "asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
         "join_topk": q_join_topk,
         "asof_join": q_asof_join,
-"minhash_dedup": q_minhash_dedup,
+        "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-"array_embedding_topk": q_array_embedding_topk,
+        "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
@@ -1681,9 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
-"multimodal_features": q_multimodal_features,
         "text_quality": q_text_quality,
-"repeated_ngrams": q_repeated_ngrams,
+        "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
         "repetition_stats": q_repetition_stats,
@@ -1712,9 +1711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         # --- below the driver's 50-entry snapshot window: long-stable
         # gates, each still oracle-checked every round by
-        # tools/check_correctness.py (most also pytest-covered).  Six
-        # compat entries with driver-green rows in CORRECTNESS_r04
-        # rotated here in round 6 to fit the 7 new operator gates ---
+        # tools/check_correctness.py (most also pytest-covered).
+        # Round 6 rotated long-stable compat entries here (each with a
+        # driver-green CORRECTNESS_r04 row and pytest cover) to fit
+        # the 16 new operator gates inside the window ---
         "multi_range": q_multi_range,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,

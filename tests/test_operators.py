@@ -1867,7 +1867,6 @@ def test_array_level_pq_index(spark, tmp_path):
                          spark=spark).collect()
     assert len(got) == 5
     # same result from the returned fitted index directly
-    import numpy as np
     direct = idx.search(idx.encode(
         tdb.open(uri, spark=spark).dataframe(), "embedding"),
         "vec_id", q, k=5).collect()

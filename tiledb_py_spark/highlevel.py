@@ -211,10 +211,9 @@ def vacuum(uri: str, **kwargs):
 
 
 def build_ann_index(uri: str, vec_col: str, name: str = "default",
-                    spark=None, kind: str = "ivf",
-                    n_cells: int = 16, n_probe: int = 3,
-                    m: int = 8, n_codes: int = 16,
-                    metric: str = "cosine", seed: int = 42):
+                    spark=None, n_cells: int = 16, n_probe: int = 3,
+                    metric: str = "cosine", seed: int = 42, *,
+                    kind: str = "ivf", m: int = 8, n_codes: int = 16):
     """Fit an ANN index over a stored embedding array and persist it into
     the array's manifest metadata — fit once, search forever.
     ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
@@ -240,8 +239,8 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
 
 
 def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
-               k: int = 10, name: str = "default", kind: str = "ivf",
-               spark=None):
+               k: int = 10, name: str = "default", spark=None, *,
+               kind: str = "ivf"):
     """Approximate top-k over a stored embedding array using the index
     persisted by :func:`build_ann_index` — loads it from the manifest
     (no refit).  ``kind="ivf"`` probes the nearest cells; ``kind="pq"``

@@ -511,12 +511,17 @@ def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
     transitions (gibberish, shuffled text that unigram stats cannot
     see).
 
-    Scale shape: one postings pass exploding positions; each posting
-    carries the id plus TWO 8-byte hashes (the n-gram and its prefix,
-    ``\\x1f``-joined so token boundaries stay unambiguous); n-gram and
-    prefix counts are two combine-enabled aggregations joined back on
-    their hash; one (id)-keyed mean.  Raw text never shuffles.  Docs
-    shorter than n tokens are dropped."""
+    Scale shape: each posting carries the id plus TWO 8-byte hashes —
+    ``xxhash64`` of the n-token and (n-1)-token ARRAY slices directly,
+    so no join delimiter exists to collide with token content (a
+    ``\\x1f``-joined string would conflate grams when a crawled token
+    itself contains 0x1F, which ``\\s`` tokenizers do not strip).  The
+    postings evaluate twice: once into the vocabulary-sized
+    (gram, prefix) count table — an n-gram determines its prefix, so
+    ONE aggregation yields both counts (prefix totals roll up from it)
+    — and once as the join-back stream for the per-doc mean; the same
+    two-pass shape as ``unigram_surprisal``.  Raw text never shuffles.
+    Docs shorter than n tokens are dropped."""
     if n < 2:
         raise ValueError("use unigram_surprisal for n=1")
     toks = (tokens_col if tokens_col is not None
@@ -527,15 +532,14 @@ def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
                  ).otherwise(F.array().cast("array<int>"))
     g = (base.select("__id", "__toks", F.explode(pos).alias("__i"))
              .select("__id",
-                     F.xxhash64(F.concat_ws(
-                         "\x1f", F.slice("__toks", F.col("__i"), n)))
+                     F.xxhash64(F.slice("__toks", F.col("__i"), n))
                      .alias("__g"),
-                     F.xxhash64(F.concat_ws(
-                         "\x1f", F.slice("__toks", F.col("__i"), n - 1)))
+                     F.xxhash64(F.slice("__toks", F.col("__i"), n - 1))
                      .alias("__p")))
-    c2 = g.groupBy("__g").agg(F.count("*").alias("__c2"))
-    c1 = g.groupBy("__p").agg(F.count("*").alias("__c1"))
-    return (g.join(c2, on="__g").join(c1, on="__p")
+    pc = g.groupBy("__g", "__p").agg(F.count("*").alias("__c2"))
+    c1 = pc.groupBy("__p").agg(F.sum("__c2").alias("__c1"))
+    ratio = pc.join(c1, on="__p").select("__g", "__c2", "__c1")
+    return (g.join(ratio, on="__g")
              .groupBy("__id")
              .agg(F.avg(-F.log(F.col("__c2") / F.col("__c1")))
                   .alias("surprisal"),
