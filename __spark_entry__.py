@@ -1503,6 +1503,18 @@ def q_ppl_buckets(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment: shard = portable hash
+    of the id modulo 16 — the reproducible file-to-example mapping a
+    resumable data loader needs; the oracle recomputes the identical
+    hash."""
+    from tiledb_py_spark.operators.pipeline import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return (assign_shards(d, ["doc_id"], n_shards=16)
+            .select("doc_id", "shard").orderBy("doc_id"))
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training shuffle: sort by a seeded portable
     md5-60bit hash of the id — the permutation is a pure function of
@@ -1681,7 +1693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
-        "text_quality": q_text_quality,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
@@ -1700,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "bigram_surprisal": q_bigram_surprisal,
         "winnow": q_winnow,
+        "shard_assign": q_shard_assign,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
         # the 16 new operator gates inside the window ---
         "multi_range": q_multi_range,
+        "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
         # dedup_clusters is the O(n^2)-oracle form; its scale path
@@ -2654,6 +2667,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "shard_assign": r"""
+            SELECT doc_id,
+                   (('0x' || substr(md5(concat_ws(chr(31),
+                        CAST(doc_id AS VARCHAR), 'shard:42')), 1, 15))::BIGINT
+                    % 16)::INT AS shard
+            FROM documents ORDER BY doc_id
         """,
         "winnow": r"""
             WITH d AS (

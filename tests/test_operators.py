@@ -1937,3 +1937,35 @@ def test_bigram_surprisal_hand_computed(spark):
     assert out[1].n_grams == 3
     assert out[2].surprisal == pytest.approx((s_ab + s_bc) / 2)
     assert 3 not in out       # single-token doc dropped
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Shard writer: every row lands in its assigned shard directory,
+    the mapping is reproducible, and within-shard order follows the
+    deterministic shuffle key."""
+    from tiledb_py_spark.operators.pipeline import (assign_shards,
+                                                    portable_hash60,
+                                                    write_training_shards)
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(200)],
+                               ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, ["doc_id"], n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    expect = {r.doc_id: r.shard for r in
+              assign_shards(df, ["doc_id"], 8).collect()}
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert got == expect
+    # within-shard order = ascending deterministic shuffle key
+    one = spark.read.parquet(path + "/shard=0")
+    keys = [r[0] for r in one.withColumn(
+        "k", portable_hash60(["doc_id"], 42, salt="shuffle"))
+        .select("k").collect()]
+    assert keys == sorted(keys)
+    # second write with mode=overwrite reproduces the identical mapping
+    write_training_shards(df, path, ["doc_id"], n_shards=8,
+                          mode="overwrite")
+    got2 = {r.doc_id: r.shard for r in
+            spark.read.parquet(path).collect()}
+    assert got2 == expect

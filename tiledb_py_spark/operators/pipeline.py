@@ -567,3 +567,45 @@ def temperature_mix(df: DataFrame, strata_col: str,
              for s, n in counts.items()}
     return resample_strata(df, strata_col, rates, id_cols, seed=seed,
                            salt=salt)
+
+
+def assign_shards(df: DataFrame, id_cols: Sequence[str], n_shards: int,
+                  seed: int = 42, shard_col: str = "shard",
+                  salt: str = "shard") -> DataFrame:
+    """Deterministic shard assignment — the last hop before training:
+    ``shard = portable_hash(ids) % n_shards``, a pure function of
+    (ids, seed) like every decision in this module, so the
+    file-to-example mapping is reproducible across reruns, engines,
+    and cluster sizes (resumable data loaders depend on it)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    return df.withColumn(
+        shard_col,
+        (portable_hash60(id_cols, seed, salt=salt) % n_shards).cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          id_cols: Sequence[str], n_shards: int,
+                          seed: int = 42, mode: str = "error",
+                          order_within_shard: bool = True) -> None:
+    """Materialize the corpus into ``n_shards`` training shards:
+    deterministic shard assignment, one output directory per shard
+    (``shard=N/``), rows within a shard ordered by the deterministic
+    shuffle key (so a resumed reader sees a stable sequence).
+
+    Scale shape: one hash repartition on the 4-byte shard id (each
+    shard written by one task — pick n_shards >= cluster parallelism),
+    optional in-partition sort on the 8-byte key, parquet writes with
+    the session codec.  No driver-side collection."""
+    out = assign_shards(df, id_cols, n_shards, seed=seed)
+    out = out.repartition(n_shards, F.col("shard"))
+    if order_within_shard:
+        # sort by (shard, key): the partitionBy writer re-sorts each
+        # task by the partition columns when the data is not already
+        # sorted by them, and that re-sort is not stable — a bare
+        # key-only sort silently comes back out of order
+        out = (out.withColumn("__ord",
+                              portable_hash60(id_cols, seed, salt="shuffle"))
+                  .sortWithinPartitions("shard", "__ord")
+                  .drop("__ord"))
+    out.write.partitionBy("shard").mode(mode).parquet(path)
