@@ -42,27 +42,32 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     Returns (id_col, score) for documents matching at least one term.
 
     Scale shape: the explode filters to ``query_terms`` immediately, so
-    the postings shuffle carries only matching (id, term, tf) rows; doc
-    lengths are a row-local ``size(tokens)`` aggregated once per doc
-    (no token shuffle); (N, avgdl) is one broadcast row; df_t comes
-    from the term postings themselves.  Everything downstream of the
-    scan is query-sized."""
+    the postings shuffle carries only matching (id, term, len, tf)
+    rows — the doc length is a row-local ``size(tokens)`` riding the
+    posting (a separate length table would cost another corpus scan
+    plus an id join); (N, avgdl) is one broadcast row from the only
+    other corpus pass; df_t comes from the term postings themselves.
+    Everything downstream of the scans is query-sized."""
     terms = sorted(set(t.lower() for t in query_terms))
     toks = _tokens(text_col, tokens_col)
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    lens = base.select("__id", F.size("__toks").alias("__len"))
-    stats = lens.agg(F.count("*").alias("__N"),
-                     F.avg("__len").alias("__avgdl"))
+    stats = (base.select(F.size("__toks").alias("__l"))
+                 .agg(F.count("*").alias("__N"),
+                      F.avg("__l").alias("__avgdl")))
     term_arr = F.array(*[F.lit(t) for t in terms])
+    # the doc length rides the posting rows (row-local size() in the
+    # same projection) — a separate lens table costs one more corpus
+    # scan AND a join back on the id
     tf = (base
-          .select("__id", F.explode(
-              F.filter("__toks",
-                       lambda t: F.array_contains(term_arr, t))).alias("__t"))
-          .groupBy("__id", "__t").agg(F.count("*").alias("__tf")))
+          .select("__id", F.size("__toks").alias("__len"),
+                  F.explode(F.filter(
+                      "__toks",
+                      lambda t: F.array_contains(term_arr, t))).alias("__t"))
+          .groupBy("__id", "__t")
+          .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len")))
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
     scored = (tf
               .join(F.broadcast(dfreq), on="__t")
-              .join(lens, on="__id")
               .crossJoin(F.broadcast(stats))
               .withColumn("__idf", F.log(
                   1.0 + (F.col("__N") - F.col("__df") + 0.5)
