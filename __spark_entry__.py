@@ -1726,7 +1726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py (most also pytest-covered).
         # Round 6 rotated long-stable compat entries here (each with a
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 16 new operator gates inside the window ---
+        # the 17 new operator gates inside the window.  NOTE: the
+        # window boundary sits ONE entry below this comment —
+        # multi_range (next line) is the 50th entry and still inside
+        # the driver snapshot; everything after it is tail ---
         "multi_range": q_multi_range,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,

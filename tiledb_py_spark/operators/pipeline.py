@@ -579,6 +579,10 @@ def assign_shards(df: DataFrame, id_cols: Sequence[str], n_shards: int,
     and cluster sizes (resumable data loaders depend on it)."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if shard_col in df.columns:
+        raise ValueError(
+            f"input already has a {shard_col!r} column (re-sharding a "
+            "previous shard output? drop or rename it first)")
     return df.withColumn(
         shard_col,
         (portable_hash60(id_cols, seed, salt=salt) % n_shards).cast("int"))
@@ -593,19 +597,26 @@ def write_training_shards(df: DataFrame, path: str,
     (``shard=N/``), rows within a shard ordered by the deterministic
     shuffle key (so a resumed reader sees a stable sequence).
 
-    Scale shape: one hash repartition on the 4-byte shard id (each
-    shard written by one task — pick n_shards >= cluster parallelism),
-    optional in-partition sort on the 8-byte key, parquet writes with
-    the session codec.  No driver-side collection."""
+    Scale shape: one RANGE repartition on the 4-byte shard id — with
+    dense ids 0..n-1 each shard gets its own task (a hash repartition
+    maps ~1/e of tasks to nothing and gives stragglers 2-3 shards);
+    optional in-partition sort on the 8-byte key with the ids as
+    tie-break, parquet writes with the session codec.  No driver-side
+    collection."""
+    if "__ord" in df.columns:
+        raise ValueError("input already has a '__ord' column; rename it "
+                         "before sharding")
     out = assign_shards(df, id_cols, n_shards, seed=seed)
-    out = out.repartition(n_shards, F.col("shard"))
+    out = out.repartitionByRange(n_shards, F.col("shard"))
     if order_within_shard:
-        # sort by (shard, key): the partitionBy writer re-sorts each
-        # task by the partition columns when the data is not already
-        # sorted by them, and that re-sort is not stable — a bare
-        # key-only sort silently comes back out of order
+        # sort by (shard, key, ids): the partitionBy writer re-sorts
+        # each task by the partition columns when the data is not
+        # already sorted by them, and that re-sort is not stable — a
+        # bare key-only sort silently comes back out of order; the id
+        # tie-break keeps the order deterministic across the rare
+        # 60-bit hash collision (same defense as deterministic_shuffle)
         out = (out.withColumn("__ord",
                               portable_hash60(id_cols, seed, salt="shuffle"))
-                  .sortWithinPartitions("shard", "__ord")
+                  .sortWithinPartitions("shard", "__ord", *id_cols)
                   .drop("__ord"))
     out.write.partitionBy("shard").mode(mode).parquet(path)
