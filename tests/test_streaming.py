@@ -298,3 +298,50 @@ def test_stateless_quality_ops_run_on_streams(spark, tmp_path):
         assert got[k].r_top2gram_char_frac == batch[k].r_top2gram_char_frac
         assert got[k].scrubbed == batch[k].scrubbed
     assert "a@b.co" not in got[2].scrubbed
+
+
+def test_sessionize_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming sessionization: state carries session/event ordinals
+    across micro-batches; for an in-order stream the result equals the
+    batch sessionize window answer — including a session that SPANS the
+    batch boundary."""
+    from tiledb_py_spark.streaming.events import sessionize
+    from tiledb_py_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ts(minutes):
+        return t0 + pd.Timedelta(minutes=minutes)
+
+    # batch 1: user 1 events at 0,10; user 2 at 5 (us precision:
+    # pandas' default ns TIMESTAMP is rejected by the vectorized reader)
+    pd.DataFrame({"event_id": [1, 2, 3],
+                  "ts": [ts(0), ts(10), ts(5)],
+                  "user_id": [1, 1, 2]}).astype(
+        {"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    # batch 2: user 1 at 20 (same session, spans the boundary) and 120
+    # (new session); user 2 at 200 (new session)
+    pd.DataFrame({"event_id": [4, 5, 6],
+                  "ts": [ts(20), ts(120), ts(200)],
+                  "user_id": [1, 1, 2]}).astype(
+        {"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    rows = []
+    q = (sessionize_stream(stream, gap_minutes=30.0).writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.event_id: (r.session_idx, r.event_idx) for r in rows}
+    batch = {r.event_id: (r.session_idx, r.event_idx) for r in
+             sessionize(spark.read.parquet(str(src)), by="user_id",
+                        ts_col="ts", gap_minutes=30.0).collect()}
+    assert got == batch
+    assert got[4] == (1, 3)     # boundary-spanning session continued
+    assert got[5] == (2, 1)

@@ -60,3 +60,75 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("session_idx", T.LongType(), False),
+    T.StructField("event_idx", T.LongType(), False),
+])
+
+_SESSION_STATE = T.StructType([
+    T.StructField("last_us", T.LongType(), False),
+    T.StructField("session_idx", T.LongType(), False),
+    T.StructField("event_idx", T.LongType(), False),
+])
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_us, s_idx, e_idx = state.get if state.exists else (None, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # within a micro-batch, process in event-time order (ties on id)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        out_s, out_e = [], []
+        for ts in rows["ts"]:
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is None or us - last_us > gap_us:
+                s_idx += 1
+                e_idx = 1
+            else:
+                e_idx += 1
+            last_us = us
+            out_s.append(s_idx)
+            out_e.append(e_idx)
+        state.update((last_us if last_us is not None else 0, s_idx, e_idx))
+        yield pd.DataFrame({
+            "user_id": user_id,
+            "event_id": rows["event_id"].to_numpy(),
+            "ts": rows["ts"].to_numpy(),
+            "session_idx": out_s,
+            "event_idx": out_e,
+        })
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame,
+                      gap_minutes: float = 30.0) -> DataFrame:
+    """STREAMING per-event session assignment — the stateful counterpart
+    of ``events.sessionize``: per-user state (last event time, session
+    ordinal, event ordinal) persists across micro-batches, so a session
+    spanning many triggers keeps one ``session_idx`` and its events
+    number consecutively.
+
+    Contract: events are processed in event-time order WITHIN each
+    micro-batch (sorted per group); an event arriving in a LATER batch
+    with an earlier timestamp is sessionized in arrival order — the
+    exactness trade every online sessionizer makes.  For bounded state
+    on real deployments, compose with a watermark upstream and an
+    eviction policy; batch backfills should use ``sessionize`` (whose
+    window answer this operator reproduces for in-order streams — see
+    the equivalence test)."""
+    gap_us = int(gap_minutes * 60_000_000)
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn(gap_us),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_SESSION_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
