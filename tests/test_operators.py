@@ -1969,3 +1969,25 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     got2 = {r.doc_id: r.shard for r in
             spark.read.parquet(path).collect()}
     assert got2 == expect
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio matches python's zlib exactly; repetitive text scores
+    far below high-entropy text; empty/NULL -> NULL."""
+    import zlib
+
+    from tiledb_py_spark.operators.text import compression_ratio_udf
+
+    rep = "the same line again and again " * 30
+    rnd = "qz7 vxk p93j wmln b2c8 yd4f ghr5 " * 5
+    df = spark.createDataFrame(
+        [(1, rep), (2, rnd), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.cr for r in
+           df.withColumn("cr", compression_ratio_udf()(F.col("text")))
+             .collect()}
+    for doc_id, t in [(1, rep), (2, rnd)]:
+        expect = len(zlib.compress(t.encode(), 6)) / len(t.encode())
+        assert out[doc_id] == pytest.approx(expect, abs=1e-12)
+    assert out[1] < 0.2 < out[2]
+    assert out[3] is None and out[4] is None

@@ -575,6 +575,32 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     return s.withColumn("ppl_bucket", bucket.cast("long"))
 
 
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched zlib compression ratio ``compressed/raw`` — the
+    cheap "how repetitive is this document really" signal quality
+    pipelines use alongside the n-gram stats (boilerplate and
+    degenerate text compress far below ~0.4; high-entropy gibberish
+    sits near 1.0).  NULL/empty text -> NULL.  Pure per-row Python on
+    Arrow batches; no oracle gate (DuckDB has no zlib) — pytest holds
+    it to python's zlib directly."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return ratio
+
+
 def fingerprint(col: str | Column) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text —
     stable under whitespace/punctuation/case variation (rolling-hash
