@@ -1503,6 +1503,34 @@ def q_ppl_buckets(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_corpus_e2e(spark, sf_dir):
+    """Composed corpus-preparation chain, hash-verified END TO END (the
+    unit gates verify each operator; this verifies their composition):
+    pseudo-line C4 cleaning -> drop docs losing every line -> exact
+    dedup on the normalized cleaned text (min doc_id wins) -> 90/10
+    hash split -> final (doc_id, split, clean_text).  The oracle
+    replays the identical four-stage CTE chain."""
+    from tiledb_py_spark.operators.dedup import md5_hash60
+    from tiledb_py_spark.operators.pipeline import hash_split
+    from tiledb_py_spark.operators.text import clean_lines
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.withColumn("text",
+                     F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
+    cleaned = (clean_lines(d, "text", min_words=8,
+                           line_blocklist=("query",),
+                           require_terminal_punct=False,
+                           doc_blocklist=(), block_curly=False)
+               .filter(F.col("n_lines_kept") >= 1))
+    fp = md5_hash60(F.lower(F.col("clean_text")))
+    w = W.partitionBy(fp).orderBy("doc_id")
+    deduped = (cleaned.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") == 1).drop("__rn"))
+    out = hash_split(deduped, ["doc_id"], {"train": 0.9, "val": 0.1})
+    return out.select("doc_id", "split", "clean_text").orderBy("doc_id")
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment: shard = portable hash
     of the id modulo 16 — the reproducible file-to-example mapping a
@@ -1712,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "winnow": q_winnow,
         "shard_assign": q_shard_assign,
+        "corpus_e2e": q_corpus_e2e,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1726,10 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py (most also pytest-covered).
         # Round 6 rotated long-stable compat entries here (each with a
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 17 new operator gates inside the window.  NOTE: the
-        # window boundary sits ONE entry below this comment —
-        # multi_range (next line) is the 50th entry and still inside
-        # the driver snapshot; everything after it is tail ---
+        # the 18 new operator gates inside the window (scrub_text is
+        # the 50th entry; everything from multi_range down is tail) ---
         "multi_range": q_multi_range,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
@@ -2670,6 +2697,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "corpus_e2e": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                      '\1' || chr(10), 'g') AS text
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            cleaned AS (
+                SELECT doc_id,
+                       coalesce(array_to_string(
+                           list_filter(
+                               list_filter(list_transform(
+                                   string_split(text, chr(10)),
+                                   x -> trim(x)), x -> length(x) > 0),
+                               x -> len(regexp_split_to_array(x, '\s+')) >= 8
+                                    AND NOT contains(lower(x), 'query')),
+                           chr(10)), '') AS clean_text
+                FROM base
+            ),
+            kept AS (
+                SELECT doc_id, clean_text FROM cleaned
+                WHERE length(clean_text) > 0
+            ),
+            deduped AS (
+                SELECT doc_id, clean_text FROM (
+                    SELECT doc_id, clean_text,
+                           row_number() OVER (
+                               PARTITION BY ('0x' || substr(
+                                   md5(lower(clean_text)), 1, 15))::BIGINT
+                               ORDER BY doc_id) AS rn
+                    FROM kept)
+                WHERE rn = 1
+            )
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(concat_ws(chr(31),
+                            CAST(doc_id AS VARCHAR), 'split:42')),
+                            1, 15))::BIGINT % 10000 < 9000
+                        THEN 'train' ELSE 'val' END AS split,
+                   clean_text
+            FROM deduped ORDER BY doc_id
         """,
         "shard_assign": r"""
             SELECT doc_id,
