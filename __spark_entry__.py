@@ -1051,6 +1051,44 @@ def q_pq_ann(spark, sf_dir):
         "persisted_roundtrip boolean")
 
 
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-stratified prototype selection, verified as assertions
+    the oracle can state: (a) at most n_cells rows, one per distinct
+    cell; (b) every selected row is its cell's argmax similarity under
+    a driver-side numpy replay over the full corpus; (c) the draw is
+    deterministic across invocations."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import (IVFIndex,
+                                                      diversity_sample)
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    idx = IVFIndex(n_cells=8, metric="cosine").fit(e, "embedding")
+    out = sorted((r.cell, r.vec_id) for r in
+                 diversity_sample(e, "embedding", "vec_id",
+                                  index=idx).collect())
+    out2 = sorted((r.cell, r.vec_id) for r in
+                  diversity_sample(e, "embedding", "vec_id",
+                                   index=idx).collect())
+    cells = [c for c, _ in out]
+    shape_ok = len(out) <= 8 and len(set(cells)) == len(cells)
+    C = idx.centroids
+    vecs = {r.vec_id: np.asarray(r.embedding) for r in
+            e.select("vec_id", "embedding").collect()}
+    best = {}
+    for vid, v in vecs.items():
+        dots = C @ v
+        cell = int(dots.argmax())
+        cand = (float(dots[cell]), -vid)
+        if cell not in best or cand > best[cell][0:2]:
+            best[cell] = (cand[0], cand[1], vid)
+    argmax_ok = all(best[c][2] == vid for c, vid in out)
+    return spark.createDataFrame(
+        [(bool(shape_ok), bool(argmax_ok), bool(out == out2))],
+        "shape_ok boolean, per_cell_argmax boolean, deterministic boolean")
+
+
 def q_array_embedding_topk(spark, sf_dir):
     """Similarity search over an ARRAY-stored embedding column: embeddings
     ingested as a sparse array with a var-length float32 attr, cosine
@@ -1702,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc_filter": q_qc_filter,
         "contamination": q_contamination,
-        "array_range_read": q_array_range_read,
         "array_sql": q_array_sql,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
@@ -1721,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "diversity_sample": q_diversity_sample,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "unigram_surprisal": q_unigram_surprisal,
@@ -1755,9 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py (most also pytest-covered).
         # Round 6 rotated long-stable compat entries here (each with a
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 18 new operator gates inside the window (scrub_text is
+        # the 19 new operator gates inside the window (scrub_text is
         # the 50th entry; everything from multi_range down is tail) ---
         "multi_range": q_multi_range,
+        "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
@@ -3167,5 +3206,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
                    true AS persisted_roundtrip
+        """,
+        "diversity_sample": """
+            SELECT true AS shape_ok, true AS per_cell_argmax,
+                   true AS deterministic
         """,
     }

@@ -1991,3 +1991,39 @@ def test_compression_ratio_signal(spark):
         assert out[doc_id] == pytest.approx(expect, abs=1e-12)
     assert out[1] < 0.2 < out[2]
     assert out[3] is None and out[4] is None
+
+
+def test_diversity_sample_prototypes(spark):
+    """One exemplar per occupied cell; each selected row is the
+    per-cell argmax (verified against a numpy replay); deterministic
+    across invocations."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import (IVFIndex,
+                                                      diversity_sample)
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 8)) * 5
+    rows = [(i, (centers[i % 4] + rng.normal(scale=0.3, size=8)).tolist())
+            for i in range(80)] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex(n_cells=4, metric="cosine").fit(df, "embedding")
+    out = diversity_sample(df, "embedding", "vec_id", index=idx).collect()
+    assert 1 <= len(out) <= 4
+    assert len({r.cell for r in out}) == len(out)
+    # numpy replay: per cell, argmax dot(v, centroid[cell of v])
+    C = idx.centroids
+    best = {}
+    for i, v in rows[:-1]:
+        v = np.asarray(v)
+        dots = C @ v
+        cell = int(dots.argmax())
+        key = (round(float(dots[cell]), 9), -i)
+        if cell not in best or key > best[cell][0]:
+            best[cell] = (key, i)
+    expect = {cell: i for cell, ((_, _ni), i) in
+              ((c, (k, i)) for c, (k, i) in best.items())}
+    got = {r.cell: r.vec_id for r in out}
+    assert got == {c: i for c, i in expect.items() if c in got}
+    out2 = diversity_sample(df, "embedding", "vec_id", index=idx).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -562,3 +562,45 @@ class PQIndex:
         if self.metric == "cosine":
             return scored.orderBy(F.desc("score"), id_col).limit(k)
         return scored.orderBy(F.asc("score"), id_col).limit(k)
+
+
+def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
+                     n: int = 16, metric: str = "cosine",
+                     seed: int = 42, index: Optional[IVFIndex] = None
+                     ) -> DataFrame:
+    """Cluster-stratified prototype selection — the coreset/exemplar
+    picker of data-curation pipelines (one spread-out representative
+    per region of embedding space, vs. a hash sample's iid draw):
+    fit (or reuse) an IVF partition with ``n`` cells, then per occupied
+    cell keep the row MOST similar to its centroid (ties on the id).
+    Returns (id_col, cell, score) — at most ``n`` rows, fewer when
+    cells are empty.
+
+    Deterministic given (data, seed): the IVF fit is seeded and
+    hash-ordered, and the per-cell argmax breaks ties on the id.
+    Scale shape: centroid table broadcast (constant plan), one shuffle
+    on the 4-byte cell id for the per-cell top-1 window; vectors never
+    shuffle — only (id, cell, score) rows do."""
+    idx = index
+    if idx is None:
+        idx = IVFIndex(n_cells=n, metric=metric, seed=seed).fit(df, vec_col)
+    assert idx.centroids is not None
+    vec = F.col(vec_col)
+    if idx.metric == "cosine":
+        sims = F.array(*[dot(vec, _vec_lit(c)) for c in idx.centroids])
+        score = F.array_max(sims)
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    else:
+        dists = F.array(*[
+            F.aggregate(F.zip_with(vec, _vec_lit(c),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            for c in idx.centroids])
+        score = -F.array_min(dists)
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    base = (df.filter(vec.isNotNull())
+              .select(F.col(id_col), score.alias("score"),
+                      cell.alias("cell")))
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.col(id_col))
+    return (base.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
