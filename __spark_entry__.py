@@ -1073,17 +1073,23 @@ def q_diversity_sample(spark, sf_dir):
                                    index=idx).collect())
     cells = [c for c, _ in out]
     shape_ok = len(out) <= 8 and len(set(cells)) == len(cells)
+    # replay: COSINE to the assigned (unit) centroid, rounded to 9 dp —
+    # Spark's sequential fold and numpy's BLAS sum differ in the last
+    # ulps and an exact comparison would flap on near-ties
     C = idx.centroids
     vecs = {r.vec_id: np.asarray(r.embedding) for r in
             e.select("vec_id", "embedding").collect()}
     best = {}
     for vid, v in vecs.items():
+        nrm = float(np.linalg.norm(v))
+        if nrm == 0:
+            continue
         dots = C @ v
         cell = int(dots.argmax())
-        cand = (float(dots[cell]), -vid)
-        if cell not in best or cand > best[cell][0:2]:
-            best[cell] = (cand[0], cand[1], vid)
-    argmax_ok = all(best[c][2] == vid for c, vid in out)
+        cand = (round(float(dots[cell]) / nrm, 9), -vid)
+        if cell not in best or cand > best[cell][0]:
+            best[cell] = (cand, vid)
+    argmax_ok = all(c in best and best[c][1] == vid for c, vid in out)
     return spark.createDataFrame(
         [(bool(shape_ok), bool(argmax_ok), bool(out == out2))],
         "shape_ok boolean, per_cell_argmax boolean, deterministic boolean")

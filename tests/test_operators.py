@@ -2011,19 +2011,19 @@ def test_diversity_sample_prototypes(spark):
     out = diversity_sample(df, "embedding", "vec_id", index=idx).collect()
     assert 1 <= len(out) <= 4
     assert len({r.cell for r in out}) == len(out)
-    # numpy replay: per cell, argmax dot(v, centroid[cell of v])
+    # numpy replay: per cell, argmax COSINE to the assigned centroid
     C = idx.centroids
     best = {}
     for i, v in rows[:-1]:
         v = np.asarray(v)
         dots = C @ v
         cell = int(dots.argmax())
-        key = (round(float(dots[cell]), 9), -i)
+        key = (round(float(dots[cell]) / float(np.linalg.norm(v)), 9), -i)
         if cell not in best or key > best[cell][0]:
             best[cell] = (key, i)
-    expect = {cell: i for cell, ((_, _ni), i) in
-              ((c, (k, i)) for c, (k, i) in best.items())}
+    expect = {c: i for c, (_k, i) in best.items()}
     got = {r.cell: r.vec_id for r in out}
-    assert got == {c: i for c, i in expect.items() if c in got}
+    # every occupied cell must be represented — no silent cell drops
+    assert got == expect
     out2 = diversity_sample(df, "embedding", "vec_id", index=idx).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -576,6 +576,15 @@ def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
     Returns (id_col, cell, score) — at most ``n`` rows, fewer when
     cells are empty.
 
+    With ``metric="cosine"`` the within-cell ranking is true COSINE to
+    the (unit) centroid — the raw dot that suffices for cell
+    ASSIGNMENT (the row's norm is constant across cells) would bias
+    the cross-row argmax toward high-norm vectors; zero-norm vectors
+    have no direction and are dropped.  Cell assignment mirrors
+    ``IVFIndex._cell_expr`` (kept in sync — the unrolled expression
+    scales to a few hundred cells; use the index's Arrow assign path
+    for thousands).
+
     Deterministic given (data, seed): the IVF fit is seeded and
     hash-ordered, and the per-cell argmax breaks ties on the id.
     Scale shape: centroid table broadcast (constant plan), one shuffle
@@ -588,8 +597,10 @@ def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
     vec = F.col(vec_col)
     if idx.metric == "cosine":
         sims = F.array(*[dot(vec, _vec_lit(c)) for c in idx.centroids])
-        score = F.array_max(sims)
+        norm = l2_norm(vec)
+        score = F.array_max(sims) / norm
         cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        keep = vec.isNotNull() & (norm > 0)
     else:
         dists = F.array(*[
             F.aggregate(F.zip_with(vec, _vec_lit(c),
@@ -598,9 +609,10 @@ def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
             for c in idx.centroids])
         score = -F.array_min(dists)
         cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    base = (df.filter(vec.isNotNull())
-              .select(F.col(id_col), score.alias("score"),
-                      cell.alias("cell")))
+        keep = vec.isNotNull()
+    base = (df.filter(keep)
+              .select(F.col(id_col), cell.alias("cell"),
+                      score.alias("score")))
     w = Window.partitionBy("cell").orderBy(F.desc("score"), F.col(id_col))
     return (base.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))
