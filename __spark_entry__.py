@@ -1547,6 +1547,23 @@ def q_ppl_buckets(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_source_similarity(spark, sf_dir):
+    """Stratum-level content audit: exact pairwise Jaccard of each
+    language's distinct 3-shingle set (whitespace tokens, md5-60bit
+    shingle hashes so DuckDB builds the identical postings)."""
+    from tiledb_py_spark.operators.dedup import md5_hash60, source_similarity
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = source_similarity(d, "text", "lang", shingle_k=3,
+                            method="exact", gram_hash=md5_hash60,
+                            tokens_col=ws)
+    return (out.select("src_a", "src_b",
+                       F.round("jaccard", 6).alias("jaccard"),
+                       "n_a", "n_b", "n_common")
+               .orderBy("src_a", "src_b"))
+
+
 def q_corpus_e2e(spark, sf_dir):
     """Composed corpus-preparation chain, hash-verified END TO END (the
     unit gates verify each operator; this verifies their composition):
@@ -1751,7 +1768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_lww": q_datasource_lww,
         "asof_forward": q_asof_forward,
         "group_agg": q_group_agg,
-        "join_topk": q_join_topk,
         "asof_join": q_asof_join,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -1785,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "shard_assign": q_shard_assign,
         "corpus_e2e": q_corpus_e2e,
+        "source_similarity": q_source_similarity,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1799,9 +1816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py (most also pytest-covered).
         # Round 6 rotated long-stable compat entries here (each with a
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 19 new operator gates inside the window (scrub_text is
+        # the 21 new operator gates inside the window (scrub_text is
         # the 50th entry; everything from multi_range down is tail) ---
         "multi_range": q_multi_range,
+        "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
@@ -2742,6 +2760,41 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "source_similarity": r"""
+            WITH toks AS (
+                SELECT lang,
+                       regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            sh AS (
+                SELECT lang,
+                       CASE WHEN len(arr) >= 3
+                            THEN list_distinct(list_transform(
+                                range(1, len(arr) - 1),
+                                i -> array_to_string(arr[i:i+2], ' ')))
+                            ELSE [array_to_string(arr, ' ')] END AS s
+                FROM toks
+            ),
+            p AS (
+                SELECT DISTINCT lang,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM sh, unnest(s) AS u(g)
+            ),
+            sizes AS (SELECT lang, count(*) AS n FROM p GROUP BY lang),
+            inter AS (
+                SELECT a.lang AS src_a, b.lang AS src_b, count(*) AS c
+                FROM p a JOIN p b ON a.h = b.h AND a.lang < b.lang
+                GROUP BY 1, 2
+            )
+            SELECT sa.lang AS src_a, sb.lang AS src_b,
+                   round(coalesce(i.c, 0) * 1.0
+                         / (sa.n + sb.n - coalesce(i.c, 0)), 6) AS jaccard,
+                   sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                   coalesce(i.c, 0)::BIGINT AS n_common
+            FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
+            LEFT JOIN inter i ON i.src_a = sa.lang AND i.src_b = sb.lang
+            ORDER BY src_a, src_b
         """,
         "corpus_e2e": r"""
             WITH base AS (

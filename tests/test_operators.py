@@ -2027,3 +2027,46 @@ def test_diversity_sample_prototypes(spark):
     assert got == expect
     out2 = diversity_sample(df, "embedding", "vec_id", index=idx).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_source_similarity_exact_and_sketch(spark):
+    """Exact stratum Jaccard matches a python set computation; the
+    MinHash-sketch estimate lands near it and preserves the ordering
+    of similar vs dissimilar source pairs (mergeable-sketch path)."""
+    import itertools
+
+    from tiledb_py_spark.operators.dedup import source_similarity
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta "
+    rows = (
+        [(f"A{i}", "A", shared + f"tail a {i}") for i in range(6)]
+        + [(f"B{i}", "B", shared + f"tail b {i}") for i in range(6)]   # ~A
+        + [(f"C{i}", "C", f"totally different words {i} here now "
+            "unrelated content stream") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    exact = {(r.src_a, r.src_b): r.jaccard for r in
+             source_similarity(df, "text", "src", shingle_k=3,
+                               method="exact").collect()}
+
+    # python reference
+    def shingles(t):
+        toks = t.lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {}
+    for _id, s, t in rows:
+        sets.setdefault(s, set()).update(shingles(t))
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert exact[(a, b)] == pytest.approx(j, abs=1e-9), (a, b)
+    assert exact[("A", "B")] > 0.3 > exact[("A", "C")]
+
+    est = {(r.src_a, r.src_b): r.jaccard for r in
+           source_similarity(df, "text", "src", shingle_k=3,
+                             method="sketch", num_perm=128).collect()}
+    for pair in exact:
+        assert abs(est[pair] - exact[pair]) <= 0.25, pair
+    assert est[("A", "B")] > est[("A", "C")]

@@ -1344,3 +1344,82 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
         max_bench_rows=max_bench_rows)
     bad = stats.filter(F.col("max_cosine") >= threshold).select(id_col)
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def source_similarity(df: DataFrame, text_col: str, strata_col: str,
+                      shingle_k: int = 3, method: str = "exact",
+                      num_perm: int = 64, gram_hash=None,
+                      tokens_col: Optional[Column] = None) -> DataFrame:
+    """Pairwise content similarity BETWEEN strata (sources, domains,
+    crawl snapshots): Jaccard over each stratum's distinct shingle set
+    — the corpus-auditing view ("how redundant is source A vs B?") that
+    drives source-level dedup and mixture decisions.
+
+    ``method="exact"``: distinct (stratum, shingle-hash) postings, a
+    hash self-join for intersections, sizes joined back — exact, one
+    8-byte-key shuffle, SQL-replayable (the oracle path).
+
+    ``method="sketch"``: per-stratum MinHash sketch = the elementwise
+    MIN of the member documents' signatures.  MinHash sketches are
+    MERGEABLE — the min over any grouping of the same shingle universe
+    equals the sketch of the union — so a stratum's sketch is
+    ``num_perm * 8`` bytes regardless of its size, sketches from
+    separate snapshots combine without reprocessing, and similarity is
+    the matching-slot fraction (estimate, se ~ 1/sqrt(num_perm)).
+    The scale/incremental path; pytest holds it near the exact answer.
+
+    Returns one row per unordered stratum pair (src_a < src_b):
+    ``(src_a, src_b, jaccard, n_a, n_b, n_common)`` (sketch: ``jaccard``
+    is the estimate, ``n_*`` are sketch slot counts)."""
+    from .text import _tokens_lower
+
+    toks = tokens_col if tokens_col is not None else _tokens_lower(F.col(text_col))
+    base = df.select(F.col(strata_col).alias("__s"), toks.alias("__toks"))
+    base = base.withColumn("__sh", _shingles_over(F.col("__toks"), shingle_k))
+    if method == "sketch":
+        gh = gram_hash or F.xxhash64
+        sig = minhash_signature(
+            F.transform(F.col("__sh"), lambda s: gh(s)), num_perm)
+        sk = (base.select("__s", F.posexplode(sig).alias("__p", "__v"))
+                  .groupBy("__s", "__p").agg(F.min("__v").alias("__v"))
+                  .groupBy("__s")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("__p", "__v"))),
+                      lambda x: x["__v"]).alias("__sk")))
+        a = sk.select(F.col("__s").alias("src_a"), F.col("__sk").alias("__ka"))
+        b = sk.select(F.col("__s").alias("src_b"), F.col("__sk").alias("__kb"))
+        pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+        match = F.size(F.filter(
+            F.zip_with("__ka", "__kb", lambda x, y: x == y), lambda m: m))
+        return pairs.select(
+            "src_a", "src_b",
+            (match / F.lit(float(num_perm))).alias("jaccard"),
+            F.size("__ka").cast("long").alias("n_a"),
+            F.size("__kb").cast("long").alias("n_b"),
+            match.cast("long").alias("n_common"))
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
+    gh = gram_hash or F.xxhash64
+    p = (base.select("__s", F.explode("__sh").alias("__g"))
+             .select("__s", gh(F.col("__g")).alias("__h"))
+             .distinct())
+    sizes = p.groupBy("__s").agg(F.count("*").alias("__n"))
+    inter = (p.alias("a")
+              .join(p.alias("b"),
+                    (F.col("a.__h") == F.col("b.__h"))
+                    & (F.col("a.__s") < F.col("b.__s")))
+              .groupBy(F.col("a.__s").alias("src_a"),
+                       F.col("b.__s").alias("src_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__s").alias("src_b"), F.col("__n").alias("n_b"))
+    grid = sa.join(sb, F.col("src_a") < F.col("src_b"))
+    return (grid.join(inter, on=["src_a", "src_b"], how="left")
+                .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+                .select("src_a", "src_b",
+                        (F.col("n_common")
+                         / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                         ).alias("jaccard"),
+                        F.col("n_a").cast("long"),
+                        F.col("n_b").cast("long"),
+                        F.col("n_common").cast("long")))
