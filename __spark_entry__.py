@@ -1554,6 +1554,9 @@ def q_source_similarity(spark, sf_dir):
     from tiledb_py_spark.operators.dedup import md5_hash60, source_similarity
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # single-split sf parquet: fan the scan out across cores (at scale
+    # the input arrives in many splits and this repartition disappears)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     ws = F.split(F.trim(F.col("text")), r"\s+")
     out = source_similarity(d, "text", "lang", shingle_k=3,
                             method="exact", gram_hash=md5_hash60,

@@ -1404,12 +1404,24 @@ def source_similarity(df: DataFrame, text_col: str, strata_col: str,
              .select("__s", gh(F.col("__g")).alias("__h"))
              .distinct())
     sizes = p.groupBy("__s").agg(F.count("*").alias("__n"))
-    inter = (p.alias("a")
-              .join(p.alias("b"),
-                    (F.col("a.__h") == F.col("b.__h"))
-                    & (F.col("a.__s") < F.col("b.__s")))
-              .groupBy(F.col("a.__s").alias("src_a"),
-                       F.col("b.__s").alias("src_b"))
+    # intersections WITHOUT a postings self-join: collapse each hash to
+    # its (tiny, <= n_strata) sorted stratum set, expand the pairs
+    # row-locally, count per pair — one hash-keyed aggregation instead
+    # of re-shuffling both sides of a join (measured ~2x at sf1)
+    g = (p.groupBy("__h")
+          .agg(F.sort_array(F.collect_set("__s")).alias("__ls"))
+          .filter(F.size("__ls") >= 2))
+    m = F.size("__ls")
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, m),
+            lambda j: F.struct(
+                F.element_at("__ls", i).alias("src_a"),
+                F.element_at("__ls", j).alias("src_b")))))
+    inter = (g.select(F.explode(pair_arr).alias("__p"))
+              .groupBy(F.col("__p.src_a").alias("src_a"),
+                       F.col("__p.src_b").alias("src_b"))
               .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("n_a"))
     sb = sizes.select(F.col("__s").alias("src_b"), F.col("__n").alias("n_b"))
