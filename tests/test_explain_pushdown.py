@@ -400,3 +400,32 @@ def test_winnow_no_generator_child_clone(spark):
         if "Filter" in line:
             assert "aggregate(" not in line and "xxhash64" not in line
     assert out.count() > 0
+
+
+def test_round6_operator_exchange_budgets(spark):
+    """Exchange budgets for the round-6 retrieval/selection operators:
+    bm25 and tfidf keep their frequency tables on broadcast joins;
+    temperature_mix adds no shuffle beyond the explode; perplexity
+    bucketing is surprisal's budget plus exactly one ungrouped window."""
+    import re
+
+    from tiledb_py_spark.operators.pipeline import temperature_mix
+    from tiledb_py_spark.operators.retrieval import (bm25_scores,
+                                                     tfidf_top_terms)
+    from tiledb_py_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "alpha beta gamma delta epsilon")
+         for i in range(100)], ["doc_id", "lang", "text"])
+
+    s = _plan(bm25_scores(df, "text", "doc_id", ["alpha", "beta"]))
+    assert "BroadcastHashJoin" in s and "SortMergeJoin" not in s
+
+    s = _plan(tfidf_top_terms(df, "text", "doc_id", k=2))
+    assert "SortMergeJoin" not in s
+
+    s = _plan(temperature_mix(df, "lang", ["doc_id"], alpha=0.5))
+    assert "Exchange" not in s  # pure row-local explode after the rates
+
+    s = _plan(perplexity_buckets(df, "text", "doc_id"))
+    assert len(re.findall(r"\(\d+\) Window", s)) == 1

@@ -106,7 +106,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     dfreq = g.groupBy("__t").agg(F.count("*").alias("__df"))
     nrow = (df.select(F.col(id_col).alias("__id"))
               .agg(F.count_distinct("__id").cast("double").alias("__N")))
-    scored = (g.join(dfreq, on="__t")
+    # dfreq is vocabulary-sized — broadcast it rather than shuffling
+    # the (id, term, tf) table against it
+    scored = (g.join(F.broadcast(dfreq), on="__t")
                 .crossJoin(F.broadcast(nrow))
                 .withColumn("__tfidf", F.round(
                     F.col("__tf") * F.log(F.col("__N") / F.col("__df")),
