@@ -2070,3 +2070,28 @@ def test_source_similarity_exact_and_sketch(spark):
     for pair in exact:
         assert abs(est[pair] - exact[pair]) <= 0.25, pair
     assert est[("A", "B")] > est[("A", "C")]
+
+
+def test_trigram_surprisal_generalizes(spark):
+    """n=3: conditional trigram MLE against a hand computation (the
+    gate pins n=2; this pins the generic-n path)."""
+    import math
+
+    from tiledb_py_spark.operators.text import ngram_surprisal
+
+    docs = [(1, "a b c a b c"), (2, "a b d")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = {r.doc_id: r for r in
+           ngram_surprisal(df, "text", "doc_id", n=3,
+                           tokens_col=ws).collect()}
+    # trigrams: doc1: abc, bca, cab, abc ; doc2: abd
+    # prefixes(2): ab x3 (abc,abc,abd), bc x1, ca x1
+    s_abc = -math.log(2 / 3)
+    s_bca = -math.log(1 / 1)
+    s_cab = -math.log(1 / 1)
+    s_abd = -math.log(1 / 3)
+    assert out[1].surprisal == pytest.approx(
+        (s_abc + s_bca + s_cab + s_abc) / 4)
+    assert out[1].n_grams == 4
+    assert out[2].surprisal == pytest.approx(s_abd)
