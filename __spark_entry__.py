@@ -1547,6 +1547,25 @@ def q_ppl_buckets(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against the corpus's own top-20 tokens
+    (deterministic vocabulary: frequency desc, token asc) — the domain
+    vocabulary-coverage signal; the oracle rebuilds the identical
+    vocabulary and per-doc counts."""
+    from tiledb_py_spark.operators.text import oov_rate
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    vocab = (d.select(F.explode(ws).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), "word").limit(20)
+              .select("word"))
+    out = oov_rate(d, "text", "doc_id", vocab, tokens_col=ws)
+    return (out.select("doc_id", "n_tokens", "n_oov",
+                       F.round("oov_rate", 6).alias("oov_rate"))
+               .orderBy("doc_id"))
+
+
 def q_source_similarity(spark, sf_dir):
     """Stratum-level content audit: exact pairwise Jaccard of each
     language's distinct 3-shingle set (whitespace tokens, md5-60bit
@@ -1766,7 +1785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc_filter": q_qc_filter,
         "contamination": q_contamination,
-        "array_sql": q_array_sql,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
         "asof_forward": q_asof_forward,
@@ -1805,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "corpus_e2e": q_corpus_e2e,
         "source_similarity": q_source_similarity,
+        "oov_rate": q_oov_rate,
         "det_shuffle": q_det_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1819,9 +1838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py (most also pytest-covered).
         # Round 6 rotated long-stable compat entries here (each with a
         # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 21 new operator gates inside the window (scrub_text is
+        # the 22 new operator gates inside the window (scrub_text is
         # the 50th entry; everything from multi_range down is tail) ---
         "multi_range": q_multi_range,
+        "array_sql": q_array_sql,
         "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
@@ -2763,6 +2783,24 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "oov_rate": r"""
+            WITH g AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            vocab AS (
+                SELECT tok AS word FROM (
+                    SELECT tok, count(*) AS n FROM g GROUP BY tok
+                    ORDER BY n DESC, tok ASC LIMIT 20)
+            )
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                   round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS oov_rate
+            FROM g LEFT JOIN vocab v ON lower(g.tok) = lower(v.word)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "source_similarity": r"""
             WITH toks AS (

@@ -2095,3 +2095,22 @@ def test_trigram_surprisal_generalizes(spark):
         (s_abc + s_bca + s_cab + s_abc) / 4)
     assert out[1].n_grams == 4
     assert out[2].surprisal == pytest.approx(s_abd)
+
+
+def test_oov_rate_case_insensitive(spark):
+    """OOV counting against an explicit vocabulary: case-insensitive
+    matching, per-doc totals, zero-token docs dropped."""
+    from tiledb_py_spark.operators.text import oov_rate
+
+    docs = [(1, "Alpha beta GAMMA zzz"), (2, "qqq rrr"), (3, "")]
+    vocab = spark.createDataFrame([("alpha",), ("BETA",), ("gamma",)],
+                                  ["word"])
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = {r.doc_id: r for r in
+           oov_rate(df.filter(F.length(F.trim('text')) > 0),
+                    "text", "doc_id", vocab, tokens_col=ws).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert out[1].oov_rate == pytest.approx(0.25)
+    assert out[2].n_oov == 2 and out[2].oov_rate == 1.0
+    assert 3 not in out

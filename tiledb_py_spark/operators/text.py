@@ -575,6 +575,37 @@ def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
     return s.withColumn("ppl_bucket", bucket.cast("long"))
 
 
+def oov_rate(df: DataFrame, text_col: str, id_col: str,
+             vocab: DataFrame, vocab_col: str = "word",
+             tokens_col: Optional[Column] = None) -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    vocabulary table — the domain-filtering signal ("how much of this
+    doc is covered by the target domain's vocabulary"): returns
+    ``(id_col, n_tokens, n_oov, oov_rate)``.  Matching is
+    case-insensitive (both sides lowered before hashing).  Docs with
+    zero tokens are dropped.
+
+    Scale shape: one postings pass (id, 8-byte token hash) left-anti
+    checked against the BROADCAST hashed vocabulary (vocabularies are
+    ~1M rows for any corpus — never a corpus shuffle), then one
+    (id)-keyed aggregation."""
+    toks = (tokens_col if tokens_col is not None
+            else _tokens_lower(F.col(text_col)))
+    g = (df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+           .select("__id", F.xxhash64(F.lower("__t")).alias("__h")))
+    v = (vocab.select(F.xxhash64(F.lower(F.col(vocab_col))).alias("__h"))
+              .distinct()
+              .withColumn("__in", F.lit(1)))
+    return (g.join(F.broadcast(v), on="__h", how="left")
+             .groupBy("__id")
+             .agg(F.count("*").cast("long").alias("n_tokens"),
+                  F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_oov"))
+             .withColumn("oov_rate",
+                         F.col("n_oov") / F.col("n_tokens"))
+             .withColumnRenamed("__id", id_col))
+
+
 def compression_ratio_udf(level: int = 6):
     """Arrow-batched zlib compression ratio ``compressed/raw`` — the
     cheap "how repetitive is this document really" signal quality
