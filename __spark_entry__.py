@@ -2790,7 +2790,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE length(trim(text)) > 0
             ),
             vocab AS (
-                SELECT tok AS word FROM (
+                -- deduped LOWERED vocabulary: case variants of one
+                -- word must collapse (the operator dedups the lowered
+                -- hash; a raw join would fan out on case-mixed data)
+                SELECT DISTINCT lower(tok) AS word FROM (
                     SELECT tok, count(*) AS n FROM g GROUP BY tok
                     ORDER BY n DESC, tok ASC LIMIT 20)
             )
@@ -2799,7 +2802,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
                    round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS oov_rate
-            FROM g LEFT JOIN vocab v ON lower(g.tok) = lower(v.word)
+            FROM g LEFT JOIN vocab v ON lower(g.tok) = v.word
             GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "source_similarity": r"""

@@ -2114,3 +2114,17 @@ def test_oov_rate_case_insensitive(spark):
     assert out[1].oov_rate == pytest.approx(0.25)
     assert out[2].n_oov == 2 and out[2].oov_rate == 1.0
     assert 3 not in out
+
+
+def test_oov_rate_default_tokenizer_drops_empty_docs(spark):
+    """The default (lowercasing) tokenizer path: empty/whitespace-only
+    docs emit no postings — no phantom '' token."""
+    from tiledb_py_spark.operators.text import oov_rate
+
+    docs = [(1, "Alpha beta"), (2, ""), (3, "   ")]
+    vocab = spark.createDataFrame([("alpha",)], ["word"])
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           oov_rate(df, "text", "doc_id", vocab).collect()}
+    assert set(out) == {1}
+    assert out[1].n_tokens == 2 and out[1].n_oov == 1

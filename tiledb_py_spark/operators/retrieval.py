@@ -90,7 +90,8 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
 
 def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                     k: int = 5,
-                    tokens_col: Optional[Column] = None) -> DataFrame:
+                    tokens_col: Optional[Column] = None,
+                    broadcast_dfreq: bool = True) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF:
     ``tf_td * ln(N / df_t)``, ranked per doc by (rounded score desc,
     term asc) — the rounding (6 dp) makes the ranking stable across
@@ -106,9 +107,14 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     dfreq = g.groupBy("__t").agg(F.count("*").alias("__df"))
     nrow = (df.select(F.col(id_col).alias("__id"))
               .agg(F.count_distinct("__id").cast("double").alias("__N")))
-    # dfreq is vocabulary-sized — broadcast it rather than shuffling
-    # the (id, term, tf) table against it
-    scored = (g.join(F.broadcast(dfreq), on="__t")
+    # dfreq is vocabulary-sized (typically ~1M rows) — broadcast it
+    # rather than shuffling the (id, term, tf) table against it.
+    # UNLIKE bm25's query-restricted table this is the FULL distinct
+    # token set; on heavy-tailed corpora (urls/typos/numbers pushing
+    # it past the broadcast limits) pass broadcast_dfreq=False and let
+    # AQE pick the join
+    freq_side = F.broadcast(dfreq) if broadcast_dfreq else dfreq
+    scored = (g.join(freq_side, on="__t")
                 .crossJoin(F.broadcast(nrow))
                 .withColumn("__tfidf", F.round(
                     F.col("__tf") * F.log(F.col("__N") / F.col("__df")),

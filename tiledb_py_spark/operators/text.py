@@ -585,13 +585,18 @@ def oov_rate(df: DataFrame, text_col: str, id_col: str,
     case-insensitive (both sides lowered before hashing).  Docs with
     zero tokens are dropped.
 
-    Scale shape: one postings pass (id, 8-byte token hash) left-anti
-    checked against the BROADCAST hashed vocabulary (vocabularies are
-    ~1M rows for any corpus — never a corpus shuffle), then one
-    (id)-keyed aggregation."""
+    Scale shape: one postings pass (id, 8-byte token hash) checked
+    against the BROADCAST hashed vocabulary via a left join + member
+    marker (an anti join could not produce the per-doc totals;
+    vocabularies are ~1M rows for any corpus — never a corpus
+    shuffle), then one (id)-keyed aggregation."""
     toks = (tokens_col if tokens_col is not None
             else _tokens_lower(F.col(text_col)))
     g = (df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+           # a bare split yields a phantom '' token on empty text —
+           # dropping empties here keeps the "zero-token docs are
+           # dropped" contract for ANY tokenizer
+           .filter(F.col("__t") != "")
            .select("__id", F.xxhash64(F.lower("__t")).alias("__h")))
     v = (vocab.select(F.xxhash64(F.lower(F.col(vocab_col))).alias("__h"))
               .distinct()
