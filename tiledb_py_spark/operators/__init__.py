@@ -8,6 +8,7 @@ hot path is whole-stage-codegen'd; Python appears only in clearly-marked
 multimodal decode stubs behind ``mapInPandas``.
 """
 
-from . import dedup, multimodal, pipeline, similarity, text
+from . import bpe, dedup, multimodal, pipeline, retrieval, similarity, text
 
-__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]
+__all__ = ["bpe", "dedup", "multimodal", "pipeline", "retrieval",
+           "similarity", "text"]
