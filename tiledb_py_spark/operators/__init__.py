@@ -1,11 +1,25 @@
 """Beyond-reference operators for large-scale training-data pipelines
-(SURVEY.md §7 phase E): deduplication, similarity search, text analysis,
-multimodal column plumbing.
+(SURVEY.md §7 phase E):
+
+- ``dedup`` — exact/MinHash/SimHash/embedding/line/span dedup, connected
+  components, decontamination, fuzzy join, winnowing fingerprints,
+  incremental state-array dedup, source-level similarity audit
+- ``similarity`` — brute-force/batch top-k, IVF + PQ ANN with manifest
+  persistence, diversity (prototype) sampling
+- ``text`` — language ID, quality/repetition/OOV/compression signals,
+  C4 line cleaning, unigram/bigram surprisal, perplexity buckets
+- ``bpe`` — distributed BPE vocabulary induction + learned-token counting
+- ``retrieval`` — BM25 search, TF-IDF keyword extraction
+- ``pipeline`` — deterministic shuffle/split/sample/mix (incl. p^alpha
+  temperature), DSIR selection, chunking, packing, token budgets, PII
+  scrub, shard writer
+- ``multimodal`` — binary columns + Arrow-batched decode plumbing
 
 Design rule: everything stays JVM-side (built-in ``pyspark.sql.functions``
 over arrays — ``transform``/``aggregate``/``filter``/``zip_with``) so the
-hot path is whole-stage-codegen'd; Python appears only in clearly-marked
-multimodal decode stubs behind ``mapInPandas``.
+hot path is whole-stage-codegen'd; Python appears only as Arrow-batched
+pandas UDFs where measured faster (minhash/simhash folds, repetition
+stats, PQ/ADC, BPE encode) or unavoidable (multimodal decode stubs).
 """
 
 from . import bpe, dedup, multimodal, pipeline, retrieval, similarity, text
