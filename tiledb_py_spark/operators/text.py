@@ -1,11 +1,16 @@
 """Text analysis operators for LLM training-data pipelines: language ID,
-quality scoring, token counting, document fingerprinting.
+quality/repetition/OOV/compression signals, token counting, C4 line
+cleaning, unigram/bigram surprisal, perplexity buckets, fingerprints.
 
-All pure ``pyspark.sql.functions`` (whole-stage codegen; zero Python in
-the per-row path).  The language-ID heuristic uses stopword-hit ratios
-against small built-in word lists broadcast as literals — the classic
-n-gram/stopword approach, good enough for corpus bucketing; a model-based
-classifier would slot in as a Pandas UDF behind the same column contract.
+Default path is pure ``pyspark.sql.functions`` (whole-stage codegen);
+where an Arrow-batched pandas UDF measured decisively faster it is the
+default with the Catalyst form kept as the pytest-pinned reference
+(``repetition_stats``), and two signals are Python-only by nature
+(``compression_ratio_udf`` — zlib; a model-based language classifier
+would slot in the same way behind the ``language_id`` column contract).
+The built-in language-ID heuristic uses stopword-hit ratios against
+small word lists broadcast as literals — the classic n-gram/stopword
+approach, good enough for corpus bucketing.
 """
 
 from __future__ import annotations
