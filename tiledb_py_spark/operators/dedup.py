@@ -1,9 +1,11 @@
 """Deduplication + corpus-hygiene operators: exact, MinHash+LSH, SimHash,
 n-gram Jaccard, embedding-cosine near-dup, SemDeDup-style semantic dedup,
 transitive connected-components clusters, repeated n-gram statistics AND
-span removal (substring-level dedup), benchmark decontamination (n-gram
-and semantic/embedding), and cross-table fuzzy text join (record
-linkage).
+span removal (substring-level dedup), cross-document LINE removal,
+incremental ingest dedup against a fingerprint state array, MOSS
+winnowing fingerprints, benchmark decontamination (n-gram and
+semantic/embedding), cross-table fuzzy text join (record linkage), and
+source-level similarity auditing (exact + mergeable MinHash sketches).
 
 Scale design notes (the 100 TB story):
 
