@@ -1,9 +1,11 @@
 """Corpus-assembly operators for LLM training-data pipelines:
-deterministic shuffle, hash-based train/test split, stratified sampling,
-domain-mixture resampling (arbitrary rates, upsampling included),
+deterministic shuffle, hash-based train/test split, stratified + EXACT-n
+sampling, domain-mixture resampling (arbitrary rates and p^alpha
+temperature mixing), DSIR importance weighting + Gumbel-top-k selection,
 overlapping token-window chunking, sequence packing (grouped and
-global), token-budget corpus selection, and PII scrubbing — plus the
-distributed global prefix sum that backs the ungrouped variants.
+global), token-budget corpus selection, PII scrubbing, and the
+deterministic training-shard writer — plus the distributed global
+prefix sum that backs the ungrouped variants.
 
 Everything here is DETERMINISTIC and hash-based (no RNG state): results
 are identical across runs, executor counts, and engines — the property a
