@@ -2110,7 +2110,7 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
                 SELECT user_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WHERE user_id < 20
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2655,7 +2655,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT event_id, user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

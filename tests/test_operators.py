@@ -1464,7 +1464,8 @@ def test_sessionize_gap_semantics(spark):
         (4, ts(120), 1), (5, ts(125), 1),
         # user 2: single event
         (6, ts(5), 2),
-        # user 3: boundary exactly AT the gap stays in-session (strict >)
+        # user 3: boundary exactly AT the gap starts a NEW session (>=,
+        # matching F.session_window's [start, start+gap) windows)
         (7, ts(0), 3), (8, ts(30), 3), (9, ts(60, ), 3),
     ]
     df = spark.createDataFrame(
@@ -1481,7 +1482,7 @@ def test_sessionize_gap_semantics(spark):
     assert got[1] == (1, 1) and got[2] == (1, 2) and got[3] == (1, 3)
     assert got[4] == (2, 1) and got[5] == (2, 2)
     assert got[6] == (1, 1)
-    assert got[7] == (1, 1) and got[8] == (1, 2) and got[9] == (1, 3)
+    assert got[7] == (1, 1) and got[8] == (2, 1) and got[9] == (3, 1)
 
 
 def test_dsir_importance_weights_prefer_target_like(spark):
@@ -1823,6 +1824,38 @@ def test_review_fixes_round6(spark, tmp_path):
     c = {r.doc_id: r for r in clean_lines(ndf, "text").collect()}
     assert c[1].clean_text is None and c[1].n_lines_kept == 0
     assert c[2].clean_text == "some ok line here"
+
+
+def test_incremental_dedup_commit_ts_strictly_after_pin(spark, tmp_path):
+    """Back-to-back commits landing within the same wall-clock
+    millisecond must still produce strictly increasing fragment
+    timestamps — the pinned (inclusive) pre-commit read would otherwise
+    see the batch's own fingerprints and anti-join the batch away on
+    re-execution."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark import manifest as mf
+    from tiledb_py_spark.operators.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "first batch text")],
+                               ["doc_id", "text"])
+    incremental_exact_dedup(b1, "text", "doc_id", state).collect()
+    frs = tdb.array_fragments(state)
+    pin = max(f.timestamp_range[1] for f in frs)
+    # freeze the clock AT the pin: the commit must still move past it
+    orig = mf.now_ms
+    mf.now_ms = lambda: pin
+    try:
+        b2 = spark.createDataFrame([(2, "second batch text")],
+                                   ["doc_id", "text"])
+        out2 = incremental_exact_dedup(b2, "text", "doc_id", state)
+        # re-execute AFTER the commit: the pinned read must not include
+        # batch 2's own fingerprints
+        assert sorted(r.doc_id for r in out2.collect()) == [2]
+    finally:
+        mf.now_ms = orig
+    ts = sorted(f.timestamp_range[1] for f in tdb.array_fragments(state))
+    assert len(ts) == 2 and ts[1] > ts[0] >= pin
 
 
 def test_incremental_dedup_state_full_domain(spark, tmp_path):

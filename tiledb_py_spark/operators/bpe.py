@@ -205,10 +205,15 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
 
 def bpe_token_count(df: DataFrame, text_col: str,
                     merges: Sequence[Tuple[str, str]],
-                    out_col: str = "n_tokens_bpe_learned") -> DataFrame:
+                    out_col: str = "n_tokens_bpe_learned",
+                    end_of_word: str = END_OF_WORD,
+                    lowercase: bool = True) -> DataFrame:
     """Token counts under the LEARNED tokenizer (the budget metric a
     training pipeline actually bills by, vs the regex approximation in
-    ``text.bpe_ish_token_count``)."""
-    enc = bpe_encode_udf(merges)
+    ``text.bpe_ish_token_count``).  ``end_of_word`` / ``lowercase`` must
+    match the parameters the merges were TRAINED with (``bpe_train``) —
+    counts are silently wrong under a mismatched normalization."""
+    enc = bpe_encode_udf(merges, end_of_word=end_of_word,
+                         lowercase=lowercase)
     return df.withColumn(out_col,
                          F.size(enc(F.col(text_col))).cast("long"))

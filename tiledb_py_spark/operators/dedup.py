@@ -1067,13 +1067,20 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     The state read is PINNED to the pre-commit timestamp, so the
     returned (lazy) DataFrame stays correct when the caller executes it
     after the commit — the batch never anti-joins against its own
-    fingerprints.  ``commit=True`` evaluates the survivor plan once to
-    extract fingerprints; persist/checkpoint upstream if recomputation
-    is expensive.
+    fingerprints.  The commit fragment's timestamp is forced STRICTLY
+    greater than the pin (``max(now_ms(), ts_pin + 1)``), so a commit
+    landing in the same millisecond as the previous fragment (fast
+    successive batches, clock step-back) can never leak into the
+    inclusive pinned read.  ``commit=True`` evaluates the survivor plan
+    once to extract fingerprints; persist/checkpoint upstream if
+    recomputation is expensive.
 
     Scale shape: the anti-join and the within-batch first-wins join
     shuffle only (8-byte fingerprint, id); the state array read is
-    column-pruned to the fingerprint dimension."""
+    column-pruned to the fingerprint dimension; the commit writes the
+    survivor fingerprints DISTRIBUTED through ``write_fragment_spark``
+    (range-clustered parquet, exact footer stats) — no driver-side
+    materialization of batch data at any size."""
     from .text import fingerprint
 
     spark = df.sparkSession
@@ -1082,6 +1089,7 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     from ..fragment import array_fragments
 
     exists = hl.array_exists(state_uri)
+    ts_pin = None
     if exists:
         frs = array_fragments(state_uri)
         ts_pin = max(f.timestamp_range[1] for f in frs) if len(frs) else None
@@ -1091,16 +1099,27 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     firsts = new.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     surv = new.join(firsts, on=["__fp", id_col], how="left_semi")
     if commit:
-        fps = surv.select(F.col("__fp").alias("fp")).distinct().toPandas()
-        if len(fps):
-            from ..sources.dataframe_ import from_pandas
+        from .. import manifest as mf
+        from ..schema import ArraySchema, Dim, Domain
+        from ..sources.fragment_writer import write_fragment_spark
 
-            # full_domain: later batches append arbitrary 64-bit hashes;
-            # a domain pinned to batch 1's min/max would put them
-            # outside the declared coordinate domain
-            from_pandas(state_uri, fps, index_dims=["fp"],
-                        mode="append" if exists else "ingest",
-                        full_domain=not exists)
+        fps = surv.select(F.col("__fp").alias("fp")).distinct()
+        if not exists:
+            # full int64 domain: later batches append arbitrary 64-bit
+            # hashes; a domain pinned to batch 1's min/max would put
+            # them outside the declared coordinate domain
+            info = np.iinfo(np.int64)
+            dim = Dim(name="fp", domain=(info.min, info.max - 1000),
+                      tile=1000, dtype=np.int64)
+            schema = ArraySchema(domain=Domain(dim), attrs=[], sparse=True)
+            mf.create_array(state_uri, schema)
+        else:
+            schema = mf.read_manifest(state_uri).schema
+        if not fps.isEmpty():
+            # strictly after the pin: the pinned read is inclusive, so a
+            # same-millisecond commit would otherwise see its own batch
+            ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
+            write_fragment_spark(state_uri, schema, fps, timestamp=ts_commit)
     return surv.drop("__fp")
 
 
@@ -1380,8 +1399,16 @@ def source_similarity(df: DataFrame, text_col: str, strata_col: str,
     base = base.withColumn("__sh", _shingles_over(F.col("__toks"), shingle_k))
     if method == "sketch":
         gh = gram_hash or F.xxhash64
-        sig = minhash_signature(
-            F.transform(F.col("__sh"), lambda s: gh(s)), num_perm)
+        # STAGE the hashed-shingle array as its own column (an attribute,
+        # per minhash_signature's contract): an inline transform would be
+        # re-evaluated inside every permutation aggregate, re-hashing each
+        # shingle num_perm times per row.  The staged gh() values ARE the
+        # base hashes, so the permutations fold over them directly —
+        # minhash_signature's internal string-hash pass would double-hash.
+        base = base.withColumn("__shh",
+                               F.transform(F.col("__sh"), lambda s: gh(s)))
+        sig = F.array(*[_perm_min(F.col("__shh"), j)
+                        for j in range(num_perm)])
         sk = (base.select("__s", F.posexplode(sig).alias("__p", "__v"))
                   .groupBy("__s", "__p").agg(F.min("__v").alias("__v"))
                   .groupBy("__s")

@@ -85,7 +85,11 @@ def sessionize(events: DataFrame, by="user_id", ts_col: str = "ts",
     functions over the same ``partitionBy(by) orderBy(ts)`` spec reuse
     a single Exchange+Sort); no driver-side state.  Ties on ``ts``
     order deterministically via ``tiebreak_cols``.  Gap comparison is
-    strict ``>`` on microsecond timestamps."""
+    ``>=`` on microsecond timestamps — an event landing EXACTLY at the
+    gap starts a new session, matching ``F.session_window``'s
+    ``[start, start + gap)`` windows so this row-level view and
+    ``session_window_stats``' aggregate view agree on boundary
+    events."""
     from pyspark.sql import Window
 
     by = [by] if isinstance(by, str) else list(by)
@@ -95,7 +99,7 @@ def sessionize(events: DataFrame, by="user_id", ts_col: str = "ts",
     gap_us = F.lit(int(gap_minutes * 60_000_000)).cast("long")
     delta_us = (F.unix_micros(F.col(ts_col).cast("timestamp"))
                 - F.unix_micros(prev.cast("timestamp")))
-    new_sess = F.when(prev.isNull() | (delta_us > gap_us), 1).otherwise(0)
+    new_sess = F.when(prev.isNull() | (delta_us >= gap_us), 1).otherwise(0)
     out = (events
            .withColumn("__new", new_sess)
            .withColumn("session_idx",

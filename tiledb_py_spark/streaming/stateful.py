@@ -87,7 +87,8 @@ def _sessionize_fn(gap_us: int):
         out_s, out_e = [], []
         for ts in rows["ts"]:
             us = int(pd.Timestamp(ts).value // 1000)
-            if last_us is None or us - last_us > gap_us:
+            # >= matches events.sessionize / F.session_window boundary
+            if last_us is None or us - last_us >= gap_us:
                 s_idx += 1
                 e_idx = 1
             else:
