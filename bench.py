@@ -76,6 +76,20 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    # Host-contention guard: a loaded host inflates every query 1.5-2x
+    # uniformly (observed in the round-6 artifact), making the committed
+    # JSON uninterpretable without narrative context.  Wait briefly for
+    # the 1-minute loadavg to drop below the threshold, then record the
+    # start/end load in the artifact either way so a contended run is
+    # self-describing.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "8"))
+    load_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    waited = 0.0
+    while os.getloadavg()[0] > load_thresh and waited < load_wait_s:
+        time.sleep(10)
+        waited += 10
+    load_start = round(os.getloadavg()[0], 2)
+
     from tiledb_py_spark.session import get_spark
 
     import __spark_entry__ as entry
@@ -94,18 +108,21 @@ def main() -> int:
 
     qs = entry.queries()
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     # best-of-2: the round driver shares CPUs with other work, and a single
     # contended run can read 10-30x slow; min-of-two is the standard
-    # noise-resistant estimator for short benchmarks
+    # noise-resistant estimator for short benchmarks.  The worst/best
+    # spread is recorded per query — a uniformly large spread marks a
+    # contended artifact.
     for name in bench_queries:
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.toPandas()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
 
     out = {
         "metric": "bench_total_runtime",
@@ -113,6 +130,11 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "load_1m_start": load_start,
+        "load_1m_end": round(os.getloadavg()[0], 2),
+        "run_spread_max": max(spreads.values()) if spreads else None,
+        "run_spread_median": (sorted(spreads.values())[len(spreads) // 2]
+                              if spreads else None),
     }
     print(json.dumps(out))
     return 0
