@@ -1501,6 +1501,92 @@ def q_bpe_train(spark, sf_dir):
         "encode_deterministic boolean, vocab_closed boolean")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality classifier (the GPT-3 / LLaMA "looks like the
+    reference corpus" filter — logistic regression over hashed
+    unigrams, distributed L-BFGS fit, row-local Arrow scoring),
+    verified as assertions the oracle can state: (a) the fit converges;
+    (b) an independent numpy gradient-descent fit of the SAME objective
+    on the collected slice reaches the same loss (<=1e-3) with
+    identical hard predictions; (c) the distributed scoring path
+    replays in numpy to <=1e-9 per document; (d) the learned model
+    separates the labeled slices (AUC >= 0.99)."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.classifier import (fit_quality_classifier,
+                                                      quality_scores,
+                                                      token_buckets)
+
+    nb = 512
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "text",
+                 F.col("text").contains("vector").cast("int").alias("y"))
+         # the gate slice is tiny; 4 partitions keep the ~100 per-
+         # iteration optimizer jobs from paying 32-task scheduling each
+         .coalesce(4))
+    # tol 1e-4 (vs the 1e-6 default): each optimizer step is a Spark
+    # job, and the last ~20 steps only polish the 5th decimal of a
+    # loss the reference comparison reads at 1e-3
+    m = fit_quality_classifier(d, "text", "y", n_buckets=nb, max_iter=40,
+                               tol=1e-4)
+
+    scored = quality_scores(d, "text", m)
+    pdf = scored.select("doc_id", "y", "quality_score").toPandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+
+    # (c) numpy replay of scoring over the same staged bucket arrays
+    fe = (d.select("doc_id",
+                   F.coalesce(token_buckets("text", nb),
+                              F.array().cast("array<int>")).alias("b"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    w = np.asarray(m.weights)
+    margins = np.array([m.bias + w[np.asarray(b, dtype=int)].sum()
+                        for b in fe.b])
+    replay = 1.0 / (1.0 + np.exp(-margins))
+    score_replay_ok = bool(
+        np.max(np.abs(replay - pdf.quality_score.to_numpy())) <= 1e-9)
+
+    # (b) independent reference: Newton / IRLS on the dense matrix (a
+    # different optimizer for the same objective — quadratic
+    # convergence, so 20 iterations land at the optimum)
+    y = pdf.y.to_numpy(dtype=np.float64)
+    N = len(fe)
+    Xa = np.zeros((N, nb + 1))
+    for i, b in enumerate(fe.b):
+        np.add.at(Xa[i], np.asarray(b, dtype=int), 1.0)
+    Xa[:, nb] = 1.0   # intercept column
+    reg = 1e-4
+    rvec = np.append(np.full(nb, reg), 0.0)   # bias unregularized
+    wb = np.zeros(nb + 1)
+    for _ in range(20):
+        mm = Xa @ wb
+        p = 1.0 / (1.0 + np.exp(-mm))
+        g = Xa.T @ (p - y) / N + rvec * wb
+        s = np.clip(p * (1.0 - p), 1e-10, None)
+        H = (Xa * s[:, None]).T @ Xa / N + np.diag(rvec)
+        wb -= np.linalg.solve(H + 1e-12 * np.eye(nb + 1), g)
+    mm = Xa @ wb
+    ref_loss = float(np.mean(np.logaddexp(0.0, mm) - y * mm)
+                     + 0.5 * reg * wb[:nb] @ wb[:nb])
+    wr, br = wb[:nb], wb[nb]
+    X = Xa[:, :nb]
+    loss_match = bool(abs(ref_loss - m.loss) <= 1e-3)
+    pred_match = bool(
+        (((X @ wr + br) > 0) == (pdf.quality_score.to_numpy() > 0.5)).all())
+
+    # (d) separation
+    pos = pdf.quality_score[pdf.y == 1].to_numpy()
+    neg = pdf.quality_score[pdf.y == 0].to_numpy()
+    auc = float((pos[:, None] > neg[None, :]).mean()
+                + 0.5 * (pos[:, None] == neg[None, :]).mean())
+    return spark.createDataFrame(
+        [(nb, bool(m.converged), loss_match, pred_match,
+          score_replay_ok, bool(auc >= 0.99))],
+        "n_buckets int, converged boolean, loss_matches_reference boolean, "
+        "predictions_match_reference boolean, scoring_replays boolean, "
+        "separates_slices boolean")
+
+
 def q_winnow(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5 token grams, window=4): each
     window's minimum gram hash, rightmost on ties, deduped — any
@@ -1813,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "quality_classifier": q_quality_classifier,
         "incremental_dedup": q_incremental_dedup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
@@ -2783,6 +2870,16 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        # Assertion oracle (see q_quality_classifier): the distributed
+        # L-BFGS fit must converge, match an independent numpy GD fit of
+        # the same objective (loss + hard predictions), replay its Arrow
+        # scoring in numpy, and separate the labeled slices.
+        "quality_classifier": """
+            SELECT 512 AS n_buckets, true AS converged,
+                   true AS loss_matches_reference,
+                   true AS predictions_match_reference,
+                   true AS scoring_replays, true AS separates_slices
         """,
         "oov_rate": r"""
             WITH g AS (

@@ -2161,3 +2161,69 @@ def test_oov_rate_default_tokenizer_drops_empty_docs(spark):
            oov_rate(df, "text", "doc_id", vocab).collect()}
     assert set(out) == {1}
     assert out[1].n_tokens == 2 and out[1].n_oov == 1
+
+
+def test_quality_classifier_learns_and_scores(spark):
+    """The distributed L-BFGS fit separates a vocabulary-distinguished
+    corpus, the fit matches an independent numpy gradient-descent
+    reference on the same objective, scoring replays in numpy to float
+    precision, and the scoring plan is shuffle-free."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.classifier import (fit_quality_classifier,
+                                                      quality_scores,
+                                                      token_buckets)
+
+    rows = []
+    # positives carry 'signal' words; negatives share filler vocabulary
+    for i in range(40):
+        rows.append((i, f"good clean signal prose item{i % 7} the a of", 1))
+    for i in range(40, 90):
+        rows.append((i, f"spam junk noise item{i % 7} the a of", 0))
+    rows.append((90, "", 0))       # empty doc: bias-only margin
+    rows.append((91, None, 0))     # null doc: treated as empty
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+
+    nb = 256
+    m = fit_quality_classifier(df, "text", "y", n_buckets=nb, max_iter=80)
+    assert m.converged and m.loss < 0.35
+    # loss history is monotone non-increasing (line search guarantees)
+    assert all(b <= a + 1e-12 for a, b in zip(m.history, m.history[1:]))
+
+    scored = quality_scores(df, "text", m)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.doc_id: r.quality_score for r in scored.collect()}
+    pos = [got[i] for i in range(40)]
+    neg = [got[i] for i in range(40, 90)]
+    assert min(pos) > max(neg)    # clean separation
+
+    # numpy replay: collect the same staged bucket arrays, score by hand
+    fe = (df.select("doc_id",
+                    F.coalesce(token_buckets("text", nb),
+                               F.array().cast("array<int>")).alias("b"))
+            .toPandas())
+    w = np.asarray(m.weights)
+    for did, b in zip(fe.doc_id, fe.b):
+        ref = 1.0 / (1.0 + np.exp(-(m.bias + w[np.asarray(b, dtype=int)].sum())))
+        assert abs(ref - got[did]) < 1e-9
+    # empty and null docs score at the bias
+    assert got[90] == got[91] == pytest.approx(1.0 / (1.0 + np.exp(-m.bias)))
+
+    # independent reference: plain gradient descent on the dense matrix
+    y = df.select(F.col("y").cast("double")).toPandas().y.to_numpy()
+    X = np.zeros((len(fe), nb))
+    order = np.argsort(fe.doc_id.to_numpy())
+    for r_i, i in enumerate(order):
+        np.add.at(X[fe.doc_id[i]], np.asarray(fe.b[i], dtype=int), 1.0)
+    wr = np.zeros(nb); br = 0.0; reg = 1e-4
+    for _ in range(30000):
+        mm = X @ wr + br
+        r = 1 / (1 + np.exp(-mm)) - y
+        wr -= 2.0 * (X.T @ r / len(y) + reg * wr)
+        br -= 2.0 * r.mean()
+    ref_loss = float(np.mean(np.logaddexp(0, mm) - y * mm) + 0.5 * reg * wr @ wr)
+    assert abs(ref_loss - m.loss) < 1e-3
+    pref = (X @ wr + br) > 0
+    pfit = np.array([got[i] for i in range(len(fe))]) > 0.5
+    assert (pref == pfit).all()

@@ -9,6 +9,8 @@
 - ``text`` — language ID, quality/repetition/OOV/compression signals,
   C4 line cleaning, unigram/bigram surprisal, perplexity buckets
 - ``bpe`` — distributed BPE vocabulary induction + learned-token counting
+- ``classifier`` — trainable quality classifier (distributed-L-BFGS
+  logistic regression over hashed unigrams, row-local scoring)
 - ``retrieval`` — BM25 search, TF-IDF keyword extraction
 - ``pipeline`` — deterministic shuffle/split/sample/mix (incl. p^alpha
   temperature), DSIR selection, chunking, packing, token budgets, PII
@@ -22,7 +24,8 @@ pandas UDFs where measured faster (minhash/simhash folds, repetition
 stats, PQ/ADC, BPE encode) or unavoidable (multimodal decode stubs).
 """
 
-from . import bpe, dedup, multimodal, pipeline, retrieval, similarity, text
+from . import (bpe, classifier, dedup, multimodal, pipeline, retrieval,
+               similarity, text)
 
-__all__ = ["bpe", "dedup", "multimodal", "pipeline", "retrieval",
-           "similarity", "text"]
+__all__ = ["bpe", "classifier", "dedup", "multimodal", "pipeline",
+           "retrieval", "similarity", "text"]

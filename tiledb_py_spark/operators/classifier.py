@@ -1,0 +1,274 @@
+"""Trainable corpus-quality classifier (the GPT-3 / LLaMA-style
+"looks like the reference corpus" filter): logistic regression over
+hashed-unigram features, fit DISTRIBUTED, scored row-local.
+
+The reference engine has no learning operators; this extends the
+LLM-pipeline surface alongside DSIR (`pipeline.importance_weights`,
+which covers closed-form importance weighting but not a learned
+decision boundary).  Public-knowledge basis: Brown et al. 2020 (GPT-3
+appendix A, LR quality filter over hashed features), Touvron et al.
+2023 (LLaMA Wikipedia-reference classifier), hashing trick per
+Weinberger et al. 2009.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Featurization is shuffle-free.**  A document's feature vector is
+  its raw hashed-token bucket array (``pmod(hash(tok), n_buckets)``),
+  computed row-local in one projection — duplicate buckets ARE the
+  term counts (``w . x == sum over occurrences of w[bucket]``), so no
+  (id, bucket)->count aggregation and no corpus shuffle, ever.
+- **Each optimizer step is ONE job, zero Exchanges.**  The loss and
+  the full n_buckets-sized gradient are accumulated per partition in
+  a vectorized Arrow pass (``mapInPandas``: flatten the batch's bucket
+  arrays, ``np.add.reduceat`` for margins, ``np.bincount`` for the
+  gradient) and only the per-partition (loss, count, gradient[])
+  rows — bounded by partitions x n_buckets — reach the driver, the
+  same bounded-summary contract as ``bpe_train``.  L-BFGS direction +
+  Armijo line search run driver-side on those aggregates.
+- **Scoring is row-local**: broadcast the learned weight vector in an
+  Arrow UDF closure over the same staged bucket arrays — no shuffle,
+  no join, applies at full corpus scale.
+
+Determinism: per-partition sums are combined on the driver in
+partition-id order, so a fit is bit-reproducible for a fixed input
+partitioning (restated from the BPE/unigram-LM induction contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_buckets(text_col, n_buckets: int, token_hash=None,
+                  tokens_col: Optional[Column] = None) -> Column:
+    """Row-local hashed-unigram bucket array: whitespace tokens ->
+    ``pmod(hash(tok), n_buckets)``.  Same bucketing family as DSIR
+    (`pipeline.importance_weights`); pass ``dedup.md5_hash60`` as
+    ``token_hash`` for a cross-engine-replayable bucketing."""
+    from .text import whitespace_tokens
+
+    th = token_hash or F.xxhash64
+    toks = tokens_col if tokens_col is not None else whitespace_tokens(text_col)
+    return F.transform(toks, lambda t: F.pmod(th(t), F.lit(n_buckets))
+                       .cast("int"))
+
+
+@dataclass
+class QualityClassifier:
+    """Learned LR model: ``weights`` (n_buckets), ``bias``, and the
+    featurization parameters scoring must reuse."""
+
+    weights: np.ndarray
+    bias: float
+    n_buckets: int
+    loss: float = float("nan")
+    n_iter: int = 0
+    converged: bool = False
+    history: list = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {"weights": [float(w) for w in self.weights],
+                "bias": float(self.bias), "n_buckets": int(self.n_buckets),
+                "loss": float(self.loss), "n_iter": int(self.n_iter),
+                "converged": bool(self.converged)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QualityClassifier":
+        return cls(weights=np.asarray(d["weights"], dtype=np.float64),
+                   bias=float(d["bias"]), n_buckets=int(d["n_buckets"]),
+                   loss=float(d.get("loss", float("nan"))),
+                   n_iter=int(d.get("n_iter", 0)),
+                   converged=bool(d.get("converged", False)))
+
+
+def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Sum ``vals`` in consecutive segments of the given POSITIVE
+    lengths (``sum(seg_lens) == len(vals)``)."""
+    offs = np.zeros(len(seg_lens), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=offs[1:])
+    return np.add.reduceat(vals, offs)
+
+
+def _eval_factory(feats: DataFrame, n_buckets: int, reg: float):
+    """(loss, gradient) oracle over the persisted features: one
+    mapInPandas job per call, one (loss, n, grad[n_buckets+1]) row per
+    partition, numpy-summed on the driver in partition order.  The
+    bias rides as slot ``n_buckets`` (unregularized)."""
+    schema = "pid int, loss double, n long, grad array<double>"
+
+    def make_eval(wb: np.ndarray):
+        w = wb[:n_buckets].copy()
+        b = float(wb[n_buckets])
+
+        def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            G = np.zeros(n_buckets + 1)
+            L = 0.0
+            N = 0
+            for pdf in it:
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                bks = pdf["bkts"]
+                lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
+                                   count=len(bks))
+                if len(y) == 0:
+                    continue
+                flat = (np.concatenate([np.asarray(a, dtype=np.int64)
+                                        for a in bks])
+                        if lens.sum() else np.empty(0, dtype=np.int64))
+                # margins: per-doc sum of w[bucket] over occurrences.
+                # reduceat runs over the NONZERO-length docs only —
+                # zero-length offsets would either alias the next doc's
+                # first element or (trailing) fall out of range
+                m = np.zeros(len(y))
+                if len(flat):
+                    m[lens > 0] = _segment_sums(w[flat], lens[lens > 0])
+                m = m + b
+                # stable logistic loss: log(1+e^m) - y*m
+                L += float(np.sum(np.logaddexp(0.0, m) - y * m))
+                r = 1.0 / (1.0 + np.exp(-m)) - y   # sigmoid(m) - y
+                if len(flat):
+                    G[:n_buckets] += np.bincount(
+                        flat, weights=np.repeat(r, lens),
+                        minlength=n_buckets)
+                G[n_buckets] += float(r.sum())
+                N += len(y)
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame([{"pid": pid, "loss": L, "n": N,
+                                 "grad": G.tolist()}])
+
+        rows = sorted(feats.mapInPandas(part, schema).collect(),
+                      key=lambda r: r.pid)
+        N = sum(r.n for r in rows)
+        if N == 0:
+            raise ValueError("fit_quality_classifier: no labeled rows")
+        L = sum(r.loss for r in rows) / N
+        G = np.sum([np.asarray(r.grad) for r in rows], axis=0) / N
+        # L2 on weights only, never the bias
+        L += 0.5 * reg * float(wb[:n_buckets] @ wb[:n_buckets])
+        G[:n_buckets] += reg * wb[:n_buckets]
+        return L, G
+
+    return make_eval
+
+
+def _lbfgs(eval_fn, x0: np.ndarray, max_iter: int, tol: float,
+           history_size: int = 10):
+    """Textbook L-BFGS (Nocedal & Wright two-loop recursion) with
+    Armijo backtracking.  Every objective evaluation is one Spark job;
+    typical fits take 1-2 evaluations per iteration."""
+    x = x0.copy()
+    f, g = eval_fn(x)
+    S: list = []
+    Y: list = []
+    rho: list = []
+    hist = [f]
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        if float(np.max(np.abs(g))) < tol:
+            converged = True
+            break
+        q = g.copy()
+        alpha = []
+        for s, y, r in zip(reversed(S), reversed(Y), reversed(rho)):
+            a = r * float(s @ q)
+            alpha.append(a)
+            q -= a * y
+        if Y:
+            q *= float(S[-1] @ Y[-1]) / float(Y[-1] @ Y[-1])
+        for (s, y, r), a in zip(zip(S, Y, rho), reversed(alpha)):
+            q += s * (a - r * float(y @ q))
+        d = -q
+        gd = float(g @ d)
+        if gd >= 0:   # safeguard: fall back to steepest descent
+            d = -g
+            gd = -float(g @ g)
+        t = 1.0
+        while True:
+            fn, gn = eval_fn(x + t * d)
+            if fn <= f + 1e-4 * t * gd or t < 1e-12:
+                break
+            t *= 0.5
+        s = t * d
+        yv = gn - g
+        sy = float(s @ yv)
+        if sy > 1e-12:
+            S.append(s)
+            Y.append(yv)
+            rho.append(1.0 / sy)
+            if len(S) > history_size:
+                S.pop(0)
+                Y.pop(0)
+                rho.pop(0)
+        x = x + s
+        f, g = fn, gn
+        hist.append(f)
+        if t < 1e-12:
+            break
+    return x, f, it, converged, hist
+
+
+def fit_quality_classifier(df: DataFrame, text_col: str, label_col: str,
+                           n_buckets: int = 4096, reg: float = 1e-4,
+                           max_iter: int = 50, tol: float = 1e-6,
+                           token_hash=None,
+                           tokens_col: Optional[Column] = None,
+                           history_size: int = 10) -> QualityClassifier:
+    """Fit the quality LR on a labeled corpus (``label_col`` in {0,1}:
+    1 = reference/high-quality, 0 = raw).  See the module docstring for
+    the distributed shape; null/empty documents train on the bias
+    alone (their margin is the intercept)."""
+    bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
+                       tokens_col=tokens_col)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("y"),
+        F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
+    feats = feats.persist()
+    try:
+        feats.count()   # materialize once; every eval rescans the cache
+        ev = _eval_factory(feats, n_buckets, reg)
+        x0 = np.zeros(n_buckets + 1)
+        x, f, it, conv, hist = _lbfgs(lambda w: ev(w), x0, max_iter, tol,
+                                      history_size)
+    finally:
+        feats.unpersist()
+    return QualityClassifier(weights=x[:n_buckets], bias=float(x[n_buckets]),
+                             n_buckets=n_buckets, loss=float(f), n_iter=it,
+                             converged=conv, history=hist)
+
+
+def quality_scores(df: DataFrame, text_col: str, model: QualityClassifier,
+                   out_col: str = "quality_score", token_hash=None,
+                   tokens_col: Optional[Column] = None) -> DataFrame:
+    """Score every document with ``sigmoid(bias + sum w[bucket])`` —
+    the learned weights ride an Arrow UDF closure (one broadcast of
+    n_buckets doubles), the bucket array is the same staged row-local
+    projection as training, zero shuffles.  Null documents score at
+    the bias (the training-side convention)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(model.weights, dtype=np.float64)
+    b = float(model.bias)
+
+    @pandas_udf("double")
+    def score(bks: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
+                           count=len(bks))
+        out = np.full(len(bks), b)
+        if lens.sum():
+            flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                                   for a in bks])
+            out[lens > 0] += _segment_sums(w[flat], lens[lens > 0])
+        return pd.Series(1.0 / (1.0 + np.exp(-out)))
+
+    bk = token_buckets(text_col, model.n_buckets, token_hash=token_hash,
+                       tokens_col=tokens_col)
+    staged = F.coalesce(bk, F.array().cast("array<int>"))
+    return df.withColumn(out_col, score(staged))
