@@ -1051,6 +1051,92 @@ def q_pq_ann(spark, sf_dir):
         "persisted_roundtrip boolean")
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """Composed IVF+PQ index (the IVFADC of Jegou et al. 2011) with
+    METADATA-PREDICATE-FILTERED search — coarse-quantize to cells,
+    PQ-encode residuals, ADC re-rank inside probed cells — verified as
+    assertions the oracle can state: (a) probe-ALL residual-ADC scores
+    replay in numpy to 1e-9 for vec_id <= 50 (the full scoring path:
+    search reads only (cell, codes), never raw vectors); (b) recall@10
+    probe-all vs the exact cosine top-10 >= 4/10 (residual
+    quantization must beat raw-PQ's 3/10 floor at the same (m,
+    n_codes) budget on these near-random embeddings); (c) searching
+    with a ``label = 2`` predicate equals searching the pre-filtered
+    table AND the predicate reaches the parquet scan of the persisted
+    code table (PushedFilters — the QueryCondition-composed-with-read
+    shape of /root/reference/tiledb/query_condition.py); (d) fit ->
+    save -> load through the embeddings array's manifest metadata
+    restores centroids + codebooks bit-exactly."""
+    import tempfile
+
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import (IVFPQIndex,
+                                                      brute_force_topk)
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    base = e.filter(F.col("vec_id") != 0)
+    fit = IVFPQIndex(n_cells=8, n_probe=8, m=16, n_codes=64).fit(
+        e, "embedding")
+    uri = _embeddings_array(spark, sf_dir)
+    try:
+        idx = IVFPQIndex.load(uri, name="gate")
+    except KeyError:
+        fit.save(uri, name="gate")
+        idx = IVFPQIndex.load(uri, name="gate")
+    roundtrip = bool(np.array_equal(idx.centroids, fit.centroids)
+                     and np.array_equal(idx.codebooks, fit.codebooks))
+
+    # persist the code table; search scans codes + metadata only
+    p = tempfile.mkdtemp(prefix="ivfpq_codes_")
+    idx.build(base, "embedding", "vec_id",
+              keep_cols=["label"]).write.mode("overwrite").parquet(p)
+    tab = spark.read.parquet(p)
+
+    exact_ids = {r.vec_id for r in
+                 brute_force_topk(base, "embedding", "vec_id", qv,
+                                  k=10).collect()}
+    got_ids = {r.vec_id for r in
+               idx.search(tab, qv, k=10, n_probe=8).collect()}
+    recall_ok = len(got_ids & exact_ids) >= 4
+
+    # predicate-filtered: plan pushdown + equality with prefiltered
+    res = idx.search(tab, qv, k=10, predicate=F.col("label") == 2,
+                     n_probe=8)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pushed = ("PushedFilters" in plan
+              and "label" in plan.split("PushedFilters")[1][:200])
+    a = [(r.vec_id, round(r.score, 9)) for r in res.collect()]
+    b = [(r.vec_id, round(r.score, 9)) for r in
+         idx.search(tab.filter(F.col("label") == 2), qv, k=10,
+                    n_probe=8).collect()]
+    labels = dict(base.select("vec_id", "label").collect())
+    pred_ok = bool(a == b and all(labels[v] == 2 for v, _ in a))
+
+    # numpy replay of the composed scoring path
+    sub = tab.filter(F.col("vec_id") <= 50)
+    scores = {r.vec_id: r.score for r in
+              idx.search(sub, qv, k=100, n_probe=8).collect()}
+    rows = sub.select("vec_id", "cell", "pq_codes").collect()
+    q = np.asarray(qv, dtype="float64")
+    q = q / np.linalg.norm(q)
+    m, _, dsub = idx.codebooks.shape
+    merr = max(
+        abs(scores[r.vec_id]
+            - (1.0 - sum(((idx.codebooks[j][r.pq_codes[j]]
+                           - (q - idx.centroids[r.cell])[j * dsub:(j + 1) * dsub])
+                          ** 2).sum() for j in range(m)) / 2.0))
+        for r in rows)
+    return spark.createDataFrame(
+        [(10, bool(merr < 1e-9), bool(recall_ok), pred_ok, bool(pushed),
+          roundtrip)],
+        "k int, adc_exact boolean, recall_ge_floor boolean, "
+        "predicate_consistent boolean, predicate_pushed boolean, "
+        "persisted_roundtrip boolean")
+
+
 def q_diversity_sample(spark, sf_dir):
     """Cluster-stratified prototype selection, verified as assertions
     the oracle can state: (a) at most n_cells rows, one per distinct
@@ -1887,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "ivfpq_ann": q_ivfpq_ann,
         "diversity_sample": q_diversity_sample,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
@@ -3405,6 +3492,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
+                   true AS persisted_roundtrip
+        """,
+        # Assertion oracle (see q_ivfpq_ann): composed coarse-quantize +
+        # residual-ADC with a predicate pushed into the code-table scan.
+        "ivfpq_ann": """
+            SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
+                   true AS predicate_consistent, true AS predicate_pushed,
                    true AS persisted_roundtrip
         """,
         "diversity_sample": """

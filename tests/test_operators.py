@@ -2227,3 +2227,68 @@ def test_quality_classifier_learns_and_scores(spark):
     pref = (X @ wr + br) > 0
     pfit = np.array([got[i] for i in range(len(fe))]) > 0.5
     assert (pref == pfit).all()
+
+
+def test_ivfpq_residual_adc_and_predicate(spark, tmp_path):
+    """IVF+PQ composed index: probe-all ADC replays in numpy exactly,
+    predicate-filtered search equals search over the pre-filtered
+    table, the predicate reaches the parquet scan (PushedFilters), and
+    the JSON round-trip is bit-exact."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import IVFPQIndex
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated clusters + metadata tag
+    centers = rng.randn(3, 16) * 4
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = centers[c] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v], "en" if i % 2 else "de"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, lang string")
+    rows.append((999, None, "en"))   # null vector must not break build
+
+    idx = IVFPQIndex(n_cells=3, n_probe=3, m=4, n_codes=8,
+                     metric="cosine").fit(df, "embedding")
+    tab = idx.build(df, "embedding", "vec_id", keep_cols=["lang"])
+
+    # write / read through parquet: the predicate must hit the scan
+    p = str(tmp_path / "codes")
+    tab.write.parquet(p)
+    disk = spark.read.parquet(p)
+    q = [float(x) for x in centers[1]]
+    res = idx.search(disk, q, k=5, predicate=F.col("lang") == "en")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    got = res.collect()
+    assert len(got) == 5
+
+    # equals search over the pre-filtered table
+    ref = idx.search(disk.filter(F.col("lang") == "en"), q, k=5).collect()
+    assert [(r.vec_id, round(r.score, 9)) for r in got] == \
+           [(r.vec_id, round(r.score, 9)) for r in ref]
+    langs = dict(df.select("vec_id", "lang").collect())
+    assert all(langs[r.vec_id] == "en" for r in got)
+
+    # numpy replay of the full ADC path (probe-all)
+    scores = {r.vec_id: r.score for r in
+              idx.search(disk, q, k=200, n_probe=3).collect()}
+    qq = np.asarray(q) / np.linalg.norm(q)
+    m, _, dsub = idx.codebooks.shape
+    for r in disk.collect():
+        rq = qq - idx.centroids[r.cell]
+        d2 = sum(((idx.codebooks[j][r.pq_codes[j]]
+                   - rq[j * dsub:(j + 1) * dsub]) ** 2).sum()
+                 for j in range(m))
+        assert abs((1.0 - d2 / 2.0) - scores[r.vec_id]) < 1e-9
+
+    # clustered data: residual-ADC top-5 must come from query's cluster
+    assert all(r.vec_id % 3 == 1 for r in
+               idx.search(disk, q, k=5, n_probe=1).collect())
+
+    # persistence round-trip
+    idx2 = IVFPQIndex.from_json(idx.to_json())
+    assert np.array_equal(idx.centroids, idx2.centroids)
+    assert np.array_equal(idx.codebooks, idx2.codebooks)
+    assert (idx2.dim, idx2.metric, idx2.m) == (idx.dim, idx.metric, idx.m)

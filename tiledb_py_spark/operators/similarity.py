@@ -80,6 +80,48 @@ def batch_topk(df: DataFrame, vec_col: str, id_col: str,
                   .select(F.col("__qid").alias("query_id"), id_col, "score", F.col("__rn").alias("rank")))
 
 
+def _hash_ordered_sample(df: DataFrame, vec_col: str, sample_rows: int,
+                         sample_fraction: float, seed: int,
+                         floor: int) -> np.ndarray:
+    """Single-pass training sample shared by the ANN indexes: Bernoulli
+    sample at a fixed conservative fraction, capped at ``sample_rows``
+    by a HASH-ordered limit (TakeOrdered: per-partition top-k + driver
+    merge over the sampled subset only).  A plain ``.limit()`` would
+    keep the first partitions of the sample — on label-clustered or
+    sorted data that trains every centroid on one cluster; ordering by
+    a hash of the vector makes the kept subset position-independent.
+    No count() pre-scan on the happy path; only a shortfall below
+    ``floor`` (the centroid-seeding minimum) triggers the fallback:
+    count (cheap — the shortfall bounds the table size) and resample
+    exactly.  Null vectors carry no training signal and would make the
+    sample matrix ragged; NaN/inf vectors would corrupt every centroid
+    they touch — both are dropped."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    h = F.xxhash64(F.col(vec_col))
+    rows = (df.select(vec_col)
+              .sample(withReplacement=False, fraction=sample_fraction,
+                      seed=seed)
+              .orderBy(h).limit(sample_rows).collect())
+    if len(rows) < floor:
+        n_rows = df.count()
+        if n_rows <= 3 * sample_rows:
+            rows = df.select(vec_col).collect()
+            if len(rows) > sample_rows:
+                rng0 = np.random.default_rng(seed)
+                idx = rng0.choice(len(rows), sample_rows, replace=False)
+                rows = [rows[i] for i in idx]
+        else:
+            frac = min(1.0, 3.0 * sample_rows / n_rows)
+            rows = (df.select(vec_col)
+                      .sample(withReplacement=False, fraction=frac,
+                              seed=seed)
+                      .orderBy(h).limit(sample_rows).collect())
+    sample = np.array([r[0] for r in rows], dtype="float64")
+    if sample.ndim == 2:
+        sample = sample[np.isfinite(sample).all(axis=1)]
+    return sample
+
+
 class IVFIndex:
     """Inverted-file ANN index: vectors assigned to nearest centroid cell.
 
@@ -106,42 +148,9 @@ class IVFIndex:
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
             sample_fraction: float = 0.05) -> "IVFIndex":
-        # Single-pass training sample: Bernoulli sample at a fixed
-        # conservative fraction, capped at sample_rows by a HASH-ordered
-        # limit (TakeOrdered: per-partition top-k + driver merge over the
-        # sampled subset only).  A plain .limit() would keep the first
-        # partitions of the sample — on label-clustered or sorted data
-        # that trains every centroid on one cluster; ordering by a hash
-        # of the vector makes the kept subset position-independent.  No
-        # count() pre-scan on the happy path.  Only a shortfall below
-        # the centroid-seeding floor triggers the fallback: count (cheap
-        # — the shortfall bounds the table size) and resample exactly.
-        # null vectors carry no training signal and would make the
-        # sample matrix ragged (assign() already maps them to a null cell)
-        df = df.filter(F.col(vec_col).isNotNull())
-        h = F.xxhash64(F.col(vec_col))
-        rows = (df.select(vec_col)
-                  .sample(withReplacement=False, fraction=sample_fraction,
-                          seed=self.seed)
-                  .orderBy(h).limit(sample_rows).collect())
-        if len(rows) < max(10 * self.n_cells, 256):
-            n_rows = df.count()
-            if n_rows <= 3 * sample_rows:
-                rows = df.select(vec_col).collect()
-                if len(rows) > sample_rows:
-                    rng0 = np.random.default_rng(self.seed)
-                    idx = rng0.choice(len(rows), sample_rows, replace=False)
-                    rows = [rows[i] for i in idx]
-            else:
-                frac = min(1.0, 3.0 * sample_rows / n_rows)
-                rows = (df.select(vec_col)
-                          .sample(withReplacement=False, fraction=frac,
-                                  seed=self.seed)
-                          .orderBy(h).limit(sample_rows).collect())
-        sample = np.array([r[0] for r in rows], dtype="float64")
-        if sample.ndim == 2:
-            # a NaN/inf vector would corrupt every centroid it touches
-            sample = sample[np.isfinite(sample).all(axis=1)]
+        sample = _hash_ordered_sample(df, vec_col, sample_rows,
+                                      sample_fraction, self.seed,
+                                      floor=max(10 * self.n_cells, 256))
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
         def _unit(m):
@@ -350,31 +359,9 @@ class PQIndex:
 
     def _sample(self, df: DataFrame, vec_col: str, sample_rows: int,
                 sample_fraction: float) -> np.ndarray:
-        # same single-pass hash-ordered sampling shape as IVFIndex.fit
-        df = df.filter(F.col(vec_col).isNotNull())
-        h = F.xxhash64(F.col(vec_col))
-        rows = (df.select(vec_col)
-                  .sample(withReplacement=False, fraction=sample_fraction,
-                          seed=self.seed)
-                  .orderBy(h).limit(sample_rows).collect())
-        if len(rows) < max(4 * self.n_codes, 256):
-            n_rows = df.count()
-            if n_rows <= 3 * sample_rows:
-                rows = df.select(vec_col).collect()
-                if len(rows) > sample_rows:
-                    rng0 = np.random.default_rng(self.seed)
-                    idx = rng0.choice(len(rows), sample_rows, replace=False)
-                    rows = [rows[i] for i in idx]
-            else:
-                frac = min(1.0, 3.0 * sample_rows / n_rows)
-                rows = (df.select(vec_col)
-                          .sample(withReplacement=False, fraction=frac,
-                                  seed=self.seed)
-                          .orderBy(h).limit(sample_rows).collect())
-        sample = np.array([r[0] for r in rows], dtype="float64")
-        if sample.ndim == 2:
-            sample = sample[np.isfinite(sample).all(axis=1)]
-        return sample
+        return _hash_ordered_sample(df, vec_col, sample_rows,
+                                    sample_fraction, self.seed,
+                                    floor=max(4 * self.n_codes, 256))
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
             sample_fraction: float = 0.05) -> "PQIndex":
@@ -562,6 +549,290 @@ class PQIndex:
         if self.metric == "cosine":
             return scored.orderBy(F.desc("score"), id_col).limit(k)
         return scored.orderBy(F.asc("score"), id_col).limit(k)
+
+
+class IVFPQIndex:
+    """Composed coarse-quantize -> in-cell ADC re-rank index (the IVFADC
+    of Jegou et al. 2011 §IV) with METADATA-PREDICATE-FILTERED search —
+    the production vector-search shape: IVF prunes the scan to
+    ``n_probe`` cells, PQ codes keep the scanned bytes tiny (vectors
+    are encoded as m codes of their RESIDUAL from the cell centroid,
+    which quantizes far more accurately than raw-vector PQ), and a
+    row-metadata predicate (``lang = 'en'``, date ranges, ...) filters
+    BEFORE scoring, so Spark pushes it into the parquet scan of the
+    code table — mirroring how the reference composes QueryCondition
+    with reads (``/root/reference/tiledb/query_condition.py``).
+
+    ``metric="cosine"`` normalizes vectors at fit/build time and ranks
+    by ascending L2 in the normalized space (``||a-b||^2 = 2 - 2cos``
+    for unit vectors — identical ordering), reporting
+    ``score = 1 - d^2/2`` (the cosine estimate); ``"l2"`` ranks raw
+    distances, reporting ``score = -sqrt(d^2)`` (both descending,
+    matching ``brute_force_topk``'s convention for recall checks).
+
+    Scale shape: ``build`` is one Arrow pass emitting (cell: int,
+    codes: m bytes) per row — store THAT with the metadata columns and
+    drop the raw vectors from the search path entirely.  ``search``
+    scans only the probed cells' codes (cell + predicate both prune at
+    the parquet scan), scores via per-probed-cell LUTs riding one
+    Arrow UDF closure (n_probe x m x n_codes doubles), and top-k is a
+    TakeOrdered — no global sort, no shuffle of vectors, ever."""
+
+    _META_PREFIX = "__ivfpq_index:"
+
+    def __init__(self, n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                 n_codes: int = 16, seed: int = 42,
+                 metric: str = "cosine", n_iter: int = 10):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.m = m
+        self.n_codes = n_codes
+        self.seed = seed
+        self.metric = metric
+        self.n_iter = n_iter
+        self.centroids: Optional[np.ndarray] = None   # (n_cells, d)
+        self.codebooks: Optional[np.ndarray] = None   # (m, n_codes, dsub)
+        self.dim: Optional[int] = None
+
+    def _normalize(self, M: np.ndarray) -> np.ndarray:
+        if self.metric != "cosine":
+            return M
+        n = np.linalg.norm(M, axis=-1, keepdims=True)
+        return M / np.where(n == 0, 1.0, n)
+
+    def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
+            sample_fraction: float = 0.05) -> "IVFPQIndex":
+        """Coarse k-means on the sample, then per-subspace k-means on
+        the sample's RESIDUALS from its assigned centroids.  Cell
+        assignment uses plain L2 throughout (on normalized vectors for
+        cosine) so build and search agree with the residual
+        arithmetic."""
+        floor = max(10 * self.n_cells, 4 * self.n_codes, 256)
+        sample = _hash_ordered_sample(df, vec_col, sample_rows,
+                                      sample_fraction, self.seed, floor)
+        if sample.ndim != 2 or not len(sample):
+            raise ValueError("IVFPQIndex.fit: no trainable vectors")
+        d = sample.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sample = self._normalize(sample)
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_cells, len(sample))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(self.n_iter):
+            dist = ((sample[:, None, :] - centroids[None, :, :]) ** 2) \
+                .sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                pts = sample[assign == c]
+                if len(pts):
+                    centroids[c] = pts.mean(axis=0)
+        dist = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        resid = sample - centroids[dist.argmin(axis=1)]
+        dsub = d // self.m
+        kc = min(self.n_codes, len(resid))
+        books = np.zeros((self.m, kc, dsub))
+        for j in range(self.m):
+            sub = resid[:, j * dsub:(j + 1) * dsub]
+            cent = sub[rng.choice(len(sub), size=kc, replace=False)]
+            for _ in range(self.n_iter):
+                dd = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = dd.argmin(axis=1)
+                for c in range(kc):
+                    pts = sub[a == c]
+                    if len(pts):
+                        cent[c] = pts.mean(axis=0)
+            books[j] = cent
+        self.centroids = centroids
+        self.codebooks = books
+        self.dim = d
+        return self
+
+    # -- persistence (same contract as IVFIndex / PQIndex) ----------------
+
+    def to_json(self) -> str:
+        if self.centroids is None or self.codebooks is None:
+            raise ValueError("fit() the index before saving")
+        import json
+
+        return json.dumps({
+            "format": 1, "n_cells": self.n_cells, "n_probe": self.n_probe,
+            "m": self.m, "n_codes": self.n_codes, "seed": self.seed,
+            "metric": self.metric, "dim": self.dim,
+            "centroids": self.centroids.tolist(),
+            "codebooks": self.codebooks.tolist()})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "IVFPQIndex":
+        import json
+
+        d = json.loads(payload)
+        idx = cls(n_cells=d["n_cells"], n_probe=d["n_probe"], m=d["m"],
+                  n_codes=d["n_codes"], seed=d["seed"], metric=d["metric"])
+        idx.centroids = np.asarray(d["centroids"], dtype="float64")
+        idx.codebooks = np.asarray(d["codebooks"], dtype="float64")
+        idx.dim = d["dim"]
+        return idx
+
+    def save(self, uri: str, name: str = "default") -> "IVFPQIndex":
+        from .. import manifest as mf
+
+        payload = self.to_json()
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            Metadata(uri)[self._META_PREFIX + name] = payload
+        else:
+            import os
+            import tempfile
+
+            d = os.path.dirname(os.path.abspath(uri)) or "."
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ivfpq.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, uri)
+        return self
+
+    @classmethod
+    def load(cls, uri: str, name: str = "default") -> "IVFPQIndex":
+        from .. import manifest as mf
+
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            payload = Metadata(uri).get(cls._META_PREFIX + name)
+            if payload is None:
+                raise KeyError(
+                    f"no IVFPQ index named {name!r} stored at {uri}")
+        else:
+            with open(uri) as f:
+                payload = f.read()
+        return cls.from_json(payload)
+
+    # -- build / search ---------------------------------------------------
+
+    def _build_arrow_udf(self):
+        """One Arrow pass: normalize (cosine), nearest cell by L2,
+        PQ-encode the residual.  Null / wrong-dim vectors map to a null
+        struct (the search path drops them)."""
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.ascontiguousarray(self.centroids)
+        B = np.ascontiguousarray(self.codebooks)
+        m, _, dsub = B.shape
+        d = self.dim
+        cosine = self.metric == "cosine"
+
+        @pandas_udf("struct<cell: int, codes: array<int>>")
+        def enc(vs: pd.Series) -> pd.DataFrame:
+            valid = np.array(
+                [v is not None and len(v) == d for v in vs], dtype=bool)
+            cells = np.full(len(vs), None, dtype=object)
+            codes_out = np.full(len(vs), None, dtype=object)
+            if valid.any():
+                M = np.asarray([np.asarray(v, dtype="float64")
+                                for v, ok in zip(vs, valid) if ok])
+                if cosine:
+                    n = np.linalg.norm(M, axis=1, keepdims=True)
+                    M = M / np.where(n == 0, 1.0, n)
+                # argmin ||v-c||^2 = argmin |c|^2 - 2 v.c
+                dots = M @ C.T
+                cell = ((C * C).sum(axis=1)[None, :] - 2 * dots) \
+                    .argmin(axis=1)
+                R = M - C[cell]
+                codes = np.empty((len(M), m), dtype="int32")
+                for j in range(m):
+                    sub = R[:, j * dsub:(j + 1) * dsub]
+                    sdots = sub @ B[j].T
+                    codes[:, j] = ((B[j] * B[j]).sum(axis=1)[None, :]
+                                   - 2 * sdots).argmin(axis=1)
+                for r, i in enumerate(np.nonzero(valid)[0]):
+                    cells[i] = int(cell[r])
+                    codes_out[i] = codes[r].tolist()
+            return pd.DataFrame({"cell": cells, "codes": codes_out})
+
+        return enc
+
+    def build(self, df: DataFrame, vec_col: str, id_col: str,
+              keep_cols: Sequence[str] = (),
+              cell_col: str = "cell",
+              code_col: str = "pq_codes") -> DataFrame:
+        """(id, *keep_cols, cell, codes) — the persistent search table.
+        ``keep_cols`` carries the metadata columns predicates filter on
+        (language, source, timestamps)."""
+        assert self.centroids is not None
+        s = self._build_arrow_udf()(F.col(vec_col))
+        return df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                         s.getField("cell").alias(cell_col),
+                         s.getField("codes").alias(code_col))
+
+    def _probe_and_luts(self, query_vec: Sequence[float],
+                        n_probe: int) -> tuple[list, dict]:
+        q = self._normalize(np.asarray(query_vec, dtype="float64"))
+        cd = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        probe = np.argsort(cd)[:n_probe].tolist()
+        m, _, dsub = self.codebooks.shape
+        luts = {}
+        for c in probe:
+            r = q - self.centroids[c]
+            lut = np.empty((m, self.codebooks.shape[1]))
+            for j in range(m):
+                rs = r[j * dsub:(j + 1) * dsub]
+                lut[j] = ((self.codebooks[j] - rs[None, :]) ** 2).sum(axis=1)
+            luts[int(c)] = lut
+        return probe, luts
+
+    def search(self, index_df: DataFrame, query_vec: Sequence[float],
+               k: int = 10, id_col: str = "vec_id",
+               predicate: Optional[Column] = None,
+               n_probe: Optional[int] = None,
+               cell_col: str = "cell",
+               code_col: str = "pq_codes") -> DataFrame:
+        """ADC top-k over the probed cells, with ``predicate`` applied
+        BEFORE scoring so it reaches the scan (pass any Column over the
+        ``keep_cols`` metadata).  Returns (id_col, score) descending."""
+        assert self.centroids is not None
+        np_ = n_probe if n_probe is not None else self.n_probe
+        probe, luts = self._probe_and_luts(query_vec, np_)
+
+        from pyspark.sql.functions import pandas_udf
+
+        df = index_df
+        if predicate is not None:
+            df = df.filter(predicate)
+        df = df.filter(F.col(cell_col).isin(probe))
+
+        @pandas_udf("double")
+        def adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
+            # vectorized per probed cell: one LUT gather per cell over
+            # the batch's rows in that cell (no per-row Python)
+            out = np.full(len(codes), np.nan)
+            valid = np.array([c is not None and cd is not None
+                              for c, cd in zip(cells, codes)], dtype=bool)
+            if valid.any():
+                cl = cells[valid].to_numpy(dtype="int64")
+                CD = np.asarray([np.asarray(cd, dtype="int64")
+                                 for cd in codes[valid]])
+                vals = np.full(len(cl), np.nan)
+                rows = np.arange(CD.shape[1])[None, :]
+                for c, lut in luts.items():
+                    msk = cl == c
+                    if msk.any():
+                        vals[msk] = lut[rows, CD[msk]].sum(axis=1)
+                out[valid] = vals
+            return pd.Series(out)
+
+        d2 = adc(F.col(cell_col), F.col(code_col))
+        if self.metric == "cosine":
+            score = F.lit(1.0) - d2 / F.lit(2.0)
+        else:
+            score = -F.sqrt(d2)
+        return (df.withColumn("score", score)
+                  .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+                  .select(id_col, "score")
+                  .orderBy(F.desc("score"), id_col).limit(k))
 
 
 def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
