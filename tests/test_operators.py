@@ -2292,3 +2292,53 @@ def test_ivfpq_residual_adc_and_predicate(spark, tmp_path):
     assert np.array_equal(idx.centroids, idx2.centroids)
     assert np.array_equal(idx.codebooks, idx2.codebooks)
     assert (idx2.dim, idx2.metric, idx2.m) == (idx.dim, idx.metric, idx.m)
+
+
+def test_incremental_neardup_matches_batch_union(spark, tmp_path):
+    """Two-batch incremental near-dup equals the single-batch
+    signature-verified minhash_dedup on the union (monotone batch ids,
+    no capped buckets), the state array holds one signature row per
+    INGESTED doc (dropped docs included), and a doc near-duplicating a
+    batch-1 DROPPED doc still drops in batch 2."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.dedup import (incremental_neardup,
+                                                 minhash_dedup)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    variant = base.replace("tonight", "today")      # near-dup of base
+    variant2 = base + " indeed"                     # near-dup chain
+    rows1 = [(1, base), (2, variant),
+             (3, "completely different text about spark shuffle plans "
+                 "and parquet footer statistics for pruning")]
+    rows2 = [(10, variant2),                        # ~ the batch-1 family
+             (11, "another unrelated document mentioning adaptive "
+                  "query execution and broadcast joins at scale"),
+             (12, base)]                            # exact dup of 1
+    b1 = spark.createDataFrame(rows1, ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+
+    state = str(tmp_path / "neardup_state")
+    kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.7)
+    out1 = sorted(r.doc_id for r in
+                  incremental_neardup(b1, "text", "doc_id", state,
+                                      **kw).collect())
+    out2 = sorted(r.doc_id for r in
+                  incremental_neardup(b2, "text", "doc_id", state,
+                                      **kw).collect())
+
+    union = b1.unionByName(b2)
+    ref = sorted(r.doc_id for r in
+                 minhash_dedup(union, "text", "doc_id",
+                               verify="signature", **kw).collect())
+    assert sorted(out1 + out2) == ref
+    assert 10 not in out2       # near-dups the batch-1 family
+    assert 12 not in out2       # exact dup across batches
+    assert 2 not in out1        # within-batch near-dup, min id wins
+
+    # state: one (id, sig) row per ingested doc, two fragments
+    A = tdb.open(state, spark=spark)
+    st = A.dataframe().collect()
+    assert sorted(r.id for r in st) == [1, 2, 3, 10, 11, 12]
+    assert all(len(r.sig) == 64 for r in st)
+    assert len(tdb.array_fragments(state)) == 2

@@ -295,24 +295,31 @@ def duplicate_stats(df: DataFrame, content_cols: Sequence[str],
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _sig_band_keys(sig: Column, num_perm: int, bands: int) -> Column:
+    """Row-local per-band bucket hashes from a signature array column —
+    a PURE function of the signature, so band keys computed from a
+    persisted state signature equal the keys computed at ingest time
+    (the property ``incremental_neardup`` relies on)."""
+    rows_per_band = num_perm // bands
+    return F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                   for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+
+
 def _banded_buckets(df: DataFrame, text_col: str, id_col: str,
                     num_perm: int, bands: int, shingle_k: int,
                     bucket_cap: int = 64) -> DataFrame:
     """(__id, band, band_hash) LSH bucket memberships: signatures ->
     per-band hash -> posexplode, with degenerate buckets capped at
     ``bucket_cap`` members (smallest ids win, deterministic)."""
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     banded = sigs.select(
         "__id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
-                           for r in range(rows_per_band)]))
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.posexplode(_sig_band_keys(F.col("__sig"), num_perm, bands))
+        .alias("band", "band_hash"),
     )
     from pyspark.sql import Window
 
@@ -402,11 +409,22 @@ def fuzzy_text_join(left: DataFrame, right: DataFrame, text_col: str,
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
-    """Drop near-duplicates: verify candidates with exact shingle Jaccard,
-    cluster by min-id propagation, keep the smallest id per cluster."""
+                  threshold: float = 0.8, verify: str = "exact") -> DataFrame:
+    """Drop near-duplicates: verify candidates (``verify="exact"``:
+    exact shingle Jaccard; ``"signature"``: matching-slot fraction of
+    the MinHash signatures — the estimator ``incremental_neardup`` can
+    replay against persisted state signatures without the original
+    text), cluster by min-id propagation, keep the smallest id per
+    cluster."""
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    verified = verify_jaccard(df, pairs, text_col, id_col, shingle_k, threshold)
+    if verify == "exact":
+        verified = verify_jaccard(df, pairs, text_col, id_col, shingle_k,
+                                  threshold)
+    elif verify == "signature":
+        sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+        verified = verify_signature(pairs, sigs, num_perm, threshold)
+    else:
+        raise ValueError(f"unknown verify mode {verify!r}")
     # min-id propagation: every doc maps to the smallest id it pairs with
     edges = verified.select("id_a", "id_b")
     rep = (edges.groupBy("id_b").agg(F.min("id_a").alias("__rep"))
@@ -436,6 +454,31 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame, text_col: str, id_col: str,
     return (j.withColumn("jaccard", inter / union)
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
+
+
+def _sig_match_frac(a: Column, b: Column, num_perm: int) -> Column:
+    """MinHash Jaccard estimate: fraction of matching signature slots."""
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return matches / F.lit(float(num_perm))
+
+
+def verify_signature(pairs: DataFrame, sigs: DataFrame, num_perm: int,
+                     threshold: float = 0.8) -> DataFrame:
+    """Signature-estimated Jaccard for candidate pairs: the
+    matching-slot fraction of the two MinHash signatures (unbiased,
+    se ~ 1/sqrt(num_perm)).  ``sigs`` is ``minhash_signatures`` output
+    (``__id``, ``__sig``).  Text-free — this is the verification that
+    works against PERSISTED signatures (``incremental_neardup``'s
+    state), where the original shingle sets no longer exist."""
+    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+    est = _sig_match_frac(F.col("__sa"), F.col("__sb"), num_perm)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard", est)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -1121,6 +1164,124 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
             ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
             write_fragment_spark(state_uri, schema, fps, timestamp=ts_commit)
     return surv.drop("__fp")
+
+
+def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
+                        state_uri: str, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 3,
+                        threshold: float = 0.8, bucket_cap: int = 64,
+                        commit: bool = True) -> DataFrame:
+    """Continuous-ingest NEAR-dup: drop rows whose MinHash signature
+    matches (banded LSH candidate + matching-slot fraction >=
+    ``threshold``) any document in ANY previously committed batch, or a
+    smaller-id document within the batch — then COMMIT every incoming
+    document's signature to ``state_uri`` (the `incremental_exact_dedup`
+    state-array pattern extended from 8-byte fingerprints to
+    ``num_perm * 8``-byte signatures).  Each crawl snapshot
+    deduplicates against all prior snapshots WITHOUT reprocessing
+    them: state stores only (id, signature); prior band keys are
+    recomputed row-local from the persisted signatures
+    (``_sig_band_keys`` is a pure function of the signature), and
+    verification is the signature matching-slot estimate — the
+    original text never persists and never reships.
+
+    ALL incoming documents' signatures commit, survivors or not: a
+    future document near-duplicating an already-dropped one must still
+    drop (matching `minhash_dedup`'s min-id edge propagation, where
+    dropped docs keep contributing edges).  With batch ids
+    monotonically increasing across batches (the crawl-snapshot case)
+    and no bucket hitting ``bucket_cap``, the multi-batch result
+    equals ``minhash_dedup(union_of_batches, verify="signature")``
+    exactly — the driver gate asserts this.  Under capping the two can
+    diverge (batch mode caps buckets across the union; incremental
+    caps within each batch) — a recall, never a correctness, boundary.
+
+    Scale shape: shuffles carry (band, band_hash, id) postings and
+    candidate-only signature joins; the state read is one
+    column-pruned scan of (id, sig); the commit is a distributed
+    fragment write of signatures with a strictly-past-the-pin
+    timestamp (same race defense as the exact variant)."""
+    from pyspark.sql import Window
+
+    from .. import highlevel as hl
+    from .. import manifest as mf
+    from ..fragment import array_fragments
+
+    spark = df.sparkSession
+    # signatures feed the postings, both verifies, and the commit; like
+    # incremental_exact_dedup, commit=True evaluates the plan once for
+    # the state write — persist/checkpoint upstream if the recompute on
+    # the caller's collect is expensive
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    nb = sigs.select(
+        "__id",
+        F.posexplode(_sig_band_keys(F.col("__sig"), num_perm, bands))
+        .alias("band", "band_hash"))
+
+    exists = hl.array_exists(state_uri)
+    ts_pin = None
+    drop_vs_state = None
+    if exists:
+        frs = array_fragments(state_uri)
+        ts_pin = max(f.timestamp_range[1] for f in frs) if len(frs) else None
+        st = (hl.open(state_uri, timestamp=ts_pin, spark=spark)
+              .dataframe()
+              .select(F.col("id").alias("__sid"), F.col("sig").alias("__ssig")))
+        stp = st.select(
+            "__sid",
+            F.posexplode(_sig_band_keys(F.col("__ssig"), num_perm, bands))
+            .alias("band", "band_hash"))
+        cand = (nb.join(stp, on=["band", "band_hash"])
+                  .select("__id", "__sid").distinct())
+        est = _sig_match_frac(F.col("__sig"), F.col("__ssig"), num_perm)
+        drop_vs_state = (cand.join(sigs, "__id")
+                             .join(st, "__sid")
+                             .filter(est >= threshold)
+                             .select("__id").distinct())
+
+    # within-batch: capped buckets (same policy as _banded_buckets),
+    # min-id edges over signature-verified candidate pairs
+    w = Window.partitionBy("band", "band_hash").orderBy("__id")
+    nbc = (nb.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= bucket_cap).drop("__rn"))
+    a = nbc.alias("a")
+    b = nbc.alias("b")
+    pairs = (a.join(b, on=["band", "band_hash"])
+              .filter(F.col("a.__id") < F.col("b.__id"))
+              .select(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"))
+              .distinct())
+    verified = verify_signature(pairs, sigs, num_perm, threshold)
+    # min-id propagation: any verified edge to a smaller id drops id_b
+    drop_in_batch = verified.select(F.col("id_b").alias("__id")).distinct()
+
+    drops = drop_in_batch if drop_vs_state is None else \
+        drop_in_batch.unionByName(drop_vs_state).distinct()
+    surv = df.join(drops.withColumnRenamed("__id", id_col),
+                   on=id_col, how="left_anti")
+
+    if commit:
+        from ..schema import ArraySchema, Attr, Dim, Domain
+        from ..sources.fragment_writer import write_fragment_spark
+
+        if not exists:
+            info = np.iinfo(np.int64)
+            dim = Dim(name="id", domain=(info.min, info.max - 1000),
+                      tile=1000, dtype=np.int64)
+            schema = ArraySchema(
+                domain=Domain(dim),
+                attrs=[Attr(name="sig", dtype=np.int64, var=True)],
+                sparse=True)
+            mf.create_array(state_uri, schema)
+        else:
+            schema = mf.read_manifest(state_uri).schema
+        out = sigs.select(F.col("__id").alias("id"),
+                          F.col("__sig").alias("sig"))
+        if not out.isEmpty():
+            ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
+            write_fragment_spark(state_uri, schema, out,
+                                 timestamp=ts_commit)
+    return surv
 
 
 # ---------------------------------------------------------------------------
