@@ -1723,6 +1723,106 @@ def q_quality_classifier(spark, sf_dir):
         "separates_slices boolean")
 
 
+def q_unigram_seed(spark, sf_dir):
+    """Unigram-LM trainer seeding, hash-verified: the word-frequency
+    aggregation (the trainer's one corpus-sized job) expanded to
+    substring-piece counts (every 1..6-char substring of each word
+    weighted by corpus count).  The SQL-expressible piece of the
+    trainer — carries the oracle for the corpus-scale machinery the
+    way bpe_pairs anchors bpe_train."""
+    from tiledb_py_spark.operators.bpe import (unigram_seed_counts,
+                                               word_frequencies)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    wf = word_frequencies(d, "text")
+    return unigram_seed_counts(wf, max_piece_len=6).orderBy("piece")
+
+
+def q_unigram_lm_train(spark, sf_dir):
+    """Full unigram-LM (SentencePiece-style) tokenizer induction,
+    verified as assertions the oracle can state: (a) the distributed
+    word-frequency path equals a raw-text Counter (the corpus-scale
+    machinery); (b) training is deterministic across two invocations;
+    (c) the learned piece probabilities form a proper distribution;
+    (d) the vocabulary respects the size budget and contains every
+    corpus character (every word stays segmentable); (e) the Arrow
+    Viterbi encoder is OPTIMAL — for every corpus word up to 10 chars
+    its segmentation score equals an exhaustive search over all
+    segmentations (an independent oracle of the dynamic program); and
+    (f) encoding round-trips (concatenated pieces rebuild each
+    word)."""
+    from collections import Counter
+    from math import exp, inf
+
+    from tiledb_py_spark.operators.bpe import (unigram_encode_udf,
+                                               unigram_lm_train,
+                                               word_frequencies)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    model = unigram_lm_train(d, "text", vocab_size=60, max_piece_len=6)
+    det = model == unigram_lm_train(d, "text", vocab_size=60,
+                                    max_piece_len=6)
+    vocab = dict(model)
+
+    # (a) corpus machinery vs raw-text reference
+    wf = {(r.word, r["count"]) for r in
+          word_frequencies(d, "text").collect()}
+    ref = Counter()
+    for (t,) in d.select("text").collect():
+        ref.update(t.lower().split())
+    wf_match = wf == set(ref.items())
+
+    # (c) + (d)
+    mass_ok = abs(sum(exp(lp) for lp in vocab.values()) - 1.0) < 1e-9
+    chars = {c for w in ref for c in w}
+    size_ok = len(vocab) <= max(60, len(chars)) and chars <= set(vocab)
+
+    # (e) Viterbi optimality vs exhaustive segmentation search
+    unk = min(vocab.values()) - 100.0
+    max_len = max(len(p) for p in vocab)
+
+    def viterbi(w):
+        best = [-inf] * (len(w) + 1)
+        best[0] = 0.0
+        for j in range(1, len(w) + 1):
+            for i in range(max(0, j - max_len), j):
+                lp = vocab.get(w[i:j], unk if j - i == 1 else None)
+                if lp is not None and best[i] + lp > best[j]:
+                    best[j] = best[i] + lp
+        return best[len(w)]
+
+    def brute(w):
+        best = -inf
+        stack = [(0, 0.0)]
+        while stack:
+            i, s = stack.pop()
+            if i == len(w):
+                best = max(best, s)
+                continue
+            for j in range(i + 1, len(w) + 1):
+                lp = vocab.get(w[i:j], unk if j - i == 1 else None)
+                if lp is not None:
+                    stack.append((j, s + lp))
+        return best
+
+    vit_ok = all(abs(viterbi(w) - brute(w)) < 1e-9
+                 for w in ref if len(w) <= 10)
+
+    # (f) round-trip through the Arrow encoder
+    enc = unigram_encode_udf(model)
+    rt = d.select(enc(F.col("text")).alias("toks"), "text").collect()
+    rt_ok = all("".join(r.toks) == "".join(r.text.lower().split())
+                for r in rt)
+    return spark.createDataFrame(
+        [(60, bool(wf_match), bool(det), bool(mass_ok), bool(size_ok),
+          bool(vit_ok), bool(rt_ok))],
+        "vocab_budget int, wordfreq_matches_reference boolean, "
+        "deterministic boolean, proper_distribution boolean, "
+        "vocab_budget_respected boolean, viterbi_optimal boolean, "
+        "encode_roundtrips boolean")
+
+
 def q_winnow(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5 token grams, window=4): each
     window's minimum gram hash, rightmost on ties, deduped — any
@@ -2037,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "quality_classifier": q_quality_classifier,
+        "unigram_seed": q_unigram_seed,
+        "unigram_lm_train": q_unigram_lm_train,
         "incremental_dedup": q_incremental_dedup,
         "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
@@ -3008,6 +3110,31 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "unigram_seed": r"""
+            WITH w AS (
+                SELECT lower(tok) AS word, count(*) AS cnt
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1
+            ),
+            p AS (
+                SELECT word[i:i+l-1] AS piece, cnt
+                FROM w,
+                     UNNEST(generate_series(1, length(word))) AS u(i),
+                     UNNEST(generate_series(1, least(6, length(word) - i + 1))) AS v(l)
+            )
+            SELECT piece, sum(cnt)::BIGINT AS piece_count
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        # Assertion oracle (see q_unigram_lm_train): EM induction checked
+        # against raw-text word counts, exhaustive-search Viterbi
+        # optimality, distribution propriety, and round-trip encoding.
+        "unigram_lm_train": """
+            SELECT 60 AS vocab_budget, true AS wordfreq_matches_reference,
+                   true AS deterministic, true AS proper_distribution,
+                   true AS vocab_budget_respected, true AS viterbi_optimal,
+                   true AS encode_roundtrips
         """,
         # Assertion oracle (see q_quality_classifier): the distributed
         # L-BFGS fit must converge, match an independent numpy GD fit of

@@ -2342,3 +2342,34 @@ def test_incremental_neardup_matches_batch_union(spark, tmp_path):
     assert sorted(r.id for r in st) == [1, 2, 3, 10, 11, 12]
     assert all(len(r.sig) == 64 for r in st)
     assert len(tdb.array_fragments(state)) == 2
+
+
+def test_unigram_lm_learns_frequent_pieces(spark):
+    """EM keeps the high-frequency multi-char piece, Viterbi uses it,
+    unseen characters fall back to single-char tokens, and token
+    counts respect the training normalization."""
+    from math import exp
+
+    from tiledb_py_spark.operators.bpe import (unigram_encode_udf,
+                                               unigram_lm_train,
+                                               unigram_token_count)
+
+    rows = [(i, "abab abab cd abab") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = unigram_lm_train(df, "text", vocab_size=8, max_piece_len=4)
+    vocab = dict(model)
+    assert abs(sum(exp(lp) for lp in vocab.values()) - 1.0) < 1e-9
+    assert {"a", "b", "c", "d"} <= set(vocab)
+    # 'abab' (or at least 'ab') must survive pruning and win Viterbi
+    enc = unigram_encode_udf(model)
+    out = df.limit(1).select(enc(F.col("text")).alias("t")).collect()[0].t
+    assert "".join(out) == "ababababcdabab"
+    assert all(len(p) > 1 or p in ("c", "d") for p in out)
+
+    # unseen character: single-char fallback, never a failure
+    odd = spark.createDataFrame([(1, "abXb")], ["doc_id", "text"])
+    t = odd.select(enc(F.col("text")).alias("t")).collect()[0].t
+    assert "".join(t) == "abxb"   # lowercased by the default normalization
+
+    counted = unigram_token_count(df, "text", model).collect()
+    assert all(r.n_tokens_unigram_lm == len(out) for r in counted)

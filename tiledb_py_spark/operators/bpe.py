@@ -1,8 +1,11 @@
-"""Distributed BPE vocabulary induction + subword tokenization.
+"""Distributed subword-tokenizer induction: BPE and unigram-LM.
 
 Classic byte-pair encoding (Sennrich et al. 2016, "Neural Machine
 Translation of Rare Words with Subword Units"): start from a character
 vocabulary, repeatedly merge the most frequent adjacent symbol pair.
+Unigram-LM (Kudo 2018, "Subword Regularization" — the SentencePiece
+default): seed with frequent substrings, EM over all segmentations,
+prune to the vocabulary budget, Viterbi encode.
 
 The scale split is the standard one and it matters at 100 TB:
 
@@ -215,5 +218,245 @@ def bpe_token_count(df: DataFrame, text_col: str,
     counts are silently wrong under a mismatched normalization."""
     enc = bpe_encode_udf(merges, end_of_word=end_of_word,
                          lowercase=lowercase)
+    return df.withColumn(out_col,
+                         F.size(enc(F.col(text_col))).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer induction
+# ---------------------------------------------------------------------------
+
+def unigram_seed_counts(words: DataFrame, max_piece_len: int = 8,
+                        word_col: str = "word",
+                        count_col: str = "count") -> DataFrame:
+    """Distributed seed-piece counts over the (vocabulary-sized)
+    word-frequency table: every substring of length 1..max_piece_len
+    of each word contributes the word's corpus count.  Row-local
+    nested transform + one aggregation over the tiny word table —
+    SQL-expressible, so the correctness gate can hash-verify the
+    corpus-scale machinery of the unigram-LM trainer exactly the way
+    ``bpe_pair_counts`` anchors ``bpe_train``."""
+    n = F.length(F.col(word_col))
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+            lambda le: F.col(word_col).substr(i, le))))
+    return (words.filter(n >= 1)   # sequence(1, 0) would run DESCENDING
+                 .select(F.col(count_col).alias("__c"),
+                         F.explode(subs).alias("piece"))
+                 .groupBy("piece")
+                 .agg(F.sum("__c").cast("long").alias("piece_count")))
+
+
+def _unigram_em(words: dict, vocab_logp: dict,
+                max_piece_len: int) -> Tuple[dict, float]:
+    """One E-step: forward-backward over every distinct word (weighted
+    by corpus count) under the current piece log-probabilities.
+    Returns (expected piece counts, total corpus log-likelihood).
+    Pure driver-side Python over the vocabulary-sized word table —
+    the same scale split as ``bpe_train``'s merge loop."""
+    from math import exp, inf, log
+
+    def lse(acc, x):
+        if acc == -inf:
+            return x
+        if x == -inf:
+            return acc
+        m = acc if acc > x else x
+        return m + log(exp(acc - m) + exp(x - m))
+
+    counts = {p: 0.0 for p in vocab_logp}
+    ll = 0.0
+    for w, c in words.items():
+        L = len(w)
+        alpha = [-inf] * (L + 1)
+        alpha[0] = 0.0
+        for j in range(1, L + 1):
+            a = -inf
+            for i in range(max(0, j - max_piece_len), j):
+                lp = vocab_logp.get(w[i:j])
+                if lp is not None and alpha[i] != -inf:
+                    a = lse(a, alpha[i] + lp)
+            alpha[j] = a
+        if alpha[L] == -inf:   # unsegmentable (chars pruned?) — skip
+            continue
+        beta = [-inf] * (L + 1)
+        beta[L] = 0.0
+        for i in range(L - 1, -1, -1):
+            b = -inf
+            for j in range(i + 1, min(L, i + max_piece_len) + 1):
+                lp = vocab_logp.get(w[i:j])
+                if lp is not None and beta[j] != -inf:
+                    b = lse(b, lp + beta[j])
+            beta[i] = b
+        ll += c * alpha[L]
+        for i in range(L):
+            if alpha[i] == -inf:
+                continue
+            for j in range(i + 1, min(L, i + max_piece_len) + 1):
+                lp = vocab_logp.get(w[i:j])
+                if lp is not None and beta[j] != -inf:
+                    counts[w[i:j]] += c * exp(alpha[i] + lp + beta[j]
+                                              - alpha[L])
+    return counts, ll
+
+
+def unigram_lm_train(df: DataFrame, text_col: str, vocab_size: int = 200,
+                     max_piece_len: int = 8, n_em_iters: int = 2,
+                     prune_frac: float = 0.25,
+                     seed_size: Optional[int] = None,
+                     tokens_col: Optional[Column] = None,
+                     lowercase: bool = True,
+                     max_vocab_rows: int = 2_000_000
+                     ) -> List[Tuple[str, float]]:
+    """SentencePiece-style unigram-LM tokenizer induction (Kudo 2018,
+    "Subword Regularization"): seed with frequent substrings, run EM
+    (forward-backward expected counts over all segmentations of each
+    word), prune low-expected-count pieces, repeat until ``vocab_size``.
+    Returns ``[(piece, logprob), ...]`` sorted by piece.
+
+    The scale split is ``bpe_train``'s: the corpus-sized work is the
+    ONE word-frequency aggregation (vocabulary-sized output, guarded
+    collect); seeding, EM, and pruning run driver-side on that summary
+    (the formulation of every public implementation — expected counts
+    derive from the word table alone).  Encoding returns to scale as
+    an Arrow UDF (``unigram_encode_udf``).
+
+    Deterministic, stated so any engine replays the identical model:
+    pieces iterate in sorted order; the seed keeps all single
+    characters plus the top substrings by (count desc, piece asc);
+    pruning drops the lowest (expected count, piece desc) multi-char
+    pieces — ties prune the lexicographically LATER piece — and never
+    drops single characters, so every corpus word stays segmentable."""
+    wf = word_frequencies(df, text_col, tokens_col=tokens_col,
+                          lowercase=lowercase)
+    rows = wf.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"unigram_lm_train: word-frequency table exceeds "
+            f"max_vocab_rows={max_vocab_rows}; is {text_col!r} tokenized "
+            "text? Raise max_vocab_rows to override.")
+    words = {}
+    for r in rows:
+        if r["word"]:
+            words[r["word"]] = words.get(r["word"], 0) + r["count"]
+    if not words:
+        raise ValueError("unigram_lm_train: empty corpus")
+
+    from collections import Counter
+    from math import log
+
+    seed: Counter = Counter()
+    chars = set()
+    for w, c in words.items():
+        chars.update(w)
+        for i in range(len(w)):
+            for le in range(1, min(max_piece_len, len(w) - i) + 1):
+                seed[w[i:i + le]] += c
+    if seed_size is None:
+        seed_size = max(4 * vocab_size, len(chars) + vocab_size)
+    multi = sorted((p for p in seed if len(p) > 1),
+                   key=lambda p: (-seed[p], p))[:max(0, seed_size - len(chars))]
+    vocab = sorted(chars | set(multi))
+    tot = float(sum(seed[p] for p in vocab))
+    logp = {p: log(seed[p] / tot) for p in vocab}
+
+    while True:
+        for _ in range(n_em_iters):
+            counts, _ = _unigram_em(words, logp, max_piece_len)
+            tot = sum(counts.values())
+            # smoothing floor keeps never-used pieces finite until the
+            # prune step removes them deterministically
+            logp = {p: log(max(counts[p], 1e-12) / tot)
+                    for p in sorted(logp)}
+        multi_now = [p for p in sorted(logp) if len(p) > 1]
+        excess = len(logp) - vocab_size
+        if excess <= 0 or not multi_now:
+            break
+        counts, _ = _unigram_em(words, logp, max_piece_len)
+        n_drop = min(excess, max(1, int(len(multi_now) * prune_frac)))
+        # lowest expected count first; count ties drop the
+        # lexicographically LATER piece first (stable two-key sort)
+        victims = sorted(sorted(multi_now, reverse=True),
+                         key=lambda p: counts[p])[:n_drop]
+        for p in victims:
+            del logp[p]
+    counts, _ = _unigram_em(words, logp, max_piece_len)
+    tot = sum(counts.values())
+    logp = {p: log(max(counts[p], 1e-12) / tot) for p in sorted(logp)}
+    return sorted(logp.items())
+
+
+def unigram_encode_udf(model: Sequence[Tuple[str, float]],
+                       lowercase: bool = True):
+    """Arrow-batched Viterbi tokenizer for a trained unigram-LM:
+    string -> array<string>, best segmentation per whitespace word
+    under the piece log-probabilities (ties prefer the segmentation
+    found first scanning split points left-to-right, i.e. the LONGEST
+    final piece).  Characters outside the vocabulary fall back to
+    single-char tokens at a penalty below every real piece — encoding
+    never fails.  The model rides the UDF closure: broadcast once,
+    row-local forever (same contract as ``bpe_encode_udf``)."""
+    from math import inf
+
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = dict(model)
+    if not vocab:
+        raise ValueError("empty unigram-LM model")
+    max_len = max(len(p) for p in vocab)
+    unk = min(vocab.values()) - 100.0
+
+    def encode_word(w: str) -> Tuple[str, ...]:
+        L = len(w)
+        best = [-inf] * (L + 1)
+        back = [0] * (L + 1)
+        best[0] = 0.0
+        for j in range(1, L + 1):
+            for i in range(max(0, j - max_len), j):
+                lp = vocab.get(w[i:j])
+                if lp is None and j - i == 1:
+                    lp = unk   # single-char fallback for unseen chars
+                if lp is not None and best[i] + lp > best[j]:
+                    best[j] = best[i] + lp
+                    back[j] = i
+        out: List[str] = []
+        j = L
+        while j > 0:
+            out.append(w[back[j]:j])
+            j = back[j]
+        return tuple(reversed(out))
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            if lowercase:
+                t = t.lower()
+            toks: List[str] = []
+            for w in t.split():
+                cached = memo.get(w)
+                if cached is None:
+                    cached = memo[w] = encode_word(w)
+                toks.extend(cached)
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc
+
+
+def unigram_token_count(df: DataFrame, text_col: str,
+                        model: Sequence[Tuple[str, float]],
+                        out_col: str = "n_tokens_unigram_lm",
+                        lowercase: bool = True) -> DataFrame:
+    """Token counts under the learned unigram-LM tokenizer.
+    ``lowercase`` must match the training normalization (the
+    ``bpe_token_count`` contract)."""
+    enc = unigram_encode_udf(model, lowercase=lowercase)
     return df.withColumn(out_col,
                          F.size(enc(F.col(text_col))).cast("long"))
