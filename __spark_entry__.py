@@ -1936,6 +1936,100 @@ def q_corpus_e2e(spark, sf_dir):
     return out.select("doc_id", "split", "clean_text").orderBy("doc_id")
 
 
+def q_pipeline_full_e2e(spark, sf_dir):
+    """The FULL corpus-preparation pipeline, hash-verified end to end
+    as ONE chain (unit gates verify each operator; `corpus_e2e`
+    verifies a 4-stage slice; this verifies the real 8-stage
+    composition where column-contract and determinism bugs hide):
+
+      1. C4 line cleaning (pseudo-lines, min 8 words, blocklist)
+      2. quality/repetition filter (>= 15 words, distinct-token
+         ratio >= 0.3)
+      3. MinHash near-dup removal on the cleaned text (the oracle
+         replays the exact-Jaccard answer; at threshold 0.85 with
+         16x2 banding the LSH miss probability is ~1e-9)
+      4. benchmark decontamination (docs 0-49 are the held-out
+         benchmark; any shared 5-gram drops the training doc — the
+         benchmark docs themselves drop here, as they must)
+      5. DSIR selection of 150 docs toward the 'en' slice
+         (Gumbel-top-k, portable hashes)
+      6. temperature (p^0.5) language rebalancing with copies
+      7. 512-token sequence packing per source over (doc_id, copy_id)
+      8. deterministic shard assignment (8 shards)
+
+    Final output: one row per kept (doc, copy) with its pack and
+    shard — the exact file-to-example mapping a trainer would read.
+    The oracle replays the identical eight stages as one CTE chain."""
+    from tiledb_py_spark.operators.dedup import (decontaminate, md5_hash60,
+                                                 minhash_dedup)
+    from tiledb_py_spark.operators.pipeline import (assign_shards,
+                                                    dsir_resample,
+                                                    pack_sequences,
+                                                    temperature_mix)
+    from tiledb_py_spark.operators.text import (clean_lines,
+                                                whitespace_token_count,
+                                                whitespace_tokens)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    # 1: pseudo-lines + C4 cleaning (the corpus_e2e setup)
+    pl = d.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
+    cleaned = (clean_lines(pl, "text", min_words=8,
+                           line_blocklist=("query",),
+                           require_terminal_punct=False,
+                           doc_blocklist=(), block_curly=False)
+               .filter(F.col("n_lines_kept") >= 1)
+               .select("doc_id", "lang", "source", "clean_text"))
+
+    # 2: quality / repetition signals, row-local
+    toks = whitespace_tokens("clean_text")
+    quality = (cleaned
+               .withColumn("__nw", F.size(toks))
+               .withColumn("__dr",
+                           F.size(F.array_distinct(toks)) / F.col("__nw"))
+               .filter((F.col("__nw") >= 15) & (F.col("__dr") >= 0.3))
+               .drop("__nw", "__dr"))
+
+    # 3: near-dup removal on the cleaned text
+    deduped = minhash_dedup(quality, "clean_text", "doc_id",
+                            num_perm=32, bands=16, shingle_k=3,
+                            threshold=0.85)
+
+    # 4: decontamination vs the raw benchmark slice.  The chain up to
+    # here is the expensive half (shingle folds + two inverted-index
+    # joins) and three downstream driver actions re-evaluate it (DSIR
+    # ratio table, temperature counts, the final collect) — cache the
+    # survivor set once
+    bench = d.filter(F.col("doc_id") < 50)
+    decon = decontaminate(
+        deduped, bench, "clean_text", "doc_id", bench_text_col="text",
+        n=5, gram_hash=md5_hash60,
+        tokens_col=whitespace_tokens("clean_text"),
+        bench_tokens_col=whitespace_tokens("text")).persist()
+
+    # 5: DSIR selection toward the 'en' slice
+    target = decon.filter(F.col("lang") == "en")
+    sel = dsir_resample(decon, "clean_text", "doc_id", target, n=150,
+                        n_buckets=1024, token_hash=md5_hash60)
+    selected = decon.join(sel.select("doc_id"), on="doc_id")
+
+    # 6: temperature rebalancing over languages
+    mixed = temperature_mix(selected, "lang", ["doc_id"], alpha=0.5)
+
+    # 7: pack per source over (doc_id, copy_id)
+    packed = pack_sequences(
+        mixed.withColumn("n_tok", whitespace_token_count("clean_text")),
+        "n_tok", ["doc_id", "copy_id"], max_tokens=512, by="source")
+
+    # 8: shard assignment
+    final = assign_shards(packed, ["doc_id", "copy_id"], n_shards=8)
+    return (final.select("doc_id", "copy_id", "lang", "source",
+                         "pack_id", "pack_offset", "shard")
+                 .orderBy("doc_id", "copy_id"))
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment: shard = portable hash
     of the id modulo 16 — the reproducible file-to-example mapping a
@@ -2149,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "shard_assign": q_shard_assign,
         "corpus_e2e": q_corpus_e2e,
+        "pipeline_full_e2e": q_pipeline_full_e2e,
         "source_similarity": q_source_similarity,
         "oov_rate": q_oov_rate,
         "det_shuffle": q_det_shuffle,
@@ -3201,6 +3296,166 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
             LEFT JOIN inter i ON i.src_a = sa.lang AND i.src_b = sb.lang
             ORDER BY src_a, src_b
+        """,
+        "pipeline_full_e2e": r"""
+            WITH base AS (
+                SELECT doc_id, lang, source,
+                       regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                      '\1' || chr(10), 'g') AS text
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            -- stage 1: C4 line cleaning
+            l1 AS (
+                SELECT doc_id, lang, source,
+                       list_filter(
+                           list_filter(list_transform(
+                               string_split(text, chr(10)), x -> trim(x)),
+                               x -> length(x) > 0),
+                           x -> len(regexp_split_to_array(x, '\s+')) >= 8
+                                AND NOT contains(lower(x), 'query')) AS kept
+                FROM base
+            ),
+            cleaned AS (
+                SELECT doc_id, lang, source,
+                       array_to_string(kept, chr(10)) AS clean_text
+                FROM l1 WHERE len(kept) >= 1
+            ),
+            -- stage 2: quality / repetition filter
+            quality AS (
+                SELECT doc_id, lang, source, clean_text,
+                       regexp_split_to_array(trim(clean_text), '\s+') AS wtoks
+                FROM cleaned
+                WHERE len(regexp_split_to_array(trim(clean_text), '\s+')) >= 15
+                  AND len(list_distinct(regexp_split_to_array(trim(clean_text), '\s+'))) * 1.0
+                      / len(regexp_split_to_array(trim(clean_text), '\s+')) >= 0.3
+            ),
+            -- stage 3: exact near-dup replay (LSH miss ~1e-9 at 0.85)
+            ntok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(
+                           lower(clean_text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' ') AS arr
+                FROM quality
+            ),
+            sh3 AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN list_distinct(list_transform(
+                                range(1, len(arr) - 1),
+                                i -> array_to_string(arr[i:i+2], ' ')))
+                            ELSE [array_to_string(arr, ' ')] END AS s
+                FROM ntok
+            ),
+            dpairs AS (
+                SELECT b.doc_id AS ib
+                FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.85
+            ),
+            deduped AS (
+                SELECT * FROM quality
+                WHERE doc_id NOT IN (SELECT ib FROM dpairs)
+            ),
+            -- stage 4: decontamination vs the raw doc_id < 50 benchmark
+            bench AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
+            ),
+            bg AS (
+                SELECT DISTINCT ('0x' || substr(md5(array_to_string(
+                           arr[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+                FROM bench, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+                WHERE len(arr) >= 5
+            ),
+            cg AS (
+                SELECT doc_id, ('0x' || substr(md5(array_to_string(
+                           wtoks[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+                FROM deduped, UNNEST(generate_series(1, len(wtoks) - 4)) AS u(i)
+                WHERE len(wtoks) >= 5
+            ),
+            decon AS (
+                SELECT * FROM deduped WHERE doc_id NOT IN (
+                    SELECT DISTINCT doc_id FROM cg
+                    WHERE gh IN (SELECT gh FROM bg))
+            ),
+            -- stage 5: DSIR selection (150 docs toward 'en')
+            g5 AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+                FROM (SELECT doc_id, unnest(wtoks) AS tok FROM decon)
+            ),
+            tg5 AS (
+                SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+                FROM (SELECT unnest(wtoks) AS tok FROM decon
+                      WHERE lang = 'en')
+            ),
+            rc5 AS (SELECT b, count(*) AS rc FROM g5 GROUP BY b),
+            tc5 AS (SELECT b, count(*) AS tc FROM tg5 GROUP BY b),
+            rt5 AS (SELECT sum(rc) AS rtot FROM rc5),
+            tt5 AS (SELECT coalesce(sum(tc), 0) AS ttot FROM tc5),
+            ratio5 AS (
+                SELECT coalesce(rc5.b, tc5.b) AS b,
+                       ln((coalesce(tc5.tc, 0) + 1.0) / (tt5.ttot + 1024.0))
+                       - ln((coalesce(rc5.rc, 0) + 1.0) / (rt5.rtot + 1024.0)) AS lr
+                FROM rc5 FULL OUTER JOIN tc5 ON rc5.b = tc5.b, rt5, tt5
+            ),
+            w5 AS (
+                SELECT g5.doc_id, sum(r.lr) AS lw
+                FROM g5 JOIN ratio5 r ON g5.b = r.b GROUP BY g5.doc_id
+            ),
+            sel AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           round(lw + -ln(-ln(
+                               (('0x' || substr(md5(concat_ws(chr(31),
+                                    CAST(doc_id AS VARCHAR), 'dsir:42')),
+                                    1, 15))::BIGINT + 0.5)
+                               / 1152921504606846976.0)), 6) AS k
+                    FROM w5 ORDER BY k DESC, doc_id LIMIT 150)
+            ),
+            selected AS (
+                SELECT d.* FROM decon d JOIN sel USING (doc_id)
+            ),
+            -- stage 6: temperature (p^0.5) language rebalancing
+            c6 AS (SELECT lang, count(*) AS n FROM selected GROUP BY lang),
+            tot6 AS (SELECT sum(n) AS T, sum(pow(n, 0.5)) AS wsum FROM c6),
+            r6 AS (
+                SELECT lang,
+                       round((pow(n, 0.5) / tot6.wsum) * tot6.T / n, 4) AS rate
+                FROM c6, tot6
+            ),
+            rows6 AS (
+                SELECT s.doc_id, s.lang, s.source, s.wtoks,
+                       floor(r6.rate)::BIGINT AS k,
+                       round((r6.rate - floor(r6.rate)) * 10000)::BIGINT AS thr,
+                       ('0x' || substr(md5(concat_ws(chr(31),
+                            CAST(s.doc_id AS VARCHAR), 'tempmix:42')),
+                            1, 15))::BIGINT % 10000 AS b
+                FROM selected s JOIN r6 USING (lang)
+            ),
+            mixed AS (
+                SELECT doc_id, lang, source, wtoks, u.copy_id
+                FROM (SELECT *, k + CASE WHEN b < thr THEN 1 ELSE 0 END
+                          AS n_copies FROM rows6),
+                     UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
+                WHERE n_copies > 0
+            ),
+            -- stage 7: 512-token packing per source over (doc_id, copy_id)
+            c7 AS (
+                SELECT doc_id, copy_id, lang, source,
+                       SUM(len(wtoks)) OVER (
+                           PARTITION BY source ORDER BY doc_id, copy_id
+                           ROWS UNBOUNDED PRECEDING) - len(wtoks) AS start
+                FROM mixed
+            )
+            -- stage 8: shard assignment
+            SELECT doc_id, copy_id, lang, source,
+                   CAST(floor(start / 512) AS BIGINT) AS pack_id,
+                   CAST(start % 512 AS BIGINT) AS pack_offset,
+                   (('0x' || substr(md5(concat_ws(chr(31),
+                        CAST(doc_id AS VARCHAR), CAST(copy_id AS VARCHAR),
+                        'shard:42')), 1, 15))::BIGINT % 8)::INT AS shard
+            FROM c7 ORDER BY doc_id, copy_id
         """,
         "corpus_e2e": r"""
             WITH base AS (
