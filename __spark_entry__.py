@@ -2193,12 +2193,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
-    # CORRECTNESS_r{N}.json.  The 12 corpus-assembly gates added in round 4
-    # are placed inside that window; 12 long-stable, pytest-covered compat
-    # entries (projection_pushdown .. language_id) rotate to the tail.  All
-    # 62 keep their oracle_sql() entries and remain runnable via
+    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r6 item 3):
+    # positions 1-40 hold the core + newest operator gates; positions
+    # 41-50 hold ten TAIL gates rotated back in, taken round-robin in
+    # tail order, so every gate earns a driver-artifact row at least
+    # every ~5 rounds.  Round 7 rotated in multi_range .. exact_dedup
+    # (the first ten of the tail); round 8 should rotate in the next
+    # ten (simhash_neardup .. datasource_lww_many) and return this
+    # round's ten to their tail positions.  Displaced to the tail this
+    # round: sixteen gates with driver-green CORRECTNESS_r06 rows
+    # (simhash .. scrub_text).  ALL entries keep their oracle_sql()
+    # and remain oracle-checked every round via
     # tools/check_correctness.py regardless of position.
     return {
+        # --- positions 1-40: core + round-5/6/7 operator gates ---
         "qc_filter": q_qc_filter,
         "contamination": q_contamination,
         "datasource_read": q_datasource_read,
@@ -2207,13 +2215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": q_group_agg,
         "asof_join": q_asof_join,
         "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
-        "array_embedding_topk": q_array_embedding_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "semantic_decontam": q_semantic_decontam,
-        "sample_exact": q_sample_exact,
         "fuzzy_join": q_fuzzy_join,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
@@ -2221,7 +2226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
-        "unigram_surprisal": q_unigram_surprisal,
         "repetition_stats": q_repetition_stats,
         "clean_lines": q_clean_lines,
         "line_dedup": q_line_dedup,
@@ -2238,30 +2242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
         "temperature_mix": q_temperature_mix,
-        "ppl_buckets": q_ppl_buckets,
         "bigram_surprisal": q_bigram_surprisal,
         "winnow": q_winnow,
-        "shard_assign": q_shard_assign,
         "corpus_e2e": q_corpus_e2e,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "source_similarity": q_source_similarity,
-        "oov_rate": q_oov_rate,
-        "det_shuffle": q_det_shuffle,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "resample_strata": q_resample_strata,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "pack_global": q_pack_global,
-        "token_budget": q_token_budget,
-        "scrub_text": q_scrub_text,
-        # --- below the driver's 50-entry snapshot window: long-stable
-        # gates, each still oracle-checked every round by
-        # tools/check_correctness.py (most also pytest-covered).
-        # Round 6 rotated long-stable compat entries here (each with a
-        # driver-green CORRECTNESS_r04 row and pytest cover) to fit
-        # the 22 new operator gates inside the window (scrub_text is
-        # the 50th entry; everything from multi_range down is tail) ---
+        # --- positions 41-50: tail gates rotated in for round 7 ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2269,15 +2255,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
-        # dedup_clusters is the O(n^2)-oracle form; its scale path
-        # dedup_clusters_lsh stays in-window
         "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
+        # --- tail: long-stable gates, every one still oracle-checked
+        # each round by tools/check_correctness.py (most also
+        # pytest-covered).  Rotation continues from simhash_neardup
+        # next round.  Gates displaced this round (driver-green r06
+        # rows): simhash .. scrub_text at the end of the tail. ---
         "simhash_neardup": q_simhash_neardup,
         "batch_topk": q_batch_topk,
         # per-event sessionize (in-window) exercises the same gap
-        # semantics row-level; the aggregated form rotates out
+        # semantics row-level; the aggregated form sits in the tail
         "events_sessions": q_events_sessions,
         "qc_in_chain": q_qc_in_chain,
         "join_multiway": q_join_multiway,
@@ -2309,6 +2298,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
+        # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
+        # rows; return to the window per the rotation schedule)
+        "simhash": q_simhash,
+        "array_embedding_topk": q_array_embedding_topk,
+        "sample_exact": q_sample_exact,
+        "unigram_surprisal": q_unigram_surprisal,
+        "ppl_buckets": q_ppl_buckets,
+        "shard_assign": q_shard_assign,
+        "oov_rate": q_oov_rate,
+        "det_shuffle": q_det_shuffle,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "resample_strata": q_resample_strata,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "pack_global": q_pack_global,
+        "token_budget": q_token_budget,
+        "scrub_text": q_scrub_text,
     }
 
 

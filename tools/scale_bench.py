@@ -1,0 +1,229 @@
+"""Scale-proof runner for the heaviest operator families.
+
+``bench.py`` times the driver-gate entries, which are pinned to their
+oracle-checkable parameterizations (portable md5 hashes, exact verify
+paths, capped slices).  This tool times the OPERATORS on their
+documented SCALE paths (xxhash, sketch/LSH variants, production
+parameters) at an arbitrary generated sf dir, so the sf1 -> sf10 ratio
+measures plan behavior where it matters.
+
+Results materialize through the noop sink (``format("noop")``) so
+every output column is computed — a ``count()`` would let Spark prune
+the expensive rebuilt-text / signature projections and understate the
+cost.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=.bench_data/sf10 python tools/scale_bench.py \
+        [family ...]
+Prints ONE JSON line {"queries": {...}, "sf": ..., "load_1m_start": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.filter(F.length(F.trim("text")) > 0)
+
+
+def _events(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    return entry._t(spark, sf_dir, "events")
+
+
+def r_minhash_dedup(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir), "text", "doc_id",
+                         num_perm=64, bands=16, shingle_k=3, threshold=0.8)
+
+
+def r_dedup_clusters_lsh(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import (connected_components,
+                                                 minhash_lsh_candidates,
+                                                 verify_jaccard)
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(d, "text", "doc_id", num_perm=64,
+                                   bands=16, shingle_k=3)
+    verified = verify_jaccard(d, pairs, "text", "doc_id", shingle_k=3,
+                              threshold=0.8)
+    return connected_components(verified)
+
+
+def r_line_dedup(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import remove_repeated_lines
+
+    return remove_repeated_lines(
+        _docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")),
+        "text", "doc_id", min_docs=2)
+
+
+def r_remove_spans(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(_docs(spark, sf_dir), "text", "doc_id",
+                                 n=10, min_docs=2)
+
+
+def r_winnow(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id",
+                               k=5, window=4)
+
+
+def r_incremental_dedup(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import incremental_exact_dedup
+
+    state = os.path.join(tempfile.mkdtemp(prefix="scale_incdedup_"), "s")
+    d = _docs(spark, sf_dir)
+    mid = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    incremental_exact_dedup(d.filter(F.col("doc_id") < mid), "text",
+                            "doc_id", state).write.format("noop") \
+        .mode("overwrite").save()
+    return incremental_exact_dedup(d.filter(F.col("doc_id") >= mid),
+                                   "text", "doc_id", state)
+
+
+def r_incremental_neardup(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import incremental_neardup
+
+    state = os.path.join(tempfile.mkdtemp(prefix="scale_incnd_"), "s")
+    d = _docs(spark, sf_dir)
+    mid = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    incremental_neardup(d.filter(F.col("doc_id") < mid), "text",
+                        "doc_id", state).write.format("noop") \
+        .mode("overwrite").save()
+    return incremental_neardup(d.filter(F.col("doc_id") >= mid), "text",
+                               "doc_id", state)
+
+
+def r_tfidf_terms(spark, sf_dir):
+    from tiledb_py_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=5)
+
+
+def r_source_similarity_sketch(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import source_similarity
+
+    return source_similarity(_docs(spark, sf_dir), "text", "source",
+                             shingle_k=3, method="sketch", num_perm=64)
+
+
+def r_contamination(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import ngram_contamination_stats
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 500)
+    corpus = d.filter(F.col("doc_id") >= 500)
+    return ngram_contamination_stats(corpus, bench, "text", "doc_id", n=5)
+
+
+def r_sessionize(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), by="user_id", ts_col="ts",
+                      gap_minutes=30.0)
+
+
+def r_quality_classifier(spark, sf_dir):
+    from tiledb_py_spark.operators.classifier import (fit_quality_classifier,
+                                                      quality_scores)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.col("text").contains("vector").cast("int").alias("y"))
+    m = fit_quality_classifier(d, "text", "y", n_buckets=4096, max_iter=15,
+                               tol=1e-4)
+    return quality_scores(d, "text", m)
+
+
+def r_ivfpq_build_search(spark, sf_dir):
+    from tiledb_py_spark.operators.similarity import IVFPQIndex
+
+    e = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = IVFPQIndex(n_cells=64, n_probe=8, m=16, n_codes=64).fit(
+        e, "embedding")
+    tab = idx.build(e, "embedding", "vec_id", keep_cols=["label"])
+    tab.write.format("noop").mode("overwrite").save()   # build cost
+    return idx.search(tab, qv, k=10, predicate=F.col("label") == 2)
+
+
+def r_unigram_seed(spark, sf_dir):
+    from tiledb_py_spark.operators.bpe import (unigram_seed_counts,
+                                               word_frequencies)
+
+    return unigram_seed_counts(
+        word_frequencies(_docs(spark, sf_dir), "text"), max_piece_len=8)
+
+
+RUNNERS = {
+    "minhash_dedup": r_minhash_dedup,
+    "dedup_clusters_lsh": r_dedup_clusters_lsh,
+    "line_dedup": r_line_dedup,
+    "remove_spans": r_remove_spans,
+    "winnow": r_winnow,
+    "incremental_dedup": r_incremental_dedup,
+    "incremental_neardup": r_incremental_neardup,
+    "tfidf_terms": r_tfidf_terms,
+    "source_similarity_sketch": r_source_similarity_sketch,
+    "contamination": r_contamination,
+    "sessionize": r_sessionize,
+    "quality_classifier": r_quality_classifier,
+    "ivfpq_build_search": r_ivfpq_build_search,
+    "unigram_seed": r_unigram_seed,
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/repo/.bench_data/sf10")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir))
+                   .replace("sf", ""))
+    except ValueError:
+        sf = None
+    names = sys.argv[1:] or list(RUNNERS)
+    load_start = round(os.getloadavg()[0], 2)
+
+    from tiledb_py_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + codegen + python workers
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    _docs(spark, sf_dir).select(F.xxhash64("text")).write.format("noop") \
+        .mode("overwrite").save()
+
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = RUNNERS[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "scale_bench", "unit": "sec", "queries": times,
+        "sf": sf, "load_1m_start": load_start,
+        "load_1m_end": round(os.getloadavg()[0], 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
