@@ -1566,6 +1566,12 @@ def source_similarity(df: DataFrame, text_col: str, strata_col: str,
         # shingle num_perm times per row.  The staged gh() values ARE the
         # base hashes, so the permutations fold over them directly —
         # minhash_signature's internal string-hash pass would double-hash.
+        # The fold stays the SQL xxhash64(j, h) family ON PURPOSE: the
+        # Arrow multiply-add fold was measured 2.4x SLOWER here (57 s vs
+        # 24 s at sf1) — the python-worker hop breaks whole-stage codegen
+        # between this projection and the posexplode+partial-agg that
+        # follow, the opposite trade from minhash_signatures' flat
+        # (id, sig) output shape.
         base = base.withColumn("__shh",
                                F.transform(F.col("__sh"), lambda s: gh(s)))
         sig = F.array(*[_perm_min(F.col("__shh"), j)
