@@ -2373,3 +2373,47 @@ def test_unigram_lm_learns_frequent_pieces(spark):
 
     counted = unigram_token_count(df, "text", model).collect()
     assert all(r.n_tokens_unigram_lm == len(out) for r in counted)
+
+
+def test_ivfpq_array_api_and_classifier_persistence(spark, tmp_path):
+    """build_ann_index(kind='ivfpq') persists into the array manifest
+    and ann_search loads + searches without a refit; QualityClassifier
+    round-trips through both a JSON file and array metadata."""
+    import numpy as np
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.operators.classifier import QualityClassifier
+    from tiledb_py_spark.operators.similarity import IVFPQIndex
+
+    rng = np.random.RandomState(3)
+    uri = str(tmp_path / "emb")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(64, dtype=np.int64),
+        "embedding": [rng.randn(8).astype("float64").tolist()
+                      for _ in range(64)]})
+    tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
+
+    fit = tdb.build_ann_index(uri, "embedding", spark=spark, kind="ivfpq",
+                              n_cells=4, n_probe=4, m=4, n_codes=8)
+    loaded = IVFPQIndex.load(uri)
+    assert np.array_equal(loaded.centroids, fit.centroids)
+    assert np.array_equal(loaded.codebooks, fit.codebooks)
+    q = pdf.embedding[0]
+    got = tdb.ann_search(uri, "embedding", "vec_id", q, k=3, spark=spark,
+                         kind="ivfpq").collect()
+    assert len(got) == 3 and got[0].vec_id == 0   # self is nearest
+
+    m = QualityClassifier(weights=np.arange(16, dtype=np.float64),
+                          bias=-0.5, n_buckets=16, loss=0.25, n_iter=7,
+                          converged=True)
+    # JSON-file round trip
+    p = str(tmp_path / "model.json")
+    m.save(p)
+    m2 = QualityClassifier.load(p)
+    assert np.array_equal(m2.weights, m.weights) and m2.bias == m.bias
+    assert (m2.n_buckets, m2.n_iter, m2.converged) == (16, 7, True)
+    # array-metadata round trip
+    m.save(uri, name="qc")
+    m3 = QualityClassifier.load(uri, name="qc")
+    assert np.array_equal(m3.weights, m.weights) and m3.loss == 0.25

@@ -218,8 +218,11 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
     the array's manifest metadata — fit once, search forever.
     ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
     probe-pruned search); ``kind="pq"`` trains product-quantization
-    codebooks (``__pq_index:<name>``, m-byte codes + ADC search).
-    Returns the fitted index object."""
+    codebooks (``__pq_index:<name>``, m-byte codes + ADC search);
+    ``kind="ivfpq"`` trains the composed coarse-quantize +
+    residual-PQ index (``__ivfpq_index:<name>``, cell-pruned ADC
+    re-rank — the production shape).  Returns the fitted index
+    object."""
     A = open(uri, spark=spark)
     df = A.dataframe()
     if kind == "ivf":
@@ -232,6 +235,12 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
 
         idx = PQIndex(m=m, n_codes=n_codes, metric=metric,
                       seed=seed).fit(df, vec_col)
+    elif kind == "ivfpq":
+        from .operators.similarity import IVFPQIndex
+
+        idx = IVFPQIndex(n_cells=n_cells, n_probe=n_probe, m=m,
+                         n_codes=n_codes, metric=metric,
+                         seed=seed).fit(df, vec_col)
     else:
         raise ValueError(f"unknown ANN index kind {kind!r}")
     idx.save(uri, name=name)
@@ -244,8 +253,11 @@ def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
     """Approximate top-k over a stored embedding array using the index
     persisted by :func:`build_ann_index` — loads it from the manifest
     (no refit).  ``kind="ivf"`` probes the nearest cells; ``kind="pq"``
-    encodes on the fly and scores via the ADC lookup table.  Returns a
-    DataFrame of (id, score)."""
+    encodes on the fly and scores via the ADC lookup table;
+    ``kind="ivfpq"`` cell-assigns + residual-encodes on the fly and
+    ADC re-ranks the probed cells (at scale, ``IVFPQIndex.build`` the
+    code table once and search THAT — this convenience path re-encodes
+    per call).  Returns a DataFrame of (id, score)."""
     A = open(uri, spark=spark)
     if kind == "ivf":
         from .operators.similarity import IVFIndex
@@ -258,4 +270,10 @@ def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
         idx = PQIndex.load(uri, name=name)
         return idx.search(A.dataframe(), id_col, query_vec, k=k,
                           vec_col=vec_col)
+    if kind == "ivfpq":
+        from .operators.similarity import IVFPQIndex
+
+        idx = IVFPQIndex.load(uri, name=name)
+        tab = idx.build(A.dataframe(), vec_col, id_col)
+        return idx.search(tab, query_vec, k=k, id_col=id_col)
     raise ValueError(f"unknown ANN index kind {kind!r}")

@@ -86,6 +86,52 @@ class QualityClassifier:
                    n_iter=int(d.get("n_iter", 0)),
                    converged=bool(d.get("converged", False)))
 
+    # -- persistence (same contract as the similarity indexes) ------------
+
+    _META_PREFIX = "__quality_classifier:"
+
+    def save(self, uri: str, name: str = "default") -> "QualityClassifier":
+        """Persist the model: into an engine array's manifest metadata
+        under ``__quality_classifier:<name>`` if ``uri`` is an array,
+        else as a JSON file (the IVF/PQ index persistence contract)."""
+        import json
+
+        from .. import manifest as mf
+
+        payload = json.dumps(self.to_dict())
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            Metadata(uri)[self._META_PREFIX + name] = payload
+        else:
+            import os
+            import tempfile
+
+            d = os.path.dirname(os.path.abspath(uri)) or "."
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".qc.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, uri)
+        return self
+
+    @classmethod
+    def load(cls, uri: str, name: str = "default") -> "QualityClassifier":
+        import json
+
+        from .. import manifest as mf
+
+        if mf.array_exists(uri):
+            from ..metadata import Metadata
+
+            payload = Metadata(uri).get(cls._META_PREFIX + name)
+            if payload is None:
+                raise KeyError(
+                    f"no quality classifier named {name!r} stored at {uri}")
+        else:
+            with open(uri) as f:
+                payload = f.read()
+        return cls.from_dict(json.loads(payload))
+
 
 def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
     """Sum ``vals`` in consecutive segments of the given POSITIVE
