@@ -429,3 +429,56 @@ def test_round6_operator_exchange_budgets(spark):
 
     s = _plan(perplexity_buckets(df, "text", "doc_id"))
     assert len(re.findall(r"\(\d+\) Window", s)) == 1
+
+
+def test_round7_operator_exchange_budgets(spark):
+    """Exchange budgets for the round-7 operators: classifier scoring
+    and the optimizer's loss/gradient evaluation are shuffle-free;
+    IVFPQ search never shuffles (predicate + cell prune at the scan,
+    ADC row-local, top-k TakeOrdered); the unigram seed expansion is
+    one aggregation over the word table (its input aggregation aside)."""
+    import re
+
+    import numpy as np
+
+    from tiledb_py_spark.operators.bpe import (unigram_seed_counts,
+                                               word_frequencies)
+    from tiledb_py_spark.operators.classifier import (QualityClassifier,
+                                                      quality_scores,
+                                                      token_buckets)
+    from tiledb_py_spark.operators.similarity import IVFPQIndex
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+        ["doc_id", "text"])
+
+    # classifier scoring: scan -> project -> ArrowEvalPython, no Exchange
+    m = QualityClassifier(weights=np.zeros(64), bias=0.0, n_buckets=64)
+    s = _plan(quality_scores(df, "text", m))
+    assert "Exchange" not in s
+
+    # the featurization feeding each optimizer step is also row-local
+    feats = df.select(
+        F.lit(1.0).alias("y"),
+        F.coalesce(token_buckets("text", 64),
+                   F.array().cast("array<int>")).alias("bkts"))
+    assert "Exchange" not in _plan(feats)
+
+    # IVFPQ search plan: no Exchange anywhere — cell + predicate prune
+    # at the scan, ADC scores row-local, top-k is TakeOrdered
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist(), i % 2) for i in range(64)],
+        "vec_id long, embedding array<double>, label int")
+    idx = IVFPQIndex(n_cells=4, n_probe=2, m=4, n_codes=8).fit(
+        emb, "embedding")
+    tab = idx.build(emb, "embedding", "vec_id", keep_cols=["label"])
+    s = _plan(idx.search(tab, rng.randn(8).tolist(), k=5,
+                         predicate=F.col("label") == 1))
+    assert "Exchange" not in s
+    assert "TakeOrderedAndProject" in s
+
+    # unigram seed: exactly the word-frequency Exchange + the piece
+    # aggregation Exchange — nothing else
+    s = _plan(unigram_seed_counts(word_frequencies(df, "text")))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 2
