@@ -2030,6 +2030,26 @@ def q_pipeline_full_e2e(spark, sf_dir):
                  .orderBy("doc_id", "copy_id"))
 
 
+def q_pack_materialize(spark, sf_dir):
+    """Fixed-length training-sequence MATERIALIZATION (pack_sequences
+    assigns; this emits contents): per-source token streams chunked
+    every 64 tokens with exact concat-then-chunk semantics — boundary
+    documents split across packs — and the final short chunk padded.
+    The oracle replays the split arithmetic, the stream-order
+    concatenation, and the padding in SQL."""
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    out = materialize_packs(
+        d.withColumn("toks", whitespace_tokens("text")),
+        "toks", ["doc_id"], max_tokens=64, by="source", pad_token="")
+    return (out.select("source", "pack_id",
+                       F.array_join("pack_tokens", " ").alias("pack_text"),
+                       "n_real", "n_pad", "n_docs")
+               .orderBy("source", "pack_id"))
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment: shard = portable hash
     of the id modulo 16 — the reproducible file-to-example mapping a
@@ -2246,7 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "corpus_e2e": q_corpus_e2e,
         "pipeline_full_e2e": q_pipeline_full_e2e,
-        "source_similarity": q_source_similarity,
+        "pack_materialize": q_pack_materialize,
         # --- positions 41-50: tail gates rotated in for round 7 ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
@@ -2300,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
         # rows; return to the window per the rotation schedule)
+        "source_similarity": q_source_similarity,
         "simhash": q_simhash,
         "array_embedding_topk": q_array_embedding_topk,
         "sample_exact": q_sample_exact,
@@ -3303,6 +3324,60 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
             LEFT JOIN inter i ON i.src_a = sa.lang AND i.src_b = sb.lang
             ORDER BY src_a, src_b
+        """,
+        "pack_materialize": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (
+                SELECT doc_id, source, toks, len(toks) AS n,
+                       SUM(len(toks)) OVER (PARTITION BY source
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - len(toks) AS strt
+                FROM t
+            ),
+            p AS (
+                -- strt comes from a window SUM (HUGEINT in DuckDB);
+                -- cast the derived indexes back to BIGINT
+                SELECT source,
+                       ((strt // 64) + j)::BIGINT AS pack_id,
+                       (strt + CASE WHEN j = 0 THEN 0
+                               ELSE (64 - (strt % 64)) + (j-1)*64 END)::BIGINT
+                           AS pos,
+                       (CASE WHEN j = 0 THEN 0
+                             ELSE (64 - (strt % 64)) + (j-1)*64 END)::BIGINT
+                           AS seg_start,
+                       least(n - CASE WHEN j = 0 THEN 0
+                                 ELSE (64 - (strt % 64)) + (j-1)*64 END,
+                             CASE WHEN j = 0 THEN 64 - (strt % 64)
+                                  ELSE 64 END)::BIGINT AS seg_len,
+                       toks
+                FROM c,
+                     UNNEST(generate_series(0,
+                         (((strt % 64) + n - 1) // 64)::BIGINT)) AS u(j)
+                WHERE n > 0
+            ),
+            s AS (
+                SELECT source, pack_id, pos, seg_start,
+                       toks[seg_start + 1 : seg_start + seg_len] AS seg
+                FROM p
+            ),
+            g AS (
+                SELECT source, pack_id,
+                       flatten(array_agg(seg ORDER BY pos)) AS flat,
+                       SUM(CASE WHEN seg_start = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_docs
+                FROM s GROUP BY source, pack_id
+            )
+            SELECT source, pack_id,
+                   array_to_string(list_concat(flat,
+                       list_transform(range(64 - len(flat)), x -> '')),
+                       ' ') AS pack_text,
+                   len(flat)::BIGINT AS n_real,
+                   (64 - len(flat))::BIGINT AS n_pad, n_docs
+            FROM g ORDER BY source, pack_id
         """,
         "pipeline_full_e2e": r"""
             WITH base AS (

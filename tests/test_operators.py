@@ -2417,3 +2417,47 @@ def test_ivfpq_array_api_and_classifier_persistence(spark, tmp_path):
     m.save(uri, name="qc")
     m3 = QualityClassifier.load(uri, name="qc")
     assert np.array_equal(m3.weights, m.weights) and m3.loss == 0.25
+
+
+def test_materialize_packs_concat_then_chunk(spark):
+    """Exact concat-then-chunk semantics: boundary docs SPLIT across
+    packs, empty/null docs vanish, only the group's final chunk pads,
+    n_docs counts documents STARTING in the pack, and the plan carries
+    exactly ONE Exchange — the start-cumsum window's hash(group)
+    partitioning also satisfies the (group, pack_id) aggregation's
+    clustering, so the pack regroup adds no shuffle."""
+    import re
+
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+
+    rows = [
+        (1, "a", ["t1", "t2", "t3"]),
+        (2, "a", ["t4", "t5", "t6", "t7", "t8"]),   # crosses pack 0/1
+        (3, "a", []),
+        (4, "a", ["t9"]),
+        (1, "b", None),
+        (2, "b", ["u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8", "u9"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks array<string>")
+    out = materialize_packs(df, "toks", ["doc_id"], max_tokens=4,
+                            by="src", pad_token="<pad>")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1
+    got = {(r.src, r.pack_id): r for r in out.collect()}
+    assert got[("a", 0)].pack_tokens == ["t1", "t2", "t3", "t4"]
+    assert got[("a", 1)].pack_tokens == ["t5", "t6", "t7", "t8"]
+    assert got[("a", 2)].pack_tokens == ["t9", "<pad>", "<pad>", "<pad>"]
+    assert got[("a", 2)].n_real == 1 and got[("a", 2)].n_pad == 3
+    assert got[("a", 0)].n_docs == 2   # docs 1 and 2 start here
+    assert got[("a", 1)].n_docs == 0   # only doc 2's tail
+    assert got[("b", 0)].pack_tokens == ["u1", "u2", "u3", "u4"]
+    assert got[("b", 2)].pack_tokens == ["u9", "<pad>", "<pad>", "<pad>"]
+    assert len(got) == 6
+
+    # integer token ids + ragged tail (no pad)
+    df2 = spark.createDataFrame([(1, [10, 11, 12, 13, 14])],
+                                "doc_id long, toks array<int>")
+    out2 = {r.pack_id: r.pack_tokens
+            for r in materialize_packs(df2, "toks", ["doc_id"],
+                                       max_tokens=4).collect()}
+    assert out2[0] == [10, 11, 12, 13] and out2[1] == [14]

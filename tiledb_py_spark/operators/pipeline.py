@@ -3,9 +3,11 @@ deterministic shuffle, hash-based train/test split, stratified + EXACT-n
 sampling, domain-mixture resampling (arbitrary rates and p^alpha
 temperature mixing), DSIR importance weighting + Gumbel-top-k selection,
 overlapping token-window chunking, sequence packing (grouped and
-global), token-budget corpus selection, PII scrubbing, and the
-deterministic training-shard writer — plus the distributed global
-prefix sum that backs the ungrouped variants.
+global) plus fixed-length training-sequence MATERIALIZATION
+(``materialize_packs``: exact concat-then-chunk with boundary-document
+splitting and padding), token-budget corpus selection, PII scrubbing,
+and the deterministic training-shard writer — plus the distributed
+global prefix sum that backs the ungrouped variants.
 
 Everything here is DETERMINISTIC and hash-based (no RNG state): results
 are identical across runs, executor counts, and engines — the property a
@@ -360,6 +362,94 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     # parsed as a group-by-ordinal and fails analysis
     key = [by] if by else [F.lit("__all")]
     return df.groupBy(*key).applyInPandas(pack, schema=out_schema)
+
+
+def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
+                      max_tokens: int, by: Optional[str] = None,
+                      pad_token=None,
+                      out_col: str = "pack_tokens") -> DataFrame:
+    """Materialize the ACTUAL fixed-length training sequences —
+    ``pack_sequences`` assigns documents to packs; this emits the pack
+    CONTENTS: documents' token arrays laid contiguously in id order
+    (per ``by`` group), the stream chunked every ``max_tokens`` tokens
+    (exact concat-then-chunk: a document crossing a boundary SPLITS),
+    and the group's final short chunk right-padded with ``pad_token``
+    (pass None for a ragged tail).  One row per (group, pack_id):
+    ``(by?, pack_id, out_col, n_real, n_pad, n_docs)`` — the
+    data-loader input a trainer memory-maps.
+
+    Scale shape: start offsets are ``pack_sequences``' one window
+    cumsum per group; each document then splits ROW-LOCAL into its
+    pack-intersecting slices (an explode of at most
+    ``ceil(n/max_tokens) + 1`` structs — the same token volume, never
+    amplified); the slices regroup on (group, pack_id) and concatenate
+    in stream order.  ONE Exchange total (plan-gated): the cumsum
+    window's hash(group) partitioning already satisfies the
+    aggregation's clustering, so the regroup adds no shuffle — token
+    payloads move exactly once."""
+    grp_expr = F.col(by) if by else F.lit(0)
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.select(
+        grp_expr.alias("__grp"), *[F.col(c) for c in id_cols],
+        toks.alias("__toks"))
+    # null arrays count as empty documents (size(null) is null)
+    n = F.coalesce(F.size(F.col("__toks")), F.lit(0))
+    w = (Window.partitionBy("__grp")
+         .orderBy(*[F.col(c) for c in id_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (base.withColumn("__n", n)
+                .withColumn("__start", F.sum("__n").over(w) - F.col("__n")))
+    off0 = F.col("__start") % max_tokens
+    k0 = F.floor(F.col("__start") / max_tokens)
+    n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1
+
+    def piece(j):
+        seg_start = F.when(j == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(max_tokens) - off0 + (j - 1) * max_tokens)
+        seg_len = F.least(
+            F.col("__n") - seg_start,
+            F.when(j == 0, F.lit(max_tokens) - off0)
+             .otherwise(F.lit(max_tokens).cast("long")))
+        return F.struct(
+            (k0 + j).alias("pack_id"),
+            (F.col("__start") + seg_start).alias("pos"),
+            (seg_start == 0).alias("first"),
+            F.slice(F.col("__toks"), (seg_start + 1).cast("int"),
+                    seg_len.cast("int")).alias("seg"))
+
+    # empty docs drop BEFORE the sequence() (sequence(0, -1) would run
+    # descending); the transform then derives seg's element type from
+    # the input, whatever the token type is
+    exploded = (base.filter(F.col("__n") > 0)
+                    .withColumn("__pieces",
+                                F.transform(F.sequence(
+                                    F.lit(0).cast("long"), n_pieces - 1),
+                                    piece))
+                    .select("__grp", F.explode("__pieces").alias("p"))
+                    .select("__grp", "p.pack_id", "p.pos", "p.first",
+                            "p.seg"))
+    flat = F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+        lambda s: s["seg"]))
+    agg = (exploded.groupBy("__grp", "pack_id")
+           .agg(flat.alias("__flat"),
+                F.sum(F.col("first").cast("long")).alias("n_docs")))
+    n_real = F.size(F.col("__flat"))
+    if pad_token is not None:
+        filled = F.concat(
+            F.col("__flat"),
+            F.array_repeat(F.lit(pad_token),
+                           (F.lit(max_tokens) - n_real).cast("int")))
+    else:
+        filled = F.col("__flat")
+    out = (agg.withColumn("n_real", n_real.cast("long"))
+              .withColumn("n_pad",
+                          (F.lit(max_tokens) - n_real).cast("long"))
+              .withColumn(out_col, filled)
+              .drop("__flat"))
+    if by:
+        return out.withColumnRenamed("__grp", by)
+    return out.drop("__grp")
 
 
 def select_token_budget(df: DataFrame, size_col: str,
