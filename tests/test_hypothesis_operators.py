@@ -158,3 +158,139 @@ def test_remove_repeated_lines_only_cross_doc(spark, docs):
         kept = [l for l in lines if l not in dup]
         assert out[i].clean_text == "\n".join(kept), lined[i]
         assert out[i].n_removed == len(lines) - len(kept)
+
+
+@given(docs=corpus, vocab_size=st.integers(5, 20),
+       max_len=st.integers(2, 5))
+@settings(**_SETTINGS)
+def test_unigram_lm_invariants(spark, docs, vocab_size, max_len):
+    """For ANY corpus: the model is a proper distribution over at most
+    max(vocab_size, n_chars) pieces containing every corpus character;
+    Viterbi encoding round-trips every word and its score equals an
+    exhaustive segmentation search."""
+    from math import exp, inf
+
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.bpe import (unigram_encode_udf,
+                                               unigram_lm_train)
+
+    docs = [d for d in docs if d.strip()]
+    if not docs:
+        return
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    model = unigram_lm_train(df, "text", vocab_size=vocab_size,
+                             max_piece_len=max_len, n_em_iters=1)
+    vocab = dict(model)
+    words = {w for d in docs for w in d.lower().split()}
+    chars = {c for w in words for c in w}
+    assert abs(sum(exp(lp) for lp in vocab.values()) - 1.0) < 1e-9
+    assert chars <= set(vocab)
+    assert len(vocab) <= max(vocab_size, len(chars))
+
+    enc = unigram_encode_udf(model)
+    out = df.select("doc_id", enc(F.col("text")).alias("t")).collect()
+    for r in out:
+        assert "".join(r.t) == "".join(docs[r.doc_id].lower().split())
+
+    unk = min(vocab.values()) - 100.0
+
+    def viterbi(w):
+        best = [-inf] * (len(w) + 1)
+        best[0] = 0.0
+        ml = max(len(p) for p in vocab)
+        for j in range(1, len(w) + 1):
+            for i in range(max(0, j - ml), j):
+                lp = vocab.get(w[i:j], unk if j - i == 1 else None)
+                if lp is not None and best[i] + lp > best[j]:
+                    best[j] = best[i] + lp
+        return best[len(w)]
+
+    def brute(w):
+        best = -inf
+        stack = [(0, 0.0)]
+        while stack:
+            i, s = stack.pop()
+            if i == len(w):
+                best = max(best, s)
+                continue
+            for j in range(i + 1, len(w) + 1):
+                lp = vocab.get(w[i:j], unk if j - i == 1 else None)
+                if lp is not None:
+                    stack.append((j, s + lp))
+        return best
+
+    for w in words:
+        assert abs(viterbi(w) - brute(w)) < 1e-9
+
+
+@given(docs=st.lists(doc, min_size=2, max_size=6),
+       max_tokens=st.integers(2, 7))
+@settings(**_SETTINGS)
+def test_materialize_packs_stream_equivalence(spark, docs, max_tokens):
+    """For ANY corpus and chunk size: concatenating the packs in
+    pack_id order rebuilds the exact per-group token stream, every
+    non-final pack is full, and padding appears only in the final
+    pack."""
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+
+    df = spark.createDataFrame(
+        [(i, d.split() if d else []) for i, d in enumerate(docs)],
+        "doc_id long, toks array<string>")
+    out = sorted(materialize_packs(df, "toks", ["doc_id"],
+                                   max_tokens=max_tokens,
+                                   pad_token="<p>").collect(),
+                 key=lambda r: r.pack_id)
+    stream = [t for d in docs for t in d.split()]
+    if not stream:
+        assert out == []
+        return
+    rebuilt = [t for r in out for t in r.pack_tokens if t != "<p>"]
+    assert rebuilt == stream
+    for r in out[:-1]:
+        assert r.n_pad == 0 and len(r.pack_tokens) == max_tokens
+    assert len(out[-1].pack_tokens) == max_tokens
+    assert sum(r.n_real for r in out) == len(stream)
+    assert sum(r.n_docs for r in out) == sum(1 for d in docs if d.split())
+
+
+@given(n_pos=st.integers(3, 12), n_neg=st.integers(3, 12),
+       nb=st.sampled_from([32, 64]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_classifier_gradient_check(spark, n_pos, n_neg, nb):
+    """The distributed (loss, gradient) oracle passes a numeric
+    finite-difference gradient check at a random weight vector — the
+    strongest property a logistic-regression fit can state."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.classifier import (_eval_factory,
+                                                      token_buckets)
+
+    rows = [(i, f"sig nal word{i % 3} common", 1) for i in range(n_pos)]
+    rows += [(100 + i, f"junk noise word{i % 3} common", 0)
+             for i in range(n_neg)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    feats = df.select(
+        F.col("y").cast("double").alias("y"),
+        F.coalesce(token_buckets("text", nb),
+                   F.array().cast("array<int>")).alias("bkts")).coalesce(2)
+    feats = feats.persist()
+    try:
+        ev = _eval_factory(feats, nb, reg=1e-3)
+        rng = np.random.RandomState(nb + n_pos)
+        w = rng.randn(nb + 1) * 0.1
+        f0, g = ev(w)
+        eps = 1e-6
+        for idx in rng.choice(nb + 1, 5, replace=False):
+            wp = w.copy(); wp[idx] += eps
+            wm = w.copy(); wm[idx] -= eps
+            fp, _ = ev(wp)
+            fm, _ = ev(wm)
+            num = (fp - fm) / (2 * eps)
+            assert abs(num - g[idx]) < 1e-4 * max(1.0, abs(g[idx]))
+    finally:
+        feats.unpersist()
