@@ -2030,6 +2030,26 @@ def q_pipeline_full_e2e(spark, sf_dir):
                  .orderBy("doc_id", "copy_id"))
 
 
+def q_self_repeat(spark, sf_dir):
+    """Within-document repeated-span removal (8-gram, keep-first):
+    every token covered by an 8-gram whose identical gram occurred
+    earlier in the SAME document is removed — the row-local repair for
+    the self-repetition Gopher's fractions only measure.  The oracle
+    replays the first-occurrence window, the span mask, and the
+    rebuilt text."""
+    from tiledb_py_spark.operators.text import remove_self_repeated_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # amplify: docs 0-24 get their own text appended (a guaranteed
+    # self-repeat) so the operator has real work at every sf
+    d = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 25,
+               F.concat_ws(" ", "text", "text")).otherwise(F.col("text")))
+    out = remove_self_repeated_spans(d, "text", n=8)
+    return out.select("doc_id", "clean_text", "n_removed").orderBy("doc_id")
+
+
 def q_pack_materialize(spark, sf_dir):
     """Fixed-length training-sequence MATERIALIZATION (pack_sequences
     assigns; this emits contents): per-source token streams chunked
@@ -2214,19 +2234,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
     # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r6 item 3):
-    # positions 1-40 hold the core + newest operator gates; positions
-    # 41-50 hold ten TAIL gates rotated back in, taken round-robin in
-    # tail order, so every gate earns a driver-artifact row at least
-    # every ~5 rounds.  Round 7 rotated in multi_range .. exact_dedup
-    # (the first ten of the tail); round 8 should rotate in the next
-    # ten (simhash_neardup .. datasource_lww_many) and return this
-    # round's ten to their tail positions.  Displaced to the tail this
-    # round: sixteen gates with driver-green CORRECTNESS_r06 rows
-    # (simhash .. scrub_text).  ALL entries keep their oracle_sql()
-    # and remain oracle-checked every round via
-    # tools/check_correctness.py regardless of position.
+    # positions 1-39 hold the core + newest operator gates; positions
+    # 40-50 hold ELEVEN tail gates rotated back in, taken round-robin
+    # in tail order, so every gate earns a driver-artifact row at
+    # least every ~5 rounds.  Round 7 rotated in multi_range ..
+    # simhash_neardup; round 8 should rotate in the next block
+    # (batch_topk .. json_props) and return this round's block to its
+    # tail positions.  Displaced to the tail this round: eighteen
+    # gates with driver-green CORRECTNESS_r06 rows (source_similarity
+    # .. scrub_text).  ALL entries keep their oracle_sql() and remain
+    # oracle-checked every round via tools/check_correctness.py
+    # regardless of position.
     return {
-        # --- positions 1-40: core + round-5/6/7 operator gates ---
+        # --- positions 1-39: core + round-5/6/7 operator gates ---
         "qc_filter": q_qc_filter,
         "contamination": q_contamination,
         "datasource_read": q_datasource_read,
@@ -2261,13 +2281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
-        "temperature_mix": q_temperature_mix,
-        "bigram_surprisal": q_bigram_surprisal,
         "winnow": q_winnow,
         "corpus_e2e": q_corpus_e2e,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
-        # --- positions 41-50: tail gates rotated in for round 7 ---
+        "self_repeat": q_self_repeat,
+        # --- positions 40-50: tail gates rotated in for round 7
+        # (the block ends at simhash_neardup just below) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2280,8 +2300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  Rotation continues from simhash_neardup
-        # next round.  Gates displaced this round (driver-green r06
+        # pytest-covered).  simhash_neardup above is position 50 (last
+        # in-window); rotation continues from batch_topk next round.  Gates displaced this round (driver-green r06
         # rows): simhash .. scrub_text at the end of the tail. ---
         "simhash_neardup": q_simhash_neardup,
         "batch_topk": q_batch_topk,
@@ -2321,6 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
         # rows; return to the window per the rotation schedule)
         "source_similarity": q_source_similarity,
+        "temperature_mix": q_temperature_mix,
+        "bigram_surprisal": q_bigram_surprisal,
         "simhash": q_simhash,
         "array_embedding_topk": q_array_embedding_topk,
         "sample_exact": q_sample_exact,
@@ -3324,6 +3346,53 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
             LEFT JOIN inter i ON i.src_a = sa.lang AND i.src_b = sb.lang
             ORDER BY src_a, src_b
+        """,
+        "self_repeat": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(
+                           CASE WHEN doc_id < 25
+                                THEN text || ' ' || text ELSE text END),
+                           '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            g AS (
+                SELECT doc_id, i,
+                       array_to_string(toks[i:i+7], chr(31)) AS gram
+                FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+                WHERE len(toks) >= 8
+            ),
+            rep AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i,
+                           min(i) OVER (PARTITION BY doc_id, gram) AS fst
+                    FROM g)
+                WHERE i > fst
+            ),
+            m AS (
+                SELECT DISTINCT doc_id, i + k AS p
+                FROM rep, UNNEST(generate_series(0, 7)) AS v(k)
+            ),
+            tok AS (
+                SELECT t.doc_id, p, toks[p] AS tk
+                FROM t, UNNEST(generate_series(1, len(toks))) AS w(p)
+            ),
+            kept AS (
+                SELECT tok.doc_id,
+                       string_agg(tk, ' ' ORDER BY tok.p) AS clean_text,
+                       count(*) AS n_kept
+                FROM tok LEFT JOIN m ON tok.doc_id = m.doc_id
+                                    AND tok.p = m.p
+                WHERE m.p IS NULL
+                GROUP BY tok.doc_id
+            ),
+            tot AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+            SELECT tot.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   (tot.n_toks - coalesce(kept.n_kept, 0))::BIGINT
+                       AS n_removed
+            FROM tot LEFT JOIN kept USING (doc_id)
+            ORDER BY doc_id
         """,
         "pack_materialize": r"""
             WITH t AS (

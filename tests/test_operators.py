@@ -2461,3 +2461,35 @@ def test_materialize_packs_concat_then_chunk(spark):
             for r in materialize_packs(df2, "toks", ["doc_id"],
                                        max_tokens=4).collect()}
     assert out2[0] == [10, 11, 12, 13] and out2[1] == [14]
+
+
+def test_remove_self_repeated_spans(spark):
+    """Keep-first within-doc span removal: the second occurrence of an
+    8-gram is masked (tokens of the first survive), short docs pass
+    through with whitespace normalized, nulls propagate, and the plan
+    is shuffle-free."""
+    from tiledb_py_spark.operators.text import remove_self_repeated_spans
+
+    chorus = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [
+        (1, f"intro {chorus} verse one {chorus} outro"),
+        (2, "short  doc   here"),          # < 8 tokens: normalized only
+        (3, None),
+        (4, " ".join(f"w{i}" for i in range(12))),   # no repeats
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_self_repeated_spans(df, "text", n=8)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].clean_text == f"intro {chorus} verse one outro"
+    assert got[1].n_removed == 8
+    assert got[2].clean_text == "short doc here" and got[2].n_removed == 0
+    assert got[3].clean_text is None and got[3].n_removed is None
+    assert got[4].n_removed == 0
+
+    # fully periodic: every position past 0 starts a repeated gram, so
+    # the masks tile tokens 1..19 and only token 0 survives
+    per = spark.createDataFrame([(1, " ".join(["x"] * 20))],
+                                ["doc_id", "text"])
+    r = remove_self_repeated_spans(per, "text", n=8).collect()[0]
+    assert r.clean_text == "x" and r.n_removed == 19

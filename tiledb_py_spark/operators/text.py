@@ -651,6 +651,62 @@ def fingerprint(col: str | Column) -> Column:
     return F.xxhash64(norm)
 
 
+def remove_self_repeated_spans(df: DataFrame, text_col: str,
+                               n: int = 8,
+                               out_col: str = "clean_text") -> DataFrame:
+    """WITHIN-document repeated-span removal — the row-local complement
+    of ``dedup.remove_repeated_spans`` (which removes spans repeated
+    ACROSS documents): every token covered by an n-gram whose identical
+    n-gram occurred EARLIER in the same document is removed; the first
+    occurrence survives.  This is the "trim the chorus" cleanup for
+    template/boilerplate self-repetition that Gopher's repetition
+    FRACTIONS (``repetition_stats``) measure but do not repair.
+
+    Tokenization is exact whitespace (no lowercasing — self-repetition
+    is a literal phenomenon); documents shorter than ``n`` tokens pass
+    through unchanged.  Adds ``out_col`` and ``n_removed`` (tokens).
+
+    Scale shape: ZERO shuffles — one Arrow-batched pass, all state per
+    row (first-occurrence map over the document's own grams); the same
+    per-row-compute policy as ``repetition_stats``'s arrow path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<clean_text: string, n_removed: long>")
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        outs, removed = [], []
+        for t in texts:
+            if t is None:
+                outs.append(None)
+                removed.append(None)
+                continue
+            toks = t.split()
+            T = len(toks)
+            if T < n:
+                outs.append(" ".join(toks))
+                removed.append(0)
+                continue
+            first: dict = {}
+            mask = [False] * T
+            for i in range(T - n + 1):
+                g = tuple(toks[i:i + n])
+                f = first.get(g)
+                if f is None:
+                    first[g] = i
+                elif i > f:
+                    for j in range(i, i + n):
+                        mask[j] = True
+            outs.append(" ".join(tok for tok, m in zip(toks, mask)
+                                 if not m))
+            removed.append(sum(mask))
+        return pd.DataFrame({"clean_text": outs, "n_removed": removed})
+
+    s = fn(F.col(text_col))
+    return (df.withColumn("__srs", s)
+              .withColumn(out_col, F.col("__srs.clean_text"))
+              .withColumn("n_removed", F.col("__srs.n_removed"))
+              .drop("__srs"))
+
+
 def add_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop enrichment: language, token counts, fingerprint, quality."""
     out = language_id_df(quality_score(df, text_col), text_col)
