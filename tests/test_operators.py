@@ -2493,3 +2493,37 @@ def test_remove_self_repeated_spans(spark):
                                 ["doc_id", "text"])
     r = remove_self_repeated_spans(per, "text", n=8).collect()[0]
     assert r.clean_text == "x" and r.n_removed == 19
+
+
+def test_label_classifier_one_vs_rest(spark):
+    """One-vs-rest multiclass over the shared featurization: perfectly
+    vocabulary-separated classes classify 100%, prediction is
+    shuffle-free, empty docs predict deterministically, and the model
+    round-trips through its dict form."""
+    from tiledb_py_spark.operators.classifier import (LabelClassifier,
+                                                      fit_label_classifier,
+                                                      label_predict)
+
+    vocab = {"en": "the quick brown fox runs", "de": "der schnelle braune fuchs",
+             "fr": "le renard brun rapide"}
+    rows = [(i, f"{vocab[l]} common filler {i % 5}", l)
+            for i, l in enumerate(["en", "de", "fr"] * 20)]
+    rows.append((999, "", "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    m = fit_label_classifier(df, "text", "lang", n_buckets=256,
+                             max_iter=40, tol=1e-4)
+    assert m.labels == ["de", "en", "fr"]
+    out = label_predict(df.filter(F.col("doc_id") != 999), "text", m)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = out.select("lang", "pred_label").collect()
+    assert all(r.lang == r.pred_label for r in got)
+
+    m2 = LabelClassifier.from_dict(m.to_dict())
+    import numpy as np
+    assert np.array_equal(m2.weights, m.weights) and m2.labels == m.labels
+
+    # empty doc: bias-only argmax, still a valid label
+    e = label_predict(spark.createDataFrame([(1, "")], ["doc_id", "text"]),
+                      "text", m).collect()[0]
+    assert e.pred_label in m.labels

@@ -9,8 +9,9 @@
 - ``text`` — language ID, quality/repetition/OOV/compression signals,
   C4 line cleaning, unigram/bigram surprisal, perplexity buckets
 - ``bpe`` — distributed BPE vocabulary induction + learned-token counting
-- ``classifier`` — trainable quality classifier (distributed-L-BFGS
-  logistic regression over hashed unigrams, row-local scoring)
+- ``classifier`` — trainable quality classifier + one-vs-rest label
+  classifier (distributed-L-BFGS logistic regression over hashed
+  unigrams, row-local scoring/prediction, manifest persistence)
 - ``retrieval`` — BM25 search, TF-IDF keyword extraction
 - ``pipeline`` — deterministic shuffle/split/sample/mix (incl. p^alpha
   temperature), DSIR selection, chunking, packing, token budgets, PII

@@ -1,6 +1,7 @@
-"""Trainable corpus-quality classifier (the GPT-3 / LLaMA-style
-"looks like the reference corpus" filter): logistic regression over
-hashed-unigram features, fit DISTRIBUTED, scored row-local.
+"""Trainable corpus classifiers: the GPT-3 / LLaMA-style binary
+quality filter ("looks like the reference corpus") and its one-vs-rest
+multiclass extension (language / domain routing) — logistic regression
+over hashed-unigram features, fit DISTRIBUTED, scored row-local.
 
 The reference engine has no learning operators; this extends the
 LLM-pipeline surface alongside DSIR (`pipeline.importance_weights`,
@@ -318,3 +319,115 @@ def quality_scores(df: DataFrame, text_col: str, model: QualityClassifier,
                        tokens_col=tokens_col)
     staged = F.coalesce(bk, F.array().cast("array<int>"))
     return df.withColumn(out_col, score(staged))
+
+
+# ---------------------------------------------------------------------------
+# one-vs-rest multiclass (language / domain classification)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LabelClassifier:
+    """One-vs-rest multiclass model: per-class weight rows over the
+    shared hashed-unigram bucketing (language ID, domain routing,
+    source attribution — any label a curation pipeline partitions
+    by)."""
+
+    labels: list
+    weights: np.ndarray          # (n_labels, n_buckets)
+    biases: np.ndarray           # (n_labels,)
+    n_buckets: int
+
+    def to_dict(self) -> dict:
+        return {"labels": list(self.labels),
+                "weights": [[float(x) for x in row] for row in self.weights],
+                "biases": [float(b) for b in self.biases],
+                "n_buckets": int(self.n_buckets)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LabelClassifier":
+        return cls(labels=list(d["labels"]),
+                   weights=np.asarray(d["weights"], dtype=np.float64),
+                   biases=np.asarray(d["biases"], dtype=np.float64),
+                   n_buckets=int(d["n_buckets"]))
+
+
+def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
+                         n_buckets: int = 4096, reg: float = 1e-4,
+                         max_iter: int = 50, tol: float = 1e-6,
+                         token_hash=None,
+                         tokens_col: Optional[Column] = None,
+                         max_labels: int = 1000) -> LabelClassifier:
+    """One-vs-rest logistic regression over the quality classifier's
+    machinery: the bucket-array featurization runs ONCE (persisted and
+    shared by every class's fit — each class only re-derives its 0/1
+    target from the cached label column), then each class runs the
+    same zero-Exchange distributed L-BFGS.  Distinct labels are
+    collected (bounded by ``max_labels`` — a label column with more
+    classes than that is almost certainly not a label column; refuse
+    loudly, the ``bpe_train`` guard pattern)."""
+    bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
+                       tokens_col=tokens_col)
+    feats = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
+    feats = feats.persist()
+    try:
+        labels = [r[0] for r in
+                  feats.select("__lbl").distinct()
+                       .limit(max_labels + 1).collect()
+                  if r[0] is not None]
+        if len(labels) > max_labels:
+            raise ValueError(
+                f"fit_label_classifier: over {max_labels} distinct "
+                f"labels in {label_col!r}; is this a label column? "
+                "Raise max_labels to override.")
+        labels = sorted(labels)
+        W = np.zeros((len(labels), n_buckets))
+        B = np.zeros(len(labels))
+        for li, lbl in enumerate(labels):
+            fl = feats.select(
+                (F.col("__lbl") == F.lit(lbl)).cast("double").alias("y"),
+                "bkts")
+            ev = _eval_factory(fl, n_buckets, reg)
+            x, _, _, _, _ = _lbfgs(lambda w: ev(w),
+                                   np.zeros(n_buckets + 1), max_iter, tol)
+            W[li] = x[:n_buckets]
+            B[li] = x[n_buckets]
+    finally:
+        feats.unpersist()
+    return LabelClassifier(labels=labels, weights=W, biases=B,
+                           n_buckets=n_buckets)
+
+
+def label_predict(df: DataFrame, text_col: str, model: LabelClassifier,
+                  out_col: str = "pred_label", token_hash=None,
+                  tokens_col: Optional[Column] = None) -> DataFrame:
+    """Predicted label = argmax of the per-class margins (sigmoid is
+    monotone, so margins suffice) — one Arrow UDF carrying the
+    (n_labels x n_buckets) matrix, zero shuffles; ties break to the
+    lexicographically first label (stable).  Documents with no tokens
+    predict from the biases alone."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.ascontiguousarray(model.weights)
+    B = np.asarray(model.biases, dtype=np.float64)
+    labels = list(model.labels)
+
+    @pandas_udf("string")
+    def pred(bks: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
+                           count=len(bks))
+        margins = np.tile(B, (len(bks), 1))
+        if lens.sum():
+            flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                                   for a in bks])
+            for c in range(W.shape[0]):
+                margins[lens > 0, c] += _segment_sums(
+                    W[c][flat], lens[lens > 0])
+        best = margins.argmax(axis=1)   # first max = first label
+        return pd.Series([labels[b] for b in best])
+
+    bk = token_buckets(text_col, model.n_buckets, token_hash=token_hash,
+                       tokens_col=tokens_col)
+    staged = F.coalesce(bk, F.array().cast("array<int>"))
+    return df.withColumn(out_col, pred(staged))
