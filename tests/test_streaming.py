@@ -345,3 +345,56 @@ def test_sessionize_stream_matches_batch_across_microbatches(spark, tmp_path):
     assert got == batch
     assert got[4] == (1, 3)     # boundary-spanning session continued
     assert got[5] == (2, 1)
+
+
+def test_classifier_scoring_runs_on_streams(spark, tmp_path):
+    """A trained quality classifier scores a readStream unchanged (the
+    Arrow scoring UDF is stateless and row-local) — the deploy shape
+    for filtering a live crawl with a model trained offline.  The
+    stream sink must equal the batch scores exactly, including the
+    within-doc span cleaner composed upstream."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.classifier import (fit_quality_classifier,
+                                                      quality_scores)
+    from tiledb_py_spark.operators.text import remove_self_repeated_spans
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    chorus = "s1 s2 s3 s4 s5 s6 s7 s8"
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [f"good clean prose item{i}" if i % 2 else
+                 f"spam junk noise item{i} {chorus} x {chorus}"
+                 for i in range(6)],
+    })
+    pdf.to_parquet(src / "f1.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    model = fit_quality_classifier(
+        batch_df.withColumn("y", (F.col("doc_id") % 2).cast("int")),
+        "text", "y", n_buckets=128, max_iter=30, tol=1e-4)
+
+    def enrich(df):
+        out = remove_self_repeated_spans(df, "text", n=8)
+        return quality_scores(out, "clean_text", model)
+
+    batch = {r.doc_id: (r.clean_text, r.quality_score)
+             for r in enrich(batch_df).collect()}
+
+    stream = (spark.readStream
+              .schema(batch_df.schema)
+              .parquet(str(src)))
+    rows = []
+    q = (enrich(stream).writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.clean_text, r.quality_score) for r in rows}
+    assert got == batch
+    assert all(got[i][1] > 0.5 for i in (1, 3, 5))
+    assert all(got[i][1] < 0.5 for i in (0, 2, 4))
