@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "temperature_mix",
     "winnow",
     "bigram_surprisal",
+    # round 7
+    "unigram_seed",
+    "self_repeat",
+    "pack_materialize",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",
