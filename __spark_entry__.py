@@ -2030,6 +2030,26 @@ def q_pipeline_full_e2e(spark, sf_dir):
                  .orderBy("doc_id", "copy_id"))
 
 
+def q_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (the smoothing family
+    behind CCNet's KenLM filter), self-scored on the corpus's own
+    counts with portable md5 token hashes — the oracle replays the
+    discounted ML term, the continuation backoff, the add-one-smoothed
+    P_cont, and the document-initial convention exactly."""
+    from tiledb_py_spark.operators.dedup import md5_hash60
+    from tiledb_py_spark.operators.text import kneser_ney_logprob
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = kneser_ney_logprob(d, "text", "doc_id", token_hash=md5_hash60,
+                             tokens_col=ws)
+    return (out.select("doc_id", "n_tokens",
+                       F.round("log_prob", 4).alias("log_prob"),
+                       F.round("ppl", 4).alias("ppl"))
+               .orderBy("doc_id"))
+
+
 def q_self_repeat(spark, sf_dir):
     """Within-document repeated-span removal (8-gram, keep-first):
     every token covered by an 8-gram whose identical gram occurred
@@ -2281,11 +2301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
-        "winnow": q_winnow,
         "corpus_e2e": q_corpus_e2e,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
         "self_repeat": q_self_repeat,
+        "kn_ppl": q_kn_ppl,
         # --- positions 40-50: tail gates rotated in for round 7
         # (the block ends at simhash_neardup just below) ---
         "multi_range": q_multi_range,
@@ -2341,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
         # rows; return to the window per the rotation schedule)
         "source_similarity": q_source_similarity,
+        "winnow": q_winnow,
         "temperature_mix": q_temperature_mix,
         "bigram_surprisal": q_bigram_surprisal,
         "simhash": q_simhash,
@@ -3346,6 +3367,48 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
             LEFT JOIN inter i ON i.src_a = sa.lang AND i.src_b = sb.lang
             ORDER BY src_a, src_b
+        """,
+        "kn_ppl": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(arr[i]), 1, 15))::BIGINT AS h,
+                       CASE WHEN i = 1 THEN NULL
+                            ELSE ('0x' || substr(md5(arr[i-1]), 1, 15))::BIGINT
+                       END AS hp
+                FROM t, UNNEST(generate_series(1, len(arr))) AS u(i)
+            ),
+            big AS (
+                SELECT hp, h, count(*) AS c2
+                FROM tok WHERE hp IS NOT NULL GROUP BY hp, h
+            ),
+            ctx AS (SELECT hp, sum(c2) AS ctot, count(*) AS n1f
+                    FROM big GROUP BY hp),
+            cont AS (SELECT h, count(*) AS n1b FROM big GROUP BY h),
+            sc AS (SELECT (SELECT count(*) FROM big) AS B,
+                          (SELECT count(DISTINCT h) FROM tok) AS V),
+            p AS (
+                SELECT tok.doc_id,
+                       CASE WHEN tok.hp IS NULL
+                            THEN (coalesce(cont.n1b, 0) + 1.0)
+                                 / (sc.B + sc.V)
+                            ELSE greatest(big.c2 - 0.75, 0) / ctx.ctot
+                                 + (0.75 * ctx.n1f / ctx.ctot)
+                                   * ((coalesce(cont.n1b, 0) + 1.0)
+                                      / (sc.B + sc.V))
+                       END AS prob
+                FROM tok
+                LEFT JOIN big ON tok.hp = big.hp AND tok.h = big.h
+                LEFT JOIN ctx ON tok.hp = ctx.hp
+                LEFT JOIN cont ON tok.h = cont.h, sc
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(ln(prob)), 4) AS log_prob,
+                   round(exp(-sum(ln(prob)) / count(*)), 4) AS ppl
+            FROM p GROUP BY doc_id ORDER BY doc_id
         """,
         "self_repeat": r"""
             WITH t AS (

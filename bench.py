@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "unigram_seed",
     "self_repeat",
     "pack_materialize",
+    "kn_ppl",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

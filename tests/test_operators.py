@@ -2527,3 +2527,35 @@ def test_label_classifier_one_vs_rest(spark):
     e = label_predict(spark.createDataFrame([(1, "")], ["doc_id", "text"]),
                       "text", m).collect()[0]
     assert e.pred_label in m.labels
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Interpolated KN bigram scoring matches a hand computation on a
+    two-document corpus: discounted ML term + continuation backoff,
+    add-one-smoothed P_cont, document-initial tokens at P_cont."""
+    from math import exp, log
+
+    from tiledb_py_spark.operators.text import kneser_ney_logprob
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b a")],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           kneser_ney_logprob(df, "text", "doc_id").collect()}
+    # big: (a,b):2, (b,a):2 -> B=2, V=2; ctot=2/n1f=1 each side
+    # P_cont(w) = (1+1)/(2+2) = 0.5
+    # P(b|a) = P(a|b) = (2-.75)/2 + (.75*1/2)*.5 = 0.8125
+    pc, pb = 0.5, 0.8125
+    lp1 = log(pc) + 3 * log(pb)
+    lp2 = log(pc) + log(pb)
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 2
+    assert abs(got[1].log_prob - lp1) < 1e-9
+    assert abs(got[2].log_prob - lp2) < 1e-9
+    assert abs(got[1].ppl - exp(-lp1 / 4)) < 1e-9
+
+    # fluent (corpus-typical) text scores lower ppl than shuffled text
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    docs.append((100, "dog the over fox quick lazy jumps brown the"))
+    big = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.ppl for r in
+           kneser_ney_logprob(big, "text", "doc_id").collect()}
+    assert out[0] < out[100]

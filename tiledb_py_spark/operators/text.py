@@ -1,6 +1,8 @@
 """Text analysis operators for LLM training-data pipelines: language ID,
 quality/repetition/OOV/compression signals, token counting, C4 line
-cleaning, unigram/bigram surprisal, perplexity buckets, fingerprints.
+cleaning, within-document repeated-span removal, unigram/bigram
+surprisal, interpolated Kneser-Ney bigram perplexity, perplexity
+buckets, fingerprints.
 
 Default path is pure ``pyspark.sql.functions`` (whole-stage codegen);
 where an Arrow-batched pandas UDF measured decisively faster it is the
@@ -705,6 +707,78 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
               .withColumn(out_col, F.col("__srs.clean_text"))
               .withColumn("n_removed", F.col("__srs.n_removed"))
               .drop("__srs"))
+
+
+def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
+                       discount: float = 0.75, token_hash=None,
+                       tokens_col: Optional[Column] = None) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-probability / perplexity per
+    document, self-scored on the corpus's own counts (Chen & Goodman
+    1999 — the smoothing family behind the KenLM models CCNet filters
+    with; ``ngram_surprisal`` is the unsmoothed MLE proxy, this is the
+    real thing for bigrams):
+
+        P(w | v) = max(c(v,w) - D, 0) / c(v.)
+                   + (D * N1+(v.) / c(v.)) * P_cont(w)
+        P_cont(w) = (N1+(.w) + 1) / (B + V)
+
+    where ``N1+`` counts DISTINCT bigram types, ``B`` is the total
+    distinct-bigram count and ``V`` the vocabulary size (the +1/+V is
+    add-one continuation smoothing, keeping P_cont positive for words
+    only ever seen document-initial).  Each document's first token
+    scores at ``P_cont`` (no BOS symbol).  Returns ``(id_col,
+    n_tokens, log_prob, ppl)`` with ``ppl = exp(-log_prob /
+    n_tokens)``.
+
+    Scale shape: postings carry the id plus two 8-byte token hashes;
+    ONE aggregation yields the bigram table, from which the context
+    and continuation tables roll up (vocabulary-sized, broadcast back
+    onto the postings); the (B, V) scalars ride one broadcast row.
+    Raw text never shuffles — the ``bigram_surprisal`` join discipline
+    with smoothing on top.
+
+    ``token_hash`` defaults to ``xxhash64``; pass ``dedup.md5_hash60``
+    for the cross-engine-replayable keying the oracle uses."""
+    th = token_hash or F.xxhash64
+    toks = (tokens_col if tokens_col is not None
+            else _tokens_lower(F.col(text_col)))
+    base = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+              .withColumn("__hs",
+                          F.transform(F.col("__toks"), lambda t: th(t)))
+              .filter(F.size("__hs") >= 1))
+    pos = F.sequence(F.lit(1), F.size("__hs"))
+    g = (base.select("__id", "__hs", F.explode(pos).alias("__i"))
+             .select("__id",
+                     F.when(F.col("__i") == 1, F.lit(None).cast("long"))
+                      .otherwise(F.element_at("__hs", F.col("__i") - 1))
+                      .alias("__hp"),
+                     F.element_at("__hs", F.col("__i")).alias("__h")))
+    big = (g.filter(F.col("__hp").isNotNull())
+            .groupBy("__hp", "__h").agg(F.count("*").alias("__c2")))
+    ctx = big.groupBy("__hp").agg(F.sum("__c2").alias("__ctot"),
+                                  F.count("*").alias("__n1f"))
+    cont = big.groupBy("__h").agg(F.count("*").alias("__n1b"))
+    scal = (big.agg(F.count("*").alias("__B"))
+               .crossJoin(g.select("__h").distinct()
+                           .agg(F.count("*").alias("__V"))))
+    D = F.lit(float(discount))
+    pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(1))         / (F.col("__B") + F.col("__V"))
+    prob = F.when(
+        F.col("__hp").isNull(), pcont
+    ).otherwise(
+        F.greatest(F.col("__c2") - D, F.lit(0.0)) / F.col("__ctot")
+        + (D * F.col("__n1f") / F.col("__ctot")) * pcont)
+    scored = (g.join(big, on=["__hp", "__h"], how="left")
+               .join(F.broadcast(ctx), on="__hp", how="left")
+               .join(F.broadcast(cont), on="__h", how="left")
+               .crossJoin(F.broadcast(scal))
+               .select("__id", F.log(prob).alias("__lp")))
+    return (scored.groupBy("__id")
+                  .agg(F.count("*").cast("long").alias("n_tokens"),
+                       F.sum("__lp").alias("log_prob"))
+                  .withColumn("ppl",
+                              F.exp(-F.col("log_prob") / F.col("n_tokens")))
+                  .withColumnRenamed("__id", id_col))
 
 
 def add_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
