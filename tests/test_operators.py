@@ -2559,3 +2559,20 @@ def test_kneser_ney_hand_computed(spark):
     out = {r.doc_id: r.ppl for r in
            kneser_ney_logprob(big, "text", "doc_id").collect()}
     assert out[0] < out[100]
+
+
+def test_perplexity_buckets_kn_score(spark):
+    """score='kn' tiers by Kneser-Ney perplexity: the shuffled-text
+    outlier lands in the tail bucket while repeated fluent docs fill
+    head+middle; buckets stay equal-population."""
+    from tiledb_py_spark.operators.text import perplexity_buckets
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(8)]
+    docs.append((100, "dog the over fox quick lazy jumps brown the"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.ppl_bucket for r in
+           perplexity_buckets(df, "text", "doc_id", n_buckets=3,
+                              score="kn").collect()}
+    assert out[100] == 2          # the outlier is in the tail
+    assert sorted(out.values()).count(0) == 3   # equal-population tiers

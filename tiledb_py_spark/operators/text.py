@@ -556,26 +556,36 @@ def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
 
 def perplexity_buckets(df: DataFrame, text_col: str, id_col: str,
                        n_buckets: int = 3,
-                       tokens_col: Optional[Column] = None) -> DataFrame:
+                       tokens_col: Optional[Column] = None,
+                       score: str = "unigram") -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
-    every document with the corpus-unigram surprisal proxy
-    (``unigram_surprisal``) and assign it to one of ``n_buckets``
-    equal-population quality tiers — bucket 0 = lowest surprisal
-    ("head", most fluent), last = highest ("tail").  CCNet keeps head+
-    middle and drops or downweights the tail.
+    every document (``score="unigram"``: the corpus-unigram surprisal
+    proxy; ``"kn"``: interpolated Kneser-Ney bigram perplexity — the
+    closer analog of CCNet's actual KenLM scorer) and assign it to one
+    of ``n_buckets`` equal-population quality tiers — bucket 0 =
+    lowest score ("head", most fluent), last = highest ("tail").
+    CCNet keeps head+middle and drops or downweights the tail.
 
     Bucket = ``floor(percent_rank * n) clamped to n-1`` over the
-    surprisal ordering ROUNDED to 6 decimals (ties broken by id) —
+    score ordering ROUNDED to 6 decimals (ties broken by id) —
     deterministic and SQL-replayable, unlike an approxQuantile cut,
     and the rounding keeps a last-ulp ln() difference between engines
     from flipping ranks at a bucket boundary.  The percent_rank window
-    is ungrouped: it globally sorts only the (id, surprisal) pairs —
+    is ungrouped: it globally sorts only the (id, score) pairs —
     16 bytes/doc, the same cost class as the deterministic global
     shuffle — not the documents."""
-    s = unigram_surprisal(df, text_col, id_col, tokens_col=tokens_col)
+    if score == "unigram":
+        s = unigram_surprisal(df, text_col, id_col, tokens_col=tokens_col)
+        key = F.col("surprisal")
+    elif score == "kn":
+        s = kneser_ney_logprob(df, text_col, id_col,
+                               tokens_col=tokens_col)
+        key = F.col("ppl")
+    else:
+        raise ValueError(f"unknown score {score!r}")
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.round(F.col("surprisal"), 6), F.col(id_col))
+    w = Window.orderBy(F.round(key, 6), F.col(id_col))
     pr = F.percent_rank().over(w)
     bucket = F.least(F.floor(pr * n_buckets).cast("int"),
                      F.lit(n_buckets - 1))
