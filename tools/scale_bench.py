@@ -173,6 +173,28 @@ def r_unigram_seed(spark, sf_dir):
         word_frequencies(_docs(spark, sf_dir), "text"), max_piece_len=8)
 
 
+def r_kn_ppl(spark, sf_dir):
+    from tiledb_py_spark.operators.text import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def r_self_repeat(spark, sf_dir):
+    from tiledb_py_spark.operators.text import remove_self_repeated_spans
+
+    return remove_self_repeated_spans(_docs(spark, sf_dir), "text", n=8)
+
+
+def r_pack_materialize(spark, sf_dir):
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _docs(spark, sf_dir)
+    return materialize_packs(
+        d.withColumn("toks", whitespace_tokens("text")),
+        "toks", ["doc_id"], max_tokens=2048, by="source", pad_token="")
+
+
 RUNNERS = {
     "minhash_dedup": r_minhash_dedup,
     "dedup_clusters_lsh": r_dedup_clusters_lsh,
@@ -188,6 +210,9 @@ RUNNERS = {
     "quality_classifier": r_quality_classifier,
     "ivfpq_build_search": r_ivfpq_build_search,
     "unigram_seed": r_unigram_seed,
+    "kn_ppl": r_kn_ppl,
+    "self_repeat": r_self_repeat,
+    "pack_materialize": r_pack_materialize,
 }
 
 
