@@ -310,3 +310,41 @@ def test_rg_stats_pruning_plans_fewer_splits(uri, spark):
     df = spark.read.format("tiledb").load(uri)
     got = df.filter((df.k >= 45_000) & (df.k < 52_000)).count()
     assert got == 7_000
+
+
+def test_stream_read_fragment_feed(arr, spark, tmp_path):
+    """spark.readStream.format('tiledb'): each committed fragment's
+    rows arrive exactly once in commit order; a fragment committed
+    between micro-batch triggers is picked up by the next one; offsets
+    replay deterministically from the checkpoint."""
+    import pandas as pd
+
+    batches = []
+
+    def sink(df, bid):
+        batches.append((bid, sorted(r.k for r in df.collect())))
+
+    q = (spark.readStream.format("tiledb").load(arr)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got0 = sorted(k for _, ks in batches for k in ks)
+    assert got0 == list(range(500))     # the initial fragment, once
+
+    # commit two more fragments, restart the stream from the checkpoint
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(1000, 1010, dtype=np.int64),
+         "v": np.zeros(10)}), index_dims=["k"], mode="append")
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(2000, 2005, dtype=np.int64),
+         "v": np.ones(5)}), index_dims=["k"], mode="append")
+    batches.clear()
+    q = (spark.readStream.format("tiledb").load(arr)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got1 = sorted(k for _, ks in batches for k in ks)
+    # ONLY the new fragments: the checkpoint offset excludes batch 1
+    assert got1 == list(range(1000, 1010)) + list(range(2000, 2005))

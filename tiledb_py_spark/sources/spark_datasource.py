@@ -1,5 +1,6 @@
 """Spark custom data source: ``spark.read.format("tiledb")`` /
-``df.write.format("tiledb")``.
+``df.write.format("tiledb")`` / ``spark.readStream.format("tiledb")``
+(the fragment change-feed stream source, ``TileDBStreamReader``).
 
 The north-star integration shape ("DataFrame read/write via custom data
 source"): a Spark 4 Python DataSource over the engine's
@@ -54,6 +55,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     GreaterThan, GreaterThanOrEqual, In,
                                     InputPartition, LessThan,
                                     LessThanOrEqual, WriterCommitMessage)
+from pyspark.sql.datasource import DataSourceStreamReader
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "tiledb"
@@ -119,6 +121,9 @@ class TileDBDataSource(DataSource):
         return TileDBReader(self._uri(), int(ts) if ts is not None else None,
                             lww_group_threshold=int(thr) if thr is not None else 8,
                             lww_split_bytes=int(sb) if sb is not None else 1 << 30)
+
+    def streamReader(self, schema: StructType) -> "TileDBStreamReader":
+        return TileDBStreamReader(self._uri(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
@@ -794,3 +799,78 @@ def register(spark) -> None:
     except Exception:
         pass  # static conf on some builds; session.py sets it at startup
     spark.dataSource.register(TileDBDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming source: subscribe to an array's fragment commits
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _FragStreamSplit(InputPartition):
+    file_paths: tuple
+    columns: tuple
+
+
+class TileDBStreamReader(DataSourceStreamReader):
+    """CHANGE-FEED stream source over an array — the read-side
+    complement of the ``foreachBatch`` fragment SINK
+    (``streaming/events.py``): ``spark.readStream.format("tiledb")``
+    emits each committed fragment's rows exactly once, in commit
+    order, as new micro-batches.
+
+    Semantics: the stream is the raw cell-version feed (CDC) — every
+    committed cell version appears once; cross-fragment last-write-wins
+    merging and delete-condition application are BATCH-read semantics
+    over history, meaningless for a forward-only feed (a consumer sees
+    the upsert and the delete as events).  Offsets are positions in the
+    manifest's append-ordered fragment list, so recovery replays
+    deterministically; the array must stay append-only while a stream
+    runs (pause consolidate/vacuum — they rewrite the list).
+
+    Scale shape: ``partitions(start, end)`` plans ONE InputPartition
+    per new fragment parquet file on the driver; executors read Arrow
+    record batches straight from the files — the batch reader's
+    columnar path without the pruning machinery (a fragment IS the
+    pruning unit here)."""
+
+    def __init__(self, uri: str, schema: StructType):
+        self.uri = uri
+        self.schema = schema
+        self.columns = tuple(f.name for f in schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        from .. import manifest as mf
+
+        return {"i": len(mf.read_manifest(self.uri).fragments)}
+
+    def partitions(self, start: dict, end: dict):
+        import glob
+
+        from .. import manifest as mf
+        from ..manifest import fragment_path
+
+        man = mf.read_manifest(self.uri)
+        frags = man.fragments[start["i"]:end["i"]]
+        splits = []
+        for fr in frags:
+            files = tuple(sorted(glob.glob(
+                os.path.join(fragment_path(self.uri, fr), "*.parquet"))))
+            if files:
+                splits.append(_FragStreamSplit(files, self.columns))
+        return splits
+
+    def read(self, partition: _FragStreamSplit):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        for p in partition.file_paths:
+            tbl = pq.read_table(p, columns=list(partition.columns))
+            tbl = tbl.select(list(partition.columns)).cast(target)
+            yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
