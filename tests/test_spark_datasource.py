@@ -348,3 +348,33 @@ def test_stream_read_fragment_feed(arr, spark, tmp_path):
     got1 = sorted(k for _, ks in batches for k in ks)
     # ONLY the new fragments: the checkpoint offset excludes batch 1
     assert got1 == list(range(1000, 1010)) + list(range(2000, 2005))
+
+
+def test_stream_array_to_array_etl(arr, spark, tmp_path):
+    """Array-to-array streaming ETL: readStream from one array,
+    transform, commit each micro-batch as a fragment of a SECOND array
+    — the full subscribe -> process -> publish loop on engine storage
+    alone.  The sink array ends exactly one processed row per source
+    row."""
+    from pyspark.sql import functions as F
+
+    out_uri = str(tmp_path / "sink_array")
+    src = spark.readStream.format("tiledb").load(arr)
+    xform = src.withColumn("v2", F.col("v") * 2.0).drop("v")
+
+    def commit_batch(df, bid):
+        pdf = df.toPandas()
+        if len(pdf):
+            tdb.from_pandas(out_uri, pdf, index_dims=["k"],
+                            mode="append" if tdb.array_exists(out_uri)
+                            else "ingest",
+                            full_domain=True)
+
+    q = (xform.writeStream.foreachBatch(commit_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    A = tdb.open(out_uri, spark=spark)
+    rows = {r.k: r.v2 for r in A.dataframe().collect()}
+    assert len(rows) == 500
+    assert rows[10] == 10 * 1.5 * 2.0
