@@ -2576,3 +2576,22 @@ def test_perplexity_buckets_kn_score(spark):
                               score="kn").collect()}
     assert out[100] == 2          # the outlier is in the tail
     assert sorted(out.values()).count(0) == 3   # equal-population tiers
+
+
+def test_round7_driver_collect_guards(spark):
+    """The bounded-collect guards refuse loudly: unigram_lm_train on an
+    over-budget vocabulary and fit_label_classifier on a non-label
+    column both raise instead of collecting."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.bpe import unigram_lm_train
+    from tiledb_py_spark.operators.classifier import fit_label_classifier
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}", f"label{i}") for i in range(30)],
+        ["doc_id", "text", "lbl"])
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        unigram_lm_train(df, "text", vocab_size=10, max_vocab_rows=5)
+    with _pytest.raises(ValueError, match="max_labels"):
+        fit_label_classifier(df, "text", "lbl", n_buckets=32,
+                             max_labels=10)
