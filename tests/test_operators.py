@@ -2399,9 +2399,19 @@ def test_ivfpq_array_api_and_classifier_persistence(spark, tmp_path):
     loaded = IVFPQIndex.load(uri)
     assert np.array_equal(loaded.centroids, fit.centroids)
     assert np.array_equal(loaded.codebooks, fit.codebooks)
+    # the code table persisted as a sibling engine array at build time;
+    # search scans (vec_id, cell, pq_codes) — never the raw vectors
+    codes_uri = uri + "__ivfpq_codes_default"
+    assert tdb.array_exists(codes_uri)
+    ct = tdb.open(codes_uri, spark=spark).dataframe()
+    assert set(ct.columns) == {"vec_id", "cell", "pq_codes"}
+    assert ct.count() == 64
     q = pdf.embedding[0]
-    got = tdb.ann_search(uri, "embedding", "vec_id", q, k=3, spark=spark,
-                         kind="ivfpq").collect()
+    res = tdb.ann_search(uri, "embedding", "vec_id", q, k=3, spark=spark,
+                         kind="ivfpq")
+    assert "embedding" not in res._jdf.queryExecution() \
+        .executedPlan().toString()
+    got = res.collect()
     assert len(got) == 3 and got[0].vec_id == 0   # self is nearest
 
     m = QualityClassifier(weights=np.arange(16, dtype=np.float64),

@@ -244,7 +244,25 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
     else:
         raise ValueError(f"unknown ANN index kind {kind!r}")
     idx.save(uri, name=name)
+    if kind == "ivfpq":
+        # persist the CODE TABLE as a sibling engine array: search then
+        # scans (id, cell, codes) — never the raw vectors — the store-
+        # the-codes scale path, built once at index time
+        from .sources.dataframe_ import from_spark
+
+        id_cols = [c for c in df.columns if c != vec_col]
+        codes_uri = _ivfpq_codes_uri(uri, name)
+        if array_exists(codes_uri):
+            remove(codes_uri)   # rebuild-from-scratch on refit
+        from_spark(codes_uri,
+                   idx.build(df, vec_col, id_cols[0],
+                             keep_cols=id_cols[1:]),
+                   index_dims=[id_cols[0]], mode="ingest")
     return idx
+
+
+def _ivfpq_codes_uri(uri: str, name: str) -> str:
+    return uri.rstrip("/") + f"__ivfpq_codes_{name}"
 
 
 def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
@@ -274,6 +292,12 @@ def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
         from .operators.similarity import IVFPQIndex
 
         idx = IVFPQIndex.load(uri, name=name)
-        tab = idx.build(A.dataframe(), vec_col, id_col)
+        codes_uri = _ivfpq_codes_uri(uri, name)
+        if array_exists(codes_uri):
+            # the persisted code table from build_ann_index: search
+            # scans (id, cell, codes) only — raw vectors never read
+            tab = open(codes_uri, spark=spark).dataframe()
+        else:
+            tab = idx.build(A.dataframe(), vec_col, id_col)
         return idx.search(tab, query_vec, k=k, id_col=id_col)
     raise ValueError(f"unknown ANN index kind {kind!r}")

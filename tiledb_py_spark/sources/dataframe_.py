@@ -304,8 +304,17 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
     for f in df.schema.fields:
         if f.name in index_dims or f.name == ROWS_DIM:
             continue
-        attrs.append(Attr(name=f.name, dtype=_spark_to_np(f.dataType),
-                          nullable=f.nullable))
+        from pyspark.sql import types as T
+
+        if isinstance(f.dataType, T.ArrayType):
+            # var-length multi-value cells (embeddings, code columns) —
+            # same mapping as from_pandas' list-valued columns
+            attrs.append(Attr(name=f.name,
+                              dtype=_spark_to_np(f.dataType.elementType),
+                              var=True, nullable=f.nullable))
+        else:
+            attrs.append(Attr(name=f.name, dtype=_spark_to_np(f.dataType),
+                              nullable=f.nullable))
     schema = ArraySchema(domain=Domain(*dims), attrs=attrs, sparse=sparse)
     mf.create_array(uri, schema)
     if mode == "ingest":
