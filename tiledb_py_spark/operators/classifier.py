@@ -277,6 +277,12 @@ def fit_quality_classifier(df: DataFrame, text_col: str, label_col: str,
     feats = df.select(
         F.col(label_col).cast("double").alias("y"),
         F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
+    # each eval collects one (n_buckets+1)-double gradient row PER
+    # PARTITION; on a many-thousand-partition corpus that payload
+    # scales with partitions, not data — cap it (coalesce: no shuffle,
+    # 512 tasks is still full cluster parallelism for a fold this thin)
+    if feats.rdd.getNumPartitions() > 512:
+        feats = feats.coalesce(512)
     feats = feats.persist()
     try:
         feats.count()   # materialize once; every eval rescans the cache
@@ -370,6 +376,8 @@ def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
     feats = df.select(
         F.col(label_col).alias("__lbl"),
         F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
+    if feats.rdd.getNumPartitions() > 512:   # same per-eval payload cap
+        feats = feats.coalesce(512)
     feats = feats.persist()
     try:
         labels = [r[0] for r in

@@ -721,7 +721,8 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
 
 def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
                        discount: float = 0.75, token_hash=None,
-                       tokens_col: Optional[Column] = None) -> DataFrame:
+                       tokens_col: Optional[Column] = None,
+                       broadcast_tables: bool = True) -> DataFrame:
     """Interpolated Kneser-Ney bigram log-probability / perplexity per
     document, self-scored on the corpus's own counts (Chen & Goodman
     1999 — the smoothing family behind the KenLM models CCNet filters
@@ -748,7 +749,12 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
     with smoothing on top.
 
     ``token_hash`` defaults to ``xxhash64``; pass ``dedup.md5_hash60``
-    for the cross-engine-replayable keying the oracle uses."""
+    for the cross-engine-replayable keying the oracle uses.
+    ``broadcast_tables=False`` drops the explicit broadcast hints on
+    the context/continuation tables (vocabulary-sized — tens of MB for
+    web corpora, but set False for multi-GB vocabularies and let AQE
+    pick the join strategy; same policy as ``retrieval.tfidf``'s
+    documented fallback)."""
     th = token_hash or F.xxhash64
     toks = (tokens_col if tokens_col is not None
             else _tokens_lower(F.col(text_col)))
@@ -778,9 +784,10 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
     ).otherwise(
         F.greatest(F.col("__c2") - D, F.lit(0.0)) / F.col("__ctot")
         + (D * F.col("__n1f") / F.col("__ctot")) * pcont)
+    bc = F.broadcast if broadcast_tables else (lambda x: x)
     scored = (g.join(big, on=["__hp", "__h"], how="left")
-               .join(F.broadcast(ctx), on="__hp", how="left")
-               .join(F.broadcast(cont), on="__h", how="left")
+               .join(bc(ctx), on="__hp", how="left")
+               .join(bc(cont), on="__h", how="left")
                .crossJoin(F.broadcast(scal))
                .select("__id", F.log(prob).alias("__lp")))
     return (scored.groupBy("__id")
