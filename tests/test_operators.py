@@ -2246,8 +2246,8 @@ def test_ivfpq_residual_adc_and_predicate(spark, tmp_path):
         c = i % 3
         v = centers[c] + rng.randn(16) * 0.3
         rows.append((i, [float(x) for x in v], "en" if i % 2 else "de"))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, lang string")
     rows.append((999, None, "en"))   # null vector must not break build
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, lang string")
 
     idx = IVFPQIndex(n_cells=3, n_probe=3, m=4, n_codes=8,
                      metric="cosine").fit(df, "embedding")
@@ -2271,12 +2271,19 @@ def test_ivfpq_residual_adc_and_predicate(spark, tmp_path):
     langs = dict(df.select("vec_id", "lang").collect())
     assert all(langs[r.vec_id] == "en" for r in got)
 
+    # the null vector built a null (cell, codes) row and never scores
+    nullrow = [r for r in disk.collect() if r.vec_id == 999][0]
+    assert nullrow.cell is None and nullrow.pq_codes is None
+
     # numpy replay of the full ADC path (probe-all)
     scores = {r.vec_id: r.score for r in
               idx.search(disk, q, k=200, n_probe=3).collect()}
+    assert 999 not in scores
     qq = np.asarray(q) / np.linalg.norm(q)
     m, _, dsub = idx.codebooks.shape
     for r in disk.collect():
+        if r.cell is None:
+            continue
         rq = qq - idx.centroids[r.cell]
         d2 = sum(((idx.codebooks[j][r.pq_codes[j]]
                    - rq[j * dsub:(j + 1) * dsub]) ** 2).sum()
@@ -2605,3 +2612,19 @@ def test_round7_driver_collect_guards(spark):
     with _pytest.raises(ValueError, match="max_labels"):
         fit_label_classifier(df, "text", "lbl", n_buckets=32,
                              max_labels=10)
+
+
+def test_incremental_neardup_param_mismatch_refuses(spark, tmp_path):
+    """State built under one signature parameterization refuses a batch
+    run with another — a silent mismatch would match nothing and keep
+    every cross-batch duplicate."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.dedup import incremental_neardup
+
+    state = str(tmp_path / "state")
+    b = spark.createDataFrame([(1, "some content here")],
+                              ["doc_id", "text"])
+    incremental_neardup(b, "text", "doc_id", state, num_perm=64).collect()
+    with _pytest.raises(ValueError, match="parameters"):
+        incremental_neardup(b, "text", "doc_id", state, num_perm=32)

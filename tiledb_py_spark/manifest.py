@@ -300,3 +300,36 @@ def delete_array(uri: str) -> None:
     if not array_exists(uri):
         raise FileNotFoundError(f"no array at {uri}")
     shutil.rmtree(uri)
+
+
+# -- shared sidecar-payload persistence --------------------------------------
+# The ANN indexes and trained classifiers all persist the same way: into
+# an array's manifest metadata when the uri is an engine array (one
+# manifest version, same durability as A.meta), else as an atomically-
+# replaced JSON file.  One implementation, four callers — a contract fix
+# (fsync, object-store-safe replace, ...) lands once.
+
+def save_payload(uri: str, key: str, payload: str,
+                 file_suffix: str = ".tmp") -> None:
+    if array_exists(uri):
+        from .metadata import Metadata
+
+        Metadata(uri)[key] = payload
+    else:
+        d = os.path.dirname(os.path.abspath(uri)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=file_suffix)
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        os.replace(tmp, uri)
+
+
+def load_payload(uri: str, key: str, kind: str = "payload") -> str:
+    if array_exists(uri):
+        from .metadata import Metadata
+
+        payload = Metadata(uri).get(key)
+        if payload is None:
+            raise KeyError(f"no {kind} {key!r} stored at {uri}")
+        return payload
+    with open(uri) as f:
+        return f.read()

@@ -99,20 +99,8 @@ class QualityClassifier:
 
         from .. import manifest as mf
 
-        payload = json.dumps(self.to_dict())
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            Metadata(uri)[self._META_PREFIX + name] = payload
-        else:
-            import os
-            import tempfile
-
-            d = os.path.dirname(os.path.abspath(uri)) or "."
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".qc.tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            os.replace(tmp, uri)
+        mf.save_payload(uri, self._META_PREFIX + name,
+                        json.dumps(self.to_dict()), file_suffix=".qc.tmp")
         return self
 
     @classmethod
@@ -121,17 +109,8 @@ class QualityClassifier:
 
         from .. import manifest as mf
 
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            payload = Metadata(uri).get(cls._META_PREFIX + name)
-            if payload is None:
-                raise KeyError(
-                    f"no quality classifier named {name!r} stored at {uri}")
-        else:
-            with open(uri) as f:
-                payload = f.read()
-        return cls.from_dict(json.loads(payload))
+        return cls.from_dict(json.loads(mf.load_payload(
+            uri, cls._META_PREFIX + name, kind="quality classifier")))
 
 
 def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
@@ -271,10 +250,13 @@ def fit_quality_classifier(df: DataFrame, text_col: str, label_col: str,
     """Fit the quality LR on a labeled corpus (``label_col`` in {0,1}:
     1 = reference/high-quality, 0 = raw).  See the module docstring for
     the distributed shape; null/empty documents train on the bias
-    alone (their margin is the intercept)."""
+    alone (their margin is the intercept).  Rows with a NULL label are
+    EXCLUDED from the fit (a null would otherwise propagate NaN
+    through every loss/gradient evaluation and corrupt the model
+    silently)."""
     bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
                        tokens_col=tokens_col)
-    feats = df.select(
+    feats = df.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("double").alias("y"),
         F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
     # each eval collects one (n_buckets+1)-double gradient row PER
@@ -373,7 +355,18 @@ def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
     loudly, the ``bpe_train`` guard pattern)."""
     bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
                        tokens_col=tokens_col)
-    feats = df.select(
+    from pyspark.sql import types as T
+
+    ldt = df.schema[label_col].dataType
+    if not isinstance(ldt, (T.StringType, T.ByteType, T.ShortType,
+                            T.IntegerType, T.LongType, T.BooleanType)):
+        raise ValueError(
+            f"fit_label_classifier: label column {label_col!r} must be "
+            f"string or integral, got {ldt} (label_predict must emit "
+            "the same type back)")
+    # unlabeled (NULL) rows are excluded: they would turn y into NaN
+    # for EVERY one-vs-rest class and silently corrupt all fits
+    feats = df.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("__lbl"),
         F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
     if feats.rdd.getNumPartitions() > 512:   # same per-eval payload cap
@@ -414,14 +407,19 @@ def label_predict(df: DataFrame, text_col: str, model: LabelClassifier,
     monotone, so margins suffice) — one Arrow UDF carrying the
     (n_labels x n_buckets) matrix, zero shuffles; ties break to the
     lexicographically first label (stable).  Documents with no tokens
-    predict from the biases alone."""
+    predict from the biases alone.  The output column carries the
+    label's own type (string or long, matching the fit-time column)."""
+    import numbers
+
     from pyspark.sql.functions import pandas_udf
 
     W = np.ascontiguousarray(model.weights)
     B = np.asarray(model.biases, dtype=np.float64)
     labels = list(model.labels)
+    ret = "long" if all(isinstance(l, (bool, numbers.Integral))
+                        for l in labels) else "string"
 
-    @pandas_udf("string")
+    @pandas_udf(ret)
     def pred(bks: pd.Series) -> pd.Series:
         lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
                            count=len(bks))

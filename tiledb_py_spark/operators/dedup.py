@@ -1114,9 +1114,11 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
     greater than the pin (``max(now_ms(), ts_pin + 1)``), so a commit
     landing in the same millisecond as the previous fragment (fast
     successive batches, clock step-back) can never leak into the
-    inclusive pinned read.  ``commit=True`` evaluates the survivor plan
-    once to extract fingerprints; persist/checkpoint upstream if
-    recomputation is expensive.
+    inclusive pinned read.  ``commit=True`` evaluates the survivor
+    fingerprints once (cached across the emptiness probe, the range
+    sampling, and the fragment write, then released); the RETURNED
+    DataFrame still re-derives on the caller's action —
+    persist/checkpoint upstream if that recompute is expensive.
 
     Scale shape: the anti-join and the within-batch first-wins join
     shuffle only (8-byte fingerprint, id); the state array read is
@@ -1146,23 +1148,32 @@ def incremental_exact_dedup(df: DataFrame, text_col: str, id_col: str,
         from ..schema import ArraySchema, Dim, Domain
         from ..sources.fragment_writer import write_fragment_spark
 
-        fps = surv.select(F.col("__fp").alias("fp")).distinct()
-        if not exists:
-            # full int64 domain: later batches append arbitrary 64-bit
-            # hashes; a domain pinned to batch 1's min/max would put
-            # them outside the declared coordinate domain
-            info = np.iinfo(np.int64)
-            dim = Dim(name="fp", domain=(info.min, info.max - 1000),
-                      tile=1000, dtype=np.int64)
-            schema = ArraySchema(domain=Domain(dim), attrs=[], sparse=True)
-            mf.create_array(state_uri, schema)
-        else:
-            schema = mf.read_manifest(state_uri).schema
-        if not fps.isEmpty():
-            # strictly after the pin: the pinned read is inclusive, so a
-            # same-millisecond commit would otherwise see its own batch
-            ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
-            write_fragment_spark(state_uri, schema, fps, timestamp=ts_commit)
+        # persist around the commit: isEmpty, repartitionByRange's
+        # sampling pass, and the parquet write would otherwise each
+        # re-run the anti-join + first-wins chain (~3x the shuffles)
+        fps = surv.select(F.col("__fp").alias("fp")).distinct().persist()
+        try:
+            if not exists:
+                # full int64 domain: later batches append arbitrary
+                # 64-bit hashes; a domain pinned to batch 1's min/max
+                # would put them outside the declared coordinate domain
+                info = np.iinfo(np.int64)
+                dim = Dim(name="fp", domain=(info.min, info.max - 1000),
+                          tile=1000, dtype=np.int64)
+                schema = ArraySchema(domain=Domain(dim), attrs=[],
+                                     sparse=True)
+                mf.create_array(state_uri, schema)
+            else:
+                schema = mf.read_manifest(state_uri).schema
+            if not fps.isEmpty():
+                # strictly after the pin: the pinned read is inclusive,
+                # so a same-millisecond commit would otherwise see its
+                # own batch
+                ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
+                write_fragment_spark(state_uri, schema, fps,
+                                     timestamp=ts_commit)
+        finally:
+            fps.unpersist()
     return surv.drop("__fp")
 
 
@@ -1218,10 +1229,27 @@ def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
         F.posexplode(_sig_band_keys(F.col("__sig"), num_perm, bands))
         .alias("band", "band_hash"))
 
+    import json
+
+    params = {"num_perm": num_perm, "bands": bands,
+              "shingle_k": shingle_k, "sig_family": "arrow-muladd-s42"}
     exists = hl.array_exists(state_uri)
     ts_pin = None
     drop_vs_state = None
     if exists:
+        from ..metadata import Metadata
+
+        stored = Metadata(state_uri).get("__neardup_params")
+        if stored is not None and json.loads(stored) != params:
+            # a parameter mismatch would not fail — different band keys
+            # simply match NOTHING and every cross-batch duplicate
+            # silently survives.  Refuse instead.
+            raise ValueError(
+                f"incremental_neardup: state at {state_uri} was built "
+                f"with {json.loads(stored)}; this call uses {params}. "
+                "Signatures are only comparable under identical "
+                "parameters — use a fresh state_uri or the original "
+                "parameters.")
         frs = array_fragments(state_uri)
         ts_pin = max(f.timestamp_range[1] for f in frs) if len(frs) else None
         st = (hl.open(state_uri, timestamp=ts_pin, spark=spark)
@@ -1273,14 +1301,25 @@ def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
                 attrs=[Attr(name="sig", dtype=np.int64, var=True)],
                 sparse=True)
             mf.create_array(state_uri, schema)
+            from ..metadata import Metadata
+
+            # pin the signature parameters to the state: later batches
+            # verify them before trusting cross-batch comparisons
+            Metadata(state_uri)["__neardup_params"] = json.dumps(params)
         else:
             schema = mf.read_manifest(state_uri).schema
+        # persist around the commit (same rationale as the exact
+        # variant: isEmpty + range-sampling + write would re-run the
+        # signature fold three times)
         out = sigs.select(F.col("__id").alias("id"),
-                          F.col("__sig").alias("sig"))
-        if not out.isEmpty():
-            ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
-            write_fragment_spark(state_uri, schema, out,
-                                 timestamp=ts_commit)
+                          F.col("__sig").alias("sig")).persist()
+        try:
+            if not out.isEmpty():
+                ts_commit = max(mf.now_ms(), (ts_pin or 0) + 1)
+                write_fragment_spark(state_uri, schema, out,
+                                     timestamp=ts_commit)
+        finally:
+            out.unpersist()
     return surv
 
 

@@ -379,7 +379,9 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     data-loader input a trainer memory-maps.
 
     Scale shape: start offsets are ``pack_sequences``' one window
-    cumsum per group; each document then splits ROW-LOCAL into its
+    cumsum per group (``by=None`` routes through the distributed
+    ``global_running_sum`` instead — never a single-task constant-key
+    window); each document then splits ROW-LOCAL into its
     pack-intersecting slices (an explode of at most
     ``ceil(n/max_tokens) + 1`` structs — the same token volume, never
     amplified); the slices regroup on (group, pack_id) and concatenate
@@ -393,12 +395,22 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
         grp_expr.alias("__grp"), *[F.col(c) for c in id_cols],
         toks.alias("__toks"))
     # null arrays count as empty documents (size(null) is null)
-    n = F.coalesce(F.size(F.col("__toks")), F.lit(0))
-    w = (Window.partitionBy("__grp")
-         .orderBy(*[F.col(c) for c in id_cols])
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    base = (base.withColumn("__n", n)
-                .withColumn("__start", F.sum("__n").over(w) - F.col("__n")))
+    base = base.withColumn(
+        "__n", F.coalesce(F.size(F.col("__toks")), F.lit(0)))
+    if by is None:
+        # ungrouped: the distributed prefix sum — a lit(0) window would
+        # funnel the full token payloads through ONE task (the same
+        # policy pack_sequences applies to its by=None offset path)
+        base = (global_running_sum(base, list(id_cols), "__n",
+                                   cum_col="__cum")
+                .withColumn("__start", F.col("__cum") - F.col("__n"))
+                .drop("__cum"))
+    else:
+        w = (Window.partitionBy("__grp")
+             .orderBy(*[F.col(c) for c in id_cols])
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        base = base.withColumn("__start",
+                               F.sum("__n").over(w) - F.col("__n"))
     off0 = F.col("__start") % max_tokens
     k0 = F.floor(F.col("__start") / max_tokens)
     n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1

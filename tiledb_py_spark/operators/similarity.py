@@ -207,20 +207,8 @@ class IVFIndex:
         ``A.meta``); otherwise ``uri`` is written as a JSON file."""
         from .. import manifest as mf
 
-        payload = self.to_json()
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            Metadata(uri)[self._META_PREFIX + name] = payload
-        else:
-            import os
-            import tempfile
-
-            d = os.path.dirname(os.path.abspath(uri)) or "."
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ivf.tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            os.replace(tmp, uri)
+        mf.save_payload(uri, self._META_PREFIX + name, self.to_json(),
+                        file_suffix=".ivf.tmp")
         return self
 
     @classmethod
@@ -229,17 +217,8 @@ class IVFIndex:
         file — ``search``/``assign`` work immediately, no refit."""
         from .. import manifest as mf
 
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            payload = Metadata(uri).get(cls._META_PREFIX + name)
-            if payload is None:
-                raise KeyError(
-                    f"no IVF index named {name!r} stored at {uri}")
-        else:
-            with open(uri) as f:
-                payload = f.read()
-        return cls.from_json(payload)
+        return cls.from_json(mf.load_payload(
+            uri, cls._META_PREFIX + name, kind="IVF index"))
 
     def _cell_expr(self, vec: Column) -> Column:
         """Nearest-cell id via array_min/max + array_position (linear-size
@@ -420,36 +399,16 @@ class PQIndex:
     def save(self, uri: str, name: str = "default") -> "PQIndex":
         from .. import manifest as mf
 
-        payload = self.to_json()
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            Metadata(uri)[self._META_PREFIX + name] = payload
-        else:
-            import os
-            import tempfile
-
-            d = os.path.dirname(os.path.abspath(uri)) or "."
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".pq.tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            os.replace(tmp, uri)
+        mf.save_payload(uri, self._META_PREFIX + name, self.to_json(),
+                        file_suffix=".pq.tmp")
         return self
 
     @classmethod
     def load(cls, uri: str, name: str = "default") -> "PQIndex":
         from .. import manifest as mf
 
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            payload = Metadata(uri).get(cls._META_PREFIX + name)
-            if payload is None:
-                raise KeyError(f"no PQ index named {name!r} stored at {uri}")
-        else:
-            with open(uri) as f:
-                payload = f.read()
-        return cls.from_json(payload)
+        return cls.from_json(mf.load_payload(
+            uri, cls._META_PREFIX + name, kind="PQ index"))
 
     # -- encode / search --------------------------------------------------
 
@@ -679,37 +638,16 @@ class IVFPQIndex:
     def save(self, uri: str, name: str = "default") -> "IVFPQIndex":
         from .. import manifest as mf
 
-        payload = self.to_json()
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            Metadata(uri)[self._META_PREFIX + name] = payload
-        else:
-            import os
-            import tempfile
-
-            d = os.path.dirname(os.path.abspath(uri)) or "."
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ivfpq.tmp")
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            os.replace(tmp, uri)
+        mf.save_payload(uri, self._META_PREFIX + name, self.to_json(),
+                        file_suffix=".ivfpq.tmp")
         return self
 
     @classmethod
     def load(cls, uri: str, name: str = "default") -> "IVFPQIndex":
         from .. import manifest as mf
 
-        if mf.array_exists(uri):
-            from ..metadata import Metadata
-
-            payload = Metadata(uri).get(cls._META_PREFIX + name)
-            if payload is None:
-                raise KeyError(
-                    f"no IVFPQ index named {name!r} stored at {uri}")
-        else:
-            with open(uri) as f:
-                payload = f.read()
-        return cls.from_json(payload)
+        return cls.from_json(mf.load_payload(
+            uri, cls._META_PREFIX + name, kind="IVFPQ index"))
 
     # -- build / search ---------------------------------------------------
 
