@@ -294,3 +294,85 @@ def test_quality_classifier_gradient_check(spark, n_pos, n_neg, nb):
             assert abs(num - g[idx]) < 1e-4 * max(1.0, abs(g[idx]))
     finally:
         feats.unpersist()
+
+
+@given(docs=st.lists(doc.filter(lambda d: d.strip()), min_size=2,
+                     max_size=8, unique=True),
+       cut=st.integers(1, 7))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_neardup_union_property(spark, tmp_path_factory,
+                                            docs, cut):
+    """For ANY corpus and ANY id-ordered two-batch split: incremental
+    near-dup against the persisted signature state equals the batch
+    signature-verified minhash_dedup on the union."""
+    from tiledb_py_spark.operators.dedup import (incremental_neardup,
+                                                 minhash_dedup)
+
+    cut = min(cut, len(docs) - 1)
+    rows = list(enumerate(docs))
+    b1 = spark.createDataFrame(rows[:cut], ["doc_id", "text"])
+    b2 = spark.createDataFrame(rows[cut:], ["doc_id", "text"])
+    state = str(tmp_path_factory.mktemp("nd") / "state")
+    kw = dict(num_perm=32, bands=16, shingle_k=2, threshold=0.5)
+    o1 = {r.doc_id for r in
+          incremental_neardup(b1, "text", "doc_id", state, **kw).collect()}
+    o2 = {r.doc_id for r in
+          incremental_neardup(b2, "text", "doc_id", state, **kw).collect()}
+    ref = {r.doc_id for r in
+           minhash_dedup(spark.createDataFrame(rows, ["doc_id", "text"]),
+                         "text", "doc_id", verify="signature",
+                         **kw).collect()}
+    assert o1 | o2 == ref and not (o1 & o2)
+
+
+@given(docs=st.lists(doc.filter(lambda d: d.strip()), min_size=1,
+                     max_size=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kneser_ney_proper_conditional(spark, docs):
+    """For ANY corpus, the KN model is a PROPER conditional
+    distribution: for every observed context v, the probabilities
+    P(w|v) over the corpus vocabulary sum to exactly 1 (discounted
+    mass + lambda, with the add-one-smoothed P_cont summing to 1 over
+    the vocabulary), and every per-document log_prob is finite and
+    negative-or-zero."""
+    from collections import Counter, defaultdict
+    from math import isfinite
+
+    from tiledb_py_spark.operators.text import kneser_ney_logprob
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = kneser_ney_logprob(df, "text", "doc_id").collect()
+    for r in out:
+        assert isfinite(r.log_prob) and r.log_prob <= 1e-12
+        assert r.ppl >= 1.0 - 1e-9
+
+    # python replay of the model tables (lowercased \w tokenization)
+    import re as _re
+
+    toked = [[t for t in _re.split(r"[^\w]+", d.lower()) if t] or [""]
+             for d in docs]
+    big: Counter = Counter()
+    for ts in toked:
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+    if not big:
+        return
+    ctot = defaultdict(int)
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for (a, b), c in big.items():
+        ctot[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    B = len(big)
+    vocab = {t for ts in toked for t in ts}
+    V = len(vocab)
+    D = 0.75
+    for v in ctot:
+        total = sum(
+            max(big.get((v, w), 0) - D, 0.0) / ctot[v]
+            + (D * n1f[v] / ctot[v]) * ((n1b.get(w, 0) + 1.0) / (B + V))
+            for w in vocab)
+        assert abs(total - 1.0) < 1e-9
