@@ -2050,6 +2050,24 @@ def q_kn_ppl(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_kn3_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM perplexity (raw top-level
+    counts, continuation counts below, positional lower-order models,
+    backoff on unseen continuation contexts) — the oracle replays the
+    full three-level recursion on string-keyed tables; the Spark side
+    keys on per-token hash tuples (identical up to 2^-64 collisions)."""
+    from tiledb_py_spark.operators.text import kneser_ney_trigram_logprob
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = kneser_ney_trigram_logprob(d, "text", "doc_id", tokens_col=ws)
+    return (out.select("doc_id", "n_tokens",
+                       F.round("log_prob", 4).alias("log_prob"),
+                       F.round("ppl", 4).alias("ppl"))
+               .orderBy("doc_id"))
+
+
 def q_self_repeat(spark, sf_dir):
     """Within-document repeated-span removal (8-gram, keep-first):
     every token covered by an 8-gram whose identical gram occurred
@@ -2301,11 +2319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
-        "corpus_e2e": q_corpus_e2e,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
         "self_repeat": q_self_repeat,
         "kn_ppl": q_kn_ppl,
+        "kn3_ppl": q_kn3_ppl,
         # --- positions 40-50: tail gates rotated in for round 7
         # (the block ends at simhash_neardup just below) ---
         "multi_range": q_multi_range,
@@ -2361,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
         # rows; return to the window per the rotation schedule)
         "source_similarity": q_source_similarity,
+        "corpus_e2e": q_corpus_e2e,
         "winnow": q_winnow,
         "temperature_mix": q_temperature_mix,
         "bigram_surprisal": q_bigram_surprisal,
@@ -3404,6 +3423,69 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN big ON tok.hp = big.hp AND tok.h = big.h
                 LEFT JOIN ctx ON tok.hp = ctx.hp
                 LEFT JOIN cont ON tok.h = cont.h, sc
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(ln(prob)), 4) AS log_prob,
+                   round(exp(-sum(ln(prob)) / count(*)), 4) AS ppl
+            FROM p GROUP BY doc_id ORDER BY doc_id
+        """,
+        "kn3_ppl": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tok AS (
+                SELECT doc_id, i, arr[i] AS w,
+                       CASE WHEN i >= 2 THEN arr[i-1] END AS b,
+                       CASE WHEN i >= 3 THEN arr[i-2] END AS a
+                FROM t, UNNEST(generate_series(1, len(arr))) AS u(i)
+            ),
+            tri AS (
+                SELECT a, b, w, count(*) AS c3
+                FROM tok WHERE a IS NOT NULL GROUP BY a, b, w
+            ),
+            ctx3 AS (SELECT a, b, sum(c3) AS ctot3, count(*) AS n1f3
+                     FROM tri GROUP BY a, b),
+            cc2 AS (SELECT b, w, count(*) AS c2 FROM tri GROUP BY b, w),
+            ctx2 AS (SELECT b, sum(c2) AS ctot2, count(*) AS n1f2
+                     FROM cc2 GROUP BY b),
+            big AS (SELECT DISTINCT b, w FROM tok WHERE b IS NOT NULL),
+            c1 AS (SELECT w, count(*) AS c1 FROM big GROUP BY w),
+            sc AS (SELECT (SELECT count(*) FROM big) AS B1,
+                          (SELECT count(DISTINCT w) FROM tok) AS V),
+            p AS (
+                SELECT tok.doc_id,
+                       CASE
+                         WHEN tok.a IS NOT NULL THEN
+                           greatest(coalesce(tri.c3, 0) - 0.75, 0)
+                               / ctx3.ctot3
+                           + (0.75 * ctx3.n1f3 / ctx3.ctot3) *
+                             (CASE WHEN ctx2.ctot2 IS NULL
+                                   THEN (coalesce(c1.c1, 0) + 1.0)
+                                        / (sc.B1 + sc.V)
+                                   ELSE greatest(coalesce(cc2.c2, 0)
+                                                 - 0.75, 0) / ctx2.ctot2
+                                        + (0.75 * ctx2.n1f2 / ctx2.ctot2)
+                                          * ((coalesce(c1.c1, 0) + 1.0)
+                                             / (sc.B1 + sc.V)) END)
+                         WHEN tok.b IS NOT NULL THEN
+                           CASE WHEN ctx2.ctot2 IS NULL
+                                THEN (coalesce(c1.c1, 0) + 1.0)
+                                     / (sc.B1 + sc.V)
+                                ELSE greatest(coalesce(cc2.c2, 0)
+                                              - 0.75, 0) / ctx2.ctot2
+                                     + (0.75 * ctx2.n1f2 / ctx2.ctot2)
+                                       * ((coalesce(c1.c1, 0) + 1.0)
+                                          / (sc.B1 + sc.V)) END
+                         ELSE (coalesce(c1.c1, 0) + 1.0) / (sc.B1 + sc.V)
+                       END AS prob
+                FROM tok
+                LEFT JOIN tri ON tok.a = tri.a AND tok.b = tri.b
+                             AND tok.w = tri.w
+                LEFT JOIN ctx3 ON tok.a = ctx3.a AND tok.b = ctx3.b
+                LEFT JOIN cc2 ON tok.b = cc2.b AND tok.w = cc2.w
+                LEFT JOIN ctx2 ON tok.b = ctx2.b
+                LEFT JOIN c1 ON tok.w = c1.w, sc
             )
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(sum(ln(prob)), 4) AS log_prob,

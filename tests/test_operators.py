@@ -2628,3 +2628,83 @@ def test_incremental_neardup_param_mismatch_refuses(spark, tmp_path):
     incremental_neardup(b, "text", "doc_id", state, num_perm=64).collect()
     with _pytest.raises(ValueError, match="parameters"):
         incremental_neardup(b, "text", "doc_id", state, num_perm=32)
+
+
+def test_kneser_ney_trigram_reference(spark):
+    """The distributed trigram-KN scorer equals a from-scratch Python
+    implementation of the same recursion on every document (raw
+    top-level counts, continuation counts below, positional lower-order
+    models, backoff on unseen continuation contexts), each conditional
+    sums to 1 over the vocabulary, and fluent text beats shuffled."""
+    import re
+    from collections import Counter, defaultdict
+    from math import log
+
+    from tiledb_py_spark.operators.text import kneser_ney_trigram_logprob
+
+    docs = ["the quick brown fox jumps over the lazy dog",
+            "the quick brown cat sleeps near the lazy dog",
+            "a b",                                  # 2-token backoff path
+            "the quick brown fox runs over the lazy cat",
+            "dog the over fox quick lazy jumps brown the"]
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           kneser_ney_trigram_logprob(df, "text", "doc_id").collect()}
+
+    toked = [[t for t in re.split(r"[^\w]+", d.lower()) if t]
+             for d in docs]
+    tri: Counter = Counter()
+    big = set()
+    vocab = set()
+    for ts in toked:
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big.add((a, b))
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] += 1
+    c2: Counter = Counter()
+    for (a, b, c) in tri:           # continuation: distinct trigram types
+        c2[(b, c)] += 1
+    c1: Counter = Counter()
+    for (a, b) in big:              # continuation: distinct bigram types
+        c1[b] += 1
+    ctot3, n1f3 = defaultdict(int), defaultdict(int)
+    for (a, b, c), n in tri.items():
+        ctot3[(a, b)] += n
+        n1f3[(a, b)] += 1
+    ctot2, n1f2 = defaultdict(int), defaultdict(int)
+    for (b, c), n in c2.items():
+        ctot2[b] += n
+        n1f2[b] += 1
+    B1, V, D = len(big), len(vocab), 0.75
+
+    def p1(w):
+        return (c1.get(w, 0) + 1.0) / (B1 + V)
+
+    def p2(b, w):
+        if b not in ctot2:
+            return p1(w)
+        return (max(c2.get((b, w), 0) - D, 0.0) / ctot2[b]
+                + (D * n1f2[b] / ctot2[b]) * p1(w))
+
+    def p3(a, b, w):
+        return (max(tri.get((a, b, w), 0) - D, 0.0) / ctot3[(a, b)]
+                + (D * n1f3[(a, b)] / ctot3[(a, b)]) * p2(b, w))
+
+    for did, ts in enumerate(toked):
+        lp = 0.0
+        for i, w in enumerate(ts):
+            if i == 0:
+                lp += log(p1(w))
+            elif i == 1:
+                lp += log(p2(ts[0], w))
+            else:
+                lp += log(p3(ts[i - 2], ts[i - 1], w))
+        assert abs(got[did].log_prob - lp) < 1e-9, (did, lp)
+        assert got[did].n_tokens == len(ts)
+
+    # propriety: each observed trigram context's conditional sums to 1
+    for (a, b) in list(ctot3)[:5]:
+        assert abs(sum(p3(a, b, w) for w in vocab) - 1.0) < 1e-9
+    # fluent beats shuffled under the trigram model too
+    assert got[0].ppl < got[4].ppl

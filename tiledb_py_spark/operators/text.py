@@ -1,7 +1,8 @@
 """Text analysis operators for LLM training-data pipelines: language ID,
 quality/repetition/OOV/compression signals, token counting, C4 line
 cleaning, within-document repeated-span removal, unigram/bigram
-surprisal, interpolated Kneser-Ney bigram perplexity, perplexity
+surprisal, interpolated Kneser-Ney bigram + trigram perplexity,
+perplexity
 buckets, fingerprints.
 
 Default path is pure ``pyspark.sql.functions`` (whole-stage codegen);
@@ -797,6 +798,100 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
                               F.exp(-F.col("log_prob") / F.col("n_tokens")))
                   .withColumnRenamed("__id", id_col))
 
+
+def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                               discount: float = 0.75, token_hash=None,
+                               tokens_col: Optional[Column] = None,
+                               broadcast_tables: bool = True) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM log-probability / perplexity —
+    the order-3 extension of ``kneser_ney_logprob`` with the standard
+    recursion (Chen & Goodman 1999): the top level uses raw trigram
+    counts; every lower level uses CONTINUATION counts (distinct
+    higher-order types), so
+
+        P3(w | a,b) = max(c3(a,b,w) - D, 0) / c3(a,b,.)
+                      + lam3(a,b) * P2(w | b)
+        P2(w | b)   = max(c2(b,w) - D, 0) / c2(b,.)
+                      + lam2(b) * P1(w)          [c2 = N1+(. b w)]
+        P1(w)       = (N1+(. w) + 1) / (B1 + V)  [add-one smoothed]
+
+    with ``lam_k = D * N1+(ctx .) / ctot_k(ctx)``.  Token 1 scores at
+    P1, token 2 at P2 (the lower-order continuation models, standard
+    for positions below the order), tokens >= 3 at P3.  A context
+    unseen at a lower level backs off to the level below (possible for
+    doc-initial bigrams of 2-token documents under continuation
+    counts).  Every conditional sums to exactly 1 over the corpus
+    vocabulary — the tests replay the tables and check it.
+
+    Scale shape: per-position postings carry THREE 8-byte token hashes
+    (w, its predecessor, its pre-predecessor); table keys are the
+    hash TUPLES — per-token hashing keeps the whole model replayable
+    in plain SQL (the ``kn3_ppl`` oracle) — with one aggregation per
+    level, vocabulary-sized tables broadcast back
+    (``broadcast_tables=False`` defers to AQE), and the (B1, V)
+    scalars on one broadcast row.  Raw text never shuffles."""
+    th = token_hash or F.xxhash64
+    toks = (tokens_col if tokens_col is not None
+            else _tokens_lower(F.col(text_col)))
+    base = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+              .withColumn("__hs",
+                          F.transform(F.col("__toks"), lambda t: th(t)))
+              .filter(F.size("__hs") >= 1))
+    pos = F.sequence(F.lit(1), F.size("__hs"))
+    i = F.col("__i")
+    g = (base.select("__id", "__hs", F.explode(pos).alias("__i"))
+             .select(
+                 "__id",
+                 F.element_at("__hs", i).alias("__h"),
+                 F.when(i >= 2, F.element_at("__hs", i - 1)).alias("__hb"),
+                 F.when(i >= 3, F.element_at("__hs", i - 2)).alias("__ha")))
+
+    # level 3: raw trigram counts + context totals
+    tri = (g.filter(F.col("__ha").isNotNull())
+            .groupBy("__ha", "__hb", "__h").agg(F.count("*").alias("__c3")))
+    ctx3 = tri.groupBy("__ha", "__hb").agg(F.sum("__c3").alias("__ctot3"),
+                                           F.count("*").alias("__n1f3"))
+    # level 2: continuation counts — distinct trigram TYPES grouped by
+    # their suffix bigram
+    c2 = tri.groupBy("__hb", "__h").agg(F.count("*").alias("__c2"))
+    ctx2 = c2.groupBy("__hb").agg(F.sum("__c2").alias("__ctot2"),
+                                  F.count("*").alias("__n1f2"))
+    # level 1: continuation counts from distinct raw bigram TYPES
+    big = (g.filter(F.col("__hb").isNotNull())
+            .select("__hb", "__h").distinct())
+    c1 = big.groupBy("__h").agg(F.count("*").alias("__c1"))
+    scal = (big.agg(F.count("*").alias("__B1"))
+               .crossJoin(g.select("__h").distinct()
+                           .agg(F.count("*").alias("__V"))))
+
+    D = F.lit(float(discount))
+    p1 = (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(1.0)) \
+        / (F.col("__B1") + F.col("__V"))
+    p2_core = (F.greatest(F.coalesce(F.col("__c2"), F.lit(0)) - D,
+                          F.lit(0.0)) / F.col("__ctot2")
+               + (D * F.col("__n1f2") / F.col("__ctot2")) * p1)
+    p2 = F.when(F.col("__ctot2").isNull(), p1).otherwise(p2_core)
+    p3_core = (F.greatest(F.coalesce(F.col("__c3"), F.lit(0)) - D,
+                          F.lit(0.0)) / F.col("__ctot3")
+               + (D * F.col("__n1f3") / F.col("__ctot3")) * p2)
+    prob = F.when(F.col("__ha").isNotNull(), p3_core) \
+        .when(F.col("__hb").isNotNull(), p2) \
+        .otherwise(p1)
+
+    bc = F.broadcast if broadcast_tables else (lambda x: x)
+    scored = (g.join(bc(tri), on=["__ha", "__hb", "__h"], how="left")
+               .join(bc(ctx3), on=["__ha", "__hb"], how="left")
+               .join(bc(c2), on=["__hb", "__h"], how="left")
+               .join(bc(ctx2), on="__hb", how="left")
+               .join(bc(c1), on="__h", how="left")
+               .crossJoin(F.broadcast(scal))
+               .select("__id", F.log(prob).alias("__lp")))
+    return (scored.groupBy("__id")
+                  .agg(F.count("*").cast("long").alias("n_tokens"),
+                       F.sum("__lp").alias("log_prob"))
+                  .withColumn("ppl",
+                              F.exp(-F.col("log_prob") / F.col("n_tokens")))
+                  .withColumnRenamed("__id", id_col))
 
 def add_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop enrichment: language, token counts, fingerprint, quality."""
