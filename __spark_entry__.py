@@ -2068,6 +2068,60 @@ def q_kn3_ppl(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyless point-in-interval join (event-to-window attribution):
+    clicks matched to promo windows via the grid decomposition — an
+    equi join on the time bucket plus the exact residual predicate, no
+    nested-loop/cartesian fallback.  The interval set deliberately
+    mixes SHORT windows (30 min, grid-replicated) with rare LONG
+    windows (2 days, routed to the broadcast path), exercising the
+    hybrid split; the oracle is the plain theta join."""
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    e = _events(spark, sf_dir)
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"), "ts"))
+    shortw = (e.filter((F.col("event_type") == "purchase")
+                       & (F.col("value") > 150))
+               .select(F.col("event_id").alias("promo_id"),
+                       F.col("ts").alias("s"))
+               .withColumn("e", F.col("s") + F.expr("INTERVAL 30 MINUTES")))
+    longw = (e.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") < 0.5))
+              .select(F.col("event_id").alias("promo_id"),
+                      F.col("ts").alias("s"))
+              .withColumn("e", F.col("s") + F.expr("INTERVAL 2 DAYS")))
+    out = interval_join(clicks, shortw.unionByName(longw),
+                        on="ts", start="s", end="e", closed="left",
+                        interval_cols=["promo_id"], suffix="")
+    return (out.groupBy("click_id")
+               .agg(F.count(F.lit(1)).alias("n_promos"),
+                    F.min("promo_id").alias("first_promo"))
+               .orderBy("click_id"))
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (incident correlation): purchase
+    windows vs error windows, each pair emitted exactly once via the
+    first-shared-bucket rule — no dedup shuffle, no cartesian.  Oracle:
+    the plain overlap theta join."""
+    from tiledb_py_spark.operators.intervals import interval_overlap_join
+
+    e = _events(spark, sf_dir)
+    pw = (e.filter((F.col("event_type") == "purchase")
+                   & (F.col("value") > 100))
+           .select(F.col("event_id").alias("p_id"),
+                   F.col("ts").alias("ps"))
+           .withColumn("pe", F.col("ps") + F.expr("INTERVAL 20 MINUTES")))
+    ew = (e.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("e_id"),
+                   F.col("ts").alias("es"))
+           .withColumn("ee", F.col("es") + F.expr("INTERVAL 15 MINUTES")))
+    out = interval_overlap_join(pw, ew, "ps", "pe", "es", "ee",
+                                right_cols=["e_id"], suffix="")
+    return out.select("p_id", "e_id").orderBy("p_id", "e_id")
+
+
 def q_self_repeat(spark, sf_dir):
     """Within-document repeated-span removal (8-gram, keep-first):
     every token covered by an 8-gram whose identical gram occurred
@@ -2324,8 +2378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_repeat": q_self_repeat,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: tail gates rotated in for round 7
-        # (the block ends at simhash_neardup just below) ---
+        "interval_join": q_interval_join,
+        "interval_overlap": q_interval_overlap,
+        # --- positions 42-50: tail gates rotated in for round 7
+        # (the block ends at label_read just below; exact_dedup and
+        # simhash_neardup, displaced by the two new interval gates,
+        # lead the round-8 rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2335,12 +2393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
-        "exact_dedup": q_exact_dedup,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  simhash_neardup above is position 50 (last
-        # in-window); rotation continues from batch_topk next round.  Gates displaced this round (driver-green r06
-        # rows): simhash .. scrub_text at the end of the tail. ---
+        # pytest-covered).  label_read above is position 50 (last
+        # in-window); rotation continues from exact_dedup next round.
+        # Gates displaced round 7 (driver-green r06 rows):
+        # simhash .. scrub_text at the end of the tail. ---
+        "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
         "batch_topk": q_batch_topk,
         # per-event sessionize (in-window) exercises the same gap
@@ -3491,6 +3550,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(ln(prob)), 4) AS log_prob,
                    round(exp(-sum(ln(prob)) / count(*)), 4) AS ppl
             FROM p GROUP BY doc_id ORDER BY doc_id
+        """,
+        "interval_join": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, ts FROM events
+                WHERE event_type = 'click'
+            ), iv AS (
+                SELECT event_id AS promo_id, ts AS s,
+                       ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'purchase' AND value > 150
+                UNION ALL
+                SELECT event_id, ts, ts + INTERVAL 2 DAY
+                FROM events WHERE event_type = 'purchase' AND value < 0.5
+            )
+            SELECT c.click_id, count(*)::BIGINT AS n_promos,
+                   min(iv.promo_id) AS first_promo
+            FROM clicks c JOIN iv ON iv.s <= c.ts AND c.ts < iv.e
+            GROUP BY c.click_id ORDER BY c.click_id
+        """,
+        "interval_overlap": """
+            WITH pw AS (
+                SELECT event_id AS p_id, ts AS ps,
+                       ts + INTERVAL 20 MINUTE AS pe
+                FROM events WHERE event_type = 'purchase' AND value > 100
+            ), ew AS (
+                SELECT event_id AS e_id, ts AS es,
+                       ts + INTERVAL 15 MINUTE AS ee
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT p_id, e_id FROM pw JOIN ew
+            ON ps <= ee AND es <= pe
+            ORDER BY p_id, e_id
         """,
         "self_repeat": r"""
             WITH t AS (

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "self_repeat",
     "pack_materialize",
     "kn_ppl",
+    "interval_join",
+    "interval_overlap",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

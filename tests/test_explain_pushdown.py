@@ -482,3 +482,45 @@ def test_round7_operator_exchange_budgets(spark):
     # aggregation Exchange — nothing else
     s = _plan(unigram_seed_counts(word_frequencies(df, "text")))
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 2
+
+
+def test_interval_join_grid_plan_no_nested_loop(spark):
+    """The interval-join grid path must be an EQUI hash/sort-merge join
+    on (by-keys, bucket) — never BroadcastNestedLoop or a cartesian —
+    and only the rare-long-interval branch may nested-loop, against a
+    broadcast side."""
+    from tiledb_py_spark.operators.intervals import (interval_join,
+                                                     interval_overlap_join)
+
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 10_000)) for i in range(500)], ["pid", "t"])
+    ivs = spark.createDataFrame(
+        [(j, float(j * 97 % 10_000), float(j * 97 % 10_000 + 50))
+         for j in range(50)], ["iid", "s", "e"])
+
+    # all-short: pure grid — no nested loop, no cartesian at all
+    s = _plan(interval_join(pts, ivs, on="t", start="s", end="e",
+                            interval_cols=["iid"], suffix="",
+                            num_buckets=16, long_span_buckets=10**9))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+    # hybrid: the long branch nested-loops ONLY against a broadcast
+    # exchange; the grid branch stays equi
+    s = _plan(interval_join(pts, ivs, on="t", start="s", end="e",
+                            interval_cols=["iid"], suffix="",
+                            num_buckets=16, long_span_buckets=4))
+    assert "CartesianProduct" not in s
+    if "BroadcastNestedLoopJoin" in s:
+        assert "BroadcastExchange" in s
+
+    # overlap grid: same contract
+    rhs = spark.createDataFrame(
+        [(j, float(j * 131 % 10_000), float(j * 131 % 10_000 + 40))
+         for j in range(40)], ["rid", "rs", "re"])
+    s = _plan(interval_overlap_join(
+        ivs.withColumnRenamed("iid", "lid"), rhs,
+        "s", "e", "rs", "re", right_cols=["rid"], suffix="",
+        num_buckets=16, long_span_buckets=10**9))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s

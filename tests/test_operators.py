@@ -2708,3 +2708,177 @@ def test_kneser_ney_trigram_reference(spark):
         assert abs(sum(p3(a, b, w) for w in vocab) - 1.0) < 1e-9
     # fluent beats shuffled under the trigram model too
     assert got[0].ppl < got[4].ppl
+
+
+# ---------------------------------------------------------------------------
+# interval joins (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+def _naive_interval_pairs(pts, ivs, closed):
+    lo = {"both": lambda s, t: s <= t, "left": lambda s, t: s <= t,
+          "right": lambda s, t: s < t, "neither": lambda s, t: s < t}[closed]
+    hi = {"both": lambda t, e: t <= e, "left": lambda t, e: t < e,
+          "right": lambda t, e: t <= e, "neither": lambda t, e: t < e}[closed]
+    out = []
+    for _, p in pts.iterrows():
+        for _, iv in ivs.iterrows():
+            if iv.s <= iv.e and lo(iv.s, p.t) and hi(p.t, iv.e):
+                out.append((int(p.pid), int(iv.iid)))
+    return sorted(out)
+
+
+def test_interval_join_matches_naive_all_closed(spark):
+    """Grid-bucketized point-in-interval join equals the O(n*m) oracle
+    for every `closed` variant, on data that spans bucket boundaries and
+    includes inverted + zero-length intervals."""
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    rng = np.random.RandomState(3)
+    pts = pd.DataFrame({"pid": np.arange(300),
+                        "t": rng.randint(0, 10_000, 300)})
+    s = rng.randint(0, 10_000, 60)
+    ln = rng.randint(0, 400, 60)
+    ivs = pd.DataFrame({"iid": np.arange(60), "s": s, "e": s + ln})
+    # inject degenerate rows: inverted (matches nothing) and zero-length
+    ivs.loc[0, "e"] = ivs.loc[0, "s"] - 5
+    ivs.loc[1, "e"] = ivs.loc[1, "s"]
+    for closed in ("both", "left", "right", "neither"):
+        got = interval_join(spark.createDataFrame(pts),
+                            spark.createDataFrame(ivs),
+                            on="t", start="s", end="e", closed=closed,
+                            interval_cols=["iid"], suffix="",
+                            num_buckets=16).select("pid", "iid").toPandas()
+        assert sorted(map(tuple, got.values.tolist())) == \
+            _naive_interval_pairs(pts, ivs, closed), closed
+
+
+def test_interval_join_hybrid_split_equals_grid_only(spark):
+    """The short/long hybrid (long intervals -> broadcast path) returns
+    the same pairs as forcing everything down either single path."""
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    rng = np.random.RandomState(5)
+    pts = pd.DataFrame({"pid": np.arange(400),
+                        "t": rng.randint(0, 50_000, 400)})
+    s = rng.randint(0, 50_000, 40)
+    ln = np.where(np.arange(40) % 10 == 0, 45_000, 300)  # 4 huge spans
+    ivs = pd.DataFrame({"iid": np.arange(40), "s": s, "e": s + ln})
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    answers = []
+    for lsb in (1, 4, 10**9):  # all-long / hybrid / all-grid
+        got = interval_join(P, I, on="t", start="s", end="e",
+                            interval_cols=["iid"], suffix="",
+                            num_buckets=16, long_span_buckets=lsb) \
+            .select("pid", "iid").toPandas()
+        answers.append(sorted(map(tuple, got.values.tolist())))
+    assert answers[0] == answers[1] == answers[2]
+    assert answers[0] == _naive_interval_pairs(pts, ivs, "both")
+
+
+def test_interval_join_by_keys_and_left(spark):
+    """by-keys restrict matches per group; how='left' keeps unmatched
+    points exactly once with null interval columns."""
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    rng = np.random.RandomState(9)
+    pts = pd.DataFrame({"pid": np.arange(200),
+                        "k": rng.randint(0, 5, 200),
+                        "t": rng.randint(0, 5_000, 200)})
+    s = rng.randint(0, 5_000, 30)
+    ivs = pd.DataFrame({"iid": np.arange(30),
+                        "k": rng.randint(0, 5, 30),
+                        "s": s, "e": s + rng.randint(0, 800, 30)})
+    got = interval_join(spark.createDataFrame(pts),
+                        spark.createDataFrame(ivs),
+                        on="t", start="s", end="e", by=["k"],
+                        interval_cols=["iid"], suffix="", how="left",
+                        point_id="pid", num_buckets=8) \
+        .select("pid", "iid").toPandas()
+    want = []
+    for _, p in pts.iterrows():
+        ms = [int(iv.iid) for _, iv in ivs.iterrows()
+              if iv.k == p.k and iv.s <= p.t <= iv.e]
+        want += [(int(p.pid), m) for m in ms] or [(int(p.pid), None)]
+    norm = lambda rows: sorted((a, -1 if b is None or pd.isna(b) else int(b))
+                               for a, b in rows)
+    assert norm(map(tuple, got.values.tolist())) == norm(want)
+
+
+def test_interval_join_null_points_and_validation(spark):
+    """Null-time points match nothing (and survive only under
+    how='left'); bad arguments refuse loudly."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    pts = pd.DataFrame({"pid": [0, 1, 2], "t": [10.0, None, 50.0]})
+    ivs = pd.DataFrame({"iid": [0], "s": [0.0], "e": [100.0]})
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    inner = interval_join(P, I, on="t", start="s", end="e",
+                          interval_cols=["iid"], suffix="", num_buckets=4)
+    assert sorted(r.pid for r in inner.select("pid").collect()) == [0, 2]
+    left = interval_join(P, I, on="t", start="s", end="e",
+                         interval_cols=["iid"], suffix="", how="left",
+                         point_id="pid", num_buckets=4)
+    rows = {r.pid: r.iid for r in left.select("pid", "iid").collect()}
+    assert rows == {0: 0, 1: None, 2: 0}
+    with _pytest.raises(ValueError, match="point_id"):
+        interval_join(P, I, on="t", start="s", end="e", how="left")
+    with _pytest.raises(ValueError, match="closed"):
+        interval_join(P, I, on="t", start="s", end="e", closed="open")
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(P, I.withColumnRenamed("iid", "pid"),
+                      on="t", start="s", end="e", suffix="")
+
+
+def test_interval_overlap_matches_naive(spark):
+    """Overlap join equals the O(n*m) oracle (closed='both' and
+    'neither'), with each pair emitted exactly once even when spans
+    share many buckets, long spans on either side included."""
+    from tiledb_py_spark.operators.intervals import interval_overlap_join
+
+    rng = np.random.RandomState(13)
+    ls = rng.randint(0, 20_000, 80)
+    lln = np.where(np.arange(80) % 16 == 0, 18_000, rng.randint(1, 500, 80))
+    rs = rng.randint(0, 20_000, 70)
+    rln = np.where(np.arange(70) % 14 == 0, 15_000, rng.randint(1, 400, 70))
+    L = pd.DataFrame({"lid": np.arange(80), "ls": ls, "le": ls + lln})
+    R = pd.DataFrame({"rid": np.arange(70), "rs": rs, "re": rs + rln})
+    for closed in ("both", "neither"):
+        got = interval_overlap_join(
+            spark.createDataFrame(L), spark.createDataFrame(R),
+            "ls", "le", "rs", "re", right_cols=["rid"], suffix="",
+            closed=closed, num_buckets=16, long_span_buckets=6) \
+            .select("lid", "rid").toPandas()
+        pairs = sorted(map(tuple, got.values.tolist()))
+        if closed == "both":
+            ok = lambda l, r: L["ls"][l] <= R["re"][r] and R["rs"][r] <= L["le"][l]
+        else:
+            ok = lambda l, r: L["ls"][l] < R["re"][r] and R["rs"][r] < L["le"][l]
+        want = sorted((int(l), int(r)) for l in range(80) for r in range(70)
+                      if ok(l, r))
+        assert pairs == want, closed
+        assert len(pairs) == len(set(pairs))  # exactly-once emission
+
+
+def test_interval_overlap_by_keys(spark):
+    """Keyed overlap join: only same-key pairs, still exactly once."""
+    from tiledb_py_spark.operators.intervals import interval_overlap_join
+
+    rng = np.random.RandomState(17)
+    ls = rng.randint(0, 8_000, 60)
+    rs = rng.randint(0, 8_000, 50)
+    L = pd.DataFrame({"lid": np.arange(60), "k": rng.randint(0, 4, 60),
+                      "ls": ls, "le": ls + rng.randint(1, 900, 60)})
+    R = pd.DataFrame({"rid": np.arange(50), "k": rng.randint(0, 4, 50),
+                      "rs": rs, "re": rs + rng.randint(1, 700, 50)})
+    got = interval_overlap_join(
+        spark.createDataFrame(L), spark.createDataFrame(R),
+        "ls", "le", "rs", "re", by=["k"], right_cols=["rid"], suffix="",
+        num_buckets=8).select("lid", "rid").toPandas()
+    pairs = sorted(map(tuple, got.values.tolist()))
+    want = sorted((int(l), int(r)) for l in range(60) for r in range(50)
+                  if L["k"][l] == R["k"][r] and L["ls"][l] <= R["re"][r]
+                  and R["rs"][r] <= L["le"][l])
+    assert pairs == want
+    assert len(pairs) == len(set(pairs))

@@ -17,6 +17,9 @@
   temperature), DSIR selection, chunking, packing, token budgets, PII
   scrub, shard writer
 - ``multimodal`` — binary columns + Arrow-batched decode plumbing
+- ``asof`` / ``intervals`` — point-in-time, point-in-interval, and
+  interval-overlap joins (union+window and grid-bucket strategies; no
+  nested-loop fallback), imported directly by callers
 
 Design rule: everything stays JVM-side (built-in ``pyspark.sql.functions``
 over arrays — ``transform``/``aggregate``/``filter``/``zip_with``) so the
