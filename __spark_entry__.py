@@ -768,6 +768,26 @@ def q_contamination(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """End-to-end decontamination on the BLOOM scale path: membership
+    prefilter via a distributed-built Bloom bitmap (so the benchmark
+    gram set never has to fit a broadcast hash join), exact verify join
+    removing false positives — the surviving corpus must equal the
+    broadcast strategy's answer bit-for-bit, which is what the plain
+    SQL oracle states."""
+    from tiledb_py_spark.operators.dedup import decontaminate, md5_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    corpus = d.filter((F.col("doc_id") >= 50) & (F.length(F.trim("text")) > 0))
+    bench = d.filter((F.col("doc_id") < 50) & (F.length(F.trim("text")) > 0))
+    out = decontaminate(corpus, bench, "text", "doc_id",
+                        n=5, gram_hash=md5_hash60,
+                        tokens_col=ws, bench_tokens_col=ws,
+                        strategy="bloom", bloom_bits=1 << 20)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_remove_spans(spark, sf_dir):
     """Substring-level dedup: REMOVE every token covered by a 10-gram
     shared by >= 2 docs (whitespace tokens + portable md5-60bit gram
@@ -2380,10 +2400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_ppl": q_kn3_ppl,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
-        # --- positions 42-50: tail gates rotated in for round 7
-        # (the block ends at label_read just below; exact_dedup and
-        # simhash_neardup, displaced by the two new interval gates,
-        # lead the round-8 rotation) ---
+        "bloom_decontam": q_bloom_decontam,
+        # --- positions 43-50: tail gates rotated in for round 7
+        # (the block ends at dedup_clusters just below; label_read,
+        # exact_dedup and simhash_neardup, displaced by the three new
+        # operator gates, lead the round-8 rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2392,13 +2413,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
-        "label_read": q_label_read,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  label_read above is position 50 (last
-        # in-window); rotation continues from exact_dedup next round.
+        # pytest-covered).  dedup_clusters above is position 50 (last
+        # in-window); rotation continues from label_read next round.
         # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
         "batch_topk": q_batch_topk,
@@ -2989,6 +3010,34 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, gh, count(*) AS cnt
                        FROM cg GROUP BY doc_id, gh) g USING (doc_id)
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "bloom_decontam": r"""
+            WITH corpus AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE doc_id >= 50 AND length(trim(text)) > 0
+            ),
+            bench AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
+            ),
+            cg AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(arr[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+              FROM corpus, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+              WHERE len(arr) >= 5
+            ),
+            bg AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(array_to_string(arr[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+              FROM bench, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+              WHERE len(arr) >= 5
+            )
+            SELECT doc_id, source FROM corpus
+            WHERE doc_id NOT IN (
+              SELECT DISTINCT doc_id FROM cg
+              WHERE gh IN (SELECT gh FROM bg))
+            ORDER BY doc_id
         """,
         "remove_spans": r"""
             WITH t AS (

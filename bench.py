@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kn_ppl",
     "interval_join",
     "interval_overlap",
+    "bloom_decontam",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -2882,3 +2882,52 @@ def test_interval_overlap_by_keys(spark):
                   and R["rs"][r] <= L["le"][l])
     assert pairs == want
     assert len(pairs) == len(set(pairs))
+
+
+def test_contamination_bloom_strategy_exact(spark):
+    """strategy='bloom' must be bit-identical to 'broadcast' — the exact
+    verify join removes Bloom false positives — even with a deliberately
+    tiny, FP-heavy bitmap; invalid strategies and oversize bitmaps
+    refuse loudly."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.dedup import ngram_contamination_stats
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rng.choice(vocab, rng.randint(3, 30)))
+    corpus = spark.createDataFrame(
+        [(i, mk()) for i in range(120)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(i, mk()) for i in range(15)], ["doc_id", "text"])
+    base = ngram_contamination_stats(corpus, bench, "text", "doc_id", n=5) \
+        .orderBy("doc_id").toPandas()
+    assert (base.n_grams > 0).any()
+    for bits, k in ((1 << 18, 6), (1 << 10, 1)):  # sane / FP-saturated
+        got = ngram_contamination_stats(
+            corpus, bench, "text", "doc_id", n=5,
+            strategy="bloom", bloom_bits=bits, bloom_k=k) \
+            .orderBy("doc_id").toPandas()
+        assert got.equals(base), (bits, k)
+    with _pytest.raises(ValueError, match="strategy"):
+        ngram_contamination_stats(corpus, bench, "text", "doc_id",
+                                  strategy="minhash")
+    with _pytest.raises(ValueError, match="n_bits"):
+        ngram_contamination_stats(corpus, bench, "text", "doc_id",
+                                  strategy="bloom", bloom_bits=1 << 30)
+
+
+def test_contamination_short_docs_row_local_totals(spark):
+    """Documents shorter than n tokens keep their (n_grams=0, clean)
+    row, and the row-local denominator equals the posting count the old
+    aggregate computed: max(0, n_tokens - n + 1)."""
+    from tiledb_py_spark.operators.dedup import ngram_contamination_stats
+
+    corpus = spark.createDataFrame(
+        [(0, "a b"), (1, "a b c d e f"), (2, "x y z q r")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_grams, r.n_contaminated)
+           for r in ngram_contamination_stats(
+               corpus, bench, "text", "doc_id", n=5).collect()}
+    assert got == {0: (0, 0), 1: (2, 1), 2: (1, 0)}

@@ -759,25 +759,99 @@ def _explode_gram_postings(base: DataFrame, n: int, gh,
                         .alias("__gh")))
 
 
+def _bloom_build(grams: DataFrame, col: str, n_bits: int, k: int) -> bytes:
+    """Distributed Bloom-filter build over a 64-bit hash column: each
+    partition folds its hashes into an ``n_bits`` bitmap (one Arrow
+    pass), the per-partition bitmaps OR-merge driver-side.  The collect
+    is bounded by construction — n_partitions rows x n_bits/8 bytes —
+    and ``n_bits`` is capped loudly (the guard-before-collect pattern of
+    ``bpe_train``).  Probe positions use Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2) derived from the single 64-bit key, so build and
+    probe agree without re-hashing."""
+    if n_bits > (1 << 27):
+        raise ValueError(f"bloom n_bits={n_bits} exceeds 2^27 (16 MiB "
+                         "per partition bitmap); size bits ~10x the "
+                         "expected distinct gram count instead")
+
+    def fold(it):
+        bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+        for pdf in it:
+            h = pdf[col].to_numpy(dtype=np.int64).view(np.uint64)
+            h1 = h & np.uint64(0xFFFFFFFF)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                                 (np.uint64(1) << (pos & np.uint64(7)))
+                                 .astype(np.uint8))
+        yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    out = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    for row in grams.mapInPandas(fold, "b binary").collect():
+        out |= np.frombuffer(row.b, dtype=np.uint8)
+    return out.tobytes()
+
+
+def _bloom_probe_udf(spark, bloom: bytes, n_bits: int, k: int):
+    """Vectorized membership probe against a broadcast Bloom bitmap;
+    returns a boolean pandas UDF over the 64-bit hash column."""
+    from pyspark.sql.functions import pandas_udf
+
+    bb = spark.sparkContext.broadcast(bloom)
+
+    @pandas_udf("boolean")
+    def probe(s: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bb.value, dtype=np.uint8)
+        h = s.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            ok &= (bits[(pos >> np.uint64(3)).astype(np.int64)]
+                   >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(ok)
+
+    return probe
+
+
 def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
                               text_col: str, id_col: str,
                               bench_text_col: Optional[str] = None,
                               n: int = 8, gram_hash=None,
                               tokens_col: Optional[Column] = None,
-                              bench_tokens_col: Optional[Column] = None
-                              ) -> DataFrame:
+                              bench_tokens_col: Optional[Column] = None,
+                              strategy: str = "broadcast",
+                              bloom_bits: int = 1 << 23,
+                              bloom_k: int = 6) -> DataFrame:
     """Benchmark-contamination scan — the standard eval-decontamination
     step for LLM training corpora (drop training documents that overlap
     the test set): for each corpus document, count its n-token grams and
     how many of them occur anywhere in ``benchmark``.
 
-    Same inverted-index shape as ``repeated_ngram_stats``, across two
-    tables: corpus postings carry only (8-byte gram hash, id); the
-    benchmark side collapses to its DISTINCT gram-hash set — for typical
-    benchmark sizes that table is megabytes, so AQE broadcasts the join
-    and the corpus is never shuffled; at worst it is a hash join on the
-    8-byte gram key.  Documents shorter than ``n`` tokens have no grams
-    (``n_grams = 0``) and can never be flagged.
+    Scale shape: ``n_grams`` (the per-document total) is ROW-LOCAL
+    arithmetic — max(0, n_tokens - n + 1) — so the only corpus-sized
+    shuffle is the per-document aggregation of HIT postings, after the
+    membership test has discarded the (overwhelmingly) clean grams.
+    Documents shorter than ``n`` tokens have no grams (``n_grams = 0``)
+    and can never be flagged.
+
+    Membership test, by ``strategy``:
+
+    - ``'broadcast'`` (default): join corpus postings against the
+      benchmark's DISTINCT gram-hash set — megabytes for typical
+      benchmark suites, so AQE broadcasts it and the clean grams die at
+      the map side without shuffling.
+    - ``'bloom'``: for benchmark gram sets too large to broadcast as a
+      join table (~1e8 grams = GBs of hash-table): a distributed-built
+      Bloom bitmap (``bloom_bits`` bits, ``bloom_k`` probes,
+      ~``bloom_bits/8`` bytes broadcast) prefilters the postings in one
+      Arrow pass, and only the surviving candidates take the exact
+      HASH join against the benchmark grams — which removes Bloom false
+      positives, so the answer is bit-identical to 'broadcast'.  The
+      corpus-side shuffle carries candidates only (hit rate + FP rate of
+      the total), and the benchmark join no longer needs to fit in a
+      broadcast.
 
     Returns one row per corpus document: ``(id_col, n_grams,
     n_contaminated)`` where counts are gram OCCURRENCES (a gram repeated
@@ -786,6 +860,8 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
     ``gram_hash`` defaults to ``xxhash64``; pass ``md5_hash60`` for a
     cross-engine-checkable hash.  ``tokens_col``/``bench_tokens_col``
     override the default lowercasing tokenizer per side."""
+    if strategy not in ("broadcast", "bloom"):
+        raise ValueError("strategy must be 'broadcast' or 'bloom'")
     gh = gram_hash or F.xxhash64
     bt = bench_text_col or text_col
     toks = tokens_col if tokens_col is not None else tokens(text_col)
@@ -793,24 +869,36 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
     cbase = corpus.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
     bbase = benchmark.select(F.lit(0).alias("__id"), btoks.alias("__toks"))
     cg = _explode_gram_postings(cbase, n, gh)
-    bg = (_explode_gram_postings(bbase, n, gh)
-          .select("__gh").distinct()
-          .withColumn("__hit", F.lit(1)))
-    c = cg.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
-    per_doc = (c.join(bg, on="__gh", how="left")
-               .groupBy("__id")
-               .agg(F.sum("__cnt").cast("long").alias("n_grams"),
-                    F.coalesce(
-                        F.sum(F.when(F.col("__hit") == 1, F.col("__cnt"))),
-                        F.lit(0)).cast("long").alias("n_contaminated")))
-    # re-attach zero-gram documents (shorter than n tokens): they emit no
-    # postings but the caller still gets a row (n_grams = 0, clean)
-    ids = corpus.select(F.col(id_col).alias("__id")).distinct()
-    return (ids.join(per_doc, on="__id", how="left")
-               .select(F.col("__id").alias(id_col),
-                       F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-                       F.coalesce("n_contaminated", F.lit(0))
-                        .alias("n_contaminated")))
+    bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
+
+    if strategy == "bloom":
+        probe = _bloom_probe_udf(corpus.sparkSession,
+                                 _bloom_build(bg, "__gh", bloom_bits,
+                                              bloom_k),
+                                 bloom_bits, bloom_k)
+        cg = cg.filter(probe(F.col("__gh")))
+        # exact verify join: candidates are post-Bloom sparse, so this
+        # may shuffle both sides on the 8-byte gram key — fine, neither
+        # needs to broadcast
+        hits = cg.join(bg, on="__gh", how="left_semi")
+    else:
+        # distinct gram set is benchmark-sized; AQE broadcasts it
+        hits = cg.join(bg, on="__gh", how="left_semi")
+
+    per_doc = (hits.groupBy("__id")
+               .agg(F.count("*").cast("long").alias("n_contaminated")))
+    # per-document totals are row-local arithmetic on the token count —
+    # no posting ever shuffles for the denominator
+    doc_tot = (cbase.select(
+        "__id",
+        F.greatest(F.lit(0), F.size("__toks") - F.lit(n - 1))
+         .cast("long").alias("__ng"))
+        .groupBy("__id").agg(F.sum("__ng").cast("long").alias("n_grams")))
+    return (doc_tot.join(per_doc, on="__id", how="left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_grams"),
+                    F.coalesce("n_contaminated", F.lit(0))
+                     .cast("long").alias("n_contaminated")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -819,7 +907,10 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   n: int = 8, max_fraction: float = 0.0,
                   min_hits: int = 1, gram_hash=None,
                   tokens_col: Optional[Column] = None,
-                  bench_tokens_col: Optional[Column] = None) -> DataFrame:
+                  bench_tokens_col: Optional[Column] = None,
+                  strategy: str = "broadcast",
+                  bloom_bits: int = 1 << 23,
+                  bloom_k: int = 6) -> DataFrame:
     """Drop corpus documents contaminated by ``benchmark``: a document is
     removed when it has at least ``min_hits`` contaminated gram
     occurrences AND its contaminated share ``n_contaminated / n_grams``
@@ -830,7 +921,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     stats = ngram_contamination_stats(
         corpus, benchmark, text_col, id_col, bench_text_col=bench_text_col,
         n=n, gram_hash=gram_hash, tokens_col=tokens_col,
-        bench_tokens_col=bench_tokens_col)
+        bench_tokens_col=bench_tokens_col, strategy=strategy,
+        bloom_bits=bloom_bits, bloom_k=bloom_k)
     bad = (stats.filter((F.col("n_contaminated") >= min_hits)
                         & (F.col("n_contaminated")
                            > F.lit(max_fraction) * F.col("n_grams")))
