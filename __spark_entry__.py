@@ -768,6 +768,64 @@ def q_contamination(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA over the embeddings table, verified as assertions
+    the oracle can state: (a) EXACT machinery — every returned
+    (eigenvalue, component) pair satisfies the eigenpair equation of the
+    driver-replayed covariance to 1e-8 and the components are
+    orthonormal (gap-free checks, unlike per-vector comparison against
+    a reference fit, which near-degenerate spectra would break);
+    (b) the Arrow projection equals the numpy replay (X - mean) @ W.T
+    to 1e-9; (c) eigenvalues are sorted descending and match numpy eigh
+    on the same covariance to 1e-9 relative; (d) fit -> save into the
+    embeddings array's manifest -> load restores (mean, components)
+    bit-exactly (idempotent on persisted state, like ivf_ann)."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import PCAModel
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    k = 8
+    fit = PCAModel(n_components=k).fit(e, "embedding")
+    uri = _embeddings_array(spark, sf_dir)
+    try:
+        m = PCAModel.load(uri, name="gate")
+    except KeyError:
+        fit.save(uri, name="gate")
+        m = PCAModel.load(uri, name="gate")
+    roundtrip = bool(
+        np.array_equal(m.components_, fit.components_)
+        and np.array_equal(m.mean_, fit.mean_))
+
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype="float64")
+    mean = X.mean(axis=0)
+    C = (X - mean).T @ (X - mean) / len(X)
+    eig_resid = max(
+        float(np.abs(C @ m.components_[i]
+                     - m.explained_variance_[i] * m.components_[i]).max())
+        for i in range(k))
+    ortho = float(np.abs(m.components_ @ m.components_.T
+                         - np.eye(k)).max())
+    wnp = np.sort(np.linalg.eigvalsh(C))[::-1][:k]
+    eigvals_ok = bool(np.allclose(wnp, m.explained_variance_,
+                                  rtol=1e-9, atol=1e-12))
+    desc_ok = bool((np.diff(m.explained_variance_) <= 1e-12).all())
+
+    t = m.transform(e, "embedding").select("vec_id", "pca") \
+         .orderBy("vec_id").collect()
+    P = np.array([r.pca for r in t])
+    proj_resid = float(np.abs(P - (X - mean) @ m.components_.T).max())
+
+    return spark.createDataFrame(
+        [(k, bool(eig_resid < 1e-8), bool(ortho < 1e-9), eigvals_ok,
+          desc_ok, bool(proj_resid < 1e-9), roundtrip)],
+        "n_components int, eigenpairs_exact boolean, orthonormal boolean, "
+        "eigvals_match_numpy boolean, variance_desc boolean, "
+        "projection_exact boolean, persisted_roundtrip boolean")
+
+
 def q_bloom_decontam(spark, sf_dir):
     """End-to-end decontamination on the BLOOM scale path: membership
     prefilter via a distributed-built Bloom bitmap (so the benchmark
@@ -2401,10 +2459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
-        # --- positions 43-50: tail gates rotated in for round 7
-        # (the block ends at dedup_clusters just below; label_read,
-        # exact_dedup and simhash_neardup, displaced by the three new
-        # operator gates, lead the round-8 rotation) ---
+        "embedding_pca": q_embedding_pca,
+        # --- positions 44-50: tail gates rotated in for round 7
+        # (the block ends at multimodal_features just below;
+        # dedup_clusters, label_read, exact_dedup and simhash_neardup,
+        # displaced by the four new operator gates, lead the round-8
+        # rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2412,13 +2472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
-        "dedup_clusters": q_dedup_clusters,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  dedup_clusters above is position 50 (last
-        # in-window); rotation continues from label_read next round.
-        # Gates displaced round 7 (driver-green r06 rows):
+        # pytest-covered).  multimodal_features above is position 50
+        # (last in-window); rotation continues from dedup_clusters next
+        # round.  Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
@@ -4357,6 +4417,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": """
             SELECT 10 AS k, 10 AS probe_all_matches,
                    true AS partial_ge_coverage, true AS persisted_roundtrip
+        """,
+        "embedding_pca": """
+            SELECT 8 AS n_components, true AS eigenpairs_exact,
+                   true AS orthonormal, true AS eigvals_match_numpy,
+                   true AS variance_desc, true AS projection_exact,
+                   true AS persisted_roundtrip
         """,
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,

@@ -2931,3 +2931,72 @@ def test_contamination_short_docs_row_local_totals(spark):
            for r in ngram_contamination_stats(
                corpus, bench, "text", "doc_id", n=5).collect()}
     assert got == {0: (0, 0), 1: (2, 1), 2: (1, 0)}
+
+
+def test_pca_matches_numpy_and_options(spark, tmp_path):
+    """Distributed-moment PCA equals a numpy reference on the same data:
+    eigenpair residuals ~0, projections exact, whiten gives unit
+    variance, refits deterministic, JSON/file persistence bit-exact,
+    null / non-finite vectors excluded from fit and projected to null."""
+    from tiledb_py_spark.operators.similarity import PCAModel
+
+    rng = np.random.RandomState(31)
+    # anisotropic data so components are meaningful
+    A = rng.randn(12, 12) * np.linspace(3, 0.1, 12)
+    X = rng.randn(400, 12) @ A.T + rng.randn(12)
+    rows = [(i, X[i].tolist()) for i in range(400)]
+    rows += [(400, None), (401, [float("nan")] * 12)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    m = PCAModel(n_components=5).fit(df, "v")
+    assert m.n_rows_ == 400
+    mean = X.mean(0)
+    C = (X - mean).T @ (X - mean) / len(X)
+    for i in range(5):
+        w, lam = m.components_[i], m.explained_variance_[i]
+        assert np.abs(C @ w - lam * w).max() < 1e-8
+    assert np.allclose(np.sort(np.linalg.eigvalsh(C))[::-1][:5],
+                       m.explained_variance_, rtol=1e-9)
+    assert 0 < m.explained_variance_ratio_.sum() <= 1 + 1e-12
+
+    t = {r.vec_id: r.p for r in
+         m.transform(df, "v", out_col="p").select("vec_id", "p").collect()}
+    P = np.array([t[i] for i in range(400)])
+    assert np.abs(P - (X - mean) @ m.components_.T).max() < 1e-9
+    assert t[400] is None and t[401] is None
+
+    # whiten: transformed dims have unit variance (population)
+    mw = PCAModel(n_components=5, whiten=True).fit(df, "v")
+    tw = mw.transform(df, "v", out_col="p").select("p") \
+        .filter(F.col("p").isNotNull()).collect()
+    Pw = np.array([r.p for r in tw])
+    assert np.allclose(Pw.var(axis=0), 1.0, atol=1e-6)
+
+    # determinism + persistence
+    m2 = PCAModel(n_components=5).fit(df, "v")
+    assert np.array_equal(m.components_, m2.components_)
+    p = str(tmp_path / "pca.json")
+    m.save(p)
+    m3 = PCAModel.load(p)
+    assert np.array_equal(m3.components_, m.components_)
+    assert np.array_equal(m3.mean_, m.mean_)
+
+    # guard: oversize dim refuses loudly
+    import pytest as _pytest
+    wide = spark.createDataFrame([(0, [0.0] * 8)], "i long, v array<double>")
+    with _pytest.raises(Exception, match="max_dim"):
+        PCAModel(n_components=2, max_dim=4).fit(wide, "v")
+
+
+def test_pca_transform_plan_row_local(spark):
+    """PCA projection is one Arrow UDF over broadcast matrices — the
+    transform adds no Exchange to the plan."""
+    from tiledb_py_spark.operators.similarity import PCAModel
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, rng.randn(6).tolist()) for i in range(50)],
+        "vec_id long, v array<double>")
+    m = PCAModel(n_components=3).fit(df, "v")
+    plan = m.transform(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

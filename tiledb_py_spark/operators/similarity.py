@@ -11,6 +11,11 @@ Scale path: IVF-style bucketing — assign every vector to its nearest of
 k-means on a sample (standard IVF training practice); assignment and
 search are pure DataFrame ops, shuffling only (cell_id, id, score).
 An LSH sign-bucket variant is in operators.dedup.embedding_near_dup_pairs.
+
+``PCAModel`` reduces embedding dimensionality ahead of clustering/ANN:
+exact one-pass distributed moments (bounded driver reduce), driver-side
+eigendecomposition, Arrow-broadcast projection — same fit/persist/
+transform contract as the ANN indexes.
 """
 
 from __future__ import annotations
@@ -771,6 +776,191 @@ class IVFPQIndex:
                   .filter(F.col("score").isNotNull() & ~F.isnan("score"))
                   .select(id_col, "score")
                   .orderBy(F.desc("score"), id_col).limit(k))
+
+
+class PCAModel:
+    """Distributed PCA over an embedding column — the dimensionality
+    reduction step in front of clustering / ANN (and the rotation OPQ
+    applies before product quantization).
+
+    Scale split (same contract as the ANN indexes): the corpus-sized
+    work is ONE ``mapInPandas`` pass emitting per-partition moment rows
+    ``(count, sum[d], gram[d*d])`` — the driver reduce is bounded
+    by construction at n_partitions x O(d^2) doubles, with ``max_dim``
+    refusing loudly before an oversize collect (the ``bpe_train`` guard
+    pattern).  Unlike the sampled k-means fits, the moments are EXACT
+    over the full table.  The d x d covariance eigendecomposition runs
+    on the driver; projection returns to scale as one Arrow UDF with
+    the broadcast (mean, components) matrices — row-local, zero
+    shuffles.
+
+    Determinism: per-partition sums are fixed by the input partitioning;
+    the driver reduces them in collect (partition) order; eigenvector
+    sign is canonicalized (largest-|coefficient| entry positive).
+    Null / non-finite vectors are excluded from the fit and project to
+    null.
+
+    Persistence follows the shared index contract: ``save``/``load``
+    through an engine array's manifest metadata or a JSON file.
+    """
+
+    _META_PREFIX = "__pca_model:"
+
+    def __init__(self, n_components: int = 8, center: bool = True,
+                 whiten: bool = False, max_dim: int = 1024):
+        self.n_components = int(n_components)
+        self.center = bool(center)
+        self.whiten = bool(whiten)
+        self.max_dim = int(max_dim)
+        self.mean_: Optional[np.ndarray] = None          # (d,)
+        self.components_: Optional[np.ndarray] = None    # (k, d)
+        self.explained_variance_: Optional[np.ndarray] = None  # (k,)
+        self.total_variance_: Optional[float] = None
+        self.n_rows_: Optional[int] = None
+
+    # -- fit -------------------------------------------------------------
+    def fit(self, df: DataFrame, vec_col: str) -> "PCAModel":
+        max_dim = self.max_dim
+
+        def moments(it):
+            n = 0
+            s = g = None
+            for pdf in it:
+                col = pdf[vec_col]
+                M = np.array([v for v in col if v is not None],
+                             dtype="float64")
+                if M.ndim != 2 or M.shape[0] == 0:
+                    continue
+                if M.shape[1] > max_dim:
+                    raise ValueError(
+                        f"PCAModel: embedding dim {M.shape[1]} exceeds "
+                        f"max_dim={max_dim} (driver reduce is O(d^2) per "
+                        "partition); raise max_dim only with the memory "
+                        "math done")
+                M = M[np.isfinite(M).all(axis=1)]
+                if s is None:
+                    s = np.zeros(M.shape[1])
+                    g = np.zeros((M.shape[1], M.shape[1]))
+                n += M.shape[0]
+                s += M.sum(axis=0)
+                g += M.T @ M
+            if n:
+                yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                    "g": [g.ravel().tolist()]})
+
+        parts = df.select(vec_col).mapInPandas(
+            moments, "n long, s array<double>, g array<double>").collect()
+        if not parts:
+            raise ValueError("PCAModel.fit: no finite vectors")
+        d = len(parts[0].s)
+        n = sum(p.n for p in parts)
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for p in parts:  # collect order = partition order: deterministic
+            s += np.asarray(p.s)
+            g += np.asarray(p.g).reshape(d, d)
+        mean = s / n
+        cov = g / n - (np.outer(mean, mean) if self.center else 0.0)
+        cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+        w, V = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:self.n_components]
+        comps = V[:, order].T
+        # sign canon: the largest-|coefficient| entry of each component
+        # is positive (svd_flip-style), so refits and replays agree
+        flip = np.sign(comps[np.arange(len(order)),
+                             np.abs(comps).argmax(axis=1)])
+        flip[flip == 0] = 1.0
+        self.components_ = comps * flip[:, None]
+        self.explained_variance_ = np.maximum(w[order], 0.0)
+        self.total_variance_ = float(np.maximum(w, 0.0).sum())
+        self.mean_ = mean if self.center else np.zeros(d)
+        self.n_rows_ = int(n)
+        return self
+
+    @property
+    def explained_variance_ratio_(self) -> np.ndarray:
+        if self.explained_variance_ is None:
+            raise ValueError("fit() the model first")
+        tot = self.total_variance_ or 1.0
+        return self.explained_variance_ / (tot if tot > 0 else 1.0)
+
+    # -- transform -------------------------------------------------------
+    def transform(self, df: DataFrame, vec_col: str,
+                  out_col: str = "pca") -> DataFrame:
+        """Project ``vec_col`` onto the fitted components — one
+        broadcast of (mean, W) inside an Arrow UDF, row-local."""
+        if self.components_ is None:
+            raise ValueError("fit() or load() the model before transform")
+        from pyspark.sql.functions import pandas_udf
+
+        W = self.components_
+        if self.whiten:
+            W = W / np.sqrt(np.maximum(self.explained_variance_,
+                                       1e-12))[:, None]
+        bc = df.sparkSession.sparkContext.broadcast(
+            (self.mean_.copy(), W.copy()))
+
+        @pandas_udf("array<double>")
+        def proj(col: pd.Series) -> pd.Series:
+            mean, Wb = bc.value
+            out = []
+            for v in col:
+                if v is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(v, dtype="float64")
+                if x.shape[0] != mean.shape[0] or \
+                        not np.isfinite(x).all():
+                    out.append(None)
+                    continue
+                out.append(((x - mean) @ Wb.T).tolist())
+            return pd.Series(out)
+
+        return df.withColumn(out_col, proj(F.col(vec_col)))
+
+    # -- persistence (shared index contract) -----------------------------
+    def to_json(self) -> str:
+        if self.components_ is None:
+            raise ValueError("fit() the model before saving")
+        import json
+
+        return json.dumps({
+            "format": 1, "n_components": self.n_components,
+            "center": self.center, "whiten": self.whiten,
+            "mean": self.mean_.tolist(),
+            "components": self.components_.tolist(),
+            "explained_variance": self.explained_variance_.tolist(),
+            "total_variance": self.total_variance_,
+            "n_rows": self.n_rows_})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "PCAModel":
+        import json
+
+        d = json.loads(payload)
+        m = cls(n_components=d["n_components"], center=d["center"],
+                whiten=d["whiten"])
+        m.mean_ = np.asarray(d["mean"], dtype="float64")
+        m.components_ = np.asarray(d["components"], dtype="float64")
+        m.explained_variance_ = np.asarray(d["explained_variance"],
+                                           dtype="float64")
+        m.total_variance_ = d["total_variance"]
+        m.n_rows_ = d["n_rows"]
+        return m
+
+    def save(self, uri: str, name: str = "default") -> "PCAModel":
+        from .. import manifest as mf
+
+        mf.save_payload(uri, self._META_PREFIX + name, self.to_json(),
+                        file_suffix=".pca.tmp")
+        return self
+
+    @classmethod
+    def load(cls, uri: str, name: str = "default") -> "PCAModel":
+        from .. import manifest as mf
+
+        return cls.from_json(mf.load_payload(
+            uri, cls._META_PREFIX + name, kind="PCA model"))
 
 
 def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
