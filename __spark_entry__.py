@@ -826,6 +826,20 @@ def q_embedding_pca(spark, sf_dir):
         "projection_exact boolean, persisted_roundtrip boolean")
 
 
+def q_funnel(spark, sf_dir):
+    """First-touch funnel (view -> click -> purchase within 12 hours of
+    the first view): non-step events never shuffle, one entity-key
+    Exchange, the ordered-prefix match is a row-local aggregate fold.
+    The oracle replays the greedy-earliest chain as nested min()
+    CTEs — equivalent by the exchange argument stated in the
+    docstring."""
+    from tiledb_py_spark.streaming.events import funnel
+
+    e = _events(spark, sf_dir)
+    out = funnel(e, ["view", "click", "purchase"], within="12 HOURS")
+    return out.orderBy("user_id")
+
+
 def q_bloom_decontam(spark, sf_dir):
     """End-to-end decontamination on the BLOOM scale path: membership
     prefilter via a distributed-built Bloom bitmap (so the benchmark
@@ -2460,10 +2474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
         "embedding_pca": q_embedding_pca,
-        # --- positions 44-50: tail gates rotated in for round 7
-        # (the block ends at multimodal_features just below;
+        "funnel": q_funnel,
+        # --- positions 45-50: tail gates rotated in for round 7
+        # (the block ends at salted_agg just below; multimodal_features,
         # dedup_clusters, label_read, exact_dedup and simhash_neardup,
-        # displaced by the four new operator gates, lead the round-8
+        # displaced by the five new operator gates, lead the round-8
         # rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
@@ -2471,13 +2486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
-        "multimodal_features": q_multimodal_features,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  multimodal_features above is position 50
-        # (last in-window); rotation continues from dedup_clusters next
+        # pytest-covered).  salted_agg above is position 50 (last
+        # in-window); rotation continues from multimodal_features next
         # round.  Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
@@ -3070,6 +3085,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, gh, count(*) AS cnt
                        FROM cg GROUP BY doc_id, gh) g USING (doc_id)
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "funnel": """
+            WITH se AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM se
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT se.user_id, min(ts) AS t2 FROM se
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND ts > t1
+                     AND ts - t1 <= INTERVAL 12 HOUR
+                   GROUP BY se.user_id),
+            s3 AS (SELECT se.user_id, min(ts) AS t3 FROM se
+                   JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t2
+                     AND ts - t1 <= INTERVAL 12 HOUR
+                   GROUP BY se.user_id),
+            base AS (SELECT DISTINCT user_id FROM se)
+            SELECT b.user_id, t1 AS step1_ts, t2 AS step2_ts,
+                   t3 AS step3_ts,
+                   ((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                    + (t3 IS NOT NULL)::INT) AS n_steps
+            FROM base b LEFT JOIN s1 USING (user_id)
+                        LEFT JOIN s2 USING (user_id)
+                        LEFT JOIN s3 USING (user_id)
+            ORDER BY b.user_id
         """,
         "bloom_decontam": r"""
             WITH corpus AS (

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "interval_join",
     "interval_overlap",
     "bloom_decontam",
+    "funnel",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

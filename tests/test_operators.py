@@ -3000,3 +3000,69 @@ def test_pca_transform_plan_row_local(spark):
     m = PCAModel(n_components=3).fit(df, "v")
     plan = m.transform(df, "v")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_funnel_semantics_hand_cases(spark):
+    """Funnel edge semantics pinned by hand: strict-after matching,
+    first-touch window anchoring (a later step-1 event is never
+    reconsidered), skipped out-of-order steps, equal-timestamp events,
+    and entities with no step-1 event."""
+    from datetime import datetime
+
+    from tiledb_py_spark.streaming.events import funnel
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean A->B->C
+        (1, T(0), "A"), (1, T(5), "B"), (1, T(9), "C"),
+        # u2: B before any A is skipped; then A, then B completes
+        (2, T(0), "B"), (2, T(2), "A"), (2, T(6), "B"),
+        # u3: B at the SAME ts as matched A -> not strictly after
+        (3, T(1), "A"), (3, T(1), "B"),
+        # u4: window violation — B lands past the 10-min window of the
+        # FIRST A; the second A does not re-anchor
+        (4, T(0), "A"), (4, T(30), "A"), (4, T(35), "B"),
+        # u5: only non-step events -> excluded entirely
+        (5, T(0), "Z"),
+        # u6: C first (skipped), then full chain inside window
+        (6, T(0), "C"), (6, T(1), "A"), (6, T(3), "B"), (6, T(4), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    got = {r.user_id: (r.n_steps, r.step1_ts, r.step2_ts, r.step3_ts)
+           for r in funnel(df, ["A", "B", "C"],
+                           within="10 MINUTES").collect()}
+    assert set(got) == {1, 2, 3, 4, 6}
+    assert got[1] == (3, T(0), T(5), T(9))
+    assert got[2] == (2, T(2), T(6), None)
+    assert got[3] == (1, T(1), None, None)
+    assert got[4] == (1, T(0), None, None)
+    assert got[6] == (3, T(1), T(3), T(4))
+
+    # no window: u4's late B now completes
+    got4 = {r.user_id: r.n_steps
+            for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert got4[4] == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["A", "A"])
+
+
+def test_funnel_plan_one_exchange_filter_pushed(spark):
+    """Funnel shuffles once (the entity key) and the step-type filter
+    sits below the Exchange, so non-step events never move."""
+    import re
+
+    from tiledb_py_spark.streaming.events import funnel
+
+    df = spark.createDataFrame(
+        [(i % 9, i, "A" if i % 3 == 0 else "Z") for i in range(200)],
+        "user_id long, ts long, event_type string")
+    out = funnel(df, ["A", "B"])
+    s = out._jdf.queryExecution().explainString(
+        out._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
+    assert "Window" not in s
+    assert out.count() > 0

@@ -112,6 +112,71 @@ def sessionize(events: DataFrame, by="user_id", ts_col: str = "ts",
                .drop("__new"))
 
 
+def funnel(events: DataFrame, steps, by="user_id", ts_col: str = "ts",
+           step_col: str = "event_type", within=None) -> DataFrame:
+    """First-touch funnel analysis: for each ``by`` entity, the earliest
+    time every step prefix of ``steps`` completes IN ORDER.
+
+    Semantics (stated so the SQL replay is exact): step 1 matches the
+    entity's EARLIEST step-1 event; step i+1 matches the earliest
+    step-(i+1) event STRICTLY after the matched step-i time; with
+    ``within`` (an ``INTERVAL`` string or Column), every later step must
+    also land within that window of the matched step-1 time — the
+    standard "first touch" anchoring (a later step-1 event is never
+    reconsidered).  Greedy-earliest is optimal for the unwindowed
+    ordered-prefix match (exchange argument), so ``n_steps`` is the
+    maximal completed prefix under these semantics.
+
+    Returns one row per entity that emitted at least one step event:
+    ``(by, step1_ts..stepK_ts (null where unreached), n_steps)``.
+
+    Scale shape: non-step events are filtered BEFORE the one entity-key
+    shuffle; only (entity, ts, step_idx) rows move.  The per-entity
+    match is a row-local ``aggregate`` fold over the time-sorted event
+    array — no window chain, no k joins, no Python.  Per-entity state is
+    bounded by that entity's step-event count (the sessionize caveat)."""
+    k = len(steps)
+    if k == 0 or len(set(steps)) != k:
+        raise ValueError("steps must be a non-empty list of distinct "
+                         "step values")
+    by = [by] if isinstance(by, str) else list(by)
+    if isinstance(within, str):
+        within = F.expr(f"INTERVAL {within}")
+
+    si = F.when(F.col(step_col) == F.lit(steps[0]), 0)
+    for i, s in enumerate(steps[1:], start=1):
+        si = si.when(F.col(step_col) == F.lit(s), i)
+    ts_type = dict(events.dtypes)[ts_col]
+    ev = (events.select(*by, F.col(ts_col).alias("__ts"), si.alias("__si"))
+                .filter(F.col("__si").isNotNull()))
+    # (ts, step_idx) sort: ties in time order by step index; matching is
+    # strict-in-time so the tiebreak never changes the answer, it only
+    # fixes the fold order
+    agg = ev.groupBy(*by).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("__ts"),
+                                             F.col("__si")))).alias("__evs"))
+
+    init = F.array().cast(f"array<{ts_type}>")
+
+    def fold(acc, e):
+        need = F.size(acc)
+        after_prev = F.when(need == 0, F.lit(True)) \
+            .otherwise(e["__ts"] > F.element_at(acc, -1))
+        ok = (need < k) & (e["__si"] == need) & after_prev
+        if within is not None:
+            in_window = F.when(need == 0, F.lit(True)) \
+                .otherwise((e["__ts"] - F.element_at(acc, 1)) <= within)
+            ok = ok & in_window
+        return F.when(ok, F.concat(acc, F.array(e["__ts"]))).otherwise(acc)
+
+    out = agg.withColumn("__done", F.aggregate("__evs", init, fold))
+    cols = [F.when(F.size("__done") >= i + 1,
+                   F.element_at("__done", i + 1)).alias(f"step{i + 1}_ts")
+            for i in range(k)]
+    return out.select(*by, *cols,
+                      F.size("__done").cast("int").alias("n_steps"))
+
+
 def dedup_event_stream(events: DataFrame, keys=("event_id",),
                        time_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:
