@@ -768,6 +768,64 @@ def q_contamination(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+_CDC_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _cdc_array(spark, sf_dir) -> str:
+    """Changelog fixture: four fragments at PINNED manifest timestamps
+    (1000/2000/2100/2200 ms via write_fragment_pandas' explicit
+    timestamp) so the (ts1=1500, ts2=3000) window splits them
+    deterministically at every sf — base write before the window, then
+    an overwrite of p_partkey < 80 (+5000), a SAME-VALUE rewrite of
+    80 <= p_partkey < 100 (must NOT appear as a change), and an insert
+    of shifted new keys."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _CDC_ARRAY_CACHE:
+        return _CDC_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
+
+    uri = f"/tmp/tdbps_arrays/{key}/part_cdc"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "part")
+               .select("p_partkey", "p_retailprice").toPandas())
+        tdb.from_pandas(uri, pdf, index_dims=["p_partkey"],
+                        mode="schema_only")
+        schema = tdb.open(uri).schema
+        write_fragment_pandas(uri, schema, pdf, timestamp=1000)
+        upd = pdf[pdf["p_partkey"] < 80].copy()
+        upd["p_retailprice"] = upd["p_retailprice"] + 5000.0
+        write_fragment_pandas(uri, schema, upd, timestamp=2000)
+        noop = pdf[(pdf["p_partkey"] >= 80)
+                   & (pdf["p_partkey"] < 100)].copy()
+        write_fragment_pandas(uri, schema, noop, timestamp=2100)
+        ins = pdf[pdf["p_partkey"] < 40].copy()
+        ins["p_partkey"] = ins["p_partkey"] + 1_000_000
+        ins["p_retailprice"] = ins["p_retailprice"] + 7.0
+        write_fragment_pandas(uri, schema, ins, timestamp=2200)
+    _CDC_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_array_changelog(spark, sf_dir):
+    """CDC changelog between two array snapshots: net insert/update
+    effect of the (1500, 3000] window under last-write-wins, no-op
+    rewrites excluded, old and new values side by side.  The window's
+    cost is delta-sized: affected keys come from the window fragments'
+    dim columns only, and both snapshot scans are MBR-pruned + semi-
+    joined before the full-outer diff.  The oracle replays the two
+    logical snapshots and diffs them in SQL."""
+    from tiledb_py_spark.cdc import changelog
+
+    uri = _cdc_array(spark, sf_dir)
+    out = changelog(uri, 1500, 3000, spark=spark)
+    return (out.select("p_partkey", "change",
+                       F.round("p_retailprice_old", 2).alias("old_price"),
+                       F.round("p_retailprice_new", 2).alias("new_price"))
+               .orderBy("p_partkey"))
+
+
 def q_embedding_pca(spark, sf_dir):
     """Distributed PCA over the embeddings table, verified as assertions
     the oracle can state: (a) EXACT machinery — every returned
@@ -2475,23 +2533,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "embedding_pca": q_embedding_pca,
         "funnel": q_funnel,
-        # --- positions 45-50: tail gates rotated in for round 7
-        # (the block ends at salted_agg just below; multimodal_features,
-        # dedup_clusters, label_read, exact_dedup and simhash_neardup,
-        # displaced by the five new operator gates, lead the round-8
-        # rotation) ---
+        "array_changelog": q_array_changelog,
+        # --- positions 46-50: tail gates rotated in for round 7
+        # (the block ends at text_quality just below; salted_agg,
+        # multimodal_features, dedup_clusters, label_read, exact_dedup
+        # and simhash_neardup, displaced by the six new operator gates,
+        # lead the round-8 rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
-        "salted_agg": q_salted_agg,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  salted_agg above is position 50 (last
-        # in-window); rotation continues from multimodal_features next
-        # round.  Gates displaced round 7 (driver-green r06 rows):
+        # pytest-covered).  text_quality above is position 50 (last
+        # in-window); rotation continues from salted_agg next round.
+        # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "label_read": q_label_read,
@@ -3085,6 +3144,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, gh, count(*) AS cnt
                        FROM cg GROUP BY doc_id, gh) g USING (doc_id)
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        "array_changelog": """
+            WITH old AS (
+                SELECT p_partkey, round(p_retailprice, 2) AS price
+                FROM part
+            ),
+            new AS (
+                SELECT p_partkey,
+                       round(CASE WHEN p_partkey < 80
+                                  THEN p_retailprice + 5000.0
+                                  ELSE p_retailprice END, 2) AS price
+                FROM part
+                UNION ALL
+                SELECT p_partkey + 1000000,
+                       round(p_retailprice + 7.0, 2)
+                FROM part WHERE p_partkey < 40
+            )
+            SELECT coalesce(o.p_partkey, n.p_partkey) AS p_partkey,
+                   CASE WHEN o.p_partkey IS NULL THEN 'insert'
+                        WHEN n.p_partkey IS NULL THEN 'delete'
+                        ELSE 'update' END AS change,
+                   o.price AS old_price, n.price AS new_price
+            FROM old o FULL OUTER JOIN new n ON o.p_partkey = n.p_partkey
+            WHERE o.p_partkey IS NULL OR n.p_partkey IS NULL
+               OR o.price IS DISTINCT FROM n.price
+            ORDER BY p_partkey
         """,
         "funnel": """
             WITH se AS (

@@ -3066,3 +3066,102 @@ def test_funnel_plan_one_exchange_filter_pushed(spark):
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
     assert "Window" not in s
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# array changelog (cdc.py)
+# ---------------------------------------------------------------------------
+
+def _cdc_fixture(tmp_path):
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
+
+    uri = str(tmp_path / "cdc_arr")
+    base = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                         "v": np.arange(100, dtype="float64"),
+                         "s": [f"x{i}" for i in range(100)]})
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    schema = tdb.open(uri).schema
+    write_fragment_pandas(uri, schema, base, timestamp=1000)
+    upd = base[base.k < 30].copy()
+    upd["v"] += 100
+    write_fragment_pandas(uri, schema, upd, timestamp=2000)
+    noop = base[(base.k >= 30) & (base.k < 40)].copy()
+    write_fragment_pandas(uri, schema, noop, timestamp=2100)
+    ins = pd.DataFrame({"k": np.arange(1000, 1010, dtype="int64"),
+                        "v": np.zeros(10), "s": ["new"] * 10})
+    write_fragment_pandas(uri, schema, ins, timestamp=2200)
+    return uri, base
+
+
+def test_changelog_insert_update_delete(spark, tmp_path):
+    """Full CDC semantics on a controlled-timestamp fixture: updates
+    carry old+new values, SAME-value rewrites are not changes, inserts
+    and deletes classify, windows compose, and empty windows return an
+    empty typed frame."""
+    import pytest as _pytest
+
+    import tiledb_py_spark as tdb
+    import tiledb_py_spark.manifest as mfm
+    from tiledb_py_spark.cdc import changelog
+
+    uri, base = _cdc_fixture(tmp_path)
+    orig = mfm.now_ms
+    mfm.now_ms = lambda: 2300
+    try:
+        tdb.open(uri, mode="d").delete_cells("k >= 90 and k < 95")
+    finally:
+        mfm.now_ms = orig
+
+    out = changelog(uri, 1500, 3000, spark=spark).toPandas()
+    assert out.groupby("change").size().to_dict() == \
+        {"insert": 10, "update": 30, "delete": 5}
+    ups = out[out.change == "update"].sort_values("k")
+    assert (ups.v_new - ups.v_old == 100).all()
+    assert (ups.s_new == ups.s_old).all()
+    assert set(out[out.change == "delete"].k) == set(range(90, 95))
+    # windows before / between / after
+    assert len(changelog(uri, 100, 900, spark=spark).toPandas()) == 0
+    mid = changelog(uri, 1500, 2050, spark=spark).toPandas()
+    assert mid.groupby("change").size().to_dict() == {"update": 30}
+    tail = changelog(uri, 2250, 3000, spark=spark).toPandas()
+    assert tail.groupby("change").size().to_dict() == {"delete": 5}
+    # include_unchanged keeps the no-op rewrites with NULL change
+    allrows = changelog(uri, 1500, 3000, spark=spark,
+                        include_unchanged=True).toPandas()
+    assert allrows.change.isna().sum() == 10  # the k in [30,40) rewrite
+    with _pytest.raises(ValueError, match="ts1 < ts2"):
+        changelog(uri, 3000, 1500, spark=spark)
+
+
+def test_changelog_prunes_unaffected_fragments(spark, tmp_path):
+    """Write-only windows prune the snapshot scans by the delta's MBR:
+    updating only the high-key region must not scan the low-key base
+    fragment (manifest footer stats, no data job)."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark import stats
+    from tiledb_py_spark.cdc import changelog
+    from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
+
+    uri = str(tmp_path / "cdc_prune")
+    lo = pd.DataFrame({"k": np.arange(0, 100, dtype="int64"),
+                       "v": np.zeros(100)})
+    hi = pd.DataFrame({"k": np.arange(10_000, 10_100, dtype="int64"),
+                       "v": np.ones(100)})
+    tdb.from_pandas(uri, lo, index_dims=["k"], mode="schema_only")
+    schema = tdb.open(uri).schema
+    write_fragment_pandas(uri, schema, lo, timestamp=1000)
+    write_fragment_pandas(uri, schema, hi, timestamp=1001)
+    upd = hi.copy()
+    upd["v"] += 5
+    write_fragment_pandas(uri, schema, upd, timestamp=2000)
+
+    stats.stats_enable()
+    stats.stats_reset()
+    out = changelog(uri, 1500, 3000, spark=spark).toPandas()
+    from tiledb_py_spark.stats import _counters
+    pruned = _counters.get("py.fragments_pruned", 0)
+    stats.stats_disable()
+    assert len(out) == 100 and (out.change == "update").all()
+    # each snapshot scan prunes the lo fragment (2 scans -> >= 2 prunes)
+    assert pruned >= 2

@@ -15,6 +15,7 @@ column plumbing; ``streaming`` package with Structured Streaming ingestion.
 """
 
 from .aggregation import nan_safe_equal
+from .cdc import changelog
 from .ctx import Config, Ctx, default_ctx, scope_ctx
 from .filter_ import (BitShuffleFilter, BitWidthReductionFilter, Bzip2Filter,
                       ByteShuffleFilter, ChecksumMD5Filter,
