@@ -884,6 +884,128 @@ def q_embedding_pca(spark, sf_dir):
         "projection_exact boolean, persisted_roundtrip boolean")
 
 
+def q_wordpiece_scores(spark, sf_dir):
+    """WordPiece trainer iteration 0, hash-verified: adjacent symbol
+    pairs over the character alphabet (bare first chars, ##-prefixed
+    continuations) with the likelihood score pair/(left*right) — the
+    SQL-expressible piece that carries the oracle for the corpus-scale
+    machinery; the iterative trainer is checked by the
+    wordpiece_train reference gate."""
+    from tiledb_py_spark.operators.bpe import (wordpiece_pair_scores,
+                                               word_frequencies)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    out = wordpiece_pair_scores(word_frequencies(d, "text"))
+    # ln-space + round-4: the raw likelihood scores are ~1e-6 (the
+    # driver's float rounding would flatten them to 0); 4 decimals in
+    # ln space survives cross-engine libm ulp drift (kn_ppl precedent)
+    return (out.select("left", "right", "pair_count",
+                       F.round(F.log("score"), 4).alias("log_score"))
+               .orderBy("left", "right"))
+
+
+def q_wordpiece_train(spark, sf_dir):
+    """Full WordPiece vocabulary induction, verified as assertions the
+    oracle can state: (a) the 40-merge vocabulary learned through the
+    distributed word-frequency path equals a from-scratch pure-Python
+    WordPiece run on the collected raw text (likelihood score,
+    count-then-lexicographic tiebreak — stated determinism); (b)
+    greedy longest-match encoding is deterministic across invocations
+    and emits only vocabulary symbols (or [UNK]); (c) detokenizing the
+    encoded corpus (strip ##, rejoin) reproduces every word whose
+    characters are all in the alphabet."""
+    from collections import Counter
+
+    from tiledb_py_spark.operators.bpe import (_wp_symbols,
+                                               wordpiece_encode_udf,
+                                               wordpiece_train)
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    vocab = wordpiece_train(d, "text", n_merges=40, min_freq=2)
+
+    words: dict = {}
+    for t in (r[0] for r in d.select("text").collect()):
+        for w in t.lower().split():
+            s = _wp_symbols(w)
+            words[s] = words.get(s, 0) + 1
+    firsts = sorted({s[0] for s in words})
+    conts = sorted({c for s in words for c in s[1:]})
+    ref = firsts + conts
+    for _ in range(40):
+        pairs: Counter = Counter()
+        sym: Counter = Counter()
+        for s, c in words.items():
+            for i, x in enumerate(s):
+                sym[x] += c
+                if i < len(s) - 1:
+                    pairs[(x, s[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1] / (sym[kv[0][0]] * sym[kv[0][1]]),
+                                   -kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        ref.append(merged)
+
+        def mw(s):
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return tuple(out)
+
+        words = {mw(s): c for s, c in words.items()}
+    matches = vocab == ref
+
+    enc = wordpiece_encode_udf(vocab)
+    r1 = d.select("doc_id", enc(F.col("text")).alias("t")) \
+          .orderBy("doc_id").collect()
+    r2 = d.select("doc_id", enc(F.col("text")).alias("t")) \
+          .orderBy("doc_id").collect()
+    deterministic = all(x.t == y.t for x, y in zip(r1, r2))
+    allowed = set(vocab) | {"[UNK]"}
+    closed = all(tok in allowed for row in r1 for tok in row.t)
+    bare = {v for v in vocab if not v.startswith("##") and len(v) == 1}
+    cont = {v[2:] for v in vocab if v.startswith("##") and len(v) == 3}
+    rebuild_ok = True
+    it = iter(r1)
+    for row, txt in zip(it, (r[0] for r in
+                             d.select("text").orderBy("doc_id").collect())):
+        toks = list(row.t)
+        words_out, cur = [], ""
+        for tok in toks:
+            if tok.startswith("##"):
+                cur += tok[2:]
+            else:
+                if cur:
+                    words_out.append(cur)
+                cur = tok
+        if cur:
+            words_out.append(cur)
+        src = txt.lower().split()
+        covered = [w for w in src
+                   if w and w[0] in bare
+                   and all(c in cont for c in w[1:])]
+        got = [w for w in words_out if w != "[UNK]"]
+        if covered != got:
+            rebuild_ok = False
+            break
+    return spark.createDataFrame(
+        [(40, bool(matches), bool(deterministic), bool(closed),
+          bool(rebuild_ok))],
+        "n_merges int, vocab_matches_reference boolean, "
+        "encode_deterministic boolean, vocab_closed boolean, "
+        "detok_rebuilds boolean")
+
+
 def q_funnel(spark, sf_dir):
     """First-touch funnel (view -> click -> purchase within 12 hours of
     the first view): non-step events never shuffle, one entity-key
@@ -2534,22 +2656,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "funnel": q_funnel,
         "array_changelog": q_array_changelog,
-        # --- positions 46-50: tail gates rotated in for round 7
-        # (the block ends at text_quality just below; salted_agg,
-        # multimodal_features, dedup_clusters, label_read, exact_dedup
-        # and simhash_neardup, displaced by the six new operator gates,
-        # lead the round-8 rotation) ---
+        "wordpiece_scores": q_wordpiece_scores,
+        "wordpiece_train": q_wordpiece_train,
+        # --- positions 48-50: tail gates rotated in for round 7
+        # (the block ends at join_topk just below; array_range_read,
+        # text_quality, salted_agg, multimodal_features, dedup_clusters,
+        # label_read, exact_dedup and simhash_neardup, displaced by the
+        # eight new operator gates, lead the round-8 rotation) ---
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
-        "array_range_read": q_array_range_read,
-        "text_quality": q_text_quality,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  text_quality above is position 50 (last
-        # in-window); rotation continues from salted_agg next round.
-        # Gates displaced round 7 (driver-green r06 rows):
+        # pytest-covered).  join_topk above is position 50 (last
+        # in-window); rotation continues from array_range_read next
+        # round.  Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "array_range_read": q_array_range_read,
+        "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
@@ -3590,6 +3714,41 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": """
             SELECT 40 AS n_merges, true AS merges_match_reference,
                    true AS encode_deterministic, true AS vocab_closed
+        """,
+        "wordpiece_scores": r"""
+            WITH w AS (
+                SELECT lower(tok) AS word, count(*) AS cnt
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1
+            ),
+            p AS (
+                SELECT CASE WHEN i = 1 THEN word[i:i]
+                            ELSE '##' || word[i:i] END AS lft,
+                       '##' || word[i+1:i+1] AS rgt, cnt
+                FROM w, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+            ),
+            pc AS (SELECT lft, rgt, sum(cnt)::BIGINT AS pair_count
+                   FROM p GROUP BY 1, 2),
+            s AS (
+                SELECT CASE WHEN i = 1 THEN word[i:i]
+                            ELSE '##' || word[i:i] END AS sym,
+                       sum(cnt)::BIGINT AS sym_count
+                FROM w, UNNEST(generate_series(1, length(word))) AS u(i)
+                GROUP BY 1
+            )
+            SELECT pc.lft AS "left", pc.rgt AS "right", pair_count,
+                   round(ln(pair_count::DOUBLE
+                            / (ls.sym_count * rs.sym_count)), 4)
+                       AS log_score
+            FROM pc JOIN s ls ON ls.sym = pc.lft
+                    JOIN s rs ON rs.sym = pc.rgt
+            ORDER BY 1, 2
+        """,
+        "wordpiece_train": """
+            SELECT 40 AS n_merges, true AS vocab_matches_reference,
+                   true AS encode_deterministic, true AS vocab_closed,
+                   true AS detok_rebuilds
         """,
         "unigram_seed": r"""
             WITH w AS (

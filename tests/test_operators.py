@@ -3165,3 +3165,47 @@ def test_changelog_prunes_unaffected_fragments(spark, tmp_path):
     assert len(out) == 100 and (out.change == "update").all()
     # each snapshot scan prunes the lo fragment (2 scans -> >= 2 prunes)
     assert pruned >= 2
+
+
+def test_wordpiece_train_canonical_and_encode(spark):
+    """WordPiece pinned by hand: likelihood scoring must pick the RARE
+    pair over the frequent one BPE would take, merges strip the ##
+    prefix, greedy longest-match-first encoding and whole-word [UNK]
+    semantics hold."""
+    from tiledb_py_spark.operators.bpe import (wordpiece_encode_udf,
+                                               wordpiece_train)
+
+    # "ab" appears 100x; "xy" 4x.  BPE merges (a,##b) first (count 100);
+    # WordPiece scores (x,##y) = 4/(4*4) = 0.25 over 100/(100*100) = 0.01.
+    df = spark.createDataFrame(
+        [(0, ("ab " * 100) + ("xy " * 4))], ["i", "text"])
+    vocab = wordpiece_train(df, "text", n_merges=2, min_freq=2)
+    assert vocab[:4] == ["a", "x", "##b", "##y"]  # alphabet: firsts, conts
+    assert vocab[4] == "xy" and vocab[5] == "ab"  # rare-pair merge first
+
+    enc = wordpiece_encode_udf(vocab)
+    got = spark.createDataFrame(
+        [(0, "ab xy axb q xyz")], ["i", "text"]) \
+        .select(enc(F.col("text")).alias("t")).collect()[0].t
+    # "axb": a + ##? 'x' continuation not in vocab (only bare x) -> UNK;
+    # "q": unseen char -> UNK; "xyz": xy + ##z? ##z absent -> UNK
+    assert got == ["ab", "xy", "[UNK]", "[UNK]", "[UNK]"]
+
+    # longest-match-first: after merging, "ab" encodes as ONE piece,
+    # never a + ##b
+    assert "a" in vocab and "##b" in vocab  # pieces exist, yet unused
+
+
+def test_wordpiece_scores_match_manual(spark):
+    """Iteration-0 likelihood scores equal hand arithmetic."""
+    from tiledb_py_spark.operators.bpe import (word_frequencies,
+                                               wordpiece_pair_scores)
+
+    df = spark.createDataFrame([(0, "ab ab ba")], ["i", "text"])
+    got = {(r.left, r.right): (r.pair_count, r.score)
+           for r in wordpiece_pair_scores(
+               word_frequencies(df, "text")).collect()}
+    # symbols: a(x2 first in ab, ab) + ##a(x1 in ba); b(x1 first in ba)
+    # + ##b(x2).  pairs: (a,##b) x2, (b,##a) x1
+    assert got[("a", "##b")] == (2, 2 / (2 * 2))
+    assert got[("b", "##a")] == (1, 1 / (1 * 1))

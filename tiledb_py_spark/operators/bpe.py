@@ -1,8 +1,11 @@
-"""Distributed subword-tokenizer induction: BPE and unigram-LM.
+"""Distributed subword-tokenizer induction: BPE, WordPiece, unigram-LM.
 
 Classic byte-pair encoding (Sennrich et al. 2016, "Neural Machine
 Translation of Rare Words with Subword Units"): start from a character
 vocabulary, repeatedly merge the most frequent adjacent symbol pair.
+WordPiece (Schuster & Nakajima 2012; the BERT tokenizer): the same
+merge loop scored by likelihood ``count(ab)/(count(a)count(b))`` with
+``##`` continuation symbols and greedy longest-match encoding.
 Unigram-LM (Kudo 2018, "Subword Regularization" — the SentencePiece
 default): seed with frequent substrings, EM over all segmentations,
 prune to the vocabulary budget, Viterbi encode.
@@ -458,5 +461,208 @@ def unigram_token_count(df: DataFrame, text_col: str,
     ``lowercase`` must match the training normalization (the
     ``bpe_token_count`` contract)."""
     enc = unigram_encode_udf(model, lowercase=lowercase)
+    return df.withColumn(out_col,
+                         F.size(enc(F.col(text_col))).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (likelihood-scored merges, ## continuation prefix)
+# ---------------------------------------------------------------------------
+
+CONT_PREFIX = "##"
+UNK_TOKEN = "[UNK]"
+
+
+def _wp_symbols(word: str, cont_prefix: str = CONT_PREFIX
+                ) -> Tuple[str, ...]:
+    return tuple(c if i == 0 else cont_prefix + c
+                 for i, c in enumerate(word))
+
+
+def wordpiece_pair_scores(words: DataFrame, word_col: str = "word",
+                          count_col: str = "count",
+                          cont_prefix: str = CONT_PREFIX) -> DataFrame:
+    """WordPiece trainer iteration 0 as a DataFrame — the
+    SQL-expressible piece (the ``bpe_pair_counts`` role): adjacent
+    symbol pairs over the character alphabet (first char bare,
+    continuations ``##``-prefixed) with the WordPiece likelihood score
+    ``pair_count / (left_count * right_count)``.  Two vocabulary-sized
+    aggregations + one join; the corpus never re-scans."""
+    chars = F.split(F.col(word_col), "")
+    n = F.size(chars)
+    sym = lambda i: F.when(i == 1, F.element_at(chars, i)) \
+        .otherwise(F.concat(F.lit(cont_prefix), F.element_at(chars, i)))
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(sym(i).alias("left"),
+                           sym(i + 1).alias("right")))
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    pc = (words
+          .select(F.col(count_col).alias("__c"),
+                  F.explode(pairs).alias("p"))
+          .groupBy(F.col("p.left").alias("left"),
+                   F.col("p.right").alias("right"))
+          .agg(F.sum("__c").cast("long").alias("pair_count")))
+    syms = F.transform(F.sequence(F.lit(1), n), lambda i: sym(i))
+    sc = (words
+          .select(F.col(count_col).alias("__c"),
+                  F.explode(syms).alias("sym"))
+          .groupBy("sym").agg(F.sum("__c").cast("long").alias("sym_count")))
+    return (pc
+            .join(F.broadcast(sc.withColumnRenamed("sym", "left")
+                  .withColumnRenamed("sym_count", "left_count")), "left")
+            .join(F.broadcast(sc.withColumnRenamed("sym", "right")
+                  .withColumnRenamed("sym_count", "right_count")), "right")
+            .select("left", "right", "pair_count",
+                    (F.col("pair_count")
+                     / (F.col("left_count") * F.col("right_count")))
+                    .cast("double").alias("score")))
+
+
+def wordpiece_train(df: DataFrame, text_col: str, n_merges: int = 100,
+                    min_freq: int = 2, cont_prefix: str = CONT_PREFIX,
+                    tokens_col: Optional[Column] = None,
+                    lowercase: bool = True,
+                    max_vocab_rows: int = 2_000_000) -> List[str]:
+    """Learn a WordPiece vocabulary (Schuster & Nakajima 2012; the BERT
+    tokenizer): like BPE, but each merge maximizes the LIKELIHOOD score
+    ``count(ab) / (count(a) * count(b))`` instead of the raw pair
+    count.  Returns the ordered vocabulary: every alphabet symbol seen
+    in the corpus (bare first-chars, then ``##``-prefixed
+    continuations, each lexicographic), then the merged pieces in
+    creation order.
+
+    Deterministic: ties break on (higher pair count, lexicographic
+    (left, right)) — stated so a reference implementation replays the
+    identical vocabulary.  ``min_freq`` floors the PAIR count (a
+    high-score rare pair is noise).  Same scale split and
+    ``max_vocab_rows`` guard as ``bpe_train``: one corpus-sized
+    aggregation, driver loop over the vocabulary-sized summary."""
+    wf = word_frequencies(df, text_col, tokens_col=tokens_col,
+                          lowercase=lowercase)
+    rows = wf.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"wordpiece_train: word-frequency table exceeds "
+            f"max_vocab_rows={max_vocab_rows}; is {text_col!r} tokenized "
+            "text? Raise max_vocab_rows to override.")
+    from collections import Counter
+
+    words: dict = {}
+    for r in rows:
+        w = r["word"]
+        if not w:
+            continue
+        syms = _wp_symbols(w, cont_prefix)
+        words[syms] = words.get(syms, 0) + r["count"]
+
+    firsts = sorted({s[0] for s in words})
+    conts = sorted({c for s in words for c in s[1:]})
+    vocab: List[str] = firsts + conts
+    np_ = len(cont_prefix)
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for syms, c in words.items():
+            for i, s in enumerate(syms):
+                sym_counts[s] += c
+                if i < len(syms) - 1:
+                    pairs[(s, syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1] / (sym_counts[kv[0][0]]
+                                      * sym_counts[kv[0][1]]),
+                            -kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merged = a + (b[np_:] if b.startswith(cont_prefix) else b)
+        vocab.append(merged)
+        words = {_wp_merge_word(s, (a, b), merged): c
+                 for s, c in words.items()}
+    return vocab
+
+
+def _wp_merge_word(symbols: Tuple[str, ...], pair: Tuple[str, str],
+                   merged: str) -> Tuple[str, ...]:
+    """Like ``_merge_word`` but the merged symbol is supplied (WordPiece
+    strips the continuation prefix off the right side)."""
+    out: List[str] = []
+    i, L = 0, len(symbols)
+    a, b = pair
+    while i < L:
+        if i < L - 1 and symbols[i] == a and symbols[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def wordpiece_encode_udf(vocab: Sequence[str],
+                         cont_prefix: str = CONT_PREFIX,
+                         unk_token: str = UNK_TOKEN,
+                         lowercase: bool = True):
+    """Arrow-batched WordPiece encoder: greedy longest-match-first per
+    word over the learned vocabulary (the BERT inference algorithm); a
+    word with no match at any position becomes one ``unk_token``.
+    Memoized per batch worker — web text re-encodes the same words
+    constantly."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = frozenset(vocab)
+
+    def encode_word(w: str, memo: dict) -> List[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        toks: List[str] = []
+        i, L = 0, len(w)
+        while i < L:
+            j = L
+            while j > i:
+                piece = w[i:j] if i == 0 else cont_prefix + w[i:j]
+                if piece in vset:
+                    break
+                j -= 1
+            else:
+                toks = [unk_token]
+                break
+            toks.append(piece)
+            i = j
+        memo[w] = toks
+        return toks
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for t in col:
+            if t is None:
+                out.append(None)
+                continue
+            toks: List[str] = []
+            for w in (t.lower() if lowercase else t).split():
+                toks.extend(encode_word(w, memo))
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc
+
+
+def wordpiece_token_count(df: DataFrame, text_col: str,
+                          vocab: Sequence[str],
+                          out_col: str = "n_tokens_wordpiece",
+                          cont_prefix: str = CONT_PREFIX,
+                          unk_token: str = UNK_TOKEN,
+                          lowercase: bool = True) -> DataFrame:
+    """Token counts under the learned WordPiece vocabulary;
+    normalization parameters must match training (the
+    ``bpe_token_count`` contract)."""
+    enc = wordpiece_encode_udf(vocab, cont_prefix=cont_prefix,
+                               unk_token=unk_token, lowercase=lowercase)
     return df.withColumn(out_col,
                          F.size(enc(F.col(text_col))).cast("long"))
