@@ -1020,6 +1020,27 @@ def q_funnel(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix: users grouped by first-event day,
+    counted in each later day they reappear.  No window function — the
+    cohort pin is a min() aggregation, activity a distinct, offsets
+    row-local arithmetic."""
+    from tiledb_py_spark.streaming.events import cohort_retention
+
+    e = _events(spark, sf_dir)
+    return cohort_retention(e, period="day")
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order clickstream transition counts (Markov summary) with
+    __start__ rows; one entity-key Exchange feeding a 2-string-row
+    aggregation."""
+    from tiledb_py_spark.streaming.events import event_transitions
+
+    e = _events(spark, sf_dir)
+    return event_transitions(e)
+
+
 def q_bloom_decontam(spark, sf_dir):
     """End-to-end decontamination on the BLOOM scale path: membership
     prefilter via a distributed-built Bloom bitmap (so the benchmark
@@ -2658,20 +2679,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_changelog": q_array_changelog,
         "wordpiece_scores": q_wordpiece_scores,
         "wordpiece_train": q_wordpiece_train,
-        # --- positions 48-50: tail gates rotated in for round 7
-        # (the block ends at join_topk just below; array_range_read,
-        # text_quality, salted_agg, multimodal_features, dedup_clusters,
-        # label_read, exact_dedup and simhash_neardup, displaced by the
-        # eight new operator gates, lead the round-8 rotation) ---
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        # --- position 50: tail gate rotated in for round 7 (ten new
+        # operator gates displaced the rest of the rotated block;
+        # array_sql, join_topk, array_range_read, text_quality,
+        # salted_agg, multimodal_features, dedup_clusters, label_read,
+        # exact_dedup and simhash_neardup lead the round-8 rotation) ---
         "multi_range": q_multi_range,
-        "array_sql": q_array_sql,
-        "join_topk": q_join_topk,
         # --- tail: long-stable gates, every one still oracle-checked
         # each round by tools/check_correctness.py (most also
-        # pytest-covered).  join_topk above is position 50 (last
-        # in-window); rotation continues from array_range_read next
-        # round.  Gates displaced round 7 (driver-green r06 rows):
+        # pytest-covered).  multi_range above is position 50 (last
+        # in-window); rotation continues from array_sql next round.
+        # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "array_sql": q_array_sql,
+        "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
@@ -3294,6 +3317,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.p_partkey IS NULL OR n.p_partkey IS NULL
                OR o.price IS DISTINCT FROM n.price
             ORDER BY p_partkey
+        """,
+        "cohort_retention": """
+            WITH first AS (
+                SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS p
+                FROM events
+            )
+            SELECT cohort,
+                   date_diff('day', cohort, p)::INT AS period_offset,
+                   count(*)::BIGINT AS n_active
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_transitions": """
+            SELECT from_step, to_step, count(*)::BIGINT AS n
+            FROM (SELECT coalesce(lag(event_type) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, event_id),
+                             '__start__') AS from_step,
+                         event_type AS to_step
+                  FROM events)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "funnel": """
             WITH se AS (

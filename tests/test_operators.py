@@ -3209,3 +3209,33 @@ def test_wordpiece_scores_match_manual(spark):
     # + ##b(x2).  pairs: (a,##b) x2, (b,##a) x1
     assert got[("a", "##b")] == (2, 2 / (2 * 2))
     assert got[("b", "##a")] == (1, 1 / (1 * 1))
+
+
+def test_cohort_retention_and_transitions_hand_cases(spark):
+    """Cohort retention and transition counts pinned by hand."""
+    from datetime import datetime
+
+    from tiledb_py_spark.streaming.events import (cohort_retention,
+                                                  event_transitions)
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        (1, 10, D(1), "view"), (2, 10, D(1, 5), "click"),   # same day
+        (3, 10, D(3), "view"),                              # back day 3
+        (4, 20, D(2), "view"), (5, 20, D(4), "purchase"),
+        (6, 30, D(1), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.cohort.day, r.period_offset): r.n_active
+           for r in cohort_retention(df, period="day").collect()}
+    assert got == {(1, 0): 2, (1, 2): 1, (2, 0): 1, (2, 2): 1}
+
+    t = {(r.from_step, r.to_step): r.n
+         for r in event_transitions(df).collect()}
+    assert t == {("__start__", "view"): 3, ("view", "click"): 1,
+                 ("click", "view"): 1, ("view", "purchase"): 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="hour")

@@ -6,14 +6,15 @@ a cartesian product), which is O(|l|*|r|) work however selective the
 predicate — the classic 100 TB cliff for event-to-window attribution,
 campaign overlap analysis, and span containment.
 
-The fix here is the standard grid (1-D spatial) partitioning, built from
-the same range-bucket machinery as the keyless as-of join
-(``stats_bounds.monotonic_view`` / ``resolve_bounds`` /
-``bucket_index``):
+The fix here is the standard grid (1-D spatial) partitioning, sharing
+the keyless as-of join's monotonic numeric space
+(``stats_bounds.monotonic_view``) but with UNIFORM-width buckets (see
+``_uniform_bucket`` for why quantile cuts are the wrong tool for a join
+key):
 
-- the time axis is cut into ``num_buckets`` ranges (sampled quantiles of
-  the point side, or caller-supplied ``bounds`` from parquet footer
-  statistics — zero extra jobs);
+- the time axis is cut into ``num_buckets`` uniform ranges over the
+  point side's (min, max) — one cheap aggregation, or zero jobs with
+  caller-supplied ``bounds`` (e.g. parquet footer statistics);
 - each point lands in exactly ONE bucket; each interval is replicated
   into the buckets it spans;
 - the join becomes an EQUI join on (by-keys..., bucket) plus the exact
@@ -47,9 +48,40 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+from .stats_bounds import monotonic_view
 
 _BKT = "__iv_bkt"
+
+
+def _resolve_range(df, d, bounds) -> tuple:
+    """(lo, hi) of the bucketing range: min/max of caller-supplied
+    ``bounds`` (any cut list works, e.g. parquet-footer quantiles — no
+    job), else one cheap min/max aggregation over the point side."""
+    if bounds is not None and len(bounds) > 0:
+        bs = [float(b) for b in bounds]
+        return min(bs), max(bs)
+    row = df.select(F.min(d).alias("lo"), F.max(d).alias("hi")).first()
+    if row is None or row.lo is None:
+        return 0.0, 0.0
+    return float(row.lo), float(row.hi)
+
+
+def _uniform_bucket(d, lo: float, hi: float, nb: int):
+    """Uniform-width bucket id in [0, nb-1] — plain arithmetic, fully
+    whole-stage-codegen'd.  The as-of join's quantile buckets
+    (``stats_bounds.bucket_index``) were measured ~10x slower here: the
+    higher-order ``filter`` over a 64-literal array is interpreted,
+    allocating the array per evaluated row.  Uniform buckets are safe
+    for a JOIN key (unlike as-of's per-bucket windows): the stream side
+    of a hash join never shuffles, so bucket skew does not become task
+    skew, and AQE splits any skewed sort-merge partition.  Out-of-range
+    values clamp to the edge buckets, which only affects balance, never
+    membership."""
+    if nb <= 1 or hi <= lo:
+        return F.lit(0)
+    width = (hi - lo) / nb
+    return F.least(F.lit(nb - 1), F.greatest(F.lit(0), F.floor(
+        (d - F.lit(lo)) / F.lit(width)).cast("int")))
 
 
 def _range_pred(t, s, e, closed: str):
@@ -84,9 +116,10 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
       null interval columns and requires ``point_id``, a unique point
       key, so unmatched rows are recovered by anti-join — no reliance
       on nondeterministic row ids).
-    - ``bounds``: precomputed bucket cuts in the monotonic numeric space
-      of ``on`` (e.g. ``stats_bounds.parquet_range_bounds``) — skips the
-      sampled-quantile job.
+    - ``bounds``: precomputed values in the monotonic numeric space of
+      ``on`` whose min/max set the bucketing range (any cut list works,
+      e.g. ``stats_bounds.parquet_range_bounds``) — skips the min/max
+      job.
     - ``long_span_buckets``: intervals spanning more buckets than this
       take the broadcast path instead of grid replication.
 
@@ -112,8 +145,8 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
                          f"columns: {sorted(clash)}")
 
     d_t = monotonic_view(on, dict(points.dtypes)[on])
-    bounds = resolve_bounds(points, d_t, num_buckets, bounds)
-    nb = len(bounds) + 1
+    lo, hi = _resolve_range(points, d_t, bounds)
+    nb = num_buckets if hi > lo else 1
 
     iv_dt = dict(intervals.dtypes)
     iv = intervals.select(
@@ -124,11 +157,11 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
              & (F.col("__iv_s") <= F.col("__iv_e")))
     d_s = monotonic_view("__iv_s", iv_dt[start])
     d_e = monotonic_view("__iv_e", iv_dt[end])
-    iv = iv.withColumn("__b0", bucket_index(d_s, bounds)) \
-           .withColumn("__b1", bucket_index(d_e, bounds))
+    iv = iv.withColumn("__b0", _uniform_bucket(d_s, lo, hi, nb)) \
+           .withColumn("__b1", _uniform_bucket(d_e, lo, hi, nb))
 
     pt = points.withColumn(
-        _BKT, F.when(d_t.isNotNull(), bucket_index(d_t, bounds)))
+        _BKT, F.when(d_t.isNotNull(), _uniform_bucket(d_t, lo, hi, nb)))
     pred = _range_pred(F.col(on), F.col("__iv_s"), F.col("__iv_e"), closed)
     drop = ["__iv_s", "__iv_e", "__b0", "__b1"]
 
@@ -198,8 +231,8 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
 
     l_dt, r_dt = dict(left.dtypes), dict(right.dtypes)
     d_ls = monotonic_view(lstart, l_dt[lstart])
-    bounds = resolve_bounds(left, d_ls, num_buckets, bounds)
-    nb = len(bounds) + 1
+    lo, hi = _resolve_range(left, d_ls, bounds)
+    nb = num_buckets if hi > lo else 1
     split = long_span_buckets < nb
 
     def prep(df, s, e, s_al, e_al, keep, key_alias):
@@ -209,10 +242,10 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         ).filter(F.col(s_al).isNotNull() & F.col(e_al).isNotNull()
                  & (F.col(s_al) <= F.col(e_al)))
         dt = dict(df.dtypes)
-        return (out.withColumn("__b0", bucket_index(
-                    monotonic_view(s_al, dt[s]), bounds))
-                   .withColumn("__b1", bucket_index(
-                    monotonic_view(e_al, dt[e]), bounds)))
+        return (out.withColumn("__b0", _uniform_bucket(
+                    monotonic_view(s_al, dt[s]), lo, hi, nb))
+                   .withColumn("__b1", _uniform_bucket(
+                    monotonic_view(e_al, dt[e]), lo, hi, nb)))
 
     lhs = prep(left, lstart, lend, "__l_s", "__l_e",
                [F.col(c) for c in left.columns if c not in by], "__lk_")

@@ -177,6 +177,64 @@ def funnel(events: DataFrame, steps, by="user_id", ts_col: str = "ts",
                       F.size("__done").cast("int").alias("n_steps"))
 
 
+def cohort_retention(events: DataFrame, by="user_id", ts_col: str = "ts",
+                     period: str = "week") -> DataFrame:
+    """Cohort retention matrix: entities grouped by the period of their
+    FIRST event (the cohort), counted in every later period they
+    reappear.  Returns ``(cohort, period_offset, n_active)`` with
+    offset 0 = the cohort period itself (so ``n_active`` at offset 0 is
+    the cohort size).
+
+    Scale shape: one entity-key aggregation pins the cohort
+    (``min(ts)`` — no window), one (entity, period) distinct, one
+    broadcast-sized join back on the entity key; counts shuffle
+    (cohort, offset) pairs only.  ``period``: 'week' (date_trunc
+    weeks), 'day', or 'month' (calendar-month offsets)."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    by = [by] if isinstance(by, str) else list(by)
+    p = F.date_trunc(period, F.col(ts_col))
+    first = (events.groupBy(*by)
+             .agg(F.date_trunc(period, F.min(ts_col)).alias("__cohort")))
+    active = (events.select(*by, p.alias("__p"))
+              .dropDuplicates([*by, "__p"]))
+    j = active.join(first, on=by, how="inner")
+    if period == "month":
+        off = (F.months_between(F.col("__p"), F.col("__cohort"))
+               .cast("int"))
+    else:
+        days = F.datediff(F.col("__p").cast("date"),
+                          F.col("__cohort").cast("date"))
+        off = (days / (7 if period == "week" else 1)).cast("int")
+    return (j.groupBy(F.col("__cohort").alias("cohort"),
+                      off.alias("period_offset"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+             .orderBy("cohort", "period_offset"))
+
+
+def event_transitions(events: DataFrame, by="user_id",
+                      ts_col: str = "ts", step_col: str = "event_type",
+                      tiebreak_cols=("event_id",)) -> DataFrame:
+    """First-order transition counts between consecutive events of each
+    entity (the Markov-chain / clickstream-path summary): one row per
+    (from_step, to_step) with the transition count, plus ``__start__``
+    rows for each entity's first event.  ONE entity-key Exchange (the
+    lead window), then a (from, to)-pair aggregation of 2-string rows;
+    ties on ``ts`` order via ``tiebreak_cols``."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev = F.lag(step_col).over(w)
+    return (events
+            .select(F.coalesce(prev, F.lit("__start__")).alias("from_step"),
+                    F.col(step_col).alias("to_step"))
+            .groupBy("from_step", "to_step")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("from_step", "to_step"))
+
+
 def dedup_event_stream(events: DataFrame, keys=("event_id",),
                        time_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:

@@ -195,7 +195,113 @@ def r_pack_materialize(spark, sf_dir):
         "toks", ["doc_id"], max_tokens=2048, by="source", pad_token="")
 
 
+def r_interval_join(spark, sf_dir):
+    # per-user attribution shape: linear in sf (entities scale, per-
+    # entity density constant — the keyless grid would grow pairwise)
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    e = _events(spark, sf_dir)
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("user_id", F.col("event_id").alias("click_id"),
+                       "ts"))
+    iv = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("event_id").alias("promo_id"),
+                   F.col("ts").alias("s"))
+           .withColumn("e", F.col("s") + F.expr("INTERVAL 12 HOURS")))
+    return interval_join(clicks, iv, on="ts", start="s", end="e",
+                         by=["user_id"], interval_cols=["promo_id"],
+                         suffix="")
+
+
+def r_interval_overlap(spark, sf_dir):
+    from tiledb_py_spark.operators.intervals import interval_overlap_join
+
+    e = _events(spark, sf_dir)
+    pw = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("event_id").alias("p_id"),
+                   F.col("ts").alias("ps"))
+           .withColumn("pe", F.col("ps") + F.expr("INTERVAL 60 MINUTES")))
+    ew = (e.filter(F.col("event_type") == "error")
+           .select("user_id", F.col("event_id").alias("e_id"),
+                   F.col("ts").alias("es"))
+           .withColumn("ee", F.col("es") + F.expr("INTERVAL 45 MINUTES")))
+    return interval_overlap_join(pw, ew, "ps", "pe", "es", "ee",
+                                 by=["user_id"], right_cols=["e_id"],
+                                 suffix="")
+
+
+def r_bloom_decontam(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0) \
+             .select(F.col("text").alias("btext"))
+    return decontaminate(d, bench, "text", "doc_id",
+                         bench_text_col="btext", n=8,
+                         strategy="bloom", bloom_bits=1 << 23)
+
+
+def r_funnel(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import funnel
+
+    return funnel(_events(spark, sf_dir),
+                  ["view", "click", "purchase"], within="12 HOURS")
+
+
+def r_embedding_pca(spark, sf_dir):
+    from tiledb_py_spark.operators.similarity import PCAModel
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    m = PCAModel(n_components=16).fit(e, "embedding")
+    return m.transform(e, "embedding").select("vec_id", "pca")
+
+
+def r_wordpiece(spark, sf_dir):
+    from tiledb_py_spark.operators.bpe import (wordpiece_token_count,
+                                               wordpiece_train)
+
+    d = _docs(spark, sf_dir)
+    vocab = wordpiece_train(d, "text", n_merges=200, min_freq=2)
+    return wordpiece_token_count(d, "text", vocab).select(
+        "doc_id", "n_tokens_wordpiece")
+
+
+def r_changelog(spark, sf_dir):
+    # fixture array (cached per sf dir): base + overwrite + insert on
+    # the part table at pinned timestamps; the timed operator is the
+    # delta-sized diff, not the one-off ingest
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.cdc import changelog
+    from tiledb_py_spark.sources.fragment_writer import (
+        write_fragment_pandas, write_fragment_spark)
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    uri = os.path.join(tempfile.gettempdir(), "tdbps_scale", key,
+                       "part_cdc")
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
+            .select("p_partkey", "p_retailprice")
+        pdf_head = part.limit(1).toPandas()
+        tdb.from_pandas(uri, pdf_head, index_dims=["p_partkey"],
+                        mode="schema_only")
+        schema = tdb.open(uri).schema
+        write_fragment_spark(uri, schema, part, timestamp=1000)
+        upd = part.filter(F.col("p_partkey") % 10 == 0) \
+            .withColumn("p_retailprice", F.col("p_retailprice") + 5000.0)
+        write_fragment_spark(uri, schema, upd, timestamp=2000)
+    return changelog(uri, 1500, 3000, spark=spark)
+
+
 RUNNERS = {
+    "interval_join": r_interval_join,
+    "interval_overlap": r_interval_overlap,
+    "bloom_decontam": r_bloom_decontam,
+    "funnel": r_funnel,
+    "embedding_pca": r_embedding_pca,
+    "wordpiece": r_wordpiece,
+    "changelog": r_changelog,
     "minhash_dedup": r_minhash_dedup,
     "dedup_clusters_lsh": r_dedup_clusters_lsh,
     "line_dedup": r_line_dedup,
