@@ -1020,6 +1020,20 @@ def q_funnel(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters through the Misra-Gries sketch path: a
+    per-partition k-counter digest (zero shuffles, bounded collect)
+    nominates candidates, an exact recount + true-threshold filter
+    makes the output independent of sketch noise — so the plain GROUP
+    BY / HAVING oracle states it exactly."""
+    from tiledb_py_spark.operators.sketches import heavy_hitters
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.transform(whitespace_tokens("text"), lambda t: F.lower(t))
+    return heavy_hitters(d, toks, threshold_frac=0.005)
+
+
 def q_cohort_retention(spark, sf_dir):
     """Daily cohort retention matrix: users grouped by first-event day,
     counted in each later day they reappear.  No window function — the
@@ -1042,12 +1056,14 @@ def q_event_transitions(spark, sf_dir):
 
 
 def q_bloom_decontam(spark, sf_dir):
-    """End-to-end decontamination on the BLOOM scale path: membership
-    prefilter via a distributed-built Bloom bitmap (so the benchmark
-    gram set never has to fit a broadcast hash join), exact verify join
-    removing false positives — the surviving corpus must equal the
-    broadcast strategy's answer bit-for-bit, which is what the plain
-    SQL oracle states."""
+    """End-to-end decontamination on the PREFILTER scale path: a k=1
+    Bloom filter realized as a JVM broadcast semi-join on the truncated
+    gram hash (stays in whole-stage codegen; the full gram set never
+    has to fit a broadcast hash join), exact verify join removing false
+    positives — the surviving corpus must equal the broadcast
+    strategy's answer bit-for-bit, which is what the plain SQL oracle
+    states.  The memory-minimal Arrow-bitmap variant
+    (strategy='bloom') is pytest-pinned equal."""
     from tiledb_py_spark.operators.dedup import decontaminate, md5_hash60
 
     d = _t(spark, sf_dir, "documents")
@@ -1057,7 +1073,7 @@ def q_bloom_decontam(spark, sf_dir):
     out = decontaminate(corpus, bench, "text", "doc_id",
                         n=5, gram_hash=md5_hash60,
                         tokens_col=ws, bench_tokens_col=ws,
-                        strategy="bloom", bloom_bits=1 << 20)
+                        strategy="prefilter", bloom_bits=1 << 20)
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
@@ -2681,18 +2697,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
-        # --- position 50: tail gate rotated in for round 7 (ten new
-        # operator gates displaced the rest of the rotated block;
-        # array_sql, join_topk, array_range_read, text_quality,
-        # salted_agg, multimodal_features, dedup_clusters, label_read,
-        # exact_dedup and simhash_neardup lead the round-8 rotation) ---
-        "multi_range": q_multi_range,
-        # --- tail: long-stable gates, every one still oracle-checked
-        # each round by tools/check_correctness.py (most also
-        # pytest-covered).  multi_range above is position 50 (last
-        # in-window); rotation continues from array_sql next round.
+        "heavy_hitters": q_heavy_hitters,
+        # --- tail: the TWELVE new operator gates above displaced the
+        # whole rotated block this round; multi_range, array_sql,
+        # join_topk, array_range_read, text_quality, salted_agg,
+        # multimodal_features, dedup_clusters, label_read, exact_dedup
+        # and simhash_neardup lead the round-8 rotation.  Every tail
+        # gate is still oracle-checked each round by
+        # tools/check_correctness.py (most also pytest-covered).
         # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
@@ -3317,6 +3332,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.p_partkey IS NULL OR n.p_partkey IS NULL
                OR o.price IS DISTINCT FROM n.price
             ORDER BY p_partkey
+        """,
+        "heavy_hitters": r"""
+            WITH tok AS (
+                SELECT lower(t) AS item
+                FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                             '\s+')) AS t
+                      FROM documents WHERE length(trim(text)) > 0)
+            ),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT item, count(*)::BIGINT AS n
+            FROM tok, tot
+            GROUP BY item, tot.n
+            HAVING count(*) > tot.n * 0.005
+            ORDER BY 2 DESC, 1
         """,
         "cohort_retention": """
             WITH first AS (

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "interval_overlap",
     "bloom_decontam",
     "funnel",
+    "cohort_retention",
+    "event_transitions",
+    "heavy_hitters",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -2903,12 +2903,15 @@ def test_contamination_bloom_strategy_exact(spark):
     base = ngram_contamination_stats(corpus, bench, "text", "doc_id", n=5) \
         .orderBy("doc_id").toPandas()
     assert (base.n_grams > 0).any()
-    for bits, k in ((1 << 18, 6), (1 << 10, 1)):  # sane / FP-saturated
+    for strat, bits, k in (("bloom", 1 << 18, 6),
+                           ("bloom", 1 << 10, 1),   # FP-saturated
+                           ("prefilter", 1 << 18, 1),
+                           ("prefilter", 1 << 6, 1)):  # FP-saturated
         got = ngram_contamination_stats(
             corpus, bench, "text", "doc_id", n=5,
-            strategy="bloom", bloom_bits=bits, bloom_k=k) \
+            strategy=strat, bloom_bits=bits, bloom_k=k) \
             .orderBy("doc_id").toPandas()
-        assert got.equals(base), (bits, k)
+        assert got.equals(base), (strat, bits, k)
     with _pytest.raises(ValueError, match="strategy"):
         ngram_contamination_stats(corpus, bench, "text", "doc_id",
                                   strategy="minhash")
@@ -3239,3 +3242,48 @@ def test_cohort_retention_and_transitions_hand_cases(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="period"):
         cohort_retention(df, period="hour")
+
+
+def test_mg_digest_bounds_and_heavy_hitters_exact(spark):
+    """Misra-Gries digest: never overcounts, every item above the
+    merged error bound 2n/(k+1) survives; heavy_hitters equals the
+    exact GROUP BY/HAVING answer on skewed random data at several
+    thresholds; bad thresholds refuse."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.sketches import heavy_hitters, mg_digest
+
+    rng = np.random.RandomState(41)
+    # zipf-ish: item i with weight ~ 1/(i+1)
+    pop = [f"w{i}" for i in range(200)]
+    probs = 1.0 / np.arange(1, 201)
+    probs /= probs.sum()
+    items = rng.choice(pop, 20_000, p=probs)
+    df = spark.createDataFrame(
+        [(i, [str(x) for x in items[i * 50:(i + 1) * 50]])
+         for i in range(400)], "i long, toks array<string>")
+    df = df.repartition(8)
+
+    exact = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    n = len(items)
+
+    for k in (20, 100):
+        dg = mg_digest(df, "toks", k=k)
+        assert len(dg) <= k
+        assert all(c <= exact[i] for i, c in dg.items())  # no overcount
+        bound = 2 * n / (k + 1)
+        for i, c in exact.items():
+            if c > bound:
+                assert i in dg, (k, i, c)
+
+    for frac in (0.01, 0.002):
+        got = [(r.item, r.n) for r in
+               heavy_hitters(df, "toks", threshold_frac=frac).collect()]
+        want = sorted(((i, c) for i, c in exact.items() if c > n * frac),
+                      key=lambda t: (-t[1], t[0]))
+        assert got == want, frac
+
+    with _pytest.raises(ValueError, match="threshold_frac"):
+        heavy_hitters(df, "toks", threshold_frac=0)

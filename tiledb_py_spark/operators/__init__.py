@@ -17,6 +17,8 @@
   temperature), DSIR selection, chunking, packing, token budgets, PII
   scrub, shard writer
 - ``multimodal`` — binary columns + Arrow-batched decode plumbing
+- ``sketches`` — mergeable Misra-Gries digests + exact heavy hitters
+  (sketch-nominated candidates, exact recount)
 - ``asof`` / ``intervals`` — point-in-time, point-in-interval, and
   interval-overlap joins (union+window and grid-bucket strategies; no
   nested-loop fallback), imported directly by callers
@@ -29,7 +31,7 @@ stats, PQ/ADC, BPE encode) or unavoidable (multimodal decode stubs).
 """
 
 from . import (bpe, classifier, dedup, multimodal, pipeline, retrieval,
-               similarity, text)
+               similarity, sketches, text)
 
 __all__ = ["bpe", "classifier", "dedup", "multimodal", "pipeline",
-           "retrieval", "similarity", "text"]
+           "retrieval", "similarity", "sketches", "text"]

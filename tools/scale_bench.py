@@ -238,7 +238,7 @@ def r_bloom_decontam(spark, sf_dir):
              .select(F.col("text").alias("btext"))
     return decontaminate(d, bench, "text", "doc_id",
                          bench_text_col="btext", n=8,
-                         strategy="bloom", bloom_bits=1 << 23)
+                         strategy="prefilter", bloom_bits=1 << 27)
 
 
 def r_funnel(spark, sf_dir):
@@ -294,8 +294,18 @@ def r_changelog(spark, sf_dir):
     return changelog(uri, 1500, 3000, spark=spark)
 
 
+def r_heavy_hitters(spark, sf_dir):
+    from tiledb_py_spark.operators.sketches import heavy_hitters
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = F.transform(whitespace_tokens("text"), lambda t: F.lower(t))
+    return heavy_hitters(d, toks, threshold_frac=0.005)
+
+
 RUNNERS = {
     "interval_join": r_interval_join,
+    "heavy_hitters": r_heavy_hitters,
     "interval_overlap": r_interval_overlap,
     "bloom_decontam": r_bloom_decontam,
     "funnel": r_funnel,
