@@ -940,13 +940,12 @@ def q_wordpiece_train(spark, sf_dir):
                 sym[x] += c
                 if i < len(s) - 1:
                     pairs[(x, s[i + 1])] += c
-        if not pairs:
+        eligible = [(p, c) for p, c in pairs.items() if c >= 2]
+        if not eligible:
             break
-        best = min(pairs.items(),
+        best = min(eligible,
                    key=lambda kv: (-kv[1] / (sym[kv[0][0]] * sym[kv[0][1]]),
                                    -kv[1], kv[0]))
-        if best[1] < 2:
-            break
         a, b = best[0]
         merged = a + (b[2:] if b.startswith("##") else b)
         ref.append(merged)

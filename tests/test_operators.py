@@ -3287,3 +3287,70 @@ def test_mg_digest_bounds_and_heavy_hitters_exact(spark):
 
     with _pytest.raises(ValueError, match="threshold_frac"):
         heavy_hitters(df, "toks", threshold_frac=0)
+
+
+def test_review_fixes_round7_continuation(spark, tmp_path):
+    """Regression pins for the round-7 continuation self-review:
+    (a) wordpiece min_freq EXCLUDES rare pairs from candidacy instead
+    of halting on them (rare pairs score highest by likelihood);
+    (b) changelog reports deletes whose delete fragment was
+    materialized by an in-window consolidation; (c) PCA fit excludes
+    wrong-length vectors row-by-row; (d) heavy_hitters refuses a k
+    that voids the superset guarantee."""
+    import pytest as _pytest
+
+    # (a) hapax pair scores 1.0 but is below min_freq: training must
+    # continue on to the frequent pair, not halt with zero merges
+    from tiledb_py_spark.operators.bpe import wordpiece_train
+
+    df = spark.createDataFrame([(0, ("ab " * 50) + "qz")], ["i", "text"])
+    vocab = wordpiece_train(df, "text", n_merges=1, min_freq=2)
+    assert vocab[-1] == "ab"
+
+    # (b) delete committed in-window, then consolidated in-window
+    import tiledb_py_spark as tdb
+    import tiledb_py_spark.manifest as mfm
+    from tiledb_py_spark.cdc import changelog
+    from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
+
+    uri = str(tmp_path / "cdc_consol")
+    base = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                         "v": np.arange(50, dtype="float64")})
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    schema = tdb.open(uri).schema
+    write_fragment_pandas(uri, schema, base, timestamp=1000)
+    orig = mfm.now_ms
+    try:
+        mfm.now_ms = lambda: 2000
+        tdb.open(uri, mode="d").delete_cells("k >= 40")
+        mfm.now_ms = lambda: 2500
+        tdb.consolidate(uri)
+    finally:
+        mfm.now_ms = orig
+    out = changelog(uri, 1500, 3000, spark=spark).toPandas()
+    dels = out[out.change == "delete"]
+    assert set(dels.k) == set(range(40, 50))
+    assert (out.change == "delete").all()  # consolidation adds no fakes
+
+    # (c) ragged vector excluded row-wise, fit matches the clean fit
+    from tiledb_py_spark.operators.similarity import PCAModel
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 6)
+    clean = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)],
+        "i long, v array<double>").coalesce(1)
+    ragged = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)] + [(60, [1.0, 2.0])],
+        "i long, v array<double>").coalesce(1)
+    m1 = PCAModel(n_components=3).fit(clean, "v")
+    m2 = PCAModel(n_components=3).fit(ragged, "v")
+    assert m2.n_rows_ == 60
+    assert np.allclose(m1.components_, m2.components_)
+
+    # (d) undersized k refuses loudly
+    from tiledb_py_spark.operators.sketches import heavy_hitters
+
+    toks = spark.createDataFrame([(0, ["a", "b"])], "i long, t array<string>")
+    with _pytest.raises(ValueError, match="completeness minimum"):
+        heavy_hitters(toks, "t", threshold_frac=0.001, k=64)

@@ -76,9 +76,18 @@ def changelog(uri: str, ts1: int, ts2: int, spark=None,
     m = a_new._manifest
     live1 = {f.name for f in m.live_fragments(ts1)}
     delta = [f for f in m.live_fragments(ts2) if f.name not in live1]
-    del1 = {f.name for f in m.delete_fragments_visible(ts1)}
-    win_deletes = [f for f in m.delete_fragments_visible(ts2)
-                   if f.name not in del1]
+    # windowed deletes come from the RAW fragment list, not
+    # delete_fragments_visible(ts2): a delete committed in the window
+    # and then materialized by an in-window consolidation is no longer
+    # "visible" (the product carries its effect), but its removed keys
+    # are still part of this window's change set — and the product's
+    # coordinates do NOT contain them, so only the delete condition can
+    # name them.  The affected-key probe applies the condition to the
+    # ts1 snapshot either way; the diff against the ts2 snapshot then
+    # reports the rows as deleted.
+    win_deletes = [f for f in m.fragments
+                   if f.kind == "delete"
+                   and ts1 < f.timestamp_range[0] <= ts2]
 
     empty = a_new._empty_df().select(*dims).withColumn(
         "change", F.lit(None).cast("string"))

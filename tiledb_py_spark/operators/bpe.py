@@ -568,15 +568,19 @@ def wordpiece_train(df: DataFrame, text_col: str, n_merges: int = 100,
                 sym_counts[s] += c
                 if i < len(syms) - 1:
                     pairs[(s, syms[i + 1])] += c
-        if not pairs:
+        # min_freq EXCLUDES rare pairs from candidacy rather than
+        # stopping at them: best is LIKELIHOOD-ordered, and rare pairs
+        # systematically score highest (count 1 over two count-1 symbols
+        # scores 1.0), so a bpe_train-style break-on-best would halt
+        # training while frequent mergeable pairs remain
+        eligible = [(p, c) for p, c in pairs.items() if c >= min_freq]
+        if not eligible:
             break
         best = min(
-            pairs.items(),
+            eligible,
             key=lambda kv: (-kv[1] / (sym_counts[kv[0][0]]
                                       * sym_counts[kv[0][1]]),
                             -kv[1], kv[0]))
-        if best[1] < min_freq:
-            break
         a, b = best[0]
         merged = a + (b[np_:] if b.startswith(cont_prefix) else b)
         vocab.append(merged)

@@ -797,8 +797,10 @@ class PCAModel:
     Determinism: per-partition sums are fixed by the input partitioning;
     the driver reduces them in collect (partition) order; eigenvector
     sign is canonicalized (largest-|coefficient| entry positive).
-    Null / non-finite vectors are excluded from the fit and project to
-    null.
+    Null / non-finite / wrong-length vectors are excluded from the fit
+    row-by-row (the per-partition reference length is its first vector;
+    partitions that disagree on the dimension refuse loudly) and
+    project to null.
 
     Persistence follows the shared index contract: ``save``/``load``
     through an engine array's manifest metadata or a JSON file.
@@ -825,22 +827,31 @@ class PCAModel:
         def moments(it):
             n = 0
             s = g = None
+            d = None
             for pdf in it:
-                col = pdf[vec_col]
-                M = np.array([v for v in col if v is not None],
-                             dtype="float64")
-                if M.ndim != 2 or M.shape[0] == 0:
+                # per-ROW length filter before stacking: one wrong-length
+                # vector must not raise numpy's inhomogeneous-shape error
+                # (or, on old numpy, silently void the whole batch) —
+                # mirror transform()'s row-level exclusion contract
+                vecs = [v for v in pdf[vec_col]
+                        if v is not None and len(v) > 0]
+                if not vecs:
                     continue
-                if M.shape[1] > max_dim:
-                    raise ValueError(
-                        f"PCAModel: embedding dim {M.shape[1]} exceeds "
-                        f"max_dim={max_dim} (driver reduce is O(d^2) per "
-                        "partition); raise max_dim only with the memory "
-                        "math done")
+                if d is None:
+                    d = len(vecs[0])
+                    if d > max_dim:
+                        raise ValueError(
+                            f"PCAModel: embedding dim {d} exceeds "
+                            f"max_dim={max_dim} (driver reduce is O(d^2) "
+                            "per partition); raise max_dim only with the "
+                            "memory math done")
+                    s = np.zeros(d)
+                    g = np.zeros((d, d))
+                M = np.array([v for v in vecs if len(v) == d],
+                             dtype="float64")
+                if M.shape[0] == 0:
+                    continue
                 M = M[np.isfinite(M).all(axis=1)]
-                if s is None:
-                    s = np.zeros(M.shape[1])
-                    g = np.zeros((M.shape[1], M.shape[1]))
                 n += M.shape[0]
                 s += M.sum(axis=0)
                 g += M.T @ M
@@ -852,6 +863,12 @@ class PCAModel:
             moments, "n long, s array<double>, g array<double>").collect()
         if not parts:
             raise ValueError("PCAModel.fit: no finite vectors")
+        dims_seen = {len(p.s) for p in parts}
+        if len(dims_seen) > 1:
+            raise ValueError(
+                f"PCAModel.fit: partitions disagree on embedding dim "
+                f"({sorted(dims_seen)}) — the column mixes vector "
+                "lengths; clean it before fitting")
         d = len(parts[0].s)
         n = sum(p.n for p in parts)
         s = np.zeros(d)

@@ -81,34 +81,44 @@ def mg_digest(df: DataFrame, items_col, k: int = 256) -> dict:
     truncation subtracts the (k+1)-th largest summed counter, itself
     <= n/(k+1).  Counters never overcount.  One corpus pass, zero
     shuffles, bounded collect (n_partitions x k rows)."""
+    merged, _ = _digest_and_total(_items_base(df, items_col), k)
+    return merged
+
+
+def _items_base(df: DataFrame, items_col) -> DataFrame:
     items = F.col(items_col) if isinstance(items_col, str) else items_col
     base = df.select(items.alias("__it"))
     if dict(base.dtypes)["__it"].startswith("array"):
         base = base.select(F.explode_outer("__it").alias("__it"))
-    base = base.select(F.col("__it").cast("string").alias("__it")) \
+    return base.select(F.col("__it").cast("string").alias("__it")) \
                .filter(F.col("__it").isNotNull())
 
+
+def _digest_and_total(base: DataFrame, k: int) -> tuple:
+    """(merged digest, total item count) from ONE corpus pass: each
+    partition also reports its row count, so the total is free."""
     def part(it):
         counts: dict = {}
+        n = 0
         for pdf in it:
+            n += len(pdf)
             vc = pdf["__it"].value_counts()
             for item, c in vc.items():
                 _mg_fold(counts, item, int(c), k)
-        if counts:
-            yield pd.DataFrame({"item": list(counts),
-                                "c": list(counts.values())})
+        if n:
+            items = list(counts) or [None]
+            cs = list(counts.values()) or [0]
+            yield pd.DataFrame({"item": items, "c": cs,
+                                "n": [n] + [0] * (len(items) - 1)})
 
-    rows = base.mapInPandas(part, "item string, c long").collect()
+    rows = base.mapInPandas(part, "item string, c long, n long").collect()
+    total = sum(r.n for r in rows)
     # one-shot mergeable-MG combine: summing all partition digests then
     # truncating once is associative-combine order applied in one step
     # (and subtracts no more than any pairwise-merge schedule would)
-    merged: dict = {}
-    for r in rows:
-        merged[r.item] = merged.get(r.item, 0) + r.c
-    if len(merged) > k:
-        cut = sorted(merged.values(), reverse=True)[k]
-        merged = {i: c - cut for i, c in merged.items() if c > cut}
-    return merged
+    merged = _merge_digests(
+        ({r.item: r.c} for r in rows if r.item is not None), k)
+    return merged, total
 
 
 def heavy_hitters(df: DataFrame, items_col, threshold_frac: float = 0.001,
@@ -123,29 +133,34 @@ def heavy_hitters(df: DataFrame, items_col, threshold_frac: float = 0.001,
     k) makes the candidate set complete, so the output equals the
     exact GROUP BY/HAVING answer.
 
-    Returns ``(item, n)`` sorted by count descending, item ascending."""
+    Returns ``(item, n)`` sorted by count descending, item ascending.
+    Two corpus passes total: the digest pass (which also yields the
+    total count) and the candidate recount.  A caller-supplied ``k``
+    below ``2/threshold_frac - 1`` would silently void the superset
+    guarantee, so it refuses loudly instead (the ``bpe_train`` guard
+    pattern)."""
     if not 0 < threshold_frac < 1:
         raise ValueError("threshold_frac must be in (0, 1)")
+    k_min = int(2.0 / threshold_frac - 1) + 1
     if k is None:
-        k = int(2.0 / threshold_frac) + 1
+        k = k_min
+    elif k < k_min:
+        raise ValueError(
+            f"heavy_hitters: k={k} is below the completeness minimum "
+            f"{k_min} for threshold_frac={threshold_frac} (the merged "
+            "digest only guarantees survival above 2n/(k+1)); raise k "
+            "or the threshold")
 
-    items = F.col(items_col) if isinstance(items_col, str) else items_col
-    base = df.select(items.alias("__it"))
-    if dict(base.dtypes)["__it"].startswith("array"):
-        base = base.select(F.explode_outer("__it").alias("__it"))
-    base = base.select(F.col("__it").cast("string").alias("__it")) \
-               .filter(F.col("__it").isNotNull())
-
-    digest = mg_digest(base, "__it", k=k)
-    if not digest:
+    base = _items_base(df, items_col)
+    digest, total = _digest_and_total(base, k)
+    if not digest or total == 0:
         return base.sparkSession.createDataFrame([], "item string, n long")
     cand = list(digest)
 
     counted = (base.filter(F.col("__it").isin(cand))
                .groupBy(F.col("__it").alias("item"))
                .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    total = base.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    return (counted.join(F.broadcast(total))
-            .filter(F.col("n") > F.col("__n") * F.lit(threshold_frac))
+    return (counted
+            .filter(F.col("n") > F.lit(float(total) * threshold_frac))
             .select("item", "n")
             .orderBy(F.desc("n"), "item"))
