@@ -376,3 +376,103 @@ def test_kneser_ney_proper_conditional(spark, docs):
             + (D * n1f[v] / ctot[v]) * ((n1b.get(w, 0) + 1.0) / (B + V))
             for w in vocab)
         assert abs(total - 1.0) < 1e-9
+
+
+@given(pts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+       ivs=st.lists(st.tuples(st.integers(0, 1000), st.integers(-5, 200)),
+                    min_size=1, max_size=15),
+       closed=st.sampled_from(["both", "left", "right", "neither"]),
+       nb=st.integers(1, 12), lsb=st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_interval_join_matches_reference_any_input(spark, pts, ivs,
+                                                   closed, nb, lsb):
+    """Grid interval join equals the O(n*m) reference for ANY points /
+    intervals (inverted + zero-length included), every closed variant,
+    any bucket count, and any hybrid split threshold."""
+    from tiledb_py_spark.operators.intervals import interval_join
+
+    P = spark.createDataFrame(list(enumerate(pts)), ["pid", "t"])
+    I = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)],
+        ["iid", "s", "e"])
+    got = sorted(map(tuple, interval_join(
+        P, I, on="t", start="s", end="e", closed=closed,
+        interval_cols=["iid"], suffix="", num_buckets=nb,
+        long_span_buckets=lsb).select("pid", "iid").toPandas().values))
+    lo = {"both": lambda s, t: s <= t, "left": lambda s, t: s <= t,
+          "right": lambda s, t: s < t, "neither": lambda s, t: s < t}[closed]
+    hi = {"both": lambda t, e: t <= e, "left": lambda t, e: t < e,
+          "right": lambda t, e: t <= e, "neither": lambda t, e: t < e}[closed]
+    want = sorted((p_i, j) for p_i, t in enumerate(pts)
+                  for j, (s, ln) in enumerate(ivs)
+                  if s <= s + ln and lo(s, t) and hi(t, s + ln))
+    assert got == want
+
+
+@given(ls=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 120)),
+                   min_size=1, max_size=12),
+       rs=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 120)),
+                   min_size=1, max_size=12),
+       closed=st.sampled_from(["both", "neither"]),
+       nb=st.integers(1, 10), lsb=st.integers(1, 16))
+@settings(**_SETTINGS)
+def test_interval_overlap_exactly_once_any_input(spark, ls, rs, closed,
+                                                 nb, lsb):
+    """Overlap join emits each overlapping pair EXACTLY once for any
+    inputs, bucket counts, and hybrid thresholds."""
+    from tiledb_py_spark.operators.intervals import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ls)],
+        ["lid", "ls", "le"])
+    R = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(rs)],
+        ["rid", "rs", "re"])
+    got = sorted(map(tuple, interval_overlap_join(
+        L, R, "ls", "le", "rs", "re", right_cols=["rid"], suffix="",
+        closed=closed, num_buckets=nb, long_span_buckets=lsb)
+        .select("lid", "rid").toPandas().values))
+    if closed == "both":
+        ok = lambda a, b: ls[a][0] <= rs[b][0] + rs[b][1] \
+            and rs[b][0] <= ls[a][0] + ls[a][1]
+    else:
+        ok = lambda a, b: ls[a][0] < rs[b][0] + rs[b][1] \
+            and rs[b][0] < ls[a][0] + ls[a][1]
+    want = sorted((a, b) for a in range(len(ls)) for b in range(len(rs))
+                  if ok(a, b))
+    assert got == want  # equality implies exactly-once (no duplicates)
+
+
+@given(evs=st.lists(st.tuples(st.integers(0, 3),          # user
+                              st.integers(0, 50),          # ts
+                              st.sampled_from("ABCX")),    # step/other
+                    min_size=1, max_size=30),
+       within=st.one_of(st.none(), st.integers(1, 30)))
+@settings(**_SETTINGS)
+def test_funnel_matches_reference_any_stream(spark, evs, within):
+    """Funnel equals the from-scratch greedy reference for any event
+    stream (duplicate timestamps broken by event_id) and any window."""
+    from tiledb_py_spark.streaming.events import funnel
+
+    rows = [(i, u, float(ts), s) for i, (u, ts, s) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, event_type string")
+    got = {r.user_id: [x for x in (r.step1_ts, r.step2_ts, r.step3_ts)
+                       if x is not None]
+           for r in funnel(df, ["A", "B", "C"], within=float(within)
+                           if within else None).collect()}
+    steps = ["A", "B", "C"]
+    want: dict = {}
+    for u in {r[1] for r in rows if r[3] in steps}:
+        done: list = []
+        for eid, uu, ts, s in sorted(rows, key=lambda r: (r[2], r[0])):
+            if uu != u or s not in steps:
+                continue
+            need = len(done)
+            if need < 3 and s == steps[need] \
+                    and (need == 0 or ts > done[-1]) \
+                    and (within is None or need == 0
+                         or ts - done[0] <= within):
+                done.append(ts)
+        want[u] = done
+    assert got == want
