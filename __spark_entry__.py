@@ -1019,6 +1019,26 @@ def q_funnel(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank power iteration (6 rounds, d=0.85, dangling mass folded
+    back uniformly) over a 211-node part->supplier graph derived from
+    lineitem.  The oracle replays the stated update rule as six
+    unrolled CTE iterations; ranks compare scaled by N at round-4 (the
+    float-associativity contract of the ln() gates)."""
+    from tiledb_py_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.select((F.col("l_partkey") % 211).alias("src"),
+                       (F.col("l_suppkey") % 211).alias("dst"))
+               .filter(F.col("src") != F.col("dst")))
+    out = pagerank(edges, damping=0.85, n_iter=6)
+    n = out.count()
+    return (out.select(F.col("node"),
+                       F.round(F.col("rank") * F.lit(float(n)), 4)
+                       .alias("rank_scaled"))
+               .orderBy("node"))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT heavy hitters through the Misra-Gries sketch path: a
     per-partition k-counter digest (zero shuffles, bounded collect)
@@ -2696,16 +2716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
-        "heavy_hitters": q_heavy_hitters,
-        # --- tail: the TWELVE new operator gates above displaced the
-        # whole rotated block this round; multi_range, array_sql,
-        # join_topk, array_range_read, text_quality, salted_agg,
-        # multimodal_features, dedup_clusters, label_read, exact_dedup
-        # and simhash_neardup lead the round-8 rotation.  Every tail
-        # gate is still oracle-checked each round by
+        "pagerank": q_pagerank,
+        # --- tail: THIRTEEN new operator gates this round — twelve fit
+        # the 50-entry window (pagerank above is position 50);
+        # heavy_hitters just below opens the tail and, with multi_range,
+        # array_sql, join_topk, array_range_read, text_quality,
+        # salted_agg, multimodal_features, dedup_clusters, label_read,
+        # exact_dedup and simhash_neardup, leads the round-8 rotation.
+        # Every tail gate is still oracle-checked each round by
         # tools/check_correctness.py (most also pytest-covered).
         # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "heavy_hitters": q_heavy_hitters,
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2777,8 +2799,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pagerank_oracle(n_iter: int = 6, d: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain implementing pagerank()'s
+    stated update rule — built by loop so the oracle stays in lockstep
+    with the iteration count."""
+    ctes = ["""edges AS (
+        SELECT DISTINCT l_partkey % 211 AS s, l_suppkey % 211 AS de
+        FROM lineitem WHERE l_partkey % 211 != l_suppkey % 211
+    )""", """nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT s AS node FROM edges
+            UNION ALL SELECT de FROM edges)
+    )""", "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        """deg AS (
+        SELECT s, count(*)::DOUBLE AS dg FROM edges GROUP BY s
+    )""", "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank "
+          "FROM nodes)"]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""r{i} AS (
+        SELECT nd.node,
+               ({1 - d:.2f} / nn.n) + {d:.2f} * (dang.dm / nn.n
+                   + coalesce(ct.c, 0.0)) AS rank
+        FROM nodes nd CROSS JOIN nn
+        CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS dm
+                    FROM {p} LEFT JOIN deg ON {p}.node = deg.s
+                    WHERE deg.s IS NULL) dang
+        LEFT JOIN (SELECT e.de AS node, sum(r.rank / deg.dg) AS c
+                   FROM {p} r JOIN deg ON r.node = deg.s
+                   JOIN edges e ON e.s = r.node
+                   GROUP BY e.de) ct ON ct.node = nd.node
+    )""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"""
+            SELECT node,
+                   round(rank * (SELECT n FROM nn), 4) AS rank_scaled
+            FROM r{n_iter} ORDER BY node""")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank": _pagerank_oracle(),
         "qc_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45.0 AND l_discount <= 0.02

@@ -3354,3 +3354,51 @@ def test_review_fixes_round7_continuation(spark, tmp_path):
     toks = spark.createDataFrame([(0, ["a", "b"])], "i long, t array<string>")
     with _pytest.raises(ValueError, match="completeness minimum"):
         heavy_hitters(toks, "t", threshold_frac=0.001, k=64)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """PageRank equals numpy power iteration on a random graph with
+    dangling nodes and an isolated sink; ranks sum to 1 every time;
+    parallel edges collapse; bad params refuse."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(19)
+    N = 40
+    pairs = {(int(a), int(b))
+             for a, b in zip(rng.randint(0, N, 150),
+                             rng.randint(0, N, 150)) if a != b}
+    # node N is a pure sink reachable from node 0 (dangling), and node
+    # N+1 only ever appears as a source
+    pairs |= {(0, N), (N + 1, 1)}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(0, N)] * 3,  # parallel dups
+        ["src", "dst"])
+    got = {r.node: r.rank
+           for r in pagerank(edges, damping=0.85, n_iter=5).collect()}
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out: dict = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += 0.85 * dangling / n
+        for a, bs in out.items():
+            for b in bs:
+                nxt[idx[b]] += 0.85 * r[idx[a]] / len(bs)
+        r = nxt
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.5)
+    with _pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
