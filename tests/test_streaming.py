@@ -398,3 +398,54 @@ def test_classifier_scoring_runs_on_streams(spark, tmp_path):
     assert got == batch
     assert all(got[i][1] > 0.5 for i in (1, 3, 5))
     assert all(got[i][1] < 0.5 for i in (0, 2, 4))
+
+
+def test_funnel_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming funnel: matched-step state persists across
+    micro-batches (a funnel completing over two triggers), windows are
+    honored from the first-touch anchor, and for an in-order stream the
+    final per-user rows equal the batch funnel answer."""
+    from tiledb_py_spark.streaming.events import funnel
+    from tiledb_py_spark.streaming.stateful import funnel_stream
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    # user 1 views+clicks in batch 1, purchases in batch 2 (spans the
+    # boundary); user 2's purchase lands past the 60-min window; user 3
+    # emits only noise
+    pd.DataFrame({"event_id": [1, 2, 3, 4],
+                  "ts": [ts(0), ts(10), ts(5), ts(50)],
+                  "user_id": [1, 1, 2, 2],
+                  "event_type": ["view", "click", "view", "click"]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"event_id": [5, 6, 7],
+                  "ts": [ts(30), ts(100), ts(40)],
+                  "user_id": [1, 2, 3],
+                  "event_type": ["purchase", "purchase", "noise"]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    rows = []
+    q = (funnel_stream(stream, ["view", "click", "purchase"],
+                       within_minutes=60.0).writeStream
+         .outputMode("update")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "fckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    final = {}
+    for r in rows:  # update mode: last row per user wins
+        final[r.user_id] = (r.n_steps, r.step1_ts, r.step2_ts, r.step3_ts)
+    batch = {r.user_id: (r.n_steps, r.step1_ts, r.step2_ts, r.step3_ts)
+             for r in funnel(spark.read.parquet(str(src)),
+                             ["view", "click", "purchase"],
+                             within="60 MINUTES").collect()}
+    assert final == batch
+    assert final[1][0] == 3          # completed across the boundary
+    assert final[2][0] == 2          # purchase at +95min > 60min window
+    assert 3 not in final            # noise-only user never emits

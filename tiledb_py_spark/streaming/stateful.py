@@ -133,3 +133,74 @@ def sessionize_stream(events: DataFrame,
                 stateStructType=_SESSION_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def funnel_stream(events: DataFrame, steps, within_minutes=None,
+                  by: str = "user_id", ts_col: str = "ts",
+                  step_col: str = "event_type",
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """STREAMING first-touch funnel — the stateful counterpart of
+    ``events.funnel``: per-entity state (the matched step timestamps)
+    persists across micro-batches, so a funnel whose steps arrive in
+    different triggers still completes, and each batch emits the
+    entity's CURRENT completion row (update semantics — later batches
+    supersede earlier rows for the same entity).
+
+    Same stated semantics as the batch operator: earliest step-1
+    anchors, later steps strictly after the previous match and (with
+    ``within_minutes``) inside the window of the first match; non-step
+    events are filtered BEFORE the shuffle.  Events are processed in
+    event-time order within each micro-batch (ties by
+    ``tiebreak_col``); cross-batch stragglers match in arrival order —
+    the online sessionizer's exactness trade.  For an in-order stream
+    the final rows equal the batch ``funnel`` answer (equivalence
+    test)."""
+    from pyspark.sql import functions as F
+
+    k = len(steps)
+    if k == 0 or len(set(steps)) != k:
+        raise ValueError("steps must be a non-empty list of distinct "
+                         "step values")
+    within_us = None if within_minutes is None \
+        else int(within_minutes * 60_000_000)
+    steps = list(steps)
+
+    out_schema = T.StructType(
+        [T.StructField(by, T.LongType(), False)]
+        + [T.StructField(f"step{i + 1}_ts", T.TimestampType(), True)
+           for i in range(k)]
+        + [T.StructField("n_steps", T.IntegerType(), False)])
+    state_schema = T.StructType(
+        [T.StructField("done_us", T.ArrayType(T.LongType()), True)])
+
+    def fn(key, pdfs, state: GroupState):
+        (entity,) = key
+        done = list(state.get[0] or []) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        for ts_v, s in zip(rows[ts_col], rows[step_col]):
+            need = len(done)
+            if need >= k or s != steps[need]:
+                continue
+            us = int(pd.Timestamp(ts_v).value // 1000)
+            if need and us <= done[-1]:
+                continue
+            if within_us is not None and need \
+                    and us - done[0] > within_us:
+                continue
+            done.append(us)
+        state.update((done,))
+        row = {by: [entity], "n_steps": [len(done)]}
+        for i in range(k):
+            row[f"step{i + 1}_ts"] = [
+                pd.Timestamp(done[i] * 1000) if i < len(done) else pd.NaT]
+        yield pd.DataFrame(row)
+
+    return (events
+            .filter(F.col(step_col).isin(steps))
+            .groupBy(by)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
