@@ -3402,3 +3402,43 @@ def test_pagerank_matches_numpy_reference(spark):
         pagerank(edges, damping=1.5)
     with _pytest.raises(ValueError, match="n_iter"):
         pagerank(edges, n_iter=0)
+
+
+def test_pca_reduced_ivfpq_composition(spark):
+    """The OPQ-style composition: PCA-reduce embeddings, build IVFPQ on
+    the reduced vectors, search with the identically-projected query —
+    deterministic end to end, and probe-all recall vs the exact
+    reduced-space top-k stays above the random-baseline floor (the
+    quantization-noise argument of the ivf_ann/pq_ann gates)."""
+    from tiledb_py_spark.operators.similarity import (IVFPQIndex, PCAModel,
+                                                      brute_force_topk)
+
+    rng = np.random.RandomState(47)
+    A = rng.randn(16, 16) * np.linspace(2.5, 0.05, 16)  # anisotropic
+    X = rng.randn(300, 16) @ A.T
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>")
+
+    m = PCAModel(n_components=6).fit(df, "embedding")
+    red = m.transform(df, "embedding", out_col="pca")
+    qv = X[0]
+    qv_red = ((qv - m.mean_) @ m.components_.T).tolist()
+
+    base = red.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(
+        base, "pca", "vec_id", qv_red, k=10).collect()]
+
+    idx = IVFPQIndex(n_cells=4, n_probe=4, m=3, n_codes=16).fit(red, "pca")
+    tab = idx.build(red.filter(F.col("vec_id") != 0), "pca", "vec_id")
+    got = [r.vec_id for r in idx.search(tab, qv_red, k=10).collect()]
+    recall = len(set(got) & set(exact)) / 10.0
+    assert recall >= 0.5, recall          # >> 10/300 random baseline
+
+    # determinism: refit + re-search reproduces exactly
+    m2 = PCAModel(n_components=6).fit(df, "embedding")
+    assert np.array_equal(m2.components_, m.components_)
+    idx2 = IVFPQIndex(n_cells=4, n_probe=4, m=3, n_codes=16).fit(
+        m2.transform(df, "embedding", out_col="pca"), "pca")
+    got2 = [r.vec_id for r in idx2.search(tab, qv_red, k=10).collect()]
+    assert got2 == got

@@ -294,6 +294,16 @@ def r_changelog(spark, sf_dir):
     return changelog(uri, 1500, 3000, spark=spark)
 
 
+def r_pagerank(spark, sf_dir):
+    from tiledb_py_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = (li.select((F.col("l_partkey") % 4099).alias("src"),
+                       (F.col("l_suppkey") % 4099).alias("dst"))
+               .filter(F.col("src") != F.col("dst")))
+    return pagerank(edges, damping=0.85, n_iter=6)
+
+
 def r_heavy_hitters(spark, sf_dir):
     from tiledb_py_spark.operators.sketches import heavy_hitters
     from tiledb_py_spark.operators.text import whitespace_tokens
@@ -306,6 +316,7 @@ def r_heavy_hitters(spark, sf_dir):
 RUNNERS = {
     "interval_join": r_interval_join,
     "heavy_hitters": r_heavy_hitters,
+    "pagerank": r_pagerank,
     "interval_overlap": r_interval_overlap,
     "bloom_decontam": r_bloom_decontam,
     "funnel": r_funnel,
