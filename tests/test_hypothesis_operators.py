@@ -476,3 +476,75 @@ def test_funnel_matches_reference_any_stream(spark, evs, within):
                 done.append(ts)
         want[u] = done
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_changelog_matches_snapshot_diff_any_history(spark, tmp_path_factory,
+                                                     data):
+    """For ANY random write/delete history and ANY window, changelog()
+    equals the brute-force diff of the two timestamped snapshots."""
+    import numpy as np
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+    import tiledb_py_spark.manifest as mfm
+    from tiledb_py_spark.cdc import changelog
+    from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
+
+    tmp = tmp_path_factory.mktemp("cdc_fuzz")
+    uri = str(tmp / "arr")
+    n_ops = data.draw(st.integers(2, 5))
+    ops = []
+    for i in range(n_ops):
+        kind = data.draw(st.sampled_from(["write", "write", "delete"]))
+        if kind == "write":
+            keys = data.draw(st.lists(st.integers(0, 15), min_size=1,
+                                      max_size=6, unique=True))
+            vals = [data.draw(st.integers(0, 3)) for _ in keys]
+            ops.append(("write", keys, vals))
+        else:
+            lo = data.draw(st.integers(0, 15))
+            ops.append(("delete", lo, None))
+    ts1 = data.draw(st.integers(500, 500 + n_ops * 1000))
+    ts2 = data.draw(st.integers(ts1 + 1, 500 + (n_ops + 1) * 1000))
+
+    base = pd.DataFrame({"k": np.array([0], dtype="int64"),
+                         "v": np.array([0.0])})
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    schema = tdb.open(uri).schema
+    orig = mfm.now_ms
+    try:
+        for i, (kind, a, b) in enumerate(ops):
+            t = 1000 * (i + 1)
+            if kind == "write":
+                write_fragment_pandas(
+                    uri, schema,
+                    pd.DataFrame({"k": np.array(a, dtype="int64"),
+                                  "v": np.array(b, dtype="float64")}),
+                    timestamp=t)
+            else:
+                mfm.now_ms = lambda t=t: t
+                tdb.open(uri, mode="d").delete_cells(f"k >= {a}")
+    finally:
+        mfm.now_ms = orig
+
+    def snap(ts):
+        A = tdb.open(uri, timestamp=ts, spark=spark)
+        return {int(r.k): float(r.v) for r in A._scan_df().collect()}
+
+    s1, s2 = snap(ts1), snap(ts2)
+    want = {}
+    for key in set(s1) | set(s2):
+        if key not in s1:
+            want[key] = ("insert", None, s2[key])
+        elif key not in s2:
+            want[key] = ("delete", s1[key], None)
+        elif s1[key] != s2[key]:
+            want[key] = ("update", s1[key], s2[key])
+    got = {int(r.k): (r.change,
+                      None if r.v_old is None else float(r.v_old),
+                      None if r.v_new is None else float(r.v_new))
+           for r in changelog(uri, ts1, ts2, spark=spark).collect()}
+    assert got == want
