@@ -1019,6 +1019,22 @@ def q_funnel(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_ewma(spark, sf_dir):
+    """Per-user event-time EWMA (alpha=0.3): one entity-key shuffle,
+    the recurrence as a row-local Catalyst fold (no window chain, no
+    closed-form overflow).  The oracle replays the exact recurrence as
+    a recursive CTE over row_number — same multiply-add order, so
+    values match beyond the round-4 stated tolerance."""
+    from tiledb_py_spark.streaming.events import ewma
+
+    e = _events(spark, sf_dir)
+    out = ewma(e, "value", alpha=0.3)
+    return (out.select("user_id", "event_id", "ts",
+                       F.round("value", 2).alias("value"),
+                       F.round("ewma", 4).alias("ewma"))
+               .orderBy("user_id", "event_id"))
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank power iteration (6 rounds, d=0.85, dangling mass folded
     back uniformly) over a 211-node part->supplier graph derived from
@@ -2716,17 +2732,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
-        "pagerank": q_pagerank,
-        # --- tail: THIRTEEN new operator gates this round — twelve fit
-        # the 50-entry window (pagerank above is position 50);
-        # heavy_hitters just below opens the tail and, with multi_range,
-        # array_sql, join_topk, array_range_read, text_quality,
-        # salted_agg, multimodal_features, dedup_clusters, label_read,
-        # exact_dedup and simhash_neardup, leads the round-8 rotation.
-        # Every tail gate is still oracle-checked each round by
-        # tools/check_correctness.py (most also pytest-covered).
+        "ewma": q_ewma,
+        # --- tail: FOURTEEN new operator gates this round — thirteen
+        # fit the 50-entry window (ewma above is position 50); pagerank
+        # and heavy_hitters just below open the tail and, with
+        # multi_range, array_sql, join_topk, array_range_read,
+        # text_quality, salted_agg, multimodal_features, dedup_clusters,
+        # label_read, exact_dedup and simhash_neardup, lead the round-8
+        # rotation.  Every tail gate is still oracle-checked each round
+        # by tools/check_correctness.py (most also pytest-covered).
         # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
@@ -3421,6 +3438,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_active
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ewma": """
+            WITH RECURSIVE e AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, ts, event_id, value, rn,
+                       value AS ewma
+                FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.ts, e.event_id, e.value, e.rn,
+                       0.3 * e.value + 0.7 * r.ewma
+                FROM e JOIN r ON e.user_id = r.user_id
+                            AND e.rn = r.rn + 1
+            )
+            SELECT user_id, event_id, ts, round(value, 2) AS value,
+                   round(ewma, 4) AS ewma
+            FROM r ORDER BY user_id, event_id
         """,
         "event_transitions": """
             SELECT from_step, to_step, count(*)::BIGINT AS n

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "event_transitions",
     "heavy_hitters",
+    "ewma",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

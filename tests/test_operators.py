@@ -3442,3 +3442,35 @@ def test_pca_reduced_ivfpq_composition(spark):
         m2.transform(df, "embedding", out_col="pca"), "pca")
     got2 = [r.vec_id for r in idx2.search(tab, qv_red, k=10).collect()]
     assert got2 == got
+
+
+def test_ewma_recurrence_nulls_and_ties(spark):
+    """EWMA pinned by hand: seed at the first non-null value, nulls
+    propagate the previous EWMA, timestamp ties order by the tiebreak,
+    groups are independent; alpha=1 degenerates to the value itself."""
+    import pytest as _pytest
+
+    from tiledb_py_spark.streaming.events import ewma
+
+    rows = [
+        (1, 10, 1.0, 4.0), (2, 10, 2.0, 8.0), (3, 10, 2.0, 16.0),
+        (4, 10, 3.0, None), (5, 10, 4.0, 32.0),
+        (6, 20, 1.0, None), (7, 20, 2.0, 10.0), (8, 20, 3.0, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma(df, "value", alpha=0.5, ts_col="ts").collect()}
+    # user 10: 4 -> .5*8+.5*4=6 (tie at ts=2 ordered by event_id)
+    # -> .5*16+.5*6=11 -> null keeps 11 -> .5*32+.5*11=21.5
+    assert got[1] == 4.0 and got[2] == 6.0 and got[3] == 11.0
+    assert got[4] == 11.0 and got[5] == 21.5
+    # user 20: leading null -> null, then seeds at 10
+    assert got[6] is None and got[7] == 10.0 and got[8] == 15.0
+
+    one = {r.event_id: r.ewma
+           for r in ewma(df, "value", alpha=1.0, ts_col="ts").collect()}
+    assert one[5] == 32.0 and one[3] == 16.0
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma(df, "value", alpha=0.0)

@@ -177,6 +177,51 @@ def funnel(events: DataFrame, steps, by="user_id", ts_col: str = "ts",
                       F.size("__done").cast("int").alias("n_steps"))
 
 
+def ewma(events: DataFrame, value_col: str = "value", by="user_id",
+         ts_col: str = "ts", alpha: float = 0.3,
+         tiebreak_col: str = "event_id",
+         out_col: str = "ewma") -> DataFrame:
+    """Per-entity exponentially weighted moving average in event-time
+    order: ``ewma_1 = x_1``, ``ewma_t = alpha*x_t +
+    (1-alpha)*ewma_{t-1}`` — the classic smoothing/anomaly baseline.
+    Returns the input rows plus ``out_col``.
+
+    Scale shape: ONE entity-key shuffle (collect to a per-entity sorted
+    array), then the recurrence runs as a row-local Catalyst aggregate
+    fold and explodes back — no window-function chain and none of the
+    closed-form ``(1-alpha)^-i`` overflow a sum-over-frame rewrite
+    would hit on long series.  Per-entity state is bounded by that
+    entity's event count (the sessionize caveat).  Ties on ``ts``
+    order by ``tiebreak_col``.  Null values propagate the previous
+    EWMA unchanged (the row still carries it)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    by = [by] if isinstance(by, str) else list(by)
+    evs = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).alias("__ts"), F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).cast("double").alias("__x"))))
+    agg = events.groupBy(*by).agg(evs.alias("__evs"))
+
+    def fold(acc, e):
+        prev = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+        nxt = F.when(e["__x"].isNull(), prev) \
+            .when(prev.isNull(), e["__x"]) \
+            .otherwise(F.lit(alpha) * e["__x"]
+                       + F.lit(1.0 - alpha) * prev)
+        return F.concat(acc, F.array(nxt))
+
+    out = agg.withColumn(
+        "__ew", F.aggregate("__evs", F.array().cast("array<double>"), fold))
+    z = F.arrays_zip("__evs", "__ew")
+    out = (out.select(*by, F.explode(z).alias("__z"))
+           .select(*by,
+                   F.col("__z.__evs.__ts").alias(ts_col),
+                   F.col("__z.__evs.__tb").alias(tiebreak_col),
+                   F.col("__z.__evs.__x").alias(value_col),
+                   F.col("__z.__ew").alias(out_col)))
+    return out
+
+
 def cohort_retention(events: DataFrame, by="user_id", ts_col: str = "ts",
                      period: str = "week") -> DataFrame:
     """Cohort retention matrix: entities grouped by the period of their
