@@ -449,3 +449,45 @@ def test_funnel_stream_matches_batch_across_microbatches(spark, tmp_path):
     assert final[1][0] == 3          # completed across the boundary
     assert final[2][0] == 2          # purchase at +95min > 60min window
     assert 3 not in final            # noise-only user never emits
+
+
+def test_ewma_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming EWMA: the last smoothed value carries across
+    micro-batches; an in-order stream equals the batch ewma answer,
+    nulls and boundary-spanning recurrences included."""
+    from tiledb_py_spark.streaming.events import ewma
+    from tiledb_py_spark.streaming.stateful import ewma_stream
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    pd.DataFrame({"event_id": [1, 2, 3],
+                  "ts": [ts(0), ts(10), ts(5)],
+                  "user_id": [1, 1, 2],
+                  "value": [4.0, 8.0, 3.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"event_id": [4, 5, 6],
+                  "ts": [ts(20), ts(30), ts(40)],
+                  "user_id": [1, 1, 2],
+                  "value": [16.0, None, 5.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    rows = []
+    q = (ewma_stream(stream, alpha=0.5).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "eckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.event_id: r.ewma for r in rows}
+    batch = {r.event_id: r.ewma for r in
+             ewma(spark.read.parquet(str(src)), "value",
+                  alpha=0.5).collect()}
+    assert got == batch
+    assert got[4] == 0.5 * 16.0 + 0.5 * (0.5 * 8.0 + 0.5 * 4.0)
+    assert got[5] == got[4]      # null propagates across the recurrence

@@ -204,3 +204,64 @@ def funnel_stream(events: DataFrame, steps, within_minutes=None,
                 stateStructType=state_schema,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+EWMA_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("ewma", T.DoubleType(), True),
+])
+
+_EWMA_STATE = T.StructType([
+    T.StructField("has_prev", T.BooleanType(), False),
+    T.StructField("prev", T.DoubleType(), False),
+])
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.3,
+                value_col: str = "value", by: str = "user_id",
+                ts_col: str = "ts",
+                tiebreak_col: str = "event_id") -> DataFrame:
+    """STREAMING per-entity EWMA — the stateful counterpart of
+    ``events.ewma``: the last smoothed value persists across
+    micro-batches (O(1) state per entity, the minimal stateful
+    operator).  Same semantics: seed at the first non-null value, nulls
+    propagate the previous EWMA; events process in event-time order
+    within each micro-batch, cross-batch stragglers in arrival order
+    (the online trade).  In-order streams reproduce the batch ``ewma``
+    exactly (equivalence test)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+
+    def fn(key, pdfs, state: GroupState):
+        (entity,) = key
+        has_prev, prev = state.get if state.exists else (False, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        out = []
+        for x in rows[value_col]:
+            if pd.isna(x):
+                out.append(prev if has_prev else None)
+                continue
+            prev = (alpha * float(x) + (1.0 - alpha) * prev) \
+                if has_prev else float(x)
+            has_prev = True
+            out.append(prev)
+        state.update((has_prev, prev))
+        yield pd.DataFrame({
+            "user_id": entity,
+            "event_id": rows[tiebreak_col].to_numpy(),
+            "ts": rows[ts_col].to_numpy(),
+            "value": rows[value_col].to_numpy(),
+            "ewma": out,
+        })
+
+    return (events
+            .groupBy(by)
+            .applyInPandasWithState(
+                fn, outputStructType=EWMA_SCHEMA,
+                stateStructType=_EWMA_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
