@@ -1019,6 +1019,30 @@ def q_funnel(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_funnel_by_cohort(spark, sf_dir):
+    """COMPOSED event-analytics gate (the corpus_e2e pattern for the
+    event side): first-touch funnel results joined to first-event-hour
+    cohorts — per cohort hour, how many users entered the funnel and
+    how many completed each step.  Composition is where column
+    contracts break; the oracle chains both operators' replays."""
+    from tiledb_py_spark.streaming.events import cohort_retention, funnel
+
+    e = _events(spark, sf_dir)
+    f = funnel(e, ["view", "click", "purchase"], within="12 HOURS")
+    cohorts = (e.groupBy("user_id")
+                .agg(F.date_trunc("hour", F.min("ts")).alias("cohort")))
+    j = f.join(cohorts, on="user_id", how="inner")
+    return (j.groupBy("cohort")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                  F.sum(F.when(F.col("n_steps") >= 1, 1).otherwise(0))
+                  .cast("long").alias("n_step1"),
+                  F.sum(F.when(F.col("n_steps") >= 2, 1).otherwise(0))
+                  .cast("long").alias("n_step2"),
+                  F.sum(F.when(F.col("n_steps") >= 3, 1).otherwise(0))
+                  .cast("long").alias("n_step3"))
+             .orderBy("cohort"))
+
+
 def q_ewma(spark, sf_dir):
     """Per-user event-time EWMA (alpha=0.3): one entity-key shuffle,
     the recurrence as a row-local Catalyst fold (no window chain, no
@@ -2732,10 +2756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
-        "ewma": q_ewma,
-        # --- tail: FOURTEEN new operator gates this round — thirteen
-        # fit the 50-entry window (ewma above is position 50); pagerank
-        # and heavy_hitters just below open the tail and, with
+        "funnel_by_cohort": q_funnel_by_cohort,
+        # --- tail: FIFTEEN new operator gates this round — thirteen
+        # fit the 50-entry window (funnel_by_cohort above is position
+        # 50); ewma, pagerank and heavy_hitters just below open the
+        # tail and, with
         # multi_range, array_sql, join_topk, array_range_read,
         # text_quality, salted_agg, multimodal_features, dedup_clusters,
         # label_read, exact_dedup and simhash_neardup, lead the round-8
@@ -2743,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_correctness.py (most also pytest-covered).
         # Gates displaced round 7 (driver-green r06 rows):
         # simhash .. scrub_text at the end of the tail. ---
+        "ewma": q_ewma,
         "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
         "multi_range": q_multi_range,
@@ -3438,6 +3464,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_active
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "funnel_by_cohort": """
+            WITH se AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM se
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT se.user_id, min(ts) AS t2 FROM se
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND ts > t1
+                     AND ts - t1 <= INTERVAL 12 HOUR
+                   GROUP BY se.user_id),
+            s3 AS (SELECT se.user_id, min(ts) AS t3 FROM se
+                   JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t2
+                     AND ts - t1 <= INTERVAL 12 HOUR
+                   GROUP BY se.user_id),
+            f AS (
+                SELECT b.user_id,
+                       ((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                        + (t3 IS NOT NULL)::INT) AS n_steps
+                FROM (SELECT DISTINCT user_id FROM se) b
+                LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+            ),
+            cohorts AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS cohort
+                FROM events GROUP BY user_id
+            )
+            SELECT cohort, count(*)::BIGINT AS n_users,
+                   sum((n_steps >= 1)::INT)::BIGINT AS n_step1,
+                   sum((n_steps >= 2)::INT)::BIGINT AS n_step2,
+                   sum((n_steps >= 3)::INT)::BIGINT AS n_step3
+            FROM f JOIN cohorts USING (user_id)
+            GROUP BY cohort ORDER BY cohort
         """,
         "ewma": """
             WITH RECURSIVE e AS (

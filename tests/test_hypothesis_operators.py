@@ -548,3 +548,37 @@ def test_changelog_matches_snapshot_diff_any_history(spark, tmp_path_factory,
                       None if r.v_new is None else float(r.v_new))
            for r in changelog(uri, ts1, ts2, spark=spark).collect()}
     assert got == want
+
+
+@given(evs=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40),
+                              st.one_of(st.none(),
+                                        st.floats(-100, 100))),
+                    min_size=1, max_size=25),
+       alpha=st.floats(0.05, 1.0))
+@settings(**_SETTINGS)
+def test_ewma_matches_reference_any_series(spark, evs, alpha):
+    """EWMA equals the from-scratch recurrence for any per-entity
+    series, null placement, and alpha (ties broken by event id)."""
+    from tiledb_py_spark.streaming.events import ewma
+
+    rows = [(i, u, float(ts), x) for i, (u, ts, x) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma(df, "value", alpha=alpha, ts_col="ts").collect()}
+    want = {}
+    state: dict = {}
+    for eid, u, ts, x in sorted(rows, key=lambda r: (r[2], r[0])):
+        prev = state.get(u)
+        if x is None:
+            want[eid] = prev
+        else:
+            prev = x if prev is None else alpha * x + (1 - alpha) * prev
+            state[u] = prev
+            want[eid] = prev
+    for eid in want:
+        g, w = got[eid], want[eid]
+        if w is None:
+            assert g is None, eid
+        else:
+            assert g == pytest.approx(w, abs=1e-9), eid
