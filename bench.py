@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "self_repeat",
     "pack_materialize",
     "kn_ppl",
+    "kn3_ppl",
     "interval_join",
     "interval_overlap",
     "bloom_decontam",

@@ -524,3 +524,29 @@ def test_interval_join_grid_plan_no_nested_loop(spark):
         num_buckets=16, long_span_buckets=10**9))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_kn3_no_corpus_sized_broadcast_hint(spark):
+    """kneser_ney_trigram_logprob must not broadcast-HINT the corpus-
+    sized tables (tri/ctx3/c2 are keyed by n-gram tuples and grow with
+    corpus size); only the vocabulary-sized ctx2/c1 and the one-row
+    scalar table carry hints.  With hints absent, AQE picks the join
+    strategy from runtime sizes — tiny inputs may still broadcast, so
+    the assertion targets the ANALYZED plan's hint nodes, not the
+    physical join choice."""
+    from tiledb_py_spark.operators.text import kneser_ney_trigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        ["doc_id", "text"])
+    out = kneser_ney_trigram_logprob(df, "text", "doc_id")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly 3 hints: ctx2 (token-keyed context totals), c1 (token-
+    # keyed continuation counts), scal (one scalar row)
+    assert analyzed.count("ResolvedHint") == 3
+
+    # with broadcast_tables=False only the scalar row keeps its hint
+    out = kneser_ney_trigram_logprob(df, "text", "doc_id",
+                                     broadcast_tables=False)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1

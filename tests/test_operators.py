@@ -3474,3 +3474,36 @@ def test_ewma_recurrence_nulls_and_ties(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         ewma(df, "value", alpha=0.0)
+
+
+def test_build_ann_index_id_col_explicit_and_errors(spark, tmp_path):
+    """build_ann_index(kind='ivfpq') keys the code table by the array's
+    first dimension by default, honors an explicit id_col=, and raises
+    a descriptive error instead of IndexError when no identity column
+    exists (ADVICE r7)."""
+    import numpy as np
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+
+    rng = np.random.RandomState(7)
+    uri = str(tmp_path / "emb2")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(32, dtype=np.int64),
+        "alt_id": np.arange(32, dtype=np.int64) + 1000,
+        "embedding": [rng.randn(8).astype("float64").tolist()
+                      for _ in range(32)]})
+    tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
+
+    # explicit id_col wins over the dimension default
+    tdb.build_ann_index(uri, "embedding", spark=spark, kind="ivfpq",
+                        n_cells=2, n_probe=2, m=4, n_codes=8,
+                        id_col="alt_id")
+    ct = tdb.open(uri + "__ivfpq_codes_default", spark=spark).dataframe()
+    assert "alt_id" in ct.columns and ct.count() == 32
+
+    # unknown id_col -> descriptive ValueError
+    with pytest.raises(ValueError, match="identity column|id_col"):
+        tdb.build_ann_index(uri, "embedding", spark=spark, kind="ivfpq",
+                            n_cells=2, n_probe=2, m=4, n_codes=8,
+                            id_col="nope")

@@ -378,3 +378,46 @@ def test_stream_array_to_array_etl(arr, spark, tmp_path):
     rows = {r.k: r.v2 for r in A.dataframe().collect()}
     assert len(rows) == 500
     assert rows[10] == 10 * 1.5 * 2.0
+
+
+def test_stream_offsets_identity_bearing(arr, spark):
+    """Stream offsets record the fragment NAME at the offset position
+    (ADVICE r7): after a vacuum shrinks the fragment list and later
+    commits grow it back past a checkpointed offset, the length-only
+    check would pass but the positions now name DIFFERENT fragments —
+    the reader must refuse rather than silently replay wrong rows."""
+    import pandas as pd
+
+    from tiledb_py_spark.fragment import consolidate, vacuum
+    from tiledb_py_spark.sources.spark_datasource import TileDBStreamReader
+
+    schema = spark.read.format("tiledb").load(arr).schema
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(1000, 1010, dtype=np.int64),
+         "v": np.zeros(10)}), index_dims=["k"], mode="append")
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(2000, 2005, dtype=np.int64),
+         "v": np.ones(5)}), index_dims=["k"], mode="append")
+
+    r = TileDBStreamReader(arr, schema)
+    ckpt = r.latestOffset()                      # i=3, frag=<third frag>
+    assert ckpt["i"] == 3 and ckpt["frag"] is not None
+
+    # consolidate + vacuum: 3 fragments -> 1; then grow back to 3
+    consolidate(arr, spark=spark)
+    vacuum(arr)
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(3000, 3002, dtype=np.int64),
+         "v": np.zeros(2)}), index_dims=["k"], mode="append")
+    tdb.from_pandas(arr, pd.DataFrame(
+        {"k": np.arange(4000, 4002, dtype=np.int64),
+         "v": np.zeros(2)}), index_dims=["k"], mode="append")
+
+    latest = r.latestOffset()
+    assert latest["i"] == 3                       # length check alone passes
+    with pytest.raises(RuntimeError, match="rewritten"):
+        r.partitions(ckpt, latest)
+
+    # a fresh checkpoint over the rewritten list works fine
+    fresh = {"i": 0, "frag": None}
+    assert len(r.partitions(fresh, latest)) == 3

@@ -491,3 +491,50 @@ def test_ewma_stream_matches_batch_across_microbatches(spark, tmp_path):
     assert got == batch
     assert got[4] == 0.5 * 16.0 + 0.5 * (0.5 * 8.0 + 0.5 * 4.0)
     assert got[5] == got[4]      # null propagates across the recurrence
+
+
+def test_stateful_schemas_derive_from_input(spark, tmp_path):
+    """ewma_stream/funnel_stream derive entity/tiebreak/ts/value field
+    NAMES and TYPES from the input schema (ADVICE r7): a string-typed
+    entity key and non-default column names round-trip unchanged
+    instead of failing or being silently renamed to user_id/event_id."""
+    from tiledb_py_spark.streaming.stateful import ewma_stream, funnel_stream
+
+    src = tmp_path / "sk_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    pd.DataFrame({"eid": [1, 2, 3, 4],
+                  "when": [ts(0), ts(10), ts(5), ts(20)],
+                  "who": ["alice", "alice", "bob", "alice"],
+                  "amount": [4.0, 8.0, 3.0, 16.0],
+                  "kind": ["view", "click", "view", "purchase"]}) \
+        .astype({"when": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    rows = []
+    q = (ewma_stream(stream, alpha=0.5, value_col="amount", by="who",
+                     ts_col="when", tiebreak_col="eid").writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "skckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {r.who for r in rows} == {"alice", "bob"}
+    got = {r.eid: r.ewma for r in rows}
+    assert got[4] == 0.5 * 16.0 + 0.5 * (0.5 * 8.0 + 0.5 * 4.0)
+    # caller's column names survive
+    assert set(rows[0].asDict()) == {"who", "eid", "when", "amount", "ewma"}
+
+    frows = []
+    q = (funnel_stream(stream, ["view", "click", "purchase"], by="who",
+                       ts_col="when", step_col="kind", tiebreak_col="eid")
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda df, _id: frows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "skfckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r.who: r.n_steps for r in frows}
+    assert final == {"alice": 3, "bob": 1}

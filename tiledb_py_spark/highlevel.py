@@ -213,7 +213,8 @@ def vacuum(uri: str, **kwargs):
 def build_ann_index(uri: str, vec_col: str, name: str = "default",
                     spark=None, n_cells: int = 16, n_probe: int = 3,
                     metric: str = "cosine", seed: int = 42, *,
-                    kind: str = "ivf", m: int = 8, n_codes: int = 16):
+                    kind: str = "ivf", m: int = 8, n_codes: int = 16,
+                    id_col: Optional[str] = None):
     """Fit an ANN index over a stored embedding array and persist it into
     the array's manifest metadata — fit once, search forever.
     ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
@@ -221,8 +222,11 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
     codebooks (``__pq_index:<name>``, m-byte codes + ADC search);
     ``kind="ivfpq"`` trains the composed coarse-quantize +
     residual-PQ index (``__ivfpq_index:<name>``, cell-pruned ADC
-    re-rank — the production shape).  Returns the fitted index
-    object."""
+    re-rank — the production shape).  For ``kind="ivfpq"`` the code
+    table is keyed by ``id_col`` (default: the array's first
+    DIMENSION — the storage identity); pass it explicitly when the
+    array has several candidate identity columns.  Returns the fitted
+    index object."""
     A = open(uri, spark=spark)
     df = A.dataframe()
     if kind == "ivf":
@@ -250,14 +254,26 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
         # the-codes scale path, built once at index time
         from .sources.dataframe_ import from_spark
 
-        id_cols = [c for c in df.columns if c != vec_col]
+        if id_col is None:
+            # default to the array's first DIMENSION — its storage
+            # identity — never a positional guess over attrs
+            dims = [A.schema.domain.dim(i).name
+                    for i in range(A.schema.domain.ndim)]
+            id_col = next((d for d in dims if d != vec_col), None)
+        if id_col is None or id_col == vec_col \
+                or id_col not in df.columns:
+            raise ValueError(
+                "build_ann_index(kind='ivfpq') needs an identity column "
+                "for the code table; the array has no non-vector "
+                f"dimension — pass id_col= explicitly (columns: "
+                f"{[c for c in df.columns if c != vec_col]})")
+        keep = [c for c in df.columns if c not in (vec_col, id_col)]
         codes_uri = _ivfpq_codes_uri(uri, name)
         if array_exists(codes_uri):
             remove(codes_uri)   # rebuild-from-scratch on refit
         from_spark(codes_uri,
-                   idx.build(df, vec_col, id_cols[0],
-                             keep_cols=id_cols[1:]),
-                   index_dims=[id_cols[0]], mode="ingest")
+                   idx.build(df, vec_col, id_col, keep_cols=keep),
+                   index_dims=[id_col], mode="ingest")
     return idx
 
 

@@ -827,9 +827,14 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
     (w, its predecessor, its pre-predecessor); table keys are the
     hash TUPLES — per-token hashing keeps the whole model replayable
     in plain SQL (the ``kn3_ppl`` oracle) — with one aggregation per
-    level, vocabulary-sized tables broadcast back
-    (``broadcast_tables=False`` defers to AQE), and the (B1, V)
-    scalars on one broadcast row.  Raw text never shuffles."""
+    level.  Only the genuinely VOCABULARY-sized tables (``ctx2``
+    keyed by one token, ``c1``, and the one-row ``scal`` scalars) are
+    broadcast-hinted; the corpus-sized trigram/bigram-keyed tables
+    (``tri``, ``ctx3``, ``c2`` — O(distinct n-grams), tens of GB on a
+    web corpus) join un-hinted so AQE picks shuffle-hash vs broadcast
+    from runtime sizes, matching the bigram variant's un-hinted
+    ``big`` join.  ``broadcast_tables=False`` defers everything to
+    AQE.  Raw text never shuffles."""
     th = token_hash or F.xxhash64
     toks = (tokens_col if tokens_col is not None
             else _tokens_lower(F.col(text_col)))
@@ -878,10 +883,13 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
         .when(F.col("__hb").isNotNull(), p2) \
         .otherwise(p1)
 
+    # tri/ctx3/c2 are keyed by n-gram tuples — corpus-sized, never
+    # hinted (AQE decides); ctx2/c1 are keyed by a single token —
+    # vocabulary-sized, safe to broadcast when requested.
     bc = F.broadcast if broadcast_tables else (lambda x: x)
-    scored = (g.join(bc(tri), on=["__ha", "__hb", "__h"], how="left")
-               .join(bc(ctx3), on=["__ha", "__hb"], how="left")
-               .join(bc(c2), on=["__hb", "__h"], how="left")
+    scored = (g.join(tri, on=["__ha", "__hb", "__h"], how="left")
+               .join(ctx3, on=["__ha", "__hb"], how="left")
+               .join(c2, on=["__hb", "__h"], how="left")
                .join(bc(ctx2), on="__hb", how="left")
                .join(bc(c1), on="__h", how="left")
                .crossJoin(F.broadcast(scal))

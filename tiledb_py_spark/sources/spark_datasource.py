@@ -845,7 +845,7 @@ class TileDBStreamReader(DataSourceStreamReader):
         self.columns = tuple(f.name for f in schema.fields)
 
     def initialOffset(self) -> dict:
-        return {"i": 0}
+        return {"i": 0, "frag": None}
 
     def latestOffset(self) -> dict:
         # NOTE: no maxFragmentsPerTrigger-style cap — the Python
@@ -853,7 +853,13 @@ class TileDBStreamReader(DataSourceStreamReader):
         # in a separate runner process and exposes no ReadLimit plumb,
         # so per-trigger backpressure cannot be anchored (verified
         # empirically); bound ingest by committing bounded fragments
-        return {"i": len(mf_read(self.uri))}
+        frags = mf_read(self.uri)
+        # offsets are identity-bearing: position PLUS the name of the
+        # fragment at that position, so a consolidate that shrinks the
+        # list and later commits that grow it back past the checkpoint
+        # cannot silently replay the wrong fragments' rows
+        return {"i": len(frags),
+                "frag": frags[-1].name if frags else None}
 
     def commit(self, end: dict) -> None:
         pass
@@ -875,6 +881,25 @@ class TileDBStreamReader(DataSourceStreamReader):
                 f"at {self.uri} — the array was consolidated/vacuumed "
                 "while a stream was running.  Restart the stream with a "
                 "fresh checkpoint (the feed is append-only by contract).")
+        # identity check: the fragment NAME recorded at each offset
+        # position must still be the fragment at that position — a
+        # consolidate that shrank the list plus later commits that grew
+        # it back would pass the length check yet replay different
+        # fragments' rows (ADVICE r7).  Old checkpoints without "frag"
+        # keep the length-only behavior.
+        for off in (start, end):
+            i, want = off["i"], off.get("frag")
+            if i > 0 and want is not None \
+                    and man.fragments[i - 1].name != want:
+                raise RuntimeError(
+                    f"tiledb stream source: checkpoint offset {i} "
+                    f"recorded fragment {want!r} at that position but "
+                    f"the manifest now has "
+                    f"{man.fragments[i - 1].name!r} — the fragment "
+                    f"list at {self.uri} was rewritten "
+                    "(consolidate/vacuum) while a stream was running. "
+                    "Restart the stream with a fresh checkpoint (the "
+                    "feed is append-only by contract).")
         frags = man.fragments[start["i"]:end["i"]]
         splits = []
         for fr in frags:

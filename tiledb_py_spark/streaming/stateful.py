@@ -165,8 +165,10 @@ def funnel_stream(events: DataFrame, steps, within_minutes=None,
         else int(within_minutes * 60_000_000)
     steps = list(steps)
 
+    # entity-key type comes from the input schema — a string-keyed
+    # stream works the same as the default long user_id
     out_schema = T.StructType(
-        [T.StructField(by, T.LongType(), False)]
+        [T.StructField(by, events.schema[by].dataType, False)]
         + [T.StructField(f"step{i + 1}_ts", T.TimestampType(), True)
            for i in range(k)]
         + [T.StructField("n_steps", T.IntegerType(), False)])
@@ -206,14 +208,6 @@ def funnel_stream(events: DataFrame, steps, within_minutes=None,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-EWMA_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType(), False),
-    T.StructField("event_id", T.LongType(), False),
-    T.StructField("ts", T.TimestampType(), False),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("ewma", T.DoubleType(), True),
-])
-
 _EWMA_STATE = T.StructType([
     T.StructField("has_prev", T.BooleanType(), False),
     T.StructField("prev", T.DoubleType(), False),
@@ -235,6 +229,18 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3,
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
 
+    # output columns carry the CALLER's names and the input's types —
+    # a string entity key or a renamed timestamp column round-trips
+    # unchanged (the batch ewma contract)
+    src = events.schema
+    out_schema = T.StructType([
+        T.StructField(by, src[by].dataType, False),
+        T.StructField(tiebreak_col, src[tiebreak_col].dataType, False),
+        T.StructField(ts_col, src[ts_col].dataType, False),
+        T.StructField(value_col, T.DoubleType(), True),
+        T.StructField("ewma", T.DoubleType(), True),
+    ])
+
     def fn(key, pdfs, state: GroupState):
         (entity,) = key
         has_prev, prev = state.get if state.exists else (False, 0.0)
@@ -251,17 +257,17 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3,
             out.append(prev)
         state.update((has_prev, prev))
         yield pd.DataFrame({
-            "user_id": entity,
-            "event_id": rows[tiebreak_col].to_numpy(),
-            "ts": rows[ts_col].to_numpy(),
-            "value": rows[value_col].to_numpy(),
+            by: entity,
+            tiebreak_col: rows[tiebreak_col].to_numpy(),
+            ts_col: rows[ts_col].to_numpy(),
+            value_col: rows[value_col].to_numpy(),
             "ewma": out,
         })
 
     return (events
             .groupBy(by)
             .applyInPandasWithState(
-                fn, outputStructType=EWMA_SCHEMA,
+                fn, outputStructType=out_schema,
                 stateStructType=_EWMA_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

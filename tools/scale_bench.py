@@ -179,6 +179,13 @@ def r_kn_ppl(spark, sf_dir):
     return kneser_ney_logprob(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def r_kn3_ppl(spark, sf_dir):
+    from tiledb_py_spark.operators.text import kneser_ney_trigram_logprob
+
+    return kneser_ney_trigram_logprob(_docs(spark, sf_dir), "text",
+                                      "doc_id")
+
+
 def r_self_repeat(spark, sf_dir):
     from tiledb_py_spark.operators.text import remove_self_repeated_spans
 
@@ -338,6 +345,7 @@ RUNNERS = {
     "ivfpq_build_search": r_ivfpq_build_search,
     "unigram_seed": r_unigram_seed,
     "kn_ppl": r_kn_ppl,
+    "kn3_ppl": r_kn3_ppl,
     "self_repeat": r_self_repeat,
     "pack_materialize": r_pack_materialize,
 }
