@@ -1868,6 +1868,67 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_incremental_compact(spark, sf_dir):
+    """State-array COMPACTION for continuous-ingest dedup (the
+    lifecycle gate): two ingest batches commit fingerprint fragments,
+    ``compact_state`` folds them into ONE via the engine's
+    consolidate+vacuum, and a third batch must answer IDENTICALLY to
+    the never-compacted three-batch run — while the compacted state
+    actually reads fewer fragments.  Verified as assertions the oracle
+    can state: (a) batch-3 survivors equal run-for-run; (b) the
+    compacted state holds exactly 1 fragment before batch 3 (vs 2
+    uncompacted) and 2 after (vs 3); (c) the near-dup variant (var-
+    length signature attr) round-trips the fold the same way."""
+    import tempfile
+
+    from tiledb_py_spark.fragment import array_fragments
+    from tiledb_py_spark.operators.dedup import (compact_state,
+                                                 incremental_exact_dedup,
+                                                 incremental_neardup)
+
+    root = tempfile.mkdtemp(prefix="tdbps_inccompact_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    b = [d.filter((F.col("doc_id") >= i * n // 3)
+                  & (F.col("doc_id") < (i + 1) * n // 3)) for i in range(3)]
+
+    sa, sb = os.path.join(root, "a"), os.path.join(root, "b")
+    for s in (sa, sb):
+        incremental_exact_dedup(b[0], "text", "doc_id", s).count()
+        incremental_exact_dedup(b[1], "text", "doc_id", s).count()
+    removed = compact_state(sb, spark=spark)
+    frags_compacted = len(array_fragments(sb))
+    got_a = sorted(r.doc_id for r in
+                   incremental_exact_dedup(b[2], "text", "doc_id",
+                                           sa).collect())
+    got_b = sorted(r.doc_id for r in
+                   incremental_exact_dedup(b[2], "text", "doc_id",
+                                           sb).collect())
+    exact_identical = bool(got_a == got_b)
+    frag_counts_ok = bool(removed >= 1 and frags_compacted == 1
+                          and len(array_fragments(sa)) == 3
+                          and len(array_fragments(sb)) == 2)
+
+    kw = dict(num_perm=16, bands=8, shingle_k=3, threshold=0.8)
+    na, nb = os.path.join(root, "na"), os.path.join(root, "nb")
+    for s in (na, nb):
+        incremental_neardup(b[0], "text", "doc_id", s, **kw).count()
+        incremental_neardup(b[1], "text", "doc_id", s, **kw).count()
+    compact_state(nb, spark=spark)
+    gna = sorted(r.doc_id for r in
+                 incremental_neardup(b[2], "text", "doc_id", na,
+                                     **kw).collect())
+    gnb = sorted(r.doc_id for r in
+                 incremental_neardup(b[2], "text", "doc_id", nb,
+                                     **kw).collect())
+    neardup_identical = bool(gna == gnb and len(array_fragments(nb)) == 2)
+
+    return spark.createDataFrame(
+        [(exact_identical, frag_counts_ok, neardup_identical)],
+        "exact_identical boolean, frag_counts_ok boolean, "
+        "neardup_identical boolean")
+
+
 def q_incremental_neardup(spark, sf_dir):
     """Continuous-ingest NEAR-dup against persisted MinHash-signature
     state, verified as assertions the oracle can state: (a) two batches
@@ -2693,20 +2754,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
-    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r6 item 3):
-    # positions 1-39 hold the core + newest operator gates; positions
-    # 40-50 hold ELEVEN tail gates rotated back in, taken round-robin
-    # in tail order, so every gate earns a driver-artifact row at
-    # least every ~5 rounds.  Round 7 rotated in multi_range ..
-    # simhash_neardup; round 8 should rotate in the next block
-    # (batch_topk .. json_props) and return this round's block to its
-    # tail positions.  Displaced to the tail this round: eighteen
-    # gates with driver-green CORRECTNESS_r06 rows (source_similarity
-    # .. scrub_text).  ALL entries keep their oracle_sql() and remain
+    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r7 item 1):
+    # positions 40-50 are HARD-RESERVED for the rotation block — the
+    # eleven gates named by the r7 verdict (ewma .. array_time_slice,
+    # tail order) — so this round's driver artifact finally carries
+    # tail-gate rows.  New round-8 gates enter positions 1-39 ONLY by
+    # displacing stable round-7 gates (driver-green r07 rows) to the
+    # tail; the round-7 gates that previously sat at 40-50
+    # (interval_join .. funnel_by_cohort, all driver-green in r07)
+    # open the tail.  ALL entries keep their oracle_sql() and remain
     # oracle-checked every round via tools/check_correctness.py
-    # regardless of position.
+    # regardless of position (CORRECTNESS_full_r{N}.json records the
+    # full sweep).
     return {
-        # --- positions 1-39: core + round-5/6/7 operator gates ---
+        # --- positions 1-39: core + newest operator gates ---
         "qc_filter": q_qc_filter,
         "contamination": q_contamination,
         "datasource_read": q_datasource_read,
@@ -2737,7 +2798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "unigram_seed": q_unigram_seed,
         "unigram_lm_train": q_unigram_lm_train,
-        "incremental_dedup": q_incremental_dedup,
+        # incremental_compact (NEW round 8) displaced incremental_dedup
+        # (driver-green r07) to the tail — the compaction gate runs the
+        # exact-dedup path twice as its substrate
+        "incremental_compact": q_incremental_compact,
         "incremental_neardup": q_incremental_neardup,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
@@ -2746,6 +2810,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_repeat": q_self_repeat,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r7 item 1,
+        # verbatim list, tail order) — eleven tail gates earning their
+        # driver-artifact rows this round ---
+        "ewma": q_ewma,
+        "pagerank": q_pagerank,
+        "heavy_hitters": q_heavy_hitters,
+        "batch_topk": q_batch_topk,
+        "events_sessions": q_events_sessions,
+        "qc_in_chain": q_qc_in_chain,
+        "join_multiway": q_join_multiway,
+        "embedding_topk": q_embedding_topk,
+        "agg_whole_selection": q_agg_whole_selection,
+        "array_cond_agg": q_array_cond_agg,
+        "array_time_slice": q_array_time_slice,
+        # --- tail.  Opened by the round-7 gates the rotation block
+        # displaced from positions 40-50 (all driver-green in
+        # CORRECTNESS_r07); every tail gate is still oracle-checked
+        # each round by tools/check_correctness.py and the committed
+        # CORRECTNESS_full_r{N}.json. ---
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -2757,20 +2840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
-        # --- tail: FIFTEEN new operator gates this round — thirteen
-        # fit the 50-entry window (funnel_by_cohort above is position
-        # 50); ewma, pagerank and heavy_hitters just below open the
-        # tail and, with
-        # multi_range, array_sql, join_topk, array_range_read,
-        # text_quality, salted_agg, multimodal_features, dedup_clusters,
-        # label_read, exact_dedup and simhash_neardup, lead the round-8
-        # rotation.  Every tail gate is still oracle-checked each round
-        # by tools/check_correctness.py (most also pytest-covered).
-        # Gates displaced round 7 (driver-green r06 rows):
-        # simhash .. scrub_text at the end of the tail. ---
-        "ewma": q_ewma,
-        "pagerank": q_pagerank,
-        "heavy_hitters": q_heavy_hitters,
+        # displaced by incremental_compact (round 8)
+        "incremental_dedup": q_incremental_dedup,
+        # round-7 rotation block, back to the tail
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
@@ -2782,16 +2854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
         "simhash_neardup": q_simhash_neardup,
-        "batch_topk": q_batch_topk,
-        # per-event sessionize (in-window) exercises the same gap
-        # semantics row-level; the aggregated form sits in the tail
-        "events_sessions": q_events_sessions,
-        "qc_in_chain": q_qc_in_chain,
-        "join_multiway": q_join_multiway,
-        "embedding_topk": q_embedding_topk,
-        "agg_whole_selection": q_agg_whole_selection,
-        "array_cond_agg": q_array_cond_agg,
-        "array_time_slice": q_array_time_slice,
         "datasource_lww_many": q_datasource_lww_many,
         "enum_qc": q_enum_qc,
         "qc_datetime": q_qc_datetime,
@@ -4951,6 +5013,13 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
                    true AS persisted_roundtrip
+        """,
+        # Assertion oracle (see q_incremental_compact): a third batch
+        # answers identically before/after state compaction, and the
+        # compacted state reads strictly fewer fragments.
+        "incremental_compact": """
+            SELECT true AS exact_identical, true AS frag_counts_ok,
+                   true AS neardup_identical
         """,
         # Assertion oracle (see q_incremental_neardup): two-batch
         # persisted-signature near-dup must equal the batch

@@ -3507,3 +3507,65 @@ def test_build_ann_index_id_col_explicit_and_errors(spark, tmp_path):
         tdb.build_ann_index(uri, "embedding", spark=spark, kind="ivfpq",
                             n_cells=2, n_probe=2, m=4, n_codes=8,
                             id_col="nope")
+
+
+def test_compact_state_preserves_incremental_answers(spark, tmp_path):
+    """compact_state folds an incremental-dedup state array's per-batch
+    fragments into one; the next batch's answer is IDENTICAL to the
+    uncompacted run for both the exact and the near-dup variant, the
+    fragment count actually drops, and the strictly-past-the-pin commit
+    still works after the rewrite (VERDICT r7 item 4)."""
+    import pandas as pd
+
+    from tiledb_py_spark.fragment import array_fragments
+    from tiledb_py_spark.operators.dedup import (compact_state,
+                                                 incremental_exact_dedup,
+                                                 incremental_neardup)
+
+    # mostly-unique texts with a cross-batch duplicate stripe (i%7==0
+    # repeats a shared text) so every batch commits survivors AND every
+    # batch drops some rows against prior state
+    texts = ["shared duplicate stripe text" if i % 7 == 0
+             else f"document number {i} distinct words here"
+             for i in range(120)]
+    pdf = pd.DataFrame({"doc_id": range(120), "text": texts})
+    d = spark.createDataFrame(pdf)
+    b = [d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40))
+         for lo in (0, 40, 80)]
+
+    # --- exact variant ---
+    sa = str(tmp_path / "exact_a")
+    sb = str(tmp_path / "exact_b")
+    for s in (sa, sb):
+        incremental_exact_dedup(b[0], "text", "doc_id", s).count()
+        incremental_exact_dedup(b[1], "text", "doc_id", s).count()
+    removed = compact_state(sb, spark=spark)
+    assert removed >= 1 and len(array_fragments(sb)) == 1
+    got_a = sorted(r.doc_id for r in
+                   incremental_exact_dedup(b[2], "text", "doc_id", sa).collect())
+    got_b = sorted(r.doc_id for r in
+                   incremental_exact_dedup(b[2], "text", "doc_id", sb).collect())
+    assert got_a == got_b
+    # idempotent on a single-fragment state... (b3 committed nothing new
+    # here only if it had no survivors; compact whatever is there)
+    compact_state(sb, spark=spark)
+    assert len(array_fragments(sb)) <= 1 or compact_state(sb, spark=spark) == 0
+
+    # --- near-dup variant (var-length signature attr survives the fold) ---
+    kw = dict(num_perm=16, bands=8, shingle_k=3, threshold=0.8)
+    na = str(tmp_path / "nd_a")
+    nb = str(tmp_path / "nd_b")
+    for s in (na, nb):
+        incremental_neardup(b[0], "text", "doc_id", s, **kw).count()
+        incremental_neardup(b[1], "text", "doc_id", s, **kw).count()
+    assert compact_state(nb, spark=spark) >= 1
+    assert len(array_fragments(nb)) == 1
+    gna = sorted(r.doc_id for r in
+                 incremental_neardup(b[2], "text", "doc_id", na, **kw).collect())
+    gnb = sorted(r.doc_id for r in
+                 incremental_neardup(b[2], "text", "doc_id", nb, **kw).collect())
+    assert gna == gnb
+    # the parameter pin survives compaction
+    with pytest.raises(ValueError, match="parameters"):
+        incremental_neardup(b[2], "text", "doc_id", nb, num_perm=8,
+                            bands=4, shingle_k=3, threshold=0.8)

@@ -1431,6 +1431,44 @@ def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
     return surv
 
 
+def compact_state(state_uri: str, spark=None, run_vacuum: bool = True) -> int:
+    """Fold an incremental-dedup state array's per-batch fragments into
+    ONE — the state-lifecycle step for ``incremental_exact_dedup`` /
+    ``incremental_neardup``: each batch commits one fragment forever,
+    so after 10k crawl batches every anti-join would read 10k fragment
+    files.  Compaction rewrites the live fragments through the engine's
+    ``fragment.consolidate`` (reference ``array.py:729-792``) and, with
+    ``run_vacuum`` (default), drops the superseded per-batch fragments
+    from the manifest so subsequent state reads scan one range-clustered
+    fragment.
+
+    Batch answers are IDENTICAL before and after: state rows are
+    append-only distinct keys (fingerprints / signatures keyed by id),
+    so consolidation's last-write-wins fold is a pure concatenation,
+    and the consolidated fragment's timestamp is the max ts_end over
+    the folded batches — exactly the pin the next batch would have
+    computed — so the pinned read sees the same rows and the next
+    commit still lands strictly past it.  The ``incremental_compact``
+    gate asserts run-for-run equality.
+
+    Returns the number of fragments removed (0 when already compact).
+
+    Scale note: NEVER compact while a ``readStream`` subscribes to the
+    state array — the stream source's identity-bearing offsets will
+    (correctly) refuse the rewritten fragment list."""
+    from ..fragment import array_fragments, consolidate
+    from ..fragment import vacuum as _vacuum
+
+    n_before = len(array_fragments(state_uri))
+    if n_before <= 1:
+        return 0
+    consolidate(state_uri, spark=spark)
+    if run_vacuum:
+        _vacuum(state_uri)
+        return n_before - len(array_fragments(state_uri))
+    return n_before - 1
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
