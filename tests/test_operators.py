@@ -3569,3 +3569,35 @@ def test_compact_state_preserves_incremental_answers(spark, tmp_path):
     with pytest.raises(ValueError, match="parameters"):
         incremental_neardup(b[2], "text", "doc_id", nb, num_perm=8,
                             bands=4, shingle_k=3, threshold=0.8)
+
+
+def test_ewma_arrow_equals_expr(spark):
+    """The Arrow (pandas ewm) scale path and the pure-Catalyst fold
+    produce identical EWMA rows — nulls (leading, interior, trailing),
+    ties broken by event_id, and multi-entity grouping included."""
+    import datetime as _dt
+
+    from tiledb_py_spark.streaming.events import ewma
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    vals = [None, 4.0, None, 8.0, 2.0, None, None, 16.0]
+    for u in (1, 2):
+        for i, v in enumerate(vals):
+            # two events share ts at i==3/4 -> tiebreak on event_id
+            ts = t0 + _dt.timedelta(minutes=(3 if i == 4 else i))
+            rows.append((u, i + u * 100, ts, v))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+    key = lambda r: (r.user_id, r.event_id)
+    a = {key(r): (r.ewma, r.value) for r in
+         ewma(df, "value", impl="arrow").collect()}
+    e = {key(r): (r.ewma, r.value) for r in
+         ewma(df, "value", impl="expr").collect()}
+    assert a == e
+    assert len(a) == len(rows)
+    # leading nulls stay null (not NaN) through the Arrow round-trip
+    import math
+    lead = a[(1, 100)][0]
+    assert lead is None and not (isinstance(lead, float) and math.isnan(lead))

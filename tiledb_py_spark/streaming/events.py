@@ -180,23 +180,57 @@ def funnel(events: DataFrame, steps, by="user_id", ts_col: str = "ts",
 def ewma(events: DataFrame, value_col: str = "value", by="user_id",
          ts_col: str = "ts", alpha: float = 0.3,
          tiebreak_col: str = "event_id",
-         out_col: str = "ewma") -> DataFrame:
+         out_col: str = "ewma", impl: str = "auto") -> DataFrame:
     """Per-entity exponentially weighted moving average in event-time
     order: ``ewma_1 = x_1``, ``ewma_t = alpha*x_t +
     (1-alpha)*ewma_{t-1}`` — the classic smoothing/anomaly baseline.
     Returns the input rows plus ``out_col``.
 
-    Scale shape: ONE entity-key shuffle (collect to a per-entity sorted
-    array), then the recurrence runs as a row-local Catalyst aggregate
-    fold and explodes back — no window-function chain and none of the
-    closed-form ``(1-alpha)^-i`` overflow a sum-over-frame rewrite
-    would hit on long series.  Per-entity state is bounded by that
-    entity's event count (the sessionize caveat).  Ties on ``ts``
-    order by ``tiebreak_col``.  Null values propagate the previous
-    EWMA unchanged (the row still carries it)."""
+    Scale shape: ONE entity-key shuffle either way.  ``impl="arrow"``
+    (the ``"auto"`` default) runs the recurrence as a per-entity
+    ``applyInPandas`` using pandas' C ``ewm(adjust=False,
+    ignore_na=True)`` kernel — O(n) in the entity's series length, so
+    a HOT entity holding a constant fraction of the stream costs
+    linear work in one task.  ``impl="expr"`` is the pure-Catalyst
+    fold (collect to a sorted array, ``aggregate`` recurrence, explode
+    back): no Python worker hop, but the immutable-array accumulator
+    copies per element — O(n^2) for a single entity's series, fine at
+    typical per-entity cardinality (10-100 events), quadratic-pathological
+    on a skewed feed (measured: the sf1 hot-entity stress with ~20% of
+    1M events on one key finishes in seconds on arrow and does not
+    finish on expr).  Neither a window-sum rewrite (the closed form's
+    ``(1-alpha)^-i`` overflows on long series) nor a Catalyst scan
+    primitive exists, so arrow IS the scale path, not a fallback.
+    Ties on ``ts`` order by ``tiebreak_col``.  Null values propagate
+    the previous EWMA unchanged (the row still carries it)."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
+    if impl not in ("auto", "arrow", "expr"):
+        raise ValueError("impl must be auto|arrow|expr")
     by = [by] if isinstance(by, str) else list(by)
+    if impl in ("auto", "arrow"):
+        import pandas as pd  # noqa: F401
+
+        from pyspark.sql import types as T
+
+        cols = [*by, ts_col, tiebreak_col, value_col]
+        proj = events.select(*cols).withColumn(
+            value_col, F.col(value_col).cast("double"))
+        # fresh StructType: StructType.add MUTATES the instance the
+        # DataFrame caches, corrupting proj's own resolved schema
+        schema_out = T.StructType(
+            list(proj.schema.fields)
+            + [T.StructField(out_col, T.DoubleType(), True)])
+
+        def per_entity(pdf):
+            pdf = pdf.sort_values([ts_col, tiebreak_col],
+                                  kind="mergesort")
+            pdf[out_col] = pdf[value_col].ewm(
+                alpha=alpha, adjust=False, ignore_na=True).mean()
+            return pdf
+
+        return proj.groupBy(*by).applyInPandas(per_entity, schema_out)
+
     evs = F.array_sort(F.collect_list(F.struct(
         F.col(ts_col).alias("__ts"), F.col(tiebreak_col).alias("__tb"),
         F.col(value_col).cast("double").alias("__x"))))

@@ -11,6 +11,21 @@ plan behavior, not constant factors.
 
 Usage:
     python tools/gen_sf.py 1 [/root/repo/.bench_data/sf1]
+    python tools/gen_sf.py 1 --skew [out_dir]   # adversarial Zipf-ish tail
+
+``--skew`` layers the realistic crawl-data failure modes the uniform
+seed-42 distributions never exercise (VERDICT r7 item 2) on top of the
+same tables:
+  * one HOT ENTITY: user_id 0 holds ~20% of all events (single-task
+    skew for per-entity collect/fold operators);
+  * one GIANT DOCUMENT: the last doc_id carries ~5M*sf tokens (a
+    single row dominating any per-document token expansion);
+  * a HEAD N-GRAM: ~40% of documents embed one repeated 8-token
+    phrase at ~half their length, putting ~30% of all n-gram postings
+    on one shingle family (hot-key shuffle pressure);
+  * one LSH BUCKET AT CAP: a 200-document near-identical cluster
+    (tiny single-token mutations of one base) whose band buckets all
+    exceed the default bucket_cap=64.
 """
 
 from __future__ import annotations
@@ -58,7 +73,7 @@ def _write(out_dir: str, name: str, cols: dict) -> None:
     print(f"  {name}: {tbl.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str) -> None:
+def generate(sf: float, out_dir: str, skew: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(SEED)
     n = {t: max(1, int(r * sf)) for t, r in ROWS.items()}
@@ -145,10 +160,15 @@ def generate(sf: float, out_dir: str) -> None:
     ev_lo, ev_hi = _ts_us("2024-01-01"), _ts_us("2024-01-31")
     ts = np.sort(rng.randint(ev_lo, ev_hi, ne))
     n_users = max(1, int(15_000 * sf))
+    user_ids = rng.randint(0, n_users, ne).astype(np.int64)
+    if skew:
+        # hot entity: user 0 owns ~20% of ALL events — the single-task
+        # skew case for per-entity collect_list/fold operators
+        user_ids[rng.random_sample(ne) < 0.2] = 0
     _write(out_dir, "events", {
         "event_id": pa.array(np.arange(ne, dtype=np.int64)),
         "ts": pa.array(ts).cast(pa.timestamp("us")),
-        "user_id": pa.array(rng.randint(0, n_users, ne).astype(np.int64)),
+        "user_id": pa.array(user_ids),
         "event_type": pa.array(np.array(
             ["view", "click", "purchase", "signup", "error"]
         )[rng.randint(0, 5, ne)]),
@@ -175,6 +195,32 @@ def generate(sf: float, out_dir: str) -> None:
             k = rng.randint(8, 106)
             texts.append(" ".join(vocab[rng.randint(0, len(vocab), k)]))
         doc_langs.append(langs[rng.randint(0, len(langs))])
+    if skew:
+        head = "hot head gram phrase dominating the posting stream"
+        for i in range(nd):
+            if i % 5 < 2:
+                # head n-gram: 40% of docs are ~half this one phrase ->
+                # ~30% of all n-gram postings land on one shingle family
+                k = len(texts[i].split())
+                texts[i] = " ".join([head] * max(1, k // 8)) \
+                    + " " + texts[i]
+        # LSH bucket at cap: 200 near-identical docs (one-token
+        # mutations of a shared base) -> every band bucket of the
+        # cluster exceeds the default bucket_cap=64
+        if nd > 260:
+            base = texts[nd - 260]
+            bw = base.split()
+            for j in range(200):
+                ws = list(bw)
+                ws[j % len(ws)] = str(vocab[j % len(vocab)])
+                texts[nd - 201 + j] = " ".join(ws)
+        # giant document: ~5M*sf tokens in ONE row — a single document
+        # dominating every per-doc token expansion.  Its first half is
+        # ONE repeated token, so a single n-gram ("boiler"*n) alone
+        # covers ~30% of the corpus's postings — the hottest-key case.
+        giant = max(50_000, int(5_000_000 * sf))
+        texts[nd - 1] = " ".join(["boiler"] * (giant // 2)) + " " + \
+            " ".join(vocab[rng.randint(0, len(vocab), giant - giant // 2)])
     _write(out_dir, "documents", {
         "doc_id": pa.array(np.arange(nd, dtype=np.int64)),
         "text": pa.array(texts),
@@ -196,12 +242,15 @@ def generate(sf: float, out_dir: str) -> None:
 
 
 def main() -> int:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    sf = float(args[0]) if args else 1.0
     default = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".bench_data", f"sf{sf:g}")
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else default
-    print(f"generating sf={sf} -> {out_dir}")
-    generate(sf, out_dir)
+        os.path.abspath(__file__))), ".bench_data",
+        f"sf{sf:g}" + ("skew" if skew else ""))
+    out_dir = args[1] if len(args) > 1 else default
+    print(f"generating sf={sf} skew={skew} -> {out_dir}")
+    generate(sf, out_dir, skew=skew)
     return 0
 
 

@@ -248,6 +248,19 @@ def r_bloom_decontam(spark, sf_dir):
                          strategy="prefilter", bloom_bits=1 << 27)
 
 
+def r_ewma(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import ewma
+
+    return ewma(_events(spark, sf_dir), "value", alpha=0.3)
+
+
+def r_repeated_ngrams(spark, sf_dir):
+    from tiledb_py_spark.operators.dedup import repeated_ngram_stats
+
+    return repeated_ngram_stats(_docs(spark, sf_dir), "text", "doc_id",
+                                n=10, min_docs=2)
+
+
 def r_funnel(spark, sf_dir):
     from tiledb_py_spark.streaming.events import funnel
 
@@ -327,6 +340,8 @@ RUNNERS = {
     "interval_overlap": r_interval_overlap,
     "bloom_decontam": r_bloom_decontam,
     "funnel": r_funnel,
+    "ewma": r_ewma,
+    "repeated_ngrams": r_repeated_ngrams,
     "embedding_pca": r_embedding_pca,
     "wordpiece": r_wordpiece,
     "changelog": r_changelog,
