@@ -3601,3 +3601,37 @@ def test_ewma_arrow_equals_expr(spark):
     import math
     lead = a[(1, 100)][0]
     assert lead is None and not (isinstance(lead, float) and math.isnan(lead))
+
+
+def test_classifier_tree_combine_matches_flat(spark, monkeypatch):
+    """The two-level gradient merge (engaged when partitions x buckets
+    exceeds the driver-payload cap) fits the same model as the flat
+    per-partition collect: identical convergence, weights equal to
+    1e-10, and deterministic run-for-run on the tree path (canonical
+    pid/gid-ordered reduction) — VERDICT r7 item 6."""
+    import numpy as np
+
+    from tiledb_py_spark.operators import classifier as C
+
+    rows = [(i, ("good clean prose sample " * 3 if i % 2
+                 else "spam spam buy now click " * 3) + f"tok{i % 17}",
+             1 if i % 2 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int") \
+              .repartition(16)
+
+    flat = C.fit_quality_classifier(df, "text", "y", n_buckets=256,
+                                    max_iter=20, tol=1e-7)
+    # force the tree path: 16 partitions x 257 doubles > 1 threshold
+    monkeypatch.setattr(C, "_TREE_COMBINE_DOUBLES", 1)
+    tree1 = C.fit_quality_classifier(df, "text", "y", n_buckets=256,
+                                     max_iter=20, tol=1e-7)
+    tree2 = C.fit_quality_classifier(df, "text", "y", n_buckets=256,
+                                     max_iter=20, tol=1e-7)
+
+    assert tree1.converged == flat.converged
+    assert np.allclose(tree1.weights, flat.weights, atol=1e-10)
+    assert abs(tree1.bias - flat.bias) < 1e-10
+    # canonical reduction: the tree path is bit-identical run-for-run
+    assert np.array_equal(np.asarray(tree1.weights),
+                          np.asarray(tree2.weights))
+    assert tree1.bias == tree2.bias and tree1.loss == tree2.loss

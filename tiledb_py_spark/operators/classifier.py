@@ -121,11 +121,27 @@ def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
     return np.add.reduceat(vals, offs)
 
 
+# engage the two-level gradient merge once the flat per-eval driver
+# payload (partitions x (n_buckets+1) doubles) would exceed ~256 MB —
+# below that, the flat collect is cheaper than the extra shuffle stage
+_TREE_COMBINE_DOUBLES = 1 << 25
+
+
 def _eval_factory(feats: DataFrame, n_buckets: int, reg: float):
     """(loss, gradient) oracle over the persisted features: one
     mapInPandas job per call, one (loss, n, grad[n_buckets+1]) row per
     partition, numpy-summed on the driver in partition order.  The
-    bias rides as slot ``n_buckets`` (unregularized)."""
+    bias rides as slot ``n_buckets`` (unregularized).
+
+    When ``partitions x (n_buckets+1)`` exceeds ``_TREE_COMBINE_DOUBLES``
+    the per-partition digests go through a TREE COMBINE first:
+    ``ceil(sqrt(P))`` combiner tasks each sum their pid-group's rows in
+    ascending-pid order (one tiny Exchange of digest rows), so driver
+    traffic is O(sqrt(P) * n_buckets) — effectively independent of
+    partition count (VERDICT r7 item 6: the flat collect is 80 GB at
+    10k partitions x 1M buckets).  Both paths reduce in a CANONICAL
+    order (rows sorted by pid / gid before summing), so a fit is
+    deterministic run-for-run on either path."""
     schema = "pid int, loss double, n long, grad array<double>"
 
     def make_eval(wb: np.ndarray):
@@ -169,8 +185,26 @@ def _eval_factory(feats: DataFrame, n_buckets: int, reg: float):
             yield pd.DataFrame([{"pid": pid, "loss": L, "n": N,
                                  "grad": G.tolist()}])
 
-        rows = sorted(feats.mapInPandas(part, schema).collect(),
-                      key=lambda r: r.pid)
+        digests = feats.mapInPandas(part, schema)
+        n_parts = feats.rdd.getNumPartitions()
+        if n_parts * (n_buckets + 1) > _TREE_COMBINE_DOUBLES:
+            import math
+
+            G = int(math.ceil(math.sqrt(n_parts)))
+
+            def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("pid")
+                grads = np.vstack([np.asarray(g) for g in pdf["grad"]])
+                return pd.DataFrame([{
+                    "pid": int(pdf["pid"].iloc[0]) % G,
+                    "loss": float(pdf["loss"].sum()),
+                    "n": int(pdf["n"].sum()),
+                    "grad": grads.sum(axis=0).tolist()}])
+
+            digests = (digests
+                       .groupBy(F.pmod(F.col("pid"), F.lit(G)).alias("gid"))
+                       .applyInPandas(combine, schema))
+        rows = sorted(digests.collect(), key=lambda r: r.pid)
         N = sum(r.n for r in rows)
         if N == 0:
             raise ValueError("fit_quality_classifier: no labeled rows")
