@@ -73,89 +73,139 @@ def _write(out_dir: str, name: str, cols: dict) -> None:
     print(f"  {name}: {tbl.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str, skew: bool = False) -> None:
+def generate(sf: float, out_dir: str, skew: bool = False,
+             tables=None) -> None:
+    """``tables`` (e.g. ``{"documents", "embeddings"}``) restricts
+    generation to the named tables — at sf100 the full star schema is
+    600M lineitem rows, but the document-family scale ladder only needs
+    the text tables."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(SEED)
     n = {t: max(1, int(r * sf)) for t, r in ROWS.items()}
 
+    def want(t: str) -> bool:
+        return tables is None or t in tables
+
     # --- dimensions -------------------------------------------------------
-    _write(out_dir, "region", {
-        "r_regionkey": pa.array(range(5), pa.int64()),
-        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]})
-    _write(out_dir, "nation", {
-        "n_nationkey": pa.array(range(25), pa.int64()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64())})
+    if want("region"):
+        _write(out_dir, "region", {
+            "r_regionkey": pa.array(range(5), pa.int64()),
+            "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                       "MIDDLE EAST"]})
+    if want("nation"):
+        _write(out_dir, "nation", {
+            "n_nationkey": pa.array(range(25), pa.int64()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64())})
 
     nc = n["customer"]
-    _write(out_dir, "customer", {
-        "c_custkey": pa.array(np.arange(nc, dtype=np.int64)),
-        "c_name": [f"Customer#{i:09d}" for i in range(nc)],
-        "c_nationkey": pa.array(rng.randint(0, 25, nc).astype(np.int64)),
-        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nc), 2)),
-        "c_mktsegment": pa.array(np.array(_MKTSEG)[rng.randint(0, 5, nc)])})
+    if want("customer"):
+        _write(out_dir, "customer", {
+            "c_custkey": pa.array(np.arange(nc, dtype=np.int64)),
+            "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+            "c_nationkey": pa.array(rng.randint(0, 25, nc).astype(np.int64)),
+            "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nc), 2)),
+            "c_mktsegment": pa.array(
+                np.array(_MKTSEG)[rng.randint(0, 5, nc)])})
 
     ns = n["supplier"]
-    _write(out_dir, "supplier", {
-        "s_suppkey": pa.array(np.arange(ns, dtype=np.int64)),
-        "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
-        "s_nationkey": pa.array(rng.randint(0, 25, ns).astype(np.int64)),
-        "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, ns), 2))})
+    if want("supplier"):
+        _write(out_dir, "supplier", {
+            "s_suppkey": pa.array(np.arange(ns, dtype=np.int64)),
+            "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+            "s_nationkey": pa.array(rng.randint(0, 25, ns).astype(np.int64)),
+            "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, ns), 2))})
 
     np_ = n["part"]
-    _write(out_dir, "part", {
-        "p_partkey": pa.array(np.arange(np_, dtype=np.int64)),
-        "p_name": [f"{_PADJ[i % 8]} {_PNOUN[(i // 8) % 8]}" for i in range(np_)],
-        "p_brand": [f"Brand#{i % 25}" for i in range(np_)],
-        "p_type": pa.array(np.array(_PTYPES)[rng.randint(0, len(_PTYPES), np_)]),
-        "p_size": pa.array(rng.randint(1, 51, np_).astype(np.int32)),
-        "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, np_), 2))})
+    if want("part"):
+        _write(out_dir, "part", {
+            "p_partkey": pa.array(np.arange(np_, dtype=np.int64)),
+            "p_name": [f"{_PADJ[i % 8]} {_PNOUN[(i // 8) % 8]}"
+                       for i in range(np_)],
+            "p_brand": [f"Brand#{i % 25}" for i in range(np_)],
+            "p_type": pa.array(
+                np.array(_PTYPES)[rng.randint(0, len(_PTYPES), np_)]),
+            "p_size": pa.array(rng.randint(1, 51, np_).astype(np.int32)),
+            "p_retailprice": pa.array(
+                np.round(rng.uniform(900, 2000, np_), 2))})
 
     # --- orders -----------------------------------------------------------
-    no = n["orders"]
-    od_lo, od_hi = _ts_us("1995-01-01"), _ts_us("2001-08-02")
-    odate = (rng.randint(0, (od_hi - od_lo) // _DAY_US, no) * _DAY_US + od_lo)
-    odate.sort()  # orderkey correlates with date, like the driver data
-    _write(out_dir, "orders", {
-        "o_orderkey": pa.array(np.arange(no, dtype=np.int64)),
-        "o_custkey": pa.array(rng.randint(0, nc, no).astype(np.int64)),
-        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.randint(0, 3, no)]),
-        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, no), 2)),
-        "o_orderdate": pa.array(odate).cast(pa.timestamp("us")),
-        "o_orderpriority": pa.array(np.array(
-            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-        )[rng.randint(0, 5, no)])})
+    # NOTE: the rng draw sequence is per-table-block, so a subset
+    # generation reproduces EXACTLY the tables a full generation would
+    # write only when the skipped blocks' draws are also skipped — a
+    # subset dir is self-consistent but not byte-identical to the same
+    # tables inside a full dir.  Scale ladders compare within one dir
+    # family, so this does not matter there.
+    if want("orders") or want("lineitem"):
+        no = n["orders"]
+        od_lo, od_hi = _ts_us("1995-01-01"), _ts_us("2001-08-02")
+        odate = (rng.randint(0, (od_hi - od_lo) // _DAY_US, no) * _DAY_US
+                 + od_lo)
+        odate.sort()  # orderkey correlates with date, like the driver data
+    if want("orders"):
+        _write(out_dir, "orders", {
+            "o_orderkey": pa.array(np.arange(no, dtype=np.int64)),
+            "o_custkey": pa.array(rng.randint(0, nc, no).astype(np.int64)),
+            "o_orderstatus": pa.array(
+                np.array(["O", "P", "F"])[rng.randint(0, 3, no)]),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, no), 2)),
+            "o_orderdate": pa.array(odate).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(np.array(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                 "5-LOW"])[rng.randint(0, 5, no)])})
 
     # --- lineitem ---------------------------------------------------------
-    nl = n["lineitem"]
-    lines_per_order = 1 + rng.poisson(nl / no - 1, no)  # mean = nl/no, min 1
-    okeys = np.repeat(np.arange(no, dtype=np.int64), lines_per_order)[:nl]
-    if len(okeys) < nl:  # top up from the last orders if the draw fell short
-        okeys = np.concatenate([okeys, rng.randint(0, no, nl - len(okeys))
-                                .astype(np.int64)])
-        okeys.sort()
-    # per-order line numbers 1..k (vectorized cumulative count within
-    # runs of equal orderkey)
-    same = okeys[1:] == okeys[:-1]
-    idx = np.arange(nl)
-    start = np.concatenate([[0], idx[1:][~same]])
-    starts_per_row = np.repeat(start, np.diff(np.concatenate([start, [nl]])))
-    linenum = (idx - starts_per_row + 1).astype(np.int32)
-    ship = odate[okeys] + rng.randint(1, 96, nl) * _DAY_US
-    _write(out_dir, "lineitem", {
-        "l_orderkey": pa.array(okeys),
-        "l_partkey": pa.array(rng.randint(0, np_, nl).astype(np.int64)),
-        "l_suppkey": pa.array(rng.randint(0, ns, nl).astype(np.int64)),
-        "l_linenumber": pa.array(linenum),
-        "l_quantity": pa.array(rng.randint(1, 51, nl).astype(np.float64)),
-        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, nl), 2)),
-        "l_discount": pa.array(np.round(rng.randint(0, 11, nl) / 100.0, 2)),
-        "l_tax": pa.array(np.round(rng.randint(0, 9, nl) / 100.0, 2)),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, nl)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, nl)]),
-        "l_shipdate": pa.array(ship).cast(pa.timestamp("us"))})
+    if want("lineitem"):
+        nl = n["lineitem"]
+        lines_per_order = 1 + rng.poisson(nl / no - 1, no)  # mean nl/no
+        okeys = np.repeat(np.arange(no, dtype=np.int64),
+                          lines_per_order)[:nl]
+        if len(okeys) < nl:  # top up if the draw fell short
+            okeys = np.concatenate([okeys,
+                                    rng.randint(0, no, nl - len(okeys))
+                                    .astype(np.int64)])
+            okeys.sort()
+        # per-order line numbers 1..k (vectorized cumulative count within
+        # runs of equal orderkey)
+        same = okeys[1:] == okeys[:-1]
+        idx = np.arange(nl)
+        start = np.concatenate([[0], idx[1:][~same]])
+        starts_per_row = np.repeat(
+            start, np.diff(np.concatenate([start, [nl]])))
+        linenum = (idx - starts_per_row + 1).astype(np.int32)
+        ship = odate[okeys] + rng.randint(1, 96, nl) * _DAY_US
+        _write(out_dir, "lineitem", {
+            "l_orderkey": pa.array(okeys),
+            "l_partkey": pa.array(rng.randint(0, np_, nl).astype(np.int64)),
+            "l_suppkey": pa.array(rng.randint(0, ns, nl).astype(np.int64)),
+            "l_linenumber": pa.array(linenum),
+            "l_quantity": pa.array(rng.randint(1, 51, nl).astype(np.float64)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 105000, nl), 2)),
+            "l_discount": pa.array(
+                np.round(rng.randint(0, 11, nl) / 100.0, 2)),
+            "l_tax": pa.array(np.round(rng.randint(0, 9, nl) / 100.0, 2)),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[rng.randint(0, 3, nl)]),
+            "l_linestatus": pa.array(
+                np.array(["F", "O"])[rng.randint(0, 2, nl)]),
+            "l_shipdate": pa.array(ship).cast(pa.timestamp("us"))})
 
     # --- events -----------------------------------------------------------
+    if want("events"):
+        _gen_events(out_dir, n, sf, rng, skew)
+
+    # --- documents (profiled ~3% near-dup / ~0.2% exact-dup mix) ----------
+    if want("documents"):
+        _gen_documents(out_dir, n, sf, rng, skew)
+
+    # --- embeddings (clustered so IVF/LSH have structure) -----------------
+    if want("embeddings"):
+        _gen_embeddings(out_dir, n, rng)
+
+
+def _gen_events(out_dir, n, sf, rng, skew):
     ne = n["events"]
     ev_lo, ev_hi = _ts_us("2024-01-01"), _ts_us("2024-01-31")
     ts = np.sort(rng.randint(ev_lo, ev_hi, ne))
@@ -175,7 +225,8 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
         "value": pa.array(np.round(np.minimum(rng.exponential(50, ne), 600), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.randint(0, 100, ne)])})
 
-    # --- documents (with the profiled ~3% near-dup / ~0.2% exact-dup mix) -
+
+def _gen_documents(out_dir, n, sf, rng, skew):
     nd = n["documents"]
     vocab = np.array(_VOCAB)
     texts: list[str] = []
@@ -226,9 +277,11 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
         "text": pa.array(texts),
         "lang": pa.array(doc_langs),
         "source": pa.array([f"src{i % 20}" for i in range(nd)]),
-        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64))})
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64))})
 
-    # --- embeddings (clustered so IVF/LSH have structure) -----------------
+
+def _gen_embeddings(out_dir, n, rng):
     nv = n["embeddings"]
     dim = 64
     labels = rng.randint(0, 10, nv).astype(np.int32)
@@ -242,15 +295,20 @@ def generate(sf: float, out_dir: str, skew: bool = False) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
-    skew = "--skew" in sys.argv[1:]
+    argv = sys.argv[1:]
+    skew = "--skew" in argv
+    tables = None
+    for a in list(argv):
+        if a.startswith("--tables="):
+            tables = set(a.split("=", 1)[1].split(","))
+    args = [a for a in argv if not a.startswith("--")]
     sf = float(args[0]) if args else 1.0
     default = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_data",
         f"sf{sf:g}" + ("skew" if skew else ""))
     out_dir = args[1] if len(args) > 1 else default
-    print(f"generating sf={sf} skew={skew} -> {out_dir}")
-    generate(sf, out_dir, skew=skew)
+    print(f"generating sf={sf} skew={skew} tables={tables} -> {out_dir}")
+    generate(sf, out_dir, skew=skew, tables=tables)
     return 0
 
 
