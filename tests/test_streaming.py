@@ -538,3 +538,98 @@ def test_stateful_schemas_derive_from_input(spark, tmp_path):
     q.awaitTermination(120)
     final = {r.who: r.n_steps for r in frows}
     assert final == {"alice": 3, "bob": 1}
+
+
+def test_stateful_late_data_policies(spark, tmp_path):
+    """Pins the documented LATE-DATA policy of each stateful operator
+    (VERDICT r7 item 7) with an event arriving in a later micro-batch
+    AFTER its entity's state advanced past its timestamp:
+
+    * ewma_stream: the straggler folds into the recurrence AT ARRIVAL
+      (alpha*x + (1-alpha)*latest_state) and advances the state later
+      events smooth from;
+    * funnel_stream: matched step times are monotone — a straggler step
+      at-or-before the last matched time never matches, completions
+      are never retracted; an out-of-order arrival still past the last
+      match matches normally;
+    * sessionize_stream: the straggler joins the entity's CURRENT
+      session with the next event_idx (negative gap) and rewinds the
+      gap anchor."""
+    from tiledb_py_spark.streaming.stateful import (ewma_stream,
+                                                    funnel_stream,
+                                                    sessionize_stream)
+
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+
+    def two_batches(name, b1, b2):
+        src = tmp_path / name
+        src.mkdir()
+        pd.DataFrame(b1).astype({"ts": "datetime64[us]"}) \
+            .to_parquet(src / "b1.parquet")
+        pd.DataFrame(b2).astype({"ts": "datetime64[us]"}) \
+            .to_parquet(src / "b2.parquet")
+        schema = spark.read.parquet(str(src)).schema
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    def run(df, mode, ck):
+        rows = []
+        q = (df.writeStream.outputMode(mode)
+             .foreachBatch(lambda b, _id: rows.extend(b.collect()))
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return rows
+
+    # --- ewma: batch 2 carries a straggler at ts(5) after state saw
+    # ts(0)=4.0 then ts(10)=8.0 (ewma 4.0, 6.0)
+    stream = two_batches(
+        "ew",
+        {"event_id": [1, 2], "ts": [ts(0), ts(10)],
+         "user_id": [1, 1], "value": [4.0, 8.0]},
+        {"event_id": [3, 4], "ts": [ts(5), ts(20)],
+         "user_id": [1, 1], "value": [16.0, 2.0]})
+    got = {r.event_id: r.ewma for r in
+           run(ewma_stream(stream, alpha=0.5), "append", "ew_ck")}
+    assert got[2] == 6.0
+    late = 0.5 * 16.0 + 0.5 * 6.0            # folds at ARRIVAL
+    assert got[3] == late and got[3] != 0.5 * 16.0 + 0.5 * 4.0
+    assert got[4] == 0.5 * 2.0 + 0.5 * late  # straggler advanced state
+
+    # --- funnel: click at ts(5) arrives AFTER view matched at ts(10):
+    # monotone matched times -> never matches; purchase straggler at
+    # ts(15) (> last match) still matches
+    stream = two_batches(
+        "fn",
+        {"event_id": [1], "ts": [ts(10)], "user_id": [1],
+         "event_type": ["view"]},
+        {"event_id": [2, 3], "ts": [ts(5), ts(15)], "user_id": [1, 1],
+         "event_type": ["click", "purchase"]})
+    rows = run(funnel_stream(stream, ["view", "click", "purchase"]),
+               "update", "fn_ck")
+    assert rows[-1].n_steps == 1              # click dropped, purchase
+    #                                           blocked on missing click
+    stream = two_batches(
+        "fn2",
+        {"event_id": [1], "ts": [ts(10)], "user_id": [1],
+         "event_type": ["view"]},
+        {"event_id": [2], "ts": [ts(15)], "user_id": [1],
+         "event_type": ["click"]})
+    rows = run(funnel_stream(stream, ["view", "click", "purchase"]),
+               "update", "fn2_ck")
+    assert rows[-1].n_steps == 2              # in-window straggler matches
+
+    # --- sessionize: straggler at ts(5) after state advanced to ts(40)
+    # joins the CURRENT session (negative gap) as its next event
+    stream = two_batches(
+        "sz",
+        {"event_id": [1, 2], "ts": [ts(0), ts(40)], "user_id": [1, 1]},
+        {"event_id": [3, 4], "ts": [ts(5), ts(41)], "user_id": [1, 1]})
+    rows = run(sessionize_stream(stream, gap_minutes=30.0), "append",
+               "sz_ck")
+    got = {r.event_id: (r.session_idx, r.event_idx) for r in rows}
+    assert got[1] == (1, 1) and got[2] == (2, 1)
+    assert got[3] == (2, 2)                   # joins session 2 at arrival
+    assert got[4] == (3, 1)                   # gap measured FROM the
+    #                                           straggler: 41-5 > 30

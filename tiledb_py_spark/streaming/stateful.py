@@ -119,8 +119,19 @@ def sessionize_stream(events: DataFrame,
     Contract: events are processed in event-time order WITHIN each
     micro-batch (sorted per group); an event arriving in a LATER batch
     with an earlier timestamp is sessionized in arrival order — the
-    exactness trade every online sessionizer makes.  For bounded state
-    on real deployments, compose with a watermark upstream and an
+    exactness trade every online sessionizer makes.
+
+    LATE-DATA POLICY (pinned by ``test_stateful_late_data_policies``):
+    a straggler whose timestamp PRECEDES the entity's last processed
+    event joins the entity's CURRENT session (its negative gap can
+    never reach ``gap_minutes``), taking the next ``event_idx``; it is
+    never re-sorted into the session its timestamp belongs to, and it
+    REWINDS ``last_us`` — the next event's gap measures from the
+    straggler.  To drop stragglers instead, compose
+    ``events.withWatermark(ts, horizon)`` upstream: rows later than
+    the watermark are filtered before the state op, and within-horizon
+    rows still follow the arrival-order rule.  For bounded state on
+    real deployments, compose with a watermark upstream and an
     eviction policy; batch backfills should use ``sessionize`` (whose
     window answer this operator reproduces for in-order streams — see
     the equivalence test)."""
@@ -152,9 +163,18 @@ def funnel_stream(events: DataFrame, steps, within_minutes=None,
     events are filtered BEFORE the shuffle.  Events are processed in
     event-time order within each micro-batch (ties by
     ``tiebreak_col``); cross-batch stragglers match in arrival order —
-    the online sessionizer's exactness trade.  For an in-order stream
-    the final rows equal the batch ``funnel`` answer (equivalence
-    test)."""
+    the online sessionizer's exactness trade.
+
+    LATE-DATA POLICY (pinned by ``test_stateful_late_data_policies``):
+    matched step times are MONOTONE — a straggler step event whose
+    timestamp is <= the last matched step's time NEVER matches (the
+    ``us <= done[-1]`` guard), even if it is exactly the next needed
+    step; state never rewinds, so an already-reported completion can
+    never be retracted.  A straggler for a step the entity has not
+    reached yet, with a timestamp still past the last match, matches
+    normally.  Compose an upstream watermark to drop stragglers
+    entirely.  For an in-order stream the final rows equal the batch
+    ``funnel`` answer (equivalence test)."""
     from pyspark.sql import functions as F
 
     k = len(steps)
@@ -224,8 +244,17 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3,
     operator).  Same semantics: seed at the first non-null value, nulls
     propagate the previous EWMA; events process in event-time order
     within each micro-batch, cross-batch stragglers in arrival order
-    (the online trade).  In-order streams reproduce the batch ``ewma``
-    exactly (equivalence test)."""
+    (the online trade).
+
+    LATE-DATA POLICY (pinned by ``test_stateful_late_data_policies``):
+    a straggler's value folds into the recurrence AT ARRIVAL — its
+    ewma is ``alpha*x + (1-alpha)*latest_state``, not the value a
+    re-sorted series would give — and it advances the state that later
+    events smooth from.  Rows already emitted are never restated
+    (append semantics); a batch ``ewma`` backfill is the exact-order
+    answer.  Compose an upstream watermark to drop stragglers.
+    In-order streams reproduce the batch ``ewma`` exactly
+    (equivalence test)."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
 
