@@ -1868,6 +1868,78 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable approximate quantiles (percentile_approx / GK sketch)
+    over l_extendedprice per l_returnflag, VERIFIED exactly: the gate
+    recounts each returned quantile's achieved rank fraction and
+    asserts |rank - p| <= rel_err (the sketch's documented guarantee).
+    Row values the oracle replays: the per-group row count (exact) and
+    the within_bound flag (true everywhere)."""
+    from tiledb_py_spark.operators.sketches import approx_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = approx_quantiles(li, "l_extendedprice",
+                           [0.1, 0.5, 0.9, 0.99], rel_err=0.01,
+                           by="l_returnflag", verify=True)
+    n = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return (out.join(n, on="l_returnflag")
+               .select("l_returnflag",
+                       F.col("prob").cast("double").alias("prob"),
+                       "n_rows", "within_bound")
+               .orderBy("l_returnflag", "prob"))
+
+
+def q_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ distinct-text cardinality per document source —
+    the constant-state answer to COUNT(DISTINCT) at n-gram/URL
+    cardinality — verified against the exact count computed alongside:
+    the oracle replays the exact counts and the gate asserts the HLL
+    estimate landed within 3x the requested rsd."""
+    from tiledb_py_spark.operators.sketches import approx_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    out = approx_distinct(d, "text", by="source", rsd=0.02, verify=True)
+    # 3x-rsd is the asymptotic bound; tiny sf0.001 groups (~25 docs)
+    # get an absolute floor of 3 — HLL++'s variance guarantee is a
+    # standard deviation, not a small-n bound
+    ok = (F.col("rel_err") <= 0.06) | \
+        (F.abs(F.col("approx_nd") - F.col("exact_nd")) <= 3)
+    return (out.select("source", "exact_nd", ok.alias("within_3rsd"))
+               .orderBy("source"))
+
+
+_CMS_PROBES = ["spark", "scan", "join", "write", "row", "vector"]
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min point-frequency probes over the corpus token stream:
+    per-partition d x w counter tables merged by addition (CMS is
+    linear; zero shuffles), then fixed probe tokens estimated and
+    checked against their EXACT counts — est in [true, true + eps*n]
+    (fixed seed).  The oracle replays the exact counts; bounds_ok is
+    the sketch guarantee."""
+    from tiledb_py_spark.operators.sketches import cms_digest, cms_query
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")) \
+            .filter(F.col("tok") != "")
+    eps = 0.002
+    sk = cms_digest(toks, "tok", eps=eps, delta=0.01)
+    est = cms_query(sk, _CMS_PROBES)
+    total = sk[2]
+    exact = {r.tok: r.n for r in
+             (toks.filter(F.col("tok").isin(_CMS_PROBES))
+                  .groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("n"))).collect()}
+    rows = [(t, int(exact.get(t, 0)),
+             bool(exact.get(t, 0) <= est[t] <= exact.get(t, 0)
+                  + eps * total))
+            for t in sorted(_CMS_PROBES)]
+    return spark.createDataFrame(
+        rows, "token string, n_exact long, bounds_ok boolean")
+
+
 def q_incremental_compact(spark, sf_dir):
     """State-array COMPACTION for continuous-ingest dedup (the
     lifecycle gate): two ingest batches commit fingerprint fragments,
@@ -2780,11 +2852,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "semantic_decontam": q_semantic_decontam,
-        "fuzzy_join": q_fuzzy_join,
+        # sketches family (NEW round 8) displaced fuzzy_join,
+        # diversity_sample and pq_ann (driver-green r07) to the tail
+        "quantile_sketch": q_quantile_sketch,
+        "distinct_sketch": q_distinct_sketch,
+        "cms_counts": q_cms_counts,
         "ivf_ann": q_ivf_ann,
-        "pq_ann": q_pq_ann,
         "ivfpq_ann": q_ivfpq_ann,
-        "diversity_sample": q_diversity_sample,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "repetition_stats": q_repetition_stats,
@@ -2840,8 +2914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
-        # displaced by incremental_compact (round 8)
+        # displaced by incremental_compact + the sketches family (round 8)
         "incremental_dedup": q_incremental_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        "diversity_sample": q_diversity_sample,
+        "pq_ann": q_pq_ann,
         # round-7 rotation block, back to the tail
         "multi_range": q_multi_range,
         "array_sql": q_array_sql,
@@ -5013,6 +5090,36 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
                    true AS persisted_roundtrip
+        """,
+        # Hybrid value+assertion oracle (see q_quantile_sketch): the
+        # per-group row counts are exact SQL; within_bound is the
+        # exactly-recounted GK rank guarantee.
+        "quantile_sketch": """
+            SELECT l_returnflag, p AS prob, count(*)::BIGINT AS n_rows,
+                   true AS within_bound
+            FROM lineitem, (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS p)
+            GROUP BY l_returnflag, p
+            ORDER BY l_returnflag, p
+        """,
+        "distinct_sketch": """
+            SELECT source, count(DISTINCT text)::BIGINT AS exact_nd,
+                   true AS within_3rsd
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "cms_counts": """
+            WITH counts AS (
+                SELECT tok, count(*)::BIGINT AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY tok
+            ), probes AS (
+                SELECT unnest(['join', 'row', 'scan', 'spark', 'vector',
+                               'write']) AS token
+            )
+            SELECT p.token, coalesce(c.n, 0)::BIGINT AS n_exact,
+                   true AS bounds_ok
+            FROM probes p LEFT JOIN counts c ON c.tok = p.token
+            ORDER BY p.token
         """,
         # Assertion oracle (see q_incremental_compact): a third batch
         # answers identically before/after state compaction, and the

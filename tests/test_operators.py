@@ -3635,3 +3635,70 @@ def test_classifier_tree_combine_matches_flat(spark, monkeypatch):
     assert np.array_equal(np.asarray(tree1.weights),
                           np.asarray(tree2.weights))
     assert tree1.bias == tree2.bias and tree1.loss == tree2.loss
+
+
+def test_approx_quantiles_rank_error_and_groups(spark):
+    """approx_quantiles: every returned quantile's EXACT achieved rank
+    is within rel_err of the requested probability (the GK guarantee),
+    globally and per group; probs/inputs validated."""
+    from tiledb_py_spark.operators.sketches import approx_quantiles
+
+    rows = [(i % 4, float((i * 37) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, x double")
+
+    out = approx_quantiles(df, "x", [0.1, 0.5, 0.9, 0.99],
+                           rel_err=0.01, verify=True).collect()
+    assert len(out) == 4 and all(r.within_bound for r in out)
+
+    gout = approx_quantiles(df, "x", [0.5], rel_err=0.01, by="g",
+                            verify=True).collect()
+    assert len(gout) == 4 and all(r.within_bound for r in gout)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probs"):
+        approx_quantiles(df, "x", [])
+    with _pytest.raises(ValueError, match="rel_err"):
+        approx_quantiles(df, "x", [0.5], rel_err=0.0)
+
+
+def test_approx_distinct_hll_error(spark):
+    """approx_distinct: HLL++ estimates land within 3x the requested
+    rsd of the exact distinct count, per group and globally."""
+    from tiledb_py_spark.operators.sketches import approx_distinct
+
+    rows = [(i % 3, f"item{(i * 7919) % 2500}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "g int, v string")
+
+    out = approx_distinct(df, "v", by="g", rsd=0.02, verify=True).collect()
+    assert len(out) == 3
+    assert all(r.rel_err <= 0.06 for r in out)
+    glob = approx_distinct(df, "v", rsd=0.02, verify=True).collect()[0]
+    assert glob.rel_err <= 0.06 and glob.exact_nd == 2500
+
+
+def test_cms_digest_bounds_and_linearity(spark):
+    """Count-Min digest: every point estimate is >= the true count and
+    <= true + eps*n for the probed items (fixed seed, deterministic);
+    the sketch is LINEAR — the elementwise sum of two halves' tables
+    equals the whole corpus's table (exact mergeability)."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.sketches import cms_digest, cms_query
+
+    rows = [(i, f"w{i % 97}") for i in range(10000)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    eps = 0.005
+    sk = cms_digest(df, "v", eps=eps, delta=0.01)
+    tab, seeds, n = sk
+    assert n == 10000
+
+    exact = {f"w{j}": len([1 for i in range(10000) if i % 97 == j])
+             for j in range(0, 97, 13)}
+    est = cms_query(sk, list(exact))
+    for item, true in exact.items():
+        assert true <= est[item] <= true + eps * n, (item, true, est[item])
+
+    a = cms_digest(df.filter("i < 5000"), "v", eps=eps, delta=0.01)
+    b = cms_digest(df.filter("i >= 5000"), "v", eps=eps, delta=0.01)
+    assert np.array_equal(a[0] + b[0], tab)
+    assert a[2] + b[2] == n

@@ -164,3 +164,147 @@ def heavy_hitters(df: DataFrame, items_col, threshold_frac: float = 0.001,
             .filter(F.col("n") > F.lit(float(total) * threshold_frac))
             .select("item", "n")
             .orderBy(F.desc("n"), "item"))
+
+
+def approx_quantiles(df: DataFrame, col, probs, rel_err: float = 0.01,
+                     by=None, verify: bool = False) -> DataFrame:
+    """Mergeable approximate quantiles via SQL ``percentile_approx``
+    (the Greenwald–Khanna-style sketch Spark aggregates JVM-side with
+    map-side partial merge — ONE shuffle of bounded sketch state, never
+    the value multiset).  ``accuracy = ceil(1/rel_err)`` gives the
+    documented rank-error guarantee |rank(est)/n - p| <= rel_err.
+
+    Returns ``(by..., prob, value)`` one row per requested probability.
+    ``verify=True`` adds the EXACT achieved rank fraction and a
+    ``within_bound`` flag by recounting ``x <= value`` in one extra
+    aggregation — the gate pattern: approximate machinery, exactly
+    verified answer."""
+    probs = [float(p) for p in probs]
+    if not probs or not all(0 <= p <= 1 for p in probs):
+        raise ValueError("probs must be a non-empty list in [0, 1]")
+    if not 0 < rel_err < 1:
+        raise ValueError("rel_err must be in (0, 1)")
+    c = F.col(col) if isinstance(col, str) else col
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    acc = int(1.0 / rel_err) + 1
+    agg = (df.groupBy(*by)
+             .agg(F.percentile_approx(c, probs, acc).alias("__qs")))
+    out = (agg.select(*by,
+                      F.posexplode("__qs").alias("__i", "value"))
+              .select(*by,
+                      F.element_at(F.array(*[F.lit(p) for p in probs]),
+                                   F.col("__i") + 1).alias("prob"),
+                      "value"))
+    if not verify:
+        return out
+    # exact rank recount: one aggregation over (group, prob) — the
+    # crossJoin side is |probs| x |groups| rows, broadcast by size
+    vals = df.select(*by, c.alias("__x")).filter(F.col("__x").isNotNull())
+    j = vals.join(F.broadcast(out), on=by) if by else vals.crossJoin(
+        F.broadcast(out))
+    ranks = (j.groupBy(*by, "prob", "value")
+              .agg((F.sum((F.col("__x") <= F.col("value")).cast("long"))
+                    / F.count(F.lit(1))).alias("exact_rank_frac")))
+    return ranks.withColumn(
+        "within_bound",
+        (F.col("exact_rank_frac") >= F.col("prob") - F.lit(rel_err))
+        & (F.col("exact_rank_frac") <= F.col("prob") + F.lit(rel_err)))
+
+
+def approx_distinct(df: DataFrame, col, by=None, rsd: float = 0.02,
+                    verify: bool = False) -> DataFrame:
+    """Per-group distinct cardinality via HyperLogLog++
+    (``approx_count_distinct`` — constant-size mergeable registers, ONE
+    map-side-combined shuffle; the exact ``COUNT(DISTINCT)`` shuffles
+    every distinct value, which at n-gram/URL cardinality IS the
+    corpus).  ``rsd`` is the target relative standard deviation.
+    ``verify=True`` adds the exact count and realized relative error —
+    the gate runs it at driver scale; production runs never pay the
+    exact pass."""
+    if not 0 < rsd < 1:
+        raise ValueError("rsd must be in (0, 1)")
+    c = F.col(col) if isinstance(col, str) else col
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    aggs = [F.approx_count_distinct(c, rsd).cast("long").alias("approx_nd")]
+    if verify:
+        aggs.append(F.count_distinct(c).cast("long").alias("exact_nd"))
+    out = df.groupBy(*by).agg(*aggs)
+    if verify:
+        out = out.withColumn(
+            "rel_err", F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.greatest(F.col("exact_nd"), F.lit(1)))
+    return out
+
+
+def cms_digest(df: DataFrame, items_col, eps: float = 1e-4,
+               delta: float = 0.01, seed: int = 42):
+    """Driver-side Count-Min sketch of ``items_col`` (same input
+    contract as ``mg_digest``): a ``d x w`` counter table with
+    ``w = ceil(e/eps)``, ``d = ceil(ln(1/delta))``, built as one
+    per-partition ``mapInPandas`` pass (zero shuffles) and merged by
+    elementwise ADDITION on the driver — CMS is linear, so the merge is
+    exact.  Returns ``(table, depth_seeds, total_n)``.
+
+    Unlike Misra–Gries (which keeps k candidate IDENTITIES), CMS
+    answers point queries for ANY item with the one-sided guarantee
+    ``true <= est <= true + eps*n`` w.p. ``1 - delta`` — the shape for
+    "how frequent is THIS n-gram/URL" probes against a corpus too big
+    to count exactly.  Bounded collect: n_partitions x (d*w) int64."""
+    import hashlib
+
+    import numpy as np
+
+    if not 0 < eps < 1 or not 0 < delta < 1:
+        raise ValueError("eps and delta must be in (0, 1)")
+    w = int(np.ceil(np.e / eps))
+    d = int(np.ceil(np.log(1.0 / delta)))
+    seeds = [f"{seed}:{i}" for i in range(d)]
+
+    def _bucket(s: str, item: str, width: int) -> int:
+        h = hashlib.md5((s + "\x00" + item).encode()).digest()
+        return int.from_bytes(h[:8], "little") % width
+
+    base = _items_base(df, items_col)
+
+    def part(it):
+        tab = np.zeros((d, w), dtype=np.int64)
+        n = 0
+        for pdf in it:
+            n += len(pdf)
+            vc = pdf["__it"].value_counts()
+            for item, cnt in vc.items():
+                for i, s in enumerate(seeds):
+                    tab[i, _bucket(s, item, w)] += int(cnt)
+        if n:
+            yield pd.DataFrame({"row": list(range(d)),
+                                "counts": [r.tolist() for r in tab],
+                                "n": [n] + [0] * (d - 1)})
+
+    import numpy as np  # noqa: F811
+
+    rows = base.mapInPandas(
+        part, "row int, counts array<long>, n long").collect()
+    table = np.zeros((d, w), dtype=np.int64)
+    total = 0
+    for r in rows:
+        table[r.row] += np.asarray(r.counts, dtype=np.int64)
+        total += r.n
+    return table, seeds, total
+
+
+def cms_query(sketch, items) -> dict:
+    """Point-frequency estimates from a ``cms_digest`` result:
+    ``min_i table[i, h_i(item)]`` — each >= the true count, and
+    <= true + eps*n w.p. 1-delta."""
+    import hashlib
+
+    table, seeds, _ = sketch
+    w = table.shape[1]
+
+    def _bucket(s: str, item: str) -> int:
+        h = hashlib.md5((s + "\x00" + item).encode()).digest()
+        return int.from_bytes(h[:8], "little") % w
+
+    return {it: int(min(table[i, _bucket(s, str(it))]
+                        for i, s in enumerate(seeds)))
+            for it in items}
