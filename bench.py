@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "event_transitions",
     "heavy_hitters",
     "ewma",
+    # round 8
+    "quantile_sketch",
+    "distinct_sketch",
+    "cms_counts",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",
