@@ -1909,6 +1909,60 @@ def q_distinct_sketch(spark, sf_dir):
                .orderBy("source"))
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) data layout over (l_partkey, l_suppkey): bucketize
+    both dims to 256 levels between their global min/max, bit-interleave,
+    and assign rows to 64 files by code prefix.  The returned per-file
+    min/max spans ARE the parquet footer stats a scan planner prunes on —
+    tight on BOTH dimensions simultaneously (each file covers ~1/8 of
+    either dim's domain vs. the full domain under a single-column sort).
+    The oracle replays the identical integer bucketization + unrolled
+    bit-interleave in ANSI SQL.  Writer-side counterpart of the reference
+    engine's space-filling cell order (tiledb array_schema cell_order /
+    'hilbert'; reader side: tiledb_py_spark/hilbert.py)."""
+    from tiledb_py_spark.operators.layout import zorder_file_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_file_stats(li, ["l_partkey", "l_suppkey"],
+                             bits=8, file_bits=6)
+
+
+def q_skew_join(spark, sf_dir):
+    """Skew-safe salted join: lineitem x supplier with the supplier side
+    replicated over 8 salts and each lineitem row routed to a
+    deterministic salt, so a hot l_suppkey spreads over 8 reducer tasks
+    instead of pinning one.  Result is IDENTICAL to the plain equi-join
+    (the oracle), aggregated per supplier nation.  Use case: the
+    broadcast-ineligible build side (too big to broadcast, hot probe
+    keys) that AQE's sort-merge skew split does not cover."""
+    from tiledb_py_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier") \
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    j = salted_join(li, sup, on=["l_suppkey"], n_salts=8)
+    return (j.groupBy("s_nationkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                  F.countDistinct("l_suppkey").cast("long")
+                   .alias("n_suppliers"))
+             .orderBy("s_nationkey"))
+
+
+def q_rolling_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection per user: flag events deviating
+    > 2 sample stddevs from the trailing-20-event baseline (current row
+    excluded so outliers can't mask themselves; >= 5 prior observations
+    required).  ONE entity-key Exchange, three frame-sharing window
+    aggregates, row-local filter; the oracle replays the same ROWS-frame
+    windows."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_anomaly(e, window=20, min_periods=5, threshold=2.0) \
+        .orderBy("user_id", "event_id")
+
+
 _CMS_PROBES = ["spark", "scan", "join", "write", "row", "vector"]
 
 
@@ -2844,14 +2898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "datasource_read": q_datasource_read,
         "datasource_lww": q_datasource_lww,
-        "asof_forward": q_asof_forward,
+        # zorder_layout/skew_join/rolling_anomaly (NEW round 8, second
+        # session) displaced asof_forward, semantic_decontam and
+        # self_repeat (driver-green r07, unchanged) to the tail
+        "zorder_layout": q_zorder_layout,
         "group_agg": q_group_agg,
         "asof_join": q_asof_join,
         "minhash_dedup": q_minhash_dedup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "semantic_decontam": q_semantic_decontam,
+        "skew_join": q_skew_join,
         # sketches family (NEW round 8) displaced fuzzy_join,
         # diversity_sample and pq_ann (driver-green r07) to the tail
         "quantile_sketch": q_quantile_sketch,
@@ -2881,7 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
-        "self_repeat": q_self_repeat,
+        "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
         # --- positions 40-50: the ROTATION BLOCK (VERDICT r7 item 1,
@@ -2915,6 +2972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
         # displaced by incremental_compact + the sketches family (round 8)
+        "asof_forward": q_asof_forward,
+        "semantic_decontam": q_semantic_decontam,
+        "self_repeat": q_self_repeat,
         "incremental_dedup": q_incremental_dedup,
         "fuzzy_join": q_fuzzy_join,
         "diversity_sample": q_diversity_sample,
@@ -3020,8 +3080,40 @@ def _pagerank_oracle(n_iter: int = 6, d: float = 0.85) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tiledb_py_spark.operators.layout import morton_sql
+
     return {
         "pagerank": _pagerank_oracle(),
+        # Independent SQL formulation (DuckDB `//` int division +
+        # unrolled shift/and sum) of the Catalyst expression tree in
+        # operators/layout.py — not the same code path.
+        "zorder_layout": morton_sql(["l_partkey", "l_suppkey"],
+                                    "lineitem", bits=8, file_bits=6),
+        "skew_join": """
+            SELECT s.s_nationkey,
+                   count(*) AS n_rows,
+                   round(sum(l.l_quantity), 2) AS sum_qty,
+                   count(DISTINCT l.l_suppkey) AS n_suppliers
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+        """,
+        "rolling_anomaly": """
+            WITH w AS (
+              SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+                avg(value) OVER fr AS m,
+                stddev_samp(value) OVER fr AS s,
+                count(value) OVER fr AS n
+              FROM events
+              WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, ts, value,
+                   round(m, 4) AS baseline_mean,
+                   round(s, 4) AS baseline_std,
+                   round((value - m) / s, 4) AS zscore
+            FROM w
+            WHERE n >= 5 AND s IS NOT NULL AND s > 0
+              AND abs((value - m) / s) > 2.0
+        """,
         "qc_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45.0 AND l_discount <= 0.02

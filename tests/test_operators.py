@@ -3702,3 +3702,149 @@ def test_cms_digest_bounds_and_linearity(spark):
     b = cms_digest(df.filter("i >= 5000"), "v", eps=eps, delta=0.01)
     assert np.array_equal(a[0] + b[0], tab)
     assert a[2] + b[2] == n
+
+
+def test_zorder_code_matches_python_reference(spark):
+    from tiledb_py_spark.operators.layout import zorder_code
+
+    rows = [(i, (i * 37) % 100, (i * 61) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = zorder_code(df, ["x", "y"], bits=4).toPandas().set_index("id")
+
+    # independent python reference: same bucketization, bit interleave
+    def ref(x, y, lo_x, hi_x, lo_y, hi_y, bits=4):
+        nb = 1 << bits
+        bx = min(nb - 1, max(0, (x - lo_x) * nb // (hi_x - lo_x + 1)))
+        by = min(nb - 1, max(0, (y - lo_y) * nb // (hi_y - lo_y + 1)))
+        code = 0
+        for i in range(bits):
+            code |= ((bx >> i) & 1) << (2 * i)
+            code |= ((by >> i) & 1) << (2 * i + 1)
+        return code
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    for i, x, y in rows:
+        assert out.loc[i, "__zcode"] == ref(x, y, min(xs), max(xs),
+                                            min(ys), max(ys))
+
+
+def test_zorder_layout_prunes_both_dims(spark):
+    """The 100 TB claim, quantified: under a Z-order layout every file's
+    min/max span on EACH dim is a fraction of the domain, so a predicate
+    on either dim prunes most files; under a single-column sort the
+    non-sorted dim's spans cover the whole domain (no pruning)."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.layout import zorder_file_stats
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    st = zorder_file_stats(li, ["l_partkey", "l_suppkey"],
+                           bits=8, file_bits=4).toPandas()
+    pk_dom = st.max_l_partkey.max() - st.min_l_partkey.min() + 1
+    sk_dom = st.max_l_suppkey.max() - st.min_l_suppkey.min() + 1
+    pk_frac = np.mean((st.max_l_partkey - st.min_l_partkey + 1) / pk_dom)
+    sk_frac = np.mean((st.max_l_suppkey - st.min_l_suppkey + 1) / sk_dom)
+    # 16 files over a 2-dim morton curve: each file covers ~1/4 of each
+    # dim (sqrt split); allow slack for bucket-boundary rows
+    assert pk_frac < 0.5 and sk_frac < 0.5, (pk_frac, sk_frac)
+
+    # single-column sort baseline: the OTHER dim's per-file span is the
+    # whole domain
+    from pyspark.sql import functions as F
+    sorted_pk = li.orderBy("l_partkey").withColumn(
+        "file_id", F.spark_partition_id())
+    base = sorted_pk.repartitionByRange(16, "l_partkey").groupBy(
+        F.spark_partition_id().alias("file_id")).agg(
+        F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")) \
+        .toPandas()
+    base_frac = np.mean((base.hi - base.lo + 1) / sk_dom)
+    assert base_frac > 0.9  # no pruning on the non-sorted dim
+    assert sk_frac < base_frac / 2
+
+
+def test_write_zorder_morton_and_hilbert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.layout import write_zorder
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for curve in ("morton", "hilbert"):
+        out = write_zorder(li, ["l_partkey", "l_suppkey"], num_files=8,
+                           bits=8, curve=curve)
+        assert out.columns == li.columns  # helper column dropped
+        assert out.count() == li.count()
+        # same multiset of rows (layout only reorders)
+        a = out.agg(F.sum(F.xxhash64(*li.columns).cast("decimal(38,0)"))).collect()[0][0]
+        b = li.agg(F.sum(F.xxhash64(*li.columns).cast("decimal(38,0)"))).collect()[0][0]
+        assert a == b
+
+
+def test_zorder_validation_errors(spark):
+    import pytest as _pytest
+
+    from tiledb_py_spark.operators.layout import zorder_code
+
+    df = spark.range(10).select("id")
+    with _pytest.raises(ValueError, match="2-7 columns"):
+        zorder_code(df, ["id"])
+    df2 = df.withColumn("j", df.id * 2)
+    with _pytest.raises(ValueError, match="exceeds int64"):
+        zorder_code(df2, ["id", "j"], bits=32)
+    with _pytest.raises(ValueError, match="span .* too wide"):
+        zorder_code(df2, ["id", "j"], bits=30,
+                    bounds={"id": (0, 2**40), "j": (0, 2**40)})
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.skew import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet") \
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    a = salted_join(li, sup, on=["l_suppkey"], n_salts=8)
+    b = li.join(sup, on="l_suppkey")
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    ha = a.agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+               F.count(F.lit(1))).collect()[0]
+    hb = b.agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+               F.count(F.lit(1))).collect()[0]
+    assert tuple(ha) == tuple(hb)
+
+
+def test_rolling_anomaly_hand_case(spark):
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    # entity 1: stable series then a spike; entity 2: too few priors
+    rows = [(1, i, float(10 + (i % 2)), f"2020-01-01 00:{i:02d}:00")
+            for i in range(10)]
+    rows.append((1, 10, 100.0, "2020-01-01 00:10:00"))   # the spike
+    rows += [(2, 100 + i, float(i * 50), f"2020-01-01 01:{i:02d}:00")
+             for i in range(3)]                           # < min_periods
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string") \
+        .selectExpr("user_id", "event_id", "value", "cast(ts as timestamp) ts")
+    out = rolling_anomaly(df, window=5, min_periods=3, threshold=3.0) \
+        .toPandas()
+    assert out.user_id.tolist() == [1]
+    assert out.event_id.tolist() == [10]
+    r = out.iloc[0]
+    assert abs(r.baseline_mean - 10.4) < 0.2   # trailing window of 10/11s
+    assert r.zscore > 3.0
+    # the spike itself is excluded from its own baseline: std is the
+    # stable series' (~0.55), not inflated by the 100
+    assert r.baseline_std < 1.0
+
+
+def test_rolling_anomaly_plan_one_exchange(spark):
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = rolling_anomaly(e)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+    # all three window aggregates share one Window operator (one sort)
+    assert plan.count("Window") == 1, plan

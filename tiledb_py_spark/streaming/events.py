@@ -314,6 +314,55 @@ def event_transitions(events: DataFrame, by="user_id",
             .orderBy("from_step", "to_step"))
 
 
+def rolling_anomaly(events: DataFrame, value_col: str = "value",
+                    by="user_id", ts_col: str = "ts",
+                    window: int = 20, min_periods: int = 5,
+                    threshold: float = 2.0,
+                    tiebreak_col: str = "event_id") -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates more than ``threshold`` sample standard deviations from the
+    mean of the entity's PRECEDING ``window`` events (the trailing
+    baseline deliberately excludes the current row, so an outlier can't
+    mask itself).  Rows with fewer than ``min_periods`` prior
+    observations, or a degenerate (zero/NULL) trailing stddev, are never
+    flagged.  Returns the flagged rows with their baseline and z-score.
+
+    Scale shape: ONE entity-key Exchange feeding three frame-sharing
+    window aggregates (avg/stddev_samp/count over the same ROWS frame —
+    Spark evaluates them in a single ``Window`` operator), then a
+    row-local filter.  Bounded O(window) running state per entity — a
+    hot entity costs linear work in its own series, no quadratic fold
+    (contrast the ``impl="expr"`` note on :func:`ewma`).  Ties on
+    ``ts`` order by ``tiebreak_col``."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(ts_col), F.col(tiebreak_col))
+         .rowsBetween(-window, -1))
+    v = F.col(value_col).cast("double")
+    # one select (not chained withColumn) so Catalyst fuses all three
+    # aggregates into a single Window operator — plan-gated in
+    # test_rolling_anomaly_plan_one_exchange
+    base = events.select(
+        "*",
+        F.avg(v).over(w).alias("__mean"),
+        F.stddev_samp(v).over(w).alias("__std"),
+        F.count(v).over(w).alias("__n"))
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (base
+            .where((F.col("__n") >= min_periods)
+                   & F.col("__std").isNotNull() & (F.col("__std") > 0)
+                   & (F.abs(z) > threshold))
+            .select(*by,
+                    F.col(tiebreak_col),
+                    F.col(ts_col),
+                    v.alias(value_col),
+                    F.round("__mean", 4).alias("baseline_mean"),
+                    F.round("__std", 4).alias("baseline_std"),
+                    F.round(z, 4).alias("zscore")))
+
+
 def dedup_event_stream(events: DataFrame, keys=("event_id",),
                        time_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:

@@ -74,9 +74,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) \
         else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    only = set(a for a in argv if not os.path.isdir(a))
+    results = {}
 
     spark = get_spark()
     con = duckdb.connect()
@@ -96,17 +103,22 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "FAIL",
+                             "err": f"spark: {type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} ({dt:.1f}s, no oracle)")
+            results[name] = {"status": "weak", "rows": len(sdf),
+                             "sec": round(dt, 1)}
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         ok, msg = compare(sdf, odf)
@@ -116,7 +128,18 @@ def main():
         else:
             n_fail += 1
         print(f"{status}  {name}: rows={len(sdf)} ({dt:.1f}s) {'' if ok else msg}")
+        results[name] = {"status": status, "rows": len(sdf),
+                         "sec": round(dt, 1)}
+        if not ok:
+            results[name]["err"] = msg
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} FAIL")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_weak": n_weak, "n_fail": n_fail,
+                       "results": results}, f, indent=1)
     return 1 if n_fail else 0
 
 
