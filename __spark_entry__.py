@@ -1821,6 +1821,28 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "lang", "copy_id").orderBy("doc_id", "copy_id")
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 over documents + brute-force cosine over
+    the aligned embeddings table (doc_id == vec_id), each arm truncated
+    to 50 candidates ranked on its 5-dp-rounded score (id tiebreak),
+    fused by reciprocal rank (rrf_k=60).  Each arm is one corpus scan
+    collapsed via TakeOrdered; the fusion is candidate-sized.  The
+    oracle replays both arms and the RRF sum in SQL."""
+    from tiledb_py_spark.operators.retrieval import hybrid_search
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    out = hybrid_search(d, e.filter(F.col("vec_id") != 0),
+                        ["query", "window", "spark"], qv,
+                        k=10, candidates=50, tokens_col=ws)
+    return out.select("doc_id",
+                      F.col("text_rank").cast("long").alias("text_rank"),
+                      F.col("vec_rank").cast("long").alias("vec_rank"),
+                      "rrf")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 relevance scoring for a 3-term query over the documents
     corpus — the Lucene/Elastic default weighting, replayed exactly in
@@ -2934,7 +2956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-dedup path twice as its substrate
         "incremental_compact": q_incremental_compact,
         "incremental_neardup": q_incremental_neardup,
-        "bm25": q_bm25,
+        # hybrid_search (NEW round 8, second session) displaced bm25
+        # (driver-green r07; its scoring replay is one arm of the
+        # hybrid oracle) to the tail
+        "hybrid_search": q_hybrid_search,
         "tfidf_terms": q_tfidf_terms,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
@@ -2975,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
+        "bm25": q_bm25,
         "incremental_dedup": q_incremental_dedup,
         "fuzzy_join": q_fuzzy_join,
         "diversity_sample": q_diversity_sample,
@@ -4097,6 +4123,55 @@ def oracle_sql() -> dict[str, str]:
             FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
             WHERE n_copies > 0
             ORDER BY doc_id, copy_id
+        """,
+        "hybrid_search": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+            stats AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM lens),
+            tf AS (
+                SELECT doc_id, t.tok AS term, count(*) AS tf
+                FROM d, unnest(toks) AS t(tok)
+                WHERE t.tok IN ('query', 'window', 'spark')
+                GROUP BY doc_id, t.tok
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            tscore AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln(1 + (s.N - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                       ), 5) AS score
+                FROM tf JOIN dfreq USING (term)
+                JOIN lens l ON tf.doc_id = l.doc_id, stats s
+                GROUP BY tf.doc_id
+            ),
+            tcand AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank
+                FROM tscore ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            vscore AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                           (SELECT embedding::DOUBLE[] FROM embeddings
+                            WHERE vec_id = 0)), 5) AS score
+                FROM embeddings WHERE vec_id <> 0
+            ),
+            vcand AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+                FROM vscore ORDER BY score DESC, vec_id LIMIT 50
+            )
+            SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,
+                   t.text_rank, v.vec_rank,
+                   round(coalesce(1.0 / (60 + t.text_rank), 0)
+                         + coalesce(1.0 / (60 + v.vec_rank), 0), 9) AS rrf
+            FROM tcand t FULL JOIN vcand v ON t.doc_id = v.vec_id
+            ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "bm25": r"""
             WITH d AS (

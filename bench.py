@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "quantile_sketch",
     "distinct_sketch",
     "cms_counts",
+    "zorder_layout",
+    "skew_join",
+    "rolling_anomaly",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -3815,6 +3815,25 @@ def test_salted_join_equals_plain_join(spark):
     assert tuple(ha) == tuple(hb)
 
 
+def test_salted_join_hint_reaches_outer_join(spark):
+    """join_hint must land on the OUTER (keys+salt) join, not be eaten by
+    the internal salt crossJoin — and the salted result must still equal
+    the plain join."""
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.skew import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet") \
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    j = salted_join(li, sup, on=["l_suppkey"], n_salts=8,
+                    join_hint="shuffle_hash")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert j.count() == li.join(sup, on="l_suppkey").count()
+
+
 def test_rolling_anomaly_hand_case(spark):
     from tiledb_py_spark.streaming.events import rolling_anomaly
 
@@ -3848,3 +3867,42 @@ def test_rolling_anomaly_plan_one_exchange(spark):
     assert "Window" in plan
     # all three window aggregates share one Window operator (one sort)
     assert plan.count("Window") == 1, plan
+
+
+def test_rrf_fuse_hand_case(spark):
+    from tiledb_py_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = rrf_fuse({"a": a, "b": b}, id_col="doc_id", rrf_k=60, k=10) \
+        .toPandas().set_index("doc_id")
+    # doc 2: in both arms -> 1/62 + 1/61
+    assert abs(out.loc[2, "rrf"] - (1 / 62 + 1 / 61)) < 1e-9
+    # doc 1: only arm a rank 1 -> 1/61; absent arm contributes 0
+    assert abs(out.loc[1, "rrf"] - 1 / 61) < 1e-9
+    assert pd.isna(out.loc[1, "b_rank"])
+    # fusion order: 2 (both) > 1 (a#1) = 4 (b#2)... 1/61 vs 1/62: doc 1 first
+    assert out.index.tolist() == [2, 1, 4, 3]
+
+
+def test_hybrid_search_contract(spark):
+    """Both-arm documents outrank single-arm documents of comparable
+    rank; output is exactly k rows with ranks <= candidates."""
+    from tiledb_py_spark.operators.retrieval import hybrid_search
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet") \
+        .filter(F.length(F.trim("text")) > 0)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = e.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = hybrid_search(d, e.filter("vec_id <> 0"),
+                        ["query", "window", "spark"], qv,
+                        k=10, candidates=50).toPandas()
+    assert len(out) == 10
+    assert (out.rrf.values[:-1] >= out.rrf.values[1:]).all()  # sorted
+    both = out.dropna(subset=["text_rank", "vec_rank"])
+    single = out[out.text_rank.isna() | out.vec_rank.isna()]
+    if len(both) and len(single):
+        assert both.rrf.max() > single.rrf.max()
+    assert out[["text_rank", "vec_rank"]].max().max() <= 50

@@ -127,3 +127,82 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                           F.col("__tf").cast("long").alias("tf"),
                           F.col("__tfidf").alias("tfidf"),
                           F.col("rank").cast("long").alias("rank")))
+
+
+def rrf_fuse(rankings: dict, id_col: str = "doc_id", rrf_k: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of several candidate rankings (the
+    standard hybrid-retrieval combiner):
+
+        rrf(d) = sum over sources s of 1 / (rrf_k + rank_s(d))
+
+    ``rankings``: {name: DataFrame(id_col, rank)} — each frame is an
+    already-TRUNCATED candidate list (top-``candidates`` per source), so
+    everything here is candidate-sized: the full-outer joins broadcast,
+    and a document absent from a source simply contributes 0.  Output:
+    (id_col, <name>_rank..., rrf) top-k by (rrf desc, id).
+
+    The fused score is rounded to 9 dp so cross-engine replays hash
+    identically (1/(k+rank) sums are exact in binary only for some
+    ranks)."""
+    names = sorted(rankings)
+    fused = None
+    for name in names:
+        r = rankings[name].select(F.col(id_col).alias("__id"),
+                                  F.col("rank").alias(f"{name}_rank"))
+        fused = r if fused is None else \
+            fused.join(r, "__id", "full_outer")
+    rrf = None
+    for name in names:
+        term = F.coalesce(1.0 / (F.lit(rrf_k) + F.col(f"{name}_rank")),
+                          F.lit(0.0))
+        rrf = term if rrf is None else rrf + term
+    return (fused.withColumn("rrf", F.round(rrf, 9))
+                 .orderBy(F.desc("rrf"), "__id").limit(k)
+                 .withColumnRenamed("__id", id_col))
+
+
+def hybrid_search(docs: DataFrame, embs: DataFrame,
+                  query_terms: Sequence[str], query_vec: Sequence[float],
+                  text_col: str = "text", doc_id_col: str = "doc_id",
+                  vec_col: str = "embedding", vec_id_col: str = "vec_id",
+                  k: int = 10, candidates: int = 50, rrf_k: int = 60,
+                  tokens_col: Optional[Column] = None) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 over ``docs`` and cosine
+    over ``embs`` (ids aligned), each truncated to ``candidates``, fused
+    by reciprocal rank (:func:`rrf_fuse`).
+
+    Determinism contract: each arm ranks on its score ROUNDED to 5 dp
+    (ties broken by id asc) BEFORE truncation, so the candidate sets and
+    ranks are bit-identical across engines whose float math agrees to
+    5 dp — the same pinning ``tfidf_top_terms`` uses.
+
+    Scale shape: each arm is one corpus scan collapsed to ``candidates``
+    rows via TakeOrdered (per-partition top-k + driver merge — no global
+    sort, no corpus-sized shuffle).  The rank row_numbers and the fusion
+    run on candidate-sized frames (the unpartitioned window is ≤
+    ``candidates`` rows by construction)."""
+    import numpy as np
+
+    from .similarity import dot, l2_norm
+
+    t = bm25_scores(docs, text_col, doc_id_col, query_terms,
+                    tokens_col=tokens_col)
+    t = (t.withColumn("score", F.round("score", 5))
+          .orderBy(F.desc("score"), doc_id_col).limit(candidates))
+    wt = Window.orderBy(F.desc("score"), doc_id_col)
+    text_rank = t.select(F.col(doc_id_col).alias("__d"),
+                         F.row_number().over(wt).alias("rank"))
+
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vscore = (dot(F.col(vec_col).cast("array<double>"), q)
+              / (l2_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)))
+    v = (embs.select(F.col(vec_id_col).alias("__d"),
+                     F.round(vscore, 5).alias("score"))
+             .orderBy(F.desc("score"), "__d").limit(candidates))
+    wv = Window.orderBy(F.desc("score"), "__d")
+    vec_rank = v.select("__d", F.row_number().over(wv).alias("rank"))
+
+    return rrf_fuse({"text": text_rank, "vec": vec_rank}, id_col="__d",
+                    rrf_k=rrf_k, k=k).withColumnRenamed("__d", doc_id_col)

@@ -71,12 +71,23 @@ def salted_agg(df: DataFrame, keys: Sequence[str], aggs: dict,
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
-                how: str = "inner", n_salts: int = 16) -> DataFrame:
+                how: str = "inner", n_salts: int = 16,
+                join_hint: Optional[str] = None) -> DataFrame:
     """Skew-safe equi-join: small side replicated n_salts times, big side
     salted, join on (keys + salt).  Use when the big side has hot join
-    keys and the small side is too large to broadcast outright."""
+    keys and the small side is too large to broadcast outright.
+
+    ``join_hint`` (e.g. ``"shuffle_hash"``, ``"merge"``) is applied to
+    the replicated side at the OUTER join — a hint placed on ``small``
+    by the caller would be consumed by the internal salt crossJoin
+    instead.  At production scale the replicated side exceeds
+    ``autoBroadcastJoinThreshold`` on its own; at test scale pass
+    ``join_hint="shuffle_hash"`` to exercise the path salting exists
+    for (a broadcast plan would make the salt a no-op)."""
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias(_SALT))
     small_rep = small.crossJoin(salts)
+    if join_hint:
+        small_rep = small_rep.hint(join_hint)
     big_salted = with_salt(big, n_salts)
     out = big_salted.join(small_rep, [*on, _SALT], how)
     return out.drop(_SALT)

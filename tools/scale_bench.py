@@ -333,8 +333,38 @@ def r_heavy_hitters(spark, sf_dir):
     return heavy_hitters(d, toks, threshold_frac=0.005)
 
 
+def r_zorder_write(spark, sf_dir):
+    from tiledb_py_spark.operators.layout import write_zorder
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return write_zorder(li, ["l_partkey", "l_suppkey"], num_files=64,
+                        bits=12)
+
+
+def r_skew_join(spark, sf_dir):
+    from tiledb_py_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    # shuffle_hash suppresses broadcast so the measured plan is the one
+    # salting exists for (hot probe keys, non-broadcastable build side)
+    return salted_join(li, sup, on=["l_suppkey"], n_salts=8,
+                       join_hint="shuffle_hash")
+
+
+def r_rolling_anomaly(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    return rolling_anomaly(_events(spark, sf_dir), window=20,
+                           min_periods=5, threshold=2.0)
+
+
 RUNNERS = {
     "interval_join": r_interval_join,
+    "zorder_write": r_zorder_write,
+    "skew_join": r_skew_join,
+    "rolling_anomaly": r_rolling_anomaly,
     "heavy_hitters": r_heavy_hitters,
     "pagerank": r_pagerank,
     "interval_overlap": r_interval_overlap,
