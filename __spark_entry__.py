@@ -1843,6 +1843,20 @@ def q_hybrid_search(spark, sf_dir):
                       "rrf")
 
 
+def q_time_resample(spark, sf_dir):
+    """Per-user fixed-grid resampling (2-hour buckets, forward fill):
+    TWO Exchanges total — the (user, bucket) aggregation then one lag
+    window; gap buckets are generated row-locally from the lag via
+    sequence+explode (no calendar table, no range join).  The oracle
+    replays the identical lag+generate_series construction."""
+    from tiledb_py_spark.streaming.events import time_resample
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = time_resample(e, "value", by="user_id", ts_col="ts",
+                        interval="2 hours", fill="ffill")
+    return out.orderBy("user_id", "bucket")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 relevance scoring for a 3-term query over the documents
     corpus — the Lucene/Elastic default weighting, replayed exactly in
@@ -2960,7 +2974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r07; its scoring replay is one arm of the
         # hybrid oracle) to the tail
         "hybrid_search": q_hybrid_search,
-        "tfidf_terms": q_tfidf_terms,
+        # time_resample (NEW round 8, second session) displaced
+        # tfidf_terms (driver-green r07, unchanged) to the tail
+        "time_resample": q_time_resample,
         "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
         "rolling_anomaly": q_rolling_anomaly,
@@ -3001,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
         "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
         "incremental_dedup": q_incremental_dedup,
         "fuzzy_join": q_fuzzy_join,
         "diversity_sample": q_diversity_sample,
@@ -4123,6 +4140,31 @@ def oracle_sql() -> dict[str, str]:
             FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
             WHERE n_copies > 0
             ORDER BY doc_id, copy_id
+        """,
+        "time_resample": """
+            WITH agg AS (
+              SELECT user_id, time_bucket(INTERVAL '2 hours', ts) AS bucket,
+                     count(value) AS n_events, round(avg(value), 4) AS v
+              FROM events WHERE user_id < 50 GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT *, lag(bucket) OVER w AS pb, lag(v) OVER w AS pv
+              FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+            ),
+            grid AS (
+              SELECT user_id, bucket, n_events, v AS value FROM lagged
+              UNION ALL
+              SELECT l.user_id,
+                     unnest(generate_series(l.pb + INTERVAL '2 hours',
+                                            l.bucket - INTERVAL '2 hours',
+                                            INTERVAL '2 hours')) AS bucket,
+                     0 AS n_events, l.pv AS value
+              FROM lagged l
+              WHERE l.pb IS NOT NULL
+                AND l.bucket > l.pb + INTERVAL '2 hours'
+            )
+            SELECT user_id, bucket, n_events, value
+            FROM grid ORDER BY user_id, bucket
         """,
         "hybrid_search": r"""
             WITH d AS (

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "zorder_layout",
     "skew_join",
     "rolling_anomaly",
+    "hybrid_search",
+    "time_resample",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

@@ -3906,3 +3906,42 @@ def test_hybrid_search_contract(spark):
     if len(both) and len(single):
         assert both.rrf.max() > single.rrf.max()
     assert out[["text_rank", "vec_rank"]].max().max() <= 50
+
+
+def test_time_resample_hand_case(spark):
+    from tiledb_py_spark.streaming.events import time_resample
+
+    rows = [
+        (1, "2020-01-01 00:05:00", 10.0),
+        (1, "2020-01-01 00:10:00", 20.0),   # same bucket as above
+        (1, "2020-01-01 00:20:00", 30.0),   # next bucket
+        (1, "2020-01-01 01:05:00", 40.0),   # gap of 2 buckets before this
+        (2, "2020-01-01 00:00:00", 5.0),    # single-bucket entity: no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    out = time_resample(df, "value", interval="15 minutes") \
+        .orderBy("user_id", "bucket").toPandas()
+    u1 = out[out.user_id == 1]
+    assert [str(b)[11:16] for b in u1.bucket] == \
+        ["00:00", "00:15", "00:30", "00:45", "01:00"]
+    assert u1.n_events.tolist() == [2, 1, 0, 0, 1]
+    assert u1.value.tolist() == [15.0, 30.0, 30.0, 30.0, 40.0]  # ffill
+    assert len(out[out.user_id == 2]) == 1
+
+    none_fill = time_resample(df, "value", interval="15 minutes",
+                              fill="none").orderBy("user_id", "bucket") \
+        .toPandas()
+    gaps = none_fill[none_fill.n_events == 0]
+    assert gaps.value.isna().all()
+
+
+def test_time_resample_plan_two_exchanges(spark):
+    from tiledb_py_spark.streaming.events import time_resample
+
+    rows = [(i % 7, f"2020-01-01 {i % 24:02d}:00:00", float(i))
+            for i in range(200)]
+    e = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    plan = time_resample(e)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan

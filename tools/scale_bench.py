@@ -360,11 +360,34 @@ def r_rolling_anomaly(spark, sf_dir):
                            min_periods=5, threshold=2.0)
 
 
+def r_time_resample(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import time_resample
+
+    # 30-day span, 2h grid: output ~ users x 360 buckets (mostly
+    # generated gap rows) — ~5x the input rows at every sf, so the
+    # sf1->sf10 ratio stays an apples-to-apples plan measurement
+    return time_resample(_events(spark, sf_dir), "value",
+                         interval="2 hours", fill="ffill")
+
+
+def r_hybrid_search(spark, sf_dir):
+    from tiledb_py_spark.operators.retrieval import hybrid_search
+
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_search(d, e.filter(F.col("vec_id") != 0),
+                         ["query", "window", "spark"], qv,
+                         k=10, candidates=50)
+
+
 RUNNERS = {
     "interval_join": r_interval_join,
     "zorder_write": r_zorder_write,
     "skew_join": r_skew_join,
     "rolling_anomaly": r_rolling_anomaly,
+    "time_resample": r_time_resample,
+    "hybrid_search": r_hybrid_search,
     "heavy_hitters": r_heavy_hitters,
     "pagerank": r_pagerank,
     "interval_overlap": r_interval_overlap,
