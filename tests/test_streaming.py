@@ -633,3 +633,53 @@ def test_stateful_late_data_policies(spark, tmp_path):
     assert got[3] == (2, 2)                   # joins session 2 at arrival
     assert got[4] == (3, 1)                   # gap measured FROM the
     #                                           straggler: 41-5 > 30
+
+
+def test_rolling_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming rolling z-score: the trailing frame persists across
+    micro-batches (a spike in batch 2 is judged against baseline rows
+    from batch 1); an in-order stream flags exactly the batch
+    rolling_anomaly rows, null frame slots included."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+    from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
+
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    # batch 1: stable baseline for user 1 (10,11 alternating) + a null
+    pd.DataFrame({"event_id": range(1, 8),
+                  "ts": [ts(m) for m in range(7)],
+                  "user_id": [1] * 7,
+                  "value": [10.0, 11.0, 10.0, None, 11.0, 10.0, 11.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    # batch 2: the spike (needs batch-1 state to be judged) + more
+    # baseline + a second user with too few priors to ever flag
+    pd.DataFrame({"event_id": [8, 9, 10, 11],
+                  "ts": [ts(m) for m in (7, 8, 9, 10)],
+                  "user_id": [1, 1, 2, 2],
+                  "value": [99.0, 10.0, 50.0, 500.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    rows = []
+    q = (rolling_anomaly_stream(stream, window=6, min_periods=3,
+                                threshold=3.0).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ackpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.event_id):
+           (r.baseline_mean, r.baseline_std, r.zscore) for r in rows}
+    batch = {(r.user_id, r.event_id):
+             (r.baseline_mean, r.baseline_std, r.zscore)
+             for r in rolling_anomaly(
+                 spark.read.parquet(str(src)), window=6, min_periods=3,
+                 threshold=3.0).collect()}
+    assert got == batch
+    assert (1, 8) in got          # the cross-boundary spike flagged
+    assert all(u != 2 for (u, _e) in got)   # user 2 never has 3 priors

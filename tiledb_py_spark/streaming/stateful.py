@@ -300,3 +300,88 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3,
                 stateStructType=_EWMA_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_ANOM_STATE = T.StructType([
+    T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+    T.StructField("mask", T.ArrayType(T.BooleanType()), True),
+])
+
+
+def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
+                           by: str = "user_id", ts_col: str = "ts",
+                           window: int = 20, min_periods: int = 5,
+                           threshold: float = 2.0,
+                           tiebreak_col: str = "event_id") -> DataFrame:
+    """STREAMING rolling z-score anomaly flags — the stateful
+    counterpart of :func:`...streaming.events.rolling_anomaly`: the
+    trailing ``window`` ROWS (values + a non-null mask, matching the
+    batch ROWS-frame that counts null rows but excludes their values
+    from the aggregates) persist per entity across micro-batches, so a
+    spike whose baseline accrued in earlier triggers is still caught.
+    O(window) state per entity.  Emits ONLY the flagged rows (append
+    semantics — a flag is final, never restated).
+
+    Same math as the batch operator: sample stddev over the trailing
+    frame EXCLUDING the current row (an outlier can't mask itself),
+    ``min_periods`` non-null priors required, degenerate (zero) stddev
+    never flags.
+
+    LATE-DATA POLICY (matching ewma_stream): events process in
+    event-time order within a micro-batch (ties by ``tiebreak_col``);
+    a cross-batch straggler is judged against — and then enters — the
+    trailing frame AS OF ARRIVAL, not the frame its timestamp belongs
+    to.  Rows already flagged are never retracted.  Compose an
+    upstream watermark to drop stragglers; batch backfills use
+    ``rolling_anomaly`` (in-order equivalence pinned by
+    ``test_rolling_anomaly_stream_matches_batch``)."""
+    import math
+
+    src = events.schema
+    out_schema = T.StructType([
+        T.StructField(by, src[by].dataType, False),
+        T.StructField(tiebreak_col, src[tiebreak_col].dataType, False),
+        T.StructField(ts_col, src[ts_col].dataType, False),
+        T.StructField(value_col, T.DoubleType(), True),
+        T.StructField("baseline_mean", T.DoubleType(), True),
+        T.StructField("baseline_std", T.DoubleType(), True),
+        T.StructField("zscore", T.DoubleType(), True),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        (entity,) = key
+        vals, mask = (list(state.get[0] or []), list(state.get[1] or [])) \
+            if state.exists else ([], [])
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        out = []
+        for tb, ts_v, x in zip(rows[tiebreak_col], rows[ts_col],
+                               rows[value_col]):
+            live = [v for v, m in zip(vals, mask) if m]
+            n = len(live)
+            if not pd.isna(x) and n >= min_periods:
+                m_ = sum(live) / n
+                var = sum((v - m_) ** 2 for v in live) / (n - 1)
+                s_ = math.sqrt(var)
+                if s_ > 0 and abs((float(x) - m_) / s_) > threshold:
+                    z = (float(x) - m_) / s_
+                    out.append((entity, tb, ts_v, float(x),
+                                round(m_, 4), round(s_, 4), round(z, 4)))
+            # the row ENTERS the frame after being judged; null rows
+            # occupy a frame slot with a False mask (ROWS semantics)
+            vals.append(0.0 if pd.isna(x) else float(x))
+            mask.append(not pd.isna(x))
+            if len(vals) > window:
+                vals, mask = vals[-window:], mask[-window:]
+        state.update((vals, mask))
+        yield pd.DataFrame(out, columns=[by, tiebreak_col, ts_col,
+                                         value_col, "baseline_mean",
+                                         "baseline_std", "zscore"])
+
+    return (events
+            .groupBy(by)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=_ANOM_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
