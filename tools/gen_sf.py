@@ -175,10 +175,17 @@ def generate(sf: float, out_dir: str, skew: bool = False,
             start, np.diff(np.concatenate([start, [nl]])))
         linenum = (idx - starts_per_row + 1).astype(np.int32)
         ship = odate[okeys] + rng.randint(1, 96, nl) * _DAY_US
+        suppkeys = rng.randint(0, ns, nl).astype(np.int64)
+        if skew:
+            # hot JOIN key: supplier 0 on ~20% of lineitem rows — the
+            # broadcast-ineligible skewed-probe case operators/skew.py's
+            # salted_join exists for (one reducer owns 20% of the join
+            # under plain hash partitioning)
+            suppkeys[rng.random_sample(nl) < 0.2] = 0
         _write(out_dir, "lineitem", {
             "l_orderkey": pa.array(okeys),
             "l_partkey": pa.array(rng.randint(0, np_, nl).astype(np.int64)),
-            "l_suppkey": pa.array(rng.randint(0, ns, nl).astype(np.int64)),
+            "l_suppkey": pa.array(suppkeys),
             "l_linenumber": pa.array(linenum),
             "l_quantity": pa.array(rng.randint(1, 51, nl).astype(np.float64)),
             "l_extendedprice": pa.array(

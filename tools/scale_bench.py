@@ -360,6 +360,20 @@ def r_rolling_anomaly(spark, sf_dir):
                            min_periods=5, threshold=2.0)
 
 
+def r_skew_join_plain(spark, sf_dir):
+    """Control for the skew artifact: the SAME shuffle-hash join
+    without salting — on a hot-key dir one reducer owns the hot key's
+    entire probe side (AQE's skew split does not cover shuffled hash
+    joins' probe side in local mode)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey") \
+        .hint("shuffle_hash")
+    return li.join(sup, on="l_suppkey")
+
+
 def r_time_resample(spark, sf_dir):
     from tiledb_py_spark.streaming.events import time_resample
 
@@ -388,6 +402,7 @@ RUNNERS = {
     "rolling_anomaly": r_rolling_anomaly,
     "time_resample": r_time_resample,
     "hybrid_search": r_hybrid_search,
+    "skew_join_plain": r_skew_join_plain,
     "heavy_hitters": r_heavy_hitters,
     "pagerank": r_pagerank,
     "interval_overlap": r_interval_overlap,
