@@ -3945,3 +3945,73 @@ def test_time_resample_plan_two_exchanges(spark):
         .selectExpr("user_id", "cast(ts as timestamp) ts", "value")
     plan = time_resample(e)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_write_zorder_real_footer_pruning(spark, tmp_path):
+    """End-to-end pruning proof on REAL written files: write lineitem
+    through write_zorder vs a single-column sort, read the parquet
+    FOOTERS back (pyarrow), and count the files a stats-based planner
+    must touch.  The Z-order claim is EITHER-dim pruning: a predicate
+    on the non-sorted dim reads EVERY single-sort file but only a
+    fraction of Z-ordered ones, while costing a bounded factor on the
+    sorted dim's own predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.layout import write_zorder
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder(li, ["l_partkey", "l_suppkey"], num_files=64, bits=10) \
+        .write.parquet(zdir)
+    li.repartitionByRange(64, "l_partkey") \
+        .sortWithinPartitions("l_partkey").write.parquet(sdir)
+
+    b = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+               F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    doms = {"l_partkey": (b[0], b[1]), "l_suppkey": (b[2], b[3])}
+
+    def mid_quarter(col):
+        lo, hi = doms[col]
+        return (lo + (hi - lo) * 3 // 8, lo + (hi - lo) * 5 // 8)
+
+    def files_touched(d, col, lo, hi):
+        touched = total = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            total += 1
+            ci = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == col)
+            fl = min(md.row_group(g).column(ci).statistics.min
+                     for g in range(md.num_row_groups))
+            fh = max(md.row_group(g).column(ci).statistics.max
+                     for g in range(md.num_row_groups))
+            touched += not (fh < lo or fl > hi)
+        return touched, total
+
+    res = {}
+    for col in doms:
+        lo, hi = mid_quarter(col)
+        res[("z", col)] = files_touched(zdir, col, lo, hi)
+        res[("s", col)] = files_touched(sdir, col, lo, hi)
+    # single sort: non-sorted dim's predicate touches EVERY file
+    assert res[("s", "l_suppkey")][0] == 64, res
+    # zorder: the same predicate touches at most ~half (range-
+    # partitioned code boundaries straddle curve jumps, so spans are
+    # looser than the aligned-prefix ideal; measured 27/64 here)
+    assert res[("z", "l_suppkey")][0] <= 32, res
+    # zorder on the sorted dim costs a bounded factor over the sort
+    assert res[("z", "l_partkey")][0] <= 40, res
+    # total across an either-dim workload: zorder strictly cheaper
+    z_total = res[("z", "l_partkey")][0] + res[("z", "l_suppkey")][0]
+    s_total = res[("s", "l_partkey")][0] + res[("s", "l_suppkey")][0]
+    assert z_total < s_total, res
+
+    # and the data under a predicate is identical either way
+    lo, hi = mid_quarter("l_suppkey")
+    q = f"l_suppkey BETWEEN {lo} AND {hi}"
+    assert (spark.read.parquet(zdir).filter(q).count()
+            == spark.read.parquet(sdir).filter(q).count() > 0)

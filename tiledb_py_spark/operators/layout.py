@@ -134,7 +134,17 @@ def write_zorder(df: DataFrame, cols: Sequence[str], num_files: int,
     every output file covers one contiguous curve segment (tight min/max
     on all ``cols``).  Returns the arranged DataFrame ready for
     ``.write`` — ONE shuffle, sample-based ranges (no global sort
-    barrier, skewed code regions split by sampled quantiles)."""
+    barrier, skewed code regions split by sampled quantiles).
+
+    Measured trade (test_write_zorder_real_footer_pruning, 64 files,
+    sf0.001 lineitem): sampled range boundaries straddle curve jumps,
+    so per-file spans are looser than the aligned-prefix ideal — a
+    mid-quarter predicate on the NON-sorted dim still drops from 64/64
+    files (single-column sort) to 27/64, at 31 vs 16 on the sorted
+    dim's own predicate.  ``zorder_file_stats``' prefix assignment
+    gives the tight N^(1/d) spans but inherits the curve's data skew
+    into file sizes; range partitioning trades span tightness for even
+    files — the right default for a write path."""
     if curve == "morton":
         coded = zorder_code(df, cols, bits=bits, bounds=bounds)
     elif curve == "hilbert":
