@@ -4015,3 +4015,40 @@ def test_write_zorder_real_footer_pruning(spark, tmp_path):
     q = f"l_suppkey BETWEEN {lo} AND {hi}"
     assert (spark.read.parquet(zdir).filter(q).count()
             == spark.read.parquet(sdir).filter(q).count() > 0)
+
+
+def test_bm25_generate_has_no_array_passthrough(spark):
+    """Quadratic-trap regression (found by the skew suite's 5M-token
+    document): computing size(toks) in the same select as
+    explode(filter(toks)) makes Spark pass the FULL token array through
+    the Generate for every emitted posting — O(doc_len * matches) bytes
+    copied for one document.  The staged plan's Generate must pass
+    through only (id, len)."""
+    import re
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.retrieval import bm25_scores
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.length(F.trim("text")) > 0)
+    plan = bm25_scores(d, "text", "doc_id", ["query", "window", "spark"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            passthrough = re.search(r"\[(.*?)\], (?:false|true)", line)
+            assert passthrough and "__toks" not in passthrough.group(1), line
+            assert "__qt" not in passthrough.group(1), line
+
+    # timing proof: one giant doc (500k tokens, ~10% query-term hits)
+    # must cost linear work, not O(len * matches)
+    giant = " ".join(
+        ("query" if i % 10 == 0 else f"w{i % 97}") for i in range(500_000))
+    rows = [(0, giant)] + [(i, "plain filler text") for i in range(1, 50)]
+    g = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    out = bm25_scores(g, "text", "doc_id", ["query"]).collect()
+    dt = time.time() - t0
+    assert dt < 60, f"giant-doc bm25 took {dt:.1f}s — passthrough is back"
+    assert {r.doc_id for r in out} == {0}

@@ -57,12 +57,20 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     term_arr = F.array(*[F.lit(t) for t in terms])
     # the doc length rides the posting rows (row-local size() in the
     # same projection) — a separate lens table costs one more corpus
-    # scan AND a join back on the id
-    tf = (base
-          .select("__id", F.size("__toks").alias("__len"),
-                  F.explode(F.filter(
-                      "__toks",
-                      lambda t: F.array_contains(term_arr, t))).alias("__t"))
+    # scan AND a join back on the id.  STAGE the filtered query-term
+    # array in its OWN projection before the explode: computing
+    # size(__toks) and explode(filter(__toks)) in one select keeps the
+    # full token array in the Generate's child row, and GenerateExec
+    # then copies it per EMITTED posting — quadratic in a single
+    # document's matches (a 5M-token skew doc measured 25+ min in one
+    # task vs ~4 s staged; same trap as minhash/winnow, see
+    # measured-perf notes)
+    staged = base.select(
+        "__id", F.size("__toks").alias("__len"),
+        F.filter("__toks",
+                 lambda t: F.array_contains(term_arr, t)).alias("__qt"))
+    tf = (staged
+          .select("__id", "__len", F.explode("__qt").alias("__t"))
           .groupBy("__id", "__t")
           .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len")))
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
