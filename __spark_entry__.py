@@ -1843,6 +1843,24 @@ def q_hybrid_search(spark, sf_dir):
                       "rrf")
 
 
+def q_leakage_split(spark, sf_dir):
+    """Near-dup-leakage-safe train/val/test split: 1-gram Jaccard pairs
+    (same graph as dedup_clusters) -> connected components -> hash the
+    CLUSTER representative, so a doc and its near-copy can never
+    straddle a split.  The oracle replays the recursive-CTE closure and
+    the identical portable md5 bucketing on the rep key."""
+    from tiledb_py_spark.operators.dedup import ngram_jaccard_pairs
+    from tiledb_py_spark.operators.pipeline import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=1,
+                                threshold=0.7)
+    out = leakage_safe_split(d, pairs, "doc_id",
+                             {"train": 0.8, "val": 0.1, "test": 0.1},
+                             seed=42)
+    return out.select("doc_id", "cluster_rep", "split").orderBy("doc_id")
+
+
 def q_time_resample(spark, sf_dir):
     """Per-user fixed-grid resampling (2-hour buckets, forward fill):
     TWO Exchanges total — the (user, bucket) aggregation then one lag
@@ -2974,10 +2992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r07; its scoring replay is one arm of the
         # hybrid oracle) to the tail
         "hybrid_search": q_hybrid_search,
-        # time_resample (NEW round 8, second session) displaced
-        # tfidf_terms (driver-green r07, unchanged) to the tail
+        # time_resample + leakage_split (NEW round 8, second session)
+        # displaced tfidf_terms and pipeline_full_e2e (driver-green
+        # r07/r08 sweeps, unchanged) to the tail
         "time_resample": q_time_resample,
-        "pipeline_full_e2e": q_pipeline_full_e2e,
+        "leakage_split": q_leakage_split,
         "pack_materialize": q_pack_materialize,
         "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
@@ -3017,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
         "bm25": q_bm25,
+        "pipeline_full_e2e": q_pipeline_full_e2e,
         "tfidf_terms": q_tfidf_terms,
         "incremental_dedup": q_incremental_dedup,
         "fuzzy_join": q_fuzzy_join,
@@ -4140,6 +4160,42 @@ def oracle_sql() -> dict[str, str]:
             FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
             WHERE n_copies > 0
             ORDER BY doc_id, copy_id
+        """,
+        "leakage_split": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS s
+                FROM documents WHERE doc_id < 100
+            ),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.7
+            ),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            reps AS (SELECT a AS doc_id, min(b) AS rep
+                     FROM reach GROUP BY a),
+            keyed AS (
+                SELECT d.doc_id,
+                       coalesce(r.rep, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+                WHERE d.doc_id < 100
+            )
+            SELECT doc_id, cluster_rep,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster_rep,
+                         ('0x' || substr(md5(concat_ws(chr(31), CAST(cluster_rep AS VARCHAR), 'split:42')),
+                                         1, 15))::BIGINT % 10000 AS b
+                  FROM keyed)
+            ORDER BY doc_id
         """,
         "time_resample": """
             WITH agg AS (

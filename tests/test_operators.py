@@ -4089,3 +4089,55 @@ def test_ewma_arrow_carry_across_arrow_batches(spark):
     for k in want:
         a, b = got[k], want[k]
         assert (a is None and b is None) or abs(a - b) < 1e-12, (k, a, b)
+
+
+def test_hybrid_search_plan_shape(spark):
+    """Both arms collapse via TakeOrdered (per-partition top-k + driver
+    merge — no corpus-sized global sort) and the fusion join is
+    candidate-sized: no CartesianProduct, no SortMergeJoin over the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.retrieval import hybrid_search
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet") \
+        .filter(F.length(F.trim("text")) > 0)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = e.filter("vec_id = 0").select("embedding").collect()[0][0]
+    out = hybrid_search(d, e.filter("vec_id <> 0"),
+                        ["query", "window", "spark"], qv, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_leakage_safe_split_properties(spark):
+    """(1) every near-dup cluster lands wholly in ONE split; (2) rows in
+    no pair get exactly the plain hash_split assignment of their own id;
+    (3) row count preserved."""
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark.operators.dedup import ngram_jaccard_pairs
+    from tiledb_py_spark.operators.pipeline import (hash_split,
+                                                    leakage_safe_split)
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=1,
+                                threshold=0.7)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(d, pairs, "doc_id", w, seed=42).toPandas()
+    assert len(out) == d.count()
+    # (1) one split per cluster
+    per_cluster = out.groupby("cluster_rep")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # clusters exist in this data (otherwise the test is vacuous)
+    assert (out.groupby("cluster_rep").size() > 1).any()
+    # (2) singletons == plain hash_split on their own id
+    plain = hash_split(d, ["doc_id"], w, seed=42) \
+        .select("doc_id", "split").toPandas().set_index("doc_id")
+    singles = out[out.doc_id == out.cluster_rep].set_index("doc_id")
+    merged = singles.join(plain, rsuffix="_plain")
+    # representative rows hash their own id -> identical either way
+    assert (merged.split == merged.split_plain).all()

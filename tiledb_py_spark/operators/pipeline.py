@@ -724,3 +724,36 @@ def write_training_shards(df: DataFrame, path: str,
                   .sortWithinPartitions("shard", "__ord", *id_cols)
                   .drop("__ord"))
     out.write.partitionBy("shard").mode(mode).parquet(path)
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       weights: Dict[str, float], seed: int = 42,
+                       split_col: str = "split",
+                       src: str = "id_a", dst: str = "id_b",
+                       rep_col: str = "cluster_rep") -> DataFrame:
+    """Train/val/test split that near-duplicates can NOT straddle:
+    every member of a duplicate cluster (connected component of the
+    near-dup ``pairs`` graph) is assigned by hashing the cluster
+    REPRESENTATIVE (min reachable id), so a doc and its near-copy land
+    in the same split — the eval-set leakage a plain per-row
+    ``hash_split`` permits.  Rows in no pair hash their own id
+    (identical to ``hash_split`` for them).  Adds ``rep_col`` (the
+    split key) alongside ``split_col``.
+
+    Scale shape: the component labels are PAIR-graph-sized (duplicate
+    docs only, typically a few % of the corpus), so the join back is a
+    broadcast-sized hash join under AQE; the split itself stays one
+    row-local md5 expression.  Composes with any candidate generator
+    (``ngram_jaccard_pairs``, ``minhash_lsh_candidates`` +
+    ``verify_jaccard``, embedding near-dup)."""
+    from .dedup import connected_components
+
+    reps = (connected_components(pairs, src=src, dst=dst)
+            .withColumnRenamed("id", id_col)
+            .withColumnRenamed("rep", f"__{rep_col}"))
+    j = df.join(reps, on=id_col, how="left")
+    j = j.withColumn(rep_col,
+                     F.coalesce(F.col(f"__{rep_col}"), F.col(id_col))) \
+         .drop(f"__{rep_col}")
+    return hash_split(j, [rep_col], weights, seed=seed,
+                      split_col=split_col)
