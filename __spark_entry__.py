@@ -4200,7 +4200,7 @@ def oracle_sql() -> dict[str, str]:
         "time_resample": """
             WITH agg AS (
               SELECT user_id, time_bucket(INTERVAL '2 hours', ts) AS bucket,
-                     count(value) AS n_events, round(avg(value), 4) AS v
+                     count(*) AS n_events, round(avg(value), 4) AS v
               FROM events WHERE user_id < 50 GROUP BY 1, 2
             ),
             lagged AS (

@@ -582,3 +582,62 @@ def test_ewma_matches_reference_any_series(spark, evs, alpha):
             assert g is None, eid
         else:
             assert g == pytest.approx(w, abs=1e-9), eid
+
+
+@settings(**_SETTINGS)
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3),            # user
+              st.integers(0, 200),          # minute offset
+              st.one_of(st.none(),
+                        st.floats(-100, 100, allow_nan=False))),
+    min_size=1, max_size=40))
+def test_time_resample_matches_python_reference(spark, data):
+    """For ANY event set: the 15-min grid per user is complete between
+    its first and last bucket with no duplicates, real buckets carry
+    the rounded mean of their (non-null) values, and gap buckets carry
+    count 0 and the previous bucket's value (ffill)."""
+    from tiledb_py_spark.streaming.events import time_resample
+
+    rows = [(i, u, f"2020-01-01 00:00:00", m, v)
+            for i, (u, m, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, base string, m int, value double") \
+        .selectExpr("user_id", "event_id",
+                    "cast(base as timestamp) + make_interval(0,0,0,0,0,m,0) ts",
+                    "value")
+    out = time_resample(df, "value", by="user_id", ts_col="ts",
+                        interval="15 minutes").toPandas()
+
+    # python reference
+    import collections
+    per = collections.defaultdict(lambda: collections.defaultdict(list))
+    for _i, (u, m, v) in enumerate(data):
+        per[u][m // 15].append(v)
+    for u, buckets in per.items():
+        got_u = out[out.user_id == u].sort_values("bucket")
+        lo, hi = min(buckets), max(buckets)
+        assert len(got_u) == hi - lo + 1          # complete grid
+        assert got_u.bucket.is_unique
+        prev = None  # the previous BUCKET's mean (may be None)
+        for row, b in zip(got_u.itertuples(), range(lo, hi + 1)):
+            def _isnull(x):
+                return x is None or (isinstance(x, float) and math.isnan(x))
+            vals = [v for v in buckets.get(b, []) if v is not None]
+            if b in buckets:
+                # n_events is the ROW count (nulls included)
+                assert row.n_events == len(buckets[b])
+                if vals:
+                    want = round(sum(vals) / len(vals), 4)
+                    assert row.value == pytest.approx(want, abs=1e-9)
+                    prev = row.value
+                else:
+                    # all-null real bucket: mean is NULL
+                    assert _isnull(row.value)
+                    prev = None
+            else:
+                # gap: carries the previous bucket's mean VERBATIM
+                assert row.n_events == 0
+                if prev is None:
+                    assert _isnull(row.value)
+                else:
+                    assert row.value == prev

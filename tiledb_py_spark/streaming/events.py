@@ -400,8 +400,11 @@ def time_resample(events: DataFrame, value_col: str = "value",
     materialize the MISSING buckets between an entity's first and last
     observation, carrying the previous bucket's mean forward
     (``fill="ffill"``) or leaving gaps NULL (``fill="none"``).  Output:
-    (by..., bucket, n_events, value) — ``n_events = 0`` marks generated
-    gap rows.
+    (by..., bucket, n_events, value) — ``n_events`` is the ROW count of
+    the bucket (0 marks a generated gap row; a real bucket whose events
+    all carry NULL values keeps n_events > 0 with a NULL mean, and a
+    following gap forward-fills that NULL — gaps carry the previous
+    BUCKET's mean verbatim, not the last non-null value).
 
     Scale shape: TWO Exchanges total — the (entity, bucket) aggregation,
     then one entity-keyed window for ``lag``.  Gap rows are generated
@@ -419,7 +422,7 @@ def time_resample(events: DataFrame, value_col: str = "value",
     step = F.expr(f"INTERVAL {interval}")
     agg = (events
            .groupBy(*by, F.window(F.col(ts_col), interval).alias("__w"))
-           .agg(F.count(value_col).alias("n_events"),
+           .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.avg(value_col), 4).alias("__v"))
            .select(*by, F.col("__w.start").alias("bucket"),
                    "n_events", "__v"))
