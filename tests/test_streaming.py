@@ -683,3 +683,69 @@ def test_rolling_anomaly_stream_matches_batch(spark, tmp_path):
     assert got == batch
     assert (1, 8) in got          # the cross-boundary spike flagged
     assert all(u != 2 for (u, _e) in got)   # user 2 never has 3 priors
+
+
+def test_time_resample_stream_matches_batch(spark, tmp_path):
+    """Watermark-driven resampling: buckets (and their gap rows) emit
+    exactly once when the watermark passes the bucket end; the emitted
+    grid equals the batch time_resample answer for every finalized
+    bucket, including an entity that went silent (flushed via the
+    event-time timeout) and a cross-batch gap run."""
+    from tiledb_py_spark.streaming.events import time_resample
+    from tiledb_py_spark.streaming.stateful import time_resample_stream
+
+    src = tmp_path / "tr_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    # batch 1: user 1 active in buckets 0 and 2 (15-min grid);
+    #          user 2 one bucket then silent forever
+    pd.DataFrame({"event_id": [1, 2, 3, 4],
+                  "ts": [ts(1), ts(32), ts(35), ts(2)],
+                  "user_id": [1, 1, 1, 2],
+                  "value": [10.0, 30.0, 50.0, 7.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    # batch 2: user 1 reappears much later (gap run 3..7), and a final
+    # high-ts event pushes the watermark past everything earlier
+    pd.DataFrame({"event_id": [5, 6],
+                  "ts": [ts(8 * 15 + 1), ts(1000)],
+                  "user_id": [1, 1],
+                  "value": [80.0, 0.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src))
+              .selectExpr("event_id", "cast(ts as timestamp) ts",
+                          "user_id", "value")
+              .withWatermark("ts", "0 seconds"))
+    rows = []
+    q = (time_resample_stream(stream, interval_sec=900).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "trckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, pd.Timestamp(r.bucket)): (r.n_events, r.value)
+           for r in rows}
+    # no duplicate emissions
+    assert len(got) == len(rows)
+    # emission contract: a REAL bucket emits when the watermark (final:
+    # ts(1000)) passes its end; a GAP run emits with the real bucket
+    # that closes it.  So the expected set is the batch answer cut at
+    # each entity's last FINALIZED real bucket (user 1: the ts(1000)
+    # event's own bucket is still open, so its grid ends at the 02:00
+    # bucket; user 2: its lone bucket).
+    last_final = {1: ts(8 * 15), 2: t0}
+    batch = {(r.user_id, pd.Timestamp(r.bucket)): (r.n_events, r.value)
+             for r in time_resample(
+                 spark.read.parquet(str(src)), "value",
+                 interval="15 minutes").collect()
+             if pd.Timestamp(r.bucket) <= last_final[r.user_id]}
+    assert got == batch
+    # the silent entity's lone bucket WAS flushed (timeout path)
+    assert (2, t0) in got
+    # user 1's gap run carries the ffill value 40.0 (mean of 30, 50)
+    gap = got[(1, t0 + pd.Timedelta(minutes=45))]
+    assert gap == (0, 40.0)

@@ -385,3 +385,111 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                 stateStructType=_ANOM_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def time_resample_stream(events: DataFrame, value_col: str = "value",
+                         by: str = "user_id", ts_col: str = "ts",
+                         interval_sec: int = 900,
+                         fill: str = "ffill") -> DataFrame:
+    """STREAMING per-entity time-grid resampling — the stateful
+    counterpart of :func:`...streaming.events.time_resample`, and the
+    one stream operator here whose emission is WATERMARK-driven rather
+    than input-driven: a bucket (and the gap rows before it) is emitted
+    exactly once, when the event-time watermark passes its end, so
+    late events inside the watermark horizon still land in their
+    bucket.  Requires ``events.withWatermark(ts_col, ...)`` upstream;
+    without one the watermark never advances and nothing is emitted.
+
+    State per entity: the OPEN buckets' (count, sum) pairs — bounded by
+    the watermark horizon / ``interval_sec`` — plus the last emitted
+    bucket and its mean for gap fill.  An event-time timeout is armed
+    at the earliest open bucket's end so an entity that stops receiving
+    events still flushes when the watermark passes (the pattern the
+    input-driven operators here can't express).
+
+    Same output contract as the batch operator: (by, bucket, n_events,
+    value); ``n_events`` is the bucket's row count, 0 marks generated
+    gap rows, gaps carry the previous bucket's (possibly NULL) mean
+    verbatim under ``fill="ffill"`` and NULL under ``fill="none"``.
+    A GAP run emits together with the real bucket that CLOSES it (like
+    the batch operator, gaps exist only between observations — trailing
+    gaps after an entity's last event are unknowable online).  Events
+    later than the watermark are dropped by Spark upstream; an in-order
+    stream's emissions equal the batch answer cut at each entity's last
+    finalized real bucket (``test_time_resample_stream_matches_batch``)."""
+    if fill not in ("ffill", "none"):
+        raise ValueError(f"unknown fill {fill!r}")
+    step_us = interval_sec * 1_000_000
+
+    src = events.schema
+    out_schema = T.StructType([
+        T.StructField(by, src[by].dataType, False),
+        T.StructField("bucket", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField(value_col, T.DoubleType(), True),
+    ])
+    # state: parallel arrays of open buckets + last-emitted carry
+    state_schema = T.StructType([
+        T.StructField("bks", T.ArrayType(T.LongType()), True),   # bucket us
+        T.StructField("cnt", T.ArrayType(T.LongType()), True),
+        T.StructField("sm", T.ArrayType(T.DoubleType()), True),
+        T.StructField("nn", T.ArrayType(T.LongType()), True),    # non-null n
+        T.StructField("last_bk", T.LongType(), True),            # emitted
+        T.StructField("last_v", T.DoubleType(), True),
+        T.StructField("has_last", T.BooleanType(), False),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        (entity,) = key
+        if state.exists:
+            bks, cnt, sm, nn, last_bk, last_v, has_last = state.get
+            open_ = {b: [c, s, n] for b, c, s, n
+                     in zip(bks or [], cnt or [], sm or [], nn or [])}
+        else:
+            open_, last_bk, last_v, has_last = {}, None, None, False
+        for pdf in pdfs:
+            for ts_v, x in zip(pdf[ts_col], pdf[value_col]):
+                us = int(pd.Timestamp(ts_v).value // 1000)
+                b = us - us % step_us
+                slot = open_.setdefault(b, [0, 0.0, 0])
+                slot[0] += 1
+                if not pd.isna(x):
+                    slot[1] += float(x)
+                    slot[2] += 1
+        wm_ms = state.getCurrentWatermarkMs()
+        out = []
+        # flush every bucket whose END the watermark passed, oldest
+        # first, generating the gap grid from the last emitted bucket
+        for b in sorted(open_):
+            if wm_ms <= 0 or (b + step_us) // 1000 > wm_ms:
+                break
+            c, s, n = open_.pop(b)
+            if has_last:
+                g = last_bk + step_us
+                while g < b:
+                    gv = last_v if fill == "ffill" else None
+                    out.append((entity, pd.Timestamp(g * 1000), 0, gv))
+                    g += step_us
+            mean = round(s / n, 4) if n else None
+            out.append((entity, pd.Timestamp(b * 1000), c, mean))
+            last_bk, last_v, has_last = b, mean, True
+        if open_:
+            # arm a timeout at the earliest open bucket's end so the
+            # entity flushes even with no further input
+            state.setTimeoutTimestamp((min(open_) + step_us) // 1000)
+        items = sorted(open_.items())
+        state.update(([b for b, _ in items],
+                      [v[0] for _, v in items],
+                      [v[1] for _, v in items],
+                      [v[2] for _, v in items],
+                      last_bk, last_v, has_last))
+        yield pd.DataFrame(out, columns=[by, "bucket", "n_events",
+                                         value_col])
+
+    return (events
+            .groupBy(by)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
