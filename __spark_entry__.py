@@ -2012,7 +2012,7 @@ def q_rolling_anomaly(spark, sf_dir):
     windows."""
     from tiledb_py_spark.streaming.events import rolling_anomaly
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return rolling_anomaly(e, window=20, min_periods=5, threshold=2.0) \
         .orderBy("user_id", "event_id")
 

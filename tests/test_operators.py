@@ -4141,3 +4141,52 @@ def test_leakage_safe_split_properties(spark):
     merged = singles.join(plain, rsuffix="_plain")
     # representative rows hash their own id -> identical either way
     assert (merged.split == merged.split_plain).all()
+
+
+def test_ewma_null_entity_key(spark):
+    """A NULL entity key is a group like any other (pandas groupby
+    dropna=False): the Arrow path must neither crash nor drop the
+    rows, and must match the Catalyst fold."""
+    from tiledb_py_spark.streaming.events import ewma
+
+    rows = [(1, 1, 1.0, 10.0), (None, 2, 2.0, 20.0),
+            (None, 3, 3.0, 40.0), (1, 4, 4.0, 30.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma(df, "value", alpha=0.5, ts_col="ts").collect()}
+    want = {r.event_id: r.ewma
+            for r in ewma(df, "value", alpha=0.5, ts_col="ts",
+                          impl="expr").collect()}
+    assert got == want
+    assert got[3] == 0.5 * 40.0 + 0.5 * 20.0  # null-key group smoothed
+
+
+def test_rolling_anomaly_stream_min_periods_one(spark, tmp_path):
+    """min_periods=1 must behave like the batch operator (stddev_samp
+    NULL for one observation -> never flags on the second event), not
+    divide by zero."""
+    from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
+
+    src = tmp_path / "mp1"
+    src.mkdir()
+    pd.DataFrame({"event_id": [1, 2, 3, 4],
+                  "ts": pd.to_datetime(
+                      ["2024-01-01 00:00", "2024-01-01 00:01",
+                       "2024-01-01 00:02", "2024-01-01 00:03"]),
+                  "user_id": [1, 1, 1, 1],
+                  "value": [10.0, 10.5, 10.2, 99.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    rows = []
+    q = (rolling_anomaly_stream(stream, window=5, min_periods=1,
+                                threshold=3.0).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "mpckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # only the spike (3 stable priors) flags; event 2 (one prior) never
+    # divides by zero and never flags
+    assert [r.event_id for r in rows] == [4]

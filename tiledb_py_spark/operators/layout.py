@@ -75,13 +75,16 @@ def _interleave(bucket_cols: Sequence[str], bits: int) -> Column:
 
 def zorder_code(df: DataFrame, cols: Sequence[str], bits: int = 8,
                 bounds: Optional[dict] = None,
-                out_col: str = _ZCODE) -> DataFrame:
+                out_col: str = _ZCODE,
+                keep_buckets: bool = False) -> DataFrame:
     """Add a Morton (Z-order) code column interleaving ``cols``.
 
     ``cols`` must be integral (or timestamp — cast upstream).  Each column
     is bucketized to ``2**bits`` levels between its global min/max
     (``bounds``: {col: (lo, hi)} overrides the bounds pass — pass table
-    stats at scale to skip the extra job)."""
+    stats at scale to skip the extra job).  ``keep_buckets`` retains the
+    per-dimension bucket columns ``__zb{j}`` (the Hilbert writer feeds
+    them to its own curve instead of de-interleaving the code)."""
     if not 2 <= len(cols) <= 7:
         raise ValueError("zorder_code wants 2-7 columns")
     nb = 1 << bits
@@ -97,6 +100,8 @@ def zorder_code(df: DataFrame, cols: Sequence[str], bits: int = 8,
     for j, c in enumerate(cols):
         lo, hi = bounds[c]
         lo, hi = int(lo), int(hi)
+        if hi < lo:
+            raise ValueError(f"column {c} bounds inverted: ({lo}, {hi})")
         if (hi - lo + 1) > (1 << 62) // nb:
             raise ValueError(f"column {c} span {hi - lo + 1} too wide for "
                              f"{nb}-bucket integer bucketization")
@@ -104,7 +109,8 @@ def zorder_code(df: DataFrame, cols: Sequence[str], bits: int = 8,
         work = work.withColumn(bc, F.expr(_bucket_expr(c, str(lo), str(hi),
                                                        nb)))
         bcols.append(bc)
-    return work.withColumn(out_col, _interleave(bcols, bits)).drop(*bcols)
+    out = work.withColumn(out_col, _interleave(bcols, bits))
+    return out if keep_buckets else out.drop(*bcols)
 
 
 def zorder_file_stats(df: DataFrame, cols: Sequence[str], bits: int = 8,
@@ -115,6 +121,9 @@ def zorder_file_stats(df: DataFrame, cols: Sequence[str], bits: int = 8,
     count + min/max per dimension — the exact footer stats a scan planner
     would prune on.  (The write path uses ``repartitionByRange`` instead;
     this fixed-prefix variant is the oracle-replayable contract.)"""
+    if file_bits > len(cols) * bits:
+        raise ValueError(f"file_bits {file_bits} exceeds the code width "
+                         f"{len(cols) * bits}")
     coded = zorder_code(df, cols, bits=bits, bounds=bounds)
     shift = len(cols) * bits - file_bits
     aggs = [F.count(F.lit(1)).alias("cnt")]
@@ -158,7 +167,8 @@ def write_zorder(df: DataFrame, cols: Sequence[str], num_files: int,
 
 def _hilbert_code(df: DataFrame, cols: Sequence[str], bits: int,
                   bounds: Optional[dict]) -> DataFrame:
-    """Hilbert-curve variant: bucketize identically, then map bucket
+    """Hilbert-curve variant: bucketize identically (``keep_buckets``
+    hands us the per-dimension buckets directly), then map bucket
     tuples through the ``hilbert.py`` state machine in Arrow batches
     (numpy-vectorized per batch; the curve's per-level rotation is not
     expressible as a flat Catalyst expression)."""
@@ -166,30 +176,19 @@ def _hilbert_code(df: DataFrame, cols: Sequence[str], bits: int,
 
     from ..hilbert import hilbert_index
 
-    # Reuse the integer bucketization, then swap the interleave step.
-    coded = zorder_code(df, cols, bits=bits, bounds=bounds)
-
+    coded = zorder_code(df, cols, bits=bits, bounds=bounds,
+                        keep_buckets=True)
     ncols = list(df.columns)
 
     def _map(batches):
         for pdf in batches:
             coords = np.stack(
-                [pdf[f"__h{d}"].to_numpy(dtype=np.int64)
+                [pdf[f"__zb{d}"].to_numpy(dtype=np.int64)
                  for d in range(len(cols))], axis=1)
             out = pdf[ncols].copy()
             out[_ZCODE] = hilbert_index(coords, bits)
             yield out
 
-    # Recover bucket columns: zorder_code dropped them, so rebuild from
-    # the morton code by de-interleaving (cheap bit ops, still codegen).
-    nd = len(cols)
-    for d in range(nd):
-        expr = F.lit(0).cast("long")
-        for i in range(bits):
-            bit = (F.shiftright(F.col(_ZCODE), i * nd + d)
-                   .bitwiseAND(F.lit(1)))
-            expr = expr.bitwiseOR(F.shiftleft(bit, i))
-        coded = coded.withColumn(f"__h{d}", expr)
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{_ZCODE} long"])

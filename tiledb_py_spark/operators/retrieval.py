@@ -190,9 +190,7 @@ def hybrid_search(docs: DataFrame, embs: DataFrame,
     sort, no corpus-sized shuffle).  The rank row_numbers and the fusion
     run on candidate-sized frames (the unpartitioned window is ≤
     ``candidates`` rows by construction)."""
-    import numpy as np
-
-    from .similarity import dot, l2_norm
+    from .similarity import query_cosine
 
     t = bm25_scores(docs, text_col, doc_id_col, query_terms,
                     tokens_col=tokens_col)
@@ -202,10 +200,7 @@ def hybrid_search(docs: DataFrame, embs: DataFrame,
     text_rank = t.select(F.col(doc_id_col).alias("__d"),
                          F.row_number().over(wt).alias("rank"))
 
-    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    vscore = (dot(F.col(vec_col).cast("array<double>"), q)
-              / (l2_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)))
+    vscore = query_cosine(F.col(vec_col), query_vec, cast_double=True)
     v = (embs.select(F.col(vec_id_col).alias("__d"),
                      F.round(vscore, 5).alias("score"))
              .orderBy(F.desc("score"), "__d").limit(candidates))

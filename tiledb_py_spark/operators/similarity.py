@@ -46,6 +46,19 @@ def _vec_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def query_cosine(vec_col: Column, query_vec: Sequence[float],
+                 cast_double: bool = False) -> Column:
+    """Cosine of each row's vector against ONE literal query vector,
+    the query's norm precomputed driver-side (float64).  The single
+    implementation behind ``brute_force_topk`` and
+    ``retrieval.hybrid_search``'s vector arm; ``cast_double`` widens
+    the row vectors first (for oracles that replay in DOUBLE[])."""
+    q = _vec_lit(query_vec)
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    v = vec_col.cast("array<double>") if cast_double else vec_col
+    return dot(v, q) / (l2_norm(v) * F.lit(qn))
+
+
 def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
                      query_vec: Sequence[float], k: int = 10,
                      metric: str = "cosine") -> DataFrame:
@@ -55,7 +68,7 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
     + driver merge — no full shuffle."""
     q = _vec_lit(query_vec)
     if metric == "cosine":
-        score = dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * F.lit(float(np.linalg.norm(query_vec))))
+        score = query_cosine(F.col(vec_col), query_vec)
     elif metric == "dot":
         score = dot(F.col(vec_col), q)
     elif metric == "l2":

@@ -245,8 +245,12 @@ def ewma(events: DataFrame, value_col: str = "value", by="user_id",
                         seed[value_col] = carry
                         pdf = pd.concat([seed, pdf], ignore_index=True)
                         prepended = True
-                s = pdf.groupby(by, sort=False)[value_col].ewm(
-                    alpha=alpha, adjust=False, ignore_na=True).mean()
+                # dropna=False: a NULL entity key is a group like any
+                # other (the per-group predecessor processed it; with
+                # the default dropna=True the ewm series comes back
+                # SHORTER than pdf and the assignment below raises)
+                s = pdf.groupby(by, sort=False, dropna=False)[value_col] \
+                    .ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
                 pdf[out_col] = s.reset_index(
                     level=list(range(nby)), drop=True).to_numpy()
                 if prepended:

@@ -359,7 +359,10 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                                rows[value_col]):
             live = [v for v, m in zip(vals, mask) if m]
             n = len(live)
-            if not pd.isna(x) and n >= min_periods:
+            # n >= 2 mirrors the batch operator exactly: stddev_samp
+            # is NULL for a single observation (filtered by the
+            # __std.isNotNull() guard), it never divides by zero
+            if not pd.isna(x) and n >= max(min_periods, 2):
                 m_ = sum(live) / n
                 var = sum((v - m_) ** 2 for v in live) / (n - 1)
                 s_ = math.sqrt(var)

@@ -78,6 +78,10 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: check_correctness.py [sf_dir] [--json OUT] "
+                  "[query ...]", file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) \

@@ -175,6 +175,10 @@ def generate(sf: float, out_dir: str, skew: bool = False,
             start, np.diff(np.concatenate([start, [nl]])))
         linenum = (idx - starts_per_row + 1).astype(np.int32)
         ship = odate[okeys] + rng.randint(1, 96, nl) * _DAY_US
+        # draw order matters: partkey THEN suppkey, exactly as the
+        # original dict literal evaluated, so skew=False output stays
+        # bit-identical to data generated before the hot-key change
+        partkeys = rng.randint(0, np_, nl).astype(np.int64)
         suppkeys = rng.randint(0, ns, nl).astype(np.int64)
         if skew:
             # hot JOIN key: supplier 0 on ~20% of lineitem rows — the
@@ -184,7 +188,7 @@ def generate(sf: float, out_dir: str, skew: bool = False,
             suppkeys[rng.random_sample(nl) < 0.2] = 0
         _write(out_dir, "lineitem", {
             "l_orderkey": pa.array(okeys),
-            "l_partkey": pa.array(rng.randint(0, np_, nl).astype(np.int64)),
+            "l_partkey": pa.array(partkeys),
             "l_suppkey": pa.array(suppkeys),
             "l_linenumber": pa.array(linenum),
             "l_quantity": pa.array(rng.randint(1, 51, nl).astype(np.float64)),
