@@ -641,3 +641,50 @@ def test_time_resample_matches_python_reference(spark, data):
                     assert _isnull(row.value)
                 else:
                     assert row.value == prev
+
+
+@settings(**_SETTINGS)
+@given(data=st.lists(
+    st.tuples(st.integers(0, 2),            # user
+              st.one_of(st.none(),
+                        st.floats(-50, 50, allow_nan=False))),
+    min_size=1, max_size=35))
+def test_rolling_anomaly_matches_pandas_reference(spark, data):
+    """For ANY series: flagged rows equal a pandas rolling(window)
+    mean/std (shifted one row back, min_periods non-null priors,
+    sample std, strict > threshold) — nulls occupying frame slots
+    included."""
+    import numpy as np
+    import pandas as pd
+
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    rows = [(i, u, float(i), v) for i, (u, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, value double")
+    out = rolling_anomaly(df, window=4, min_periods=2, threshold=1.5)
+    got = {(r.user_id, r.event_id): (r.baseline_mean, r.baseline_std,
+                                     r.zscore)
+           for r in out.collect()}
+
+    want = {}
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "value"])
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g.value.astype(float)
+        m = v.rolling(4, min_periods=1).mean().shift(1)
+        s = v.rolling(4, min_periods=2).std(ddof=1).shift(1)
+        n = v.rolling(4, min_periods=1).count().shift(1)
+        for eid, x, mi, si, ni in zip(g.event_id, v, m, s, n):
+            if (pd.isna(x) or pd.isna(si) or si <= 0
+                    or (ni or 0) < 2):
+                continue
+            z = (x - mi) / si
+            if abs(z) > 1.5:
+                want[(u, eid)] = (round(mi, 4), round(si, 4),
+                                  round(z, 4))
+    assert set(got) == set(want)
+    for k in want:
+        assert np.allclose(got[k], want[k], atol=1e-9), (k, got[k],
+                                                         want[k])
