@@ -91,6 +91,29 @@ def main() -> int:
             sel = rng.choice(coords, size=min(k, ncoords), replace=False)
             results[f"multi_index_points_{k}"] = timed(
                 lambda: A.multi_index[sel.tolist()])
+        # -- MetadataWrite / MetadataRead ------------------------------------
+        # (reference: tiledb/tests/perf/benchmarks/metadata.py — 1M
+        # same-key writes / reads inside one open handle; scaled to 100k.
+        # Writes buffer in the handle and flush once on close, reads hit
+        # the loaded dict — both measure per-op python overhead, which is
+        # the reference's intent for this workload.)
+        n_meta = 10_000 if quick else 100_000
+        mpath = os.path.join(root, "meta")
+        tdb.from_numpy(mpath, np.random.rand(4))
+
+        def meta_writes():
+            with tdb.open(mpath, "w", spark=spark) as A:
+                for _ in range(n_meta):
+                    A.meta["x"] = "xyz"
+
+        results[f"metadata_write_x{n_meta}"] = timed(meta_writes)
+
+        def meta_reads():
+            with tdb.open(mpath, spark=spark) as A:
+                for _ in range(n_meta):
+                    A.meta["x"]
+
+        results[f"metadata_read_x{n_meta}"] = timed(meta_reads)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
