@@ -1045,10 +1045,13 @@ def q_funnel_by_cohort(spark, sf_dir):
 
 def q_ewma(spark, sf_dir):
     """Per-user event-time EWMA (alpha=0.3): one entity-key shuffle,
-    the recurrence as a row-local Catalyst fold (no window chain, no
-    closed-form overflow).  The oracle replays the exact recurrence as
-    a recursive CTE over row_number — same multiply-add order, so
-    values match beyond the round-4 stated tolerance."""
+    the recurrence via the default Arrow path (pandas' C ``ewm``
+    kernel per partition — the scale-safe impl; see ewma docstring).
+    The oracle replays the recurrence as a recursive CTE over
+    row_number; pandas' weighted-average formulation agrees with the
+    CTE's multiply-add to well inside the 4-dp rounding + checker
+    tolerance (and ``impl="expr"`` reproduces the CTE order exactly —
+    pytest-pinned equivalence between the two impls)."""
     from tiledb_py_spark.streaming.events import ewma
 
     e = _events(spark, sf_dir)

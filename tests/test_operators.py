@@ -3546,10 +3546,13 @@ def test_compact_state_preserves_incremental_answers(spark, tmp_path):
     got_b = sorted(r.doc_id for r in
                    incremental_exact_dedup(b[2], "text", "doc_id", sb).collect())
     assert got_a == got_b
-    # idempotent on a single-fragment state... (b3 committed nothing new
-    # here only if it had no survivors; compact whatever is there)
+    # idempotent: once compacted to <= 1 fragment, a second compact is
+    # a no-op returning 0 (both asserted unconditionally — an `or`
+    # chain here would let the first disjunct swallow the contract)
     compact_state(sb, spark=spark)
-    assert len(array_fragments(sb)) <= 1 or compact_state(sb, spark=spark) == 0
+    assert len(array_fragments(sb)) == 1
+    assert compact_state(sb, spark=spark) == 0
+    assert len(array_fragments(sb)) == 1
 
     # --- near-dup variant (var-length signature attr survives the fold) ---
     kw = dict(num_perm=16, bands=8, shingle_k=3, threshold=0.8)

@@ -143,6 +143,9 @@ def _eval_factory(feats: DataFrame, n_buckets: int, reg: float):
     order (rows sorted by pid / gid before summing), so a fit is
     deterministic run-for-run on either path."""
     schema = "pid int, loss double, n long, grad array<double>"
+    # invariant for the persisted feats — computed ONCE, not per
+    # L-BFGS evaluation (the .rdd conversion is a JVM round-trip)
+    n_parts = feats.rdd.getNumPartitions()
 
     def make_eval(wb: np.ndarray):
         w = wb[:n_buckets].copy()
@@ -186,7 +189,6 @@ def _eval_factory(feats: DataFrame, n_buckets: int, reg: float):
                                  "grad": G.tolist()}])
 
         digests = feats.mapInPandas(part, schema)
-        n_parts = feats.rdd.getNumPartitions()
         if n_parts * (n_buckets + 1) > _TREE_COMBINE_DOUBLES:
             import math
 

@@ -1451,7 +1451,10 @@ def compact_state(state_uri: str, spark=None, run_vacuum: bool = True) -> int:
     commit still lands strictly past it.  The ``incremental_compact``
     gate asserts run-for-run equality.
 
-    Returns the number of fragments removed (0 when already compact).
+    Returns the number of fragments REMOVED from the manifest — 0 when
+    already compact, and 0 with ``run_vacuum=False`` (consolidation
+    alone only writes the folded fragment and supersedes the per-batch
+    ones; nothing is removed until the vacuum).
 
     Scale note: NEVER compact while a ``readStream`` subscribes to the
     state array — the stream source's identity-bearing offsets will
@@ -1466,7 +1469,7 @@ def compact_state(state_uri: str, spark=None, run_vacuum: bool = True) -> int:
     if run_vacuum:
         _vacuum(state_uri)
         return n_before - len(array_fragments(state_uri))
-    return n_before - 1
+    return 0
 
 
 # ---------------------------------------------------------------------------

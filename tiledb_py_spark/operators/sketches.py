@@ -166,6 +166,16 @@ def heavy_hitters(df: DataFrame, items_col, threshold_frac: float = 0.001,
             .orderBy(F.desc("n"), "item"))
 
 
+def _cms_bucket(seed: str, item: str, width: int) -> int:
+    """The ONE count-min hash: md5(seed NUL item) low 8 bytes mod width.
+    Shared by digest build and point query — a drift between the two
+    would silently break the one-sided guarantee."""
+    import hashlib
+
+    h = hashlib.md5((seed + "\x00" + item).encode()).digest()
+    return int.from_bytes(h[:8], "little") % width
+
+
 def approx_quantiles(df: DataFrame, col, probs, rel_err: float = 0.01,
                      by=None, verify: bool = False) -> DataFrame:
     """Mergeable approximate quantiles via SQL ``percentile_approx``
@@ -202,13 +212,20 @@ def approx_quantiles(df: DataFrame, col, probs, rel_err: float = 0.01,
     vals = df.select(*by, c.alias("__x")).filter(F.col("__x").isNotNull())
     j = vals.join(F.broadcast(out), on=by) if by else vals.crossJoin(
         F.broadcast(out))
+    # two-sided rank check: a duplicate-heavy value occupies a rank
+    # RANGE [count(x < v)/n, count(x <= v)/n]; the GK guarantee holds
+    # iff that range intersects [p - eps, p + eps], so testing only the
+    # upper rank would flag correct answers on discrete data (90%
+    # zeros: p=0.1 -> v=0 with rank range [0, 0.9])
     ranks = (j.groupBy(*by, "prob", "value")
-              .agg((F.sum((F.col("__x") <= F.col("value")).cast("long"))
+              .agg((F.sum((F.col("__x") < F.col("value")).cast("long"))
+                    / F.count(F.lit(1))).alias("rank_lo"),
+                   (F.sum((F.col("__x") <= F.col("value")).cast("long"))
                     / F.count(F.lit(1))).alias("exact_rank_frac")))
     return ranks.withColumn(
         "within_bound",
-        (F.col("exact_rank_frac") >= F.col("prob") - F.lit(rel_err))
-        & (F.col("exact_rank_frac") <= F.col("prob") + F.lit(rel_err)))
+        (F.col("rank_lo") <= F.col("prob") + F.lit(rel_err))
+        & (F.col("exact_rank_frac") >= F.col("prob") - F.lit(rel_err)))
 
 
 def approx_distinct(df: DataFrame, col, by=None, rsd: float = 0.02,
@@ -250,8 +267,6 @@ def cms_digest(df: DataFrame, items_col, eps: float = 1e-4,
     ``true <= est <= true + eps*n`` w.p. ``1 - delta`` — the shape for
     "how frequent is THIS n-gram/URL" probes against a corpus too big
     to count exactly.  Bounded collect: n_partitions x (d*w) int64."""
-    import hashlib
-
     import numpy as np
 
     if not 0 < eps < 1 or not 0 < delta < 1:
@@ -259,11 +274,6 @@ def cms_digest(df: DataFrame, items_col, eps: float = 1e-4,
     w = int(np.ceil(np.e / eps))
     d = int(np.ceil(np.log(1.0 / delta)))
     seeds = [f"{seed}:{i}" for i in range(d)]
-
-    def _bucket(s: str, item: str, width: int) -> int:
-        h = hashlib.md5((s + "\x00" + item).encode()).digest()
-        return int.from_bytes(h[:8], "little") % width
-
     base = _items_base(df, items_col)
 
     def part(it):
@@ -274,13 +284,11 @@ def cms_digest(df: DataFrame, items_col, eps: float = 1e-4,
             vc = pdf["__it"].value_counts()
             for item, cnt in vc.items():
                 for i, s in enumerate(seeds):
-                    tab[i, _bucket(s, item, w)] += int(cnt)
+                    tab[i, _cms_bucket(s, item, w)] += int(cnt)
         if n:
             yield pd.DataFrame({"row": list(range(d)),
                                 "counts": [r.tolist() for r in tab],
                                 "n": [n] + [0] * (d - 1)})
-
-    import numpy as np  # noqa: F811
 
     rows = base.mapInPandas(
         part, "row int, counts array<long>, n long").collect()
@@ -296,15 +304,9 @@ def cms_query(sketch, items) -> dict:
     """Point-frequency estimates from a ``cms_digest`` result:
     ``min_i table[i, h_i(item)]`` — each >= the true count, and
     <= true + eps*n w.p. 1-delta."""
-    import hashlib
-
     table, seeds, _ = sketch
     w = table.shape[1]
 
-    def _bucket(s: str, item: str) -> int:
-        h = hashlib.md5((s + "\x00" + item).encode()).digest()
-        return int.from_bytes(h[:8], "little") % w
-
-    return {it: int(min(table[i, _bucket(s, str(it))]
+    return {it: int(min(table[i, _cms_bucket(s, str(it), w)]
                         for i, s in enumerate(seeds)))
             for it in items}

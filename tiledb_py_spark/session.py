@@ -40,6 +40,10 @@ def get_spark(app_name: str = "tiledb_py_spark", cpus: str | None = None) -> Spa
         # for sf0.1 and keeps pauses short.  Real clusters size executors
         # separately anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the compat surface materializes whole dense slices to numpy
+        # (A[:], read_direct) like the reference; the 1g default
+        # maxResultSize caps that at ~100M float64 cells
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -125,7 +125,11 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
     frag_dir = fragment_path(uri, name)
     os.makedirs(frag_dir, exist_ok=True)
     cols = schema.dim_names + schema.attr_names
-    pdf = pdf[[c for c in cols if c in pdf.columns]]
+    want = [c for c in cols if c in pdf.columns]
+    if list(pdf.columns) != want:
+        # column reselect copies EVERY block (43s measured on a
+        # 100M-cell dense grid) — skip it when already in stored order
+        pdf = pdf[want]
     pdf = _normalize_storage(pdf, schema)
     # sort by dims for row-group min/max locality (space-tile analog)
     if schema.sparse and len(pdf) > 0:

@@ -871,12 +871,16 @@ class TileDBStreamReader(DataSourceStreamReader):
         from ..manifest import fragment_path
 
         man = mf.read_manifest(self.uri)
-        if start["i"] > len(man.fragments):
+        # bound BOTH offsets: a vacuum that shrank the list below a
+        # checkpointed END offset must surface the diagnostic below,
+        # not an IndexError from the identity loop
+        if max(start["i"], end["i"]) > len(man.fragments):
             # the checkpoint is ahead of the manifest: consolidation or
             # vacuum rewrote the fragment list mid-stream — replaying
             # positions against the new list would deliver wrong rows
             raise RuntimeError(
-                f"tiledb stream source: checkpoint offset {start['i']} "
+                f"tiledb stream source: checkpoint offset "
+                f"{max(start['i'], end['i'])} "
                 f"exceeds the manifest's {len(man.fragments)} fragments "
                 f"at {self.uri} — the array was consolidated/vacuumed "
                 "while a stream was running.  Restart the stream with a "

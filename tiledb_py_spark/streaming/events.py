@@ -270,7 +270,12 @@ def ewma(events: DataFrame, value_col: str = "value", by="user_id",
 
     def fold(acc, e):
         prev = F.when(F.size(acc) > 0, F.element_at(acc, -1))
-        nxt = F.when(e["__x"].isNull(), prev) \
+        # NaN is MISSING like NULL (the arrow path's pandas ignore_na
+        # semantics) — folding it arithmetically would poison every
+        # later value of the entity with NaN, silently diverging the
+        # two impls
+        miss = e["__x"].isNull() | F.isnan(e["__x"])
+        nxt = F.when(miss, prev) \
             .when(prev.isNull(), e["__x"]) \
             .otherwise(F.lit(alpha) * e["__x"]
                        + F.lit(1.0 - alpha) * prev)

@@ -312,6 +312,13 @@ def main() -> int:
     for a in list(argv):
         if a.startswith("--tables="):
             tables = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--") and a != "--skew":
+            # fail loudly: a typo'd flag (--table=, --skew=1) silently
+            # ignored would launch a FULL star-schema generation at
+            # whatever sf was given
+            print(f"unknown flag {a!r} (known: --skew, --tables=a,b)",
+                  file=sys.stderr)
+            return 2
     args = [a for a in argv if not a.startswith("--")]
     sf = float(args[0]) if args else 1.0
     default = os.path.join(os.path.dirname(os.path.dirname(
