@@ -1864,6 +1864,19 @@ def q_leakage_split(spark, sf_dir):
     return out.select("doc_id", "cluster_rep", "split").orderBy("doc_id")
 
 
+def q_attribution(spark, sf_dir):
+    """First/last-touch attribution (view/click -> purchase, 1-day
+    lookback): one entity-key Exchange, two frame-sharing RANGE window
+    aggregates over a portable zero-padded (ts_us, id) string key, no
+    join.  The oracle replays the identical frame and key packing."""
+    from tiledb_py_spark.streaming.events import attribution
+
+    e = _events(spark, sf_dir)
+    return attribution(e, ["view", "click"], "purchase",
+                       lookback="1 day").orderBy("user_id",
+                                                 "conversion_id")
+
+
 def q_time_resample(spark, sf_dir):
     """Per-user fixed-grid resampling (2-hour buckets, forward fill):
     TWO Exchanges total — the (user, bucket) aggregation then one lag
@@ -3000,7 +3013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07/r08 sweeps, unchanged) to the tail
         "time_resample": q_time_resample,
         "leakage_split": q_leakage_split,
-        "pack_materialize": q_pack_materialize,
+        # attribution (NEW round 8, second session) displaced
+        # pack_materialize (driver-green r07/r08 sweeps) to the tail
+        "attribution": q_attribution,
         "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
@@ -3040,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_repeat": q_self_repeat,
         "bm25": q_bm25,
         "pipeline_full_e2e": q_pipeline_full_e2e,
+        "pack_materialize": q_pack_materialize,
         "tfidf_terms": q_tfidf_terms,
         "incremental_dedup": q_incremental_dedup,
         "fuzzy_join": q_fuzzy_join,
@@ -4163,6 +4179,33 @@ def oracle_sql() -> dict[str, str]:
             FROM n, UNNEST(generate_series(0, n_copies - 1)) AS u(copy_id)
             WHERE n_copies > 0
             ORDER BY doc_id, copy_id
+        """,
+        "attribution": """
+            WITH base AS (
+              SELECT user_id, event_id, ts, event_type,
+                     epoch_us(ts) AS us,
+                     CASE WHEN event_type <> 'purchase'
+                          THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                               || ':' ||
+                               lpad(CAST(event_id AS VARCHAR), 12, '0')
+                     END AS tkey
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            w AS (
+              SELECT user_id, event_id, ts, event_type,
+                     min(tkey) OVER fr AS f, max(tkey) OVER fr AS l
+              FROM base
+              WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id AS conversion_id,
+                   ts AS conversion_ts,
+                   CAST(substr(f, 22, 12) AS BIGINT) AS first_touch_id,
+                   CAST(substr(l, 22, 12) AS BIGINT) AS last_touch_id
+            FROM w WHERE event_type = 'purchase' AND f IS NOT NULL
+            ORDER BY user_id, conversion_id
         """,
         "leakage_split": r"""
             WITH RECURSIVE toks AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "rolling_anomaly",
     "hybrid_search",
     "time_resample",
+    "attribution",
     # corpus assembly (round 4)
     "det_shuffle",
     "hash_split",

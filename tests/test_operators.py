@@ -4193,3 +4193,105 @@ def test_rolling_anomaly_stream_min_periods_one(spark, tmp_path):
     # only the spike (3 stable priors) flags; event 2 (one prior) never
     # divides by zero and never flags
     assert [r.event_id for r in rows] == [4]
+
+
+def test_attribution_hand_case(spark):
+    from tiledb_py_spark.streaming.events import attribution
+
+    rows = [
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (1, 2, "click", "2024-01-01 00:10:00"),
+        (1, 3, "purchase", "2024-01-01 00:30:00"),   # first=1, last=2
+        (1, 4, "purchase", "2024-01-03 00:00:00"),   # touches > 1d old: drop
+        (2, 5, "purchase", "2024-01-01 00:00:00"),   # touch is LATER: drop
+        (2, 6, "view", "2024-01-01 01:00:00"),
+        (2, 7, "purchase", "2024-01-01 01:30:00"),   # first=last=6
+        (3, 8, "error", "2024-01-01 00:00:00"),      # non-touch filtered
+        (3, 9, "purchase", "2024-01-01 00:01:00"),   # no touches: drop
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "cast(ts as timestamp) ts")
+    out = attribution(df, ["view", "click"], "purchase",
+                      lookback="1 day").orderBy("conversion_id").toPandas()
+    assert out.conversion_id.tolist() == [3, 7]
+    assert out.first_touch_id.tolist() == [1, 6]
+    assert out.last_touch_id.tolist() == [2, 6]
+
+
+def test_attribution_plan_one_exchange(spark):
+    from tiledb_py_spark.streaming.events import attribution
+
+    rows = [(i % 5, i, ["view", "purchase"][i % 2],
+             f"2024-01-01 {i % 24:02d}:00:00") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "cast(ts as timestamp) ts")
+    plan = attribution(df, ["view"], "purchase", impl="window") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan  # min+max share one frame
+    aplan = attribution(df, ["view"], "purchase")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert aplan.count("Exchange") == 1, aplan  # arrow default: one too
+
+
+def test_attribution_impls_agree(spark):
+    """The arrow searchsorted path and the SQL window reference must
+    return identical rows, same-microsecond ties included."""
+    from tiledb_py_spark.streaming.events import attribution
+
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(400):
+        u = rnd.randrange(6)
+        t = rnd.choice(["view", "click", "purchase", "noise"])
+        # coarse second grid forces same-timestamp ties
+        sec = rnd.randrange(120)
+        rows.append((u, i, t, f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "cast(ts as timestamp) ts")
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback="1 minute")
+    a = {tuple(r) for r in attribution(df, impl="arrow", **kw).collect()}
+    w = {tuple(r) for r in attribution(df, impl="window", **kw).collect()}
+    assert a == w and len(a) > 10
+
+
+def test_attribution_arrow_carry_across_batches(spark):
+    """2-row Arrow batches force every entity across batch boundaries:
+    the carried touch window must keep the arrow path identical to the
+    SQL window reference."""
+    import random
+
+    from tiledb_py_spark.streaming.events import attribution
+
+    rnd = random.Random(11)
+    rows = [(rnd.randrange(3), i,
+             rnd.choice(["view", "click", "purchase"]),
+             f"2024-01-01 00:{rnd.randrange(60):02d}:{rnd.randrange(60):02d}")
+            for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "cast(ts as timestamp) ts")
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback="1 minute")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        a = {tuple(r) for r in attribution(df, impl="arrow", **kw).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    w = {tuple(r) for r in attribution(df, impl="window", **kw).collect()}
+    assert a == w and len(a) > 5

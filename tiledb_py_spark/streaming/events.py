@@ -468,6 +468,170 @@ def time_resample(events: DataFrame, value_col: str = "value",
                     f"__e.{value_col}"))
 
 
+def attribution(events: DataFrame, touch_types, conversion_type: str,
+                lookback: str = "1 day", by="user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                id_col: str = "event_id", impl: str = "auto") -> DataFrame:
+    """First- and last-touch attribution: for every CONVERSION event,
+    the earliest and the latest preceding TOUCH event of the same
+    entity within ``lookback`` (strictly earlier, microsecond
+    granularity — a touch in the same microsecond never attributes).
+    Returns one row per attributed conversion: (by..., conversion id,
+    conversion ts, first_touch_id, last_touch_id); conversions with no
+    in-window touch are dropped (NULL-attribution rows are the
+    difference between the two standard marketing-report variants —
+    filter upstream for the other).
+
+    Scale shape: non-touch non-conversion rows are filtered BEFORE the
+    shuffle; ONE entity-key Exchange either way.  ``impl="arrow"`` (the
+    ``"auto"`` default) answers each conversion with two vectorized
+    ``searchsorted`` probes into the entity's sorted touch array —
+    O(n log n) per entity, skew-safe.  ``impl="window"`` is the
+    pure-SQL reference (two frame-sharing RANGE window aggregates of a
+    zero-padded (ts_us, id) string key — the form the oracle replays),
+    but Spark re-scans non-invertible min/max frames per row, so a hot
+    entity costs O(rows x touches-per-window): the sf1skew hot entity
+    measured a 260x straggler / 93 s vs 4 s uniform, the same trade as
+    ``ewma``'s fold.  Both impls are pinned equal by
+    ``test_attribution_impls_agree``."""
+    from pyspark.sql import Window
+
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    touch_types = list(touch_types)
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type must not be a touch type")
+    if impl not in ("auto", "arrow", "window"):
+        raise ValueError("impl must be auto|arrow|window")
+    n, unit = lookback.split()
+    per_unit = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    us = int(n) * per_unit[unit.rstrip("s")] * 1_000_000
+
+    base = (events
+            .filter(F.col(type_col).isin([*touch_types, conversion_type]))
+            .select(*by, F.col(id_col), F.col(ts_col),
+                    F.col(type_col).alias("__t"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                     .alias("__us")))
+
+    if impl in ("auto", "arrow"):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        src = base.schema
+        out_schema = T.StructType([
+            *[T.StructField(b, src[b].dataType, True) for b in by],
+            T.StructField("conversion_id", src[id_col].dataType, True),
+            T.StructField("conversion_ts", src[ts_col].dataType, True),
+            T.StructField("first_touch_id", src[id_col].dataType, True),
+            T.StructField("last_touch_id", src[id_col].dataType, True),
+        ])
+        out_cols = [*by, "conversion_id", "conversion_ts",
+                    "first_touch_id", "last_touch_id"]
+
+        # PARTITION-wise (one python call per Arrow batch, not per
+        # entity — the ewma lesson; per-group applyInPandas measured
+        # 328s at sf100/1.5M entities vs ~window-parity this way).
+        # Every group in a batch vectorizes through TWO searchsorted
+        # probes on a composite (dense-group-rank, offset-us) int64
+        # key; entities spanning batch boundaries continue via a
+        # carried touch window (bounded by touches-per-lookback).
+        def per_partition(pdfs):
+            carry_key = None
+            carry_us = np.empty(0, dtype=np.int64)
+            carry_id = None
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                gkeys = pd.MultiIndex.from_frame(pdf[by]) if len(by) > 1 \
+                    else pd.Index(pdf[by[0]])
+                codes, _uniq = pd.factorize(gkeys, sort=False)
+                usv = pdf["__us"].to_numpy(dtype=np.int64)
+                base_us = int(usv.min()) - us - 2
+                span = int(usv.max()) - base_us + 2
+                if (codes.max() + 2) * span >= (1 << 62):
+                    span = None  # absurd span: per-group fallback below
+                is_conv = (pdf["__t"] == conversion_type).to_numpy()
+                first_key = gkeys[0]
+                prep_n = 0
+                if carry_key is not None and first_key == carry_key \
+                        and len(carry_us):
+                    prep_n = len(carry_us)
+                if span is not None:
+                    key = codes.astype(np.int64) * span + (usv - base_us)
+                    t_key = key[~is_conv]
+                    t_id = pdf.loc[~is_conv, id_col].to_numpy()
+                    if prep_n:
+                        ck = np.maximum(carry_us - base_us, 0)
+                        t_key = np.concatenate([ck, t_key])
+                        t_id = np.concatenate([carry_id, t_id])
+                        order = np.argsort(t_key, kind="stable")
+                        t_key, t_id = t_key[order], t_id[order]
+                    c = pdf[is_conv]
+                    c_key = key[is_conv]
+                    hi = np.searchsorted(t_key, c_key, side="left")
+                    lo = np.searchsorted(t_key, c_key - us, side="left")
+                    ok = lo < hi
+                    out = {b: c.loc[ok, b].to_numpy() for b in by}
+                    out["conversion_id"] = c.loc[ok, id_col].to_numpy()
+                    out["conversion_ts"] = c.loc[ok, ts_col].to_numpy()
+                    out["first_touch_id"] = t_id[lo[ok]]
+                    out["last_touch_id"] = t_id[hi[ok] - 1]
+                    yield pd.DataFrame(out, columns=out_cols)
+                else:  # pragma: no cover - astronomically wide spans
+                    for _k, g in pdf.groupby(by, sort=False):
+                        gus = g["__us"].to_numpy(dtype=np.int64)
+                        ic = (g["__t"] == conversion_type).to_numpy()
+                        tus, tid = gus[~ic], g.loc[~ic, id_col].to_numpy()
+                        cc = g[ic]
+                        hi = np.searchsorted(tus, gus[ic], side="left")
+                        lo = np.searchsorted(tus, gus[ic] - us, side="left")
+                        ok = lo < hi
+                        yield pd.DataFrame(
+                            {**{b: cc.loc[ok, b].to_numpy() for b in by},
+                             "conversion_id": cc.loc[ok, id_col].to_numpy(),
+                             "conversion_ts": cc.loc[ok, ts_col].to_numpy(),
+                             "first_touch_id": tid[lo[ok]],
+                             "last_touch_id": tid[hi[ok] - 1]},
+                            columns=out_cols)
+                # carry the LAST group's in-lookback touches forward
+                last_key = gkeys[-1]
+                lmask = (codes == codes[-1]) & ~is_conv
+                lus = usv[lmask]
+                lid = pdf.loc[lmask, id_col].to_numpy()
+                if carry_key is not None and last_key == carry_key \
+                        and prep_n:
+                    lus = np.concatenate([carry_us, lus])
+                    lid = np.concatenate([carry_id, lid])
+                keep = lus >= int(usv.max()) - us
+                carry_key, carry_us, carry_id = last_key, lus[keep], \
+                    lid[keep]
+
+        proj = base.repartition(*[F.col(b) for b in by]) \
+                   .sortWithinPartitions(*by, "__us", id_col)
+        return proj.mapInPandas(per_partition, out_schema)
+
+    key = F.concat(F.lpad(F.col("__us").cast("string"), 20, "0"),
+                   F.lit(":"),
+                   F.lpad(F.col(id_col).cast("string"), 12, "0"))
+    touch_key = F.when(F.col("__t") != conversion_type, key)
+    w = (Window.partitionBy(*by).orderBy("__us")
+         .rangeBetween(-us, -1))
+    out = (base
+           .select(*by, id_col, ts_col, "__t",
+                   F.min(touch_key).over(w).alias("__first"),
+                   F.max(touch_key).over(w).alias("__last"))
+           .where((F.col("__t") == conversion_type)
+                  & F.col("__first").isNotNull()))
+    dec = lambda c: F.substring(c, 22, 12).cast("long")
+    return out.select(*by,
+                      F.col(id_col).alias("conversion_id"),
+                      F.col(ts_col).alias("conversion_ts"),
+                      dec(F.col("__first")).alias("first_touch_id"),
+                      dec(F.col("__last")).alias("last_touch_id"))
+
+
 def dedup_event_stream(events: DataFrame, keys=("event_id",),
                        time_col: str = "ts",
                        watermark: str = "1 hour") -> DataFrame:

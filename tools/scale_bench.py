@@ -384,6 +384,13 @@ def r_time_resample(spark, sf_dir):
                          interval="2 hours", fill="ffill")
 
 
+def r_attribution(spark, sf_dir):
+    from tiledb_py_spark.streaming.events import attribution
+
+    return attribution(_events(spark, sf_dir), ["view", "click"],
+                       "purchase", lookback="1 day")
+
+
 def r_hybrid_search(spark, sf_dir):
     from tiledb_py_spark.operators.retrieval import hybrid_search
 
@@ -403,6 +410,7 @@ RUNNERS = {
     "time_resample": r_time_resample,
     "hybrid_search": r_hybrid_search,
     "skew_join_plain": r_skew_join_plain,
+    "attribution": r_attribution,
     "heavy_hitters": r_heavy_hitters,
     "pagerank": r_pagerank,
     "interval_overlap": r_interval_overlap,
