@@ -2025,11 +2025,15 @@ def q_rolling_anomaly(spark, sf_dir):
     excluded so outliers can't mask themselves; >= 5 prior observations
     required).  ONE entity-key Exchange, three frame-sharing window
     aggregates, row-local filter; the oracle replays the same ROWS-frame
-    windows."""
+    windows.  value_decimals=2 (events.value is 2-dp): frame aggregates
+    run on scaled int64 so the emitted doubles are bit-identical across
+    engines — a float sliding avg is only summation-order-reproducible,
+    and a 1-ulp shift flips the 4-dp rounding (the r8 driver red)."""
     from tiledb_py_spark.streaming.events import rolling_anomaly
 
     e = _events(spark, sf_dir)
-    return rolling_anomaly(e, window=20, min_periods=5, threshold=2.0) \
+    return rolling_anomaly(e, window=20, min_periods=5, threshold=2.0,
+                           value_decimals=2) \
         .orderBy("user_id", "event_id")
 
 
@@ -3180,21 +3184,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_nationkey ORDER BY s.s_nationkey
         """,
         "rolling_anomaly": """
-            WITH w AS (
+            -- exact arithmetic: value is 2-dp, so the scaled-int64
+            -- frame sum / sum-of-squares are exact in both engines and
+            -- mean/std/z derive from identical integers (bit-stable)
+            WITH sc AS (
               SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
-                avg(value) OVER fr AS m,
-                stddev_samp(value) OVER fr AS s,
-                count(value) OVER fr AS n
-              FROM events
+                     CAST(round(value * 100.0) AS BIGINT) AS vs
+              FROM events),
+            w AS (
+              SELECT user_id, event_id, ts, value, vs,
+                sum(vs) OVER fr AS s,
+                sum(vs * vs) OVER fr AS q,
+                count(vs) OVER fr AS n
+              FROM sc
               WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+            d AS (
+              SELECT user_id, event_id, ts, value, vs, n,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                sqrt(CAST(n * q - s * s AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE)) AS sd
+              FROM w)
+            -- floor(x*1e4 + 0.5)/1e4: engine-independent 4-dp rounding
+            -- (library round()s disagree on representation ties)
             SELECT user_id, event_id, ts, value,
-                   round(m, 4) AS baseline_mean,
-                   round(s, 4) AS baseline_std,
-                   round((value - m) / s, 4) AS zscore
-            FROM w
-            WHERE n >= 5 AND s IS NOT NULL AND s > 0
-              AND abs((value - m) / s) > 2.0
+                   floor(m / 100.0 * 1e4 + 0.5) / 1e4 AS baseline_mean,
+                   floor(sd / 100.0 * 1e4 + 0.5) / 1e4 AS baseline_std,
+                   floor((CAST(vs AS DOUBLE) - m) / sd * 1e4 + 0.5) / 1e4
+                     AS zscore
+            FROM d
+            WHERE n >= 5 AND sd IS NOT NULL AND sd > 0
+              AND abs((CAST(vs AS DOUBLE) - m) / sd) > 2.0
         """,
         "qc_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount

@@ -647,44 +647,54 @@ def test_time_resample_matches_python_reference(spark, data):
 @given(data=st.lists(
     st.tuples(st.integers(0, 2),            # user
               st.one_of(st.none(),
-                        st.floats(-50, 50, allow_nan=False))),
+                        st.integers(-5000, 5000))),  # value = k/100 (2-dp)
     min_size=1, max_size=35))
-def test_rolling_anomaly_matches_pandas_reference(spark, data):
-    """For ANY series: flagged rows equal a pandas rolling(window)
-    mean/std (shifted one row back, min_periods non-null priors,
-    sample std, strict > threshold) — nulls occupying frame slots
-    included."""
-    import numpy as np
-    import pandas as pd
+def test_rolling_anomaly_matches_exact_reference(spark, data):
+    """For ANY 2-dp series: flagged rows are BIT-IDENTICAL to a pure-
+    Python exact reference replaying the operator's fixed-point
+    arithmetic (scaled-int64 frame sum/sum-of-squares, sample variance
+    from n*Q - S*S, floor(x*1e4+0.5)/1e4 rounding) — nulls occupying
+    frame slots included.  Exact equality, no tolerance: this is the
+    same determinism the driver's value hash demands.  (The former
+    pandas rolling.std reference was itself numerically unstable —
+    clamped tiny variances, banker's rounding — and flaked.)"""
+    import math
 
     from tiledb_py_spark.streaming.events import rolling_anomaly
 
-    rows = [(i, u, float(i), v) for i, (u, v) in enumerate(data)]
+    rows = [(i, u, float(i), None if k is None else k / 100)
+            for i, (u, k) in enumerate(data)]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts double, value double")
-    out = rolling_anomaly(df, window=4, min_periods=2, threshold=1.5)
+    out = rolling_anomaly(df, window=4, min_periods=2, threshold=1.5,
+                          value_decimals=2)
     got = {(r.user_id, r.event_id): (r.baseline_mean, r.baseline_std,
                                      r.zscore)
            for r in out.collect()}
 
+    def r4(c):
+        return math.floor(c * 1e4 + 0.5) / 1e4
+
     want = {}
-    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
-                                      "value"])
-    for u, g in pdf.groupby("user_id"):
-        g = g.sort_values(["ts", "event_id"])
-        v = g.value.astype(float)
-        m = v.rolling(4, min_periods=1).mean().shift(1)
-        s = v.rolling(4, min_periods=2).std(ddof=1).shift(1)
-        n = v.rolling(4, min_periods=1).count().shift(1)
-        for eid, x, mi, si, ni in zip(g.event_id, v, m, s, n):
-            if (pd.isna(x) or pd.isna(si) or si <= 0
-                    or (ni or 0) < 2):
-                continue
-            z = (x - mi) / si
-            if abs(z) > 1.5:
-                want[(u, eid)] = (round(mi, 4), round(si, 4),
-                                  round(z, 4))
+    per = {}
+    for i, (u, k) in enumerate(data):
+        per.setdefault(u, []).append((i, k))
+    for u, series in per.items():
+        frame = []                       # last `window` rows, None = null
+        for eid, k in series:            # already in (ts, event_id) order
+            live = [v for v in frame if v is not None]
+            n = len(live)
+            if k is not None and n >= 2:
+                S = sum(live)
+                Q = sum(v * v for v in live)
+                m = S / n                           # exact-int division
+                sd = math.sqrt((n * Q - S * S) / (n * (n - 1)))
+                z = (float(k) - m) / sd if sd > 0 else None
+                if sd > 0 and abs(z) > 1.5:
+                    want[(u, eid)] = (r4(m / 100), r4(sd / 100), r4(z))
+            frame.append(k)
+            if len(frame) > 4:
+                frame = frame[-4:]
     assert set(got) == set(want)
-    for k in want:
-        assert np.allclose(got[k], want[k], atol=1e-9), (k, got[k],
-                                                         want[k])
+    for key in want:
+        assert got[key] == want[key], (key, got[key], want[key])

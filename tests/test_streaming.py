@@ -635,11 +635,13 @@ def test_stateful_late_data_policies(spark, tmp_path):
     #                                           straggler: 41-5 > 30
 
 
-def test_rolling_anomaly_stream_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("vd", [None, 2])
+def test_rolling_anomaly_stream_matches_batch(spark, tmp_path, vd):
     """Streaming rolling z-score: the trailing frame persists across
     micro-batches (a spike in batch 2 is judged against baseline rows
     from batch 1); an in-order stream flags exactly the batch
-    rolling_anomaly rows, null frame slots included."""
+    rolling_anomaly rows, null frame slots included — on both the float
+    path and the exact fixed-point path (value_decimals=2)."""
     from tiledb_py_spark.streaming.events import rolling_anomaly
     from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
 
@@ -666,7 +668,8 @@ def test_rolling_anomaly_stream_matches_batch(spark, tmp_path):
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
     rows = []
     q = (rolling_anomaly_stream(stream, window=6, min_periods=3,
-                                threshold=3.0).writeStream
+                                threshold=3.0,
+                                value_decimals=vd).writeStream
          .outputMode("append")
          .foreachBatch(lambda df, _id: rows.extend(df.collect()))
          .option("checkpointLocation", str(tmp_path / "ackpt"))
@@ -679,7 +682,7 @@ def test_rolling_anomaly_stream_matches_batch(spark, tmp_path):
              (r.baseline_mean, r.baseline_std, r.zscore)
              for r in rolling_anomaly(
                  spark.read.parquet(str(src)), window=6, min_periods=3,
-                 threshold=3.0).collect()}
+                 threshold=3.0, value_decimals=vd).collect()}
     assert got == batch
     assert (1, 8) in got          # the cross-boundary spike flagged
     assert all(u != 2 for (u, _e) in got)   # user 2 never has 3 priors

@@ -355,7 +355,8 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
                     by="user_id", ts_col: str = "ts",
                     window: int = 20, min_periods: int = 5,
                     threshold: float = 2.0,
-                    tiebreak_col: str = "event_id") -> DataFrame:
+                    tiebreak_col: str = "event_id",
+                    value_decimals=None) -> DataFrame:
     """Rolling z-score anomaly detection: flag events whose value
     deviates more than ``threshold`` sample standard deviations from the
     mean of the entity's PRECEDING ``window`` events (the trailing
@@ -364,13 +365,22 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
     observations, or a degenerate (zero/NULL) trailing stddev, are never
     flagged.  Returns the flagged rows with their baseline and z-score.
 
+    ``value_decimals``: when the value column is fixed-point decimal
+    data with at most this many places (e.g. 2 for currency), pass it
+    to compute the frame aggregates EXACTLY — values scale to int64,
+    the frame sum and sum-of-squares are exact integers regardless of
+    summation order, and mean/std/z derive from them by deterministic
+    IEEE ops.  This makes the emitted doubles bit-identical across
+    engines and input partitionings (a float sliding ``avg`` is only
+    reproducible up to summation order — 1-ulp shifts can flip the
+    4-dp rounding).  ``None`` keeps plain float aggregates.
+
     Scale shape: ONE entity-key Exchange feeding three frame-sharing
-    window aggregates (avg/stddev_samp/count over the same ROWS frame —
-    Spark evaluates them in a single ``Window`` operator), then a
-    row-local filter.  Bounded O(window) running state per entity — a
-    hot entity costs linear work in its own series, no quadratic fold
-    (contrast the ``impl="expr"`` note on :func:`ewma`).  Ties on
-    ``ts`` order by ``tiebreak_col``."""
+    window aggregates over the same ROWS frame — Spark evaluates them
+    in a single ``Window`` operator — then a row-local filter.  Bounded
+    O(window) running state per entity — a hot entity costs linear work
+    in its own series, no quadratic fold (contrast the ``impl="expr"``
+    note on :func:`ewma`).  Ties on ``ts`` order by ``tiebreak_col``."""
     from pyspark.sql import Window
 
     by = [by] if isinstance(by, str) else list(by)
@@ -378,15 +388,53 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
          .orderBy(F.col(ts_col), F.col(tiebreak_col))
          .rowsBetween(-window, -1))
     v = F.col(value_col).cast("double")
-    # one select (not chained withColumn) so Catalyst fuses all three
-    # aggregates into a single Window operator — plan-gated in
-    # test_rolling_anomaly_plan_one_exchange
-    base = events.select(
-        "*",
-        F.avg(v).over(w).alias("__mean"),
-        F.stddev_samp(v).over(w).alias("__std"),
-        F.count(v).over(w).alias("__n"))
-    z = (v - F.col("__mean")) / F.col("__std")
+    if value_decimals is None:
+        # one select (not chained withColumn) so Catalyst fuses all
+        # three aggregates into a single Window operator — plan-gated
+        # in test_rolling_anomaly_plan_one_exchange
+        base = events.select(
+            "*",
+            F.avg(v).over(w).alias("__mean"),
+            F.stddev_samp(v).over(w).alias("__std"),
+            F.count(v).over(w).alias("__n"))
+        z = (v - F.col("__mean")) / F.col("__std")
+    else:
+        # exact path: scaled-int64 frame sum / sum-of-squares are
+        # order-independent; sample variance from the exact integers
+        # n*Q - S*S (no float cancellation — the subtraction is exact)
+        scale = F.lit(float(10 ** int(value_decimals)))
+        vs = F.round(v * scale).cast("bigint")
+        base = events.select(
+            "*",
+            vs.alias("__vs"),
+            F.sum(vs).over(w).alias("__s"),
+            F.sum(vs * vs).over(w).alias("__q"),
+            F.count(vs).over(w).alias("__n"))
+        n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+        mean_s = s.cast("double") / n.cast("double")
+        var_s = ((n * q - s * s).cast("double")
+                 / (n * (n - F.lit(1))).cast("double"))
+        std_s = F.sqrt(var_s)
+        # z on the SCALED domain — identical ratio to (v-mean)/std,
+        # but every operand derives from exact integers (bit-stable)
+        z = (F.col("__vs").cast("double") - mean_s) / std_s
+        base = base.withColumns({
+            "__mean": mean_s / scale,
+            "__std": std_s / scale})
+    if value_decimals is None:
+        def r4(c):
+            return F.round(c, 4)
+    else:
+        # engine-independent 4-dp rounding: floor(x*1e4 + 0.5)/1e4 is a
+        # fixed IEEE op sequence, so identical input doubles give
+        # identical output bits in ANY engine.  Library round()s
+        # disagree on representation ties — Spark rounds the SHORTEST
+        # decimal repr (BigDecimal.valueOf) while DuckDB/Python round
+        # the exact binary value, e.g. the double below 44.19125
+        # (shortest repr "44.19125", exact ...24999) rounds up in Spark
+        # and down in DuckDB — which is what made r8's hash red.
+        def r4(c):
+            return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
     return (base
             .where((F.col("__n") >= min_periods)
                    & F.col("__std").isNotNull() & (F.col("__std") > 0)
@@ -395,9 +443,9 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
                     F.col(tiebreak_col),
                     F.col(ts_col),
                     v.alias(value_col),
-                    F.round("__mean", 4).alias("baseline_mean"),
-                    F.round("__std", 4).alias("baseline_std"),
-                    F.round(z, 4).alias("zscore")))
+                    r4(F.col("__mean")).alias("baseline_mean"),
+                    r4(F.col("__std")).alias("baseline_std"),
+                    r4(z).alias("zscore")))
 
 
 def time_resample(events: DataFrame, value_col: str = "value",

@@ -312,7 +312,8 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                            by: str = "user_id", ts_col: str = "ts",
                            window: int = 20, min_periods: int = 5,
                            threshold: float = 2.0,
-                           tiebreak_col: str = "event_id") -> DataFrame:
+                           tiebreak_col: str = "event_id",
+                           value_decimals=None) -> DataFrame:
     """STREAMING rolling z-score anomaly flags — the stateful
     counterpart of :func:`...streaming.events.rolling_anomaly`: the
     trailing ``window`` ROWS (values + a non-null mask, matching the
@@ -325,7 +326,9 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
     Same math as the batch operator: sample stddev over the trailing
     frame EXCLUDING the current row (an outlier can't mask itself),
     ``min_periods`` non-null priors required, degenerate (zero) stddev
-    never flags.
+    never flags.  ``value_decimals`` mirrors the batch operator's exact
+    fixed-point path (scaled-int64 frame sums, deterministic floor
+    rounding) so stream and batch emissions stay bit-identical.
 
     LATE-DATA POLICY (matching ewma_stream): events process in
     event-time order within a micro-batch (ties by ``tiebreak_col``);
@@ -348,6 +351,8 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
         T.StructField("zscore", T.DoubleType(), True),
     ])
 
+    scale = None if value_decimals is None else 10 ** int(value_decimals)
+
     def fn(key, pdfs, state: GroupState):
         (entity,) = key
         vals, mask = (list(state.get[0] or []), list(state.get[1] or [])) \
@@ -363,16 +368,36 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
             # is NULL for a single observation (filtered by the
             # __std.isNotNull() guard), it never divides by zero
             if not pd.isna(x) and n >= max(min_periods, 2):
-                m_ = sum(live) / n
-                var = sum((v - m_) ** 2 for v in live) / (n - 1)
-                s_ = math.sqrt(var)
-                if s_ > 0 and abs((float(x) - m_) / s_) > threshold:
-                    z = (float(x) - m_) / s_
+                if scale is None:
+                    m_ = sum(live) / n
+                    var = sum((v - m_) ** 2 for v in live) / (n - 1)
+                    s_ = math.sqrt(var)
+                    x_, r4 = float(x), lambda c: round(c, 4)
+                    mean_out, std_out = m_, s_
+                else:
+                    # exact fixed-point path: identical op sequence to
+                    # the batch operator (scaled-int64 S/Q, sample var
+                    # from n*Q - S*S, floor(x*1e4+0.5)/1e4 rounding) so
+                    # emissions are bit-identical to it
+                    iv = [int(v) for v in live]
+                    S, Q = sum(iv), sum(v * v for v in iv)
+                    m_ = float(S) / float(n)
+                    var = float(n * Q - S * S) / float(n * (n - 1))
+                    s_ = math.sqrt(var)
+                    x_ = float(round(float(x) * scale))
+                    r4 = lambda c: math.floor(c * 1e4 + 0.5) / 1e4
+                    mean_out, std_out = m_ / scale, s_ / scale
+                if s_ > 0 and abs((x_ - m_) / s_) > threshold:
+                    z = (x_ - m_) / s_
                     out.append((entity, tb, ts_v, float(x),
-                                round(m_, 4), round(s_, 4), round(z, 4)))
+                                r4(mean_out), r4(std_out), r4(z)))
             # the row ENTERS the frame after being judged; null rows
             # occupy a frame slot with a False mask (ROWS semantics)
-            vals.append(0.0 if pd.isna(x) else float(x))
+            if scale is None:
+                vals.append(0.0 if pd.isna(x) else float(x))
+            else:
+                vals.append(0.0 if pd.isna(x)
+                            else float(round(float(x) * scale)))
             mask.append(not pd.isna(x))
             if len(vals) > window:
                 vals, mask = vals[-window:], mask[-window:]
