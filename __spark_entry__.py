@@ -3535,9 +3535,15 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a ORDER BY doc_id
         """,
         "embedding_topk": """
+            -- DOUBLE[] cast: round() on a FLOAT list-cosine stays
+            -- FLOAT32 in DuckDB and widens to 0.27630001... while the
+            -- Spark side computes in float64 — cast first so both
+            -- engines fold identical doubles (bit-exact, like
+            -- array_embedding_topk)
             SELECT vec_id,
-                   round(list_cosine_similarity(embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 5) AS score
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 5) AS score
             FROM embeddings WHERE vec_id <> 0
             ORDER BY score DESC, vec_id LIMIT 10
         """,

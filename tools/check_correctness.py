@@ -2,7 +2,14 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at sf0.01,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [--exact] [query ...]
+
+``--exact`` compares float columns by BIT equality (NaN==NaN), matching
+the driver's value hash.  The default tolerant mode (rtol=1e-6,
+atol=1e-4) is for triage only — it cannot see the 1-ulp divergences the
+driver's hash fails on (how the r8 ``rolling_anomaly`` red shipped
+while the local sweep said green).  Committed full sweeps must be
+exact-mode runs.
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ from tiledb_py_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
@@ -32,7 +39,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64").round(4)
+            df[c] = s.astype("float64") if exact \
+                else s.astype("float64").round(4)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         else:
@@ -41,7 +49,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+def _bits_equal(ca: pd.Series, cb: pd.Series) -> np.ndarray:
+    """Per-row float64 bit equality, with any-NaN == any-NaN (the driver
+    hashes a canonical NaN) — catches 1-ulp and ±0.0 divergences."""
+    xa = ca.to_numpy(dtype="float64", copy=True)
+    xb = cb.to_numpy(dtype="float64", copy=True)
+    nan = np.isnan(xa) & np.isnan(xb)
+    xa[nan] = 0.0
+    xb[nan] = 0.0
+    return xa.view("int64") == xb.view("int64")
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame,
+            exact: bool = False) -> tuple[bool, str]:
     if sorted(a.columns) != sorted(b.columns):
         return False, f"columns {sorted(a.columns)} != {sorted(b.columns)}"
     if len(a) != len(b):
@@ -57,18 +77,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         if ka != kb:
             return False, (f"dtype-class mismatch col {c}: spark {a[c].dtype} "
                            f"vs oracle {b[c].dtype} (driver hash would differ)")
-    na, nb = normalize(a), normalize(b)
+    na, nb = normalize(a, exact), normalize(b, exact)
     for c in na.columns:
         ca, cb = na[c], nb[c]
         if pd.api.types.is_float_dtype(ca):
-            ok = np.allclose(ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4)
+            eq = _bits_equal(ca, cb) if exact else np.isclose(
+                ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4)
         else:
-            ok = (ca == cb).all()
-        if not ok:
-            diff = np.asarray(
-                (ca != cb) if not pd.api.types.is_float_dtype(ca) else ~np.isclose(
-                    ca.fillna(1e300), cb.fillna(1e300), rtol=1e-6, atol=1e-4))
-            i = int(np.argmax(diff))
+            eq = np.asarray(ca == cb)
+        if not eq.all():
+            i = int(np.argmax(~eq))
             return False, f"col {c} differs at sorted row {i}: {ca.iloc[i]!r} vs {cb.iloc[i]!r}"
     return True, "ok"
 
@@ -76,6 +94,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def main():
     argv = list(sys.argv[1:])
     json_out = None
+    exact = "--exact" in argv
+    if exact:
+        argv.remove("--exact")
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
@@ -125,7 +146,7 @@ def main():
             results[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
-        ok, msg = compare(sdf, odf)
+        ok, msg = compare(sdf, odf, exact)
         status = "pass" if ok else "FAIL"
         if ok:
             n_pass += 1
@@ -141,7 +162,8 @@ def main():
         import json
 
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+            json.dump({"sf_dir": sf_dir, "mode": "exact" if exact
+                       else "tolerant", "n_pass": n_pass,
                        "n_weak": n_weak, "n_fail": n_fail,
                        "results": results}, f, indent=1)
     return 1 if n_fail else 0
