@@ -2954,18 +2954,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
-    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r7 item 1):
-    # positions 40-50 are HARD-RESERVED for the rotation block — the
-    # eleven gates named by the r7 verdict (ewma .. array_time_slice,
-    # tail order) — so this round's driver artifact finally carries
-    # tail-gate rows.  New round-8 gates enter positions 1-39 ONLY by
-    # displacing stable round-7 gates (driver-green r07 rows) to the
-    # tail; the round-7 gates that previously sat at 40-50
-    # (interval_join .. funnel_by_cohort, all driver-green in r07)
-    # open the tail.  ALL entries keep their oracle_sql() and remain
-    # oracle-checked every round via tools/check_correctness.py
-    # regardless of position (CORRECTNESS_full_r{N}.json records the
-    # full sweep).
+    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r8 item 3):
+    # positions 40-50 are HARD-RESERVED for the rotation block — this
+    # round the eleven gates named by the r8 verdict (asof_forward ..
+    # multi_range, verbatim list) — so each round's driver artifact
+    # carries a fresh tail cohort.  The r8 rotation block (ewma ..
+    # array_time_slice, all driver-green in CORRECTNESS_r08) returns to
+    # the tail.  New round-9 gates enter positions 1-39 ONLY by
+    # displacing driver-green rows.  ALL entries keep their
+    # oracle_sql() and remain oracle-checked every round via
+    # tools/check_correctness.py --exact (CORRECTNESS_full_r{N}.json
+    # records the full exact-mode sweep).
     return {
         # --- positions 1-39: core + newest operator gates ---
         "qc_filter": q_qc_filter,
@@ -3023,9 +3022,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r7 item 1,
-        # verbatim list, tail order) — eleven tail gates earning their
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r8 item 3,
+        # verbatim list) — eleven tail gates earning their
         # driver-artifact rows this round ---
+        "asof_forward": q_asof_forward,
+        "semantic_decontam": q_semantic_decontam,
+        "self_repeat": q_self_repeat,
+        "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
+        "pipeline_full_e2e": q_pipeline_full_e2e,
+        "incremental_dedup": q_incremental_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        "diversity_sample": q_diversity_sample,
+        "pq_ann": q_pq_ann,
+        "multi_range": q_multi_range,
+        # --- tail.  Opened by the r8 rotation block (ewma ..
+        # array_time_slice, all driver-green in CORRECTNESS_r08);
+        # every tail gate is still oracle-checked each round by
+        # tools/check_correctness.py --exact and the committed
+        # CORRECTNESS_full_r{N}.json. ---
         "ewma": q_ewma,
         "pagerank": q_pagerank,
         "heavy_hitters": q_heavy_hitters,
@@ -3037,11 +3052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_whole_selection": q_agg_whole_selection,
         "array_cond_agg": q_array_cond_agg,
         "array_time_slice": q_array_time_slice,
-        # --- tail.  Opened by the round-7 gates the rotation block
-        # displaced from positions 40-50 (all driver-green in
-        # CORRECTNESS_r07); every tail gate is still oracle-checked
-        # each round by tools/check_correctness.py and the committed
-        # CORRECTNESS_full_r{N}.json. ---
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -3053,20 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
-        # displaced by incremental_compact + the sketches family (round 8)
-        "asof_forward": q_asof_forward,
-        "semantic_decontam": q_semantic_decontam,
-        "self_repeat": q_self_repeat,
-        "bm25": q_bm25,
-        "pipeline_full_e2e": q_pipeline_full_e2e,
         "pack_materialize": q_pack_materialize,
-        "tfidf_terms": q_tfidf_terms,
-        "incremental_dedup": q_incremental_dedup,
-        "fuzzy_join": q_fuzzy_join,
-        "diversity_sample": q_diversity_sample,
-        "pq_ann": q_pq_ann,
-        # round-7 rotation block, back to the tail
-        "multi_range": q_multi_range,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
