@@ -1603,9 +1603,28 @@ def q_batch_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): documents' text bytes treated as
-    opaque binary payloads -> Arrow-batched fake-decode feature vectors."""
+    """Multimodal features, BOTH decode paths end-to-end:
+
+    * fake path — documents' text bytes as opaque payloads through the
+      deterministic fake decoder (the compressed-format stand-in);
+    * REAL path (round 9) — per-document WAV (int16 PCM, 256 samples
+      s_j = ((doc_id*2654435761 + j) % 65536) - 32768) and binary PPM
+      (4x4, pixel p_j = (doc_id*31 + 7j) % 256) payloads built
+      row-locally, decoded by the real stdlib-wave / pure-numpy parsers
+      (strict=True: the fake CANNOT satisfy these rows), reduced to
+      mean-amplitude / RMS / pooled-pixel sums.
+
+    Every reduction is EXACT across engines: WAV samples are 15-bit
+    dyadics (sums fit float32/float64 mantissas exactly), squares are
+    30-bit dyadics, and the oracle replays the generator arithmetic in
+    SQL — so a normalization, channel, endianness, or header-offset bug
+    in the decoders breaks the hash."""
+    import io
+    import wave
+    from typing import Iterator
+
     from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      audio_stats,
                                                       extract_image_features)
 
     d = _t(spark, sf_dir, "documents")
@@ -1616,11 +1635,56 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"))
-    out = extract_image_features(media, feat_dim=8)
-    return (out.select("media_id", "feat_dim",
-                       F.round(F.aggregate("feature", F.lit(0.0),
-                                           lambda a, x: a + x), 4).alias("feat_sum"))
-               .orderBy("media_id"))
+    fake = extract_image_features(media, feat_dim=8).select(
+        "media_id", "feat_dim",
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x), 4).alias("feat_sum"))
+
+    import pandas as pd  # noqa: F811
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            wavs, ppms = [], []
+            for did in pdf["media_id"]:
+                j = np.arange(256, dtype=np.int64)
+                s = (((int(did) * 2654435761 + j) % 65536) - 32768) \
+                    .astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                wavs.append(buf.getvalue())
+                px = ((int(did) * 31 + np.arange(48, dtype=np.int64) * 7)
+                      % 256).astype(np.uint8)
+                ppms.append(b"P6\n4 4\n255\n" + px.tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "wav": wavs, "ppm": ppms})
+
+    built = media.select("media_id").mapInPandas(
+        build, schema="media_id long, wav binary, ppm binary")
+    nulls = [F.lit(None).cast("string").alias("mime"),
+             F.lit(None).cast("int").alias("width"),
+             F.lit(None).cast("int").alias("height"),
+             F.lit(None).cast("int").alias("duration_ms")]
+    audio = audio_stats(
+        built.select("media_id", F.lit("audio").alias("kind"),
+                     F.col("wav").alias("content"), *nulls),
+        strict=True)
+    img = extract_image_features(
+        built.select("media_id", F.lit("image").alias("kind"),
+                     F.col("ppm").alias("content"), *nulls),
+        feat_dim=8, resize_hw=(4, 4), strict=True).select(
+        "media_id",
+        F.aggregate("feature", F.lit(0.0),
+                    lambda a, x: a + x).alias("ppm_feat_sum"))
+    return (fake.join(audio, "media_id").join(img, "media_id")
+                .select("media_id", "feat_dim", "feat_sum",
+                        F.col("mean_amplitude").alias("wav_mean_amp"),
+                        F.col("rms").alias("wav_rms"), "ppm_feat_sum")
+                .orderBy("media_id"))
 
 
 def q_quality_score(spark, sf_dir):
@@ -5395,6 +5459,11 @@ def oracle_sql() -> dict[str, str]:
         # so the pooled feature sum is reproducible in SQL, float32
         # rounding included.
         "multimodal_features": r"""
+            -- fake path: replay the md5-seeded pseudo-pixel arithmetic;
+            -- REAL path: replay the WAV/PPM payload generators (the
+            -- Spark side round-trips actual RIFF/P6 bytes through the
+            -- stdlib-wave / pure-numpy decoders).  All reductions are
+            -- exact dyadic sums — bit-identical across engines.
             WITH seeds AS (
                 SELECT doc_id AS media_id,
                        ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
@@ -5403,7 +5472,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, 8 AS feat_dim,
                    round(list_sum(list_transform(range(0, 8),
                        j -> CAST(CAST(((seed + 2654435761 * (j + 1)) % 2147483648)
-                                      / 2147483648.0 AS FLOAT) AS DOUBLE))), 4) AS feat_sum
+                                      / 2147483648.0 AS FLOAT) AS DOUBLE))), 4) AS feat_sum,
+                   list_sum(list_transform(range(0, 256),
+                       j -> abs(CAST(((media_id * 2654435761 + j) % 65536)
+                                     - 32768 AS DOUBLE) / 32768.0))) / 256.0
+                     AS wav_mean_amp,
+                   sqrt(list_sum(list_transform(range(0, 256),
+                       j -> (CAST(((media_id * 2654435761 + j) % 65536)
+                                  - 32768 AS DOUBLE) / 32768.0)
+                            * (CAST(((media_id * 2654435761 + j) % 65536)
+                                    - 32768 AS DOUBLE) / 32768.0))) / 256.0)
+                     AS wav_rms,
+                   list_sum(list_transform(range(0, 8),
+                       j -> CAST(CAST(((media_id * 31 + 7 * j) % 256)
+                                      / 255.0 AS FLOAT) AS DOUBLE)))
+                     AS ppm_feat_sum
             FROM seeds ORDER BY media_id
         """,
         # Assertion oracle (see q_ivf_ann): probe-all IVF must match all 10

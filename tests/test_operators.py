@@ -446,6 +446,91 @@ def test_multimodal_injected_decoder(spark):
     assert stats[0].rms != pytest.approx(float(pcm.std()))
 
 
+def _mk_wav(samples: np.ndarray, nch: int = 1, sw: int = 2,
+            rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_real():
+    """Real RIFF/WAVE decode: 16-bit mono round-trips exactly, stereo
+    averages channels, 8-bit recenters at 128 — no codec library."""
+    from tiledb_py_spark.operators.multimodal import decode_wav
+
+    s16 = np.array([0, 16384, -32768, 32767], dtype="<i2")
+    out = decode_wav(_mk_wav(s16))
+    assert out.dtype == np.float32
+    assert out.tolist() == pytest.approx([0.0, 0.5, -1.0, 32767 / 32768])
+
+    stereo = np.array([100, 300, -200, -400], dtype="<i2")  # L R L R
+    out2 = decode_wav(_mk_wav(stereo, nch=2))
+    assert out2.tolist() == pytest.approx([200 / 32768, -300 / 32768])
+
+    s8 = np.array([128, 255, 0], dtype=np.uint8)
+    out3 = decode_wav(_mk_wav(s8, sw=1))
+    assert out3.tolist() == pytest.approx([0.0, 127 / 128, -1.0])
+
+
+def test_decode_ppm_bmp_real():
+    """Pure-numpy PPM (P6, with comments) and 24-bit BMP (bottom-up,
+    4-byte row padding, BGR order) parses + nearest resize."""
+    import struct
+
+    from tiledb_py_spark.operators.multimodal import decode_bmp, decode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 3, 3) and (img == px).all()
+    # nearest resize up: rows/cols replicate
+    big = decode_ppm(ppm, out_hw=(4, 6))
+    assert big.shape == (4, 6, 3)
+    assert (big[0, 0] == px[0, 0]).all() and (big[3, 5] == px[1, 2]).all()
+
+    # BMP: 3x2, stride = ceil(9/4)*4 = 12, bottom-up, BGR
+    rows_bgr = px[:, :, ::-1]
+    body = b"".join(rows_bgr[i].tobytes() + b"\x00" * 3
+                    for i in (1, 0))                       # bottom-up
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    img2 = decode_bmp(header + body)
+    assert img2.shape == (2, 3, 3) and (img2 == px).all()
+
+
+def test_multimodal_real_decode_auto(spark):
+    """Default decoders auto-detect WAV/PPM by magic bytes and decode
+    FOR REAL (strict=True must NOT raise for those formats); unknown
+    formats still fall back / raise."""
+    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      audio_stats,
+                                                      extract_image_features)
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8)
+    ppm = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame([(1, "image", ppm, None, None, None, None)],
+                               MEDIA_SCHEMA)
+    got = extract_image_features(df, feat_dim=6, resize_hw=(4, 4),
+                                 strict=True).collect()
+    assert got[0].feature == pytest.approx([b / 255.0 for b in px[:6]])
+
+    s16 = np.array([8192, -8192, 16384, -16384], dtype="<i2")
+    adf = spark.createDataFrame(
+        [(2, "audio", _mk_wav(s16), None, None, None, None)], MEDIA_SCHEMA)
+    st = audio_stats(adf, strict=True).collect()
+    assert st[0].mean_amplitude == pytest.approx(0.375)
+    assert st[0].rms == pytest.approx(float(np.sqrt((2 * 0.25 ** 2
+                                                     + 2 * 0.5 ** 2) / 4)))
+
+
 def test_multimodal_decoder_contract_violation(spark):
     # A decoder returning the wrong shape must fail loudly, not silently
     # truncate/pad features.
@@ -2439,10 +2524,11 @@ def test_ivfpq_array_api_and_classifier_persistence(spark, tmp_path):
 def test_materialize_packs_concat_then_chunk(spark):
     """Exact concat-then-chunk semantics: boundary docs SPLIT across
     packs, empty/null docs vanish, only the group's final chunk pads,
-    n_docs counts documents STARTING in the pack, and the plan carries
-    exactly ONE Exchange — the start-cumsum window's hash(group)
-    partitioning also satisfies the (group, pack_id) aggregation's
-    clustering, so the pack regroup adds no shuffle."""
+    n_docs counts documents STARTING in the pack.  Plan shape (the r9
+    decoupled-offsets design): the start-offset cumsum windows operate
+    ONLY on the scalar meta branch (no Window ever carries the token
+    payload — that would serialize each group into one task), and pack
+    assembly distributes via a (group, pack_id) hash Exchange."""
     import re
 
     from tiledb_py_spark.operators.pipeline import materialize_packs
@@ -2456,10 +2542,20 @@ def test_materialize_packs_concat_then_chunk(spark):
         (2, "b", ["u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8", "u9"]),
     ]
     df = spark.createDataFrame(rows, "doc_id long, src string, toks array<string>")
+    # explicit bounds: the sampled cuts degenerate on 6 rows and would
+    # take the one-task-per-group fallback — force the distributed plan
     out = materialize_packs(df, "toks", ["doc_id"], max_tokens=4,
-                            by="src", pad_token="<pad>")
+                            by="src", pad_token="<pad>", bounds=[2.5])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Exchange", plan)) == 1
+    # the cumsum window partitions on (group, id-range bucket) — never
+    # on the group alone, which would serialize each group into 1 task
+    assert re.search(r"windowspecdefinition\(__grp#\d+, __grs_bkt#\d+",
+                     plan), plan
+    # pack assembly distributes on (group, pack_id)
+    assert re.search(r"Exchange hashpartitioning\(__grp#\d+, pack_id#\d+",
+                     plan), plan
+    # no InferFiltersFromGenerate duplicate of the piece transform
+    assert "size(transform" not in plan
     got = {(r.src, r.pack_id): r for r in out.collect()}
     assert got[("a", 0)].pack_tokens == ["t1", "t2", "t3", "t4"]
     assert got[("a", 1)].pack_tokens == ["t5", "t6", "t7", "t8"]

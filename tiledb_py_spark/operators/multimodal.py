@@ -1,11 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake (or ``NotImplementedError`` when
-``strict=True``) — but all Spark-side plumbing is real and tested:
-schemas, batch iteration, UDF signatures, partition sizing.  Swapping the
-fake for Pillow/torchaudio is a one-function change inside the UDF.
+Formats needing no codec library decode FOR REAL (round 9): RIFF/WAVE
+integer PCM via stdlib ``wave`` + ``numpy.frombuffer`` (:func:`decode_wav`),
+binary PPM ``P6`` and uncompressed 24-bit BMP via pure-numpy header parses
+(:func:`decode_ppm` / :func:`decode_bmp`), with nearest-neighbor resize.
+The default decoders auto-detect by magic bytes and fall back to a
+clearly-marked deterministic fake for compressed formats (JPEG/MP3/...),
+whose real decode would need libraries absent from this container —
+``strict=True`` raises for those, and ``decode_fn`` stays injectable
+(swapping in Pillow/torchaudio is a one-function change).  All Spark-side
+plumbing — schemas, batch iteration, UDF signatures, partition sizing —
+is identical either way.
 
 This corresponds to the reference's Filestore (blobs stored in arrays,
 ``/root/reference/tiledb/filestore.py:9-151``) generalized to the
@@ -68,6 +74,99 @@ def _content_seed(content: bytes) -> int:
 _PIX_MULT = 2654435761
 
 
+def _resize_nearest(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) -> (out_h, out_w, c): pure index
+    arithmetic, matching the pixel-center convention cv2.INTER_NEAREST
+    uses (src = floor(dst * src_dim / dst_dim))."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    ri = np.minimum((np.arange(oh) * h) // oh, h - 1)
+    ci = np.minimum((np.arange(ow) * w) // ow, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL decoder: RIFF/WAVE integer PCM (8/16/32-bit) via stdlib
+    ``wave`` + ``numpy.frombuffer``.  Returns mono float32 in [-1, 1)
+    (multi-channel input is averaged).  8-bit WAV is unsigned-centered
+    at 128 per the spec; 16/32-bit are little-endian signed."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def decode_ppm(content: bytes,
+               out_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """REAL decoder: binary PPM (``P6``, maxval <= 255) via a pure-Python
+    header parse + ``numpy.frombuffer``; returns uint8 (h, w, 3),
+    nearest-resized to ``out_hw`` when given.  Handles ``#`` comments
+    and the single whitespace byte that terminates the header."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 ASCII ints, arbitrary whitespace/comments between
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1                       # exactly ONE whitespace byte after maxval
+    img = np.frombuffer(content, dtype=np.uint8, count=h * w * 3,
+                        offset=pos).reshape(h, w, 3)
+    return _resize_nearest(img, out_hw) if out_hw else img
+
+
+def decode_bmp(content: bytes,
+               out_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """REAL decoder: uncompressed 24-bit BI_RGB BMP via a pure-numpy
+    header parse; returns uint8 (h, w, 3) in RGB order, nearest-resized
+    to ``out_hw`` when given.  Rows are 4-byte padded and stored
+    bottom-up (top-down when the header height is negative)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got bpp={bpp}, compression={compression})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(content, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return _resize_nearest(img, out_hw) if out_hw else np.ascontiguousarray(img)
+
+
 def _fake_decode_image(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     """STUB: deterministic fake decode — a real build replaces this with
     PIL.Image.open(BytesIO(content)).  Produces a pseudo-image whose pixels
@@ -80,6 +179,23 @@ def _fake_decode_image(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     return vals.astype(np.float32).reshape(out_hw[0], out_hw[1], 3)
 
 
+def _auto_decode_image(content: bytes, out_hw: tuple[int, int],
+                       strict: bool = False) -> np.ndarray:
+    """Magic-byte dispatch: PPM/BMP decode for real (no codec library
+    needed); anything else (JPEG/PNG/...) falls back to the
+    deterministic fake, or raises under ``strict=True``."""
+    if content[:2] == b"P6":
+        return decode_ppm(content, out_hw)
+    if content[:2] == b"BM":
+        return decode_bmp(content, out_hw)
+    if strict:
+        raise NotImplementedError(
+            "real decode of this image format requires an imaging library "
+            "not present in this container (PPM/BMP decode natively; pass "
+            "decode_fn for others)")
+    return _fake_decode_image(content, out_hw)
+
+
 def extract_image_features(df: DataFrame, feat_dim: int = 64,
                            resize_hw: tuple[int, int] = (32, 32),
                            strict: bool = False,
@@ -87,20 +203,21 @@ def extract_image_features(df: DataFrame, feat_dim: int = 64,
     """decode -> resize -> pooled feature vector, Arrow-batched.
 
     ``decode_fn(content: bytes, out_hw: (h, w)) -> np.ndarray[h, w, 3]``
-    is the decoder; it defaults to the deterministic fake above.  Pass a
-    real one (e.g. wrapping ``PIL.Image.open``) to run actual decode —
-    the Spark plumbing is identical either way.
+    is the decoder; by default PPM/BMP payloads decode FOR REAL
+    (pure-numpy, see :func:`decode_ppm` / :func:`decode_bmp`) and other
+    formats fall back to the deterministic fake (``strict=True`` raises
+    for those instead).  Pass a real one (e.g. wrapping
+    ``PIL.Image.open``) for compressed formats — the Spark plumbing is
+    identical either way.
 
     Partition note: mapInPandas streams Arrow record batches, so executor
     memory is bounded by batch size (spark.sql.execution.arrow.
     maxRecordsPerBatch), not partition size — the right shape for binary
     blobs of MBs each."""
-    decode = decode_fn or _fake_decode_image
+    decode = decode_fn or (
+        lambda content, hw: _auto_decode_image(content, hw, strict))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict and decode_fn is None:
-            raise NotImplementedError(
-                "image decode requires an imaging library not present in this container")
         for pdf in it:
             feats = []
             for content in pdf["content"]:
@@ -154,17 +271,31 @@ def _fake_decode_audio(content: bytes) -> np.ndarray:
     return rng.standard_normal(1024).astype("float32")
 
 
+def _auto_decode_audio(content: bytes, strict: bool = False) -> np.ndarray:
+    """Magic-byte dispatch: RIFF/WAVE integer PCM decodes for real
+    (stdlib wave + frombuffer); anything else (MP3/OGG/...) falls back
+    to the deterministic fake, or raises under ``strict=True``."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    if strict:
+        raise NotImplementedError(
+            "real decode of this audio format requires codecs not present "
+            "in this container (WAV/PCM decodes natively; pass decode_fn "
+            "for others)")
+    return _fake_decode_audio(content)
+
+
 def audio_stats(df: DataFrame, strict: bool = False,
                 decode_fn=None) -> DataFrame:
     """Audio feature plumbing over mapInPandas.
 
     ``decode_fn(content: bytes) -> np.ndarray`` of float32 PCM samples;
-    defaults to the deterministic fake above."""
-    decode = decode_fn or _fake_decode_audio
+    by default RIFF/WAVE integer PCM decodes FOR REAL (see
+    :func:`decode_wav`) and other formats fall back to the
+    deterministic fake (``strict=True`` raises for those instead)."""
+    decode = decode_fn or (lambda content: _auto_decode_audio(content, strict))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict and decode_fn is None:
-            raise NotImplementedError("audio decode requires codecs not present here")
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):

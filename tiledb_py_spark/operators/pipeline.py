@@ -273,6 +273,63 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
                .drop("__gcs_bkt", "__gcs_carry"))
 
 
+def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
+                        order_cols: Sequence[str], value_col: str,
+                        cum_col: str = "cum", num_buckets: int = 64,
+                        bounds: Optional[Sequence[float]] = None) -> DataFrame:
+    """PER-GROUP globally-ordered running sum without one-task-per-group
+    windows — the grouped sibling of :func:`global_running_sum`.  A
+    plain ``Window.partitionBy(group)`` serializes each group into ONE
+    task, so a 100 TB corpus with 20 sources uses 20 tasks; this
+    decomposition range-buckets the first order column with GROUP-SHARED
+    cuts (balance only — any cut set gives the same answer), window-
+    cumsums per (group, bucket) in parallel, and adds each (group,
+    bucket)'s carry-in: the group's earlier-bucket totals, a tiny
+    n_groups x n_buckets aggregate windowed per group and joined back
+    (AQE broadcasts it).  Intended for SCALAR rows (ids + sizes) — keep
+    heavy payload columns out and join the cumsum back by id.
+
+    Falls back to the correct-but-one-task-per-group window when the
+    first order column is non-numeric or bounds degenerate."""
+    by_cols = list(by_cols)
+    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+
+    order = [F.col(c) for c in order_cols]
+    first = order_cols[0]
+    first_dt = dict(df.dtypes)[first]
+    fallback_w = (Window.partitionBy(*by_cols).orderBy(*order)
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if not (first_dt.startswith("timestamp") or first_dt.startswith("decimal")
+            or first_dt in ("tinyint", "smallint", "int", "bigint",
+                            "float", "double", "date")):
+        return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
+    d = monotonic_view(first, first_dt)
+    bounds = resolve_bounds(df, d, num_buckets, bounds)
+    if not bounds:
+        return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
+    df2 = df.withColumn("__grs_bkt", bucket_index(d, bounds))
+    wb = (Window.partitionBy(*by_cols, "__grs_bkt").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # The totals branch is a SECOND, column-pruned pass over the source
+    # (it reads only by/order/value columns — when value is a derived
+    # size that still means recomputing it, but never moving payloads).
+    # Deriving totals from the window output instead would not help:
+    # column pruning shrinks that branch's Exchange so ReuseExchange
+    # cannot share it anyway.
+    totals = (df2.groupBy(*by_cols, "__grs_bkt")
+              .agg(F.sum(value_col).alias("__grs_t")))
+    wc = (Window.partitionBy(*by_cols).orderBy("__grs_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = totals.select(
+        *by_cols, "__grs_bkt",
+        F.coalesce(F.sum("__grs_t").over(wc), F.lit(0)).alias("__grs_carry"))
+    return (df2.join(F.broadcast(carry), on=by_cols + ["__grs_bkt"],
+                     how="left")
+               .withColumn(cum_col,
+                           F.sum(value_col).over(wb) + F.col("__grs_carry"))
+               .drop("__grs_bkt", "__grs_carry"))
+
+
 def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
                    max_tokens: int, by: Optional[str] = None,
                    mode: str = "offset",
@@ -366,8 +423,8 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
 
 def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
                       max_tokens: int, by: Optional[str] = None,
-                      pad_token=None,
-                      out_col: str = "pack_tokens") -> DataFrame:
+                      pad_token=None, out_col: str = "pack_tokens",
+                      bounds: Optional[Sequence[float]] = None) -> DataFrame:
     """Materialize the ACTUAL fixed-length training sequences —
     ``pack_sequences`` assigns documents to packs; this emits the pack
     CONTENTS: documents' token arrays laid contiguously in id order
@@ -378,39 +435,51 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     ``(by?, pack_id, out_col, n_real, n_pad, n_docs)`` — the
     data-loader input a trainer memory-maps.
 
-    Scale shape: start offsets are ``pack_sequences``' one window
-    cumsum per group (``by=None`` routes through the distributed
-    ``global_running_sum`` instead — never a single-task constant-key
-    window); each document then splits ROW-LOCAL into its
-    pack-intersecting slices (an explode of at most
-    ``ceil(n/max_tokens) + 1`` structs — the same token volume, never
-    amplified); the slices regroup on (group, pack_id) and concatenate
-    in stream order.  ONE Exchange total (plan-gated): the cumsum
-    window's hash(group) partitioning already satisfies the
-    aggregation's clustering, so the regroup adds no shuffle — token
-    payloads move exactly once."""
+    Scale shape (DISTRIBUTED grouped cumsum, round 9): a grouped window
+    cumsum keyed on the group alone serializes each group into ONE task
+    — a 100 TB corpus with 20 sources would use 20 tasks, and one giant
+    document stalls its whole group (the r8 BENCH_skew 19.3 straggler).
+    The start offsets now come from :func:`grouped_running_sum` applied
+    to the payload frame: the window partitions on (group, id-range
+    bucket) — cuts sampled from the raw id column BEFORE any derived
+    size exists, so the sampling job never tokenizes — spreading
+    documents over ALL tasks; the per-bucket carry is a tiny totals
+    aggregate joined back as a broadcast.  ``by=None`` uses the same
+    machinery with a constant group.  Each document's piece-split is
+    row-local in its bucket's task (bounded by that document alone, not
+    its group) and the (group, pack_id) regroup distributes pack
+    assembly.  Costs vs the old one-Exchange-per-group plan: the size
+    column is computed twice (the carry's totals branch is a second
+    column-pruned source pass) and token payloads cross two Exchanges
+    (bucket window + pack regroup) — the price of unbounded
+    parallelism."""
+    from .stats_bounds import monotonic_view, resolve_bounds
+
     grp_expr = F.col(by) if by else F.lit(0)
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # bounds from the RAW first id column (pruned scan, no tokenize) —
+    # or caller-supplied (e.g. stats_bounds.parquet_range_bounds, no
+    # job at all); any cut set gives the same answer — balance only
+    first = id_cols[0]
+    first_dt = dict(df.select(*id_cols).dtypes)[first]
+    if bounds is None and (
+            first_dt.startswith("timestamp") or first_dt.startswith("decimal")
+            or first_dt in ("tinyint", "smallint", "int", "bigint",
+                            "float", "double", "date")):
+        bounds = resolve_bounds(df, monotonic_view(first, first_dt), 64)
     base = df.select(
         grp_expr.alias("__grp"), *[F.col(c) for c in id_cols],
         toks.alias("__toks"))
-    # null arrays count as empty documents (size(null) is null)
-    base = base.withColumn(
-        "__n", F.coalesce(F.size(F.col("__toks")), F.lit(0)))
-    if by is None:
-        # ungrouped: the distributed prefix sum — a lit(0) window would
-        # funnel the full token payloads through ONE task (the same
-        # policy pack_sequences applies to its by=None offset path)
-        base = (global_running_sum(base, list(id_cols), "__n",
-                                   cum_col="__cum")
-                .withColumn("__start", F.col("__cum") - F.col("__n"))
-                .drop("__cum"))
-    else:
-        w = (Window.partitionBy("__grp")
-             .orderBy(*[F.col(c) for c in id_cols])
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        base = base.withColumn("__start",
-                               F.sum("__n").over(w) - F.col("__n"))
+    # null arrays count as empty documents (size(null) is null); empty
+    # docs contribute nothing to the cumsum — dropping them BEFORE it
+    # is offset-equivalent
+    base = (base.withColumn(
+                "__n", F.coalesce(F.size(F.col("__toks")), F.lit(0)))
+                .filter(F.col("__n") > 0))
+    base = grouped_running_sum(base, ["__grp"], list(id_cols), "__n",
+                               cum_col="__cum", bounds=bounds)
+    base = base.withColumn("__start", F.col("__cum") - F.col("__n")) \
+               .drop("__cum")
     off0 = F.col("__start") % max_tokens
     k0 = F.floor(F.col("__start") / max_tokens)
     n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1
@@ -429,15 +498,18 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
             F.slice(F.col("__toks"), (seg_start + 1).cast("int"),
                     seg_len.cast("int")).alias("seg"))
 
-    # empty docs drop BEFORE the sequence() (sequence(0, -1) would run
-    # descending); the transform then derives seg's element type from
-    # the input, whatever the token type is
-    exploded = (base.filter(F.col("__n") > 0)
-                    .withColumn("__pieces",
+    # empty docs already dropped (sequence(0, -1) would run descending);
+    # the transform derives seg's element type from the input, whatever
+    # the token type is.  explode_OUTER: __n > 0 guarantees >= 1 piece,
+    # and a plain explode invites InferFiltersFromGenerate to duplicate
+    # the ENTIRE piece transform (slices included) into a size()>0
+    # filter — three payload evaluations per row (the bm25 Generate
+    # lesson, see test_bm25_generate_has_no_array_passthrough)
+    exploded = (base.withColumn("__pieces",
                                 F.transform(F.sequence(
                                     F.lit(0).cast("long"), n_pieces - 1),
                                     piece))
-                    .select("__grp", F.explode("__pieces").alias("p"))
+                    .select("__grp", F.explode_outer("__pieces").alias("p"))
                     .select("__grp", "p.pack_id", "p.pos", "p.first",
                             "p.seg"))
     flat = F.flatten(F.transform(
