@@ -101,13 +101,14 @@ def main() -> int:
         sf = None
 
     # Host-contention guard: a loaded host inflates every query 1.5-2x
-    # uniformly (observed in the round-6 artifact), making the committed
-    # JSON uninterpretable without narrative context.  Wait briefly for
-    # the 1-minute loadavg to drop below the threshold, then record the
-    # start/end load in the artifact either way so a contended run is
-    # self-describing.
-    load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "8"))
-    load_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    # uniformly (observed in the round-6/7/8 artifacts — r8 recorded at
+    # loadavg 7.03, under the old threshold of 8, and still cost a
+    # regression-triage pass).  Wait up to 10 minutes for the 1-minute
+    # loadavg to drop below 2, then proceed anyway (never fail — the
+    # round driver depends on an artifact existing) and record the
+    # start/end load so a contended run is self-describing.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "2"))
+    load_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
     waited = 0.0
     while os.getloadavg()[0] > load_thresh and waited < load_wait_s:
         time.sleep(10)

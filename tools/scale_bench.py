@@ -450,8 +450,40 @@ def main() -> int:
                    .replace("sf", ""))
     except ValueError:
         sf = None
-    names = sys.argv[1:] or list(RUNNERS)
+    argv = [a for a in sys.argv[1:] if a != "--same-jvm"]
+    same_jvm = "--same-jvm" in sys.argv[1:]
+    names = argv or list(RUNNERS)
     load_start = round(os.getloadavg()[0], 2)
+
+    if len(names) > 1 and not same_jvm:
+        # DEFAULT (VERDICT r8 item 6): fork a fresh process per family —
+        # batched same-JVM runs measured 2-13x inflation on later
+        # families (GC pressure, accumulated broadcast/codegen caches),
+        # making round-over-round ratios incomparable.  Each child pays
+        # its own JVM+warmup (excluded from its timing); --same-jvm
+        # restores the batched mode for quick triage.
+        import subprocess
+
+        times = {}
+        for name in names:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, env=os.environ)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            try:
+                times.update(json.loads(line)["queries"])
+            except Exception:
+                times[name] = None
+                print(f"  {name}: FAILED\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+            else:
+                print(f"  {name}: {times[name]}s", file=sys.stderr)
+        print(json.dumps({
+            "metric": "scale_bench", "unit": "sec", "queries": times,
+            "sf": sf, "mode": "fresh-process",
+            "load_1m_start": load_start,
+            "load_1m_end": round(os.getloadavg()[0], 2)}))
+        return 0
 
     from tiledb_py_spark.session import get_spark
 
