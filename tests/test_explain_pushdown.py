@@ -174,19 +174,28 @@ def test_corpus_assembly_row_local_ops_plan_no_exchange(spark):
         assert "Exchange" not in s
 
 
-def test_pack_sequences_offset_single_group_shuffle(spark):
-    """Offset packing is one window per group: exactly one Exchange (on
-    the group key), never a global sort."""
+def test_pack_sequences_offset_distributed_group_windows(spark):
+    """Offset packing never serializes a group into one task: the data
+    window partitions on (group, id-range bucket) — not the group key
+    alone — never a global sort, and the row-path Exchange budget stays
+    at one (the bucket window; totals/carry exchanges move only tiny
+    per-bucket scalars)."""
     from tiledb_py_spark.operators.pipeline import pack_sequences
 
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 7).alias("grp"), F.lit(100).alias("n"))
-    out = pack_sequences(df, "n", ["id"], max_tokens=512, by="grp")
+    # explicit bounds: sampled cuts can degenerate on 1000 synthetic
+    # rows, which would take the one-task-per-group fallback
+    out = pack_sequences(df, "n", ["id"], max_tokens=512, by="grp",
+                         bounds=[250.0, 500.0, 750.0])
     s = _plan(out)
+    import re
+    assert re.search(r"windowspecdefinition\(grp#\d+L?, __grs_bkt#\d+", s), s
+    assert "SinglePartition" not in s
     # formatted plans list each node twice (tree + "(n) Node" detail
     # header) — count the detail headers
-    import re
-    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
+    n_ex = len(re.findall(r"\(\d+\) Exchange", s))
+    assert n_ex <= 3, s   # bucket window + totals + per-group carry
 
 
 def test_repeated_ngrams_bounded_exchanges_no_window(spark):

@@ -340,8 +340,10 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     ``mode="offset"`` (default, SQL-expressible): documents are laid out
     contiguously in id order within each ``by`` group; a document joins
     the pack its START offset falls in (concat-then-chunk semantics —
-    packs may overflow by at most one document's tail).  One window
-    cumsum per group, fully parallel across groups.
+    packs may overflow by at most one document's tail).  The cumsum is
+    the DISTRIBUTED per-group prefix sum (:func:`grouped_running_sum`,
+    round 9) — a plain per-group window would serialize each group
+    into one task, the wrong shape when a corpus has few large groups.
 
     ``mode="greedy"``: classic first-fit-in-order — a document that
     would overflow the current pack starts a new one, so no pack exceeds
@@ -353,9 +355,9 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     (use ``mode="offset"``, which distributes via the bucketed prefix
     sum, or pass a ``by`` grouping).
 
-    ``bounds`` (offset mode, ``by=None`` only): precomputed range-bucket
-    cut values for the first id column, forwarded to
-    ``global_running_sum`` — skips its sampled-quantile job.
+    ``bounds`` (offset mode): precomputed range-bucket cut values for
+    the first id column, forwarded to ``global_running_sum`` /
+    ``grouped_running_sum`` — skips their sampled-quantile job.
 
     Adds ``pack_id`` (long, per group) and ``pack_offset`` (the
     document's token start within its group layout for offset mode /
@@ -372,12 +374,13 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
                        .withColumn("pack_offset",
                                    (start % max_tokens).cast("long"))
                        .drop("__cum"))
-        w = (Window.partitionBy(grp).orderBy(*[F.col(c) for c in id_cols])
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        start = F.sum(size_col).over(w) - F.col(size_col)
-        return (df.withColumn("pack_id", F.floor(start / max_tokens))
-                  .withColumn("pack_offset",
-                              (start % max_tokens).cast("long")))
+        out = grouped_running_sum(df, [by], list(id_cols), size_col,
+                                  cum_col="__psq_cum", bounds=bounds)
+        start = F.col("__psq_cum") - F.col(size_col)
+        return (out.withColumn("pack_id", F.floor(start / max_tokens))
+                   .withColumn("pack_offset",
+                               (start % max_tokens).cast("long"))
+                   .drop("__psq_cum"))
     if mode != "greedy":
         raise ValueError(f"unknown mode {mode!r}")
     if by is None and not allow_single_task:
