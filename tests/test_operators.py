@@ -845,6 +845,39 @@ def test_global_running_sum_matches_naive_window(spark):
         assert r.cum == want
 
 
+def test_grouped_running_sum_matches_naive_window(spark):
+    """Per-group bucketed distributed prefix sum == per-group naive
+    window — including groups that straddle bucket cuts, a group
+    entirely inside one bucket, value ties at cut values, and the
+    non-numeric-order fallback."""
+    from tiledb_py_spark.operators.pipeline import grouped_running_sum
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        ks = np.unique(rng.choice(1000, 400))
+        rows += [(g, int(k), int(rng.randint(-5, 50))) for k in ks]
+    rows += [("d", 500, 7)]                      # single-row group
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    for bounds in (None, [250.0, 500.0, 750.0], [500.0, 500.0]):
+        got = grouped_running_sum(df, ["g"], ["k"], "v", cum_col="cum",
+                                  num_buckets=8, bounds=bounds) \
+            .orderBy("g", "k").collect()
+        want, prev_g = 0, None
+        for r in got:
+            want = r.v if r.g != prev_g else want + r.v
+            prev_g = r.g
+            assert r.cum == want, (bounds, r.g, r.k)
+
+    # non-numeric first order column -> per-group window fallback
+    sdf = spark.createDataFrame([("a", "x", 1), ("a", "y", 2),
+                                 ("b", "x", 3)], ["g", "s", "v"])
+    got2 = {(r.g, r.s): r.cum
+            for r in grouped_running_sum(sdf, ["g"], ["s"], "v",
+                                         cum_col="cum").collect()}
+    assert got2 == {("a", "x"): 1, ("a", "y"): 3, ("b", "x"): 3}
+
+
 def test_connected_components_transitive_chain(spark):
     """A chain a-b-c-d collapses to one component even though (a, d) was
     never a pair; separate cliques stay separate; pointer jumping
