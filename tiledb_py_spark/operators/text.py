@@ -681,7 +681,15 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
 
     Scale shape: ZERO shuffles — one Arrow-batched pass, all state per
     row (first-occurrence map over the document's own grams); the same
-    per-row-compute policy as ``repetition_stats``'s arrow path."""
+    per-row-compute policy as ``repetition_stats``'s arrow path.
+    The per-document kernel is vectorized numpy (round 9): token ids
+    via ``np.unique`` (EXACT — no hashing, no collisions), n-gram rows
+    deduped as structured records, repeated-gram spans painted with a
+    delta-array cumsum.  The r8 per-token Python tuple loop measured
+    400-650s cold at sf10 (500k docs); this kernel does the same work
+    in C."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<clean_text: string, n_removed: long>")
@@ -698,19 +706,25 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
                 outs.append(" ".join(toks))
                 removed.append(0)
                 continue
-            first: dict = {}
-            mask = [False] * T
-            for i in range(T - n + 1):
-                g = tuple(toks[i:i + n])
-                f = first.get(g)
-                if f is None:
-                    first[g] = i
-                elif i > f:
-                    for j in range(i, i + n):
-                        mask[j] = True
-            outs.append(" ".join(tok for tok, m in zip(toks, mask)
-                                 if not m))
-            removed.append(sum(mask))
+            arr = np.array(toks)
+            codes = np.unique(arr, return_inverse=True)[1] \
+                .astype(np.int32, copy=False)
+            W = np.ascontiguousarray(sliding_window_view(codes, n))
+            rows = W.view([("", W.dtype)] * n).ravel()
+            _, inv = np.unique(rows, return_inverse=True)
+            idx = np.arange(len(inv), dtype=np.int64)
+            first = np.full(int(inv.max()) + 1, np.iinfo(np.int64).max,
+                            dtype=np.int64)
+            np.minimum.at(first, inv, idx)
+            rep = idx[first[inv] < idx]       # later occurrences' starts
+            delta = np.zeros(T + 1, dtype=np.int32)
+            delta[rep] += 1                   # rep indices are unique
+            delta[rep + n] -= 1
+            mask = np.cumsum(delta[:T]) > 0
+            nrm = int(mask.sum())
+            outs.append(" ".join(arr[~mask].tolist()) if nrm else
+                        " ".join(toks))
+            removed.append(nrm)
         return pd.DataFrame({"clean_text": outs, "n_removed": removed})
 
     s = fn(F.col(text_col))

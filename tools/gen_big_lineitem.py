@@ -105,7 +105,7 @@ def generate(sf: float, out_dir: str, chunk_rows: int = 25_000_000) -> None:
                     np.array(["F", "O"])[rng.randint(0, 2, m)]),
                 "l_shipdate": pa.array(ship).cast(pa.timestamp("us")),
             }, schema=schema)
-            w.write_table(tbl)
+            w.write_table(tbl, row_group_size=1 << 20)
             written += m
             chunk_i += 1
             print(f"  chunk {chunk_i}: {written}/{nl} rows",
