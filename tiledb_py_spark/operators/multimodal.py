@@ -214,8 +214,11 @@ def extract_image_features(df: DataFrame, feat_dim: int = 64,
     memory is bounded by batch size (spark.sql.execution.arrow.
     maxRecordsPerBatch), not partition size — the right shape for binary
     blobs of MBs each."""
+    from ._par import spread_for_python
+
     decode = decode_fn or (
         lambda content, hw: _auto_decode_image(content, hw, strict))
+    df = spread_for_python(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -293,7 +296,10 @@ def audio_stats(df: DataFrame, strict: bool = False,
     by default RIFF/WAVE integer PCM decodes FOR REAL (see
     :func:`decode_wav`) and other formats fall back to the
     deterministic fake (``strict=True`` raises for those instead)."""
+    from ._par import spread_for_python
+
     decode = decode_fn or (lambda content: _auto_decode_audio(content, strict))
+    df = spread_for_python(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

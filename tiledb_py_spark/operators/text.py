@@ -259,7 +259,9 @@ def _repetition_stats_arrow(df: DataFrame, text_col: str, line_sep: str,
         rows = [_rep_stats_py(t, line_sep, top_ns, dup_ns) for t in texts]
         return pd.DataFrame(rows, columns=names)
 
-    out = df.withColumn("__r", stats(F.col(text_col)))
+    from ._par import spread_for_python
+
+    out = spread_for_python(df).withColumn("__r", stats(F.col(text_col)))
     for name in names:
         out = out.withColumn(name, F.col("__r")[name])
     return out.drop("__r")
@@ -679,18 +681,26 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
     is a literal phenomenon); documents shorter than ``n`` tokens pass
     through unchanged.  Adds ``out_col`` and ``n_removed`` (tokens).
 
-    Scale shape: ZERO shuffles — one Arrow-batched pass, all state per
-    row (first-occurrence map over the document's own grams); the same
-    per-row-compute policy as ``repetition_stats``'s arrow path.
-    The per-document kernel is vectorized numpy (round 9): token ids
-    via ``np.unique`` (EXACT — no hashing, no collisions), n-gram rows
-    deduped as structured records, repeated-gram spans painted with a
-    delta-array cumsum.  The r8 per-token Python tuple loop measured
-    400-650s cold at sf10 (500k docs); this kernel does the same work
-    in C."""
+    Scale shape: one Arrow-batched pass, all state per row
+    (first-occurrence map over the document's own grams); the same
+    per-row-compute policy as ``repetition_stats``'s arrow path.  No
+    shuffle when the input is already parallel; a low-partition scan
+    gets one round-robin repartition first (see below).
+    The per-document kernel is HYBRID (round 9, both sides measured):
+    short documents keep the per-token tuple loop (dict of 43 gram
+    tuples beats numpy setup overhead ~5x at ~50 tokens), long ones
+    switch to vectorized numpy — token ids via ``np.unique`` (EXACT, no
+    hashing/collisions), n-gram rows deduped as structured records,
+    repeated-gram spans painted with a delta-array cumsum (the planted
+    5M-token skew document: ~1 s vs 10+ s for the tuple loop).  The
+    stage also guards its own parallelism (``_par.spread_for_python``):
+    a single small parquet file is ONE scan task, which serialized this
+    operator onto one of 32 cores in every pre-r9 scale artifact."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.functions import pandas_udf
+
+    from ._par import spread_for_python
 
     @pandas_udf("struct<clean_text: string, n_removed: long>")
     def fn(texts: pd.Series) -> pd.DataFrame:
@@ -706,6 +716,23 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
                 outs.append(" ".join(toks))
                 removed.append(0)
                 continue
+            if T <= 4096:
+                first: dict = {}
+                mask_l = [False] * T
+                for i in range(T - n + 1):
+                    g = tuple(toks[i:i + n])
+                    f = first.get(g)
+                    if f is None:
+                        first[g] = i
+                    else:
+                        for j in range(i, i + n):
+                            mask_l[j] = True
+                nrm = sum(mask_l)
+                outs.append(" ".join(
+                    tok for tok, m in zip(toks, mask_l) if not m)
+                    if nrm else " ".join(toks))
+                removed.append(nrm)
+                continue
             arr = np.array(toks)
             codes = np.unique(arr, return_inverse=True)[1] \
                 .astype(np.int32, copy=False)
@@ -713,10 +740,10 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
             rows = W.view([("", W.dtype)] * n).ravel()
             _, inv = np.unique(rows, return_inverse=True)
             idx = np.arange(len(inv), dtype=np.int64)
-            first = np.full(int(inv.max()) + 1, np.iinfo(np.int64).max,
-                            dtype=np.int64)
-            np.minimum.at(first, inv, idx)
-            rep = idx[first[inv] < idx]       # later occurrences' starts
+            firsts = np.full(int(inv.max()) + 1, np.iinfo(np.int64).max,
+                             dtype=np.int64)
+            np.minimum.at(firsts, inv, idx)
+            rep = idx[firsts[inv] < idx]      # later occurrences' starts
             delta = np.zeros(T + 1, dtype=np.int32)
             delta[rep] += 1                   # rep indices are unique
             delta[rep + n] -= 1
@@ -726,6 +753,8 @@ def remove_self_repeated_spans(df: DataFrame, text_col: str,
                         " ".join(toks))
             removed.append(nrm)
         return pd.DataFrame({"clean_text": outs, "n_removed": removed})
+
+    df = spread_for_python(df)
 
     s = fn(F.col(text_col))
     return (df.withColumn("__srs", s)

@@ -45,17 +45,16 @@ def get_spark(app_name: str = "tiledb_py_spark", cpus: str | None = None) -> Spa
         # maxResultSize caps that at ~100M float64 cells
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # A 100 TB deployment reads thousands of files; the local test
-        # data is a handful of small zstd parquet files, and the 128m
-        # default makes a 60MB single file ONE scan task — a shuffle-free
-        # document operator then runs the whole corpus on one of 32
-        # cores (round-9 find: remove_spans at sf10 spent 500+ s in a
-        # single Python worker; 16.8 s after this change).  4m splits
-        # compressed files at the granularity the row groups allow (the
-        # data generators bound row groups to 64k rows for the same
-        # reason).
-        .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # NOTE on scan splits (round-9 find): the 128m maxPartitionBytes
+        # default makes a small zstd single file ONE scan task, which
+        # serialized every shuffle-free PYTHON-heavy document operator
+        # onto one of 32 cores (self_repeat at sf10: 500+ s in one
+        # Python worker).  Globally lowering it to 4m fixed those but
+        # taxed every JVM-side scan 1.5-3x at sf1 (task overhead), so
+        # the default stays — Python-bound row-local operators instead
+        # repartition themselves up to core count (_spread_for_python in
+        # operators/_par.py), and the data generators bound parquet row
+        # groups to 64k rows so such splits stay possible.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -58,9 +58,6 @@ def _mk_spark(cpus: str):
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
             .config("spark.sql.autoBroadcastJoinThreshold",
                     str(64 * 1024 * 1024))
-            # match session.py: split small zstd files across cores
-            .config("spark.sql.files.maxPartitionBytes", "4m")
-            .config("spark.sql.files.openCostInBytes", "1m")
             .getOrCreate())
 
 
