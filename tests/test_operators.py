@@ -878,6 +878,45 @@ def test_grouped_running_sum_matches_naive_window(spark):
     assert got2 == {("a", "x"): 1, ("a", "y"): 3, ("b", "x"): 3}
 
 
+def test_grouped_running_sum_null_group_key(spark):
+    """NULL is a real group to Window.partitionBy/groupBy, so the carry
+    join must be null-safe: rows with a NULL group key get the same
+    per-group cumsum as any named group, never NULL cum (ADVICE r9).
+    Exercised end-to-end through pack_sequences(by=) too, where a NULL
+    cum used to propagate to NULL pack_id/pack_offset."""
+    from pyspark.sql import types as T
+
+    from tiledb_py_spark.operators.pipeline import (grouped_running_sum,
+                                                    pack_sequences)
+
+    schema = T.StructType([T.StructField("g", T.StringType(), True),
+                           T.StructField("k", T.IntegerType(), False),
+                           T.StructField("v", T.IntegerType(), False)])
+    rows = ([(None, k, k + 1) for k in range(0, 40)]
+            + [("a", k, 2 * k + 1) for k in range(0, 40)])
+    df = spark.createDataFrame(rows, schema)
+    got = grouped_running_sum(df, ["g"], ["k"], "v", cum_col="cum",
+                              num_buckets=8).collect()
+    assert all(r.cum is not None for r in got)
+    by_g: dict = {}
+    for r in sorted(got, key=lambda r: (r.g or "", r.k)):
+        by_g[r.g] = by_g.get(r.g, 0) + r.v
+        assert r.cum == by_g[r.g], (r.g, r.k)
+
+    packed = pack_sequences(df.withColumnRenamed("v", "n_tok"),
+                            size_col="n_tok", id_cols=["k"],
+                            max_tokens=64, by="g").collect()
+    assert all(r.pack_id is not None and r.pack_offset is not None
+               for r in packed)
+    # NULL group packs independently of group "a"
+    null_rows = sorted((r for r in packed if r.g is None),
+                       key=lambda r: r.k)
+    start = 0
+    for r in null_rows:
+        assert r.pack_id == start // 64 and r.pack_offset == start % 64
+        start += r.n_tok
+
+
 def test_connected_components_transitive_chain(spark):
     """A chain a-b-c-d collapses to one component even though (a, d) was
     never a pair; separate cliques stay separate; pointer jumping
@@ -3988,6 +4027,32 @@ def test_rolling_anomaly_hand_case(spark):
     # the spike itself is excluded from its own baseline: std is the
     # stable series' (~0.55), not inflated by the 100
     assert r.baseline_std < 1.0
+
+
+def test_rolling_anomaly_exact_large_magnitudes(spark):
+    """The exact (value_decimals) path must not wrap at int64: with
+    |value| ~ 1e7 at 2 decimals, window-20 sum-of-squares exceeds 2^63
+    (the r9 ADVICE overflow) — the DECIMAL(38,0) frame sums keep the
+    z-scores exact and the spike flagged."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    base_val = 9.5e6           # vs = 9.5e8; 20 * vs^2 ~ 1.8e19 > 2^63
+    rows = [(1, i, base_val + (i % 2), f"2020-01-01 00:{i:02d}:00")
+            for i in range(10)]
+    rows.append((1, 10, base_val + 5000.0, "2020-01-01 00:10:00"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    out = rolling_anomaly(df, window=20, min_periods=5, threshold=3.0,
+                          value_decimals=2).toPandas()
+    assert out.event_id.tolist() == [10]
+    r = out.iloc[0]
+    # exact integers: mean of ten alternating base/base+1 values
+    assert r.baseline_mean == round(base_val + 0.5, 4)
+    # sample std of ten alternating 0/1 values is sqrt(5/18)*... ~0.527
+    assert abs(r.baseline_std - 0.5270) < 1e-3
+    assert r.zscore > 3.0
 
 
 def test_rolling_anomaly_plan_one_exchange(spark):

@@ -323,11 +323,24 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     carry = totals.select(
         *by_cols, "__grs_bkt",
         F.coalesce(F.sum("__grs_t").over(wc), F.lit(0)).alias("__grs_carry"))
-    return (df2.join(F.broadcast(carry), on=by_cols + ["__grs_bkt"],
-                     how="left")
+    # NULL group keys are real groups to partitionBy/groupBy, so the
+    # carry join must be null-safe (<=> plans as a hash-join key, same
+    # physical shape as '=').  No broadcast hint: the carry frame is
+    # n_groups x n_buckets rows — tiny for typical source counts, but
+    # `by` is user-supplied and may be high-cardinality; AQE broadcasts
+    # it at runtime when it is actually under the threshold.
+    keys = by_cols + ["__grs_bkt"]
+    carry_r = carry
+    for c in keys:
+        carry_r = carry_r.withColumnRenamed(c, "__grs_r_" + c)
+    cond = df2["__grs_bkt"].eqNullSafe(carry_r["__grs_r___grs_bkt"])
+    for c in by_cols:
+        cond = cond & df2[c].eqNullSafe(carry_r["__grs_r_" + c])
+    return (df2.join(carry_r, on=cond, how="left")
                .withColumn(cum_col,
                            F.sum(value_col).over(wb) + F.col("__grs_carry"))
-               .drop("__grs_bkt", "__grs_carry"))
+               .drop("__grs_bkt", "__grs_carry",
+                     *["__grs_r_" + c for c in keys]))
 
 
 def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],

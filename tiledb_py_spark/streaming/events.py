@@ -399,16 +399,25 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
             F.count(v).over(w).alias("__n"))
         z = (v - F.col("__mean")) / F.col("__std")
     else:
-        # exact path: scaled-int64 frame sum / sum-of-squares are
+        # exact path: scaled-integer frame sum / sum-of-squares are
         # order-independent; sample variance from the exact integers
-        # n*Q - S*S (no float cancellation — the subtraction is exact)
+        # n*Q - S*S (no float cancellation — the subtraction is exact).
+        # The sums run in DECIMAL(38,0), not BIGINT: the DuckDB oracle's
+        # sum(BIGINT) is HUGEINT (int128), and an int64 sum-of-squares
+        # would silently wrap (non-ANSI) once window*vs^2 exceeds 2^63
+        # — |value| ~ 6.8e6 at 2 decimals / window 20, well inside real
+        # data.  With decimal the exact range is window*n*vs^2 < 1e38,
+        # i.e. |value| < ~5*10**(15-decimals) at window 20; beyond that
+        # the decimal ops yield NULL and the row is (visibly) unflagged
+        # by the std IS NOT NULL guard rather than silently wrong.
         scale = F.lit(float(10 ** int(value_decimals)))
         vs = F.round(v * scale).cast("bigint")
+        vs_d = vs.cast("decimal(18,0)")
         base = events.select(
             "*",
             vs.alias("__vs"),
-            F.sum(vs).over(w).alias("__s"),
-            F.sum(vs * vs).over(w).alias("__q"),
+            F.sum(vs_d).over(w).alias("__s"),
+            F.sum(vs_d * vs_d).over(w).alias("__q"),
             F.count(vs).over(w).alias("__n"))
         n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
         mean_s = s.cast("double") / n.cast("double")

@@ -72,9 +72,12 @@ def _write(out_dir: str, name: str, cols: dict) -> None:
     # bounded row groups: pyarrow's 1M-row default wrote e.g. sf10
     # documents (500k rows, 60MB zstd) as ONE row group — a single scan
     # task no matter the core count.  64k-row groups let Spark's
-    # byte-range splits actually parallelize (paired with the 16m
-    # maxPartitionBytes in session.py).  Values are unchanged — layout
-    # only.
+    # byte-range splits actually parallelize under the DEFAULT
+    # 128m maxPartitionBytes + filesMinPartitionNum/bytesPerCore split
+    # behavior (session.py deliberately sets no global override —
+    # commit fd30cfb; Python-bound operators guard their own
+    # parallelism via operators/_par.py::spread_for_python).  Values
+    # are unchanged — layout only.
     pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"),
                    row_group_size=65536)
     print(f"  {name}: {tbl.num_rows} rows")
