@@ -3018,13 +3018,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
-    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r8 item 3):
+    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r9 item 1):
     # positions 40-50 are HARD-RESERVED for the rotation block — this
-    # round the eleven gates named by the r8 verdict (asof_forward ..
-    # multi_range, verbatim list) — so each round's driver artifact
-    # carries a fresh tail cohort.  The r8 rotation block (ewma ..
-    # array_time_slice, all driver-green in CORRECTNESS_r08) returns to
-    # the tail.  New round-9 gates enter positions 1-39 ONLY by
+    # round the eleven gates named by the r9 verdict (interval_join ..
+    # funnel_by_cohort, verbatim list) — so each round's driver artifact
+    # carries a fresh tail cohort.  The r9 rotation block (asof_forward
+    # .. multi_range, all driver-green in CORRECTNESS_r09) returns to
+    # the tail.  New round-10 gates enter positions 1-39 ONLY by
     # displacing driver-green rows.  ALL entries keep their
     # oracle_sql() and remain oracle-checked every round via
     # tools/check_correctness.py --exact (CORRECTNESS_full_r{N}.json
@@ -3086,36 +3086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r8 item 3,
-        # verbatim list) — eleven tail gates earning their
-        # driver-artifact rows this round ---
-        "asof_forward": q_asof_forward,
-        "semantic_decontam": q_semantic_decontam,
-        "self_repeat": q_self_repeat,
-        "bm25": q_bm25,
-        "tfidf_terms": q_tfidf_terms,
-        "pipeline_full_e2e": q_pipeline_full_e2e,
-        "incremental_dedup": q_incremental_dedup,
-        "fuzzy_join": q_fuzzy_join,
-        "diversity_sample": q_diversity_sample,
-        "pq_ann": q_pq_ann,
-        "multi_range": q_multi_range,
-        # --- tail.  Opened by the r8 rotation block (ewma ..
-        # array_time_slice, all driver-green in CORRECTNESS_r08);
-        # every tail gate is still oracle-checked each round by
-        # tools/check_correctness.py --exact and the committed
-        # CORRECTNESS_full_r{N}.json. ---
-        "ewma": q_ewma,
-        "pagerank": q_pagerank,
-        "heavy_hitters": q_heavy_hitters,
-        "batch_topk": q_batch_topk,
-        "events_sessions": q_events_sessions,
-        "qc_in_chain": q_qc_in_chain,
-        "join_multiway": q_join_multiway,
-        "embedding_topk": q_embedding_topk,
-        "agg_whole_selection": q_agg_whole_selection,
-        "array_cond_agg": q_array_cond_agg,
-        "array_time_slice": q_array_time_slice,
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r9 item 1,
+        # verbatim list) — the eleven round-7/8 gates that have sat in
+        # the tail longest earn their driver-artifact rows this round ---
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -3127,6 +3100,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
+        # --- tail.  Opened by the r9 rotation block (asof_forward ..
+        # multi_range, all driver-green in CORRECTNESS_r09);
+        # every tail gate is still oracle-checked each round by
+        # tools/check_correctness.py --exact and the committed
+        # CORRECTNESS_full_r{N}.json. ---
+        "asof_forward": q_asof_forward,
+        "semantic_decontam": q_semantic_decontam,
+        "self_repeat": q_self_repeat,
+        "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
+        "pipeline_full_e2e": q_pipeline_full_e2e,
+        "incremental_dedup": q_incremental_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        "diversity_sample": q_diversity_sample,
+        "pq_ann": q_pq_ann,
+        "multi_range": q_multi_range,
+        "ewma": q_ewma,
+        "pagerank": q_pagerank,
+        "heavy_hitters": q_heavy_hitters,
+        "batch_topk": q_batch_topk,
+        "events_sessions": q_events_sessions,
+        "qc_in_chain": q_qc_in_chain,
+        "join_multiway": q_join_multiway,
+        "embedding_topk": q_embedding_topk,
+        "agg_whole_selection": q_agg_whole_selection,
+        "array_cond_agg": q_array_cond_agg,
+        "array_time_slice": q_array_time_slice,
         "pack_materialize": q_pack_materialize,
         "array_sql": q_array_sql,
         "join_topk": q_join_topk,
