@@ -349,6 +349,49 @@ def q_datasource_read(spark, sf_dir):
               .select("l_orderkey", "l_linenumber", "l_quantity"))
 
 
+_DELETE_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _part_delete_array(spark, sf_dir) -> str:
+    """part ingested as a sparse array, then a mode-'d' delete query
+    (S15, reference core.cc:1474-1479 / tests/test_query_condition.py:
+    1074-1226) records an anti-predicate fragment, and CONSOLIDATION
+    materializes the removal — the gate reads back AFTER compaction so
+    the artifact proves deletes survive it."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _DELETE_ARRAY_CACHE:
+        return _DELETE_ARRAY_CACHE[key]
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/part_delete"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        pdf = (_t(spark, sf_dir, "part")
+               .select("p_partkey", "p_retailprice", "p_size").toPandas())
+        tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
+        with tdb.open(uri, "d", spark=spark) as A:
+            A.delete_cells("p_retailprice > 950.0 and p_size < 25")
+        tdb.consolidate(uri, spark=spark)
+    _DELETE_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_delete_qc(spark, sf_dir):
+    """S15 delete query end-to-end: mode-'d' anti-predicate fragment ->
+    consolidation -> full read-back; the oracle replays NOT(cond) on the
+    source table, so surviving rows must be exactly the complement."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.plans import QueryPlan
+
+    uri = _part_delete_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    return (A._execute(QueryPlan(dim_ranges=[], order="U"))
+            .select("p_partkey",
+                    F.round("p_retailprice", 2).alias("price"),
+                    "p_size")
+            .orderBy("p_partkey"))
+
+
 _DENSE_ARRAY_CACHE: dict[str, str] = {}
 
 
@@ -3039,7 +3082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session) displaced asof_forward, semantic_decontam and
         # self_repeat (driver-green r07, unchanged) to the tail
         "zorder_layout": q_zorder_layout,
-        "group_agg": q_group_agg,
+        # delete_qc (NEW round 10, VERDICT r9 item 2: S15's first driver
+        # row) displaced group_agg (driver-green r09, unchanged) to the
+        # tail
+        "delete_qc": q_delete_qc,
         "asof_join": q_asof_join,
         "minhash_dedup": q_minhash_dedup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3105,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every tail gate is still oracle-checked each round by
         # tools/check_correctness.py --exact and the committed
         # CORRECTNESS_full_r{N}.json. ---
+        "group_agg": q_group_agg,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
@@ -3280,6 +3327,14 @@ def oracle_sql() -> dict[str, str]:
         "qc_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45.0 AND l_discount <= 0.02
+        """,
+        # S15 delete replay: survivors of a mode-'d' delete (after
+        # consolidation) are exactly the NOT(cond) complement
+        "delete_qc": """
+            SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+            FROM part
+            WHERE NOT (p_retailprice > 950.0 AND p_size < 25)
+            ORDER BY p_partkey
         """,
         "qc_in_chain": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
