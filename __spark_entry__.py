@@ -392,6 +392,54 @@ def q_delete_qc(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+_DIRECT_ARRAY_CACHE: dict[str, str] = {}
+
+
+def _nation_direct_array(spark, sf_dir) -> str:
+    """S13 write_direct substrate: nation's region keys written as a
+    dense vector in TWO write_direct calls — an ingest of the first 15
+    and a mode='append' of the rest (new fragment with a shifted dim
+    range, reference dense_array.py:633-730)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _DIRECT_ARRAY_CACHE:
+        return _DIRECT_ARRAY_CACHE[key]
+    import numpy as np
+
+    import tiledb_py_spark as tdb
+
+    uri = f"/tmp/tdbps_arrays/{key}/nation_direct"
+    if not tdb.array_exists(uri):
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        vals = (_t(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_regionkey")
+                .orderBy("n_nationkey").toPandas()["n_regionkey"]
+                .to_numpy().astype("int64"))
+        dom = tdb.Domain(tdb.Dim(name="n_nationkey", domain=(0, len(vals) - 1),
+                                 tile=len(vals), dtype=np.int64))
+        schema = tdb.ArraySchema(
+            domain=dom, sparse=False,
+            attrs=[tdb.Attr(name="n_regionkey", dtype=np.int64, fill=-1)])
+        tdb.Array.create(uri, schema)
+        with tdb.open(uri, "w", spark=spark) as A:
+            A.write_direct(vals[:15])
+            A.write_direct(vals[15:], append_dim=0, mode="append")
+    _DIRECT_ARRAY_CACHE[key] = uri
+    return uri
+
+
+def q_write_direct_append(spark, sf_dir):
+    """S13 end-to-end: write_direct ingest + dim-append, whole-domain
+    Spark read-back — values must equal the source table, proving the
+    append fragment landed at nonempty_domain+1 with no overlap."""
+    import tiledb_py_spark as tdb
+
+    uri = _nation_direct_array(spark, sf_dir)
+    A = tdb.open(uri, spark=spark)
+    return (A.dataframe()
+            .select("n_nationkey", "n_regionkey")
+            .orderBy("n_nationkey"))
+
+
 _DENSE_ARRAY_CACHE: dict[str, str] = {}
 
 
@@ -3152,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py --exact and the committed
         # CORRECTNESS_full_r{N}.json. ---
         "group_agg": q_group_agg,
+        "write_direct_append": q_write_direct_append,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
@@ -3327,6 +3376,12 @@ def oracle_sql() -> dict[str, str]:
         "qc_filter": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem WHERE l_quantity > 45.0 AND l_discount <= 0.02
+        """,
+        # S13 replay: two write_direct fragments (ingest + dim-append)
+        # reassemble the source column exactly
+        "write_direct_append": """
+            SELECT n_nationkey, n_regionkey
+            FROM nation ORDER BY n_nationkey
         """,
         # S15 delete replay: survivors of a mode-'d' delete (after
         # consolidation) are exactly the NOT(cond) complement

@@ -111,3 +111,117 @@ def test_2d_overwrite_region(uri, spark):
     expected = data.copy()
     expected[1:3, 1:3] = [[1, 2], [3, 4]]
     assert_array_equal(tdb.open(uri, spark=spark)[:], expected)
+
+
+# -- read/write_direct (S13, reference dense_array.py:633-777) --------------
+
+def _direct_arr(uri, domain_hi=(19,), dtype=np.int64, cell_order="row-major",
+                tile_order="row-major", nattr=1):
+    dims = [tdb.Dim(name=f"d{i}", domain=(0, hi), tile=hi + 1,
+                    dtype=np.int64) for i, hi in enumerate(domain_hi)]
+    attrs = [tdb.Attr(name=f"a{i}", dtype=dtype, fill=-1)
+             for i in range(nattr)]
+    schema = tdb.ArraySchema(domain=tdb.Domain(*dims), attrs=attrs,
+                             cell_order=cell_order, tile_order=tile_order)
+    tdb.Array.create(uri, schema)
+    return schema
+
+
+def test_write_direct_ingest_and_read_direct(uri, spark):
+    _direct_arr(uri, (9,))
+    data = np.arange(10, dtype=np.int64)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(data)
+    A = tdb.open(uri, spark=spark)
+    assert_array_equal(A.read_direct(), data)
+    assert_array_equal(A.read_direct("a0"), data)
+
+
+def test_write_direct_append_1d(uri, spark):
+    """Append mode: new fragment lands at nonempty_domain+1 along the
+    dim; read-back sees the concatenation (reference dense_array.py:
+    672-705)."""
+    _direct_arr(uri, (19,))
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(np.arange(5, dtype=np.int64))
+        A.write_direct(np.arange(5, 12, dtype=np.int64), append_dim=0,
+                       mode="append")
+    A = tdb.open(uri, spark=spark)
+    assert A.nonempty_domain() == ((0, 11),)
+    assert_array_equal(A[0:12], np.arange(12, dtype=np.int64))
+    # each write is its own fragment
+    assert len(A._manifest.live_fragments()) == 2
+
+
+def test_write_direct_append_2d_shape_checks(uri, spark):
+    _direct_arr(uri, (9, 9))
+    base = np.arange(12, dtype=np.int64).reshape(4, 3)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(base)
+        # append along dim 1: other dim extent must match (4)
+        A.write_direct(np.full((4, 2), 99, dtype=np.int64),
+                       append_dim=1, mode="append")
+        with pytest.raises(ValueError, match="same shape"):
+            A.write_direct(np.full((3, 2), 7, dtype=np.int64),
+                           append_dim=1, mode="append")
+        with pytest.raises(IndexError, match="append_dim"):
+            A.write_direct(np.full((4, 2), 7, dtype=np.int64),
+                           append_dim=2, mode="append")
+    A = tdb.open(uri, spark=spark)
+    got = A[0:4, 0:5]
+    want = np.concatenate([base, np.full((4, 2), 99)], axis=1)
+    assert_array_equal(got, want)
+
+
+def test_write_direct_append_start_idx(uri, spark):
+    """Explicit start_idx overrides the nonempty-domain placement."""
+    _direct_arr(uri, (19,))
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(np.arange(3, dtype=np.int64))
+        A.write_direct(np.array([7, 8], dtype=np.int64), append_dim=0,
+                       mode="append", start_idx=10)
+    A = tdb.open(uri, spark=spark)
+    got = A[0:12]
+    assert_array_equal(got[:3], [0, 1, 2])
+    assert_array_equal(got[10:12], [7, 8])
+    assert (got[3:10] == -1).all()          # fill between the fragments
+
+
+def test_write_direct_guards(uri, spark):
+    _direct_arr(uri, (9,), nattr=2)
+    with tdb.open(uri, "w", spark=spark) as A:
+        with pytest.raises(ValueError, match="multi-attribute"):
+            A.write_direct(np.arange(10, dtype=np.int64))
+    A = tdb.open(uri, spark=spark)
+    with pytest.raises(tdb.TileDBError, match="not opened for writing"):
+        A.write_direct(np.arange(10, dtype=np.int64))
+    with pytest.raises(ValueError, match="ambiguous"):
+        A.read_direct()
+
+
+def test_write_direct_domain_bounds(uri, spark):
+    _direct_arr(uri, (9,))
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(np.arange(8, dtype=np.int64))
+        with pytest.raises(tdb.TileDBError, match="exceeds domain"):
+            A.write_direct(np.arange(5, dtype=np.int64), append_dim=0,
+                           mode="append")
+
+
+def test_write_direct_noncontiguous_refused(uri, spark):
+    _direct_arr(uri, (9,))
+    strided = np.arange(20, dtype=np.int64)[::2]
+    assert not strided.flags.c_contiguous
+    with tdb.open(uri, "w", spark=spark) as A:
+        with pytest.raises(ValueError, match="contiguous"):
+            A.write_direct(strided)
+
+
+def test_read_direct_col_major_forder(uri, spark):
+    _direct_arr(uri, (3, 4), cell_order="col-major", tile_order="col-major")
+    data = np.arange(20, dtype=np.int64).reshape(4, 5)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A.write_direct(data)
+    out = tdb.open(uri, spark=spark).read_direct()
+    assert out.flags.f_contiguous
+    assert_array_equal(out, data)

@@ -877,6 +877,90 @@ class DenseArray(Array):
         the value's shape must match the concatenated per-dim axes."""
         self._write_dense_grid(self._subarray_axes(subarray), value)
 
+    # -- read/write_direct (S13, reference dense_array.py:633-777) ----------
+    def write_direct(self, array, append_dim=None, mode: str = "ingest",
+                     start_idx=None):
+        """Whole-array / appending write of a single attribute from a
+        contiguous ndarray (S13, reference ``dense_array.py:633-730``).
+
+        ``mode="ingest"`` (default): the array lands at
+        ``[start_idx, start_idx + shape - 1]`` on every dim
+        (``start_idx`` defaults to 0).  ``mode="append"``: the write is
+        placed after the nonempty domain along ``append_dim`` (or at
+        ``start_idx`` when given); every other dim's extent must match
+        the nonempty domain's, mirroring the reference's shape checks.
+        Each call commits one fragment — an append is a new fragment
+        with a shifted dim range, never a rewrite of existing ones."""
+        from .functions.query_condition import TileDBError
+
+        if self.mode != "w":
+            raise TileDBError("DenseArray is not opened for writing")
+        if self.schema.nattr != 1:
+            raise ValueError(
+                "cannot write_direct to a multi-attribute DenseArray")
+        arr = np.asarray(array)
+        if not (arr.flags.c_contiguous or arr.flags.f_contiguous):
+            raise ValueError("array is not contiguous")
+        base = int(start_idx or 0)
+        starts = [base] * arr.ndim
+        if mode == "append":
+            if append_dim is None or arr.ndim <= append_dim:
+                raise IndexError("`append_dim` out of range")
+            ned = self.nonempty_domain()
+            if ned is None:
+                raise TileDBError(
+                    "append requires a non-empty array (no prior writes)")
+            if arr.ndim != len(ned):
+                raise ValueError(
+                    "The number of dimension of the TileDB array and "
+                    "Numpy array to append do not match")
+            for n in range(arr.ndim):
+                if n == append_dim:
+                    starts[n] = (int(start_idx) if start_idx is not None
+                                 else int(ned[n][1]) + 1)
+                elif arr.shape[n] != int(ned[n][1]) - int(ned[n][0]) + 1:
+                    raise ValueError(
+                        "The input Numpy array must be of the same shape "
+                        "as the TileDB array, excluding the `append_dim`, "
+                        f"but the Numpy array at index {n} has "
+                        f"{arr.shape[n]} dimension(s) and the TileDB "
+                        f"array has {int(ned[n][1]) - int(ned[n][0]) + 1}.")
+        elif mode != "ingest":
+            raise ValueError(f"unknown write_direct mode {mode!r}")
+        axes = []
+        for n, d in enumerate(self.schema.domain):
+            lo, hi = starts[n], starts[n] + arr.shape[n] - 1
+            dlo, dhi = (int(x) for x in d.domain)
+            if lo < dlo or hi > dhi:
+                raise TileDBError(
+                    f"write_direct range [{lo}, {hi}] exceeds domain "
+                    f"[{dlo}, {dhi}] of dim {d.name!r}")
+            axes.append(np.arange(lo, hi + 1, dtype="int64"))
+        self._write_dense_grid(axes, np.ascontiguousarray(arr))
+
+    def read_direct(self, name=None):
+        """Whole-domain single-attribute read to an ndarray (S13,
+        reference ``dense_array.py:732-777``); honours col-major
+        cell+tile order with a Fortran-ordered result."""
+        from .functions.query_condition import TileDBError
+
+        if self.mode != "r":
+            raise TileDBError("DenseArray is not opened for reading")
+        if name is None:
+            if self.schema.nattr != 1 and not self.view_attr:
+                raise ValueError(
+                    "read_direct with no provided attribute is ambiguous "
+                    "for multi-attribute arrays")
+            name = self.view_attr or self.schema.attr(0).name
+        idx = tuple(slice(None) for _ in range(self.schema.domain.ndim))
+        out = self.subarray(idx, attrs=[name])
+        if isinstance(out, dict):
+            out = out[name]
+        if (self.schema.cell_order == "col-major"
+                and self.schema.tile_order == "col-major"):
+            return np.asfortranarray(out)
+        return out
+
     def __setitem__(self, selection, value):
         """Dense region write (reference ``dense_array.py:375-612``):
         materialize the region's coordinates + values as rows, commit as a
