@@ -180,6 +180,40 @@ def test_return_arrow(sparse1d, spark):
     assert tbl.num_rows == 50
 
 
+def test_return_arrow_zero_copy_dtype_fidelity(uri, spark, monkeypatch):
+    """Arrow export rides Spark 4's df.toArrow() (reference core.cc:
+    1514-1571 is zero-copy), NOT a pandas round-trip: timestamps keep
+    timestamp[us] and nullable ints stay int64 with real nulls (pandas
+    would widen to float64/NaN).  The from_pandas fallback is pinned
+    dead on this PySpark by making it explode."""
+    import pandas as pd
+    import pyarrow as pa
+
+    pdf = pd.DataFrame({
+        "k": np.arange(5, dtype="int64"),
+        "ts": pd.date_range("2020-01-01", periods=5,
+                            freq="D").astype("datetime64[us]"),
+        "x": pd.array([1, None, 3, None, 5], dtype="Int64"),
+        "v": np.linspace(0.0, 1.0, 5),
+    })
+    tdb.from_pandas(uri, pdf, index_dims=["k"])
+
+    from pyspark.sql import DataFrame as _SparkDF
+
+    def _boom(*a, **k):
+        raise AssertionError("pandas round-trip used for Arrow export")
+    monkeypatch.setattr(_SparkDF, "toPandas", _boom)
+
+    A = tdb.open(uri, spark=spark)
+    tbl = A.query(return_arrow=True)[:]
+    assert pa.types.is_timestamp(tbl.schema.field("ts").type)
+    assert tbl.schema.field("ts").type.unit == "us"
+    assert pa.types.is_int64(tbl.schema.field("x").type)
+    assert tbl.column("x").null_count == 2
+    assert tbl.column("x").to_pylist() == [1, None, 3, None, 5]
+    assert tbl.column("ts").to_pylist()[0].year == 2020
+
+
 def test_pickle_roundtrip(sparse1d, spark):
     import pickle
 
