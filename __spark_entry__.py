@@ -1460,6 +1460,67 @@ def q_ivf_ann(spark, sf_dir):
         "persisted_roundtrip boolean")
 
 
+def q_ann_append(spark, sf_dir):
+    """Incremental ANN index maintenance (VERDICT r9 item 5): two
+    append batches encode against FROZEN centroids+codebooks and commit
+    per-batch code-table fragments to a state array
+    (IVFPQIndex.append, the incremental_exact_dedup commit shape);
+    search over the fragmented state must BIT-EQUAL a scratch build on
+    the union — before AND after compact_state folds the fragments —
+    and a metadata predicate must compose with the persisted state.
+    The oracle states the assertions."""
+    import tiledb_py_spark as tdb
+    from tiledb_py_spark.fragment import array_fragments
+    from tiledb_py_spark.operators.dedup import compact_state
+    from tiledb_py_spark.operators.similarity import IVFPQIndex
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    base = e.filter(F.col("vec_id") != 0)
+    fit = IVFPQIndex(n_cells=8, n_probe=8, m=16, n_codes=64).fit(
+        e, "embedding")
+    meta_uri = _embeddings_array(spark, sf_dir)
+    # save-once / load-thereafter: idempotent on persisted array state
+    try:
+        idx = IVFPQIndex.load(meta_uri, name="append_gate")
+    except KeyError:
+        fit.save(meta_uri, name="append_gate")
+        idx = IVFPQIndex.load(meta_uri, name="append_gate")
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    state_uri = f"/tmp/tdbps_arrays/{key}/ivfpq_state"
+    if not tdb.array_exists(state_uri):
+        idx.append(base.filter(F.col("vec_id") % 2 == 0), "embedding",
+                   "vec_id", state_uri, keep_cols=["label"])
+        idx.append(base.filter(F.col("vec_id") % 2 == 1), "embedding",
+                   "vec_id", state_uri, keep_cols=["label"])
+
+    def rows(df):
+        return [(r.vec_id, r.score) for r in df.collect()]
+
+    scratch_tab = idx.build(base, "embedding", "vec_id",
+                            keep_cols=["label"])
+    scratch = rows(idx.search(scratch_tab, qv, k=10, n_probe=8))
+    pre = rows(idx.search_state(state_uri, qv, k=10, n_probe=8,
+                                spark=spark))
+    compact_state(state_uri, spark=spark)
+    post = rows(idx.search_state(state_uri, qv, k=10, n_probe=8,
+                                 spark=spark))
+    pred_state = rows(idx.search_state(
+        state_uri, qv, k=10, n_probe=8,
+        predicate=F.col("label") == 2, spark=spark))
+    pred_scratch = rows(idx.search(
+        scratch_tab, qv, k=10, n_probe=8,
+        predicate=F.col("label") == 2))
+    return spark.createDataFrame(
+        [(10, bool(pre == scratch), bool(post == scratch),
+          bool(pred_state == pred_scratch),
+          bool(len(array_fragments(state_uri)) == 1))],
+        "k int, append_bit_equal boolean, compacted_bit_equal boolean, "
+        "predicate_bit_equal boolean, single_fragment boolean")
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN, verified as assertions the oracle can
     state: (a) the ADC machinery is EXACT w.r.t. the stored codes — for
@@ -3144,9 +3205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diversity_sample and pq_ann (driver-green r07) to the tail
         "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,
-        "cms_counts": q_cms_counts,
         "ivf_ann": q_ivf_ann,
         "ivfpq_ann": q_ivfpq_ann,
+        # ann_append (NEW round 10, VERDICT r9 item 5) displaced
+        # cms_counts (driver-green r09, unchanged) to the tail
+        "ann_append": q_ann_append,
         "repeated_ngrams": q_repeated_ngrams,
         "remove_spans": q_remove_spans,
         "repetition_stats": q_repetition_stats,
@@ -3200,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py --exact and the committed
         # CORRECTNESS_full_r{N}.json. ---
         "group_agg": q_group_agg,
+        "cms_counts": q_cms_counts,
         "write_direct_append": q_write_direct_append,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
@@ -5664,6 +5728,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Assertion oracle (see q_ivfpq_ann): composed coarse-quantize +
         # residual-ADC with a predicate pushed into the code-table scan.
+        "ann_append": """
+            SELECT 10 AS k, true AS append_bit_equal,
+                   true AS compacted_bit_equal, true AS predicate_bit_equal,
+                   true AS single_fragment
+        """,
         "ivfpq_ann": """
             SELECT 10 AS k, true AS adc_exact, true AS recall_ge_floor,
                    true AS predicate_consistent, true AS predicate_pushed,

@@ -302,19 +302,97 @@ class IVFIndex:
             return df.withColumn("__cell", self._cell_arrow_udf()(F.col(vec_col)))
         return df.withColumn("__cell", self._cell_expr(F.col(vec_col)))
 
-    def search(self, df: DataFrame, vec_col: str, id_col: str,
-               query_vec: Sequence[float], k: int = 10) -> DataFrame:
-        assert self.centroids is not None
+    def _probe_cells(self, query_vec: Sequence[float],
+                     n_probe: Optional[int] = None) -> list:
         q = np.asarray(query_vec, dtype="float64")
+        np_ = n_probe if n_probe is not None else self.n_probe
         if self.metric == "cosine":
             qn = np.linalg.norm(q)
             qu = q / (qn if qn else 1.0)
-            probe = np.argsort(-(self.centroids @ qu))[: self.n_probe].tolist()
-        else:
-            dists = ((self.centroids - q) ** 2).sum(axis=1)
-            probe = np.argsort(dists)[: self.n_probe].tolist()
+            return np.argsort(-(self.centroids @ qu))[:np_].tolist()
+        dists = ((self.centroids - q) ** 2).sum(axis=1)
+        return np.argsort(dists)[:np_].tolist()
+
+    def search(self, df: DataFrame, vec_col: str, id_col: str,
+               query_vec: Sequence[float], k: int = 10) -> DataFrame:
+        assert self.centroids is not None
+        probe = self._probe_cells(query_vec)
         assigned = self.assign(df, vec_col).filter(F.col("__cell").isin(probe))
         return brute_force_topk(assigned, vec_col, id_col, query_vec, k=k)
+
+    # -- incremental maintenance (the incremental_exact_dedup pattern) ----
+    def append(self, df: DataFrame, vec_col: str, id_col: str,
+               state_uri: str, keep_cols: Sequence[str] = ()) -> None:
+        """Assign ``df``'s vectors to the FROZEN centroids and commit
+        (id, cell, vector, keep_cols...) rows to ``state_uri`` as ONE
+        new timestamped fragment — IVF-flat's ingest step: the index
+        grows batch-by-batch without refitting, and a search over
+        base+appended fragments equals one over a scratch assignment of
+        the union (assignment depends only on the frozen centroids).
+        Run :func:`..operators.dedup.compact_state` periodically to
+        fold per-batch fragments."""
+        assert self.centroids is not None, "fit() or load() before append"
+        rows = self.assign(df, vec_col).select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            F.col("__cell").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias(vec_col))
+        _commit_state_fragment(state_uri, rows, id_col)
+
+    def search_state(self, state_uri: str, vec_col: str, id_col: str,
+                     query_vec: Sequence[float], k: int = 10,
+                     n_probe: Optional[int] = None, spark=None) -> DataFrame:
+        """Search the PERSISTED cell-partitioned vector table: the
+        stored ``cell`` column prunes to the probed cells (no
+        re-assignment), then exact scoring over the surviving rows."""
+        from .. import highlevel as hl
+
+        tab = hl.open(state_uri, spark=spark).dataframe()
+        probe = self._probe_cells(query_vec, n_probe)
+        return brute_force_topk(tab.filter(F.col("cell").isin(probe)),
+                                vec_col, id_col, query_vec, k=k)
+
+
+def _commit_state_fragment(state_uri: str, rows: DataFrame,
+                           id_col: str) -> None:
+    """Create-or-append code-table rows to an engine state array as ONE
+    timestamped fragment (the ``incremental_exact_dedup`` commit shape,
+    ``dedup.py``): full int64 id domain so any later batch's ids fit,
+    attr schema inferred from the rows' Spark schema, and the commit
+    timestamp forced strictly past the last fragment so pinned reads
+    can never see a same-millisecond commit."""
+    from pyspark.sql import types as T
+
+    from .. import highlevel as hl
+    from .. import manifest as mf
+    from ..fragment import array_fragments
+    from ..schema import ArraySchema, Attr, Dim, Domain
+    from ..sources.dataframe_ import _spark_to_np
+    from ..sources.fragment_writer import write_fragment_spark
+
+    ts_pin = None
+    if not hl.array_exists(state_uri):
+        info = np.iinfo(np.int64)
+        dim = Dim(name=id_col, domain=(info.min, info.max - 1000),
+                  tile=1000, dtype=np.int64)
+        attrs = []
+        for f in rows.schema.fields:
+            if f.name == id_col:
+                continue
+            if isinstance(f.dataType, T.ArrayType):
+                attrs.append(Attr(name=f.name,
+                                  dtype=_spark_to_np(f.dataType.elementType),
+                                  var=True, nullable=f.nullable))
+            else:
+                attrs.append(Attr(name=f.name, dtype=_spark_to_np(f.dataType),
+                                  nullable=f.nullable))
+        schema = ArraySchema(domain=Domain(dim), attrs=attrs, sparse=True)
+        mf.create_array(state_uri, schema)
+    else:
+        schema = mf.read_manifest(state_uri).schema
+        frs = array_fragments(state_uri)
+        ts_pin = max(f.timestamp_range[1] for f in frs) if len(frs) else None
+    write_fragment_spark(state_uri, schema, rows,
+                         timestamp=max(mf.now_ms(), (ts_pin or 0) + 1))
 
 
 class PQIndex:
@@ -789,6 +867,32 @@ class IVFPQIndex:
                   .filter(F.col("score").isNotNull() & ~F.isnan("score"))
                   .select(id_col, "score")
                   .orderBy(F.desc("score"), id_col).limit(k))
+
+    # -- incremental maintenance (the incremental_exact_dedup pattern) ----
+    def append(self, df: DataFrame, vec_col: str, id_col: str,
+               state_uri: str, keep_cols: Sequence[str] = ()) -> None:
+        """Encode ``df``'s vectors against the FROZEN centroids +
+        codebooks and commit the (id, keep_cols..., cell, pq_codes)
+        code-table rows to ``state_uri`` as ONE new timestamped
+        fragment.  Search over base+appended fragments bit-equals a
+        scratch ``build`` on the union — encoding depends only on the
+        frozen model, never on co-resident rows.  Fold per-batch
+        fragments with :func:`..operators.dedup.compact_state`."""
+        assert self.centroids is not None, "fit() or load() before append"
+        rows = self.build(df, vec_col, id_col, keep_cols=keep_cols)
+        _commit_state_fragment(state_uri, rows, id_col)
+
+    def search_state(self, state_uri: str, query_vec: Sequence[float],
+                     k: int = 10, id_col: str = "vec_id",
+                     predicate: Optional[Column] = None,
+                     n_probe: Optional[int] = None, spark=None) -> DataFrame:
+        """ADC top-k over the persisted code-table array — raw vectors
+        never enter the search path; cell + predicate prune the scan."""
+        from .. import highlevel as hl
+
+        tab = hl.open(state_uri, spark=spark).dataframe()
+        return self.search(tab, query_vec, k=k, id_col=id_col,
+                           predicate=predicate, n_probe=n_probe)
 
 
 class PCAModel:
