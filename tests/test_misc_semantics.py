@@ -271,3 +271,27 @@ def test_json_extraction_semantics(spark):
     agg = df.agg(F.sum(F.get_json_object("props", "$.k").cast("int"))
                  .alias("s")).collect()[0].s
     assert agg == 18
+
+
+def test_encryption_key_loud_refusal(tmp_path, spark):
+    """Encryption posture (VERDICT r9 item 8): the reference's `key`
+    param (array.py:301-386, AES-256-GCM) is accepted for API parity
+    but raises a loud TileDBError — never silently ignored, so a caller
+    can't believe their data is encrypted when fragments are plaintext
+    parquet.  The supported path is storage-layer encryption."""
+    import numpy as np
+    import pytest
+
+    import tiledb_py_spark as tdb
+
+    uri = str(tmp_path / "enc")
+    data = np.arange(10, dtype=np.int64)
+    tdb.from_numpy(uri, data)
+    with pytest.raises(tdb.TileDBError, match="encryption.*not supported"):
+        tdb.open(uri, key=b"0123456789abcdef0123456789abcdef")
+    with pytest.raises(tdb.TileDBError, match="encryption.*not supported"):
+        tdb.Array.create(str(tmp_path / "enc2"),
+                         tdb.schema_like(shape=(4,), dtype=np.int64),
+                         key="secret")
+    # key=None stays the normal path
+    assert tdb.open(uri, key=None).shape == (10,)

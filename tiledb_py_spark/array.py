@@ -95,7 +95,19 @@ class Array:
 
     # -- construction --------------------------------------------------------
     @classmethod
-    def create(cls, uri: str, schema: ArraySchema, overwrite: bool = False):
+    def create(cls, uri: str, schema: ArraySchema, overwrite: bool = False,
+               key=None):
+        """``key`` (reference ``array.py:301-386``) is accepted for API
+        parity but UNSUPPORTED — see :func:`highlevel.open`: a non-None
+        key raises rather than silently writing plaintext."""
+        if key is not None:
+            from .functions.query_condition import TileDBError
+
+            raise TileDBError(
+                "encryption keys are not supported: fragments are "
+                "parquet files — use parquet modular encryption or "
+                "storage-level encryption (SSE/KMS) instead of a "
+                "per-array key")
         if overwrite and mf.array_exists(uri):
             mf.delete_array(uri)
         mf.create_array(uri, schema)

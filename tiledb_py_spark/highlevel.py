@@ -23,8 +23,22 @@ ANON_ATTR = "__attr"  # the reference's anonymous attr is ""; parquet/Spark
 
 
 def open(uri: str, mode: str = "r", timestamp=None, attr: Optional[str] = None,
-         spark=None) -> Array:
-    """Open an array (reference ``highlevel.py:13-34``)."""
+         spark=None, key: Optional[Any] = None) -> Array:
+    """Open an array (reference ``highlevel.py:13-34``).
+
+    ``key`` (reference ``array.py:301-386``, AES-256-GCM at-rest
+    encryption) is accepted for API parity but UNSUPPORTED: fragments
+    are parquet files, and at-rest encryption belongs to the storage
+    layer (parquet modular encryption / bucket-level SSE), not this
+    engine.  A non-None key raises loudly rather than silently writing
+    plaintext the caller believes is encrypted."""
+    if key is not None:
+        from .functions.query_condition import TileDBError
+
+        raise TileDBError(
+            "encryption keys are not supported: fragments are parquet "
+            "files — use parquet modular encryption or storage-level "
+            "encryption (SSE/KMS) instead of a per-array key")
     return Array.load_typed(uri, mode=mode, timestamp=timestamp, attr=attr, spark=spark)
 
 
