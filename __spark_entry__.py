@@ -1521,6 +1521,56 @@ def q_ann_append(spark, sf_dir):
         "predicate_bit_equal boolean, single_fragment boolean")
 
 
+def q_kmeans_refine(spark, sf_dir):
+    """Distributed full-data k-means refinement (kmeans_fit): the
+    corpus-scale upgrade of the ANN indexes' driver-sample fit — one
+    column-pruned Arrow scan per Lloyd pass emitting bounded per-
+    partition partial sums, vectors never shuffle.  Verified as
+    assertions the oracle can state: (a) the distributed pass
+    bit-replays numpy Lloyd from the same init to 1e-9 (full scoring
+    machinery, float-associativity tolerance only); (b) the spherical
+    objective (mean max cosine to a centroid) does not degrade vs the
+    sample-only fit; (c) two runs are deterministic-identical."""
+    import numpy as np
+
+    from tiledb_py_spark.operators.similarity import IVFIndex, kmeans_fit
+
+    e = (_t(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    base = e.filter(F.col("vec_id") != 0)
+    init = IVFIndex(n_cells=8, n_probe=8).fit(e, "embedding").centroids
+    ref = kmeans_fit(base, "embedding", 8, n_iter=2, init=init,
+                     metric="cosine")
+    ref2 = kmeans_fit(base, "embedding", 8, n_iter=2, init=init,
+                      metric="cosine")
+
+    M = np.asarray([r[0] for r in base.select("embedding").collect()],
+                   dtype="float64")
+    M = M[np.isfinite(M).all(axis=1)]
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=-1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    C = unit(init.copy())
+    Mu = unit(M)
+    for _ in range(2):
+        cells = ((C * C).sum(axis=1)[None, :] - 2 * (Mu @ C.T)).argmin(axis=1)
+        for c in range(len(C)):
+            pts = Mu[cells == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+        C = unit(C)
+    replay_ok = bool(np.allclose(ref, C, atol=1e-9))
+    d_base = float((Mu @ unit(init).T).max(axis=1).mean())
+    d_ref = float((Mu @ unit(ref).T).max(axis=1).mean())
+    return spark.createDataFrame(
+        [(8, replay_ok, bool(d_ref >= d_base - 1e-9),
+          bool(np.array_equal(ref, ref2)))],
+        "k int, numpy_replay_exact boolean, objective_not_degraded boolean, "
+        "deterministic boolean")
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN, verified as assertions the oracle can
     state: (a) the ADC machinery is EXACT w.r.t. the stored codes — for
@@ -3204,7 +3254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketches family (NEW round 8) displaced fuzzy_join,
         # diversity_sample and pq_ann (driver-green r07) to the tail
         "quantile_sketch": q_quantile_sketch,
-        "distinct_sketch": q_distinct_sketch,
+        # kmeans_refine (NEW round 10) displaced distinct_sketch
+        # (driver-green r09, unchanged) to the tail
+        "kmeans_refine": q_kmeans_refine,
         "ivf_ann": q_ivf_ann,
         "ivfpq_ann": q_ivfpq_ann,
         # ann_append (NEW round 10, VERDICT r9 item 5) displaced
@@ -3264,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_full_r{N}.json. ---
         "group_agg": q_group_agg,
         "cms_counts": q_cms_counts,
+        "distinct_sketch": q_distinct_sketch,
         "write_direct_append": q_write_direct_append,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
@@ -5728,6 +5781,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Assertion oracle (see q_ivfpq_ann): composed coarse-quantize +
         # residual-ADC with a predicate pushed into the code-table scan.
+        "kmeans_refine": """
+            SELECT 8 AS k, true AS numpy_replay_exact,
+                   true AS objective_not_degraded, true AS deterministic
+        """,
         "ann_append": """
             SELECT 10 AS k, true AS append_bit_equal,
                    true AS compacted_bit_equal, true AS predicate_bit_equal,

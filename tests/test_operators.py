@@ -270,6 +270,87 @@ def test_ivf_recall(spark):
     assert got == want
 
 
+def _np_lloyd(M, C0, n_iter, cosine=False):
+    C = C0.copy()
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=-1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+    if cosine:
+        M, C = unit(M), unit(C)
+    for _ in range(n_iter):
+        cells = ((C * C).sum(axis=1)[None, :] - 2 * (M @ C.T)).argmin(axis=1)
+        for c in range(len(C)):
+            pts = M[cells == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+        if cosine:
+            C = unit(C)
+    return C
+
+
+def test_kmeans_fit_matches_numpy_replay(spark):
+    """Distributed full-data Lloyd == a numpy replay of the same
+    iterations from the same init (partial-sum merge is exact up to
+    float associativity), for both metrics; empty cells keep their
+    centroid; null/NaN vectors are dropped."""
+    from tiledb_py_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    M = rng.randn(300, 8)
+    rows = [(i, M[i].tolist()) for i in range(300)]
+    rows.append((300, None))
+    rows.append((301, [float("nan")] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>") \
+        .repartition(8)
+    init = M[rng.choice(300, 5, replace=False)]
+    for cosine in (False, True):
+        got = kmeans_fit(df, "v", 5, n_iter=3, init=init,
+                         metric="cosine" if cosine else "l2")
+        want = _np_lloyd(M, init, 3, cosine=cosine)
+        assert np.allclose(got, want, atol=1e-9), cosine
+    # an init row no vector maps to survives verbatim
+    far = np.vstack([init[:4], np.full(8, 1e6)])
+    got = kmeans_fit(df, "v", 5, n_iter=2, init=far)
+    assert np.array_equal(got[4], np.full(8, 1e6))
+    with pytest.raises(ValueError, match=r"init must be"):
+        kmeans_fit(df, "v", 5, init=init[:3])
+
+
+def test_ivf_fit_refine_improves_distortion(spark):
+    """fit(refine_iters=N) runs full-data Lloyd passes from the sample
+    centroids: the spherical k-means objective (mean max-dot) must not
+    degrade, and the refined index still probes-all to the exact
+    top-k."""
+    from tiledb_py_spark.operators.similarity import (IVFIndex,
+                                                      brute_force_topk)
+
+    rng = np.random.RandomState(9)
+    # 4 genuine clusters + noise so refinement has signal
+    centers = rng.randn(4, 8) * 4
+    M = np.vstack([c + rng.randn(60, 8) * 0.3 for c in centers])
+    df = spark.createDataFrame([(i, M[i].tolist()) for i in range(len(M))],
+                               ["vec_id", "v"])
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+    def distortion(C):
+        return float((unit(M) @ unit(C).T).max(axis=1).mean())
+
+    base = IVFIndex(n_cells=4, n_probe=4, seed=7).fit(df, "v",
+                                                      sample_rows=40)
+    ref = IVFIndex(n_cells=4, n_probe=4, seed=7).fit(df, "v",
+                                                     sample_rows=40,
+                                                     refine_iters=3)
+    assert distortion(ref.centroids) >= distortion(base.centroids) - 1e-9
+    q = M[5].tolist()
+    got = [r.vec_id for r in ref.search(df, "v", "vec_id", q, k=5).collect()]
+    want = [r.vec_id
+            for r in brute_force_topk(df, "v", "vec_id", q, k=5).collect()]
+    assert got == want
+
+
 def test_ivf_append_state_matches_direct(spark, tmp_path):
     """IVF-flat incremental maintenance: two append batches against
     frozen centroids commit per-batch fragments; search_state over the

@@ -140,6 +140,95 @@ def _hash_ordered_sample(df: DataFrame, vec_col: str, sample_rows: int,
     return sample
 
 
+def kmeans_fit(df: DataFrame, vec_col: str, k: int, n_iter: int = 5,
+               init: Optional[np.ndarray] = None, seed: int = 42,
+               metric: str = "l2",
+               sample_rows: int = 20000) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL table — the refinement
+    step that makes sample-trained IVF centroids honest at corpus
+    scale (a 20k-row driver sample seeds well but under-represents
+    tail clusters; one or two full-data Lloyd passes fix the counts).
+
+    Per iteration: the k×d centroid matrix rides ONE Arrow
+    ``mapInPandas`` closure that emits per-partition PARTIAL rows
+    (cell, count, sum-vector) — corpus vectors never shuffle and the
+    scan is column-pruned to ``vec_col``; the ≤ partitions×k partial
+    rows merge on the driver (the :class:`PCAModel` moments / sketch
+    contract: bounded driver merges, one scan per iteration).  Empty
+    cells keep their previous centroid.  ``metric="cosine"`` runs
+    spherical k-means: vectors are L2-normalized in the pass and
+    centroids re-projected to the sphere each update.
+
+    ``init``: (k, d) ndarray to refine (e.g. ``IVFIndex.fit``'s sample
+    centroids); ``None`` seeds from the shared hash-ordered sample.
+    Returns the (k, d) centroid ndarray — plug into
+    ``IVFIndex.centroids`` or pass ``refine_iters`` to ``fit``."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if init is not None:
+        C = np.asarray(init, dtype="float64").copy()
+        if C.ndim != 2 or len(C) != k:
+            raise ValueError(f"init must be ({k}, d)")
+    else:
+        sample = _hash_ordered_sample(df, vec_col, sample_rows, 0.05,
+                                      seed, floor=max(10 * k, 256))
+        if len(sample) < k:
+            raise ValueError("not enough vectors to seed k centroids")
+        rng = np.random.default_rng(seed)
+        C = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    cosine = metric == "cosine"
+
+    def _unit(m):
+        n = np.linalg.norm(m, axis=-1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    if cosine:
+        C = _unit(C)
+    d = C.shape[1]
+    vecs = df.select(F.col(vec_col).alias("__v")) \
+             .filter(F.col("__v").isNotNull())
+    out_schema = ("cell int, n long, s array<double>")
+    for _ in range(n_iter):
+        Cb = C.copy()
+
+        def partials(it):
+            acc_n = np.zeros(len(Cb), dtype="int64")
+            acc_s = np.zeros((len(Cb), d), dtype="float64")
+            for pdf in it:
+                vs = pdf["__v"]
+                M = np.asarray([np.asarray(v, dtype="float64")
+                                for v in vs if v is not None and
+                                len(v) == d])
+                if not len(M):
+                    continue
+                M = M[np.isfinite(M).all(axis=1)]
+                if not len(M):
+                    continue
+                if cosine:
+                    M = _unit(M)
+                # argmin ||v-c||^2 = argmin |c|^2 - 2 v.c
+                cells = ((Cb * Cb).sum(axis=1)[None, :]
+                         - 2 * (M @ Cb.T)).argmin(axis=1)
+                acc_n += np.bincount(cells, minlength=len(Cb))
+                np.add.at(acc_s, cells, M)
+            nz = np.nonzero(acc_n)[0]
+            yield pd.DataFrame({"cell": nz.astype("int32"),
+                                "n": acc_n[nz],
+                                "s": [acc_s[c].tolist() for c in nz]})
+
+        rows = vecs.mapInPandas(partials, schema=out_schema).collect()
+        n_tot = np.zeros(len(C), dtype="int64")
+        s_tot = np.zeros_like(C)
+        for r in rows:
+            n_tot[r.cell] += r.n
+            s_tot[r.cell] += np.asarray(r.s)
+        upd = n_tot > 0
+        C[upd] = s_tot[upd] / n_tot[upd, None]
+        if cosine:
+            C = _unit(C)
+    return C
+
+
 class IVFIndex:
     """Inverted-file ANN index: vectors assigned to nearest centroid cell.
 
@@ -165,7 +254,12 @@ class IVFIndex:
         self.centroids: Optional[np.ndarray] = None
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
-            sample_fraction: float = 0.05) -> "IVFIndex":
+            sample_fraction: float = 0.05,
+            refine_iters: int = 0) -> "IVFIndex":
+        """Driver-sample spherical/plain k-means; ``refine_iters`` > 0
+        follows with that many FULL-DATA distributed Lloyd passes
+        (:func:`kmeans_fit`) — the corpus-scale path where a 20k-row
+        sample under-represents tail clusters."""
         sample = _hash_ordered_sample(df, vec_col, sample_rows,
                                       sample_fraction, self.seed,
                                       floor=max(10 * self.n_cells, 256))
@@ -186,6 +280,10 @@ class IVFIndex:
                     centroids[c] = m.mean(axis=0)
             if self.metric == "cosine":   # spherical k-means: re-project
                 centroids = _unit(centroids)
+        if refine_iters > 0:
+            centroids = kmeans_fit(df, vec_col, k, n_iter=refine_iters,
+                                   init=centroids, seed=self.seed,
+                                   metric=self.metric)
         self.centroids = centroids
         return self
 
