@@ -95,6 +95,30 @@ def test_from_csv(uri, tmp_path, spark):
     assert out["v"].tolist() == pdf["v"].tolist()
 
 
+def test_from_json_lines(uri, tmp_path, spark):
+    """JSONL ingest: pandas path, chunked fragments, and the
+    distributed spark.read.json path all land the same rows."""
+    pdf = _pdf()
+    jl = tmp_path / "data.jsonl"
+    pdf.to_json(jl, orient="records", lines=True)
+    tdb.from_json(uri, str(jl), index_dims=["k"])
+    out = tdb.open_dataframe(uri).reset_index().sort_values("k") \
+        .reset_index(drop=True)
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+    uri2 = str(tmp_path / "arr_chunked")
+    tdb.from_json(uri2, str(jl), index_dims=["k"], chunksize=4)
+    assert len(tdb.array_fragments(uri2)) == 3          # 4+4+2 rows
+    out2 = tdb.open_dataframe(uri2).reset_index().sort_values("k")
+    assert out2["v"].tolist() == pdf["v"].tolist()
+
+    uri3 = str(tmp_path / "arr_spark")
+    tdb.from_json(uri3, str(jl), index_dims=["k"], spark=spark)
+    A = tdb.open(uri3, spark=spark)
+    got = A.df[:].sort_values("v")
+    assert got["v"].tolist() == sorted(pdf["v"].tolist())
+
+
 def test_from_parquet(uri, tmp_path, spark):
     pdf = _pdf()
     pq = tmp_path / "data.parquet"

@@ -5,7 +5,7 @@ Public API mirrors the reference surface
 (``/root/reference/tiledb/__init__.py:33-110``): Array / ArraySchema /
 Attr / Dim / Domain / DenseArray / SparseArray / Query / QueryCondition /
 Group / Metadata / Enumeration / FragmentInfoList / ArraySchemaEvolution /
-from_pandas / from_csv / from_parquet / from_numpy / open_dataframe /
+from_pandas / from_csv / from_json / from_parquet / from_numpy / open_dataframe /
 consolidate / vacuum — rebuilt on Spark DataFrames over parquet fragments
 with a JSON manifest.
 
@@ -47,7 +47,7 @@ from .current_domain import CurrentDomain, NDRectangle
 from .profile import Profile
 from .schema_evolution import ArraySchemaEvolution
 from .session import get_spark
-from .sources.dataframe_ import (from_csv, from_pandas, from_parquet,
+from .sources.dataframe_ import (from_csv, from_json, from_pandas, from_parquet,
                                  from_spark, open_dataframe)
 from .stats import (stats_disable, stats_dump, stats_enable, stats_enabled,
                     stats_reset)
@@ -86,7 +86,7 @@ __all__ = [
     "array_exists", "array_fragments", "as_built", "consolidate",
     "copy_fragments_to_existing_array",
     "create_array_from_fragments", "delete_array", "delete_fragments",
-    "empty_like", "from_csv", "from_numpy", "from_pandas", "from_parquet",
+    "empty_like", "from_csv", "from_json", "from_numpy", "from_pandas", "from_parquet",
     "from_spark", "get_spark", "is_empty_range", "ls", "move",
     "nan_safe_equal", "object_type", "open", "open_dataframe", "remove",
     "save", "schema_like", "vacuum", "version", "walk",

@@ -252,6 +252,42 @@ def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
                 full_domain=full_domain)
 
 
+def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
+              sparse=None, full_domain: bool = False,
+              chunksize: Optional[int] = None, spark=None,
+              **pandas_kwargs) -> None:
+    """JSONL / newline-delimited JSON ingest — the ``from_csv`` surface
+    (S16 shape) for the dominant raw-corpus interchange format (web
+    crawls, instruction data, chat logs ship as .jsonl).  Accepts one
+    path or a list; ``spark`` routes through ``spark.read.json`` (the
+    distributed path — JSONL is splittable, so a 1 TB file scans
+    parallel) with schema inference; without it, pandas
+    ``read_json(lines=True)`` handles small files, with ``chunksize``
+    streaming chunks into separate fragments like the reference's
+    chunked CSV ingest."""
+    files = json_file if isinstance(json_file, (list, tuple)) else [json_file]
+    if spark is not None:
+        sdf = spark.read.json(list(files))
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        return
+    if chunksize is not None:
+        first = mode in ("ingest", "schema_only")
+        for f in files:
+            for chunk in pd.read_json(f, lines=True, chunksize=chunksize,
+                                      **pandas_kwargs):
+                if first:
+                    from_pandas(uri, chunk, index_dims=index_dims,
+                                sparse=sparse, mode=mode, full_domain=True)
+                    first = False
+                else:
+                    from_pandas(uri, chunk, mode="append")
+        return
+    pdf = pd.concat([pd.read_json(f, lines=True, **pandas_kwargs)
+                     for f in files], ignore_index=True)
+    from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                full_domain=full_domain)
+
+
 def from_parquet(uri: str, parquet_uri, spark=None, index_dims=None,
                  sparse=None, mode: str = "ingest") -> None:
     """Parquet ingest (reference ``parquet_.py:4-9`` routes via pandas; the
