@@ -635,13 +635,17 @@ def test_stateful_late_data_policies(spark, tmp_path):
     #                                           straggler: 41-5 > 30
 
 
-@pytest.mark.parametrize("vd", [None, 2])
-def test_rolling_anomaly_stream_matches_batch(spark, tmp_path, vd):
+@pytest.mark.parametrize("vd,off", [(None, 0.0), (2, 0.0), (2, 9.5e6)])
+def test_rolling_anomaly_stream_matches_batch(spark, tmp_path, vd, off):
     """Streaming rolling z-score: the trailing frame persists across
     micro-batches (a spike in batch 2 is judged against baseline rows
     from batch 1); an in-order stream flags exactly the batch
-    rolling_anomaly rows, null frame slots included — on both the float
-    path and the exact fixed-point path (value_decimals=2)."""
+    rolling_anomaly rows, null frame slots included — on the float
+    path, the exact fixed-point path (value_decimals=2), AND at
+    magnitudes past the old int64 sum-of-squares wrap (off=9.5e6, the
+    r9 ADVICE divergence: stream Python ints were arbitrary-precision
+    while batch BIGINT wrapped — the DECIMAL(38,0) frame sums restore
+    bit-identity)."""
     from tiledb_py_spark.streaming.events import rolling_anomaly
     from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
 
@@ -653,14 +657,15 @@ def test_rolling_anomaly_stream_matches_batch(spark, tmp_path, vd):
     pd.DataFrame({"event_id": range(1, 8),
                   "ts": [ts(m) for m in range(7)],
                   "user_id": [1] * 7,
-                  "value": [10.0, 11.0, 10.0, None, 11.0, 10.0, 11.0]}) \
+                  "value": [v if v is None else v + off for v in
+                            [10.0, 11.0, 10.0, None, 11.0, 10.0, 11.0]]}) \
         .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
     # batch 2: the spike (needs batch-1 state to be judged) + more
     # baseline + a second user with too few priors to ever flag
     pd.DataFrame({"event_id": [8, 9, 10, 11],
                   "ts": [ts(m) for m in (7, 8, 9, 10)],
                   "user_id": [1, 1, 2, 2],
-                  "value": [99.0, 10.0, 50.0, 500.0]}) \
+                  "value": [v + off for v in [99.0, 10.0, 50.0, 500.0]]}) \
         .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
 
     schema = spark.read.parquet(str(src)).schema
