@@ -161,7 +161,7 @@ def test_write_direct_append_2d_shape_checks(uri, spark):
         # append along dim 1: other dim extent must match (4)
         A.write_direct(np.full((4, 2), 99, dtype=np.int64),
                        append_dim=1, mode="append")
-        with pytest.raises(ValueError, match="same shape"):
+        with pytest.raises(ValueError, match="same shape as the"):
             A.write_direct(np.full((3, 2), 7, dtype=np.int64),
                            append_dim=1, mode="append")
         with pytest.raises(IndexError, match="append_dim"):

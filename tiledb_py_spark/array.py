@@ -924,19 +924,18 @@ class DenseArray(Array):
                     "append requires a non-empty array (no prior writes)")
             if arr.ndim != len(ned):
                 raise ValueError(
-                    "The number of dimension of the TileDB array and "
-                    "Numpy array to append do not match")
+                    "append array ndim does not match the array's "
+                    f"dimension count ({arr.ndim} != {len(ned)})")
             for n in range(arr.ndim):
                 if n == append_dim:
                     starts[n] = (int(start_idx) if start_idx is not None
                                  else int(ned[n][1]) + 1)
                 elif arr.shape[n] != int(ned[n][1]) - int(ned[n][0]) + 1:
                     raise ValueError(
-                        "The input Numpy array must be of the same shape "
-                        "as the TileDB array, excluding the `append_dim`, "
-                        f"but the Numpy array at index {n} has "
-                        f"{arr.shape[n]} dimension(s) and the TileDB "
-                        f"array has {int(ned[n][1]) - int(ned[n][0]) + 1}.")
+                        "append data must have the same shape as the "
+                        "array's nonempty domain on every dim except "
+                        f"`append_dim`: dim {n} has extent {arr.shape[n]}"
+                        f" vs {int(ned[n][1]) - int(ned[n][0]) + 1}")
         elif mode != "ingest":
             raise ValueError(f"unknown write_direct mode {mode!r}")
         axes = []
