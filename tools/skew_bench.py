@@ -102,13 +102,50 @@ def _straggler(spark, after_stage: int):
 
 
 def main() -> int:
-    names = sys.argv[1:] or FAMILIES
+    argv = [a for a in sys.argv[1:] if a != "--same-jvm"]
+    same_jvm = "--same-jvm" in sys.argv[1:]
+    names = argv or FAMILIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     skew_dir = os.environ.get("SPARK_GRAFT_SKEW_DIR",
                               "/root/repo/.bench_data/sf1skew")
     uni_dir = os.environ.get("SPARK_GRAFT_UNIFORM_DIR",
                              "/root/repo/.bench_data/sf1")
     load_start = round(os.getloadavg()[0], 2)
+
+    if len(names) > 1 and not same_jvm:
+        # fresh process per family (the scale_bench r8 contract): the
+        # retired batched mode inflated LATE families 2-4x — the r10
+        # batched sweep recorded pack_materialize (last of 10) at 45s
+        # uniform vs 11.3s in its own JVM, with a phantom straggler
+        # from accumulated GC/codegen state.  --same-jvm restores the
+        # batched mode for quick triage.
+        import subprocess
+
+        fams = {}
+        for name in names:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, env=os.environ)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            try:
+                fams.update(json.loads(line)["families"])
+            except Exception:
+                fams[name] = None
+                print(f"  {name}: FAILED\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+            else:
+                f = fams[name]
+                print(f"  {name}: uniform {f['uniform_s']}s skew "
+                      f"{f['skew_s']}s (x{f['skew_over_uniform']}, "
+                      f"straggler {f.get('straggler_task_ratio')})",
+                      file=sys.stderr)
+        print(json.dumps({
+            "metric": "skew_bench", "unit": "sec", "families": fams,
+            "skew_dir": skew_dir, "uniform_dir": uni_dir,
+            "mode": "fresh-process",
+            "load_1m_start": load_start,
+            "load_1m_end": round(os.getloadavg()[0], 2)}))
+        return 0
 
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
