@@ -153,11 +153,18 @@ def main() -> int:
     # spike mid-sweep can inflate BOTH of a query's runs, so min-of-two
     # alone records contention as a regression (the r9 artifact cost the
     # judge a re-measurement pass).  After the sweep — when the spike
-    # has usually passed — re-run every query whose two runs disagreed
-    # by more than the spread threshold and keep the overall min; the
-    # re-run count and per-phase loads make the artifact self-describing.
+    # has usually passed — re-run (a) every query whose two runs
+    # disagreed by more than the spread threshold, and (b) every query
+    # above the absolute floor: the r10 host study (BENCH_sf10.json
+    # environment_variance) found minute-scale UNIFORM slow windows
+    # (kernel sys-time spikes) that inflate both runs with a small
+    # spread, and the expensive rows dominate the total.  Keep the
+    # overall min; re-run count + per-phase loads make the artifact
+    # self-describing.
     spread_thresh = float(os.environ.get("SPARK_GRAFT_SPREAD_THRESH", "3"))
-    rerun_names = [n for n, s in spreads.items() if s > spread_thresh]
+    heavy_floor = float(os.environ.get("SPARK_GRAFT_RERUN_FLOOR_S", "2"))
+    rerun_names = [n for n, s in spreads.items()
+                   if s > spread_thresh or times[n] > heavy_floor]
     load_rerun = round(os.getloadavg()[0], 2)
     for name in rerun_names:
         times[name] = round(min(times[name], timed_run(name)), 3)
