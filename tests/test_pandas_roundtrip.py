@@ -119,6 +119,31 @@ def test_from_json_lines(uri, tmp_path, spark):
     assert got["v"].tolist() == sorted(pdf["v"].tolist())
 
 
+def test_from_json_nested_structs(tmp_path, spark):
+    """Nested JSON objects: loud refusal by default (flat attr schema),
+    flatten=True lifts struct leaves to parent_child columns
+    recursively."""
+    import json as _json
+
+    import pytest
+
+    jl = tmp_path / "nested.jsonl"
+    with open(jl, "w") as f:
+        for i in range(4):
+            f.write(_json.dumps(
+                {"k": i, "meta": {"a": i * 2, "deep": {"b": i * 3}},
+                 "v": f"x{i}"}) + "\n")
+    uri = str(tmp_path / "arr")
+    with pytest.raises(ValueError, match="flatten=True"):
+        tdb.from_json(uri, str(jl), index_dims=["k"], spark=spark)
+    tdb.from_json(uri, str(jl), index_dims=["k"], spark=spark,
+                  flatten=True)
+    A = tdb.open(uri, spark=spark)
+    out = A.df[:].sort_values("meta_a")
+    assert out["meta_a"].tolist() == [0, 2, 4, 6]
+    assert out["meta_deep_b"].tolist() == [0, 3, 6, 9]
+
+
 def test_from_parquet(uri, tmp_path, spark):
     pdf = _pdf()
     pq = tmp_path / "data.parquet"

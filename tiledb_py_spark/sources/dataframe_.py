@@ -252,10 +252,29 @@ def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
                 full_domain=full_domain)
 
 
+def _flatten_structs(sdf):
+    """Recursively lift struct leaves to top-level ``parent_child``
+    columns (attr schemas are flat — the engine has no nested type)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols, again = [], False
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            again = True
+            for sub in f.dataType.fields:
+                cols.append(F.col(f"`{f.name}`.`{sub.name}`")
+                            .alias(f"{f.name}_{sub.name}"))
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    out = sdf.select(*cols)
+    return _flatten_structs(out) if again else out
+
+
 def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
               sparse=None, full_domain: bool = False,
               chunksize: Optional[int] = None, spark=None,
-              **pandas_kwargs) -> None:
+              flatten: bool = False, **pandas_kwargs) -> None:
     """JSONL / newline-delimited JSON ingest — the ``from_csv`` surface
     (S16 shape) for the dominant raw-corpus interchange format (web
     crawls, instruction data, chat logs ship as .jsonl).  Accepts one
@@ -267,7 +286,19 @@ def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
     chunked CSV ingest."""
     files = json_file if isinstance(json_file, (list, tuple)) else [json_file]
     if spark is not None:
+        from pyspark.sql import types as T
+
         sdf = spark.read.json(list(files))
+        nested = [f.name for f in sdf.schema.fields
+                  if isinstance(f.dataType, T.StructType)]
+        if nested and flatten:
+            sdf = _flatten_structs(sdf)
+        elif nested:
+            raise ValueError(
+                f"JSON objects in {nested} are nested; the array schema "
+                "is flat — pass flatten=True to lift struct leaves to "
+                "parent_child columns (arrays of structs cannot be "
+                "flattened; project them upstream)")
         from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
         return
     if chunksize is not None:
