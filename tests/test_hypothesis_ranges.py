@@ -154,3 +154,42 @@ def test_chunk_documents_covers_every_token(spark, cfg):
         # chunk k starts at k*stride
         for k, r in enumerate(rows):
             assert r.chunk_text.split()[0] == f"w{k * stride}"
+
+
+# -- S13 write_direct append: any sequence of appends mirrors numpy ---------
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(chunks=st.lists(st.integers(min_value=1, max_value=7),
+                       min_size=1, max_size=5),
+       start=st.integers(min_value=0, max_value=4))
+def test_write_direct_append_any_chunking(tmp_path_factory, spark,
+                                          chunks, start):
+    """Any ingest-then-append chunking of a 1-D vector reassembles the
+    concatenation exactly: appends land at nonempty_domain+1, fill
+    covers the untouched suffix, and chunk boundaries are invisible."""
+    total = sum(chunks)
+    dom_hi = start + total + 4
+    uri = str(tmp_path_factory.mktemp("wd") / "arr")
+    dom = tdb.Domain(tdb.Dim(name="i", domain=(0, dom_hi), tile=dom_hi + 1,
+                             dtype=np.int64))
+    schema = tdb.ArraySchema(
+        domain=dom, sparse=False,
+        attrs=[tdb.Attr(name="a0", dtype=np.int64, fill=-1)])
+    tdb.Array.create(uri, schema)
+    data = np.arange(total, dtype=np.int64) * 7 + 1
+    with tdb.open(uri, "w", spark=spark) as A:
+        off = 0
+        for ci, c in enumerate(chunks):
+            chunk = data[off:off + c]
+            if ci == 0:
+                A.write_direct(chunk, start_idx=start or None)
+            else:
+                A.write_direct(chunk, append_dim=0, mode="append")
+            off += c
+    A = tdb.open(uri, spark=spark)
+    got = A.read_direct()
+    want = np.full(dom_hi + 1, -1, dtype=np.int64)
+    want[start:start + total] = data
+    assert_array_equal(got, want)
+    assert A.nonempty_domain() == ((start, start + total - 1),)
