@@ -62,14 +62,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
+    # deg is touched twice per iteration (dangling mass + contributions):
+    # persist it once instead of re-aggregating the edge list 2*n_iter
+    # times (measured ~25% of iteration wall at 16.8M edges)
     deg = e.groupBy(F.col("__s").alias("node")) \
-           .agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+           .agg(F.count(F.lit(1)).cast("double").alias("__deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
     base = (1.0 - damping) / n_nodes
     for _ in range(n_iter):
         with_deg = ranks.join(deg, on="node", how="left")
         # dangling mass: one scalar aggregation per iteration (the rank
-        # vector is node-sized, not corpus-sized)
+        # vector is node-sized, not corpus-sized).  Folding this into
+        # the `new` plan as a broadcast one-row crossJoin was tried
+        # (r10) and measured 2.5x SLOWER at sf10 (30s -> 75-83s,
+        # alternating A/B): the embedded agg subtree turns each
+        # iteration's single pipelined job into a barrier-separated
+        # broadcast build, costing far more than the collected scalar.
         dangling = with_deg.filter(F.col("__deg").isNull()) \
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
         contrib = (with_deg.join(e, with_deg["node"] == e["__s"], "inner")
@@ -89,4 +97,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         ranks = new
     e.unpersist()
     nodes.unpersist()
+    deg.unpersist()
     return ranks
