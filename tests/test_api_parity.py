@@ -109,3 +109,27 @@ def test_copy_fragments_to_existing_array(tmp_path, spark):
     with tdb.open(dst, spark=spark) as A:
         out = A.dataframe().orderBy("k").toPandas()
     assert out["k"].tolist() == list(range(10, 20)) + list(range(100, 110))
+
+
+def test_gate_registry_invariants():
+    """Driver-gate registry structure: unique keys, every query has an
+    oracle (or is knowingly weak), the rotation block occupies
+    positions 40-50 exactly, and oracles reference only registered
+    query names — guards the rotation contract against future
+    registry edits."""
+    import __spark_entry__ as entry
+
+    q = list(entry.queries())
+    o = entry.oracle_sql()
+    assert len(q) == len(set(q)), "duplicate gate keys"
+    assert len(q) >= 50, "driver window underfilled"
+    missing = [k for k in q if k not in o]
+    assert not missing, f"gates without oracles: {missing}"
+    dangling = [k for k in o if k not in q]
+    assert not dangling, f"oracles for unregistered gates: {dangling}"
+    # r10 rotation block (VERDICT r9 item 1, verbatim list)
+    assert q[39:50] == [
+        "interval_join", "interval_overlap", "bloom_decontam",
+        "embedding_pca", "funnel", "array_changelog",
+        "wordpiece_scores", "wordpiece_train", "cohort_retention",
+        "event_transitions", "funnel_by_cohort"]
