@@ -381,11 +381,10 @@ def q_delete_qc(spark, sf_dir):
     consolidation -> full read-back; the oracle replays NOT(cond) on the
     source table, so surviving rows must be exactly the complement."""
     import tiledb_py_spark as tdb
-    from tiledb_py_spark.plans import QueryPlan
 
     uri = _part_delete_array(spark, sf_dir)
     A = tdb.open(uri, spark=spark)
-    return (A._execute(QueryPlan(dim_ranges=[], order="U"))
+    return (A.dataframe()
             .select("p_partkey",
                     F.round("p_retailprice", 2).alias("price"),
                     "p_size")
@@ -1478,13 +1477,15 @@ def q_ann_append(spark, sf_dir):
          .withColumn("embedding", F.col("embedding").cast("array<double>")))
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     base = e.filter(F.col("vec_id") != 0)
-    fit = IVFPQIndex(n_cells=8, n_probe=8, m=16, n_codes=64).fit(
-        e, "embedding")
     meta_uri = _embeddings_array(spark, sf_dir)
-    # save-once / load-thereafter: idempotent on persisted array state
+    # save-once / load-thereafter: idempotent on persisted array state;
+    # fit only runs when the persisted index is absent (ADVICE r10 —
+    # an unconditional fit was dead work on every warm invocation)
     try:
         idx = IVFPQIndex.load(meta_uri, name="append_gate")
     except KeyError:
+        fit = IVFPQIndex(n_cells=8, n_probe=8, m=16, n_codes=64).fit(
+            e, "embedding")
         fit.save(meta_uri, name="append_gate")
         idx = IVFPQIndex.load(meta_uri, name="append_gate")
 
@@ -3220,14 +3221,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver snapshots the first 50 entries into
-    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r9 item 1):
+    # CORRECTNESS_r{N}.json.  ROTATION SCHEDULE (VERDICT r10 item 1):
     # positions 40-50 are HARD-RESERVED for the rotation block — this
-    # round the eleven gates named by the r9 verdict (interval_join ..
-    # funnel_by_cohort, verbatim list) — so each round's driver artifact
-    # carries a fresh tail cohort.  The r9 rotation block (asof_forward
-    # .. multi_range, all driver-green in CORRECTNESS_r09) returns to
-    # the tail.  New round-10 gates enter positions 1-39 ONLY by
-    # displacing driver-green rows.  ALL entries keep their
+    # round the eleven gates named by the r10 verdict (group_agg ..
+    # join_multiway, verbatim list) — so each round's driver artifact
+    # carries a fresh tail cohort.  The r10 rotation block
+    # (interval_join .. funnel_by_cohort, all driver-green in
+    # CORRECTNESS_r10) returns to the tail.  New round-11 gates enter
+    # positions 1-39 ONLY by displacing driver-green rows.  ALL entries
+    # keep their
     # oracle_sql() and remain oracle-checked every round via
     # tools/check_correctness.py --exact (CORRECTNESS_full_r{N}.json
     # records the full exact-mode sweep).
@@ -3295,9 +3297,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r9 item 1,
-        # verbatim list) — the eleven round-7/8 gates that have sat in
-        # the tail longest earn their driver-artifact rows this round ---
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r10 item 1,
+        # verbatim list) — the eleven longest-tail gates per the
+        # schedule earn their driver-artifact rows this round.
+        # write_direct_append (NEW r10) gets its first-ever driver row.
+        # The r10 rotation block (interval_join .. funnel_by_cohort,
+        # all driver-green in CORRECTNESS_r10) returns to the tail. ---
+        "group_agg": q_group_agg,
+        "cms_counts": q_cms_counts,
+        "distinct_sketch": q_distinct_sketch,
+        "write_direct_append": q_write_direct_append,
+        "ewma": q_ewma,
+        "pagerank": q_pagerank,
+        "heavy_hitters": q_heavy_hitters,
+        "batch_topk": q_batch_topk,
+        "events_sessions": q_events_sessions,
+        "qc_in_chain": q_qc_in_chain,
+        "join_multiway": q_join_multiway,
+        # --- tail.  Opened by the r10 rotation block (interval_join ..
+        # funnel_by_cohort, all driver-green in CORRECTNESS_r10);
+        # every tail gate is still oracle-checked each round by
+        # tools/check_correctness.py --exact and the committed
+        # CORRECTNESS_full_r{N}.json. ---
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -3309,15 +3330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
-        # --- tail.  Opened by the r9 rotation block (asof_forward ..
-        # multi_range, all driver-green in CORRECTNESS_r09);
-        # every tail gate is still oracle-checked each round by
-        # tools/check_correctness.py --exact and the committed
-        # CORRECTNESS_full_r{N}.json. ---
-        "group_agg": q_group_agg,
-        "cms_counts": q_cms_counts,
-        "distinct_sketch": q_distinct_sketch,
-        "write_direct_append": q_write_direct_append,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
@@ -3329,13 +3341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "pq_ann": q_pq_ann,
         "multi_range": q_multi_range,
-        "ewma": q_ewma,
-        "pagerank": q_pagerank,
-        "heavy_hitters": q_heavy_hitters,
-        "batch_topk": q_batch_topk,
-        "events_sessions": q_events_sessions,
-        "qc_in_chain": q_qc_in_chain,
-        "join_multiway": q_join_multiway,
         "embedding_topk": q_embedding_topk,
         "agg_whole_selection": q_agg_whole_selection,
         "array_cond_agg": q_array_cond_agg,
@@ -3480,12 +3485,23 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n * (n - 1) AS DOUBLE)) AS sd
               FROM w)
             -- floor(x*1e4 + 0.5)/1e4: engine-independent 4-dp rounding
-            -- (library round()s disagree on representation ties)
+            -- (library round()s disagree on representation ties).
+            -- |x| < 9e14 guard mirrors the operator: Spark's
+            -- floor(double) is a LONG and saturates at 2^63, so both
+            -- engines pass large doubles through unchanged.  (The
+            -- decimal(38,0) overflow envelope itself is out of this
+            -- data's range — pytest-pinned instead.)
             SELECT user_id, event_id, ts, value,
-                   floor(m / 100.0 * 1e4 + 0.5) / 1e4 AS baseline_mean,
-                   floor(sd / 100.0 * 1e4 + 0.5) / 1e4 AS baseline_std,
-                   floor((CAST(vs AS DOUBLE) - m) / sd * 1e4 + 0.5) / 1e4
-                     AS zscore
+                   CASE WHEN abs(m / 100.0) < 9e14
+                        THEN floor(m / 100.0 * 1e4 + 0.5) / 1e4
+                        ELSE m / 100.0 END AS baseline_mean,
+                   CASE WHEN abs(sd / 100.0) < 9e14
+                        THEN floor(sd / 100.0 * 1e4 + 0.5) / 1e4
+                        ELSE sd / 100.0 END AS baseline_std,
+                   CASE WHEN abs((CAST(vs AS DOUBLE) - m) / sd) < 9e14
+                        THEN floor((CAST(vs AS DOUBLE) - m) / sd * 1e4
+                                   + 0.5) / 1e4
+                        ELSE (CAST(vs AS DOUBLE) - m) / sd END AS zscore
             FROM d
             WHERE n >= 5 AND sd IS NOT NULL AND sd > 0
               AND abs((CAST(vs AS DOUBLE) - m) / sd) > 2.0

@@ -127,9 +127,9 @@ def test_gate_registry_invariants():
     assert not missing, f"gates without oracles: {missing}"
     dangling = [k for k in o if k not in q]
     assert not dangling, f"oracles for unregistered gates: {dangling}"
-    # r10 rotation block (VERDICT r9 item 1, verbatim list)
+    # r11 rotation block (VERDICT r10 item 1, verbatim list)
     assert q[39:50] == [
-        "interval_join", "interval_overlap", "bloom_decontam",
-        "embedding_pca", "funnel", "array_changelog",
-        "wordpiece_scores", "wordpiece_train", "cohort_retention",
-        "event_transitions", "funnel_by_cohort"]
+        "group_agg", "cms_counts", "distinct_sketch",
+        "write_direct_append", "ewma", "pagerank", "heavy_hitters",
+        "batch_topk", "events_sessions", "qc_in_chain",
+        "join_multiway"]

@@ -4218,6 +4218,57 @@ def test_rolling_anomaly_exact_large_magnitudes(spark):
     assert r.zscore > 3.0
 
 
+def test_rolling_anomaly_exact_beyond_decimal18(spark):
+    """|scaled value| in [1e18, 9.2e18] — inside int64 but outside
+    DECIMAL(18,0) — must stay EXACT within the decimal(38,0) aggregate
+    envelope, not silently drop from the frame sums while __n still
+    counts the row (ADVICE r10: the vs_d cast is now decimal(19,0),
+    which holds the full int64 range).  vs = 1.5e18 with 5 priors:
+    S ~ 7.5e18, S^2 ~ 5.6e37 < 1e38 — inside the envelope."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    base_val = 1.5e16          # vs = 1.5e18 > decimal(18,0) max
+    # ulp(1.5e16) = 2, so ±4 increments are exactly representable
+    rows = [(1, i, base_val + 4.0 * (i % 2), f"2020-01-01 00:{i:02d}:00")
+            for i in range(5)]
+    rows.append((1, 5, base_val + 50000.0, "2020-01-01 00:05:00"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    out = rolling_anomaly(df, window=20, min_periods=5, threshold=3.0,
+                          value_decimals=2).toPandas()
+    assert out.event_id.tolist() == [5]
+    r = out.iloc[0]
+    # exact integers: mean of base,base+4,base,base+4,base — note
+    # (base+4)*100 rounds to base*100 + 512 in double (ulp(1.5e18)=256)
+    assert r.baseline_mean == round(base_val + 1.6, 4)
+    # sample std of scaled 0,512,0,512,0 = sqrt(314572.8/4)/100 ~ 2.8043
+    assert abs(r.baseline_std - 2.8043) < 1e-3
+    assert r.zscore > 3.0
+
+
+def test_rolling_anomaly_overflow_is_visible_null(spark):
+    """Beyond the decimal(38,0) aggregate envelope (here S*S >= 1e38)
+    the try_* frame aggregates yield NULL std and the row is VISIBLY
+    unflagged — no silent wrong z-score, and no ANSI ArithmeticException
+    (plain decimal ops would THROW under Spark 4's default
+    spark.sql.ansi.enabled=true)."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    base_val = 2e16            # vs = 2e18; S = 10*2e18, S^2 = 4e38
+    rows = [(1, i, base_val + 4.0 * (i % 2), f"2020-01-01 00:{i:02d}:00")
+            for i in range(10)]
+    rows.append((1, 10, base_val + 50000.0, "2020-01-01 00:10:00"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    out = rolling_anomaly(df, window=20, min_periods=5, threshold=3.0,
+                          value_decimals=2).toPandas()
+    assert out.empty        # NULL std never flags — and never throws
+
+
 def test_rolling_anomaly_plan_one_exchange(spark):
     from tiledb_py_spark.streaming.events import rolling_anomaly
 

@@ -144,6 +144,55 @@ def test_from_json_nested_structs(tmp_path, spark):
     assert out["meta_deep_b"].tolist() == [0, 3, 6, 9]
 
 
+def test_chunked_schema_only_ingests_nothing(tmp_path, spark):
+    """schema_only + chunksize creates the array from the FIRST chunk's
+    shape and stops (reference from_csv breaks after the first batch in
+    schema_only mode) — it must not fall through to appending the rest
+    of the corpus as data (ADVICE r10)."""
+    pdf = _pdf()
+    csv = tmp_path / "data.csv"
+    jl = tmp_path / "data.jsonl"
+    pdf.to_csv(csv, index=False)
+    pdf.to_json(jl, orient="records", lines=True)
+    for name, fn, src in [("csv", tdb.from_csv, csv),
+                          ("json", tdb.from_json, jl)]:
+        uri = str(tmp_path / f"arr_schema_only_{name}")
+        fn(uri, str(src), index_dims=["k"], mode="schema_only",
+           chunksize=4)
+        assert tdb.array_exists(uri)
+        assert len(tdb.array_fragments(uri)) == 0, name
+        out = tdb.open_dataframe(uri)
+        assert len(out) == 0, name
+
+
+def test_from_json_nested_pandas_path(tmp_path, spark):
+    """The PANDAS paths (whole-file and chunked) honor flatten= exactly
+    like the spark path: loud refusal on nested objects by default,
+    json_normalize flattening with flatten=True (ADVICE r10 — they used
+    to silently store dict columns)."""
+    import json as _json
+
+    import pytest
+
+    jl = tmp_path / "nested.jsonl"
+    with open(jl, "w") as f:
+        for i in range(6):
+            f.write(_json.dumps(
+                {"k": i, "meta": {"a": i * 2, "deep": {"b": i * 3}},
+                 "v": f"x{i}"}) + "\n")
+    with pytest.raises(ValueError, match="flatten=True"):
+        tdb.from_json(str(tmp_path / "a0"), str(jl), index_dims=["k"])
+    with pytest.raises(ValueError, match="flatten=True"):
+        tdb.from_json(str(tmp_path / "a1"), str(jl), index_dims=["k"],
+                      chunksize=2)
+    for name, kw in [("whole", {}), ("chunked", {"chunksize": 2})]:
+        uri = str(tmp_path / f"arr_flat_{name}")
+        tdb.from_json(uri, str(jl), index_dims=["k"], flatten=True, **kw)
+        out = tdb.open_dataframe(uri).reset_index().sort_values("k")
+        assert out["meta_a"].tolist() == [0, 2, 4, 6, 8, 10], name
+        assert out["meta_deep_b"].tolist() == [0, 3, 6, 9, 12, 15], name
+
+
 def test_from_parquet(uri, tmp_path, spark):
     pdf = _pdf()
     pq = tmp_path / "data.parquet"

@@ -243,6 +243,13 @@ def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
                 if first:
                     from_pandas(uri, chunk, index_dims=index_dims, sparse=sparse,
                                 mode=mode, full_domain=True)
+                    if mode == "schema_only":
+                        # schema_only means CREATE the array from the first
+                        # chunk's shape and stop — appending the remaining
+                        # chunks would ingest the whole corpus (the
+                        # reference's from_csv breaks after the first batch
+                        # in schema_only mode: dataframe_.py:990-998)
+                        return
                     first = False
                 else:
                     from_pandas(uri, chunk, mode="append")
@@ -269,6 +276,29 @@ def _flatten_structs(sdf):
             cols.append(F.col(f"`{f.name}`"))
     out = sdf.select(*cols)
     return _flatten_structs(out) if again else out
+
+
+def _flatten_pandas_json(pdf, flatten: bool):
+    """Mirror the spark path's nested-object handling on the pandas
+    paths: dict-valued columns either raise (flatten=False — the same
+    loud refusal as the spark path) or are lifted to ``parent_child``
+    columns via ``pd.json_normalize`` (flatten=True).  Without this the
+    pandas paths would silently ingest nested JSON objects as
+    object-dtype dict columns — mis-stored data, not an error."""
+    nested = [c for c in pdf.columns
+              if pdf[c].dtype == object
+              and pdf[c].map(lambda v: isinstance(v, dict)).any()]
+    if not nested:
+        return pdf
+    if not flatten:
+        raise ValueError(
+            f"JSON objects in {nested} are nested; the array schema "
+            "is flat — pass flatten=True to lift struct leaves to "
+            "parent_child columns (arrays of structs cannot be "
+            "flattened; project them upstream)")
+    flat = pd.json_normalize(pdf[nested].to_dict("records"), sep="_")
+    flat.index = pdf.index
+    return pd.concat([pdf.drop(columns=nested), flat], axis=1)
 
 
 def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
@@ -306,15 +336,20 @@ def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
         for f in files:
             for chunk in pd.read_json(f, lines=True, chunksize=chunksize,
                                       **pandas_kwargs):
+                chunk = _flatten_pandas_json(chunk, flatten)
                 if first:
                     from_pandas(uri, chunk, index_dims=index_dims,
                                 sparse=sparse, mode=mode, full_domain=True)
+                    if mode == "schema_only":
+                        # create-from-first-chunk then stop (see from_csv)
+                        return
                     first = False
                 else:
                     from_pandas(uri, chunk, mode="append")
         return
     pdf = pd.concat([pd.read_json(f, lines=True, **pandas_kwargs)
                      for f in files], ignore_index=True)
+    pdf = _flatten_pandas_json(pdf, flatten)
     from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode,
                 full_domain=full_domain)
 

@@ -402,26 +402,38 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
         # exact path: scaled-integer frame sum / sum-of-squares are
         # order-independent; sample variance from the exact integers
         # n*Q - S*S (no float cancellation — the subtraction is exact).
-        # The sums run in DECIMAL(38,0), not BIGINT: the DuckDB oracle's
+        # The sums run in DECIMAL, not BIGINT: the DuckDB oracle's
         # sum(BIGINT) is HUGEINT (int128), and an int64 sum-of-squares
         # would silently wrap (non-ANSI) once window*vs^2 exceeds 2^63
         # — |value| ~ 6.8e6 at 2 decimals / window 20, well inside real
-        # data.  With decimal the exact range is window*n*vs^2 < 1e38,
-        # i.e. |value| < ~5*10**(15-decimals) at window 20; beyond that
-        # the decimal ops yield NULL and the row is (visibly) unflagged
-        # by the std IS NOT NULL guard rather than silently wrong.
+        # data.  vs_d is DECIMAL(19,0): the full int64 range fits, so
+        # the bigint→decimal cast itself can never overflow (r10 ADVICE:
+        # decimal(18,0) silently NULL-dropped |scaled| >= 1e18 from the
+        # sums while __n still counted the row — wrong mean/std).
+        # vs_d*vs_d is decimal(38,0) and |int64|^2 < 8.6e37 < 1e38, so
+        # per-value squares are exact too.  Beyond the exact envelope
+        # the decimal(38,0) AGGREGATES can overflow — SUM(vs^2) at
+        # window*vs^2 >= 1e38, and S*S at (window*|vs|)^2 >= 1e38 (the
+        # binding constraint: |vs| < 1e19/window).  Every such product/
+        # sum goes through try_* so overflow yields NULL under BOTH ANSI
+        # modes (plain decimal ops THROW under spark.sql.ansi.enabled,
+        # Spark 4's default) → NULL std → the row is (visibly) unflagged
+        # by the std IS NOT NULL guard rather than silently wrong or a
+        # query failure.  __n counts vs_d (not vs) so any future
+        # cast-overflow path would shrink n in step with the sums.
         scale = F.lit(float(10 ** int(value_decimals)))
         vs = F.round(v * scale).cast("bigint")
-        vs_d = vs.cast("decimal(18,0)")
+        vs_d = vs.cast("decimal(19,0)")
         base = events.select(
             "*",
             vs.alias("__vs"),
-            F.sum(vs_d).over(w).alias("__s"),
-            F.sum(vs_d * vs_d).over(w).alias("__q"),
-            F.count(vs).over(w).alias("__n"))
+            F.try_sum(vs_d).over(w).alias("__s"),
+            F.try_sum(F.try_multiply(vs_d, vs_d)).over(w).alias("__q"),
+            F.count(vs_d).over(w).alias("__n"))
         n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
         mean_s = s.cast("double") / n.cast("double")
-        var_s = ((n * q - s * s).cast("double")
+        var_s = (F.try_subtract(F.try_multiply(n, q),
+                                F.try_multiply(s, s)).cast("double")
                  / (n * (n - F.lit(1))).cast("double"))
         std_s = F.sqrt(var_s)
         # z on the SCALED domain — identical ratio to (v-mean)/std,
@@ -442,8 +454,16 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
         # the exact binary value, e.g. the double below 44.19125
         # (shortest repr "44.19125", exact ...24999) rounds up in Spark
         # and down in DuckDB — which is what made r8's hash red.
+        # Guarded at |c| < 9e14: Spark's floor(double) returns LONG and
+        # SATURATES at 2^63 (DuckDB's floor(double) is a double — no
+        # saturation), so beyond the guard both engines pass the double
+        # through unchanged (identical doubles → identical branch; 4-dp
+        # is sub-ulp noise at that magnitude anyway).
         def r4(c):
-            return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+            return F.when(
+                F.abs(c) < F.lit(9e14),
+                F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+            ).otherwise(c)
     return (base
             .where((F.col("__n") >= min_periods)
                    & F.col("__std").isNotNull() & (F.col("__std") > 0)

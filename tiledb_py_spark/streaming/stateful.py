@@ -381,11 +381,27 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                     # emissions are bit-identical to it
                     iv = [int(v) for v in live]
                     S, Q = sum(iv), sum(v * v for v in iv)
+                    # mirror the batch operator's DECIMAL(38,0)
+                    # envelope: beyond it the batch try_* aggregates
+                    # yield NULL std and the row is (visibly) unflagged
+                    # — Python's arbitrary-precision ints would keep
+                    # flagging here and break the pinned bit-identity
+                    if Q >= 10**38 or S * S >= 10**38 or n * Q >= 10**38:
+                        # unflagged; the row still enters the frame via
+                        # the shared state update below
+                        vals.append(0.0 if pd.isna(x)
+                                    else float(round(float(x) * scale)))
+                        mask.append(not pd.isna(x))
+                        if len(vals) > window:
+                            vals, mask = vals[-window:], mask[-window:]
+                        continue
                     m_ = float(S) / float(n)
                     var = float(n * Q - S * S) / float(n * (n - 1))
                     s_ = math.sqrt(var)
                     x_ = float(round(float(x) * scale))
-                    r4 = lambda c: math.floor(c * 1e4 + 0.5) / 1e4
+                    # mirror the batch r4's |c| < 9e14 saturation guard
+                    r4 = lambda c: (math.floor(c * 1e4 + 0.5) / 1e4
+                                    if abs(c) < 9e14 else c)
                     mean_out, std_out = m_ / scale, s_ / scale
                 if s_ > 0 and abs((x_ - m_) / s_) > threshold:
                     z = (x_ - m_) / s_
