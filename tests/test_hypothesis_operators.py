@@ -225,13 +225,16 @@ def test_unigram_lm_invariants(spark, docs, vocab_size, max_len):
 
 
 @given(docs=st.lists(doc, min_size=2, max_size=6),
-       max_tokens=st.integers(2, 7))
+       max_tokens=st.integers(2, 7),
+       split_pieces=st.sampled_from([1, 2, 10**6]))
 @settings(**_SETTINGS)
-def test_materialize_packs_stream_equivalence(spark, docs, max_tokens):
-    """For ANY corpus and chunk size: concatenating the packs in
-    pack_id order rebuilds the exact per-group token stream, every
-    non-final pack is full, and padding appears only in the final
-    pack."""
+def test_materialize_packs_stream_equivalence(spark, docs, max_tokens,
+                                              split_pieces):
+    """For ANY corpus, chunk size, AND giant-doc split threshold
+    (split_pieces=1 forces every multi-pack doc through the chunked
+    branch): concatenating the packs in pack_id order rebuilds the
+    exact per-group token stream, every non-final pack is full, and
+    padding appears only in the final pack."""
     from pyspark.sql import functions as F
 
     from tiledb_py_spark.operators.pipeline import materialize_packs
@@ -241,7 +244,8 @@ def test_materialize_packs_stream_equivalence(spark, docs, max_tokens):
         "doc_id long, toks array<string>")
     out = sorted(materialize_packs(df, "toks", ["doc_id"],
                                    max_tokens=max_tokens,
-                                   pad_token="<p>").collect(),
+                                   pad_token="<p>",
+                                   split_pieces=split_pieces).collect(),
                  key=lambda r: r.pack_id)
     stream = [t for d in docs for t in d.split()]
     if not stream:

@@ -2811,6 +2811,44 @@ def test_materialize_packs_concat_then_chunk(spark):
     assert out2[0] == [10, 11, 12, 13] and out2[1] == [14]
 
 
+def test_materialize_packs_giant_doc_split(spark):
+    """The giant-document pre-split (split_pieces) is RESULT-INVISIBLE:
+    forcing chunking with a tiny split_pieces gives bit-identical packs
+    to the unsplit plan — boundary docs, multi-chunk giants, heads and
+    pads included — and the chunked plan repartitions the giant rows
+    before piece emission."""
+    import re
+
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+
+    rows = [
+        (1, "a", [f"g{i}" for i in range(23)]),   # giant: 6 packs of 4
+        (2, "a", ["x1", "x2", "x3"]),
+        (3, "a", [f"h{i}" for i in range(9)]),    # giant at split=2
+        (1, "b", [f"u{i}" for i in range(17)]),
+        (2, "b", ["v1"]),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, src string, toks array<string>")
+
+    def run(sp):
+        out = materialize_packs(df, "toks", ["doc_id"], max_tokens=4,
+                                by="src", pad_token="<pad>",
+                                bounds=[1.5], split_pieces=sp)
+        return sorted((r.src, r.pack_id, tuple(r.pack_tokens), r.n_real,
+                       r.n_pad, r.n_docs) for r in out.collect())
+
+    unsplit = run(10**6)
+    split = run(2)        # every doc over 8 tokens chunks
+    assert split == unsplit
+    # the chunk branch repartitions on the chunk's global start
+    plan = materialize_packs(df, "toks", ["doc_id"], max_tokens=4,
+                             by="src", pad_token="<pad>", bounds=[1.5],
+                             split_pieces=2)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange hashpartitioning\(__start#\d+", txt), txt
+
+
 def test_remove_self_repeated_spans(spark):
     """Keep-first within-doc span removal: the second occurrence of an
     8-gram is masked (tokens of the first survive), short docs pass

@@ -440,7 +440,8 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
 def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
                       max_tokens: int, by: Optional[str] = None,
                       pad_token=None, out_col: str = "pack_tokens",
-                      bounds: Optional[Sequence[float]] = None) -> DataFrame:
+                      bounds: Optional[Sequence[float]] = None,
+                      split_pieces: int = 64) -> DataFrame:
     """Materialize the ACTUAL fixed-length training sequences —
     ``pack_sequences`` assigns documents to packs; this emits the pack
     CONTENTS: documents' token arrays laid contiguously in id order
@@ -468,7 +469,15 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     column is computed twice (the carry's totals branch is a second
     column-pruned source pass) and token payloads cross two Exchanges
     (bucket window + pack regroup) — the price of unbounded
-    parallelism."""
+    parallelism.
+
+    GIANT documents (more than ``split_pieces`` packs, default
+    64*max_tokens tokens) are additionally pre-split into
+    piece-aligned super-chunks and hash-repartitioned before piece
+    emission, so a single 5M-token document's slice/partial-agg/
+    shuffle-write work spreads across ~n/(split_pieces*max_tokens)
+    tasks instead of one (the r10 BENCH_skew 4.7 pad-batch
+    straggler).  Only giant rows pay the extra exchange."""
     from .stats_bounds import monotonic_view, resolve_bounds
 
     grp_expr = F.col(by) if by else F.lit(0)
@@ -500,6 +509,59 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     k0 = F.floor(F.col("__start") / max_tokens)
     n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1
 
+    # GIANT-DOCUMENT pre-split (round 11, the BENCH_skew 4.7
+    # straggler): a document's piece emission is row-local, so one
+    # 5M-token document slices + partial-aggs + shuffle-writes its
+    # whole payload in ONE task.  Documents spanning more than
+    # ``split_pieces`` packs are first cut — row-locally, a handful of
+    # big slices — into piece-ALIGNED super-chunks (every chunk
+    # boundary is a pack boundary: chunk s>0 starts at a multiple of
+    # max_tokens in the global token stream, so its local off0 is 0
+    # and its pieces reproduce the original pack_id/pos/seg exactly),
+    # then hash-repartitioned on their global start so the per-task
+    # emission envelope is chunk-sized, not document-sized.  Only
+    # giant rows pay the extra exchange; the normal branch is
+    # untouched, and both branches read the same grouped_running_sum
+    # exchange (ReusedExchange).  ``__head`` threads the
+    # document-head flag so a later chunk's first piece doesn't count
+    # as a document start in n_docs.
+    big = F.col("__n") > split_pieces * max_tokens
+
+    def chunk(s):
+        p_lo, p_hi = s * split_pieces, \
+            F.least((s + 1) * split_pieces, n_pieces)
+        cs = F.when(p_lo == 0, F.lit(0).cast("long")).otherwise(
+            F.lit(max_tokens) - off0 + (p_lo - 1) * max_tokens)
+        ce = F.when(p_hi == n_pieces, F.col("__n")).otherwise(
+            F.lit(max_tokens) - off0 + (p_hi - 1) * max_tokens)
+        return F.struct(
+            (F.col("__start") + cs).alias("start"),
+            (ce - cs).alias("n"),
+            (s == 0).alias("head"),
+            F.slice(F.col("__toks"), (cs + 1).cast("int"),
+                    (ce - cs).cast("int")).alias("toks"))
+
+    n_chunks = F.floor((n_pieces - 1) / split_pieces) + 1
+    cols = ["__grp", *id_cols]
+    chunked = (base.filter(big)
+               .withColumn("__chunks",
+                           F.transform(F.sequence(
+                               F.lit(0).cast("long"), n_chunks - 1),
+                               chunk))
+               .select(*cols, F.explode_outer("__chunks").alias("c"))
+               .select(*cols, F.col("c.start").alias("__start"),
+                       F.col("c.n").alias("__n"),
+                       F.col("c.head").alias("__head"),
+                       F.col("c.toks").alias("__toks"))
+               .repartition(F.col("__start")))
+    base = (base.filter(~big).withColumn("__head", F.lit(True))
+                .select(*chunked.columns)
+                .unionByName(chunked))
+    # re-derive per-row geometry on the (possibly chunked) rows
+    off0 = F.col("__start") % max_tokens
+    k0 = F.floor(F.col("__start") / max_tokens)
+    n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1
+
     def piece(j):
         seg_start = F.when(j == 0, F.lit(0).cast("long")).otherwise(
             F.lit(max_tokens) - off0 + (j - 1) * max_tokens)
@@ -510,7 +572,7 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
         return F.struct(
             (k0 + j).alias("pack_id"),
             (F.col("__start") + seg_start).alias("pos"),
-            (seg_start == 0).alias("first"),
+            ((seg_start == 0) & F.col("__head")).alias("first"),
             F.slice(F.col("__toks"), (seg_start + 1).cast("int"),
                     seg_len.cast("int")).alias("seg"))
 
