@@ -140,6 +140,17 @@ def _hash_ordered_sample(df: DataFrame, vec_col: str, sample_rows: int,
     return sample
 
 
+def _argmin_sq(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment via ``argmin |c|^2 - 2 x.c`` — the
+    |x|^2 term is constant per row, so the argmin matches the full
+    squared distance.  One (n, k) GEMM instead of the naive
+    ``(X[:,None,:]-C[None,:,:])**2`` broadcast, whose (n, k, d) temp is
+    ~650 MB at a 10k x 64 x 128 driver-sample fit (the r10 BENCH_sf10
+    ivfpq_build_search 8.9x attribution: sample-size-linear Lloyd with
+    a d-times-too-large constant)."""
+    return ((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+
+
 def kmeans_fit(df: DataFrame, vec_col: str, k: int, n_iter: int = 5,
                init: Optional[np.ndarray] = None, seed: int = 42,
                metric: str = "l2",
@@ -272,8 +283,7 @@ class IVFIndex:
             sample = _unit(sample)
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
         for _ in range(10):  # Lloyd iterations on the sample
-            d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            assign = _argmin_sq(sample, centroids)
             for c in range(k):
                 m = sample[assign == c]
                 if len(m):
@@ -556,8 +566,7 @@ class PQIndex:
             sub = sample[:, j * dsub:(j + 1) * dsub]
             cent = sub[rng.choice(len(sub), size=k, replace=False)]
             for _ in range(self.n_iter):
-                dist = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = dist.argmin(axis=1)
+                assign = _argmin_sq(sub, cent)
                 for c in range(k):
                     pts = sub[assign == c]
                     if len(pts):
@@ -775,15 +784,12 @@ class IVFPQIndex:
         k = min(self.n_cells, len(sample))
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
         for _ in range(self.n_iter):
-            dist = ((sample[:, None, :] - centroids[None, :, :]) ** 2) \
-                .sum(axis=2)
-            assign = dist.argmin(axis=1)
+            assign = _argmin_sq(sample, centroids)
             for c in range(k):
                 pts = sample[assign == c]
                 if len(pts):
                     centroids[c] = pts.mean(axis=0)
-        dist = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        resid = sample - centroids[dist.argmin(axis=1)]
+        resid = sample - centroids[_argmin_sq(sample, centroids)]
         dsub = d // self.m
         kc = min(self.n_codes, len(resid))
         books = np.zeros((self.m, kc, dsub))
@@ -791,8 +797,7 @@ class IVFPQIndex:
             sub = resid[:, j * dsub:(j + 1) * dsub]
             cent = sub[rng.choice(len(sub), size=kc, replace=False)]
             for _ in range(self.n_iter):
-                dd = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                a = dd.argmin(axis=1)
+                a = _argmin_sq(sub, cent)
                 for c in range(kc):
                     pts = sub[a == c]
                     if len(pts):
