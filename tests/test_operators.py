@@ -2549,6 +2549,37 @@ def test_quality_classifier_learns_and_scores(spark):
     assert (pref == pfit).all()
 
 
+def test_ivfpq_rerank_recovers_exact_topk(spark):
+    """IVFPQ refine step: with a probe-all, corpus-sized shortlist the
+    reranked top-k EQUALS the exact brute-force top-k (quantization
+    error only survives via shortlist misses); a small shortlist's
+    recall is bounded by its ADC ordering; rerank without vectors_df
+    refuses loudly."""
+    import numpy as np
+
+    import pytest
+
+    from tiledb_py_spark.operators.similarity import (IVFPQIndex,
+                                                      brute_force_topk)
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFPQIndex(n_cells=4, n_probe=4, m=4, n_codes=16).fit(
+        df, "embedding")
+    tab = idx.build(df, "embedding", "vec_id")
+    q = rows[17][1]
+    exact = [(r.vec_id, round(r.score, 9)) for r in
+             brute_force_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    got = [(r.vec_id, round(r.score, 9)) for r in
+           idx.search(tab, q, k=5, n_probe=4, rerank=200,
+                      vectors_df=df).collect()]
+    assert got == exact
+    # plain ADC at this quantization need not match — rerank is the fix
+    with pytest.raises(ValueError, match="vectors_df"):
+        idx.search(tab, q, k=5, rerank=50)
+
+
 def test_ivfpq_residual_adc_and_predicate(spark, tmp_path):
     """IVF+PQ composed index: probe-all ADC replays in numpy exactly,
     predicate-filtered search equals search over the pre-filtered

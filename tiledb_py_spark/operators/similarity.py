@@ -926,13 +926,38 @@ class IVFPQIndex:
                predicate: Optional[Column] = None,
                n_probe: Optional[int] = None,
                cell_col: str = "cell",
-               code_col: str = "pq_codes") -> DataFrame:
+               code_col: str = "pq_codes",
+               rerank: int = 0,
+               vectors_df: Optional[DataFrame] = None,
+               vec_col: str = "embedding") -> DataFrame:
         """ADC top-k over the probed cells, with ``predicate`` applied
         BEFORE scoring so it reaches the scan (pass any Column over the
-        ``keep_cols`` metadata).  Returns (id_col, score) descending."""
+        ``keep_cols`` metadata).  Returns (id_col, score) descending.
+
+        ``rerank > 0`` adds the standard IVFPQ refine step: the ADC
+        pass produces a ``rerank``-sized candidate shortlist (cheap —
+        codes only), then the shortlist ids join back to
+        ``vectors_df`` (id_col + ``vec_col``, the original vectors)
+        for EXACT scoring and the true top-k.  Quantization error then
+        only costs recall when a true neighbor falls outside the
+        shortlist, so recall approaches the IVF (unquantized) level at
+        PQ scan cost — the shortlist join broadcasts ``rerank`` ids,
+        never the corpus."""
         assert self.centroids is not None
         np_ = n_probe if n_probe is not None else self.n_probe
         probe, luts = self._probe_and_luts(query_vec, np_)
+        if rerank:
+            if vectors_df is None:
+                raise ValueError("rerank needs vectors_df (the original "
+                                 "id + vector table)")
+            shortlist = self.search(index_df, query_vec,
+                                    k=max(int(rerank), k),
+                                    id_col=id_col, predicate=predicate,
+                                    n_probe=np_, cell_col=cell_col,
+                                    code_col=code_col).select(id_col)
+            cands = vectors_df.join(F.broadcast(shortlist), on=id_col)
+            return brute_force_topk(cands, vec_col, id_col, query_vec,
+                                    k=k, metric=self.metric)
 
         from pyspark.sql.functions import pandas_udf
 
