@@ -72,9 +72,12 @@ def main() -> int:
             results[f"dense_read_{shape[0]}x{shape[1]}"] = timed(
                 lambda: A[:])
 
-        # -- MultiIndex point reads (3M cells scaled to 300k) ----------------
+        # -- MultiIndex point reads -------------------------------------
+        # full reference scale when not --quick (indexing.py:8-43: 3M
+        # cells, params up to 100k coords) — r11 records the large-N
+        # point against the manifest/pruning path (VERDICT r10 item 8)
         dmin, dmax = -10_000_000, 10_000_000
-        ncoords = 30_000 if quick else 300_000
+        ncoords = 30_000 if quick else 3_000_000
         suri = os.path.join(root, "sparse_points")
         dom = tdb.Domain(tdb.Dim(name="d", domain=(dmin, dmax),
                                  tile=100_000, dtype=np.int64))
@@ -87,7 +90,9 @@ def main() -> int:
             A[coords] = rng.random(ncoords)
         A = tdb.open(suri, spark=spark)
         A.multi_index[coords[:10].tolist()]  # warm
-        for k in (10, 100, 1000, 10_000):
+        ks = (10, 100, 1000, 10_000) if quick else \
+            (10, 100, 1000, 10_000, 100_000)
+        for k in ks:
             sel = rng.choice(coords, size=min(k, ncoords), replace=False)
             results[f"multi_index_points_{k}"] = timed(
                 lambda: A.multi_index[sel.tolist()])
