@@ -123,6 +123,22 @@ def main() -> int:
             "med_query_s": round(lat[len(lat) // 2], 3)}
     out["indexes"]["ivfpq_rerank"] = rows
 
+    # one deeper-shortlist point (100*k) at the knee n_probe to show the
+    # shortlist-miss bound closing
+    hits, lat = 0, []
+    for qid in q_ids:
+        t0 = time.perf_counter()
+        got = [r.vec_id for r in pq.search(
+            tab, q_vecs[qid], k=K, n_probe=8, rerank=100 * K,
+            vectors_df=e).collect()]
+        lat.append(time.perf_counter() - t0)
+        hits += len(set(got) & set(exact[qid]))
+    lat.sort()
+    out["indexes"]["ivfpq_rerank_deep"] = {
+        "rerank_shortlist": 100 * K, "n_probe": 8,
+        "recall_at_10": round(hits / (K * N_QUERIES), 4),
+        "med_query_s": round(lat[len(lat) // 2], 3)}
+
     print(json.dumps(out, indent=1))
     return 0
 
