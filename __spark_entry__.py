@@ -2367,6 +2367,57 @@ def q_stream_replay(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Second streaming twin driver row: ``sessionize_stream`` run as a
+    TWO-TRIGGER file stream (same staging shape as stream_replay);
+    per-user (last_ts, session_idx, event_idx) state crosses the
+    trigger boundary, so a session spanning the split keeps one
+    ordinal and its events number consecutively.  The oracle is the
+    batch ``sessionize`` SQL verbatim — stream equals batch for
+    in-order arrival, and the global (ts, event_id) staging order
+    guarantees per-user in-order delivery."""
+    import tempfile
+
+    from tiledb_py_spark.streaming.stateful import sessionize_stream
+
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tdbps_stsess_")
+    src, sink, ckpt = (os.path.join(root, p)
+                       for p in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    pdf = (e.select("user_id", "event_id", "ts")
+             .orderBy("ts", "event_id").toPandas())
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    cut = len(pdf) // 2
+    pdf.iloc[:cut].to_parquet(os.path.join(src, "b1.parquet"),
+                              index=False)
+    pdf.iloc[cut:].to_parquet(os.path.join(src, "b2.parquet"),
+                              index=False)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    n_triggers = []
+
+    def sink_batch(df, batch_id):
+        n_triggers.append(batch_id)
+        df.write.mode("append").parquet(sink)
+
+    q = (sessionize_stream(stream, gap_minutes=30.0)
+         .writeStream.outputMode("append")
+         .foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    if len(n_triggers) < 2:
+        raise RuntimeError(
+            f"stream_sessionize needs >= 2 triggers to cross the state "
+            f"boundary; got {len(n_triggers)}")
+    return (spark.read.parquet(sink)
+            .select("event_id", "user_id", "session_idx", "event_idx")
+            .orderBy("event_id"))
+
+
 _CMS_PROBES = ["spark", "scan", "join", "write", "row", "vector"]
 
 
@@ -3455,8 +3506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "line_dedup": q_line_dedup,
         "sessionize": q_sessionize,
+        # stream_sessionize (NEW round 11, the second streaming twin's
+        # driver row — two-trigger sessionize_stream sink vs the batch
+        # sessionize SQL) displaced dsir_sample (driver-green r10,
+        # unchanged) to the tail
+        "stream_sessionize": q_stream_sessionize,
         "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "quality_classifier": q_quality_classifier,
@@ -3523,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "funnel_by_cohort": q_funnel_by_cohort,
         "attribution": q_attribution,
+        "dsir_sample": q_dsir_sample,
         "asof_forward": q_asof_forward,
         "semantic_decontam": q_semantic_decontam,
         "self_repeat": q_self_repeat,
@@ -6019,8 +6075,9 @@ def oracle_sql() -> dict[str, str]:
                    true AS deterministic
         """,
     }
-    # stream_replay: the two-trigger rolling_anomaly_stream sink must
-    # equal the batch replay EXACTLY — it shares the batch gate's SQL
-    # verbatim (aliased here so the two can never drift apart)
+    # the streaming twins' sinks must equal the batch replays EXACTLY —
+    # they share the batch gates' SQL verbatim (aliased here so the
+    # pairs can never drift apart)
     d["stream_replay"] = d["rolling_anomaly"]
+    d["stream_sessionize"] = d["sessionize"]
     return d

@@ -193,6 +193,39 @@ def test_from_json_nested_pandas_path(tmp_path, spark):
         assert out["meta_deep_b"].tolist() == [0, 3, 6, 9, 12, 15], name
 
 
+def test_from_spark_mode_and_full_domain(tmp_path, spark):
+    """from_spark validates mode like from_pandas (an unknown mode must
+    not silently behave like schema_only), and full_domain= reaches the
+    spark ingest paths: integer dims get the full dtype range so later
+    appends with out-of-batch coordinates stay inside the domain."""
+    import pytest
+
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="invalid mode"):
+        from_spark(str(tmp_path / "bad"), sdf, index_dims=["k"],
+                   mode="bogus")
+
+    uri = str(tmp_path / "full")
+    from_spark(uri, sdf, index_dims=["k"], full_domain=True)
+    with tdb.open(uri, spark=spark) as A:
+        lo, hi = A.schema.domain.dim(0).domain
+        assert int(lo) < -(2**62) and int(hi) > 2**62
+    # an append far outside the first batch's min/max must fit
+    from_spark(uri, spark.createDataFrame([(10**12, "z")],
+                                          "k long, v string"),
+               mode="append")
+    out = tdb.open(uri, spark=spark).df[:].sort_values("k")
+    assert out["k"].tolist() == [1, 2, 10**12]
+
+    # pinned domain without full_domain (the default, unchanged)
+    uri2 = str(tmp_path / "pinned")
+    from_spark(uri2, sdf, index_dims=["k"])
+    with tdb.open(uri2, spark=spark) as A:
+        assert tuple(int(x) for x in A.schema.domain.dim(0).domain) == (1, 2)
+
+
 def test_from_parquet(uri, tmp_path, spark):
     pdf = _pdf()
     pq = tmp_path / "data.parquet"

@@ -234,7 +234,8 @@ def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
     files = csv_file if isinstance(csv_file, (list, tuple)) else [csv_file]
     if spark is not None:
         sdf = spark.read.option("header", "true").option("inferSchema", "true").csv(list(files))
-        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                   full_domain=full_domain)
         return
     if chunksize is not None:
         first = mode in ("ingest", "schema_only")
@@ -329,7 +330,8 @@ def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
                 "is flat — pass flatten=True to lift struct leaves to "
                 "parent_child columns (arrays of structs cannot be "
                 "flattened; project them upstream)")
-        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                   full_domain=full_domain)
         return
     if chunksize is not None:
         first = mode in ("ingest", "schema_only")
@@ -355,24 +357,35 @@ def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
 
 
 def from_parquet(uri: str, parquet_uri, spark=None, index_dims=None,
-                 sparse=None, mode: str = "ingest") -> None:
+                 sparse=None, mode: str = "ingest",
+                 full_domain: bool = False) -> None:
     """Parquet ingest (reference ``parquet_.py:4-9`` routes via pandas; the
     Spark path keeps it distributed)."""
     if spark is not None:
         sdf = spark.read.parquet(parquet_uri if isinstance(parquet_uri, str) else list(parquet_uri))
-        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode)
+        from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                   full_domain=full_domain)
         return
     pdf = pd.read_parquet(parquet_uri)
-    from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode)
+    from_pandas(uri, pdf, index_dims=index_dims, sparse=sparse, mode=mode,
+                full_domain=full_domain)
 
 
 def from_spark(uri: str, df, index_dims: Optional[list] = None,
-               sparse: Optional[bool] = None, mode: str = "ingest") -> None:
+               sparse: Optional[bool] = None, mode: str = "ingest",
+               full_domain: bool = False) -> None:
     """Spark-native ingestion: infer the array schema from the DataFrame
     schema on the driver, then write fragments distributed.  This is the
-    100 TB ingest path — no pandas materialization anywhere."""
+    100 TB ingest path — no pandas materialization anywhere.
+    ``full_domain`` declares integer dims over their full dtype range
+    (the from_pandas convention) so later appends with out-of-batch
+    coordinates stay inside the declared domain."""
     from pyspark.sql import functions as F
 
+    if mode not in ("ingest", "schema_only", "append"):
+        # from_pandas raises too — an unknown mode must not silently
+        # behave like schema_only (create + write nothing)
+        raise ValueError(f"invalid mode {mode!r}")
     index_dims = list(index_dims or [])
     if sparse is None:
         sparse = bool(index_dims)
@@ -393,6 +406,12 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
             npdt = _spark_to_np(f.dataType)
             if npdt.kind in ("U", "S"):
                 dims.append(Dim(name=dname, dtype=np.str_))
+            elif full_domain and npdt.kind in ("i", "u"):
+                info = np.iinfo(npdt)
+                tile = _tile_default(len(index_dims))
+                dims.append(Dim(name=dname,
+                                domain=(info.min, info.max - tile),
+                                tile=tile, dtype=npdt))
             else:
                 dims.append(Dim(name=dname, domain=(row[f"__lo_{dname}"], row[f"__hi_{dname}"]),
                                 tile=_tile_default(len(index_dims)), dtype=npdt))
