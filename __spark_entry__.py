@@ -2356,7 +2356,10 @@ def q_stream_replay(spark, sf_dir):
          .foreachBatch(sink_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream gate timed out after 600s; sink "
+                           "would be partial")
     if len(n_triggers) < 2:
         raise RuntimeError(
             f"stream_replay needs >= 2 triggers to cross the state "
@@ -2408,7 +2411,10 @@ def q_stream_sessionize(spark, sf_dir):
          .foreachBatch(sink_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream gate timed out after 600s; sink "
+                           "would be partial")
     if len(n_triggers) < 2:
         raise RuntimeError(
             f"stream_sessionize needs >= 2 triggers to cross the state "
@@ -2613,12 +2619,16 @@ def q_incremental_e2e(spark, sf_dir):
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
 
     # --- incremental side: the chain, once per batch ---
-    surv_ids = []
+    surv_ids, surv_frames = [], []
     for b in batches:
         s1 = incremental_exact_dedup(b, "text", "doc_id", fp_state)
         s2 = incremental_neardup(s1, "text", "doc_id", sig_state, **kw)
         ids = sorted(r.doc_id for r in s2.select("doc_id").collect())
         surv_ids.extend(ids)
+        # keep the lazy survivor FRAME: its plan re-derives through the
+        # pinned state reads, so packing from it below exercises the
+        # composed chain's columns, not a copy of the replay
+        surv_frames.append(s2)
         emb_b = e.join(
             spark.createDataFrame([(i,) for i in ids], "vec_id long"),
             on="vec_id")
@@ -2638,15 +2648,20 @@ def q_incremental_e2e(spark, sf_dir):
     survivors_match = bool(surv_inc == surv_rep)
 
     # --- (b) packing the cumulative survivors vs the replay's ---
+    # the INCREMENTAL side packs the union of the per-batch survivor
+    # frames (recomputed through the persisted-state chain); the replay
+    # side packs the batch-mode survivor frame — a genuine composition
+    # check of the columns/rows each pipeline hands to the packer, not
+    # two copies of the same id-list join
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    def packs(ids):
-        sel = d.join(spark.createDataFrame([(i,) for i in ids],
-                                           "doc_id long"), on="doc_id")
-        out = materialize_packs(sel, toks, ["doc_id"], max_tokens=256,
+    def packs(sel):
+        out = materialize_packs(sel.select("doc_id", "text"), toks,
+                                ["doc_id"], max_tokens=256,
                                 pad_token="<pad>")
         return sorted((r.pack_id, tuple(r.pack_tokens), r.n_real,
                        r.n_pad, r.n_docs) for r in out.collect())
-    packs_match = bool(packs(surv_inc) == packs(surv_rep))
+    inc_sel = surv_frames[0].unionByName(surv_frames[1])
+    packs_match = bool(packs(inc_sel) == packs(near_rep))
 
     # --- (c) ANN over appended state vs scratch, pre/post compact ---
     def rows(df):

@@ -4338,6 +4338,30 @@ def test_rolling_anomaly_overflow_is_visible_null(spark):
     assert out.empty        # NULL std never flags — and never throws
 
 
+def test_rolling_anomaly_scaled_value_beyond_int64(spark):
+    """A value whose SCALED form exceeds int64 (|v| >= ~9.2e16 at 2dp)
+    must become a NULL frame slot via the entrance try_cast — no ANSI
+    CAST_OVERFLOW crash, the row itself never flags, and later rows'
+    baselines exclude it (it would otherwise clamp to int64 max and
+    poison every following frame)."""
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+
+    rows = [(1, i, 10.0 + (i % 2), f"2020-01-01 00:{i:02d}:00")
+            for i in range(8)]
+    rows.insert(4, (1, 99, 1e17, "2020-01-01 00:03:30"))  # mid-stream
+    rows.append((1, 10, 500.0, "2020-01-01 00:10:00"))    # real spike
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string") \
+        .selectExpr("user_id", "event_id", "value",
+                    "cast(ts as timestamp) ts")
+    out = rolling_anomaly(df, window=20, min_periods=5, threshold=3.0,
+                          value_decimals=2).toPandas()
+    # only the genuine spike flags; its baseline is the 10/11
+    # alternation, NOT poisoned by a clamped 9.2e18 slot
+    assert out.event_id.tolist() == [10]
+    assert abs(out.iloc[0].baseline_mean - 10.5) < 0.01
+
+
 def test_rolling_anomaly_plan_one_exchange(spark):
     from tiledb_py_spark.streaming.events import rolling_anomaly
 

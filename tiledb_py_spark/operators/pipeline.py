@@ -480,6 +480,10 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     straggler).  Only giant rows pay the extra exchange."""
     from .stats_bounds import monotonic_view, resolve_bounds
 
+    if split_pieces < 1:
+        # 0 would divide the chunk-count floor by zero (an ANSI runtime
+        # error; NULL chunk geometry under non-ANSI)
+        raise ValueError(f"split_pieces must be >= 1, got {split_pieces}")
     grp_expr = F.col(by) if by else F.lit(0)
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     # bounds from the RAW first id column (pruned scan, no tokenize) —

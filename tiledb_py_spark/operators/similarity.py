@@ -140,15 +140,20 @@ def _hash_ordered_sample(df: DataFrame, vec_col: str, sample_rows: int,
     return sample
 
 
-def _argmin_sq(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+def _argmin_sq(X: np.ndarray, C: np.ndarray,
+               dots: Optional[np.ndarray] = None) -> np.ndarray:
     """Nearest-centroid assignment via ``argmin |c|^2 - 2 x.c`` — the
     |x|^2 term is constant per row, so the argmin matches the full
     squared distance.  One (n, k) GEMM instead of the naive
     ``(X[:,None,:]-C[None,:,:])**2`` broadcast, whose (n, k, d) temp is
     ~650 MB at a 10k x 64 x 128 driver-sample fit (the r10 BENCH_sf10
     ivfpq_build_search 8.9x attribution: sample-size-linear Lloyd with
-    a d-times-too-large constant)."""
-    return ((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+    a d-times-too-large constant).  The ONE assignment rule shared by
+    the fit loops and the encode UDFs — pass ``dots`` (= X @ C.T) when
+    a branch already computed it."""
+    if dots is None:
+        dots = X @ C.T
+    return ((C * C).sum(axis=1)[None, :] - 2.0 * dots).argmin(axis=1)
 
 
 def kmeans_fit(df: DataFrame, vec_col: str, k: int, n_iter: int = 5,
@@ -389,9 +394,7 @@ class IVFIndex:
                 if cosine:
                     cells = dots.argmax(axis=1)
                 else:
-                    # argmin ||v-c||^2 = argmin(|c|^2 - 2 v.c), |v|^2 const
-                    cells = ((C * C).sum(axis=1)[None, :] - 2 * dots) \
-                        .argmin(axis=1)
+                    cells = _argmin_sq(M, C, dots=dots)
                 out[valid] = cells.astype("int32")
             return pd.Series(out)
 
@@ -874,17 +877,12 @@ class IVFPQIndex:
                 if cosine:
                     n = np.linalg.norm(M, axis=1, keepdims=True)
                     M = M / np.where(n == 0, 1.0, n)
-                # argmin ||v-c||^2 = argmin |c|^2 - 2 v.c
-                dots = M @ C.T
-                cell = ((C * C).sum(axis=1)[None, :] - 2 * dots) \
-                    .argmin(axis=1)
+                cell = _argmin_sq(M, C)
                 R = M - C[cell]
                 codes = np.empty((len(M), m), dtype="int32")
                 for j in range(m):
                     sub = R[:, j * dsub:(j + 1) * dsub]
-                    sdots = sub @ B[j].T
-                    codes[:, j] = ((B[j] * B[j]).sum(axis=1)[None, :]
-                                   - 2 * sdots).argmin(axis=1)
+                    codes[:, j] = _argmin_sq(sub, B[j])
                 for r, i in enumerate(np.nonzero(valid)[0]):
                     cells[i] = int(cell[r])
                     codes_out[i] = codes[r].tolist()
@@ -945,7 +943,6 @@ class IVFPQIndex:
         never the corpus."""
         assert self.centroids is not None
         np_ = n_probe if n_probe is not None else self.n_probe
-        probe, luts = self._probe_and_luts(query_vec, np_)
         if rerank:
             if vectors_df is None:
                 raise ValueError("rerank needs vectors_df (the original "
@@ -958,6 +955,10 @@ class IVFPQIndex:
             cands = vectors_df.join(F.broadcast(shortlist), on=id_col)
             return brute_force_topk(cands, vec_col, id_col, query_vec,
                                     k=k, metric=self.metric)
+        # after the rerank early-return so a reranked query builds the
+        # probe list + LUTs once (inside its recursive ADC call), not
+        # twice
+        probe, luts = self._probe_and_luts(query_vec, np_)
 
         from pyspark.sql.functions import pandas_udf
 

@@ -297,9 +297,28 @@ def _flatten_pandas_json(pdf, flatten: bool):
             "is flat — pass flatten=True to lift struct leaves to "
             "parent_child columns (arrays of structs cannot be "
             "flattened; project them upstream)")
+    # a column mixing dicts and scalars cannot flatten losslessly —
+    # json_normalize would emit the scalar rows into a residual
+    # object column (silent mis-storage); refuse instead
+    for c in nested:
+        bad = pdf[c].map(
+            lambda v: not isinstance(v, dict) and v is not None
+            and not (pd.api.types.is_scalar(v) and pd.isna(v)))
+        if bad.any():
+            raise ValueError(
+                f"column {c!r} mixes JSON objects and scalars "
+                f"(e.g. row {int(bad.idxmax())}); flatten=True needs "
+                "every non-null value to be an object — clean the "
+                "column upstream")
     flat = pd.json_normalize(pdf[nested].to_dict("records"), sep="_")
     flat.index = pdf.index
-    return pd.concat([pdf.drop(columns=nested), flat], axis=1)
+    rest = pdf.drop(columns=nested)
+    clash = sorted(set(flat.columns) & set(rest.columns))
+    if clash:
+        raise ValueError(
+            f"flattened column names {clash} collide with existing "
+            "top-level columns; rename the conflicting fields upstream")
+    return pd.concat([rest, flat], axis=1)
 
 
 def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
@@ -394,16 +413,30 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
         write_fragment_spark(uri, man.schema, df)
         return
 
-    # driver-side schema inference: one small agg job for dim domains
+    # driver-side schema inference: one small agg job for dim domains —
+    # built ONLY for dims that actually need min/max (string dims and
+    # full_domain integer dims don't), so full_domain=True never pays a
+    # full-table scan just to discard the result
     dims = []
     if index_dims:
-        aggs = []
-        for d in index_dims:
-            aggs += [F.min(d).alias(f"__lo_{d}"), F.max(d).alias(f"__hi_{d}")]
-        row = df.agg(*aggs).collect()[0].asDict()
+        np_dts = {d: _spark_to_np(df.schema[d].dataType)
+                  for d in index_dims}
+
+        def _needs_minmax(dname):
+            k = np_dts[dname].kind
+            return k not in ("U", "S") and not (full_domain
+                                                and k in ("i", "u"))
+
+        need = [d for d in index_dims if _needs_minmax(d)]
+        row = {}
+        if need:
+            aggs = []
+            for d in need:
+                aggs += [F.min(d).alias(f"__lo_{d}"),
+                         F.max(d).alias(f"__hi_{d}")]
+            row = df.agg(*aggs).collect()[0].asDict()
         for dname in index_dims:
-            f = df.schema[dname]
-            npdt = _spark_to_np(f.dataType)
+            npdt = np_dts[dname]
             if npdt.kind in ("U", "S"):
                 dims.append(Dim(name=dname, dtype=np.str_))
             elif full_domain and npdt.kind in ("i", "u"):

@@ -421,8 +421,13 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
         # by the std IS NOT NULL guard rather than silently wrong or a
         # query failure.  __n counts vs_d (not vs) so any future
         # cast-overflow path would shrink n in step with the sums.
+        # The ENTRANCE cast is try_cast for the same reason: a value
+        # whose scaled form exceeds int64 (|v| >= ~9.2e16 at 2dp) must
+        # become a NULL frame slot (excluded from sums AND __n, never
+        # flagged itself) — a plain cast would THROW under ANSI or
+        # silently clamp to int64 max under non-ANSI.
         scale = F.lit(float(10 ** int(value_decimals)))
-        vs = F.round(v * scale).cast("bigint")
+        vs = F.round(v * scale).try_cast("bigint")
         vs_d = vs.cast("decimal(19,0)")
         base = events.select(
             "*",

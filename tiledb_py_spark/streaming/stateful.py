@@ -362,12 +362,29 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
         out = []
         for tb, ts_v, x in zip(rows[tiebreak_col], rows[ts_col],
                                rows[value_col]):
+            # frame-slot value + validity, computed ONCE and shared by
+            # the judgment and the state update so the two can never
+            # drift.  On the exact path this mirrors the batch
+            # entrance `try_cast("bigint")`: a value whose scaled
+            # double exceeds the int64 range becomes a NULL slot
+            # (excluded from the aggregates, never flagged itself);
+            # exactly 2^63 casts to int64 max in Spark — mirrored by
+            # the clamp on `iv` below.
+            if pd.isna(x):
+                slot, ok = 0.0, False
+            elif scale is None:
+                slot, ok = float(x), True
+            else:
+                d = float(round(float(x) * scale))
+                slot, ok = (0.0, False) if abs(d) > 2.0 ** 63 \
+                    else (d, True)
             live = [v for v, m in zip(vals, mask) if m]
             n = len(live)
+            overflow = False
             # n >= 2 mirrors the batch operator exactly: stddev_samp
             # is NULL for a single observation (filtered by the
             # __std.isNotNull() guard), it never divides by zero
-            if not pd.isna(x) and n >= max(min_periods, 2):
+            if ok and n >= max(min_periods, 2):
                 if scale is None:
                     m_ = sum(live) / n
                     var = sum((v - m_) ** 2 for v in live) / (n - 1)
@@ -379,7 +396,8 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                     # the batch operator (scaled-int64 S/Q, sample var
                     # from n*Q - S*S, floor(x*1e4+0.5)/1e4 rounding) so
                     # emissions are bit-identical to it
-                    iv = [int(v) for v in live]
+                    iv = [max(min(int(v), 2**63 - 1), -(2**63))
+                          for v in live]
                     S, Q = sum(iv), sum(v * v for v in iv)
                     # mirror the batch operator's DECIMAL(38,0)
                     # envelope: beyond it the batch try_* aggregates
@@ -387,34 +405,27 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
                     # — Python's arbitrary-precision ints would keep
                     # flagging here and break the pinned bit-identity
                     if Q >= 10**38 or S * S >= 10**38 or n * Q >= 10**38:
-                        # unflagged; the row still enters the frame via
-                        # the shared state update below
-                        vals.append(0.0 if pd.isna(x)
-                                    else float(round(float(x) * scale)))
-                        mask.append(not pd.isna(x))
-                        if len(vals) > window:
-                            vals, mask = vals[-window:], mask[-window:]
-                        continue
-                    m_ = float(S) / float(n)
-                    var = float(n * Q - S * S) / float(n * (n - 1))
-                    s_ = math.sqrt(var)
-                    x_ = float(round(float(x) * scale))
-                    # mirror the batch r4's |c| < 9e14 saturation guard
-                    r4 = lambda c: (math.floor(c * 1e4 + 0.5) / 1e4
-                                    if abs(c) < 9e14 else c)
-                    mean_out, std_out = m_ / scale, s_ / scale
-                if s_ > 0 and abs((x_ - m_) / s_) > threshold:
+                        overflow = True
+                    else:
+                        m_ = float(S) / float(n)
+                        var = float(n * Q - S * S) / float(n * (n - 1))
+                        s_ = math.sqrt(var)
+                        x_ = slot
+                        # mirror the batch r4's |c| < 9e14 saturation
+                        # guard
+                        r4 = lambda c: (math.floor(c * 1e4 + 0.5) / 1e4
+                                        if abs(c) < 9e14 else c)
+                        mean_out, std_out = m_ / scale, s_ / scale
+                if not overflow and s_ > 0 \
+                        and abs((x_ - m_) / s_) > threshold:
                     z = (x_ - m_) / s_
                     out.append((entity, tb, ts_v, float(x),
                                 r4(mean_out), r4(std_out), r4(z)))
-            # the row ENTERS the frame after being judged; null rows
-            # occupy a frame slot with a False mask (ROWS semantics)
-            if scale is None:
-                vals.append(0.0 if pd.isna(x) else float(x))
-            else:
-                vals.append(0.0 if pd.isna(x)
-                            else float(round(float(x) * scale)))
-            mask.append(not pd.isna(x))
+            # the row ENTERS the frame after being judged; null (and
+            # scaled-overflow) rows occupy a frame slot with a False
+            # mask (ROWS semantics) — ONE shared update for all paths
+            vals.append(slot)
+            mask.append(ok)
             if len(vals) > window:
                 vals, mask = vals[-window:], mask[-window:]
         state.update((vals, mask))
