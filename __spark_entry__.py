@@ -2622,12 +2622,14 @@ def q_incremental_e2e(spark, sf_dir):
     surv_ids, surv_frames = [], []
     for b in batches:
         s1 = incremental_exact_dedup(b, "text", "doc_id", fp_state)
-        s2 = incremental_neardup(s1, "text", "doc_id", sig_state, **kw)
+        # persist the survivor FRAME: it feeds the id collect here, the
+        # ANN append, AND the packing assertion below — and its plan
+        # re-derives through the pinned state reads (the composed
+        # chain's columns, not a copy of the replay)
+        s2 = incremental_neardup(s1, "text", "doc_id", sig_state,
+                                 **kw).persist()
         ids = sorted(r.doc_id for r in s2.select("doc_id").collect())
         surv_ids.extend(ids)
-        # keep the lazy survivor FRAME: its plan re-derives through the
-        # pinned state reads, so packing from it below exercises the
-        # composed chain's columns, not a copy of the replay
         surv_frames.append(s2)
         emb_b = e.join(
             spark.createDataFrame([(i,) for i in ids], "vec_id long"),
@@ -2689,6 +2691,8 @@ def q_incremental_e2e(spark, sf_dir):
     # exact survivor, dropped-by-neardup included)
     states_complete = bool(n_fp == len(exact_union)
                            and n_sig == len(exact_union))
+    for s in surv_frames:
+        s.unpersist()
     return spark.createDataFrame(
         [(bool(len(surv_inc) > 0), survivors_match, packs_match,
           ann_pre, ann_post, states_complete)],
