@@ -272,6 +272,50 @@ def test_consolidate_vacuum(uri, spark):
     assert out["v"].tolist() == pdf["v"].tolist()
 
 
+def test_create_array_from_fragments_skips_superseded(uri, tmp_path, spark):
+    """A consolidated-but-not-vacuumed source: the new array must copy
+    only LIVE fragments — a record still marked superseded_by would be
+    hidden from FragmentInfoList and DELETED by the first vacuum() on
+    the new array (silent data loss)."""
+    from tiledb_py_spark.fragment import create_array_from_fragments
+
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    tdb.consolidate(uri)  # folded fragments stay on disk until vacuum
+    frs = tdb.array_fragments(uri)
+    assert len(frs) == 1  # live view hides the superseded pair
+    lo, hi = 0, max(f.timestamp_range[1] for f in frs)
+    new = str(tmp_path / "copy")
+    create_array_from_fragments(uri, new, (lo, hi))
+    assert len(tdb.array_fragments(new)) == 1
+    # vacuum on the copy must be a no-op, not a data wipe
+    tdb.vacuum(new)
+    out = tdb.open(new, spark=spark).df[:].reset_index().sort_values("k")
+    assert out["v"].tolist() == pdf["v"].tolist()
+
+
+def test_consolidate_single_commit(uri, spark):
+    """consolidate() supersedes the folded fragments in the SAME manifest
+    commit that registers the new fragment — two commits would let a
+    crash (or a concurrent reader) see folded fragments AND their
+    product live simultaneously (doubled cells on duplicate-allowing
+    schemas)."""
+    from tiledb_py_spark import manifest as mf
+
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    v_before = mf.read_manifest(uri).version
+    tdb.consolidate(uri)
+    v_after = mf.read_manifest(uri).version
+    assert v_after == v_before + 1  # exactly ONE commit
+    # and the folded records are already superseded in that commit
+    m = mf.read_manifest(uri)
+    assert sum(1 for f in m.fragments
+               if f.kind == "write" and f.superseded_by is None) == 1
+
+
 def test_delete_mode(uri, spark):
     """Mode 'd' delete query (S15): anti-predicate fragment."""
     pdf = _pdf()

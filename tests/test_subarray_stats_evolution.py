@@ -190,6 +190,27 @@ def test_current_domain_sparse_multi_index_clamp(uri, spark):
         A.multi_index[12:55]
 
 
+def test_current_domain_float_dim_rejects_excess_stop(uri, spark):
+    """Float dims have INCLUSIVE stops, so any explicit stop beyond the
+    current-domain bound must raise — the integer-style stop-1 check
+    would let stops in (ub, ub+1] silently clamp instead."""
+    pdf = pd.DataFrame({"x": np.linspace(0.0, 10.0, 21),
+                        "v": np.arange(21) * 1.0})
+    tdb.from_pandas(uri, pdf, index_dims=["x"])
+    A = tdb.open(uri, spark=spark)
+    rect = tdb.NDRectangle(None, A.schema.domain)
+    rect.set_range("x", 0.0, 8.0)
+    cd = tdb.CurrentDomain()
+    cd.set_ndrectangle(rect)
+    A.schema.set_current_domain(cd)
+    res = A.multi_index[0.0:8.0]
+    assert max(res["x"]) == 8.0
+    with pytest.raises(Exception):
+        A.multi_index[0.0:8.5]      # in (ub, ub+1]: must raise, not clamp
+    with pytest.raises(Exception):
+        A.multi_index[0.0:9.5]
+
+
 def test_current_domain_evolve_persists(uri, spark):
     """expand_current_domain(CurrentDomain) persists in the manifest and
     shrinking is rejected (reference test_current_domain_evolve)."""

@@ -40,8 +40,8 @@ from pyspark.sql import types as T
 from . import manifest as mf
 from .aggregation import compute_aggregates, normalize_agg_spec, unwrap
 from .functions.query_condition import compile_condition
-from .indexing import (apply_steps_pandas, getitem_ranges_multi_index,
-                       index_as_tuple, index_domain_subarray, replace_ellipsis,
+from .indexing import (getitem_ranges_multi_index, index_as_tuple,
+                       index_domain_subarray, replace_ellipsis,
                        replace_scalars_slice)
 from .materialize import pdf_to_numpy_dict
 from .metadata import Metadata

@@ -225,14 +225,18 @@ def consolidate(uri: str, timestamp=None, spark=None,
         df = arr._scan_df()  # deletes + dedup folded in
         ts_end = max(f.timestamp_range[1] for f in folded)
     folded_names = {f.name for f in folded}
-    rec = write_fragment_spark(uri, arr.schema, df, timestamp=ts_end)
 
-    def _supersede(man):
+    def _supersede(man, rec):
+        # same commit as the new fragment record: a crash (or a reader)
+        # between two separate commits would see the folded fragments
+        # AND the consolidated copy live simultaneously — doubled cells
+        # on duplicate-allowing schemas, forever
         for f in man.fragments:
             if f.name in folded_names and f.name != rec.name:
                 f.superseded_by = rec.name
 
-    mf.commit(uri, _supersede)
+    write_fragment_spark(uri, arr.schema, df, timestamp=ts_end,
+                         on_commit=_supersede)
     return uri
 
 
@@ -321,7 +325,12 @@ def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> 
     copied = []
     for f in m.fragments:
         t0, t1 = f.timestamp_range
-        if f.kind == "write" and lo <= t0 and t1 <= hi:
+        # live fragments only (matching copy_fragments_to_existing_array):
+        # a copied record still marked superseded_by would be hidden from
+        # FragmentInfoList and DELETED by the first vacuum() on the new
+        # array — silent data loss
+        if f.kind == "write" and f.superseded_by is None \
+                and lo <= t0 and t1 <= hi:
             shutil.copytree(mf.fragment_path(old_uri, f), mf.fragment_path(new_uri, f))
             copied.append(f)
     mf.commit(new_uri, lambda man: man.fragments.extend(copied))

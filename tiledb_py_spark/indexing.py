@@ -218,9 +218,16 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
                 raise IndexError("cannot index integral domain dimension with floating point slice")
             if not is_datetime and stop < 0:
                 stop = int(stop) + int(dim_ub)
+            # explicit end beyond the current domain: reject, don't
+            # clamp.  Integer stops are half-open numpy-style (stop-1 is
+            # the last selected cell); float stops are inclusive, so the
+            # -1 adjustment would let any stop in (ub, ub+1] silently
+            # clamp instead of raising.
+            cd_stop_excess = (stop > dim_ub
+                              if np.issubdtype(dim_dtype, np.floating)
+                              else stop - 1 > dim_ub)
             if cd_box is not None and not is_datetime and not is_string \
-                    and stop - 1 > dim_ub:
-                # explicit end beyond the current domain: reject, don't clamp
+                    and cd_stop_excess:
                 raise IndexError(
                     f"selection on {dim.name!r} is outside the current domain {cd_box}")
             if not is_datetime and stop > dim_ub:
@@ -312,18 +319,3 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
     return out
 
 
-def apply_steps_pandas(pdf, dim_names: Sequence[str], dims_starts: Sequence[Any],
-                       steps: Sequence[Any]):
-    """Post-apply slice steps on materialized results, like the reference
-    does after the read (``dense_array.py:284-286``)."""
-    import pandas as pd  # noqa: F401
-
-    mask = None
-    for name, start, step in zip(dim_names, dims_starts, steps):
-        if step in (None, 1):
-            continue
-        m = ((pdf[name] - start) % step) == 0
-        mask = m if mask is None else (mask & m)
-    if mask is not None:
-        pdf = pdf[mask]
-    return pdf

@@ -120,6 +120,12 @@ def write_label_data(uri: str, name: str, coords: np.ndarray,
     pdf = pdf.sort_values("__coord", kind="stable").reset_index(drop=True)
     tmp = f + ".tmp"
     pdf.to_parquet(tmp, index=False)
+    if os.path.isdir(f):
+        # the distributed path (write_label_dataframe) leaves a parquet
+        # DIRECTORY; os.replace cannot rename a file over it
+        import shutil
+
+        shutil.rmtree(f)
     os.replace(tmp, f)
 
 
@@ -249,6 +255,10 @@ class LabelIndexer:
         for i, (d, sel) in enumerate(zip(schema.domain, idx)):
             if i not in self._by_dim:
                 if isinstance(sel, slice):
+                    if sel.step is not None:
+                        raise ValueError(
+                            "stepped slices are not supported in label "
+                            "reads (multi_index semantics)")
                     lo, hi = sel.start, sel.stop
                 else:
                     lo = hi = sel
@@ -270,10 +280,12 @@ class LabelIndexer:
                     ldf = ldf.filter(F.col("__label") <= sel.stop)
             else:
                 ldf = ldf.filter(F.col("__label") == sel)
-            row = ldf.agg(F.min("__coord").alias("lo"),
-                          F.max("__coord").alias("hi")).collect()[0]
             joins.append((d.name, ldf.select(
                 F.col("__coord").alias(d.name), F.col("__label").alias(lbl))))
+            if empty:
+                continue  # result already empty — skip the (min,max) job
+            row = ldf.agg(F.min("__coord").alias("lo"),
+                          F.max("__coord").alias("hi")).collect()[0]
             if row.lo is None:
                 empty = True
             else:
@@ -319,6 +331,10 @@ class LabelIndexer:
                 # plain domain-value selection (inclusive, multi_index rules)
                 lo, hi = None, None
                 if isinstance(sel, slice):
+                    if sel.step is not None:
+                        raise ValueError(
+                            "stepped slices are not supported in label "
+                            "reads (multi_index semantics)")
                     lo = sel.start
                     hi = sel.stop
                 else:
@@ -340,7 +356,12 @@ class LabelIndexer:
             if empty:
                 df = arr._empty_df()
             else:
-                df = arr._execute(QueryPlan(dim_ranges=ranges))
+                # order="C": label_values are __coord-sorted, so the
+                # cell rows must come back coord-sorted too — the
+                # default unordered scan would row-misalign the label
+                # column against the dim/attr columns after a
+                # multi-fragment dedup shuffle
+                df = arr._execute(QueryPlan(dim_ranges=ranges, order="C"))
             pdf = df.toPandas()
             from .materialize import pdf_to_numpy_dict
 

@@ -158,7 +158,8 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
 
 def write_fragment_spark(uri: str, schema: ArraySchema, df,
                          timestamp: Optional[int] = None,
-                         sort_within: bool = True) -> FragmentRecord:
+                         sort_within: bool = True,
+                         on_commit=None) -> FragmentRecord:
     """Cluster-scale fragment write from a Spark DataFrame.
 
     ``repartitionByRange`` on the dim columns + ``sortWithinPartitions``
@@ -201,5 +202,15 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
     rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
                          nonempty_domain=mbr)
-    commit(uri, lambda m: m.fragments.append(rec))
+
+    def _append(m):
+        m.fragments.append(rec)
+        if on_commit is not None:
+            # extra manifest mutation in the SAME commit — callers like
+            # consolidate() supersede the folded fragments atomically
+            # with the new record (two commits would let a crash or a
+            # concurrent reader see folded fragments AND their product)
+            on_commit(m, rec)
+
+    commit(uri, _append)
     return rec

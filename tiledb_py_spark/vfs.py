@@ -93,10 +93,24 @@ class VFS:
         return total
 
     def move_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
-        shutil.move(str(old_uri), str(new_uri))
+        if self._local(old_uri) is not None \
+                and self._local(new_uri) is not None:
+            shutil.move(str(old_uri), str(new_uri))
+        else:
+            # remote (or mixed) endpoints route through fsspec like
+            # every other VFS method — shutil would treat the URI as a
+            # local path and fail
+            fs = _fsspec_fs(str(old_uri))
+            fs.copy(str(old_uri), str(new_uri), recursive=True)
+            fs.rm(str(old_uri), recursive=True)
 
     def copy_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
-        shutil.copytree(str(old_uri), str(new_uri))
+        if self._local(old_uri) is not None \
+                and self._local(new_uri) is not None:
+            shutil.copytree(str(old_uri), str(new_uri))
+        else:
+            _fsspec_fs(str(old_uri)).copy(str(old_uri), str(new_uri),
+                                          recursive=True)
 
     # -- files ---------------------------------------------------------------
     def is_file(self, uri: _AnyPath) -> bool:
@@ -115,10 +129,20 @@ class VFS:
         return os.path.getsize(p) if p is not None else _fsspec_fs(str(uri)).size(str(uri))
 
     def move_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
-        shutil.move(str(old_uri), str(new_uri))
+        if self._local(old_uri) is not None \
+                and self._local(new_uri) is not None:
+            shutil.move(str(old_uri), str(new_uri))
+        else:
+            fs = _fsspec_fs(str(old_uri))
+            fs.copy(str(old_uri), str(new_uri))
+            fs.rm(str(old_uri))
 
     def copy_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
-        shutil.copyfile(str(old_uri), str(new_uri))
+        if self._local(old_uri) is not None \
+                and self._local(new_uri) is not None:
+            shutil.copyfile(str(old_uri), str(new_uri))
+        else:
+            _fsspec_fs(str(old_uri)).copy(str(old_uri), str(new_uri))
 
     def touch(self, uri: _AnyPath) -> None:
         p = self._local(uri)
@@ -132,7 +156,12 @@ class VFS:
         p = self._local(uri)
         if p is None:
             fs = _fsspec_fs(str(uri))
-            return sorted(fs.find(str(uri)) if recursive else fs.ls(str(uri)))
+            names = fs.find(str(uri)) if recursive else fs.ls(str(uri))
+            # fsspec strips the scheme from listing entries; re-prefix
+            # so the results round-trip through scheme-dispatched VFS
+            # methods (is_file/remove_file/...) instead of being
+            # misrouted to local os/shutil ops
+            return sorted(fs.unstrip_protocol(n) for n in names)
         if recursive:
             out = []
             for root, dirs, files in os.walk(p):
@@ -145,7 +174,10 @@ class VFS:
         entries = self.ls(uri, recursive=True)
         if callback is not None:
             for e in entries:
-                if not callback(e, self.file_size(e) if os.path.isfile(e) else 0):
+                # scheme-dispatched is_file/file_size, not os.path —
+                # remote entries would otherwise all report size 0
+                if not callback(e, self.file_size(e)
+                                if self.is_file(e) else 0):
                     break
         return entries
 
