@@ -880,8 +880,10 @@ def _cdc_array(spark, sf_dir) -> str:
         os.makedirs(os.path.dirname(uri), exist_ok=True)
         pdf = (_t(spark, sf_dir, "part")
                .select("p_partkey", "p_retailprice").toPandas())
+        # full_domain: the insert fragment lands at p_partkey+1_000_000,
+        # which out-of-domain write validation rejects on a pinned domain
         tdb.from_pandas(uri, pdf, index_dims=["p_partkey"],
-                        mode="schema_only")
+                        mode="schema_only", full_domain=True)
         schema = tdb.open(uri).schema
         write_fragment_pandas(uri, schema, pdf, timestamp=1000)
         upd = pdf[pdf["p_partkey"] < 80].copy()

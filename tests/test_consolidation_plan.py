@@ -14,7 +14,7 @@ def _write_n_fragments(uri, n, rows_per=100):
         pdf = pd.DataFrame({
             "k": np.arange(i * rows_per, (i + 1) * rows_per, dtype=np.int64),
             "v": np.full(rows_per, float(i))})
-        tdb.from_pandas(uri, pdf, index_dims=["k"],
+        tdb.from_pandas(uri, pdf, index_dims=["k"], full_domain=True,
                         mode="ingest" if i == 0 else "append")
 
 

@@ -17,7 +17,10 @@ from tiledb_py_spark.plans.range_ir import mbr_intersects
 def multi_frag(uri, spark):
     """Three disjoint-coord fragments: [0,99], [100,199], [200,299]."""
     pdf = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.zeros(100)})
-    tdb.from_pandas(uri, pdf, index_dims=["k"], allows_duplicates=True)
+    # full_domain: later appends land outside batch 1's coord range,
+    # which out-of-domain write validation would (rightly) reject
+    tdb.from_pandas(uri, pdf, index_dims=["k"], allows_duplicates=True,
+                    full_domain=True)
     for base in (100, 200):
         p = pd.DataFrame({"k": np.arange(base, base + 100, dtype=np.int64),
                           "v": np.zeros(100)})

@@ -516,7 +516,8 @@ def test_changelog_matches_snapshot_diff_any_history(spark, tmp_path_factory,
 
     base = pd.DataFrame({"k": np.array([0], dtype="int64"),
                          "v": np.array([0.0])})
-    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only",
+                    full_domain=True)
     schema = tdb.open(uri).schema
     orig = mfm.now_ms
     try:

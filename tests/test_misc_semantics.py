@@ -295,3 +295,53 @@ def test_encryption_key_loud_refusal(tmp_path, spark):
                          key="secret")
     # key=None stays the normal path
     assert tdb.open(uri, key=None).shape == (10,)
+
+
+def test_dense_multi_index_fills_unwritten_cells(uri, spark):
+    """Dense multi_index must return EVERY cell of the union-of-ranges
+    selection with unwritten cells as fill (J3) — not just the written
+    subset; multi-range unions and point lists included."""
+    import numpy as np
+
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim),
+        attrs=[tdb.Attr(name="v", dtype=np.float64)], sparse=False)
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[0:5] = np.arange(5.0)          # cells 5..9 never written
+    A = tdb.open(uri, spark=spark)
+    res = A.multi_index[0:9]
+    assert res["k"].tolist() == list(range(10))
+    assert res["v"][:5].tolist() == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert all(np.isnan(res["v"][5:]))   # float fill = NaN
+    # union of disjoint ranges + a point, holes filled per range
+    res = A.multi_index[[slice(1, 2), slice(7, 8), 4]]
+    assert res["k"].tolist() == [1, 2, 4, 7, 8]
+    assert res["v"][:3].tolist() == [1.0, 2.0, 4.0]
+    assert all(np.isnan(res["v"][3:]))
+
+
+def test_dense_aggregates_include_fill_cells(uri, spark):
+    """Dense aggregates run over EVERY cell of the subarray with
+    unwritten cells as fill (reference dense reads materialize fill
+    before aggregating); with a query condition only matching cells
+    aggregate."""
+    import numpy as np
+
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(
+        domain=tdb.Domain(dim),
+        attrs=[tdb.Attr(name="v", dtype=np.int64, fill=0)], sparse=False)
+    tdb.Array.create(uri, schema)
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[0:5] = np.arange(1, 6)         # cells 5..9 unwritten, fill=0
+    A = tdb.open(uri, spark=spark)
+    res = A.query().agg({"v": ["count", "sum", "min"]})[0:10]
+    assert res["count"] == 10            # all subarray cells
+    assert res["sum"] == 15              # fill 0 contributes nothing
+    assert res["min"] == 0               # the fill value
+    # condition restricts to matching cells only
+    res = A.query(cond="v > 0").agg({"v": ["count", "sum"]})[0:10]
+    assert res["count"] == 5
+    assert res["sum"] == 15

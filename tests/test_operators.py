@@ -3483,7 +3483,8 @@ def _cdc_fixture(tmp_path):
     base = pd.DataFrame({"k": np.arange(100, dtype="int64"),
                          "v": np.arange(100, dtype="float64"),
                          "s": [f"x{i}" for i in range(100)]})
-    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only",
+                    full_domain=True)
     schema = tdb.open(uri).schema
     write_fragment_pandas(uri, schema, base, timestamp=1000)
     upd = base[base.k < 30].copy()
@@ -3551,7 +3552,8 @@ def test_changelog_prunes_unaffected_fragments(spark, tmp_path):
                        "v": np.zeros(100)})
     hi = pd.DataFrame({"k": np.arange(10_000, 10_100, dtype="int64"),
                        "v": np.ones(100)})
-    tdb.from_pandas(uri, lo, index_dims=["k"], mode="schema_only")
+    tdb.from_pandas(uri, lo, index_dims=["k"], mode="schema_only",
+                    full_domain=True)
     schema = tdb.open(uri).schema
     write_fragment_pandas(uri, schema, lo, timestamp=1000)
     write_fragment_pandas(uri, schema, hi, timestamp=1001)
@@ -3716,7 +3718,8 @@ def test_review_fixes_round7_continuation(spark, tmp_path):
     uri = str(tmp_path / "cdc_consol")
     base = pd.DataFrame({"k": np.arange(50, dtype="int64"),
                          "v": np.arange(50, dtype="float64")})
-    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only")
+    tdb.from_pandas(uri, base, index_dims=["k"], mode="schema_only",
+                    full_domain=True)
     schema = tdb.open(uri).schema
     write_fragment_pandas(uri, schema, base, timestamp=1000)
     orig = mfm.now_ms

@@ -41,7 +41,9 @@ def test_from_pandas_dense_rowindex(uri, spark):
 
 def test_from_pandas_append(uri, spark):
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    # append workflows declare full_domain (reference rule: the domain
+    # pins to batch 1 otherwise, and out-of-domain appends are REJECTED)
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
     A = tdb.open(uri, spark=spark)
     out = A.df[:].reset_index().sort_values("k").reset_index(drop=True)
@@ -239,7 +241,7 @@ def test_timetravel(uri, spark):
     """Open at timestamp sees only fragments committed by then
     (reference array.py:321-339, examples/time_traveling.py)."""
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     frags = tdb.array_fragments(uri)
     ts1 = frags[0].timestamp_range[1]
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
@@ -251,7 +253,7 @@ def test_timetravel(uri, spark):
 
 def test_fragment_info(uri, spark):
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
     frags = tdb.array_fragments(uri)
     assert len(frags) == 2
@@ -262,7 +264,7 @@ def test_fragment_info(uri, spark):
 
 def test_consolidate_vacuum(uri, spark):
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
     assert len(tdb.array_fragments(uri)) == 2
     tdb.consolidate(uri)
@@ -280,7 +282,7 @@ def test_create_array_from_fragments_skips_superseded(uri, tmp_path, spark):
     from tiledb_py_spark.fragment import create_array_from_fragments
 
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
     tdb.consolidate(uri)  # folded fragments stay on disk until vacuum
     frs = tdb.array_fragments(uri)
@@ -304,7 +306,7 @@ def test_consolidate_single_commit(uri, spark):
     from tiledb_py_spark import manifest as mf
 
     pdf = _pdf()
-    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"])
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
     tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
     v_before = mf.read_manifest(uri).version
     tdb.consolidate(uri)
@@ -441,3 +443,23 @@ def test_group_metadata_consolidate_vacuum(tmp_path, spark):
         assert "b" not in grp.meta
     # vacuum without a prior consolidate is a no-op
     assert tdb.Group.vacuum_metadata(g) == 0
+
+
+def test_out_of_domain_write_rejected(uri, tmp_path, spark):
+    """Coordinates outside the declared dim domain are REJECTED at write
+    time (reference core behavior) instead of silently polluting
+    nonempty_domain and full-range reads; the staged fragment is cleaned
+    up, and in-domain writes still land."""
+    dim = tdb.Dim(name="k", domain=(0, 9), tile=10, dtype=np.int64)
+    schema = tdb.ArraySchema(domain=tdb.Domain(dim),
+                             attrs=[tdb.Attr(name="v", dtype=np.float64)],
+                             sparse=True)
+    tdb.Array.create(uri, schema)
+    with pytest.raises(IndexError, match="outside the domain"):
+        with tdb.open(uri, "w", spark=spark) as A:
+            A[np.array([5, 100])] = np.array([1.0, 2.0])
+    assert len(tdb.array_fragments(uri)) == 0
+    assert tdb.open(uri).nonempty_domain() is None
+    with tdb.open(uri, "w", spark=spark) as A:
+        A[np.array([5, 9])] = np.array([1.0, 2.0])
+    assert tdb.open(uri, spark=spark).nonempty_domain()[0] == (5, 9)

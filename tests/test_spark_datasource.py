@@ -18,7 +18,10 @@ def _register(spark):
 def arr(uri, spark):
     pdf = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
                         "v": np.arange(500) * 1.5})
-    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    # full_domain: the stream tests append fragments at coords 1000+,
+    # which out-of-domain write validation would (rightly) reject on a
+    # batch-1-pinned domain
+    tdb.from_pandas(uri, pdf, index_dims=["k"], full_domain=True)
     return uri
 
 
@@ -69,7 +72,7 @@ def test_format_overlapping_nodup_last_write_wins(uri, spark):
     newer overlapping fragments' coordinates)."""
     pdf = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
                         "v": np.zeros(10)})
-    tdb.from_pandas(uri, pdf, index_dims=["k"])
+    tdb.from_pandas(uri, pdf, index_dims=["k"], full_domain=True)
     pdf2 = pd.DataFrame({"k": np.arange(5, 15, dtype=np.int64),
                          "v": np.ones(10)})
     tdb.from_pandas(uri, pdf2, index_dims=["k"], mode="append")

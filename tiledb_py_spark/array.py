@@ -80,14 +80,15 @@ class Array:
 
     def __init__(self, uri: str, mode: str = "r",
                  timestamp: Optional[Any] = None, attr: Optional[str] = None,
-                 spark: Optional[SparkSession] = None):
+                 spark: Optional[SparkSession] = None, _manifest=None):
         if mode not in ("r", "w", "d", "m"):
             raise ValueError(f"invalid mode {mode!r}")
         self.uri = uri
         self.mode = mode
         self.timestamp = timestamp
         self.view_attr = attr
-        self._manifest = mf.read_manifest(uri)
+        self._manifest = _manifest if _manifest is not None \
+            else mf.read_manifest(uri)
         self._spark = spark
         self._closed = False
         if attr is not None and not self._manifest.schema.has_attr(attr):
@@ -115,9 +116,12 @@ class Array:
     @classmethod
     def load_typed(cls, uri: str, mode: str = "r", timestamp=None, attr=None,
                    spark=None) -> "Array":
+        # hand the parsed manifest to the constructor — reading it twice
+        # per open doubled open latency on fragment-heavy arrays
         m = mf.read_manifest(uri)
         klass = SparseArray if m.schema.sparse else DenseArray
-        return klass(uri, mode=mode, timestamp=timestamp, attr=attr, spark=spark)
+        return klass(uri, mode=mode, timestamp=timestamp, attr=attr,
+                     spark=spark, _manifest=m)
 
     # -- basics --------------------------------------------------------------
     @property
@@ -306,7 +310,11 @@ class Array:
                 self.spark.read.schema(sschema).parquet(*paths), frs)
 
         parts = []
-        for i, f in enumerate(sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))):
+        # stable sort on ts ALONE: frs arrives in manifest commit order,
+        # so same-millisecond fragments keep their true write order —
+        # tie-breaking on the (random uuid) fragment name would flip
+        # last-write-wins for ~half of same-ms write pairs
+        for i, f in enumerate(sorted(frs, key=lambda f: f.timestamp_range[0])):
             p = self.spark.read.schema(sschema).parquet(mf.fragment_path(self.uri, f))
             parts.append(p.withColumn(
                 "__frag_ts", F.lit(mf.frag_order_key(f.timestamp_range[0], i))))
@@ -729,6 +737,40 @@ class DenseArray(Array):
         grid = reduce(lambda a, b: a.crossJoin(b), dfs)
         return grid, shape
 
+    def _multi_grid(self, ranges: list) -> DataFrame:
+        """Distributed coordinate grid over a UNION of ranges/points per
+        dim (the multi_index generalization of ``_domain_df``): one
+        ``spark.range`` per interval, unioned + distinct per dim, then
+        the cross-product.  Unbounded sides fall back to the nonempty
+        domain (then the declared domain)."""
+        ned = self.nonempty_domain()
+        dim_dfs = []
+        for i, d in enumerate(self.schema.domain):
+            if d.dtype.kind not in "iu":
+                raise NotImplementedError(
+                    "dense domains must be integer-typed")
+            t = d.type_info.spark_type.simpleString()
+            dr = next((r for r in ranges if r.name == d.name), None)
+            dlo = ned[i][0] if ned is not None else d.domain[0]
+            dhi = ned[i][1] if ned is not None else d.domain[1]
+            pieces = []
+            if dr is not None and (dr.intervals or dr.points):
+                for lo, hi in dr.intervals:
+                    lo = dlo if lo is None else lo
+                    hi = dhi if hi is None else hi
+                    pieces.append(self.spark.range(int(lo), int(hi) + 1)
+                                  .select(F.col("id").cast(t)
+                                          .alias(d.name)))
+                if dr.points:
+                    pieces.append(self.spark.createDataFrame(
+                        [(int(p),) for p in dr.points], f"{d.name} {t}"))
+            else:
+                pieces.append(self.spark.range(int(dlo), int(dhi) + 1)
+                              .select(F.col("id").cast(t).alias(d.name)))
+            dim_dfs.append(
+                reduce(lambda a, b: a.unionByName(b), pieces).distinct())
+        return reduce(lambda a, b: a.crossJoin(b), dim_dfs)
+
     def _dense_frame(self, ranges: list, attr_names: list,
                      cond=None) -> tuple[DataFrame, list[int]]:
         """The dense fill join as a DataFrame (J3): generated domain grid
@@ -1150,7 +1192,29 @@ class Aggregation:
             self.query.attrs if self.query.attrs is not None else schema.attr_names,
             {a.name: a.nullable for a in schema.attrs_list})
         plan.attrs = list(spec.keys())
-        df = arr._execute(plan)
+        if not schema.sparse and self.query.cond is None:
+            # DENSE aggregates run over EVERY cell of the subarray,
+            # unwritten cells as fill (reference dense reads
+            # materialize fill before aggregating); with a query
+            # condition only matching cells aggregate — the scan
+            # below already is that set
+            plan.dims = schema.dim_names
+            cells = arr._execute(plan)
+            grid = arr._multi_grid(ranges)
+            dims = list(schema.dim_names)
+            joined = grid.join(cells, on=dims, how="left")
+            proj = []
+            for an in plan.attrs:
+                a = schema.attr(an)
+                fill = stored_scalar(a.fill, a.dtype) \
+                    if a.fill is not None else None
+                c = F.col(an)
+                if not a.nullable and fill is not None:
+                    c = F.coalesce(c, F.lit(fill))
+                proj.append(c.alias(an))
+            df = joined.select(*proj)
+        else:
+            df = arr._execute(plan)
         res = compute_aggregates(
             df, spec,
             {a.name: a.dtype for a in schema.attrs_list},
@@ -1237,16 +1301,33 @@ class MultiRangeIndexer:
         return self._dense_result(ranges)
 
     def _dense_result(self, ranges):
+        """Dense multi_index: EVERY cell of the union-of-ranges grid,
+        unwritten cells as fill (J3 semantics — the written-cells-only
+        scan would silently drop holes).  Output stays flat in
+        row-major dim order (the documented shape deviation: the
+        reference reshapes to the ranges' cross-product)."""
         arr = self.array
+        schema = arr.schema
         plan = self.query._plan(ranges)
-        if plan.dims is not None and len(plan.dims) == 0:
-            plan.dims = arr.schema.dim_names  # dense multi_index keeps coords internally
-        df = arr._execute(plan)
-        pdf = df.toPandas()
-        dims = arr.schema.dim_names
-        attrs = plan.attrs if plan.attrs is not None else arr.schema.attr_names
-        # dense fill: join against the generated union-of-ranges grid
-        return pdf_to_numpy_dict(pdf, arr.schema, list(df.columns))
+        plan.dims = schema.dim_names  # the fill join needs every coord
+        cells = arr._execute(plan)
+        grid = arr._multi_grid(ranges)
+        dims = list(schema.dim_names)
+        attr_names = list(plan.attrs) if plan.attrs is not None \
+            else list(schema.attr_names)
+        joined = grid.join(cells, on=dims, how="left")
+        proj = [F.col(d) for d in dims]
+        for an in attr_names:
+            a = schema.attr(an)
+            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None \
+                else None
+            c = F.col(an)
+            if not a.nullable and fill is not None:
+                c = F.coalesce(c, F.lit(fill))
+            proj.append(c.alias(an))
+        out = joined.select(*proj).orderBy(*dims)
+        pdf = out.toPandas()
+        return pdf_to_numpy_dict(pdf, schema, list(out.columns))
 
 
 class DataFrameIndexer:

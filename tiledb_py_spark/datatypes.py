@@ -226,10 +226,15 @@ def default_fill(ti: TypeInfo) -> Any:
 
 def numpy_to_python(v: Any) -> Any:
     """Convert numpy scalars to plain Python for JSON serialization.
-    datetime64 must be checked BEFORE np.generic (it is one, and .item()
-    yields a datetime.datetime that json.dump rejects)."""
+    datetime64/timedelta64 must be checked BEFORE np.generic (both are,
+    and their .item() yields datetime.datetime / datetime.timedelta —
+    which json.dump rejects)."""
     if isinstance(v, np.datetime64):
         return str(v)
+    if isinstance(v, np.timedelta64):
+        # store the raw tick count; the unit lives in the dtype that
+        # accompanies it on deserialization
+        return int(v.view("int64"))
     if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, np.ndarray):

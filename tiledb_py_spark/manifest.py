@@ -268,22 +268,28 @@ def read_manifest(uri: str, version: Optional[int] = None) -> Manifest:
 
 
 def write_manifest(uri: str, m: Manifest) -> None:
-    """Atomic write of one version file (write temp + rename)."""
+    """Atomic write of one version file: write temp, then CLAIM the
+    version with ``os.link`` — which fails with FileExistsError if the
+    target exists, atomically.  A pre-check + rename would race: two
+    writers committing the same version could both pass the check and
+    the second rename would silently clobber the first commit (a lost
+    fragment record = orphaned data)."""
     d = manifest_dir(uri)
     os.makedirs(d, exist_ok=True)
     target = _manifest_file(uri, m.version)
-    if os.path.exists(target):
-        raise FileExistsError(f"manifest version {m.version} already committed at {uri}")
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(m.to_json(), f)
-        os.rename(tmp, target)
+        try:
+            os.link(tmp, target)  # atomic claim
+        except FileExistsError:
+            raise FileExistsError(
+                f"manifest version {m.version} already committed at {uri}")
         _LATEST_SEEN[d] = max(_LATEST_SEEN.get(d, 0), m.version)
-    except BaseException:
+    finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
-        raise
 
 
 def commit(uri: str, mutate) -> Manifest:

@@ -16,7 +16,7 @@ from . import manifest as mf
 
 
 def _pack(value: Any) -> dict:
-    if isinstance(value, bool):
+    if isinstance(value, (bool, np.bool_)):
         return {"t": "int", "v": int(value)}
     if isinstance(value, (int, np.integer)):
         return {"t": "int", "v": int(value)}
@@ -29,6 +29,21 @@ def _pack(value: Any) -> dict:
     if isinstance(value, np.ndarray):
         if value.ndim != 1:
             value = value.reshape(-1)  # flattened, like the reference
+        k = value.dtype.kind
+        if k in "Mm":
+            # JSON-safe tick counts; the dtype string restores the unit
+            # (.item() would yield datetime objects json.dump rejects)
+            return {"t": "ndarray", "dtype": str(value.dtype),
+                    "v": [int(x) for x in value.view("int64")]}
+        if k == "S":
+            return {"t": "ndarray", "dtype": str(value.dtype),
+                    "v": [x.decode("latin-1") for x in value]}
+        if k == "U":
+            return {"t": "ndarray", "dtype": str(value.dtype),
+                    "v": [str(x) for x in value]}
+        if k not in "biuf":
+            raise TypeError(
+                f"unsupported metadata array dtype {value.dtype}")
         return {"t": "ndarray", "dtype": str(value.dtype),
                 "v": [v.item() for v in value]}
     if isinstance(value, (list, tuple)):
@@ -38,7 +53,7 @@ def _pack(value: Any) -> dict:
         et = type(value[0])
         if not all(isinstance(v, et) for v in value):
             raise TypeError("metadata lists must be homogeneous (reference rule)")
-        if issubclass(et, (bool, int, np.integer)):
+        if issubclass(et, (bool, np.bool_, int, np.integer)):
             return {"t": "list", "et": "int", "v": [int(v) for v in value],
                     "tuple": isinstance(value, tuple)}
         if issubclass(et, (float, np.floating)):
@@ -62,7 +77,13 @@ def _unpack(d: dict) -> Any:
     if t == "bytes":
         return d["v"].encode("latin-1")
     if t == "ndarray":
-        return np.array(d["v"], dtype=d["dtype"])
+        dt = np.dtype(d["dtype"])
+        if dt.kind in "Mm":
+            return np.array(d["v"], dtype="int64").view(dt)
+        if dt.kind == "S":
+            return np.array([s.encode("latin-1") for s in d["v"]],
+                            dtype=dt)
+        return np.array(d["v"], dtype=dt)
     if t == "list":
         v = list(d["v"])
         return tuple(v) if d.get("tuple") else v
@@ -76,9 +97,19 @@ class Metadata:
 
     def __init__(self, uri: str):
         self.uri = uri
+        self._cache: tuple | None = None  # (version, metadata dict)
 
     def _read(self) -> dict:
-        return mf.read_manifest(self.uri).metadata
+        # parse the manifest once per VERSION, not once per read — the
+        # manifest holds every fragment record, so a per-key get() loop
+        # was O(manifest size) per call.  latest_version is a cheap
+        # stat-probe; any external commit bumps it and invalidates.
+        v = mf.latest_version(self.uri)
+        if self._cache is not None and self._cache[0] == v:
+            return self._cache[1]
+        meta = mf.read_manifest(self.uri, v).metadata
+        self._cache = (v, meta)
+        return meta
 
     def __getitem__(self, key: str) -> Any:
         meta = self._read()

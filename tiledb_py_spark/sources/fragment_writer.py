@@ -33,6 +33,32 @@ from ..manifest import (FragmentRecord, Manifest, commit, fragment_path,
 from ..schema import ArraySchema
 
 
+def _validate_domain(schema: ArraySchema, mbr: dict, frag_dir: str) -> None:
+    """Reject writes whose coordinates fall outside the declared dim
+    domain (the reference core raises TileDBError for out-of-domain
+    coordinates) — an OOB coordinate would otherwise pollute
+    nonempty_domain/MBRs and surface from full-range reads.  Checked
+    from the already-harvested footer MBR: no extra scan.  Only
+    numeric dims are validated (string dims have no domain)."""
+    from ..datatypes import stored_scalar
+
+    for d in schema.domain:
+        if d.domain[0] is None or d.dtype.kind not in "iuf":
+            continue
+        b = mbr.get(d.name)
+        if not b:
+            continue
+        lo = stored_scalar(d.domain[0], d.dtype)
+        hi = stored_scalar(d.domain[1], d.dtype)
+        if b[0] < lo or b[1] > hi:
+            import shutil
+
+            shutil.rmtree(frag_dir, ignore_errors=True)
+            raise IndexError(
+                f"coordinates on dimension {d.name!r} span "
+                f"[{b[0]}, {b[1]}], outside the domain [{lo}, {hi}]")
+
+
 def _mbr_value(v):
     """JSON-safe MBR bound; datetimes -> ISO strings (comparable after
     np.datetime64 round-trip in plans.range_ir.mbr_intersects)."""
@@ -150,9 +176,19 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
         coerce_timestamps="us", allow_truncated_timestamps=True,
     )
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
+    _validate_domain(schema, mbr, frag_dir)
     rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
                          nonempty_domain=mbr)
-    commit(uri, lambda m: m.fragments.append(rec))
+
+    def _append(m):
+        # stamp the manifest's CURRENT schema version: fragments written
+        # after an evolution must record it, or the evolved-fill
+        # fast-path guard (all fragments >= schema_version) stays
+        # disabled forever and FragmentInfo.version reads 0
+        rec.schema_version = m.schema_version
+        m.fragments.append(rec)
+
+    commit(uri, _append)
     return rec
 
 
@@ -200,10 +236,12 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
                    .sortWithinPartitions(*schema.dim_names)
     df.write.mode("overwrite").parquet(frag_dir)
     cell_num, mbr = stats_from_parquet_dir(frag_dir, schema.dim_names)
+    _validate_domain(schema, mbr, frag_dir)
     rec = FragmentRecord(name=name, timestamp_range=(ts, ts), cell_num=cell_num,
                          nonempty_domain=mbr)
 
     def _append(m):
+        rec.schema_version = m.schema_version  # see write_fragment_pandas
         m.fragments.append(rec)
         if on_commit is not None:
             # extra manifest mutation in the SAME commit — callers like

@@ -227,8 +227,10 @@ class TileDBReader(DataSourceReader):
                 if d.timestamp_range[0] >= f.timestamp_range[0] and d.delete_condition)
 
         # commit order for last-write-wins (same total order as
-        # Array._scan_df: timestamp, then fragment name)
-        frs = sorted(frs, key=lambda f: (f.timestamp_range[0], f.name))
+        # Array._scan_df: timestamp, manifest order for same-ms ties —
+        # NOT the random uuid name, which would flip LWW for ~half of
+        # same-millisecond write pairs)
+        frs = sorted(frs, key=lambda f: f.timestamp_range[0])
         mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
         need_lww = (not schema.allows_duplicates) and len(frs) > 1
         preds = tuple(self._preds)
