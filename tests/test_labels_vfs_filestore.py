@@ -343,3 +343,42 @@ def test_vfs_memory_protocol_roundtrip():
     assert 5 in sizes.values()
     vfs.empty_bucket(base)
     assert vfs.is_empty_bucket(base)
+
+
+def test_vfs_mixed_scheme_copy_move(tmp_path):
+    """MIXED endpoints (local<->memory://): dispatching both URIs to
+    one side's filesystem misroutes — the local fs strip_protocol
+    turns 'memory://x' into a literal local './memory:/x' path (r11
+    ADVICE: silent misplacement plus source deletion on move).  Each
+    endpoint must be opened on its own backend."""
+    pytest.importorskip("fsspec")
+    vfs = tdb.VFS()
+    local = tmp_path / "src.bin"
+    local.write_bytes(b"payload")
+    # local -> remote
+    vfs.copy_file(str(local), "memory://mix/a.bin")
+    assert vfs.file_size("memory://mix/a.bin") == 7
+    assert local.exists()  # copy, not move
+    # remote -> local (round trip)
+    back = tmp_path / "back.bin"
+    vfs.copy_file("memory://mix/a.bin", str(back))
+    assert back.read_bytes() == b"payload"
+    # move: source removed on ITS backend, payload lands on the other
+    vfs.move_file(str(local), "memory://mix/moved.bin")
+    assert not local.exists()
+    assert vfs.file_size("memory://mix/moved.bin") == 7
+    assert not (tmp_path / "memory:").exists()  # the misroute artifact
+    # dirs: local tree -> remote, then back
+    d = tmp_path / "tree"
+    (d / "sub").mkdir(parents=True)
+    (d / "x.bin").write_bytes(b"xx")
+    (d / "sub" / "y.bin").write_bytes(b"yyy")
+    vfs.copy_dir(str(d), "memory://mix/tree")
+    assert vfs.file_size("memory://mix/tree/sub/y.bin") == 3
+    out = tmp_path / "tree_back"
+    vfs.move_dir("memory://mix/tree", str(out))
+    assert (out / "x.bin").read_bytes() == b"xx"
+    assert (out / "sub" / "y.bin").read_bytes() == b"yyy"
+    assert not vfs.is_dir("memory://mix/tree")
+    vfs.remove_file("memory://mix/a.bin")
+    vfs.remove_file("memory://mix/moved.bin")

@@ -297,6 +297,36 @@ def test_create_array_from_fragments_skips_superseded(uri, tmp_path, spark):
     assert out["v"].tolist() == pdf["v"].tolist()
 
 
+def test_create_array_from_fragments_window_excludes_product(
+        uri, tmp_path, spark):
+    """A timestamp window that covers a FOLDED fragment but excludes
+    its consolidation product: the folded fragment is the only carrier
+    of that window's data, so it must be copied — with superseded_by
+    cleared on the copy (the product it points at is not in the new
+    array).  Pre-r12 the copy contained neither, silently dropping the
+    window (r11 ADVICE)."""
+    import time
+
+    from tiledb_py_spark.fragment import create_array_from_fragments
+
+    pdf = _pdf()
+    tdb.from_pandas(uri, pdf.iloc[:5], index_dims=["k"], full_domain=True)
+    ts1 = max(f.timestamp_range[1] for f in tdb.array_fragments(uri))
+    time.sleep(0.002)  # ensure fragment 2 lands in a later ms slot
+    tdb.from_pandas(uri, pdf.iloc[5:], index_dims=["k"], mode="append")
+    tdb.consolidate(uri)  # product spans both writes -> ends AFTER ts1
+    new = str(tmp_path / "copy_window")
+    create_array_from_fragments(uri, new, (0, ts1))
+    frs = tdb.array_fragments(new)
+    assert len(frs) == 1  # the folded batch-1 fragment, now live
+    out = tdb.open(new, spark=spark).df[:].reset_index().sort_values("k")
+    assert out["v"].tolist() == pdf["v"].tolist()[:5]
+    # vacuum must be a no-op on the copy (superseded_by cleared)
+    tdb.vacuum(new)
+    out = tdb.open(new, spark=spark).df[:].reset_index().sort_values("k")
+    assert out["v"].tolist() == pdf["v"].tolist()[:5]
+
+
 def test_consolidate_single_commit(uri, spark):
     """consolidate() supersedes the folded fragments in the SAME manifest
     commit that registers the new fragment — two commits would let a

@@ -693,6 +693,67 @@ def test_rolling_anomaly_stream_matches_batch(spark, tmp_path, vd, off):
     assert all(u != 2 for (u, _e) in got)   # user 2 never has 3 priors
 
 
+def test_rolling_anomaly_stream_int64_boundary(spark, tmp_path):
+    """try_cast(double->bigint) validity is the CLOSED interval
+    [-2^63, +2^63] in double space: Long.MaxValue.toDouble rounds UP
+    to 2^63, so Spark accepts the double +2^63 and CLAMPS it to int64
+    max; NULL only strictly beyond (probed on Spark 4.1.2 — NOT the
+    asymmetric open bound an ANSI reading of try_cast suggests, which
+    is what ADVICE r11 assumed).  The stream twin must mirror all
+    three edges: +2^63 clamped-valid, -(2^63) exact-valid, strictly
+    beyond -> NULL frame slot."""
+    import math
+
+    from tiledb_py_spark.streaming.events import rolling_anomaly
+    from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
+
+    pos = (2.0 ** 63) / 100.0     # scaled -> +2^63 -> clamps to i64max
+    neg = -(2.0 ** 63) / 100.0    # scaled -> Long.MIN exactly -> valid
+    beyond = (2.0 ** 63) * 1.01 / 100.0   # scaled -> NULL slot
+    assert pos * 100.0 == 2.0 ** 63 and neg * 100.0 == -(2.0 ** 63)
+    assert beyond * 100.0 > 2.0 ** 63
+
+    src = tmp_path / "bnd_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    ts = lambda m: t0 + pd.Timedelta(minutes=m)
+    pd.DataFrame({"event_id": range(1, 6),
+                  "ts": [ts(m) for m in range(5)],
+                  "user_id": [1] * 5,
+                  "value": [10.0, 11.0, 10.0, 11.0, 10.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b1.parquet")
+    # boundary rows cross the trigger boundary so the state path judges
+    # them against batch-1 baseline state
+    pd.DataFrame({"event_id": [6, 7, 8, 9],
+                  "ts": [ts(m) for m in (5, 6, 7, 8)],
+                  "user_id": [1] * 4,
+                  "value": [pos, beyond, neg, 10.0]}) \
+        .astype({"ts": "datetime64[us]"}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    rows = []
+    q = (rolling_anomaly_stream(stream, window=6, min_periods=3,
+                                threshold=3.0,
+                                value_decimals=2).writeStream
+         .outputMode("append")
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "bnd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.event_id: (r.baseline_mean, r.baseline_std, r.zscore)
+           for r in rows}
+    batch = {r.event_id: (r.baseline_mean, r.baseline_std, r.zscore)
+             for r in rolling_anomaly(
+                 spark.read.parquet(str(src)), window=6, min_periods=3,
+                 threshold=3.0, value_decimals=2).collect()}
+    assert got == batch
+    assert 6 in got       # +2^63 clamps valid -> judged vs baseline
+    assert 7 not in got   # strictly beyond -> NULL slot in both paths
+
+
 def test_time_resample_stream_matches_batch(spark, tmp_path):
     """Watermark-driven resampling: buckets (and their gap rows) emit
     exactly once when the watermark passes the bucket end; the emitted

@@ -17,6 +17,7 @@ shuffle-free pass when fragments are already range-partitioned.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import shutil
 from typing import Optional
@@ -322,16 +323,41 @@ def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> 
         raise FileExistsError(new_uri)
     mf.create_array(new_uri, m.schema)
     lo, hi = timestamp_range
+    by_name = {f.name: f for f in m.fragments}
+    memo: dict = {}
+
+    def _in_window(f):
+        t0, t1 = f.timestamp_range
+        return f.kind == "write" and lo <= t0 and t1 <= hi
+
+    def _will_copy(f):
+        # A fragment travels iff it is in-window AND its data has no
+        # newer carrier that also travels.  A superseded fragment whose
+        # consolidation product falls OUTSIDE [lo, hi] is the ONLY
+        # carrier of its window's data — skipping it unconditionally
+        # (the pre-r12 behavior) silently dropped that window from the
+        # new array even though a timestamped open of the source would
+        # reconstruct it.  Recursive: the product may itself be folded
+        # into a still-later out-of-window consolidation.
+        if f.name in memo:
+            return memo[f.name]
+        memo[f.name] = False  # cycle guard
+        if _in_window(f):
+            if f.superseded_by is None:
+                memo[f.name] = True
+            else:
+                prod = by_name.get(f.superseded_by)
+                memo[f.name] = not (prod is not None and _will_copy(prod))
+        return memo[f.name]
+
     copied = []
     for f in m.fragments:
-        t0, t1 = f.timestamp_range
-        # live fragments only (matching copy_fragments_to_existing_array):
-        # a copied record still marked superseded_by would be hidden from
-        # FragmentInfoList and DELETED by the first vacuum() on the new
-        # array — silent data loss
-        if f.kind == "write" and f.superseded_by is None \
-                and lo <= t0 and t1 <= hi:
+        if _will_copy(f):
             shutil.copytree(mf.fragment_path(old_uri, f), mf.fragment_path(new_uri, f))
-            copied.append(f)
+            # clear superseded_by on the copied record: the product it
+            # points at is not being copied, and a record still marked
+            # superseded would be hidden from FragmentInfoList and
+            # DELETED by the first vacuum() on the new array
+            copied.append(dataclasses.replace(f, superseded_by=None))
     mf.commit(new_uri, lambda man: man.fragments.extend(copied))
     return new_uri

@@ -286,6 +286,22 @@ def write_manifest(uri: str, m: Manifest) -> None:
         except FileExistsError:
             raise FileExistsError(
                 f"manifest version {m.version} already committed at {uri}")
+        except OSError:
+            # filesystems without hardlink support (some NFS mounts,
+            # FUSE/object-store mounts, FAT) raise EPERM/ENOTSUP here —
+            # fall back to the equally-atomic O_CREAT|O_EXCL claim and
+            # write the payload into the claimed fd.  (On these
+            # backends a racing reader can observe a partially-written
+            # file; the hardlink path never exposes that window.)
+            try:
+                cfd = os.open(target,
+                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"manifest version {m.version} already committed"
+                    f" at {uri}")
+            with os.fdopen(cfd, "w") as cf:
+                json.dump(m.to_json(), cf)
         _LATEST_SEEN[d] = max(_LATEST_SEEN.get(d, 0), m.version)
     finally:
         if os.path.exists(tmp):
@@ -294,9 +310,10 @@ def write_manifest(uri: str, m: Manifest) -> None:
 
 def commit(uri: str, mutate) -> Manifest:
     """Read latest manifest, apply ``mutate(manifest) -> None``, write as the
-    next version.  Single-writer assumption (same as the reference's
-    process-level locking model); retries once on version collision."""
-    for _ in range(5):
+    next version.  Retries up to 16× on version collision — each retry
+    re-reads the winner's manifest and replays ``mutate`` on top, so
+    concurrent committers serialize instead of clobbering."""
+    for _ in range(16):
         m = read_manifest(uri)
         mutate(m)
         m.version += 1

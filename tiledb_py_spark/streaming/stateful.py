@@ -367,9 +367,15 @@ def rolling_anomaly_stream(events: DataFrame, value_col: str = "value",
             # drift.  On the exact path this mirrors the batch
             # entrance `try_cast("bigint")`: a value whose scaled
             # double exceeds the int64 range becomes a NULL slot
-            # (excluded from the aggregates, never flagged itself);
-            # exactly 2^63 casts to int64 max in Spark — mirrored by
-            # the clamp on `iv` below.
+            # (excluded from the aggregates, never flagged itself).
+            # try_cast(double->bigint) validity is the CLOSED interval
+            # [-2^63, +2^63] in double space — Long.MaxValue.toDouble
+            # rounds UP to 2^63, so Spark's range check accepts the
+            # double +2^63 and CLAMPS it to int64 max; NULL only
+            # strictly beyond (verified empirically on Spark 4.1.2 and
+            # pinned by test_rolling_anomaly_stream_int64_boundary;
+            # NOT the asymmetric open bound an ANSI reading suggests).
+            # Mirrored here by abs(d) > 2^63 + the clamp on `iv` below.
             if pd.isna(x):
                 slot, ok = 0.0, False
             elif scale is None:

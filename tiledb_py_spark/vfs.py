@@ -92,25 +92,54 @@ class VFS:
                 total += os.path.getsize(os.path.join(root, f))
         return total
 
+    def _stream_copy_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        """Cross-backend file copy: each endpoint is opened on ITS OWN
+        filesystem (``fsspec.open`` dispatches per-URI), so neither
+        side's ``strip_protocol`` mangles the other's URI."""
+        import fsspec
+
+        with fsspec.open(str(old_uri), "rb") as src, \
+                fsspec.open(str(new_uri), "wb") as dst:
+            shutil.copyfileobj(src, dst)
+
+    def _stream_copy_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
+        import fsspec
+
+        src_fs, src_path = fsspec.core.url_to_fs(str(old_uri))
+        src_path = src_path.rstrip("/")
+        dst = str(new_uri).rstrip("/")
+        for f in src_fs.find(src_path):
+            rel = f[len(src_path):].lstrip("/")
+            with src_fs.open(f, "rb") as r, \
+                    fsspec.open(dst + "/" + rel, "wb") as w:
+                shutil.copyfileobj(r, w)
+
     def move_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
         if self._local(old_uri) is not None \
                 and self._local(new_uri) is not None:
             shutil.move(str(old_uri), str(new_uri))
-        else:
-            # remote (or mixed) endpoints route through fsspec like
-            # every other VFS method — shutil would treat the URI as a
-            # local path and fail
+        elif _scheme(str(old_uri)) == _scheme(str(new_uri)):
+            # same remote backend: the store's own server-side copy
             fs = _fsspec_fs(str(old_uri))
             fs.copy(str(old_uri), str(new_uri), recursive=True)
             fs.rm(str(old_uri), recursive=True)
+        else:
+            # MIXED endpoints (local<->remote, s3<->gs): handing both
+            # URIs to one side's filesystem misroutes — e.g. the local
+            # fs strip_protocol turns 's3://bucket/x' into a literal
+            # './s3:/bucket/x' directory.  Stream per-file instead.
+            self._stream_copy_dir(old_uri, new_uri)
+            self.remove_dir(old_uri)
 
     def copy_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
         if self._local(old_uri) is not None \
                 and self._local(new_uri) is not None:
             shutil.copytree(str(old_uri), str(new_uri))
-        else:
+        elif _scheme(str(old_uri)) == _scheme(str(new_uri)):
             _fsspec_fs(str(old_uri)).copy(str(old_uri), str(new_uri),
                                           recursive=True)
+        else:
+            self._stream_copy_dir(old_uri, new_uri)
 
     # -- files ---------------------------------------------------------------
     def is_file(self, uri: _AnyPath) -> bool:
@@ -132,17 +161,23 @@ class VFS:
         if self._local(old_uri) is not None \
                 and self._local(new_uri) is not None:
             shutil.move(str(old_uri), str(new_uri))
-        else:
+        elif _scheme(str(old_uri)) == _scheme(str(new_uri)):
             fs = _fsspec_fs(str(old_uri))
             fs.copy(str(old_uri), str(new_uri))
             fs.rm(str(old_uri))
+        else:
+            # mixed schemes: see move_dir — one-side dispatch misroutes
+            self._stream_copy_file(old_uri, new_uri)
+            self.remove_file(old_uri)
 
     def copy_file(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
         if self._local(old_uri) is not None \
                 and self._local(new_uri) is not None:
             shutil.copyfile(str(old_uri), str(new_uri))
-        else:
+        elif _scheme(str(old_uri)) == _scheme(str(new_uri)):
             _fsspec_fs(str(old_uri)).copy(str(old_uri), str(new_uri))
+        else:
+            self._stream_copy_file(old_uri, new_uri)
 
     def touch(self, uri: _AnyPath) -> None:
         p = self._local(uri)
