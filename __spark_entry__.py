@@ -3565,12 +3565,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay": q_stream_replay,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r10 item 1,
-        # verbatim list) — the eleven longest-tail gates per the
-        # schedule earn their driver-artifact rows this round.
-        # write_direct_append (NEW r10) gets its first-ever driver row.
-        # The r10 rotation block (interval_join .. funnel_by_cohort,
-        # all driver-green in CORRECTNESS_r10) returns to the tail. ---
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r11 item 1,
+        # verbatim list) — the deep-tail gates that last held a driver
+        # row ~r7, before the registry outgrew the 50-row window.
+        # The r11 rotation block (group_agg .. join_multiway, all
+        # driver-green in CORRECTNESS_r11) returns to the tail. ---
+        "pack_materialize": q_pack_materialize,
+        "multimodal_features": q_multimodal_features,
+        "label_read": q_label_read,
+        "array_sql": q_array_sql,
+        "join_topk": q_join_topk,
+        "text_quality": q_text_quality,
+        "salted_agg": q_salted_agg,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_neardup": q_simhash_neardup,
+        "datasource_lww_many": q_datasource_lww_many,
+        "window_rank": q_window_rank,
+        # --- tail.  Opened by the r11 rotation block (group_agg ..
+        # join_multiway, all driver-green in CORRECTNESS_r11);
+        # every tail gate is still oracle-checked each round by
+        # tools/check_correctness.py --exact and the committed
+        # CORRECTNESS_full_r{N}.json. ---
         "group_agg": q_group_agg,
         "cms_counts": q_cms_counts,
         "distinct_sketch": q_distinct_sketch,
@@ -3582,11 +3597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "qc_in_chain": q_qc_in_chain,
         "join_multiway": q_join_multiway,
-        # --- tail.  Opened by the r10 rotation block (interval_join ..
-        # funnel_by_cohort, all driver-green in CORRECTNESS_r10);
-        # every tail gate is still oracle-checked each round by
-        # tools/check_correctness.py --exact and the committed
-        # CORRECTNESS_full_r{N}.json. ---
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -3616,24 +3626,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_whole_selection": q_agg_whole_selection,
         "array_cond_agg": q_array_cond_agg,
         "array_time_slice": q_array_time_slice,
-        "pack_materialize": q_pack_materialize,
-        "array_sql": q_array_sql,
-        "join_topk": q_join_topk,
         "array_range_read": q_array_range_read,
-        "text_quality": q_text_quality,
-        "salted_agg": q_salted_agg,
-        "multimodal_features": q_multimodal_features,
-        "dedup_clusters": q_dedup_clusters,
-        "label_read": q_label_read,
         "exact_dedup": q_exact_dedup,
-        "simhash_neardup": q_simhash_neardup,
-        "datasource_lww_many": q_datasource_lww_many,
         "enum_qc": q_enum_qc,
         "qc_datetime": q_qc_datetime,
         "json_props": q_json_props,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
-        "window_rank": q_window_rank,
         # ngram_jaccard / embedding_near_dup are the exact O(n^2) ORACLE
         # paths of minhash_dedup / embedding_near_dup_lsh (both still in
         # the window); each is pytest-covered and oracle-checked locally

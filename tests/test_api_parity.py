@@ -127,9 +127,9 @@ def test_gate_registry_invariants():
     assert not missing, f"gates without oracles: {missing}"
     dangling = [k for k in o if k not in q]
     assert not dangling, f"oracles for unregistered gates: {dangling}"
-    # r11 rotation block (VERDICT r10 item 1, verbatim list)
+    # r12 rotation block (VERDICT r11 item 1, verbatim list)
     assert q[39:50] == [
-        "group_agg", "cms_counts", "distinct_sketch",
-        "write_direct_append", "ewma", "pagerank", "heavy_hitters",
-        "batch_topk", "events_sessions", "qc_in_chain",
-        "join_multiway"]
+        "pack_materialize", "multimodal_features", "label_read",
+        "array_sql", "join_topk", "text_quality", "salted_agg",
+        "dedup_clusters", "simhash_neardup", "datasource_lww_many",
+        "window_rank"]
