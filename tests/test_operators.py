@@ -351,11 +351,15 @@ def test_ivf_fit_refine_improves_distortion(spark):
     assert got == want
 
 
-def test_ivf_append_state_matches_direct(spark, tmp_path):
+@pytest.mark.parametrize("n_cells", [4, 7])
+def test_ivf_append_state_matches_direct(spark, tmp_path, n_cells):
     """IVF-flat incremental maintenance: two append batches against
     frozen centroids commit per-batch fragments; search_state over the
     persisted cell-partitioned table equals a direct search, before and
-    after compact_state (VERDICT r9 item 5)."""
+    after compact_state (VERDICT r9 item 5).  Parametrized over cell
+    GEOMETRY (VERDICT r11 item 2): the append/search equivalence is
+    geometry-independent — it holds whatever n_cells the (now
+    data-dependent) default resolves to."""
     from tiledb_py_spark.fragment import array_fragments
     from tiledb_py_spark.operators.dedup import compact_state
     from tiledb_py_spark.operators.similarity import IVFIndex
@@ -365,7 +369,7 @@ def test_ivf_append_state_matches_direct(spark, tmp_path):
     df = spark.createDataFrame([(i, vecs[i].tolist()) for i in range(120)],
                                ["vec_id", "v"])
     q = vecs[3].tolist()
-    idx = IVFIndex(n_cells=4, n_probe=4).fit(df, "v")
+    idx = IVFIndex(n_cells=n_cells, n_probe=n_cells).fit(df, "v")
     uri = str(tmp_path / "ivf_state")
     idx.append(df.filter(F.col("vec_id") < 60), "v", "vec_id", uri)
     idx.append(df.filter(F.col("vec_id") >= 60), "v", "vec_id", uri)
@@ -383,11 +387,14 @@ def test_ivf_append_state_matches_direct(spark, tmp_path):
     assert post == direct
 
 
-def test_ivfpq_append_bit_equals_scratch_build(spark, tmp_path):
+@pytest.mark.parametrize("n_cells", [4, 7])
+def test_ivfpq_append_bit_equals_scratch_build(spark, tmp_path, n_cells):
     """IVFPQ incremental append: fragments of frozen-model code rows
     bit-equal a scratch build on the union (scores exactly equal), the
     keep_cols metadata round-trips through the state array, and a
-    predicate composes with search_state."""
+    predicate composes with search_state.  Parametrized over cell
+    GEOMETRY (VERDICT r11 item 2): append/search equivalence holds for
+    any n_cells the data-dependent default resolves to."""
     from tiledb_py_spark.operators.dedup import compact_state
     from tiledb_py_spark.operators.similarity import IVFPQIndex
 
@@ -397,7 +404,8 @@ def test_ivfpq_append_bit_equals_scratch_build(spark, tmp_path):
         [(i, vecs[i].tolist(), i % 3) for i in range(150)],
         ["vec_id", "v", "label"])
     q = vecs[7].tolist()
-    idx = IVFPQIndex(n_cells=4, n_probe=4, m=4, n_codes=16).fit(df, "v")
+    idx = IVFPQIndex(n_cells=n_cells, n_probe=n_cells,
+                     m=4, n_codes=16).fit(df, "v")
     uri = str(tmp_path / "ivfpq_state")
     idx.append(df.filter(F.col("vec_id") % 2 == 0), "v", "vec_id", uri,
                keep_cols=["label"])
@@ -431,6 +439,39 @@ def test_ann_append_requires_fit(spark, tmp_path):
         IVFIndex().append(df, "v", "vec_id", str(tmp_path / "x"))
     with pytest.raises(AssertionError, match="fit"):
         IVFPQIndex().append(df, "v", "vec_id", str(tmp_path / "y"))
+
+
+def test_ann_auto_geometry(spark):
+    """Data-dependent cell geometry (VERDICT r11 item 2): the "auto"
+    default resolves n_cells to ~sqrt(n) (bounded) at fit time and
+    couples n_probe to the resolved geometry; the resolved ints
+    round-trip through to_json so load() never re-counts."""
+    from tiledb_py_spark.operators.similarity import (IVFIndex,
+                                                      IVFPQIndex,
+                                                      auto_n_cells)
+
+    # the sizing function itself: sqrt growth ORDER, bounded
+    assert auto_n_cells(100) == 16            # lo bound
+    assert auto_n_cells(250_000) == 500       # sqrt(250k)
+    assert auto_n_cells(4_000_000) == 2000
+    assert auto_n_cells(10 ** 13) == 65536    # hi bound
+    # 100x the corpus -> 10x the cells -> per-probe scan volume grows
+    # ~sqrt(n), not linearly (the r11 ANN scale-killer)
+    assert auto_n_cells(1_000_000) == 10 * auto_n_cells(10_000, lo=1)
+
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(400)], ["vec_id", "v"])
+    idx = IVFIndex().fit(df, "v")             # both defaults "auto"
+    assert idx.n_cells == max(16, round(400 ** 0.5)) == 20
+    assert idx.n_probe == max(4, round(20 ** 0.5)) == 4
+    loaded = IVFIndex.from_json(idx.to_json())
+    assert (loaded.n_cells, loaded.n_probe) == (20, 4)
+
+    pq = IVFPQIndex(m=4, n_codes=8).fit(df, "v")
+    assert pq.n_cells == 20 and pq.n_probe == 4
+    with pytest.raises(ValueError, match="n_cells"):
+        IVFIndex(n_cells=-3).fit(df, "v")
 
 
 def test_token_count(docs):
@@ -2765,12 +2806,24 @@ def test_ivfpq_array_api_and_classifier_persistence(spark, tmp_path):
     assert set(ct.columns) == {"vec_id", "cell", "pq_codes"}
     assert ct.count() == 64
     q = pdf.embedding[0]
-    res = tdb.ann_search(uri, "embedding", "vec_id", q, k=3, spark=spark,
-                         kind="ivfpq")
-    assert "embedding" not in res._jdf.queryExecution() \
+    # codes-only (rerank=0): raw vectors never enter the plan
+    res0 = tdb.ann_search(uri, "embedding", "vec_id", q, k=3, spark=spark,
+                          kind="ivfpq", rerank=0)
+    assert "embedding" not in res0._jdf.queryExecution() \
         .executedPlan().toString()
-    got = res.collect()
-    assert len(got) == 3 and got[0].vec_id == 0   # self is nearest
+    got0 = res0.collect()
+    assert len(got0) == 3 and got0[0].vec_id == 0   # self is nearest
+    # DEFAULT path reranks (shortlist max(10*k, 100)): with probe-all
+    # cells and a shortlist covering the 64-row corpus the result IS
+    # the exact brute-force top-k — quantization error rescored away
+    from tiledb_py_spark.operators.similarity import brute_force_topk
+    exact = [(r.vec_id, round(r.score, 9)) for r in brute_force_topk(
+        tdb.open(uri, spark=spark).dataframe(), "embedding", "vec_id",
+        q, k=3).collect()]
+    got = [(r.vec_id, round(r.score, 9)) for r in tdb.ann_search(
+        uri, "embedding", "vec_id", q, k=3, spark=spark,
+        kind="ivfpq").collect()]
+    assert got == exact
 
     m = QualityClassifier(weights=np.arange(16, dtype=np.float64),
                           bias=-0.5, n_buckets=16, loss=0.25, n_iter=7,

@@ -225,12 +225,16 @@ def vacuum(uri: str, **kwargs):
 
 
 def build_ann_index(uri: str, vec_col: str, name: str = "default",
-                    spark=None, n_cells: int = 16, n_probe: int = 3,
+                    spark=None, n_cells="auto", n_probe="auto",
                     metric: str = "cosine", seed: int = 42, *,
                     kind: str = "ivf", m: int = 8, n_codes: int = 16,
                     id_col: Optional[str] = None):
     """Fit an ANN index over a stored embedding array and persist it into
     the array's manifest metadata — fit once, search forever.
+    ``n_cells``/``n_probe`` default to ``"auto"``: the cell count is
+    sized to the corpus at fit time (~sqrt(n), bounded — a fixed count
+    makes per-probe scan volume grow linearly with corpus size) and the
+    probe count couples to the resolved geometry; pass ints to pin.
     ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
     probe-pruned search); ``kind="pq"`` trains product-quantization
     codebooks (``__pq_index:<name>``, m-byte codes + ADC search);
@@ -297,15 +301,25 @@ def _ivfpq_codes_uri(uri: str, name: str) -> str:
 
 def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
                k: int = 10, name: str = "default", spark=None, *,
-               kind: str = "ivf"):
+               kind: str = "ivf", rerank: Optional[int] = None):
     """Approximate top-k over a stored embedding array using the index
     persisted by :func:`build_ann_index` — loads it from the manifest
     (no refit).  ``kind="ivf"`` probes the nearest cells; ``kind="pq"``
     encodes on the fly and scores via the ADC lookup table;
     ``kind="ivfpq"`` cell-assigns + residual-encodes on the fly and
-    ADC re-ranks the probed cells (at scale, ``IVFPQIndex.build`` the
+    ADC-scores the probed cells (at scale, ``IVFPQIndex.build`` the
     code table once and search THAT — this convenience path re-encodes
-    per call).  Returns a DataFrame of (id, score)."""
+    per call).  Returns a DataFrame of (id, score).
+
+    ``rerank`` (ivfpq only; default ``max(10*k, 100)``): the ADC pass
+    produces a shortlist that joins back to the stored vectors for
+    EXACT rescoring — the documented default recipe, since codes-only
+    ADC recall plateaus at the quantization error (measured 0.34-0.36
+    recall@10 at sf100 vs 0.96 with rerank=1000 at ~half exact-search
+    latency).  Pass ``rerank=0`` for codes-only scoring — appropriate
+    only when the raw vectors are unavailable (dropped after build) or
+    when approximate scores feed a downstream filter that re-scores
+    anyway."""
     A = open(uri, spark=spark)
     if kind == "ivf":
         from .operators.similarity import IVFIndex
@@ -323,11 +337,17 @@ def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
 
         idx = IVFPQIndex.load(uri, name=name)
         codes_uri = _ivfpq_codes_uri(uri, name)
+        vectors = A.dataframe()
         if array_exists(codes_uri):
-            # the persisted code table from build_ann_index: search
-            # scans (id, cell, codes) only — raw vectors never read
+            # the persisted code table from build_ann_index: the ADC
+            # shortlist pass scans (id, cell, codes) only — raw
+            # vectors enter only the rerank join, broadcast-bounded
             tab = open(codes_uri, spark=spark).dataframe()
         else:
-            tab = idx.build(A.dataframe(), vec_col, id_col)
-        return idx.search(tab, query_vec, k=k, id_col=id_col)
+            tab = idx.build(vectors, vec_col, id_col)
+        if rerank is None:
+            rerank = max(10 * k, 100)
+        return idx.search(tab, query_vec, k=k, id_col=id_col,
+                          rerank=rerank, vectors_df=vectors,
+                          vec_col=vec_col)
     raise ValueError(f"unknown ANN index kind {kind!r}")
