@@ -2454,6 +2454,111 @@ def q_stream_sessionize(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def q_stream_resample(spark, sf_dir):
+    """Third streaming twin driver row (VERDICT r11 item 8): the one
+    stateful operator whose emission is WATERMARK-driven rather than
+    input-driven — ``time_resample_stream`` flushes a bucket (and the
+    gap run it closes) exactly once when the event-time watermark
+    passes the bucket end, and an event-time timeout flushes entities
+    that went silent.  Two-trigger file stream (same distributed
+    staging as stream_replay) with a 0-second watermark; the final
+    no-data batch fires the timeouts at watermark = max(ts).  The
+    oracle is the batch ``time_resample`` grid CUT at each entity's
+    last finalized real bucket (bucket end <= the final watermark, in
+    Spark's millisecond watermark domain) — the emission contract
+    pinned by ``test_time_resample_stream_matches_batch``."""
+    import tempfile
+
+    from tiledb_py_spark.streaming.stateful import time_resample_stream
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    root = tempfile.mkdtemp(prefix="tdbps_stresample_")
+    src, sink, ckpt = (os.path.join(root, p)
+                       for p in ("src", "sink", "ckpt"))
+    _stage_two_trigger_stream(
+        e.select("user_id", "event_id", "value", "ts"), src)
+
+    schema = spark.read.parquet(src).schema
+    # the staged ts round-trips as TIMESTAMP_NTZ; withWatermark needs
+    # TIMESTAMP — the cast is value-preserving under the session's
+    # pinned UTC timezone (same as the pytest staging)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "0 seconds"))
+    n_triggers = []
+
+    def sink_batch(df, batch_id):
+        n_triggers.append(batch_id)
+        df.write.mode("append").parquet(sink)
+
+    q = (time_resample_stream(stream, interval_sec=7200)
+         .writeStream.outputMode("append")
+         .foreachBatch(sink_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream gate timed out after 600s; sink "
+                           "would be partial")
+    if len(n_triggers) < 2:
+        raise RuntimeError(
+            f"stream_resample needs >= 2 triggers to cross the state "
+            f"boundary; got {len(n_triggers)}")
+    return (spark.read.parquet(sink)
+            .select("user_id", "bucket", "n_events", "value")
+            .orderBy("user_id", "bucket"))
+
+
+def q_stream_source(spark, sf_dir):
+    """Array-as-streaming-source driver row (VERDICT r11 item 4): the
+    ``spark.readStream.format("tiledb")`` fragment change feed,
+    previously pytest-only.  Three orders slices commit as three
+    fragments of a fresh array: slice 0 before the first stream run,
+    slices 1-2 BETWEEN runs; the second run resumes from the
+    checkpoint and must deliver exactly the two new fragments — the
+    union sink then equals the plain SQL union of the three slices,
+    each row EXACTLY ONCE (a replayed or skipped fragment changes the
+    hash).  Per-call temp array/checkpoint/sink keep the gate a pure
+    function of its inputs."""
+    import tempfile
+
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+    from tiledb_py_spark.sources.spark_datasource import register
+
+    register(spark)   # idempotent: re-registering replaces the entry
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 4).alias("slice_"),
+        "o_totalprice")
+    root = tempfile.mkdtemp(prefix="tdbps_stsource_")
+    arr, sink, ckpt = (os.path.join(root, p)
+                       for p in ("arr", "sink", "ckpt"))
+    from_spark(arr, o.filter(F.col("slice_") == 0).drop("slice_"),
+               index_dims=["o_orderkey"], mode="ingest",
+               full_domain=True)
+
+    def run_stream():
+        q = (spark.readStream.format("tiledb").load(arr)
+             .writeStream
+             .foreachBatch(lambda df, _id:
+                           df.write.mode("append").parquet(sink))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_source run timed out; sink "
+                               "would be partial")
+
+    run_stream()                     # delivers fragment 1 (slice 0)
+    for s in (1, 2):                 # committed between runs
+        from_spark(arr, o.filter(F.col("slice_") == s).drop("slice_"),
+                   index_dims=["o_orderkey"], mode="append")
+    run_stream()                     # resumes: exactly the new two
+    return (spark.read.parquet(sink)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
 _CMS_PROBES = ["spark", "scan", "join", "write", "row", "vector"]
 
 
@@ -3554,7 +3659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "clean_lines": q_clean_lines,
         "line_dedup": q_line_dedup,
-        "sessionize": q_sessionize,
+        # stream_source (NEW round 12, VERDICT r11 item 4: the
+        # array-as-streaming-source fragment change feed's first
+        # driver row) displaced sessionize (driver-green r11,
+        # unchanged — and still the verbatim oracle of
+        # stream_sessionize below) to the tail
+        "stream_source": q_stream_source,
         # stream_sessionize (NEW round 11, the second streaming twin's
         # driver row — two-trigger sessionize_stream sink vs the batch
         # sessionize SQL) displaced dsir_sample (driver-green r10,
@@ -3579,10 +3689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r07; its scoring replay is one arm of the
         # hybrid oracle) to the tail
         "hybrid_search": q_hybrid_search,
-        # time_resample + leakage_split (NEW round 8, second session)
-        # displaced tfidf_terms and pipeline_full_e2e (driver-green
-        # r07/r08 sweeps, unchanged) to the tail
-        "time_resample": q_time_resample,
+        # stream_resample (NEW round 12, VERDICT r11 item 8: the
+        # watermark-driven streaming twin's driver row — event-time
+        # timeouts flush silent entities; oracle = the batch grid cut
+        # at each entity's last finalized bucket) displaced
+        # time_resample (driver-green r11, unchanged) to the tail
+        "stream_resample": q_stream_resample,
         "leakage_split": q_leakage_split,
         "rolling_anomaly": q_rolling_anomaly,
         # stream_replay (NEW round 11, VERDICT r10 item 4: the
@@ -3625,6 +3737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "qc_in_chain": q_qc_in_chain,
         "join_multiway": q_join_multiway,
+        # sessionize + time_resample displaced by the r12 stream gates
+        # (stream_source / stream_resample); both driver-green r11
+        "sessionize": q_sessionize,
+        "time_resample": q_time_resample,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "bloom_decontam": q_bloom_decontam,
@@ -6129,4 +6245,55 @@ def oracle_sql() -> dict[str, str]:
     # pairs can never drift apart)
     d["stream_replay"] = d["rolling_anomaly"]
     d["stream_sessionize"] = d["sessionize"]
+    # stream_resample: the batch time_resample grid CUT at each
+    # entity's last FINALIZED real bucket — finalized = bucket end <=
+    # the final watermark, compared in Spark's millisecond watermark
+    # domain (floor(max event us / 1000)).  Gap rows emit with the
+    # real bucket that closes them, so the plain bucket <= last_final
+    # cut reproduces the stream's emission set exactly.
+    d["stream_resample"] = """
+        WITH wm AS (
+          SELECT epoch_us(max(ts)) // 1000 AS wm_ms
+          FROM events WHERE user_id < 50
+        ),
+        agg AS (
+          SELECT user_id, time_bucket(INTERVAL '2 hours', ts) AS bucket,
+                 count(*) AS n_events, round(avg(value), 4) AS v
+          FROM events WHERE user_id < 50 GROUP BY 1, 2
+        ),
+        last_final AS (
+          SELECT user_id, max(bucket) AS lb
+          FROM agg, wm
+          WHERE epoch_ms(bucket + INTERVAL '2 hours') <= wm.wm_ms
+          GROUP BY user_id
+        ),
+        lagged AS (
+          SELECT *, lag(bucket) OVER w AS pb, lag(v) OVER w AS pv
+          FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+        ),
+        grid AS (
+          SELECT user_id, bucket, n_events, v AS value FROM lagged
+          UNION ALL
+          SELECT l.user_id,
+                 unnest(generate_series(l.pb + INTERVAL '2 hours',
+                                        l.bucket - INTERVAL '2 hours',
+                                        INTERVAL '2 hours')) AS bucket,
+                 0 AS n_events, l.pv AS value
+          FROM lagged l
+          WHERE l.pb IS NOT NULL
+            AND l.bucket > l.pb + INTERVAL '2 hours'
+        )
+        SELECT g.user_id, g.bucket, g.n_events, g.value
+        FROM grid g JOIN last_final lf ON g.user_id = lf.user_id
+        WHERE g.bucket <= lf.lb
+        ORDER BY g.user_id, g.bucket
+    """
+    # stream_source: the fragment change feed's union sink — three
+    # slices committed as three fragments (one before the first run,
+    # two between runs), each delivered exactly once
+    d["stream_source"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 IN (0, 1, 2)
+        ORDER BY o_orderkey
+    """
     return d
