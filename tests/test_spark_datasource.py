@@ -383,6 +383,99 @@ def test_stream_array_to_array_etl(arr, spark, tmp_path):
     assert rows[10] == 10 * 1.5 * 2.0
 
 
+def test_stream_native_sink_one_fragment_per_batch(arr, spark, tmp_path):
+    """writeStream.format('tiledb'): each micro-batch commits exactly
+    ONE fragment of the sink array (two-file source -> two trigger
+    batches -> two fragments), rows land once, and the staging dir
+    holds no leftovers after the run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tiledb_py_spark import manifest as mf
+
+    out_uri = str(tmp_path / "native_sink")
+    # schema_only creation: the sink array must exist before the first
+    # batch; full domain so any coordinate fits
+    tdb.from_pandas(out_uri, pd.DataFrame(
+        {"k": np.array([0], dtype=np.int64), "v2": [0.0]}),
+        index_dims=["k"], mode="schema_only", full_domain=True)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    pd.DataFrame({"k": np.arange(0, 50, dtype=np.int64),
+                  "v2": np.arange(0, 50) * 2.0}) \
+        .to_parquet(src_dir / "b1.parquet")
+    pd.DataFrame({"k": np.arange(50, 80, dtype=np.int64),
+                  "v2": np.arange(50, 80) * 2.0}) \
+        .to_parquet(src_dir / "b2.parquet")
+
+    schema = spark.read.parquet(str(src_dir)).schema
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(str(src_dir))
+         .writeStream.format("tiledb")
+         .option("path", out_uri)
+         .option("checkpointLocation", str(tmp_path / "nsckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    frags = mf.read_manifest(out_uri).fragments
+    assert len(frags) == 2                      # one per micro-batch
+    assert all("_sb" in f.name for f in frags)  # batchId markers
+    assert sorted(f.cell_num for f in frags) == [30, 50]
+    rows = {r.k: r.v2 for r in
+            spark.read.format("tiledb").load(out_uri).collect()}
+    assert len(rows) == 80 and rows[79] == 158.0
+    stage = os.path.join(out_uri, "__stream_stage")
+    assert not os.path.exists(stage) or not os.listdir(stage)
+
+
+def test_stream_native_sink_replay_idempotent(arr, spark, tmp_path):
+    """Exactly-once at the sink: commit() with a batchId already in
+    the manifest (the sink-committed-then-crashed replay) publishes
+    nothing and discards the re-staged pieces."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiledb_py_spark import manifest as mf
+    from tiledb_py_spark.sources.spark_datasource import (
+        TileDBStreamWriter, _StreamPieceCommit)
+
+    out_uri = str(tmp_path / "replay_sink")
+    tdb.from_pandas(out_uri, pd.DataFrame(
+        {"k": np.array([0], dtype=np.int64), "v2": [0.0]}),
+        index_dims=["k"], mode="schema_only", full_domain=True)
+    w = TileDBStreamWriter(out_uri)
+
+    def stage(vals):
+        os.makedirs(w.stage_dir, exist_ok=True)
+        fn = f"piece-test{vals[0]}.parquet"
+        pq.write_table(pa.table({
+            "k": pa.array(vals, type=pa.int64()),
+            "v2": pa.array([float(v) for v in vals])}),
+            os.path.join(w.stage_dir, fn))
+        return _StreamPieceCommit(file_name=fn, rows=len(vals))
+
+    w.commit([stage([1, 2, 3])], batchId=7)
+    v7 = mf.read_manifest(out_uri).version
+    assert len(mf.read_manifest(out_uri).fragments) == 1
+    # replay of batch 7: already-published marker -> no-op, pieces gone
+    w.commit([stage([1, 2, 3])], batchId=7)
+    m = mf.read_manifest(out_uri)
+    assert m.version == v7 and len(m.fragments) == 1
+    assert not os.listdir(w.stage_dir)
+    # a NEW batch still publishes
+    w.commit([stage([4, 5])], batchId=8)
+    assert len(mf.read_manifest(out_uri).fragments) == 2
+    # abort drops staged pieces without publishing
+    msg = stage([9])
+    w.abort([msg, None], batchId=9)
+    assert not os.listdir(w.stage_dir)
+    assert len(mf.read_manifest(out_uri).fragments) == 2
+
+
 def test_stream_offsets_identity_bearing(arr, spark):
     """Stream offsets record the fragment NAME at the offset position
     (ADVICE r7): after a vacuum shrinks the fragment list and later

@@ -55,7 +55,8 @@ from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     GreaterThan, GreaterThanOrEqual, In,
                                     InputPartition, LessThan,
                                     LessThanOrEqual, WriterCommitMessage)
-from pyspark.sql.datasource import DataSourceStreamReader
+from pyspark.sql.datasource import (DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "tiledb"
@@ -131,6 +132,14 @@ class TileDBDataSource(DataSource):
                 "overwrite mode not supported; fragments are append-only "
                 "(use consolidate/vacuum to rewrite)")
         return TileDBWriter(self._uri())
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "TileDBStreamWriter":
+        if overwrite:
+            raise NotImplementedError(
+                "overwrite mode not supported; fragments are append-only "
+                "(use consolidate/vacuum to rewrite)")
+        return TileDBStreamWriter(self._uri())
 
 
 _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -792,6 +801,107 @@ class TileDBWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.frag_dir, ignore_errors=True)
+
+
+@dataclass
+class _StreamPieceCommit(WriterCommitMessage):
+    file_name: str = ""
+    rows: int = 0
+
+
+class TileDBStreamWriter(DataSourceStreamArrowWriter):
+    """Array-as-streaming-SINK: ``df.writeStream.format("tiledb")``
+    commits ONE fragment per micro-batch — the write-side complement
+    of :class:`TileDBStreamReader`'s fragment change feed, replacing
+    the ``foreachBatch`` + ``from_pandas`` pattern with a native sink
+    (reference-world: continuous array ingest,
+    ``/root/reference/tiledb/fragment.py`` commit granularity).
+
+    Per batch: executor tasks stream Arrow batches into staged parquet
+    pieces under ``<uri>/__stream_stage``; the driver ``commit`` moves
+    the pieces into a fresh fragment dir and publishes a single
+    FragmentRecord whose name embeds the sink ``batchId``
+    (``..._sb<batchId>_...``).  That marker makes the commit
+    IDEMPOTENT: a batch replayed after a sink-commit-then-crash
+    (checkpoint not yet advanced) finds its batchId already in the
+    manifest, discards the re-staged pieces, and publishes nothing —
+    each micro-batch lands exactly once.  Contract: one streaming
+    query per sink array at a time (two concurrent queries would
+    collide on batchIds — the reference's process-level single-writer
+    model), and the target array must already exist (create it with
+    ``from_pandas/from_spark mode="schema_only"`` or a first batch
+    ingest)."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+        self.stage_dir = os.path.join(uri, "__stream_stage")
+
+    def write(self, iterator) -> _StreamPieceCommit:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        fn = f"piece-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(self.stage_dir, fn)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema,
+                                          compression="zstd")
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return _StreamPieceCommit(file_name=fn if writer else "", rows=rows)
+
+    def _batch_marker(self, batch_id: int) -> str:
+        return f"_sb{batch_id}_"
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+        import uuid
+
+        from .. import manifest as mf
+        from .fragment_writer import stats_from_parquet_dir
+
+        pieces = [m.file_name for m in messages
+                  if m is not None and m.file_name]
+        marker = self._batch_marker(batchId)
+        man = mf.read_manifest(self.uri)
+        if any(marker in f.name for f in man.fragments):
+            # replayed batch (sink committed, checkpoint didn't
+            # advance before a crash): the fragment is already
+            # published — drop the re-staged pieces, publish nothing
+            for fn in pieces:
+                try:
+                    os.unlink(os.path.join(self.stage_dir, fn))
+                except FileNotFoundError:
+                    pass
+            return
+        if not pieces:
+            return  # empty micro-batch: no fragment
+        ts = mf.now_ms()
+        frag_name = f"frag_{ts}_{ts}{marker}{uuid.uuid4().hex[:8]}"
+        frag_dir = mf.fragment_path(self.uri, frag_name)
+        os.makedirs(frag_dir, exist_ok=True)
+        for fn in pieces:
+            shutil.move(os.path.join(self.stage_dir, fn),
+                        os.path.join(frag_dir, fn))
+        cell_num, mbr = stats_from_parquet_dir(frag_dir,
+                                               man.schema.dim_names)
+        rec = mf.FragmentRecord(name=frag_name, timestamp_range=(ts, ts),
+                                cell_num=cell_num, nonempty_domain=mbr)
+        mf.commit(self.uri, lambda m: m.fragments.append(rec))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.file_name:
+                try:
+                    os.unlink(os.path.join(self.stage_dir, m.file_name))
+                except FileNotFoundError:
+                    pass
 
 
 def register(spark) -> None:
