@@ -100,9 +100,11 @@ BENCH_QUERIES = [
 # probe_s / PROBE_REF_S attributes a total-runtime delta to host
 # contention vs code without a same-window reference-commit re-run
 # (the 53.1-vs-45.85 confusion every contended round).  PROBE_REF_S is
-# the min-of-5 calibration from a quiet r12 window; do not re-calibrate
-# casually — changing it re-bases every cross-round comparison.
-PROBE_REF_S = 1.4
+# the quiet-window floor observed across r12 calibration runs (min 0.52
+# inside a real bench sweep at loadavg ~1.3; a standalone min-of-5 read
+# 0.68); do not re-calibrate casually — changing it re-bases every
+# cross-round comparison.
+PROBE_REF_S = 0.52
 
 
 def _contention_probe(spark) -> float:
