@@ -430,6 +430,41 @@ def test_stream_native_sink_one_fragment_per_batch(arr, spark, tmp_path):
     assert not os.path.exists(stage) or not os.listdir(stage)
 
 
+def test_stream_native_sink_checkpoint_restart(arr, spark, tmp_path):
+    """Restarting a writeStream.format('tiledb') query from its
+    checkpoint after new source data arrives appends exactly the new
+    batch's fragment — no duplicate fragments, no replayed rows."""
+    from tiledb_py_spark import manifest as mf
+
+    out_uri = str(tmp_path / "restart_sink")
+    tdb.from_pandas(out_uri, pd.DataFrame(
+        {"k": np.array([0], dtype=np.int64), "v2": [0.0]}),
+        index_dims=["k"], mode="schema_only", full_domain=True)
+    src_dir = tmp_path / "rsrc"
+    src_dir.mkdir()
+    pd.DataFrame({"k": np.arange(0, 20, dtype=np.int64),
+                  "v2": np.zeros(20)}).to_parquet(src_dir / "b1.parquet")
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    def run():
+        q = (spark.readStream.schema(schema).parquet(str(src_dir))
+             .writeStream.format("tiledb").option("path", out_uri)
+             .option("checkpointLocation", str(tmp_path / "rsckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    run()
+    assert len(mf.read_manifest(out_uri).fragments) == 1
+    pd.DataFrame({"k": np.arange(20, 25, dtype=np.int64),
+                  "v2": np.ones(5)}).to_parquet(src_dir / "b2.parquet")
+    run()   # resumes from the checkpoint: only b2 is new
+    frags = mf.read_manifest(out_uri).fragments
+    assert [f.cell_num for f in frags] == [20, 5]
+    ks = sorted(r.k for r in
+                spark.read.format("tiledb").load(out_uri).collect())
+    assert ks == list(range(25))   # every row exactly once
+
+
 def test_stream_native_sink_replay_idempotent(arr, spark, tmp_path):
     """Exactly-once at the sink: commit() with a batchId already in
     the manifest (the sink-committed-then-crashed replay) publishes
