@@ -501,9 +501,13 @@ def test_stream_native_sink_replay_idempotent(arr, spark, tmp_path):
     m = mf.read_manifest(out_uri)
     assert m.version == v7 and len(m.fragments) == 1
     assert not os.listdir(w.stage_dir)
-    # a NEW batch still publishes
+    # a NEW batch still publishes — and the publish sweeps orphan
+    # pieces left by failed/speculative task attempts (staged but
+    # never reported in messages)
+    orphan = stage([99])
     w.commit([stage([4, 5])], batchId=8)
     assert len(mf.read_manifest(out_uri).fragments) == 2
+    assert orphan.file_name not in os.listdir(w.stage_dir)
     # abort drops staged pieces without publishing
     msg = stage([9])
     w.abort([msg, None], batchId=9)

@@ -320,6 +320,12 @@ def ann_search(uri: str, vec_col: str, id_col: str, query_vec,
     only when the raw vectors are unavailable (dropped after build) or
     when approximate scores feed a downstream filter that re-scores
     anyway."""
+    if rerank is not None and kind != "ivfpq":
+        # loud refusal beats a silently ignored knob: IVF search is
+        # already exact over the probed cells, PQ has no vector table
+        # wired here
+        raise ValueError(
+            f"rerank= applies only to kind='ivfpq' (got kind={kind!r})")
     A = open(uri, spark=spark)
     if kind == "ivf":
         from .operators.similarity import IVFIndex

@@ -894,6 +894,16 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
         rec = mf.FragmentRecord(name=frag_name, timestamp_range=(ts, ts),
                                 cell_num=cell_num, nonempty_domain=mbr)
         mf.commit(self.uri, lambda m: m.fragments.append(rec))
+        # sweep orphans: pieces staged by FAILED/speculative task
+        # attempts never reach `messages` — once this batch's collected
+        # pieces are published, anything left in the staging dir is
+        # garbage (single-streaming-writer contract; commit runs after
+        # all the batch's tasks finished)
+        for leftover in os.listdir(self.stage_dir):
+            try:
+                os.unlink(os.path.join(self.stage_dir, leftover))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

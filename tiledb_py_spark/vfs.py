@@ -99,7 +99,7 @@ class VFS:
         import fsspec
 
         with fsspec.open(str(old_uri), "rb") as src, \
-                fsspec.open(str(new_uri), "wb") as dst:
+                fsspec.open(str(new_uri), "wb", auto_mkdir=True) as dst:
             shutil.copyfileobj(src, dst)
 
     def _stream_copy_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
@@ -111,7 +111,8 @@ class VFS:
         for f in src_fs.find(src_path):
             rel = f[len(src_path):].lstrip("/")
             with src_fs.open(f, "rb") as r, \
-                    fsspec.open(dst + "/" + rel, "wb") as w:
+                    fsspec.open(dst + "/" + rel, "wb",
+                                auto_mkdir=True) as w:
                 shutil.copyfileobj(r, w)
 
     def move_dir(self, old_uri: _AnyPath, new_uri: _AnyPath) -> None:
