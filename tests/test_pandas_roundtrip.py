@@ -218,7 +218,9 @@ def test_from_spark_mode_and_full_domain(tmp_path, spark):
     from_spark(uri, spark.createDataFrame([(10**12, "z")],
                                           "k long, v string"),
                mode="append")
-    out = tdb.open(uri, spark=spark).df[:].sort_values("k")
+    # from_spark now writes pandas_meta like from_pandas, so the
+    # round-trip restores index_dims as the index
+    out = tdb.open(uri, spark=spark).df[:].reset_index().sort_values("k")
     assert out["k"].tolist() == [1, 2, 10**12]
 
     # pinned domain without full_domain (the default, unchanged)

@@ -61,22 +61,35 @@ class Filestore:
             raise TypeError("buffer must support the buffer protocol")
         if not isinstance(mime_type, str):
             raise TypeError(f"expected str mime_type, got {type(mime_type)}")
-        data = bytes(buffer)
-        positions = list(range(0, max(len(data), 1), CHUNK))
-        chunks = [data[p:p + CHUNK] for p in positions]
+        # chunk the memoryview directly — bytes(buffer) up front would
+        # hold the original, a full copy, AND the chunk list at once
+        # (~3x peak memory on GiB-scale files)
+        n = len(buffer)
+        positions = list(range(0, max(n, 1), CHUNK))
+        chunks = [bytes(buffer[p:p + CHUNK]) for p in positions]
         pdf = pd.DataFrame({"position": np.array(positions, dtype="int64"),
                             "contents": chunks})
         schema = mf.read_manifest(self._uri).schema
         write_fragment_pandas(self._uri, schema, pdf)
-        meta = Metadata(self._uri)
-        meta[_SIZE_KEY] = len(data)
-        meta[_MIME_KEY] = "application/octet-stream" if mime_type == "AUTODETECT" else mime_type
+        # one commit for the metadata pair: a crash between per-key
+        # commits would leave __len__ reporting the OLD size against
+        # the NEW chunk contents (torn read)
+        Metadata(self._uri).update({
+            _SIZE_KEY: n,
+            _MIME_KEY: ("application/octet-stream"
+                        if mime_type == "AUTODETECT" else mime_type)})
 
     def read(self, offset: int = 0, size: int = -1) -> bytes:
         if not isinstance(offset, int):
             raise TypeError(f"expected int offset, got {type(offset)}")
         if not isinstance(size, int):
             raise TypeError(f"expected int size, got {type(size)}")
+        if offset < 0:
+            # floor division would make lo_chunk negative and silently
+            # return bytes from the wrong position
+            raise ValueError(f"offset must be >= 0, got {offset}")
+        if size < -1:
+            raise ValueError(f"size must be >= 0 (or -1 for all), got {size}")
         total = len(self)
         if size == -1:
             size = total

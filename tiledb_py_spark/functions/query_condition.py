@@ -123,6 +123,14 @@ class _Compiler(ast.NodeVisitor):
                 arg = node.args[0]
                 if not (isinstance(arg, ast.Constant) and isinstance(arg.value, str)):
                     raise TileDBError("attr()/dim() expects a string literal")
+                # the explicit wrapper NAMES a column — a typo must be
+                # the reference's immediate TileDBError, not a Spark
+                # AnalysisException deep in scan execution
+                if self.ctx.columns is not None \
+                        and arg.value not in self.ctx.columns:
+                    raise TileDBError(
+                        f"unknown attribute or dimension {arg.value!r} "
+                        "in QueryCondition")
                 return arg.value
         return None
 
@@ -273,7 +281,14 @@ class _Compiler(ast.NodeVisitor):
         raise TileDBError(f"unary operator {type(node.op).__name__} not supported")
 
     def visit_Name(self, node: ast.Name) -> Column:
-        # bare boolean attribute, e.g. "flag and x > 2"
+        # bare boolean attribute, e.g. "flag and x > 2" — checked
+        # against the known columns like comparison Names are (a typo
+        # must raise here, not as a Spark AnalysisException later)
+        if self.ctx.columns is not None \
+                and node.id not in self.ctx.columns:
+            raise TileDBError(
+                f"unknown attribute or dimension {node.id!r} "
+                "in QueryCondition")
         return _null_is_false(F.col(node.id), F.col(node.id))
 
     def visit_Call(self, node: ast.Call) -> Column:

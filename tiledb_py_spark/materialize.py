@@ -32,7 +32,11 @@ def restore_column(values: pd.Series, ti, nullable: bool,
         codes_i = np.where(mask_bad, 0, codes).astype("int64")
         out = labels[codes_i]
         arr = np.asarray(out)
-        if nullable and mask_bad.any():
+        if nullable:
+            # ALWAYS MaskedArray for nullable attrs, even when this
+            # batch has no nulls — a data-dependent result type breaks
+            # callers doing result[name].mask (reference wraps
+            # unconditionally, dense_array.py:96-101)
             return np.ma.MaskedArray(arr, mask=mask_bad)
         return arr
 
@@ -48,10 +52,23 @@ def restore_column(values: pd.Series, ti, nullable: bool,
         arr = values.to_numpy()
         if arr.dtype.kind != "M":
             arr = pd.to_datetime(values).to_numpy()
-        return arr.astype(f"datetime64[{unit}]")
+        arr = arr.astype(f"datetime64[{unit}]")
+        if nullable:
+            # native-unit (TimestampNTZ transport) nullable datetimes:
+            # NULLs arrive as NaT — mask them like the stored_as=int64
+            # branch does, or the null mask silently vanishes
+            return np.ma.MaskedArray(arr, mask=np.isnat(arr))
+        return arr
 
     if "timedelta_unit" in ann:
         unit = ann["timedelta_unit"]
+        if nullable:
+            # NaN-bearing float64 -> astype('int64') is platform-
+            # dependent garbage; mask first like the datetime path
+            mask = pd.isna(values).to_numpy()
+            iv = np.where(mask, 0, values.to_numpy()).astype("int64")
+            return np.ma.MaskedArray(iv.view(f"timedelta64[{unit}]"),
+                                     mask=mask)
         return values.to_numpy().astype("int64").view(f"timedelta64[{unit}]")
 
     from pyspark.sql import types as T
@@ -72,11 +89,10 @@ def restore_column(values: pd.Series, ti, nullable: bool,
         dt = np.dtype(np_dtype)
         if dt.kind in "iub" and mask.any():
             base = np.where(mask, 0, values.to_numpy()).astype(dt)
+        elif dt.kind in "iubf":
+            base = values.to_numpy(dtype=dt, na_value=0)
         else:
-            base = values.to_numpy(dtype=dt if dt.kind not in "US" else object, na_value=0) \
-                if dt.kind in "iubf" else values.to_numpy()
-            if dt.kind in "iubf":
-                base = base.astype(dt)
+            base = values.to_numpy()
         return np.ma.MaskedArray(base, mask=mask)
 
     dt = np.dtype(np_dtype)

@@ -152,9 +152,18 @@ class Metadata:
     def items(self):
         return [(k, _unpack(v)) for k, v in self._read().items()]
 
-    def update(self, other: dict):
-        packed = {k: _pack(v) for k, v in other.items()}
-        mf.commit(self.uri, lambda m: m.metadata.update(packed))
+    def update(self, other=(), /, **kwargs) -> None:
+        """Set several keys in ONE manifest commit — per-key
+        ``__setitem__`` commits multiply version churn and let a crash
+        tear related keys apart (e.g. the filestore's size/mime
+        pair)."""
+        items = dict(other, **kwargs)
+        for k in items:
+            if not isinstance(k, str):
+                raise TypeError("metadata keys must be str")
+        packed = {k: _pack(v) for k, v in items.items()}
+        if packed:
+            mf.commit(self.uri, lambda m: m.metadata.update(packed))
 
     def __iter__(self):
         return iter(self.keys())

@@ -256,13 +256,19 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     so the explode is real Spark (no Python)."""
     if strict:
         raise NotImplementedError("video decode requires codecs not present here")
-    frames = df.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
-                       F.lit(every_ms))
-        ).alias("frame_ts_ms"),
-    )
+    # unknown (NULL) duration has no sampleable timeline — the old
+    # coalesce(NULL, 0) fabricated a phantom frame at ts=0 for every
+    # such video; a corrupt NEGATIVE duration would make F.sequence
+    # throw and fail the whole job
+    frames = (df.filter((F.col("kind") == "video")
+                        & F.col("duration_ms").isNotNull()
+                        & (F.col("duration_ms") >= 0))
+              .select(
+                  "media_id",
+                  F.explode(
+                      F.sequence(F.lit(0), F.col("duration_ms"),
+                                 F.lit(every_ms))
+                  ).alias("frame_ts_ms")))
     return frames.withColumn(
         "frame_id", F.xxhash64(F.col("media_id"), F.col("frame_ts_ms")))
 

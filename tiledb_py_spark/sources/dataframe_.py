@@ -45,7 +45,15 @@ def _infer_attr(name: str, s: pd.Series):
         attr = Attr(name=name, dtype=np.int32, nullable=bool(s.isna().any()),
                     enum_label=name)
         codes = s.cat.codes.astype("int32")
-        stored = codes.where(codes >= 0, other=pd.NA) if attr.nullable else codes
+        if attr.nullable:
+            # nullable extension dtype, NOT .where(pd.NA) on the plain
+            # int series — that upcast the column to object and pyarrow
+            # stored DOUBLE under the declared int32 schema (Spark
+            # reads of nullable-enum arrays then failed with a parquet
+            # type mismatch)
+            stored = codes.astype("Int32").where(codes >= 0, other=pd.NA)
+        else:
+            stored = codes
         return attr, enum, stored
     dt = s.dtype
     nullable = bool(s.isna().any())
@@ -59,10 +67,18 @@ def _infer_attr(name: str, s: pd.Series):
             return Attr(name=name, dtype="S0" if False else np.bytes_, nullable=nullable), None, s
         if len(first) and isinstance(first.iloc[0], (list, tuple, np.ndarray)):
             # var-length multi-value cells (e.g. embeddings): element dtype
-            # from the first cell (reference var attrs, attribute.py:74-79)
+            # from the first cell (reference var attrs, attribute.py:74-79).
+            # Only NUMERIC elements are expressible — a silent
+            # var-float64 declaration over list<string>/list<struct>
+            # parquet would disagree with the stored data on every read
             elem = np.asarray(first.iloc[0])
-            elem_dtype = elem.dtype if elem.dtype.kind in "iuf" else np.float64
-            return Attr(name=name, dtype=elem_dtype, var=True,
+            if elem.dtype.kind not in "iuf":
+                raise TypeError(
+                    f"column {name!r} holds lists of "
+                    f"{elem.dtype.kind!r}-kind elements; only numeric "
+                    "multi-value cells are supported — store strings as "
+                    "one delimited string, or explode to rows upstream")
+            return Attr(name=name, dtype=elem.dtype, var=True,
                         nullable=nullable), None, s
         return Attr(name=name, dtype=np.str_, nullable=nullable), None, s
     if np.issubdtype(dt, np.floating):
@@ -80,16 +96,32 @@ def _infer_dim(name: str, s: pd.Series, full_domain: bool, tile: Optional[int],
         # keep the series' unit (pandas default ns -> DATETIME_NS dim, like
         # the reference); coercing to us would corrupt sub-us coordinates
         unit = np.datetime_data(dt)[0]
-        lo, hi = np.datetime64(s.min(), unit), np.datetime64(s.max(), unit)
         try:
             day = max(1, int(np.timedelta64(1, "D") / np.timedelta64(1, unit)))
         except TypeError:  # units coarser than a day (W/M/Y)
             day = 1
+        if full_domain:
+            # near-full int64 range in the unit (iinfo.min is the NaT
+            # sentinel — excluded); without this, chunked ingest pins
+            # the domain to chunk 1 and later chunks land out-of-domain
+            lo = np.int64(np.iinfo(np.int64).min + 1).view(f"M8[{unit}]")
+            hi = np.int64(np.iinfo(np.int64).max - (tile or day)) \
+                .view(f"M8[{unit}]")
+        else:
+            lo, hi = np.datetime64(s.min(), unit), np.datetime64(s.max(), unit)
         return Dim(name=name, domain=(lo, hi), tile=tile or day, dtype=dt)
     if full_domain and np.issubdtype(dt, np.integer):
         info = np.iinfo(dt)
         # leave headroom for tile extents like the reference
         return Dim(name=name, domain=(info.min, info.max - _tile_default(ndim)),
+                   tile=tile or _tile_default(ndim), dtype=dt)
+    if full_domain and np.issubdtype(dt, np.floating):
+        # floats get the full finite range (reference dim_info full_domain
+        # covers every numeric dtype, not just ints) — without this,
+        # chunked ingest pins the domain to chunk 1's min/max and every
+        # later chunk is rejected as out-of-domain
+        info = np.finfo(dt)
+        return Dim(name=name, domain=(float(info.min), float(info.max)),
                    tile=tile or _tile_default(ndim), dtype=dt)
     lo, hi = s.min(), s.max()
     return Dim(name=name, domain=(lo, hi), tile=tile or _tile_default(ndim), dtype=dt)
@@ -116,9 +148,17 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
             index_dims = []
     else:
         missing = [c for c in index_dims if c not in pdf.columns]
-        if missing and pdf.index.name in missing:
+        # a MultiIndex has .name None — check the level names too, or
+        # explicit index_dims naming index levels KeyError later
+        if missing and (pdf.index.name in missing
+                        or set(missing) & set(pdf.index.names)):
             pdf = pdf.reset_index()
         index_dims = list(index_dims)
+        still = [c for c in index_dims if c not in pdf.columns]
+        if still:
+            raise KeyError(
+                f"index_dims {still} not found in the DataFrame's "
+                f"columns or index levels (columns: {list(pdf.columns)})")
 
     if sparse is None:
         sparse = bool(index_dims)  # _sparse_from_dtypes analog
@@ -214,11 +254,30 @@ def _encode_for_schema(pdf: pd.DataFrame, schema: ArraySchema) -> pd.DataFrame:
         if a.enum_label:
             enum = schema.enums[a.enum_label]
             if isinstance(s.dtype, pd.CategoricalDtype):
-                s = s.cat.set_categories(enum.values)
-                out[a.name] = s.cat.codes.astype("int32")
+                s = s.astype(object)   # unify: validate labels below
+            # labels outside the stored enumeration must refuse loudly
+            # (the reference raises for values not in the enumeration);
+            # the old .map().astype('int32') either crashed with a raw
+            # IntCastingNaNError or silently wrote code -1 (read back
+            # as null) for unseen categoricals
+            lookup = {v: i for i, v in enumerate(enum.values)}
+            unknown = sorted({str(v) for v in s.dropna().unique()
+                              if v not in lookup})
+            if unknown:
+                raise ValueError(
+                    f"attribute {a.name!r}: values {unknown[:5]} are not "
+                    f"in the stored enumeration {a.enum_label!r} "
+                    f"({len(enum.values)} labels); extend the "
+                    "enumeration before appending")
+            codes = s.map(lookup)
+            if codes.isna().any():
+                if not a.nullable:
+                    raise ValueError(
+                        f"attribute {a.name!r} is not nullable but the "
+                        "append batch contains nulls")
+                out[a.name] = codes.astype("Int32")
             else:
-                lookup = {v: i for i, v in enumerate(enum.values)}
-                out[a.name] = s.map(lookup).astype("int32")
+                out[a.name] = codes.astype("int32")
         else:
             out[a.name] = s
     return out
@@ -233,7 +292,25 @@ def from_csv(uri: str, csv_file, mode: str = "ingest", index_dims=None,
     at scale."""
     files = csv_file if isinstance(csv_file, (list, tuple)) else [csv_file]
     if spark is not None:
-        sdf = spark.read.option("header", "true").option("inferSchema", "true").csv(list(files))
+        # honor the pandas kwargs the Spark reader can express; refuse
+        # the rest loudly — silently dropping sep= would parse every
+        # row as one comma-joined string and ingest the corpus garbled
+        opts = {"inferSchema": "true", "header": "true"}
+        kw = dict(pandas_kwargs)
+        sep = kw.pop("sep", kw.pop("delimiter", None))
+        if sep is not None:
+            opts["sep"] = sep
+        if "header" in kw:
+            opts["header"] = "false" if kw.pop("header") is None else "true"
+        if kw:
+            raise NotImplementedError(
+                f"from_csv(spark=...) cannot express pandas kwargs "
+                f"{sorted(kw)}; use the pandas path (spark=None) or "
+                "pre-read with spark.read.csv and call from_spark")
+        reader = spark.read
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        sdf = reader.csv(list(files))
         from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode,
                    full_domain=full_domain)
         return
@@ -266,15 +343,26 @@ def _flatten_structs(sdf):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    cols, again = [], False
+    cols, names, again = [], [], False
     for f in sdf.schema.fields:
         if isinstance(f.dataType, T.StructType):
             again = True
             for sub in f.dataType.fields:
                 cols.append(F.col(f"`{f.name}`.`{sub.name}`")
                             .alias(f"{f.name}_{sub.name}"))
+                names.append(f"{f.name}_{sub.name}")
         else:
             cols.append(F.col(f"`{f.name}`"))
+            names.append(f.name)
+    # same loud refusal as _flatten_pandas_json: a flattened
+    # 'parent_child' alias colliding with an existing top-level column
+    # would otherwise produce two same-named columns (ambiguous refs /
+    # duplicate attrs downstream)
+    clash = sorted({n for n in names if names.count(n) > 1})
+    if clash:
+        raise ValueError(
+            f"flattened column names {clash} collide with existing "
+            "top-level columns; rename the conflicting fields upstream")
     out = sdf.select(*cols)
     return _flatten_structs(out) if again else out
 
@@ -338,6 +426,12 @@ def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
     if spark is not None:
         from pyspark.sql import types as T
 
+        if pandas_kwargs:
+            raise NotImplementedError(
+                f"from_json(spark=...) cannot express pandas kwargs "
+                f"{sorted(pandas_kwargs)}; use the pandas path "
+                "(spark=None) or pre-read with spark.read.json and "
+                "call from_spark")
         sdf = spark.read.json(list(files))
         nested = [f.name for f in sdf.schema.fields
                   if isinstance(f.dataType, T.StructType)]
@@ -410,7 +504,34 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
         sparse = bool(index_dims)
     if mode == "append":
         man = mf.read_manifest(uri)
-        write_fragment_spark(uri, man.schema, df)
+        schema = man.schema
+        if schema.dim_names == [ROWS_DIM] and ROWS_DIM not in df.columns:
+            # default-index arrays: generate the synthetic row coords
+            # (mirrors from_pandas append — without this the fragment
+            # writer would commit coordinate-less rows)
+            ned = man.nonempty_domain()
+            offset = (int(ned[0][1]) + 1) \
+                if ned and ned[0][0] is not None else 0
+            if schema.sparse:
+                # unique ids strictly above every existing coordinate;
+                # sparse coords don't need contiguity, so the id stays
+                # distributed (no shuffle)
+                df = df.withColumn(
+                    ROWS_DIM,
+                    F.monotonically_increasing_id() + F.lit(offset))
+            else:
+                # dense grids need CONTIGUOUS row coords: one global
+                # row_number pass (single-task window — fine at append
+                # scale; at corpus scale use a sparse array or supply
+                # __tiledb_rows yourself)
+                from pyspark.sql import Window
+
+                df = df.withColumn(
+                    ROWS_DIM,
+                    F.row_number().over(
+                        Window.orderBy(F.monotonically_increasing_id()))
+                    - 1 + F.lit(offset))
+        write_fragment_spark(uri, schema, df)
         return
 
     # driver-side schema inference: one small agg job for dim domains —
@@ -462,15 +583,34 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
 
         if isinstance(f.dataType, T.ArrayType):
             # var-length multi-value cells (embeddings, code columns) —
-            # same mapping as from_pandas' list-valued columns
-            attrs.append(Attr(name=f.name,
-                              dtype=_spark_to_np(f.dataType.elementType),
+            # same mapping as from_pandas' list-valued columns; same
+            # numeric-only refusal (a var-string declaration would
+            # disagree with the stored list<string> parquet)
+            np_elem = _spark_to_np(f.dataType.elementType)
+            if np_elem.kind not in "iuf":
+                elem_name = f.dataType.elementType.simpleString()
+                raise TypeError(
+                    f"column {f.name!r} is array<{elem_name}>; only "
+                    "numeric multi-value cells are supported — "
+                    "concat_ws to one string, or explode to rows "
+                    "upstream")
+            attrs.append(Attr(name=f.name, dtype=np_elem,
                               var=True, nullable=f.nullable))
         else:
             attrs.append(Attr(name=f.name, dtype=_spark_to_np(f.dataType),
                               nullable=f.nullable))
     schema = ArraySchema(domain=Domain(*dims), attrs=attrs, sparse=sparse)
     mf.create_array(uri, schema)
+    # same round-trip contract as from_pandas: open_dataframe/A.df[]
+    # restores index_dims as the index and hides a synthetic row dim
+    # (attribute_dtypes stays empty — Spark types have no pandas-dtype
+    # sidecar to restore)
+    pandas_meta = {
+        "attribute_dtypes": {},
+        "index_dims": index_dims if index_dims else [ROWS_DIM],
+        "default_index": not bool(index_dims),
+    }
+    mf.commit(uri, lambda m: m.pandas_meta.update(pandas_meta))
     if mode == "ingest":
         write_fragment_spark(uri, schema, df)
 

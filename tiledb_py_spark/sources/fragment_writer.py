@@ -129,6 +129,16 @@ def _normalize_storage(pdf, schema: ArraySchema):
         if ann.get("stored_as") == "int64" and s.dtype.kind in ("M", "m"):
             np_dt = np.dtype(c.type_info.np_dtype)
             out[c.name] = s.to_numpy().astype(np_dt).view("int64")
+        elif (getattr(c, "nullable", False) and not getattr(c, "var", False)
+              and np.dtype(c.type_info.np_dtype).kind in "iu"
+              and s.dtype.kind in ("O", "f")):
+            # nullable integer attr arriving as object/float (pandas'
+            # null upcasts): store via the nullable extension dtype so
+            # pyarrow writes ints-with-nulls, not DOUBLE under an int
+            # schema (Spark's reader rejects the mismatch)
+            ext = np.dtype(c.type_info.np_dtype).name.capitalize() \
+                .replace("Uint", "UInt")
+            out[c.name] = s.astype(ext)
     return out
 
 
@@ -151,11 +161,18 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
     frag_dir = fragment_path(uri, name)
     os.makedirs(frag_dir, exist_ok=True)
     cols = schema.dim_names + schema.attr_names
-    want = [c for c in cols if c in pdf.columns]
-    if list(pdf.columns) != want:
+    absent = [c for c in cols if c not in pdf.columns]
+    if absent:
+        # a silently dropped dim/attr would commit a fragment that
+        # reads back NULL for that column (lost coordinates for dims)
+        # — the reference requires every attribute in a write
+        raise ValueError(
+            f"write is missing schema columns {absent}; every dim and "
+            f"attr must be present (have: {list(pdf.columns)})")
+    if list(pdf.columns) != cols:
         # column reselect copies EVERY block (43s measured on a
         # 100M-cell dense grid) — skip it when already in stored order
-        pdf = pdf[want]
+        pdf = pdf[cols]
     pdf = _normalize_storage(pdf, schema)
     # sort by dims for row-group min/max locality (space-tile analog)
     if schema.sparse and len(pdf) > 0:
@@ -207,7 +224,12 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
     name = new_fragment_name(ts)
     frag_dir = fragment_path(uri, name)
     cols = schema.dim_names + schema.attr_names
-    df = df.select(*[c for c in cols if c in df.columns])
+    absent = [c for c in cols if c not in df.columns]
+    if absent:
+        raise ValueError(
+            f"write is missing schema columns {absent}; every dim and "
+            f"attr must be present (have: {df.columns})")
+    df = df.select(*cols)
     if sort_within and schema.sparse and schema.dim_names:
         n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
         if schema.cell_order == "hilbert":

@@ -26,6 +26,14 @@ class Subarray:
 
     def _dim_index(self, dim) -> int:
         if isinstance(dim, int):
+            ndim = self.array.schema.domain.ndim
+            # an out-of-range int index would store ranges that
+            # to_dim_ranges() never emits — the query would silently
+            # scan the FULL domain instead of erroring
+            if not 0 <= dim < ndim:
+                raise IndexError(
+                    f"dimension index {dim} out of range for a "
+                    f"{ndim}-dim array")
             return dim
         for i, d in enumerate(self.array.schema.domain):
             if d.name == dim:
@@ -36,10 +44,28 @@ class Subarray:
         """Add one inclusive (lo, hi) range on a dim (index or name)."""
         if len(rng) != 2:
             raise ValueError("range must be a (lo, hi) tuple")
+        lo, hi = rng
+        try:
+            inverted = lo is not None and hi is not None and hi < lo
+        except TypeError:
+            inverted = False
+        if inverted:
+            # the reference Subarray rejects lo > hi; storing it would
+            # compile to an always-false predicate (silently empty
+            # results) and a negative shape()
+            raise ValueError(f"invalid range on dim {dim!r}: "
+                             f"lower bound {lo!r} > upper bound {hi!r}")
         self._ranges.setdefault(self._dim_index(dim), []).append(tuple(rng))
 
     def add_ranges(self, ranges: Sequence[Sequence[tuple]]) -> None:
         """Bulk add: one list of (lo, hi) tuples per dimension."""
+        ndim = self.array.schema.domain.ndim
+        if len(ranges) > ndim:
+            # validate BEFORE adding anything — a mid-loop refusal
+            # would leave the earlier dims' ranges partially applied
+            raise IndexError(
+                f"add_ranges got {len(ranges)} per-dim lists for a "
+                f"{ndim}-dim array")
         for i, dim_ranges in enumerate(ranges):
             for rng in dim_ranges:
                 self.add_dim_range(i, rng)
