@@ -90,11 +90,20 @@ class Group:
     def _mutate(self, fn) -> None:
         if self.mode != "w":
             raise PermissionError("group not opened in write mode")
-        fn(self._state)
+        # apply to a FRESH read of the group file, not this handle's
+        # cached state — writing the cached snapshot would silently
+        # revert every change made through another handle since open
+        # (worst case: reverting consolidate_metadata's folded base,
+        # whose delta files vacuum_metadata then deletes — permanent
+        # metadata loss)
+        with open(self._path) as f:
+            state = json.load(f)
+        fn(state)
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._state, f)
+            json.dump(state, f)
         os.replace(tmp, self._path)
+        self._state = state
 
     # -- members -------------------------------------------------------------
     def _resolve(self, uri: str, relative: bool) -> str:
@@ -239,3 +248,9 @@ class Group:
             shutil.rmtree(uri)
         else:
             os.remove(os.path.join(uri, GROUP_FILE))
+            # the metadata delta log belongs to the deleted group — a
+            # group re-created at this URI would otherwise resurrect
+            # the old metadata (and a stale .consolidated.json marker
+            # could later vacuum the wrong files)
+            shutil.rmtree(os.path.join(uri, META_DIR),
+                          ignore_errors=True)

@@ -68,33 +68,57 @@ def key_bits(ndim: int) -> int:
     return min(16, 63 // max(ndim, 1))
 
 
+def _grid_scale(off: np.ndarray, span: float, grid: int) -> np.ndarray:
+    """Map float64 offsets in [0, span] onto the key grid: direct when
+    the span fits (exact locality), span-SCALED otherwise — the old
+    clamp-at-lo+grid made every realistic timestamp or wide-integer
+    dim a near-constant coordinate (2 distinct keys for 1000 rows
+    measured), silently losing the whole curve-locality win."""
+    off = np.nan_to_num(off, nan=0.0, posinf=float(grid), neginf=0.0)
+    if span > grid:
+        off = off * (float(grid) / span)
+    return np.clip(off, 0, grid).astype("uint64")
+
+
 def hilbert_key_for_schema(pdf, schema) -> np.ndarray:
-    """Hilbert key column for a pandas frame of dim coordinates, shifting
-    each dim by its domain lower bound and clamping to the key grid."""
+    """Hilbert key column for a pandas frame of dim coordinates, mapping
+    each dim's domain onto the key grid (offset for narrow domains,
+    span-scaled for wide ones; NaN/NaT coordinates land in bucket 0)."""
     bits = key_bits(schema.ndim)
     grid = (1 << bits) - 1
     cols = []
     for d in schema.domain:
         v = pdf[d.name].to_numpy()
         if d.dtype.kind == "M" or np.issubdtype(v.dtype, np.datetime64):
-            v = v.astype("datetime64[us]").astype("int64")
-            lo = np.datetime64(d.domain[0], "us").astype("int64") if d.domain[0] is not None else v.min()
-        elif d.dtype.kind in "iu":
-            v = v.astype("int64")
-            lo = int(d.domain[0])
-        elif d.dtype.kind == "f":
-            # scale floats onto the grid across the domain
+            iv = v.astype("datetime64[us]").astype("int64")
+            nat = iv == np.iinfo(np.int64).min      # NaT sentinel
+            valid = iv[~nat]
+            lo = np.datetime64(d.domain[0], "us").astype("int64") \
+                if d.domain[0] is not None \
+                else (valid.min() if len(valid) else 0)
+            hi = np.datetime64(d.domain[1], "us").astype("int64") \
+                if d.domain[1] is not None \
+                else (valid.max() if len(valid) else 0)
+            # float64 offsets: int64 subtraction would WRAP for NaT or
+            # full-range domains before any clip could catch it
+            off = np.where(nat, 0.0, iv.astype("float64") - float(lo))
+            cols.append(_grid_scale(off, float(hi) - float(lo), grid))
+            continue
+        if d.dtype.kind in "iu":
+            iv = v.astype("int64")
+            lo, hi = int(d.domain[0]), int(d.domain[1])
+            off = iv.astype("float64") - float(lo)
+            cols.append(_grid_scale(off, float(hi) - float(lo), grid))
+            continue
+        if d.dtype.kind == "f":
             lo_f, hi_f = float(d.domain[0]), float(d.domain[1])
-            span = (hi_f - lo_f) or 1.0
-            cols.append(np.clip(((v - lo_f) / span * grid), 0, grid).astype("uint64"))
+            cols.append(_grid_scale(v.astype("float64") - lo_f,
+                                    (hi_f - lo_f) or 1.0, grid))
             continue
-        else:
-            # strings: hash onto the grid (locality by hash bucket only)
-            import zlib
+        # strings: hash onto the grid (locality by hash bucket only)
+        import zlib
 
-            cols.append(np.array([zlib.crc32(str(s).encode()) & grid for s in v],
-                                 dtype="uint64"))
-            continue
-        cols.append(np.clip(v - lo, 0, grid).astype("uint64"))
+        cols.append(np.array([zlib.crc32(str(s).encode()) & grid for s in v],
+                             dtype="uint64"))
     coords = np.stack(cols, axis=1)
     return hilbert_index(coords, bits)

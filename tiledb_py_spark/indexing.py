@@ -112,18 +112,12 @@ def replace_scalars_slice(dom: Domain, idx: tuple):
     return tuple(new_idx), tuple(drop_axes)
 
 
-def check_for_floats(selection) -> bool:
-    if isinstance(selection, float):
-        return True
-    if isinstance(selection, slice):
-        return isinstance(selection.start, float) or isinstance(selection.stop, float)
-    if isinstance(selection, tuple):
-        return any(check_for_floats(s) for s in selection)
-    return False
-
-
-def _steps(idx: tuple) -> list:
-    return [s.step if isinstance(s, slice) else None for s in idx]
+def _np_points(arr: np.ndarray) -> list:
+    """ndarray selection -> point list, PRESERVING datetime/timedelta
+    element types: ``.tolist()`` degrades datetime64 values to raw
+    integer counts, which silently select nothing (range IR) or raise
+    (multi_index's datetime check) for a perfectly valid selection."""
+    return list(arr) if arr.dtype.kind in "Mm" else arr.tolist()
 
 
 def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
@@ -163,7 +157,8 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
 
         # point lists / arrays (reference array.py:147-176)
         if isinstance(dim_idx, (list, np.ndarray)):
-            dr.points = [p for p in (dim_idx.tolist() if isinstance(dim_idx, np.ndarray) else dim_idx)]
+            dr.points = list(_np_points(dim_idx)
+                             if isinstance(dim_idx, np.ndarray) else dim_idx)
             out.append(dr)
             continue
         try:
@@ -181,11 +176,20 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
         start, stop, step = dim_idx.start, dim_idx.stop, dim_idx.step
         if step and sparse:
             raise IndexError("steps are not supported for sparse arrays")
+        # reference keys half-open vs inclusive on the STOP VALUE's
+        # type (array.py:279-296): an integer stop keeps numpy
+        # half-open semantics even on a float dim
+        stop_is_int = isinstance(stop, _inttypes) \
+            and not isinstance(stop, (bool, np.bool_))
 
         if is_string:
-            if start is not None and not isinstance(start, (str, bytes)):
-                raise ValueError(
-                    f"Non-string range '({start},{stop})' provided for string dimension '{dim.name}'")
+            # BOTH endpoints must be strings — a numeric stop would
+            # compile to a numeric comparison on a string column and
+            # silently drop rows (reference rejects either endpoint)
+            for v in (start, stop):
+                if v is not None and not isinstance(v, (str, bytes)):
+                    raise ValueError(
+                        f"Non-string range '({start},{stop})' provided for string dimension '{dim.name}'")
             dr.intervals.append((start if start is not None else dim_lb,
                                  stop if stop is not None else dim_ub))
             out.append(dr)
@@ -206,6 +210,11 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
                 start += int(dim_ub) + 1
             if not is_datetime and start < dim_lb:
                 raise IndexError("index out of bounds")
+            if is_datetime \
+                    and np.datetime64(start) < np.datetime64(dim_lb):
+                # reference index_domain_subarray raises unconditionally
+                # for below-domain starts — datetimes included
+                raise IndexError("index out of bounds")
             if cd_box is not None and not is_datetime and start > dim_ub:
                 raise IndexError(
                     f"selection on {dim.name!r} is outside the current domain {cd_box}")
@@ -225,13 +234,21 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
             # clamp instead of raising.
             cd_stop_excess = (stop > dim_ub
                               if np.issubdtype(dim_dtype, np.floating)
+                              and not stop_is_int
                               else stop - 1 > dim_ub)
             if cd_box is not None and not is_datetime and not is_string \
                     and cd_stop_excess:
                 raise IndexError(
                     f"selection on {dim.name!r} is outside the current domain {cd_box}")
             if not is_datetime and stop > dim_ub:
-                stop = dim_ub if np.issubdtype(dim_dtype, np.floating) else int(dim_ub) + 1
+                if np.issubdtype(dim_dtype, np.floating):
+                    # half-open int stop: leave it — clamping to the
+                    # (possibly fractional) ub and then subtracting 1
+                    # at emission would cut real cells below the top
+                    if not stop_is_int:
+                        stop = dim_ub
+                else:
+                    stop = int(dim_ub) + 1
             if is_datetime and stop > dim_ub:
                 stop = dim_ub
         else:
@@ -241,8 +258,12 @@ def index_domain_subarray(dom: Domain, idx: tuple, sparse: bool,
                 stop = int(dim_ub) + 1
 
         if np.issubdtype(dim_dtype, np.floating):
-            # inclusive bounds for floating point ranges (array.py:279-283)
-            dr.intervals.append((float(start), float(stop)))
+            # inclusive bounds for FLOAT stops (array.py:279-283); an
+            # INTEGER stop keeps numpy half-open semantics — the
+            # reference keys on type(stop), so A[0:5] on a float dim
+            # selects [0, 4], not everything in [0.0, 5.0]
+            hi = float(int(stop) - 1) if stop_is_int else float(stop)
+            dr.intervals.append((float(start), hi))
         elif is_datetime:
             dr.intervals.append((np.datetime64(start).astype(dim_dtype),
                                  np.datetime64(stop).astype(dim_dtype)))
@@ -290,9 +311,9 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
         dim_idx = idx[r]
         box = (current_domain or {}).get(dim.name)
         dr = DimRanges(name=dim.name)
-        sel_list = dim_idx if isinstance(dim_idx, (list, np.ndarray)) else [dim_idx]
+        sel_list = dim_idx if isinstance(dim_idx, list) else [dim_idx]
         if isinstance(dim_idx, np.ndarray):
-            sel_list = dim_idx.tolist()
+            sel_list = _np_points(dim_idx)
         for sel in sel_list:
             if isinstance(sel, slice):
                 if sel.step is not None:
@@ -313,6 +334,14 @@ def getitem_ranges_multi_index(dom: Domain, idx: tuple,
                 dr.intervals.append((_check_dt(dim, start), _check_dt(dim, stop)))
             elif np.isscalar(sel) or isinstance(sel, (np.datetime64, str, bytes)):
                 dr.points.append(_check_dt(dim, _cd_check(dim, box, sel)))
+            elif isinstance(sel, tuple) and len(sel) == 2:
+                # (lo, hi) inclusive range inside a list selection —
+                # reference multirange_indexing iter_ranges supports
+                # tuples alongside scalars and slices
+                lo_v, hi_v = sel
+                dr.intervals.append(
+                    (_check_dt(dim, _cd_check(dim, box, lo_v)),
+                     _check_dt(dim, _cd_check(dim, box, hi_v))))
             else:
                 raise TypeError(f"Unsupported selection {sel!r}")
         out.append(dr)

@@ -90,8 +90,11 @@ class FragmentRecord:
         )
 
 
-def new_fragment_name(ts: int) -> str:
-    return f"frag_{ts}_{ts}_{uuid.uuid4().hex[:12]}"
+def new_fragment_name(ts: int, tag: str = "") -> str:
+    """``tag`` (e.g. ``"sb7_"``) embeds an idempotency marker — the
+    streaming sinks use it to detect an already-committed micro-batch
+    replayed after a crash."""
+    return f"frag_{ts}_{ts}_{tag}{uuid.uuid4().hex[:12]}"
 
 
 # __frag_ts encoding: (timestamp_ms << SEQ_BITS) | within-ms sequence.

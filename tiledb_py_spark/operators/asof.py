@@ -80,7 +80,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         lhs = lhs.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
     lhs = lhs.withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
 
-    rhs = right.select(
+    # a right row with NULL time can never be a valid as-of match —
+    # left in, asc-nulls-first ordering made it a "time minus-infinity"
+    # match for every left row in the keyed path (the keyless bucketed
+    # path already quarantines NULL times)
+    rhs = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on),
         F.lit(0).alias(_TAG),
@@ -112,6 +116,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                              num_buckets, bounds)
 
     out = out.filter(F.col(_TAG) == 1).drop(_TAG)
+    # a left row with NULL time has no as-of position — unmatched, not
+    # matched to whatever the traversal order put first (forward's
+    # desc ordering sorted NULLs last, carrying the minimum right row)
+    for cc in fill_cols:
+        out = out.withColumn(cc, F.when(F.col(on).isNotNull(),
+                                        F.col(cc)))
     if tolerance is not None:
         gap = (F.col(on) - F.col(f"{on}{suffix}")) if backward \
             else (F.col(f"{on}{suffix}") - F.col(on))

@@ -41,17 +41,24 @@ _BUCKETS = 10_000
 def portable_hash60(cols: Sequence, seed: int = 42, salt: str = "") -> Column:
     """Positive 60-bit hash of the concatenated columns + seed, computable
     bit-for-bit in any SQL engine:
-    ``('0x' || substr(md5(concat_ws(chr(31), cols..., '<tag>')), 1, 15))::BIGINT``
+    ``('0x' || substr(md5(concat_ws(chr(31), coalesce(CAST(c AS VARCHAR),
+    chr(1) || 'null')..., '<tag>')), 1, 15))::BIGINT``
     where ``<tag>`` is ``'<salt>:<seed>'`` (or just ``'<seed>'`` with no
-    salt).  Every operator in this module passes its own ``salt`` so that
-    COMPOSED decisions are independent: without it, a split and a sample
-    sharing the default seed read the identical bucket — e.g. a 10%
-    sample drawn after an 80/10/10 split would consist entirely of
+    salt).  NULL columns coalesce to a chr(1) sentinel BEFORE the
+    concat: ``concat_ws`` silently SKIPS nulls, so (NULL, 'x') and
+    ('x', NULL) — or ('a','b') and ('a\\x1fb', NULL) — would otherwise
+    hash identically, correlating split/sample decisions across
+    distinct rows.  Non-null values hash exactly as before.
+    Every operator in this module passes its own ``salt`` so that
+    COMPOSED decisions are independent: without it, a split and a
+    sample sharing the default seed read the identical bucket — e.g. a
+    10% sample drawn after an 80/10/10 split would consist entirely of
     'train' rows (buckets 0-999)."""
     from .dedup import md5_hash60
 
-    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
-             for c in cols]
+    parts = [F.coalesce(
+        (F.col(c) if isinstance(c, str) else c).cast("string"),
+        F.lit("\x01null")) for c in cols]
     tag = f"{salt}:{seed}" if salt else str(seed)
     return md5_hash60(F.concat_ws(_SEP, *parts, F.lit(tag)))
 
@@ -106,7 +113,11 @@ def stratified_sample(df: DataFrame, strata_col: str,
     thr = None
     default_thr = F.lit(int(round(default_fraction * _BUCKETS)))
     for value, frac in fractions.items():
-        cond = F.col(strata_col) == value
+        # None keys the NULL stratum: `col == None` is never true, so
+        # NULL rows would silently fall through to default_fraction
+        # (resample_strata handles this identically)
+        cond = F.col(strata_col).isNull() if value is None \
+            else F.col(strata_col) == value
         t = F.lit(int(round(frac * _BUCKETS)))
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     thr = default_thr if thr is None else thr.otherwise(default_thr)
@@ -134,8 +145,12 @@ def chunk_documents(df: DataFrame, text_col: str, id_cols: Sequence[str],
     InferFiltersFromGenerate clone the whole slice+concat expression into
     inferred predicates (evaluated ~3x per row, interpreted).
     ``tokens_col`` overrides the whitespace tokenizer."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # a negative overlap widens the stride past the chunk length —
+        # tokens between chunks would be in NO chunk (silent data loss)
+        raise ValueError(
+            "overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
     if tokens_col is not None:
         toks = tokens_col
@@ -302,6 +317,19 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     if not (first_dt.startswith("timestamp") or first_dt.startswith("decimal")
             or first_dt in ("tinyint", "smallint", "int", "bigint",
                             "float", "double", "date")):
+        # LOUD fallback: with a constant/low-cardinality group key (the
+        # materialize_packs by=None shape) this window funnels the
+        # whole input through one task per group — the exact straggler
+        # the bucketed path exists to avoid.  String ids are the common
+        # LLM-corpus case, so warn rather than silently serialize.
+        import warnings
+
+        warnings.warn(
+            f"grouped_running_sum: first order column {first!r} has "
+            f"non-range-bucketable type {first_dt!r}; falling back to "
+            "a one-task-per-group window (a scale bottleneck). Order "
+            "by a numeric/timestamp id first for the distributed path.",
+            RuntimeWarning, stacklevel=2)
         return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
     d = monotonic_view(first, first_dt)
     bounds = resolve_bounds(df, d, num_buckets, bounds)
@@ -373,9 +401,8 @@ def pack_sequences(df: DataFrame, size_col: str, id_cols: Sequence[str],
     ``grouped_running_sum`` — skips their sampled-quantile job.
 
     Adds ``pack_id`` (long, per group) and ``pack_offset`` (the
-    document's token start within its group layout for offset mode /
-    within its pack for greedy mode)."""
-    grp = F.col(by) if by else F.lit(0)
+    document's token start within its PACK, i.e. layout start modulo
+    ``max_tokens`` — both modes)."""
     if mode == "offset":
         if by is None:
             # no grouping: a plain window would be one global task —
@@ -510,7 +537,6 @@ def materialize_packs(df: DataFrame, tokens_col, id_cols: Sequence[str],
     base = base.withColumn("__start", F.col("__cum") - F.col("__n")) \
                .drop("__cum")
     off0 = F.col("__start") % max_tokens
-    k0 = F.floor(F.col("__start") / max_tokens)
     n_pieces = F.floor((off0 + F.col("__n") - 1) / max_tokens) + 1
 
     # GIANT-DOCUMENT pre-split (round 11, the BENCH_skew 4.7

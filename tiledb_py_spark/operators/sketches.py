@@ -157,7 +157,16 @@ def heavy_hitters(df: DataFrame, items_col, threshold_frac: float = 0.001,
         return base.sparkSession.createDataFrame([], "item string, n long")
     cand = list(digest)
 
-    counted = (base.filter(F.col("__it").isin(cand))
+    if len(cand) <= 1024:
+        survivors = base.filter(F.col("__it").isin(cand))
+    else:
+        # small thresholds mean k ~ 2/threshold candidates; embedding
+        # 200k string literals into the plan stalls analysis and bloats
+        # the driver — a broadcast semi-join is the scalable equivalent
+        cand_df = base.sparkSession.createDataFrame(
+            [(c,) for c in cand], "__it string")
+        survivors = base.join(F.broadcast(cand_df), "__it", "left_semi")
+    counted = (survivors
                .groupBy(F.col("__it").alias("item"))
                .agg(F.count(F.lit(1)).cast("long").alias("n")))
     return (counted
@@ -210,8 +219,19 @@ def approx_quantiles(df: DataFrame, col, probs, rel_err: float = 0.01,
     # exact rank recount: one aggregation over (group, prob) — the
     # crossJoin side is |probs| x |groups| rows, broadcast by size
     vals = df.select(*by, c.alias("__x")).filter(F.col("__x").isNotNull())
-    j = vals.join(F.broadcast(out), on=by) if by else vals.crossJoin(
-        F.broadcast(out))
+    if by:
+        # eqNullSafe: NULL group keys are real groups (the non-verify
+        # path returns them via groupBy); a plain equality join would
+        # silently drop them from the verify output
+        outj = F.broadcast(out.select(
+            *[F.col(b).alias(f"__o_{b}") for b in by], "prob", "value"))
+        cond = None
+        for b in by:
+            t = F.col(b).eqNullSafe(F.col(f"__o_{b}"))
+            cond = t if cond is None else cond & t
+        j = vals.join(outj, cond).drop(*[f"__o_{b}" for b in by])
+    else:
+        j = vals.crossJoin(F.broadcast(out))
     # two-sided rank check: a duplicate-heavy value occupies a rank
     # RANGE [count(x < v)/n, count(x <= v)/n]; the GK guarantee holds
     # iff that range intersects [p - eps, p + eps], so testing only the

@@ -95,18 +95,29 @@ def row_group_stats(path_or_paths, column: str,
         return None
 
     def one(p):
-        md = pq.ParquetFile(p).metadata
-        rgs = []
-        for i in range(md.num_row_groups):
-            rg = md.row_group(i)
-            mm = column_chunk_minmax(rg, column)
-            if mm is None:
-                return None
-            lo, hi = _to_num(mm[0]), _to_num(mm[1])
-            if lo is None or hi is None:
-                return None
-            rgs.append((lo, hi, rg.num_rows))
-        return rgs
+        # an unreadable footer (zero-byte / truncated crashed-write
+        # leftover) means "no statistics", per the documented contract
+        # — propagating the ArrowInvalid would fail the caller's whole
+        # planning step instead of falling back to sampling
+        try:
+            pf = pq.ParquetFile(p)
+        except Exception:
+            return None
+        try:
+            md = pf.metadata
+            rgs = []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                mm = column_chunk_minmax(rg, column)
+                if mm is None:
+                    return None
+                lo, hi = _to_num(mm[0]), _to_num(mm[1])
+                if lo is None or hi is None:
+                    return None
+                rgs.append((lo, hi, rg.num_rows))
+            return rgs
+        finally:
+            pf.close()
 
     with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
         per_file = list(ex.map(one, paths))
@@ -122,33 +133,39 @@ def mixture_quantile_bounds(rgs: Sequence, num_buckets: int) -> list:
     rgs = [(mn, mx, n) for mn, mx, n in rgs if n > 0]
     if not rgs or num_buckets <= 1:
         return []
-    lo = min(mn for mn, _, _ in rgs)
-    hi = max(mx for _, mx, _ in rgs)
+    import numpy as np
+
+    # vectorized: the scalar bisection was O(48 x buckets x row_groups)
+    # pure-Python on the driver — a multi-second planning stall at 10k
+    # row groups x 256 buckets.  One (buckets, row_groups) broadcast
+    # per bisection step instead; bucket cuts only need to BALANCE, so
+    # sub-ulp float-order differences vs the scalar fold are harmless.
+    mn = np.array([r[0] for r in rgs], dtype="float64")
+    mx = np.array([r[1] for r in rgs], dtype="float64")
+    n = np.array([r[2] for r in rgs], dtype="float64")
+    lo, hi = float(mn.min()), float(mx.max())
     if lo >= hi:
         return []
-    total = sum(n for _, _, n in rgs)
+    total = float(n.sum())
+    width = np.where(mx > mn, mx - mn, 1.0)
+    point = mx <= mn   # degenerate single-value groups
 
-    def cdf(x: float) -> float:
-        s = 0.0
-        for mn, mx, n in rgs:
-            if x >= mx:
-                s += n
-            elif x > mn:
-                s += n * (x - mn) / (mx - mn)
-        return s
+    def cdf(x: np.ndarray) -> np.ndarray:
+        X = x[:, None]
+        frac = np.clip((X - mn[None, :]) / width[None, :], 0.0, 1.0)
+        frac = np.where(point[None, :],
+                        (X >= mx[None, :]).astype("float64"), frac)
+        return frac @ n
 
-    bounds = []
-    for k in range(1, num_buckets):
-        target = total * k / num_buckets
-        a, b = lo, hi
-        for _ in range(48):
-            m = (a + b) / 2
-            if cdf(m) < target:
-                a = m
-            else:
-                b = m
-        bounds.append(b)
-    return sorted(set(bounds))
+    targets = total * np.arange(1, num_buckets) / num_buckets
+    a = np.full(num_buckets - 1, lo)
+    b = np.full(num_buckets - 1, hi)
+    for _ in range(48):
+        m = (a + b) / 2
+        below = cdf(m) < targets
+        a = np.where(below, m, a)
+        b = np.where(below, b, m)
+    return sorted(set(b.tolist()))
 
 
 def parquet_range_bounds(path_or_paths, column: str, num_buckets: int,

@@ -212,7 +212,8 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
 def write_fragment_spark(uri: str, schema: ArraySchema, df,
                          timestamp: Optional[int] = None,
                          sort_within: bool = True,
-                         on_commit=None) -> FragmentRecord:
+                         on_commit=None,
+                         name_tag: str = "") -> FragmentRecord:
     """Cluster-scale fragment write from a Spark DataFrame.
 
     ``repartitionByRange`` on the dim columns + ``sortWithinPartitions``
@@ -221,7 +222,7 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
     the 'global order write' of the reference (``dense_array.py:655-663``)
     expressed as a Spark shuffle."""
     ts = timestamp if timestamp is not None else now_ms()
-    name = new_fragment_name(ts)
+    name = new_fragment_name(ts, tag=name_tag)
     frag_dir = fragment_path(uri, name)
     cols = schema.dim_names + schema.attr_names
     absent = [c for c in cols if c not in df.columns]

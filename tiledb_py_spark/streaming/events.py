@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _key_eq(a, b) -> bool:
+    """NaN-safe entity-key tuple equality for the Arrow carry paths:
+    numeric by-columns deliver NULL keys to pandas as float64 NaN, and
+    NaN != NaN — a plain ``==`` would silently restart every carried
+    recurrence at each batch boundary for the NULL-key group."""
+    if a is None or b is None:
+        return a is b
+    if not isinstance(a, tuple):
+        a = (a,)
+    if not isinstance(b, tuple):
+        b = (b,)
+    return len(a) == len(b) and all(
+        (x != x and y != y) or x == y for x, y in zip(a, b))
+
+
 def tumbling_window_counts(events: DataFrame, window: str = "1 hour",
                            watermark: str = "1 hour",
                            streaming: bool = False) -> DataFrame:
@@ -240,7 +255,7 @@ def ewma(events: DataFrame, value_col: str = "value", by="user_id",
                 prepended = False
                 if carry is not None:
                     first_key = tuple(pdf.iloc[0][k] for k in by)
-                    if first_key == carry_key:
+                    if _key_eq(first_key, carry_key):
                         seed = pdf.iloc[[0]].copy()
                         seed[value_col] = carry
                         pdf = pd.concat([seed, pdf], ignore_index=True)
@@ -397,7 +412,10 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
             F.avg(v).over(w).alias("__mean"),
             F.stddev_samp(v).over(w).alias("__std"),
             F.count(v).over(w).alias("__n"))
-        z = (v - F.col("__mean")) / F.col("__std")
+        # try_divide: a zero-variance frame's std is 0.0 and ANSI
+        # double division THROWS if Catalyst evaluates z before the
+        # __std > 0 conjunct (conjunct order is not guaranteed)
+        z = F.try_divide(v - F.col("__mean"), F.col("__std"))
     else:
         # exact path: scaled-integer frame sum / sum-of-squares are
         # order-independent; sample variance from the exact integers
@@ -437,13 +455,20 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
             F.count(vs_d).over(w).alias("__n"))
         n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
         mean_s = s.cast("double") / n.cast("double")
-        var_s = (F.try_subtract(F.try_multiply(n, q),
-                                F.try_multiply(s, s)).cast("double")
-                 / (n * (n - F.lit(1))).cast("double"))
+        # try_divide, not /: ANSI double division THROWS on a zero
+        # divisor (n=1 frames here, zero-variance frames for z below)
+        # whenever Catalyst evaluates the column before the guarding
+        # conjunct — min_periods=1 crashed the whole query.  NULL
+        # results are excluded by the std/z guards; values where the
+        # divisor is nonzero are bit-identical to plain division.
+        var_s = F.try_divide(
+            F.try_subtract(F.try_multiply(n, q),
+                           F.try_multiply(s, s)).cast("double"),
+            (n * (n - F.lit(1))).cast("double"))
         std_s = F.sqrt(var_s)
         # z on the SCALED domain — identical ratio to (v-mean)/std,
         # but every operand derives from exact integers (bit-stable)
-        z = (F.col("__vs").cast("double") - mean_s) / std_s
+        z = F.try_divide(F.col("__vs").cast("double") - mean_s, std_s)
         base = base.withColumns({
             "__mean": mean_s / scale,
             "__std": std_s / scale})
@@ -471,7 +496,13 @@ def rolling_anomaly(events: DataFrame, value_col: str = "value",
             ).otherwise(c)
     return (base
             .where((F.col("__n") >= min_periods)
-                   & F.col("__std").isNotNull() & (F.col("__std") > 0)
+                   & F.col("__std").isNotNull()
+                   # Spark orders NaN above every number, so NaN > 0
+                   # passes — with min_periods=1 an n=1 frame's 0/0
+                   # std would flag every entity's second event with a
+                   # NaN z-score (the stream twin's n >= 2 floor
+                   # already excludes it)
+                   & ~F.isnan(F.col("__std")) & (F.col("__std") > 0)
                    & (F.abs(z) > threshold))
             .select(*by,
                     F.col(tiebreak_col),
@@ -628,7 +659,13 @@ def attribution(events: DataFrame, touch_types, conversion_type: str,
                 pdf = pdf.reset_index(drop=True)
                 gkeys = pd.MultiIndex.from_frame(pdf[by]) if len(by) > 1 \
                     else pd.Index(pdf[by[0]])
-                codes, _uniq = pd.factorize(gkeys, sort=False)
+                # use_na_sentinel=False: the default assigns NULL keys
+                # code -1 instead of an appearance-order code, which
+                # breaks the composite-key blocks (negative keys) AND
+                # the carried window's code-0 assumption — the NULL-key
+                # group's conversions silently vanished
+                codes, _uniq = pd.factorize(gkeys, sort=False,
+                                            use_na_sentinel=False)
                 usv = pdf["__us"].to_numpy(dtype=np.int64)
                 base_us = int(usv.min()) - us - 2
                 span = int(usv.max()) - base_us + 2
@@ -637,7 +674,8 @@ def attribution(events: DataFrame, touch_types, conversion_type: str,
                 is_conv = (pdf["__t"] == conversion_type).to_numpy()
                 first_key = gkeys[0]
                 prep_n = 0
-                if carry_key is not None and first_key == carry_key \
+                if carry_key is not None \
+                        and _key_eq(first_key, carry_key) \
                         and len(carry_us):
                     prep_n = len(carry_us)
                 if span is not None:
@@ -661,11 +699,21 @@ def attribution(events: DataFrame, touch_types, conversion_type: str,
                     out["first_touch_id"] = t_id[lo[ok]]
                     out["last_touch_id"] = t_id[hi[ok] - 1]
                     yield pd.DataFrame(out, columns=out_cols)
-                else:  # pragma: no cover - astronomically wide spans
-                    for _k, g in pdf.groupby(by, sort=False):
+                else:  # wide spans: per-group fallback
+                    first_group = True
+                    for _k, g in pdf.groupby(by, sort=False, dropna=False):
                         gus = g["__us"].to_numpy(dtype=np.int64)
                         ic = (g["__t"] == conversion_type).to_numpy()
                         tus, tid = gus[~ic], g.loc[~ic, id_col].to_numpy()
+                        # the carried window applies to the FIRST group
+                        # here too — ignoring it lost every cross-batch
+                        # attribution whenever a batch took this branch
+                        if first_group and prep_n:
+                            tus = np.concatenate([carry_us, tus])
+                            tid = np.concatenate([carry_id, tid])
+                            order = np.argsort(tus, kind="stable")
+                            tus, tid = tus[order], tid[order]
+                        first_group = False
                         cc = g[ic]
                         hi = np.searchsorted(tus, gus[ic], side="left")
                         lo = np.searchsorted(tus, gus[ic] - us, side="left")
@@ -682,21 +730,29 @@ def attribution(events: DataFrame, touch_types, conversion_type: str,
                 lmask = (codes == codes[-1]) & ~is_conv
                 lus = usv[lmask]
                 lid = pdf.loc[lmask, id_col].to_numpy()
-                if carry_key is not None and last_key == carry_key \
-                        and prep_n:
+                if carry_key is not None \
+                        and _key_eq(last_key, carry_key) and prep_n:
                     lus = np.concatenate([carry_us, lus])
                     lid = np.concatenate([carry_id, lid])
-                keep = lus >= int(usv.max()) - us
-                carry_key, carry_us, carry_id = last_key, lus[keep], \
-                    lid[keep]
+                if len(lus):
+                    # prune against the LAST GROUP's own max time —
+                    # usv.max() is batch-global and can belong to an
+                    # earlier group with far later timestamps, which
+                    # discarded the whole carry for the spanning group
+                    keep = lus >= int(lus.max()) - us
+                    lus, lid = lus[keep], lid[keep]
+                carry_key, carry_us, carry_id = last_key, lus, lid
 
         proj = base.repartition(*[F.col(b) for b in by]) \
                    .sortWithinPartitions(*by, "__us", id_col)
         return proj.mapInPandas(per_partition, out_schema)
 
+    # 20-char id field: Spark's lpad TRUNCATES strings longer than the
+    # pad width, so 12 chars silently corrupted snowflake-scale (>12
+    # digit) int64 ids in the min/max tie-break and the decode below
     key = F.concat(F.lpad(F.col("__us").cast("string"), 20, "0"),
                    F.lit(":"),
-                   F.lpad(F.col(id_col).cast("string"), 12, "0"))
+                   F.lpad(F.col(id_col).cast("string"), 20, "0"))
     touch_key = F.when(F.col("__t") != conversion_type, key)
     w = (Window.partitionBy(*by).orderBy("__us")
          .rangeBetween(-us, -1))
@@ -706,7 +762,7 @@ def attribution(events: DataFrame, touch_types, conversion_type: str,
                    F.max(touch_key).over(w).alias("__last"))
            .where((F.col("__t") == conversion_type)
                   & F.col("__first").isNotNull()))
-    dec = lambda c: F.substring(c, 22, 12).cast("long")
+    dec = lambda c: F.substring(c, 22, 20).cast("long")
     return out.select(*by,
                       F.col(id_col).alias("conversion_id"),
                       F.col(ts_col).alias("conversion_ts"),
@@ -755,7 +811,12 @@ def stream_events_to_array(stream_df: DataFrame, uri: str,
                            checkpoint_dir: str,
                            trigger_seconds: Optional[int] = None):
     """Sink: each micro-batch commits one timestamped fragment — streaming
-    writes get time travel + consolidation for free."""
+    writes get time travel + consolidation for free.  Exactly-once: the
+    fragment name embeds the micro-batch id, so a batch replayed after
+    a crash (sink committed, checkpoint didn't advance) is detected and
+    skipped instead of committing duplicate rows.  Prefer
+    ``df.writeStream.format("tiledb")`` (the native sink) — this helper
+    predates it and keeps the same semantics."""
     from ..manifest import read_manifest
     from ..sources.fragment_writer import write_fragment_spark
 
@@ -764,7 +825,10 @@ def stream_events_to_array(stream_df: DataFrame, uri: str,
     def commit_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        write_fragment_spark(uri, schema, batch_df)
+        marker = f"sb{batch_id}_"
+        if any(marker in f.name for f in read_manifest(uri).fragments):
+            return  # replayed micro-batch: fragment already committed
+        write_fragment_spark(uri, schema, batch_df, name_tag=marker)
 
     writer = (stream_df.writeStream
               .foreachBatch(commit_batch)
