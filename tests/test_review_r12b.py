@@ -8,6 +8,7 @@ import contextlib
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 import tiledb_py_spark as tdb
 
@@ -229,6 +230,72 @@ def test_asof_keyed_null_times_unmatched(spark):
             assert out["a"] == ("r3", 3)
         else:
             assert out["a"] == (None, None)   # no right row at t >= 5
+
+
+def test_pagerank_null_edges_sum_to_one(spark):
+    """NULL edge endpoints are not nodes — equality joins drop their
+    contributions, leaking rank mass every iteration (the sum-to-1
+    invariant the gate asserts).  They are filtered up front."""
+    from tiledb_py_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, None), (None, 2)],
+        "src long, dst long")
+    out = pagerank(edges, n_iter=5).collect()
+    assert {r.node for r in out} == {1, 2, 3}       # NULL is not a node
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-9
+
+
+def test_bpe_encode_splitter_matches_training():
+    """The Python encode UDFs split on ASCII \\s+ exactly like the
+    Spark-side (Java regex) training tokenizer — str.split() would
+    break on Unicode whitespace, encoding words never seen in
+    training."""
+    from tiledb_py_spark.operators.bpe import _train_ws_split
+
+    nbsp = "foo\u00a0bar"
+    assert _train_ws_split(nbsp) == [nbsp]      # ONE word, like training
+    assert nbsp.split() == ["foo", "bar"]       # the old skew
+    assert _train_ws_split(" foo\tbar\n") == ["foo", "bar"]
+    assert _train_ws_split("") == []
+
+
+def test_tokens_lower_no_phantom_empty_token(spark):
+    from tiledb_py_spark.operators.retrieval import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "!!!")], "doc_id long, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=3)
+    terms = {(r.doc_id, r.term) for r in out.collect()}
+    assert all(t != "" for _, t in terms)   # no phantom '' term
+    assert (1, "alpha") in terms and not any(d == 2 for d, _ in terms)
+
+
+def test_rrf_fuse_empty_rankings_refused(spark):
+    from tiledb_py_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse({})
+
+
+def test_label_classifier_boolean_roundtrip_and_empty_refusal(spark):
+    from tiledb_py_spark.operators.classifier import (fit_label_classifier,
+                                                      label_predict)
+
+    rows = [(f"doc {'spam' * (i % 2)} words {i}", bool(i % 2))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "text string, is_spam boolean")
+    m = fit_label_classifier(df, "text", "is_spam", max_iter=10)
+    pred = label_predict(df, "text", m, out_col="pred")
+    assert dict(pred.dtypes)["pred"] == "boolean"    # same type back
+    # the contract the old long output broke under ANSI:
+    agree = pred.filter(F.col("pred") == F.col("is_spam")).count()
+    assert agree > 30
+    # all-NULL labels refuse loudly instead of a degenerate model
+    nulls = spark.createDataFrame(
+        [("x", None)], "text string, is_spam boolean")
+    with pytest.raises(ValueError, match="no labeled rows"):
+        fit_label_classifier(nulls, "text", "is_spam")
 
 
 def test_group_stale_handle_does_not_clobber(tmp_path):

@@ -41,6 +41,19 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 
+import re as _re
+
+# Match the Spark-side training tokenizer (Java-regex \s+, ASCII-only:
+# [ \t\n\x0B\f\r]) EXACTLY in the Python encode UDFs — str.split()
+# breaks on UNICODE whitespace (NBSP, thin/ideographic spaces), so a
+# web-text word like 'foo\\xa0bar' would train as ONE word but encode
+# as two never-seen words: silent train/inference skew.
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def _train_ws_split(t: str) -> list:
+    return [w for w in _WS_ASCII.split(t) if w]
+
 
 def word_frequencies(df: DataFrame, text_col: str,
                      tokens_col: Optional[Column] = None,
@@ -198,7 +211,7 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
             if lowercase:
                 t = t.lower()
             toks: List[str] = []
-            for w in t.split():
+            for w in _train_ws_split(t):
                 cached = memo.get(w)
                 if cached is None:
                     cached = memo[w] = encode_word(w)
@@ -442,7 +455,7 @@ def unigram_encode_udf(model: Sequence[Tuple[str, float]],
             if lowercase:
                 t = t.lower()
             toks: List[str] = []
-            for w in t.split():
+            for w in _train_ws_split(t):
                 cached = memo.get(w)
                 if cached is None:
                     cached = memo[w] = encode_word(w)
@@ -649,7 +662,7 @@ def wordpiece_encode_udf(vocab: Sequence[str],
                 out.append(None)
                 continue
             toks: List[str] = []
-            for w in (t.lower() if lowercase else t).split():
+            for w in _train_ws_split(t.lower() if lowercase else t):
                 toks.extend(encode_word(w, memo))
             out.append(toks)
         return pd.Series(out)

@@ -258,6 +258,11 @@ def _lbfgs(eval_fn, x0: np.ndarray, max_iter: int, tol: float,
             if fn <= f + 1e-4 * t * gd or t < 1e-12:
                 break
             t *= 0.5
+        if t < 1e-12 and fn > f:
+            # Armijo bottomed out without ANY improving point: keep the
+            # current iterate instead of committing a strictly worse
+            # step (and its junk (s, y) pair) before the escape below
+            break
         s = t * d
         yv = gn - g
         sy = float(s @ yv)
@@ -418,6 +423,13 @@ def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
                 f"fit_label_classifier: over {max_labels} distinct "
                 f"labels in {label_col!r}; is this a label column? "
                 "Raise max_labels to override.")
+        if not labels:
+            # a degenerate zero-class model would crash later inside
+            # label_predict's Arrow UDF (argmax of an empty axis) —
+            # refuse here, like fit_quality_classifier does
+            raise ValueError(
+                f"fit_label_classifier: no labeled rows — every "
+                f"{label_col!r} value is NULL")
         labels = sorted(labels)
         W = np.zeros((len(labels), n_buckets))
         B = np.zeros(len(labels))
@@ -452,8 +464,16 @@ def label_predict(df: DataFrame, text_col: str, model: LabelClassifier,
     W = np.ascontiguousarray(model.weights)
     B = np.asarray(model.biases, dtype=np.float64)
     labels = list(model.labels)
-    ret = "long" if all(isinstance(l, (bool, numbers.Integral))
-                        for l in labels) else "string"
+    # emit the fit labels' OWN type back (the fit docstring's contract):
+    # booleans as boolean — mapping them to bigint 0/1 breaks the
+    # caller's pred == label comparison under ANSI (no implicit
+    # boolean<->bigint cast)
+    if all(isinstance(l, bool) for l in labels):
+        ret = "boolean"
+    elif all(isinstance(l, (bool, numbers.Integral)) for l in labels):
+        ret = "long"
+    else:
+        ret = "string"
 
     @pandas_udf(ret)
     def pred(bks: pd.Series) -> pd.Series:

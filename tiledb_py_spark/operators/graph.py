@@ -50,6 +50,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # NULL endpoints are not nodes: the equality joins below never
+    # match NULL keys, so rank mass flowing to a NULL destination would
+    # silently leak every iteration (breaking the sum-to-1 invariant
+    # the gate asserts), and a NULL source would be misclassified as
+    # dangling while its out-edges are ignored
+    e = e.filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
     if dedup_edges:
         e = e.dropDuplicates(["__s", "__d"])
     e = e.persist()
@@ -69,33 +75,45 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
            .agg(F.count(F.lit(1)).cast("double").alias("__deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
     base = (1.0 - damping) / n_nodes
-    for _ in range(n_iter):
-        with_deg = ranks.join(deg, on="node", how="left")
-        # dangling mass: one scalar aggregation per iteration (the rank
-        # vector is node-sized, not corpus-sized).  Folding this into
-        # the `new` plan as a broadcast one-row crossJoin was tried
-        # (r10) and measured 2.5x SLOWER at sf10 (30s -> 75-83s,
-        # alternating A/B): the embedded agg subtree turns each
-        # iteration's single pipelined job into a barrier-separated
-        # broadcast build, costing far more than the collected scalar.
-        dangling = with_deg.filter(F.col("__deg").isNull()) \
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
-        contrib = (with_deg.join(e, with_deg["node"] == e["__s"], "inner")
-                   .select(F.col("__d").alias("node"),
-                           (F.col("rank") / F.col("__deg"))
-                           .alias("__c"))
-                   .groupBy("node")
-                   .agg(F.sum("__c").alias("__c")))
-        new = (nodes.join(contrib, on="node", how="left")
-               .select("node",
-                       (F.lit(base) + F.lit(damping)
-                        * (F.lit(dangling / n_nodes)
-                           + F.coalesce(F.col("__c"), F.lit(0.0))))
-                       .alias("rank"))).persist()
-        new.count()
+    try:
+        for _ in range(n_iter):
+            with_deg = ranks.join(deg, on="node", how="left")
+            # dangling mass: one scalar aggregation per iteration (the
+            # rank vector is node-sized, not corpus-sized).  Folding
+            # this into the `new` plan as a broadcast one-row crossJoin
+            # was tried (r10) and measured 2.5x SLOWER at sf10 (30s ->
+            # 75-83s, alternating A/B): the embedded agg subtree turns
+            # each iteration's single pipelined job into a barrier-
+            # separated broadcast build, costing far more than the
+            # collected scalar.
+            dangling = with_deg.filter(F.col("__deg").isNull()) \
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+            contrib = (with_deg
+                       .join(e, with_deg["node"] == e["__s"], "inner")
+                       .select(F.col("__d").alias("node"),
+                               (F.col("rank") / F.col("__deg"))
+                               .alias("__c"))
+                       .groupBy("node")
+                       .agg(F.sum("__c").alias("__c")))
+            new = (nodes.join(contrib, on="node", how="left")
+                   .select("node",
+                           (F.lit(base) + F.lit(damping)
+                            * (F.lit(dangling / n_nodes)
+                               + F.coalesce(F.col("__c"), F.lit(0.0))))
+                           .alias("rank"))).persist()
+            new.count()
+            ranks.unpersist()
+            ranks = new
+    except BaseException:
+        # don't leak persisted blocks for the rest of the session when
+        # an iteration dies mid-loop
         ranks.unpersist()
-        ranks = new
-    e.unpersist()
-    nodes.unpersist()
-    deg.unpersist()
+        raise
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
+    # the returned frame stays persisted (its lineage spans n_iter
+    # shuffles — recomputing on every downstream action would redo the
+    # whole power iteration); callers may .unpersist() when done
     return ranks

@@ -153,6 +153,9 @@ def rrf_fuse(rankings: dict, id_col: str = "doc_id", rrf_k: int = 60,
     The fused score is rounded to 9 dp so cross-engine replays hash
     identically (1/(k+rank) sums are exact in binary only for some
     ranks)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty "
+                         "(no retrieval arms to fuse)")
     names = sorted(rankings)
     fused = None
     for name in names:

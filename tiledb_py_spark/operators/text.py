@@ -42,7 +42,13 @@ _STOPWORDS = {
 def _tokens_lower(col: Column) -> Column:
     c = F.lower(col)
     c = F.regexp_replace(c, r"[^\w\s]", " ")
-    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    # empty / punctuation-only text is ZERO tokens — a bare split would
+    # yield [''], one phantom token that surfaces as a TF-IDF "term"
+    # and counts such docs as length-1 in corpus stats (same rule as
+    # whitespace_tokens below)
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(c, " "))
 
 
 def whitespace_tokens(col: str | Column) -> Column:
