@@ -46,9 +46,12 @@ def _tokens_lower(col: Column) -> Column:
     # empty / punctuation-only text is ZERO tokens — a bare split would
     # yield [''], one phantom token that surfaces as a TF-IDF "term"
     # and counts such docs as length-1 in corpus stats (same rule as
-    # whitespace_tokens below)
-    return F.when(F.length(c) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.split(c, " "))
+    # whitespace_tokens below).  array_remove, not when(length==0):
+    # the when/otherwise form evaluates the regexp chain TWICE per row
+    # (no CSE across branches), a real cost in the ppl/quality hot
+    # paths; after \s+ normalization '' can only be the lone phantom,
+    # so removing it is exactly the zero-token rule
+    return F.array_remove(F.split(c, " "), "")
 
 
 def whitespace_tokens(col: str | Column) -> Column:
