@@ -298,6 +298,98 @@ def test_label_classifier_boolean_roundtrip_and_empty_refusal(spark):
         fit_label_classifier(nulls, "text", "is_spam")
 
 
+def test_whitespace_tokens_no_edge_phantoms(spark):
+    """trim() strips only 0x20 and split keeps edge empties, so text
+    with leading/trailing NON-SPACE whitespace counted phantom ''
+    tokens ('hello world\\n' -> 3).  One split + array_remove fixes
+    every consumer (token counts, chunking, grams, min_words)."""
+    from tiledb_py_spark.operators.text import (whitespace_token_count,
+                                                whitespace_tokens)
+
+    df = spark.createDataFrame(
+        [("hello world\n",), ("\n",), ("a\tb",), ("  x  ",), ("",)],
+        "text string")
+    got = df.select(whitespace_tokens("text").alias("t"),
+                    whitespace_token_count("text").alias("n")).collect()
+    assert [r.t for r in got] == [["hello", "world"], [], ["a", "b"],
+                                  ["x"], []]
+    assert [r.n for r in got] == [2, 0, 2, 1, 0]
+
+
+def test_exact_dedup_normalize_without_id_col(spark):
+    from tiledb_py_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("Foo Bar!",), ("foo  bar",), ("baz",)], "text string")
+    out = exact_dedup(df, ["text"], normalize=True)
+    assert out.count() == 2          # the two variants collapse
+    assert exact_dedup(df, ["text"]).count() == 3   # raw: all distinct
+
+
+def test_repetition_stats_impls_agree_on_unicode_whitespace(spark):
+    """The Python (arrow) path mirrors the expr path's JAVA-regex
+    semantics: ASCII-only \\s+, space-only line trim — Unicode
+    whitespace and tab-only lines scored differently before."""
+    from tiledb_py_spark.operators.text import repetition_stats
+
+    docs = [(1, "real line one two\n  \t  \nreal line one two"),
+            (2, "foo bar foo bar plain words here\n"),
+            (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cols = ["doc_id", "r_n_lines", "r_dup_line_frac",
+            "r_top2gram_char_frac", "r_dup5gram_positions"]
+    a = {r.doc_id: tuple(r)[1:] for r in
+         repetition_stats(df, "text", impl="arrow").select(cols).collect()}
+    e = {r.doc_id: tuple(r)[1:] for r in
+         repetition_stats(df, "text", impl="expr").select(cols).collect()}
+    assert a == e
+    assert a[1][0] == 3              # the tab-only line IS a line
+
+
+def test_minhash_band_geometry_validated(spark):
+    from tiledb_py_spark.operators.dedup import minhash_dedup
+
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    with pytest.raises(ValueError, match="must be in"):
+        minhash_dedup(df, "text", "id", num_perm=32, bands=64).collect()
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dedup(df, "text", "id", num_perm=64, bands=24).collect()
+
+
+def test_quality_features_null_text_scores_empty(spark):
+    from tiledb_py_spark.operators.text import quality_features
+
+    df = spark.createDataFrame([(1, None), (2, "real words here")],
+                               "doc_id long, text string")
+    r = {x.doc_id: x for x in quality_features(df, "text").collect()}
+    assert r[1].q_n_tokens == 0 and r[1].q_n_chars == 0
+    assert r[1].q_stopword_ratio == 0.0 and r[1].q_punct_ratio == 0.0
+    assert r[2].q_n_tokens == 3
+
+
+def test_incremental_neardup_state_cap_still_drops(tmp_path, spark):
+    """A binding state_bucket_cap keeps the smallest-id members of a
+    hot band bucket — enough to witness every subsequent drop."""
+    import tempfile
+
+    from tiledb_py_spark.operators.dedup import incremental_neardup
+
+    state = str(tmp_path / "state")
+    same = "identical boilerplate text repeated verbatim in every doc"
+    b1 = spark.createDataFrame([(i, same) for i in range(4)],
+                               "doc_id long, text string")
+    out1 = incremental_neardup(b1, "text", "doc_id", state,
+                               state_bucket_cap=1)
+    assert out1.count() == 1          # within-batch dedup keeps min id
+    b2 = spark.createDataFrame([(10, same), (11, "completely different "
+                                                 "fresh content now")],
+                               "doc_id long, text string")
+    out2 = incremental_neardup(b2, "text", "doc_id", state,
+                               state_bucket_cap=1)
+    got = sorted(r.doc_id for r in out2.collect())
+    assert got == [11]                # the state dup dropped despite cap=1
+
+
 def test_group_stale_handle_does_not_clobber(tmp_path):
     """Mutations through one handle must not revert changes made
     through another handle since open — including the consolidated

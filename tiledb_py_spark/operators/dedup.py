@@ -103,11 +103,15 @@ def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     that 8-byte value.  Zero shuffles.
 
     FAMILY NOTE: this column-level form uses the ``xxhash64(j, h)``
-    permutation family; the DataFrame-level ``minhash_signatures``
-    defaults to a DIFFERENT (multiply-add, Arrow-evaluated) family for
-    throughput — signatures from the two are NOT comparable.  To match
-    persisted signatures produced by this function, call
-    ``minhash_signatures(..., impl="sql")``.
+    permutation family over shingle-STRING base hashes; the
+    DataFrame-level ``minhash_signatures`` differs on BOTH axes (its
+    base hashes come from token-hash windows, and its default
+    permutation family is the multiply-add Arrow one) — signatures
+    from the two are NOT comparable under ANY ``impl=``.  To compare
+    against persisted signatures produced by this function, recompute
+    with this function over the same shingle column; for the pipeline
+    paths, persist ``minhash_signatures`` output and stay within its
+    family (``incremental_neardup`` pins its params for this reason).
 
     NOTE: pass an attribute (``F.col``) — referencing an unmaterialized
     expression inside per-element lambdas re-evaluates it per element
@@ -273,7 +277,13 @@ def exact_dedup(df: DataFrame, content_cols: Sequence[str],
         normalized_text(c) if normalize else F.col(c) for c in content_cols
     ])
     if id_col is None:
-        return df.dropDuplicates(list(content_cols))
+        if not normalize:
+            return df.dropDuplicates(list(content_cols))
+        # dedupe on the NORMALIZED key — dropDuplicates on the raw
+        # columns silently ignored normalize=True and kept
+        # case/punctuation variants
+        return (df.withColumn("__nk", key)
+                  .dropDuplicates(["__nk"]).drop("__nk"))
     keep = (df.select(key.alias("__h"), F.col(id_col))
               .groupBy("__h").agg(F.min(id_col).alias(id_col)))
     return df.join(keep.select(id_col), on=id_col, how="inner")
@@ -300,6 +310,17 @@ def _sig_band_keys(sig: Column, num_perm: int, bands: int) -> Column:
     a PURE function of the signature, so band keys computed from a
     persisted state signature equal the keys computed at ingest time
     (the property ``incremental_neardup`` relies on)."""
+    if not 1 <= bands <= num_perm:
+        # bands > num_perm makes rows_per_band 0: every band key is
+        # xxhash64('') and ALL documents co-bucket — near-total silent
+        # recall collapse after bucket capping
+        raise ValueError(
+            f"bands={bands} must be in [1, num_perm={num_perm}]")
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} — a "
+            f"remainder would silently ignore {num_perm % bands} of "
+            "the paid-for permutations")
     rows_per_band = num_perm // bands
     return F.array(*[
         F.xxhash64(F.concat_ws(
@@ -1289,6 +1310,7 @@ def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
                         state_uri: str, num_perm: int = 64,
                         bands: int = 16, shingle_k: int = 3,
                         threshold: float = 0.8, bucket_cap: int = 64,
+                        state_bucket_cap: int = 1024,
                         commit: bool = True) -> DataFrame:
     """Continuous-ingest NEAR-dup: drop rows whose MinHash signature
     matches (banded LSH candidate + matching-slot fraction >=
@@ -1367,6 +1389,17 @@ def incremental_neardup(df: DataFrame, text_col: str, id_col: str,
             "__sid",
             F.posexplode(_sig_band_keys(F.col("__ssig"), num_perm, bands))
             .alias("band", "band_hash"))
+        # cap degenerate STATE buckets too (smallest ids win, like the
+        # within-batch side): the state accumulates every committed
+        # batch, so a hot band key shared by boilerplate/empty docs
+        # otherwise grows without bound and the candidate join explodes
+        # quadratically.  The cap binds only on pathological buckets
+        # (>state_bucket_cap near-identical docs sharing a band) — at
+        # that size the smallest-id members already witness every drop.
+        ws = Window.partitionBy("band", "band_hash").orderBy("__sid")
+        stp = (stp.withColumn("__srn", F.row_number().over(ws))
+                  .filter(F.col("__srn") <= state_bucket_cap)
+                  .drop("__srn"))
         cand = (nb.join(stp, on=["band", "band_hash"])
                   .select("__id", "__sid").distinct())
         est = _sig_match_frac(F.col("__sig"), F.col("__ssig"), num_perm)

@@ -55,15 +55,16 @@ def _tokens_lower(col: Column) -> Column:
 
 
 def whitespace_tokens(col: str | Column) -> Column:
-    """Canonical whitespace token array: maximal non-whitespace runs of
-    the trimmed text; empty/whitespace-only text is ZERO tokens (a bare
-    ``split`` would yield ``['']`` — one phantom token).  The single
-    source of the rule shared by ``whitespace_token_count`` and
+    """Canonical whitespace token array: maximal non-whitespace runs;
+    empty/whitespace-only text is ZERO tokens.  One split + one
+    array_remove — the old trim()+split form still emitted phantom
+    ``''`` tokens whenever the text started/ended with NON-SPACE
+    whitespace (``trim`` strips only 0x20; ``split``'s limit=-1 keeps
+    edge empties), so ``'hello world\\n'`` counted 3 tokens.  The
+    single source of the rule shared by ``whitespace_token_count`` and
     ``pipeline.chunk_documents``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0,
-                  F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim(c), r"\s+"))
+    return F.array_remove(F.split(c, r"\s+"), "")
 
 
 def whitespace_token_count(col: str | Column) -> Column:
@@ -125,7 +126,11 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     columns: five of them reference it, and an inline expression gets
     re-inlined per use by CollapseProject — the regex tokenizer then
     runs ~5x per row (measured ~30% total slowdown at sf1)."""
-    c = F.col(text_col)
+    # NULL text scores as an EMPTY document (0 tokens, 0 ratios) like
+    # repetition_stats/clean_lines do — NULL feature values would make
+    # every downstream quality predicate silently drop such rows while
+    # the sibling signal families kept them (inconsistent corpus sets)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     df = df.withColumn("__q_toks", _tokens_lower(c))
     toks = F.col("__q_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -213,11 +218,17 @@ def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
     out: dict = {}
     if t is None:
         t = ""  # the expr path scores NULL text as an empty document
-    toks = t.split()
+    # mirror the expr path's JAVA-regex semantics exactly: \s+ is
+    # ASCII-only there (str.split() breaks on NBSP/U+2028 and would
+    # diverge), and Spark's trim strips only 0x20 (str.strip() would
+    # drop a tab-only line the expr path counts)
+    import re as _re
+
+    toks = [w for w in _re.split(r"\s+", t, flags=_re.ASCII) if w]
     chars = max(sum(len(x) for x in toks), 1)
     # line pieces stay UNTRIMMED (matching the expr path and the SQL
     # oracle); only the emptiness test trims
-    lines = [x for x in t.split(line_sep) if x.strip()]
+    lines = [x for x in t.split(line_sep) if x.strip(" ")]
     n_lines = len(lines)
     dlines = set(lines)
     lchars = max(sum(len(l) for l in lines), 1)
@@ -670,9 +681,14 @@ def fingerprint(col: str | Column) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text —
     stable under whitespace/punctuation/case variation (rolling-hash
     style canonicalization)."""
+    from .dedup import normalized_text
+
+    # the SHARED normalization: incremental_exact_dedup keys state on
+    # this fingerprint while batch exact_dedup(normalize=True) keys on
+    # dedup.normalized_text — an inline copy here would silently
+    # desynchronize the two dedup paths if either chain ever changed
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+", " "))
-    return F.xxhash64(norm)
+    return F.xxhash64(normalized_text(c))
 
 
 def remove_self_repeated_spans(df: DataFrame, text_col: str,
