@@ -390,6 +390,112 @@ def test_incremental_neardup_state_cap_still_drops(tmp_path, spark):
     assert got == [11]                # the state dup dropped despite cap=1
 
 
+def _mk(tmp_path, spark, pdf, name="arr", **kw):
+    uri = str(tmp_path / name)
+    tdb.from_pandas(uri, pdf, **kw)
+    return tdb.open(uri, spark=spark)
+
+
+def test_agg_nullable_all_null_reference_shapes(tmp_path, spark):
+    """Reference validity rule (core.cc:466-485): a nullable attr with
+    ZERO valid values returns None (integer dtypes) / NaN (float) from
+    sum/min/max/mean — not the empty-set defaults (sum returned 0)."""
+    import math
+
+    pdf = pd.DataFrame({"k": [0, 1],
+                        "i": pd.array([None, None], dtype="Int64"),
+                        "f": pd.array([None, None], dtype="Float64")})
+    A = _mk(tmp_path, spark, pdf, index_dims=["k"], full_domain=True)
+    r = A.query(attrs=["i", "f"]).agg(["sum", "mean", "min", "count"])[:]
+    assert r["i"]["sum"] is None and r["i"]["mean"] is None
+    assert r["i"]["min"] is None and r["i"]["count"] == 2
+    assert math.isnan(r["f"]["sum"]) and math.isnan(r["f"]["mean"])
+    # a nullable attr WITH valid values keeps normal results
+    pdf2 = pd.DataFrame({"k": [0, 1],
+                         "i": pd.array([3, None], dtype="Int64")})
+    A2 = _mk(tmp_path, spark, pdf2, name="arr2", index_dims=["k"],
+             full_domain=True)
+    assert A2.query(attrs=["i"]).agg("sum")[:] == 3
+
+
+def test_agg_bool_attr_sum_mean(tmp_path, spark):
+    pdf = pd.DataFrame({"k": [0, 1, 2], "b": [True, False, True]})
+    A = _mk(tmp_path, spark, pdf, index_dims=["k"], full_domain=True)
+    r = A.query(attrs=["b"]).agg(["sum", "mean"])[:]
+    assert r["sum"] == 2 and abs(r["mean"] - 2 / 3) < 1e-12
+
+
+def test_agg_over_dimension_column(tmp_path, spark):
+    pdf = pd.DataFrame({"k": [2, 5, 9], "v": [1.0, 2.0, 3.0]})
+    A = _mk(tmp_path, spark, pdf, index_dims=["k"], full_domain=True)
+    r = A.query(attrs=["k"]).agg("sum")[:]
+    assert r == 16 and isinstance(r, int)     # int dim -> int, not float
+    # dense arrays don't KeyError on dim aggregates either
+    dpdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+    D = _mk(tmp_path, spark, dpdf, name="dense")
+    rd = D.query(attrs=["__tiledb_rows"]).agg("max")[:]
+    assert rd == 2
+
+
+def test_agg_dotted_attr_name(tmp_path, spark):
+    pdf = pd.DataFrame({"k": [0, 1], "a.b": [1.5, 2.5]})
+    A = _mk(tmp_path, spark, pdf, index_dims=["k"], full_domain=True)
+    assert A.query(attrs=["a.b"]).agg("sum")[:] == 4.0
+
+
+def test_dense_point_list_selection(tmp_path, spark):
+    """A[[1,3]] on a dense array routes through the multirange read
+    (axes follow selection order) instead of IndexError."""
+    pdf = pd.DataFrame({"v": [10.0, 11.0, 12.0, 13.0, 14.0]})
+    A = _mk(tmp_path, spark, pdf)
+    assert A[[1, 3]].tolist() == [11.0, 13.0]
+    assert A[[3, 1]].tolist() == [13.0, 11.0]   # selection order kept
+    with pytest.raises(NotImplementedError, match="write_subarray"):
+        with tdb.open(str(tmp_path / "arr"), mode="w",
+                      spark=spark) as W:
+            W[[0, 2]] = {"v": np.array([0.0, 0.0])}
+
+
+def test_read_subarray_negative_domain_coords(tmp_path, spark):
+    """Explicit Subarray ranges are DOMAIN values: negative bounds must
+    not wrap as relative numpy indices (the simple dense path did)."""
+    import numpy as np
+
+    uri = str(tmp_path / "neg")
+    from tiledb_py_spark.schema import ArraySchema, Attr, Dim, Domain
+
+    schema = ArraySchema(
+        domain=Domain(Dim(name="x", domain=(-10, 10), tile=5,
+                          dtype=np.int64)),
+        attrs=[Attr(name="v", dtype=np.float64)], sparse=False)
+    from tiledb_py_spark.array import Array
+
+    Array.create(uri, schema)
+    with tdb.open(uri, mode="w", spark=spark) as W:
+        wsub = tdb.Subarray(W)
+        wsub.add_dim_range(0, (-10, 10))   # S14: domain values
+        W.write_subarray(wsub, np.arange(21, dtype="float64"))
+    A = tdb.open(uri, spark=spark)
+    sub = tdb.Subarray(A)
+    sub.add_dim_range(0, (-3, -1))
+    got = A.read_subarray(sub)
+    assert got["v"].tolist() == [7.0, 8.0, 9.0]   # cells -3..-1
+
+
+def test_dense_query_options_honored_or_refused(tmp_path, spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+    A = _mk(tmp_path, spark, pdf)
+    import pyarrow as pa
+
+    t = A.query(return_arrow=True)[:]
+    assert isinstance(t, pa.Table) and t.column("v").to_pylist() == \
+        [1.0, 2.0, 3.0]
+    with pytest.raises(NotImplementedError, match="return_incomplete"):
+        A.query(return_incomplete=True)[:]
+    f = A.query(order="F")[:]
+    assert f.flags["F_CONTIGUOUS"]
+
+
 def test_group_stale_handle_does_not_clobber(tmp_path):
     """Mutations through one handle must not revert changes made
     through another handle since open — including the consolidated

@@ -57,38 +57,66 @@ def _is_float_dtype(dt: np.dtype) -> bool:
     return dt.kind == "f"
 
 
+def _qcol(name: str) -> F.col:
+    """Backtick-quoted column reference: a bare string like 'a.b' would
+    be parsed as a struct-field path (the read/dedup paths quote for
+    the same reason)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def compute_aggregates(df: DataFrame, spec: dict[str, tuple],
                        dtypes: dict[str, np.dtype],
                        nullable: dict[str, bool]) -> dict[str, dict[str, Any]]:
     """Run all requested aggregates in one Spark job and shape results
     per the reference's nested-dict convention."""
     exprs = [F.count(F.lit(1)).alias("__n")]
+    # hidden per-attr VALID counts for nullable attrs: the reference's
+    # validity buffer rule (core.cc:466-485) — a nullable attr with
+    # ZERO valid values returns None (integer dtypes) / NaN (float)
+    # from sum/min/max/mean, NOT the empty-set defaults
+    need_valid = sorted({a for a, ops in spec.items()
+                         if nullable.get(a, False)
+                         and any(op in ("sum", "min", "max", "mean")
+                                 for op in ops)})
+    for a in need_valid:
+        exprs.append(F.count(_qcol(a)).alias(f"__nv_{a}"))
     for a, ops in spec.items():
+        dt = dtypes.get(a, np.dtype("float64"))
+        c = _qcol(a)
+        if dt.kind == "b":
+            # bool attrs map to Spark BooleanType, which sum/avg refuse
+            # — the reference upcasts bool sums to integers
+            num = c.cast("long")
+        else:
+            num = c
         for op in ops:
             name = f"{a}__{op}"
             if op == "count":
                 exprs.append(F.count(F.lit(1)).alias(name))
             elif op == "sum":
-                exprs.append(F.sum(a).alias(name))
+                exprs.append(F.sum(num).alias(name))
             elif op == "min":
-                exprs.append(F.min(a).alias(name))
+                exprs.append(F.min(c).alias(name))
             elif op == "max":
-                exprs.append(F.max(a).alias(name))
+                exprs.append(F.max(c).alias(name))
             elif op == "mean":
-                exprs.append(F.avg(a).alias(name))
+                exprs.append(F.avg(num).alias(name))
             elif op == "null_count":
                 if not nullable.get(a, False):
                     raise ValueError(f"null_count requires a nullable attribute (got {a!r})")
-                exprs.append((F.count(F.lit(1)) - F.count(a)).alias(name))
+                exprs.append((F.count(F.lit(1)) - F.count(c)).alias(name))
             else:
                 raise ValueError(f"unknown aggregate {op!r}")
     row = df.agg(*exprs).collect()[0].asDict()
-    n = row["__n"]
 
     out: dict[str, dict[str, Any]] = {}
     for a, ops in spec.items():
         dt = dtypes.get(a, np.dtype("float64"))
         isfloat = _is_float_dtype(dt)
+        # all-null nullable attr (reference _is_invalid): None for
+        # integer dtypes, NaN for float — applies to sum/min/max/mean
+        allnull = nullable.get(a, False) and row.get(f"__nv_{a}") == 0
+        invalid = None if not isfloat else float("nan")
         res = {}
         for op in ops:
             v = row[f"{a}__{op}"]
@@ -97,16 +125,24 @@ def compute_aggregates(df: DataFrame, spec: dict[str, tuple],
             elif op == "null_count":
                 res[op] = int(v)
             elif op == "sum":
-                if v is None:
-                    v = 0.0 if isfloat else 0
-                res[op] = float(v) if isfloat else int(v) if dt.kind in "iub" else v
+                if allnull:
+                    res[op] = invalid
+                elif v is None:  # empty set: 0 / 0.0 (core.cc sum_type)
+                    res[op] = 0.0 if isfloat else 0
+                else:
+                    res[op] = float(v) if isfloat else int(v) if dt.kind in "iub" else v
             elif op in ("min", "max"):
-                if v is None:  # empty selection or all-null (core.cc:436-501)
+                if allnull:
+                    res[op] = invalid
+                elif v is None:  # empty selection (core.cc:477-483)
                     res[op] = float("nan") if isfloat else None
                 else:
                     res[op] = v
             elif op == "mean":
-                res[op] = float("nan") if v is None else float(v)
+                if allnull:
+                    res[op] = invalid
+                else:
+                    res[op] = float("nan") if v is None else float(v)
         out[a] = res
     return out
 

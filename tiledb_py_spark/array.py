@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import manifest as mf
-from .aggregation import compute_aggregates, normalize_agg_spec, unwrap
+from .aggregation import _qcol, compute_aggregates, normalize_agg_spec, unwrap
 from .functions.query_condition import compile_condition
 from .indexing import (getitem_ranges_multi_index, index_as_tuple,
                        index_domain_subarray, replace_ellipsis,
@@ -366,15 +366,21 @@ class Array:
                 for rs in ([r for r in ranges if r.name == d.name]
                            for d in self.schema.domain))
             if simple:
-                sel = []
+                # pass the INCLUSIVE domain-value ranges straight
+                # through — round-tripping them as python slices would
+                # re-apply numpy semantics (a negative coordinate
+                # bound like (-3, -1) wraps to a relative index and
+                # selects the wrong cells)
+                full = []
                 for d in self.schema.domain:
                     rs = [r for r in ranges if r.name == d.name]
                     if not rs:
-                        sel.append(slice(None))
+                        lo, hi = d.domain
+                        full.append(DimRanges(
+                            name=d.name, intervals=[(int(lo), int(hi))]))
                     else:
-                        lo, hi = rs[0].intervals[0]
-                        sel.append(slice(int(lo), int(hi) + 1))
-                res = self.subarray(tuple(sel))
+                        full.append(rs[0])
+                res = self.subarray(None, _ranges=full)
                 if isinstance(res, dict):
                     return res
                 return OrderedDict(
@@ -445,17 +451,20 @@ class Array:
         dims = list(plan.dims) if plan.dims is not None else self.schema.dim_names
         attrs = list(plan.attrs) if plan.attrs is not None else (
             [self.view_attr] if self.view_attr else self.schema.attr_names)
+        # backtick-quoted projection: a bare 'a.b' string would be
+        # parsed as a struct-field path (dots are legal in attr names)
+        proj_cols = [_qcol(c) for c in (*dims, *attrs)]
         if plan.order == "G":
             # global order (O1 'G'): fragment commit order, then the cell
             # order rows were written in within each fragment (fragments
             # are cell-order-sorted at write time, so dims stand in)
             order_cols = ([F.col("__frag_ts")] if "__frag_ts" in df.columns else []) \
-                + [F.col(c) for c in self.schema.dim_names]
-            df = df.orderBy(*order_cols).select(*dims, *attrs)
+                + [_qcol(c) for c in self.schema.dim_names]
+            df = df.orderBy(*order_cols).select(*proj_cols)
             if plan.limit is not None:
                 df = df.limit(plan.limit)
             return df
-        df = df.select(*dims, *attrs)
+        df = df.select(*proj_cols)
         if plan.order == "C":
             df = df.orderBy(*[c for c in self.schema.dim_names if c in dims]) \
                 if dims else df
@@ -879,11 +888,49 @@ class DenseArray(Array):
             arrs[an] = base
         return arrs, shape
 
-    def subarray(self, selection, attrs=None, cond=None, order="C"):
-        ranges, drop_axes, steps = self.subarray_to_ranges(selection)
+    def subarray(self, selection, attrs=None, cond=None, order="C",
+                 _ranges=None):
+        if _ranges is not None:
+            # explicit inclusive domain-value ranges (read_subarray's
+            # path) — no numpy-slice reinterpretation
+            ranges, drop_axes, steps = (list(_ranges), (),
+                                        [None] * self.schema.ndim)
+        else:
+            ranges, drop_axes, steps = self.subarray_to_ranges(selection)
         attr_names = list(attrs) if attrs is not None else (
             [self.view_attr] if self.view_attr else self.schema.attr_names)
         dims = self.schema.dim_names
+        if any(dr.points or len(dr.intervals) != 1 for dr in ranges):
+            # point-list / multi-interval selections (A[[1,3]]): the
+            # single-interval grid builders below would IndexError —
+            # route through the multirange read (axes follow selection
+            # order, the numpy fancy-index contract)
+            if cond is not None:
+                raise NotImplementedError(
+                    "dense point-list selections do not compose with "
+                    "cond=; use multi_index or a range selection")
+            from .subarray import Subarray
+
+            sub = Subarray(self)
+            for i, dr in enumerate(ranges):
+                for lo, hi in dr.intervals:
+                    sub.add_dim_range(i, (lo, hi))
+                for p in dr.points:
+                    sub.add_dim_range(i, (int(p), int(p)))
+            res = self._read_dense_multirange(sub)
+            slices = tuple(slice(None, None, s) for s in steps)
+            out = OrderedDict()
+            for an, nd in res.items():
+                if attrs is not None and an not in attrs:
+                    continue
+                nd = nd[slices]
+                if drop_axes:
+                    nd = nd.reshape([s for i, s in enumerate(nd.shape)
+                                     if i not in drop_axes])
+                out[an] = nd
+            if (self.view_attr or self.schema.nattr == 1) and len(out) == 1:
+                return next(iter(out.values()))
+            return out
         if cond is None and self._scatter_eligible(attr_names):
             arrs, shape = self._dense_scatter(ranges, attr_names)
         else:
@@ -893,6 +940,8 @@ class DenseArray(Array):
             arrs = pdf_to_numpy_dict(pdf, self.schema, dims + attr_names)
 
         # reshape to ND, apply steps + drop axes (dense_array.py:284-289,358-366)
+        if order not in ("C", "F", "U"):
+            raise ValueError(f"unknown result order {order!r}")
         result = OrderedDict()
         slices = tuple(slice(None, None, s) for s in steps)
         for an in attr_names:
@@ -900,6 +949,10 @@ class DenseArray(Array):
             nd = nd[slices]
             if drop_axes:
                 nd = nd.reshape([s for i, s in enumerate(nd.shape) if i not in drop_axes])
+            if order == "F":
+                # honor the requested column-major memory layout (the
+                # parameter was previously accepted and ignored)
+                nd = np.asfortranarray(nd)
             result[an] = nd
         if (self.view_attr or self.schema.nattr == 1) and len(result) == 1:
             return next(iter(result.values()))
@@ -1025,6 +1078,13 @@ class DenseArray(Array):
             raise NotImplementedError("stepped dense writes not supported")
         axes = []
         for dr, d in zip(ranges, self.schema.domain):
+            if dr.points or len(dr.intervals) != 1:
+                # points would IndexError below; a LOUD refusal with
+                # the supported alternative beats a raw internal error
+                raise NotImplementedError(
+                    f"dense writes take one contiguous range per dim "
+                    f"(dim {d.name!r} got a point-list selection); use "
+                    "write_subarray for multi-range targets")
             lo, hi = dr.intervals[0]
             axes.append(np.arange(int(lo), int(hi) + 1, dtype="int64"))
         self._write_dense_grid(axes, value)
@@ -1146,8 +1206,29 @@ class Query:
                 return _to_arrow(df)
             pdf = df.toPandas()
             return pdf_to_numpy_dict(pdf, self.array.schema, list(df.columns))
-        return self.array.subarray(selection, attrs=self.attrs, cond=self.cond,
-                                   order=self.order)
+        # dense getitem: options the ndarray result shape cannot honor
+        # must refuse loudly, not silently ignore (the reference
+        # returns coords / arrow / incomplete batches for these)
+        if self.return_incomplete:
+            raise NotImplementedError(
+                "return_incomplete is not supported on dense getitem; "
+                "read via A.query(...).df[...] / submit() for "
+                "DataFrame-shaped streaming")
+        if self.dims:
+            raise NotImplementedError(
+                "dims= is not supported on dense getitem (the result is "
+                "one ndarray per attr); use multi_index or .df[...]")
+        res = self.array.subarray(selection, attrs=self.attrs,
+                                  cond=self.cond, order=self.order)
+        if self.return_arrow:
+            import pyarrow as pa
+
+            if not isinstance(res, dict):
+                res = {(self.array.view_attr
+                        or self.array.schema.attr(0).name): res}
+            return pa.table({k: pa.array(np.asarray(v).reshape(-1))
+                             for k, v in res.items()})
+        return res
 
     @property
     def multi_index(self):
@@ -1187,10 +1268,17 @@ class Aggregation:
         plan.order = "U"
         plan.dims = []
         schema = arr.schema
+        # dtype/nullable maps cover DIMS too: Query.attrs legally names
+        # dimensions, and the float64 fallback mis-shaped their results
+        # (int dim sums came back float)
+        dt_map = {**{d.name: d.dtype for d in schema.domain},
+                  **{a.name: a.dtype for a in schema.attrs_list}}
+        null_map = {**{d.name: False for d in schema.domain},
+                    **{a.name: a.nullable for a in schema.attrs_list}}
         spec = normalize_agg_spec(
             self.spec,
             self.query.attrs if self.query.attrs is not None else schema.attr_names,
-            {a.name: a.nullable for a in schema.attrs_list})
+            null_map)
         plan.attrs = list(spec.keys())
         if not schema.sparse and self.query.cond is None:
             # DENSE aggregates run over EVERY cell of the subarray,
@@ -1199,12 +1287,18 @@ class Aggregation:
             # condition only matching cells aggregate — the scan
             # below already is that set
             plan.dims = schema.dim_names
+            # requested DIMS come from the grid side (never null, no
+            # fill); schema.attr(dim) would KeyError
+            plan.attrs = [k for k in spec if not schema.has_dim(k)]
             cells = arr._execute(plan)
             grid = arr._multi_grid(ranges)
             dims = list(schema.dim_names)
             joined = grid.join(cells, on=dims, how="left")
             proj = []
-            for an in plan.attrs:
+            for an in spec:
+                if schema.has_dim(an):
+                    proj.append(F.col(an))
+                    continue
                 a = schema.attr(an)
                 fill = stored_scalar(a.fill, a.dtype) \
                     if a.fill is not None else None
@@ -1214,11 +1308,10 @@ class Aggregation:
                 proj.append(c.alias(an))
             df = joined.select(*proj)
         else:
+            plan.attrs = [k for k in spec if not schema.has_dim(k)]
+            plan.dims = [k for k in spec if schema.has_dim(k)]
             df = arr._execute(plan)
-        res = compute_aggregates(
-            df, spec,
-            {a.name: a.dtype for a in schema.attrs_list},
-            {a.name: a.nullable for a in schema.attrs_list})
+        res = compute_aggregates(df, spec, dt_map, null_map)
         return unwrap(res, self.spec, list(spec.keys()))
 
     def __getitem__(self, selection):
@@ -1326,6 +1419,12 @@ class MultiRangeIndexer:
                 c = F.coalesce(c, F.lit(fill))
             proj.append(c.alias(an))
         out = joined.select(*proj).orderBy(*dims)
+        # honor the query's result-shape options like the sparse path
+        # does — silently ignoring them returned the wrong type
+        if self.query is not None and self.query.return_incomplete:
+            return IncompleteIterator(out, schema)
+        if self.query is not None and self.query.return_arrow:
+            return _to_arrow(out)
         pdf = out.toPandas()
         return pdf_to_numpy_dict(pdf, schema, list(out.columns))
 
@@ -1414,7 +1513,24 @@ class IncompleteIterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        spool = tempfile.mkdtemp(prefix="tdbps_spool_")
+        sess = self.df.sparkSession
+        spool_base = sess.conf.get("tiledb.spool_dir", None)
+        if spool_base:
+            spool = tempfile.mkdtemp(prefix="tdbps_spool_",
+                                     dir=spool_base)
+        else:
+            master = sess.conf.get("spark.master", "local")
+            if not master.startswith("local"):
+                # a driver-local tempdir is invisible to executors on a
+                # real cluster: the write lands on executor-local disks
+                # and the glob below finds nothing — SILENT empty
+                # iteration.  Require an explicit shared spool dir.
+                raise RuntimeError(
+                    "return_incomplete on a non-local master needs a "
+                    "SHARED spool directory visible at the same path "
+                    "on driver and executors: set "
+                    "spark.conf.set('tiledb.spool_dir', <shared path>)")
+            spool = tempfile.mkdtemp(prefix="tdbps_spool_")
         out = os.path.join(spool, "result")
         try:
             self.df.write.mode("overwrite").parquet(out)
