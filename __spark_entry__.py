@@ -3705,11 +3705,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay": q_stream_replay,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r11 item 1,
-        # verbatim list) — the deep-tail gates that last held a driver
-        # row ~r7, before the registry outgrew the 50-row window.
-        # The r11 rotation block (group_agg .. join_multiway, all
-        # driver-green in CORRECTNESS_r11) returns to the tail. ---
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r12 item 2,
+        # verbatim list) — the deep-tail gates that haven't held a
+        # driver row since the registry outgrew the window (~r6).
+        # The r12 rotation block (pack_materialize .. window_rank, all
+        # driver-green in CORRECTNESS_r12) returns to the tail. ---
+        "dup_stats": q_dup_stats,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "bpe_tokens": q_bpe_tokens,
+        "language_id": q_language_id,
+        "source_similarity": q_source_similarity,
+        "corpus_e2e": q_corpus_e2e,
+        "winnow": q_winnow,
+        "temperature_mix": q_temperature_mix,
+        "bigram_surprisal": q_bigram_surprisal,
+        "simhash": q_simhash,
+        # --- tail.  Opened by the r12 rotation block
+        # (pack_materialize .. window_rank, all driver-green in
+        # CORRECTNESS_r12); every tail gate is still oracle-checked
+        # each round by tools/check_correctness.py --exact and the
+        # committed CORRECTNESS_full_r{N}.json. ---
         "pack_materialize": q_pack_materialize,
         "multimodal_features": q_multimodal_features,
         "label_read": q_label_read,
@@ -3721,11 +3737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "datasource_lww_many": q_datasource_lww_many,
         "window_rank": q_window_rank,
-        # --- tail.  Opened by the r11 rotation block (group_agg ..
-        # join_multiway, all driver-green in CORRECTNESS_r11);
-        # every tail gate is still oracle-checked each round by
-        # tools/check_correctness.py --exact and the committed
-        # CORRECTNESS_full_r{N}.json. ---
         "group_agg": q_group_agg,
         "cms_counts": q_cms_counts,
         "distinct_sketch": q_distinct_sketch,
@@ -3788,20 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_fill_read": q_dense_fill_read,
         "anti_semi": q_anti_semi,
         "rollup": q_rollup,
-        "dup_stats": q_dup_stats,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
-        "bpe_tokens": q_bpe_tokens,
-        "language_id": q_language_id,
         "fingerprint_md5": q_fingerprint_md5,
-        # displaced round-4/5/6 gates (driver-green CORRECTNESS_r06
-        # rows; return to the window per the rotation schedule)
-        "source_similarity": q_source_similarity,
-        "corpus_e2e": q_corpus_e2e,
-        "winnow": q_winnow,
-        "temperature_mix": q_temperature_mix,
-        "bigram_surprisal": q_bigram_surprisal,
-        "simhash": q_simhash,
         "array_embedding_topk": q_array_embedding_topk,
         "sample_exact": q_sample_exact,
         "unigram_surprisal": q_unigram_surprisal,

@@ -127,9 +127,8 @@ def test_gate_registry_invariants():
     assert not missing, f"gates without oracles: {missing}"
     dangling = [k for k in o if k not in q]
     assert not dangling, f"oracles for unregistered gates: {dangling}"
-    # r12 rotation block (VERDICT r11 item 1, verbatim list)
+    # r13 rotation block (VERDICT r12 item 2, verbatim list)
     assert q[39:50] == [
-        "pack_materialize", "multimodal_features", "label_read",
-        "array_sql", "join_topk", "text_quality", "salted_agg",
-        "dedup_clusters", "simhash_neardup", "datasource_lww_many",
-        "window_rank"]
+        "dup_stats", "quality_score", "token_counts", "bpe_tokens",
+        "language_id", "source_similarity", "corpus_e2e", "winnow",
+        "temperature_mix", "bigram_surprisal", "simhash"]

@@ -70,9 +70,11 @@ class Group:
     """Open group handle (``tiledb.Group(uri, mode)``)."""
 
     def __init__(self, uri: str, mode: str = "r"):
+        from .manifest import require_local_uri
+
         self.uri = uri
         self.mode = mode
-        self._path = os.path.join(uri, GROUP_FILE)
+        self._path = os.path.join(require_local_uri(uri), GROUP_FILE)
         if not os.path.isfile(self._path):
             raise FileNotFoundError(f"no group at {uri}")
         with open(self._path) as f:
@@ -80,6 +82,9 @@ class Group:
 
     @staticmethod
     def create(uri: str) -> None:
+        from .manifest import require_local_uri
+
+        uri = require_local_uri(uri)
         os.makedirs(uri, exist_ok=True)
         path = os.path.join(uri, GROUP_FILE)
         if os.path.exists(path):

@@ -198,7 +198,7 @@ def walk(path: str, func, order: str = "preorder") -> None:
 
 
 def move(old_uri: str, new_uri: str) -> None:
-    shutil.move(old_uri, new_uri)
+    shutil.move(mf.require_local_uri(old_uri), mf.require_local_uri(new_uri))
 
 
 def remove(uri: str) -> None:

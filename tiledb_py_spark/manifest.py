@@ -211,12 +211,43 @@ class Manifest:
 
 # -- storage ----------------------------------------------------------------
 
+def require_local_uri(uri: str) -> str:
+    """Normalize an array URI to a local path, refusing remote schemes.
+
+    The manifest/fragment commit layer is POSIX-only today (os.link /
+    O_CREAT|O_EXCL version claims, os.makedirs, shutil.move).  The
+    reference opens arrays natively at ``s3://`` URIs
+    (``/root/reference/tiledb/ctx.py:149-156``, the ``vfs.s3.*`` config
+    family); until the commit layer is object-store-routed, a remote URI
+    must be refused LOUDLY — ``os.makedirs("s3://bucket/arr")`` would
+    otherwise succeed by creating a local ``./s3:/bucket/arr`` directory
+    and the corpus would silently land on the driver's disk.
+    """
+    s = str(uri)
+    if s.startswith("file://"):
+        return s[len("file://"):]
+    if "://" in s:
+        scheme = s.split("://", 1)[0]
+        from .functions.query_condition import TileDBError
+
+        raise TileDBError(
+            f"remote array URIs are not supported yet: {s!r} "
+            f"(scheme {scheme!r}). The array commit layer is local-"
+            "filesystem only; writing this URI with os paths would "
+            "silently misplace the array into the local working "
+            "directory. Use a local path (or file://), or mount the "
+            "object store (s3fs/gcsfuse/NFS) and point at the mount. "
+            "VFS file operations on remote URIs remain available via "
+            "tiledb_py_spark.VFS (fsspec-routed).")
+    return s
+
+
 def manifest_dir(uri: str) -> str:
-    return os.path.join(uri, MANIFEST_DIR)
+    return os.path.join(require_local_uri(uri), MANIFEST_DIR)
 
 
 def fragments_dir(uri: str) -> str:
-    return os.path.join(uri, FRAGMENT_DIR)
+    return os.path.join(require_local_uri(uri), FRAGMENT_DIR)
 
 
 def fragment_path(uri: str, frag: FragmentRecord | str) -> str:

@@ -172,36 +172,20 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 100,
     return merges
 
 
-def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
-                   end_of_word: str = END_OF_WORD,
-                   lowercase: bool = True):
-    """Arrow-batched subword tokenizer from a learned merge list:
-    returns a pandas UDF string -> array<string> applying the merges in
-    rank order per whitespace word (the standard BPE encode with a
-    rank dict).  The merge table rides the UDF closure — broadcast
-    once, row-local forever."""
+def _batch_encoder(encode_word, lowercase: bool):
+    """The ONE Arrow batch wrapper shared by the three learned
+    tokenizers (BPE / unigram-LM / WordPiece): None passthrough,
+    optional lowercase, per-batch word -> tokens memo (Zipfian text
+    re-encodes the same types constantly — caching cuts UDF CPU by
+    ~the token/type ratio), whitespace split via the SAME ASCII
+    splitter as training.  One implementation so the
+    None/normalize/split chain can never drift between encoders —
+    exactly the failure mode that shipped the r12 NBSP train/encode
+    skew (deferred-refactor #1, closed r13)."""
     from pyspark.sql.functions import pandas_udf
-
-    merges = [tuple(p) for p in merges]
-    ranks = {p: i for i, p in enumerate(merges)}
-
-    def encode_word(word: str) -> Tuple[str, ...]:
-        syms: Tuple[str, ...] = tuple(list(word[:-1])
-                                      + [word[-1] + end_of_word])
-        while len(syms) > 1:
-            cand = [(ranks[(syms[i], syms[i + 1])], i)
-                    for i in range(len(syms) - 1)
-                    if (syms[i], syms[i + 1]) in ranks]
-            if not cand:
-                break
-            rank, _ = min(cand)
-            syms = _merge_word(syms, merges[rank])
-        return syms
 
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
-        # word -> tokens memo: Zipfian text re-encodes the same types
-        # constantly; caching cuts UDF CPU by ~the token/type ratio
         memo: dict = {}
         out = []
         for t in texts:
@@ -220,6 +204,33 @@ def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
         return pd.Series(out)
 
     return enc
+
+
+def bpe_encode_udf(merges: Sequence[Tuple[str, str]],
+                   end_of_word: str = END_OF_WORD,
+                   lowercase: bool = True):
+    """Arrow-batched subword tokenizer from a learned merge list:
+    returns a pandas UDF string -> array<string> applying the merges in
+    rank order per whitespace word (the standard BPE encode with a
+    rank dict).  The merge table rides the UDF closure — broadcast
+    once, row-local forever."""
+    merges = [tuple(p) for p in merges]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_word(word: str) -> Tuple[str, ...]:
+        syms: Tuple[str, ...] = tuple(list(word[:-1])
+                                      + [word[-1] + end_of_word])
+        while len(syms) > 1:
+            cand = [(ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks]
+            if not cand:
+                break
+            rank, _ = min(cand)
+            syms = _merge_word(syms, merges[rank])
+        return syms
+
+    return _batch_encoder(encode_word, lowercase)
 
 
 def bpe_token_count(df: DataFrame, text_col: str,
@@ -416,8 +427,6 @@ def unigram_encode_udf(model: Sequence[Tuple[str, float]],
     row-local forever (same contract as ``bpe_encode_udf``)."""
     from math import inf
 
-    from pyspark.sql.functions import pandas_udf
-
     vocab = dict(model)
     if not vocab:
         raise ValueError("empty unigram-LM model")
@@ -444,26 +453,7 @@ def unigram_encode_udf(model: Sequence[Tuple[str, float]],
             j = back[j]
         return tuple(reversed(out))
 
-    @pandas_udf("array<string>")
-    def enc(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            if lowercase:
-                t = t.lower()
-            toks: List[str] = []
-            for w in _train_ws_split(t):
-                cached = memo.get(w)
-                if cached is None:
-                    cached = memo[w] = encode_word(w)
-                toks.extend(cached)
-            out.append(toks)
-        return pd.Series(out)
-
-    return enc
+    return _batch_encoder(encode_word, lowercase)
 
 
 def unigram_token_count(df: DataFrame, text_col: str,
@@ -628,14 +618,9 @@ def wordpiece_encode_udf(vocab: Sequence[str],
     word with no match at any position becomes one ``unk_token``.
     Memoized per batch worker — web text re-encodes the same words
     constantly."""
-    from pyspark.sql.functions import pandas_udf
-
     vset = frozenset(vocab)
 
-    def encode_word(w: str, memo: dict) -> List[str]:
-        got = memo.get(w)
-        if got is not None:
-            return got
+    def encode_word(w: str) -> List[str]:
         toks: List[str] = []
         i, L = 0, len(w)
         while i < L:
@@ -650,24 +635,9 @@ def wordpiece_encode_udf(vocab: Sequence[str],
                 break
             toks.append(piece)
             i = j
-        memo[w] = toks
         return toks
 
-    @pandas_udf("array<string>")
-    def enc(col: pd.Series) -> pd.Series:
-        memo: dict = {}
-        out = []
-        for t in col:
-            if t is None:
-                out.append(None)
-                continue
-            toks: List[str] = []
-            for w in _train_ws_split(t.lower() if lowercase else t):
-                toks.extend(encode_word(w, memo))
-            out.append(toks)
-        return pd.Series(out)
-
-    return enc
+    return _batch_encoder(encode_word, lowercase)
 
 
 def wordpiece_token_count(df: DataFrame, text_col: str,

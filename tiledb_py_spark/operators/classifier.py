@@ -121,6 +121,48 @@ def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
     return np.add.reduceat(vals, offs)
 
 
+def _staged_buckets(text_col, n_buckets: int, token_hash, tokens_col):
+    """Null-safe staged bucket-array column — the ONE featurization
+    expression shared by both fits and both scorers (deferred-refactor
+    #2, closed r13: train and score must bucket identically or the
+    model silently mis-scores): NULL/empty documents become an empty
+    array so they ride the bias alone."""
+    bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
+                       tokens_col=tokens_col)
+    return F.coalesce(bk, F.array().cast("array<int>"))
+
+
+def _cap_and_persist(feats: DataFrame) -> DataFrame:
+    """Each L-BFGS eval collects one (n_buckets+1)-double gradient row
+    PER PARTITION; on a many-thousand-partition corpus that payload
+    scales with partitions, not data — cap it (coalesce: no shuffle,
+    512 tasks is still full cluster parallelism for a fold this thin),
+    persist, and materialize once (every eval rescans the cache)."""
+    if feats.rdd.getNumPartitions() > 512:
+        feats = feats.coalesce(512)
+    feats = feats.persist()
+    feats.count()
+    return feats
+
+
+def _batch_margins(bks: pd.Series, W: np.ndarray,
+                   B: np.ndarray) -> np.ndarray:
+    """(n_rows, n_classes) margin matrix for one Arrow batch: bias plus
+    segment-summed weights over each row's bucket array.  Shared by
+    ``quality_scores`` (one class, sigmoid outside) and
+    ``label_predict`` (argmax outside)."""
+    lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
+                       count=len(bks))
+    margins = np.tile(B, (len(bks), 1))
+    if lens.sum():
+        flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                               for a in bks])
+        for c in range(W.shape[0]):
+            margins[lens > 0, c] += _segment_sums(W[c][flat],
+                                                  lens[lens > 0])
+    return margins
+
+
 # engage the two-level gradient merge once the flat per-eval driver
 # payload (partitions x (n_buckets+1) doubles) would exceed ~256 MB —
 # below that, the flat collect is cheaper than the extra shuffle stage
@@ -295,20 +337,12 @@ def fit_quality_classifier(df: DataFrame, text_col: str, label_col: str,
     EXCLUDED from the fit (a null would otherwise propagate NaN
     through every loss/gradient evaluation and corrupt the model
     silently)."""
-    bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
-                       tokens_col=tokens_col)
-    feats = df.filter(F.col(label_col).isNotNull()).select(
-        F.col(label_col).cast("double").alias("y"),
-        F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
-    # each eval collects one (n_buckets+1)-double gradient row PER
-    # PARTITION; on a many-thousand-partition corpus that payload
-    # scales with partitions, not data — cap it (coalesce: no shuffle,
-    # 512 tasks is still full cluster parallelism for a fold this thin)
-    if feats.rdd.getNumPartitions() > 512:
-        feats = feats.coalesce(512)
-    feats = feats.persist()
+    feats = _cap_and_persist(
+        df.filter(F.col(label_col).isNotNull()).select(
+            F.col(label_col).cast("double").alias("y"),
+            _staged_buckets(text_col, n_buckets, token_hash,
+                            tokens_col).alias("bkts")))
     try:
-        feats.count()   # materialize once; every eval rescans the cache
         ev = _eval_factory(feats, n_buckets, reg)
         x0 = np.zeros(n_buckets + 1)
         x, f, it, conv, hist = _lbfgs(lambda w: ev(w), x0, max_iter, tol,
@@ -330,23 +364,16 @@ def quality_scores(df: DataFrame, text_col: str, model: QualityClassifier,
     the bias (the training-side convention)."""
     from pyspark.sql.functions import pandas_udf
 
-    w = np.asarray(model.weights, dtype=np.float64)
-    b = float(model.bias)
+    W = np.asarray(model.weights, dtype=np.float64)[None, :]
+    B = np.asarray([model.bias], dtype=np.float64)
 
     @pandas_udf("double")
     def score(bks: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
-                           count=len(bks))
-        out = np.full(len(bks), b)
-        if lens.sum():
-            flat = np.concatenate([np.asarray(a, dtype=np.int64)
-                                   for a in bks])
-            out[lens > 0] += _segment_sums(w[flat], lens[lens > 0])
+        out = _batch_margins(bks, W, B)[:, 0]
         return pd.Series(1.0 / (1.0 + np.exp(-out)))
 
-    bk = token_buckets(text_col, model.n_buckets, token_hash=token_hash,
-                       tokens_col=tokens_col)
-    staged = F.coalesce(bk, F.array().cast("array<int>"))
+    staged = _staged_buckets(text_col, model.n_buckets, token_hash,
+                             tokens_col)
     return df.withColumn(out_col, score(staged))
 
 
@@ -394,8 +421,6 @@ def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
     collected (bounded by ``max_labels`` — a label column with more
     classes than that is almost certainly not a label column; refuse
     loudly, the ``bpe_train`` guard pattern)."""
-    bk = token_buckets(text_col, n_buckets, token_hash=token_hash,
-                       tokens_col=tokens_col)
     from pyspark.sql import types as T
 
     ldt = df.schema[label_col].dataType
@@ -407,12 +432,11 @@ def fit_label_classifier(df: DataFrame, text_col: str, label_col: str,
             "the same type back)")
     # unlabeled (NULL) rows are excluded: they would turn y into NaN
     # for EVERY one-vs-rest class and silently corrupt all fits
-    feats = df.filter(F.col(label_col).isNotNull()).select(
-        F.col(label_col).alias("__lbl"),
-        F.coalesce(bk, F.array().cast("array<int>")).alias("bkts"))
-    if feats.rdd.getNumPartitions() > 512:   # same per-eval payload cap
-        feats = feats.coalesce(512)
-    feats = feats.persist()
+    feats = _cap_and_persist(
+        df.filter(F.col(label_col).isNotNull()).select(
+            F.col(label_col).alias("__lbl"),
+            _staged_buckets(text_col, n_buckets, token_hash,
+                            tokens_col).alias("bkts")))
     try:
         labels = [r[0] for r in
                   feats.select("__lbl").distinct()
@@ -477,19 +501,9 @@ def label_predict(df: DataFrame, text_col: str, model: LabelClassifier,
 
     @pandas_udf(ret)
     def pred(bks: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(a) for a in bks), dtype=np.int64,
-                           count=len(bks))
-        margins = np.tile(B, (len(bks), 1))
-        if lens.sum():
-            flat = np.concatenate([np.asarray(a, dtype=np.int64)
-                                   for a in bks])
-            for c in range(W.shape[0]):
-                margins[lens > 0, c] += _segment_sums(
-                    W[c][flat], lens[lens > 0])
-        best = margins.argmax(axis=1)   # first max = first label
-        return pd.Series([labels[b] for b in best])
+        best = _batch_margins(bks, W, B).argmax(axis=1)  # first max =
+        return pd.Series([labels[b] for b in best])      # first label
 
-    bk = token_buckets(text_col, model.n_buckets, token_hash=token_hash,
-                       tokens_col=tokens_col)
-    staged = F.coalesce(bk, F.array().cast("array<int>"))
+    staged = _staged_buckets(text_col, model.n_buckets, token_hash,
+                             tokens_col)
     return df.withColumn(out_col, pred(staged))

@@ -229,8 +229,10 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     decomposition as the keyless as-of carry (operators/asof.py
     ``_bucketed_fill`` — kept separate because that carry is per-column
     last-non-null, not a sum); the answer equals the naive global window
-    exactly.  First order column must be numeric/timestamp (it defines
-    the range buckets); remaining columns break ties within a bucket.
+    exactly.  First order column may be numeric/timestamp/date (bucketed
+    on a double monotonic view) or string (bucketed on sampled string
+    cuts under UTF8_BINARY); remaining columns break ties within a
+    bucket.
     Rows with a null first order column land in bucket 0, matching the
     nulls-first position a plain ascending global window gives them.
 
@@ -248,17 +250,26 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
             or first_dt in ("tinyint", "smallint", "int", "bigint",
                             "float", "double", "date")):
         d = monotonic_view(first, first_dt)
+        bounds = resolve_bounds(df, d, num_buckets, bounds)
+    elif first_dt == "string":
+        # string order columns range-bucket in STRING space: cuts are
+        # sampled strings and every comparison (bucket assignment AND
+        # the per-bucket window) happens under Spark's UTF8_BINARY
+        # ordering, so buckets partition the sort order consistently.
+        # (Casting strings to numbers would NOT: '10' < '9'
+        # lexicographically but 9.0 < 10.0 numerically.)
+        from .stats_bounds import string_range_bounds
+
+        d = F.col(first)
+        bounds = (sorted({str(b) for b in bounds}) if bounds is not None
+                  else string_range_bounds(df, first, num_buckets))
     else:
-        # a non-numeric first order column (e.g. string ids) cannot
-        # range-bucket consistently with its sort order ('10' < '9'
-        # lexicographically but 9.0 < 10.0 numerically — buckets and
-        # windows would disagree and the carry would add in the wrong
-        # order).  Fall back to the correct-but-single-task window.
+        # boolean/binary/complex first order column — fall back to the
+        # correct-but-single-task window.
         w = (Window.partitionBy(F.lit(0))
              .orderBy(*[F.col(c) for c in order_cols])
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
-    bounds = resolve_bounds(df, d, num_buckets, bounds)
     order = [F.col(c) for c in order_cols]
     if not bounds:
         w = (Window.partitionBy(F.lit(0)).orderBy(*order)
@@ -304,8 +315,11 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     (AQE broadcasts it).  Intended for SCALAR rows (ids + sizes) — keep
     heavy payload columns out and join the cumsum back by id.
 
-    Falls back to the correct-but-one-task-per-group window when the
-    first order column is non-numeric or bounds degenerate."""
+    Distributed path covers numeric/timestamp/date AND string first
+    order columns (string cuts compare under UTF8_BINARY — consistent
+    with orderBy); falls back to the correct-but-one-task-per-group
+    window only for boolean/binary/complex order columns or when
+    bounds degenerate."""
     by_cols = list(by_cols)
     from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
 
@@ -314,25 +328,38 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     first_dt = dict(df.dtypes)[first]
     fallback_w = (Window.partitionBy(*by_cols).orderBy(*order)
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    if not (first_dt.startswith("timestamp") or first_dt.startswith("decimal")
+    if (first_dt.startswith("timestamp") or first_dt.startswith("decimal")
             or first_dt in ("tinyint", "smallint", "int", "bigint",
                             "float", "double", "date")):
-        # LOUD fallback: with a constant/low-cardinality group key (the
-        # materialize_packs by=None shape) this window funnels the
-        # whole input through one task per group — the exact straggler
-        # the bucketed path exists to avoid.  String ids are the common
-        # LLM-corpus case, so warn rather than silently serialize.
+        d = monotonic_view(first, first_dt)
+        bounds = resolve_bounds(df, d, num_buckets, bounds)
+    elif first_dt == "string":
+        # string ids are the common LLM-corpus order key; bucket them in
+        # STRING space (sampled string cuts, UTF8_BINARY comparisons —
+        # see global_running_sum) so the distributed path holds instead
+        # of the old one-task-per-group window fallback (VERDICT r12
+        # item 3).
+        from .stats_bounds import string_range_bounds
+
+        d = F.col(first)
+        bounds = (sorted({str(b) for b in bounds}) if bounds is not None
+                  else string_range_bounds(df, first, num_buckets))
+    else:
+        # LOUD fallback for the remaining non-range-bucketable types
+        # (boolean/binary/complex): with a constant/low-cardinality
+        # group key this window funnels the whole input through one
+        # task per group — the exact straggler the bucketed path
+        # exists to avoid.
         import warnings
 
         warnings.warn(
             f"grouped_running_sum: first order column {first!r} has "
             f"non-range-bucketable type {first_dt!r}; falling back to "
             "a one-task-per-group window (a scale bottleneck). Order "
-            "by a numeric/timestamp id first for the distributed path.",
+            "by a numeric/timestamp/string id first for the "
+            "distributed path.",
             RuntimeWarning, stacklevel=2)
         return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
-    d = monotonic_view(first, first_dt)
-    bounds = resolve_bounds(df, d, num_buckets, bounds)
     if not bounds:
         return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
     df2 = df.withColumn("__grs_bkt", bucket_index(d, bounds))

@@ -223,13 +223,43 @@ def resolve_bounds(df, d, num_buckets: int, bounds=None,
     return sorted(set(qs))
 
 
+def string_range_bounds(df, col: str, num_buckets: int,
+                        sample_rows: Optional[int] = None, seed: int = 42,
+                        max_len: int = 64) -> list:
+    """Sorted distinct STRING cut values for range-bucketing a string
+    order column: bounded uniform sample (top-S by ``rand`` — one
+    single-column scan, driver receives at most S rows), then driver-
+    side rank quantiles.  Safe because UTF-8 byte order equals code-
+    point order, so Python's sort and Spark's default UTF8_BINARY
+    ``orderBy``/``>`` agree; cuts are truncated to ``max_len`` chars — a
+    cut need not be a data value, truncation only merges adjacent
+    buckets (balance, never the answer)."""
+    from pyspark.sql import functions as F
+
+    if num_buckets <= 1:
+        return []
+    s = sample_rows or max(1024, 32 * num_buckets)
+    vals = sorted(r[0] for r in df.select(F.col(col).alias("__rb_s"))
+                  .filter(F.col("__rb_s").isNotNull())
+                  .orderBy(F.rand(seed)).limit(s).collect())
+    if not vals:
+        return []
+    return sorted({vals[(i * len(vals)) // num_buckets][:max_len]
+                   for i in range(1, num_buckets)})
+
+
 def bucket_index(d, bounds) -> "object":
     """Bucket id = number of bounds strictly below ``d``, computed as ONE
     array filter over a literal bounds array — a chained-when sum builds
     an O(num_buckets)-deep expression tree that costs ~3x in analysis +
     codegen on every fresh plan.  Null ``d`` yields 0 (no element passes
-    a null predicate); callers wanting null-bucket semantics wrap it."""
+    a null predicate); callers wanting null-bucket semantics wrap it.
+    Bounds may be floats (numeric/timestamp monotonic view) or strings
+    (``string_range_bounds`` cuts; UTF8_BINARY ``>`` matches orderBy)."""
     from pyspark.sql import functions as F
 
-    barr = F.array(*[F.lit(float(bd)) for bd in bounds])
+    if bounds and isinstance(bounds[0], str):
+        barr = F.array(*[F.lit(bd) for bd in bounds])
+    else:
+        barr = F.array(*[F.lit(float(bd)) for bd in bounds])
     return F.size(F.filter(barr, lambda bd: d > bd))

@@ -105,10 +105,15 @@ class TileDBDataSource(DataSource):
         return FORMAT_NAME
 
     def _uri(self) -> str:
+        from .. import manifest as mf
+
         uri = self.options.get("path") or self.options.get("uri")
         if not uri:
             raise ValueError("format('tiledb') requires .load(<array uri>)")
-        return uri
+        # refuse remote schemes LOUDLY at plan time (and normalize
+        # file://) — the writers build fragment paths with os.path.join,
+        # which would misplace an s3:// uri into the local working dir
+        return mf.require_local_uri(uri)
 
     def schema(self) -> StructType:
         from .. import manifest as mf
@@ -833,8 +838,10 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
     ingest)."""
 
     def __init__(self, uri: str):
-        self.uri = uri
-        self.stage_dir = os.path.join(uri, "__stream_stage")
+        from .. import manifest as mf
+
+        self.uri = mf.require_local_uri(uri)
+        self.stage_dir = os.path.join(self.uri, "__stream_stage")
 
     def write(self, iterator) -> _StreamPieceCommit:
         import uuid

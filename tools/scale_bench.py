@@ -202,6 +202,20 @@ def r_pack_materialize(spark, sf_dir):
         "toks", ["doc_id"], max_tokens=2048, by="source", pad_token="")
 
 
+def r_pack_string_ids(spark, sf_dir):
+    # STRING doc ids (the common LLM-corpus key): the per-group prefix
+    # sum must stay distributed via string-space bucket cuts instead of
+    # the old one-task-per-group window fallback (VERDICT r12 item 3)
+    from tiledb_py_spark.operators.pipeline import materialize_packs
+    from tiledb_py_spark.operators.text import whitespace_tokens
+
+    d = _docs(spark, sf_dir).withColumn(
+        "doc_key", F.format_string("doc-%012d", F.col("doc_id")))
+    return materialize_packs(
+        d.withColumn("toks", whitespace_tokens("text")),
+        "toks", ["doc_key"], max_tokens=2048, by="source", pad_token="")
+
+
 def r_interval_join(spark, sf_dir):
     # per-user attribution shape: linear in sf (entities scale, per-
     # entity density constant — the keyless grid would grow pairwise)
@@ -439,6 +453,7 @@ RUNNERS = {
     "kn3_ppl": r_kn3_ppl,
     "self_repeat": r_self_repeat,
     "pack_materialize": r_pack_materialize,
+    "pack_string_ids": r_pack_string_ids,
 }
 
 
