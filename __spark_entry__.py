@@ -2318,17 +2318,18 @@ def q_rolling_anomaly(spark, sf_dir):
         .orderBy("user_id", "event_id")
 
 
-def _stage_two_trigger_stream(df, src: str) -> None:
+def _stage_two_trigger_stream(df, src: str,
+                              order=("ts", "event_id")) -> None:
     """Stage ``df`` as TWO parquet files split at the midpoint of the
-    global (ts, event_id) order, via a distributed ``df.write`` — no
-    driver-side materialization (VERDICT r11 item 7 closed the last
+    global ``order``, via a distributed ``df.write`` — no driver-side
+    materialization (VERDICT r11 item 7 closed the last
     ``.toPandas()`` in any gate).  The split boundary is all that
     matters for the batch/stream bit-identity: every b1 row precedes
-    every b2 row in (ts, event_id) order, and the stateful twins sort
-    within each micro-batch themselves.  The row_number window is a
-    one-task total order — gate-local staging only; a production
-    stream reads its own source (at scale you'd split on a bucketed
-    key range, not a global rank)."""
+    every b2 row in ``order``, and the stateful twins sort within each
+    micro-batch themselves.  The row_number window is a one-task total
+    order — gate-local staging only; a production stream reads its own
+    source (at scale you'd split on a bucketed key range, not a global
+    rank)."""
     import glob
     import shutil
 
@@ -2336,7 +2337,7 @@ def _stage_two_trigger_stream(df, src: str) -> None:
 
     os.makedirs(src, exist_ok=True)
     ranked = df.withColumn(
-        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+        "__rn", F.row_number().over(Window.orderBy(*order)))
     cut = ranked.count() // 2
     # b1 written before b2: FileStreamSource picks oldest-first, so
     # trigger 1 sees exactly the first half of the global order
@@ -2556,6 +2557,65 @@ def q_stream_source(spark, sf_dir):
     run_stream()                     # resumes: exactly the new two
     return (spark.read.parquet(sink)
             .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+def q_stream_sink(spark, sf_dir):
+    """Native streaming SINK driver row (VERDICT r12 item 7): a
+    two-trigger stateless ETL (filter + derived column over orders)
+    written through ``writeStream.format("tiledb")`` — executor tasks
+    stage Arrow pieces, the driver commit publishes ONE batchId-marked
+    fragment per micro-batch — then the array is read back through the
+    datasource.  The ``stream_source`` pattern in reverse; oracle =
+    the batch SQL of the same transform.  Before returning, the gate
+    asserts the sink's commit granularity: exactly two fragments, both
+    carrying the ``_sb<batchId>_`` idempotency marker, and an empty
+    staging dir (leftover pieces = a leaked abort)."""
+    import tempfile
+
+    from tiledb_py_spark import manifest as mf
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+    from tiledb_py_spark.sources.spark_datasource import register
+
+    register(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="tdbps_stsink_")
+    arr, src, ckpt = (os.path.join(root, p)
+                      for p in ("arr", "src", "ckpt"))
+    # sink target must pre-exist with the TRANSFORMED schema (the
+    # documented sink contract); full domain so any orderkey fits
+    from_spark(arr,
+               o.limit(1).select(
+                   "o_orderkey", "o_custkey",
+                   (F.col("o_totalprice") * F.lit(0.5)).alias("net")),
+               index_dims=["o_orderkey"], mode="schema_only",
+               full_domain=True)
+    _stage_two_trigger_stream(o, src, order=("o_orderkey",))
+
+    schema = spark.read.parquet(src).schema
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .filter(F.col("o_totalprice") > 1000.0)
+         .select("o_orderkey", "o_custkey",
+                 (F.col("o_totalprice") * F.lit(0.5)).alias("net"))
+         .writeStream.format("tiledb").option("path", arr)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_sink timed out after 600s; the "
+                           "array would be partial")
+    frags = mf.read_manifest(arr).fragments
+    if len(frags) != 2 or not all("_sb" in f.name for f in frags):
+        raise RuntimeError(
+            f"stream_sink expected 2 batchId-marked fragments, got "
+            f"{[f.name for f in frags]}")
+    stage = os.path.join(arr, "__stream_stage")
+    if os.path.isdir(stage) and os.listdir(stage):
+        raise RuntimeError("stream_sink left staged pieces behind")
+    return (spark.read.format("tiledb").load(arr)
+            .select("o_orderkey", "o_custkey", "net")
             .orderBy("o_orderkey"))
 
 
@@ -3665,11 +3725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged — and still the verbatim oracle of
         # stream_sessionize below) to the tail
         "stream_source": q_stream_source,
-        # stream_sessionize (NEW round 11, the second streaming twin's
-        # driver row — two-trigger sessionize_stream sink vs the batch
-        # sessionize SQL) displaced dsir_sample (driver-green r10,
-        # unchanged) to the tail
-        "stream_sessionize": q_stream_sessionize,
+        # stream_sink (NEW round 13, VERDICT r12 item 7: the native
+        # streaming sink's first driver row — two-trigger ETL through
+        # writeStream.format("tiledb"), one batchId-marked fragment
+        # per micro-batch, read back through the datasource) displaced
+        # stream_sessionize (driver-green r12, unchanged — stream_
+        # replay keeps the stateful-twin mechanism in-window) to the
+        # tail
+        "stream_sink": q_stream_sink,
         "dsir_weights": q_dsir_weights,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
@@ -3749,7 +3812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_in_chain": q_qc_in_chain,
         "join_multiway": q_join_multiway,
         # sessionize + time_resample displaced by the r12 stream gates
-        # (stream_source / stream_resample); both driver-green r11
+        # (stream_source / stream_resample); both driver-green r11.
+        # stream_sessionize displaced by stream_sink (r13); green r12
+        "stream_sessionize": q_stream_sessionize,
         "sessionize": q_sessionize,
         "time_resample": q_time_resample,
         "interval_join": q_interval_join,
@@ -6292,6 +6357,13 @@ def oracle_sql() -> dict[str, str]:
     d["stream_source"] = """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_orderkey % 4 IN (0, 1, 2)
+        ORDER BY o_orderkey
+    """
+    # stream_sink: the native sink's two micro-batches, read back from
+    # the array = the batch SQL of the same stateless transform
+    d["stream_sink"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS net
+        FROM orders WHERE o_totalprice > 1000.0
         ORDER BY o_orderkey
     """
     return d

@@ -84,3 +84,46 @@ def test_commit_without_hardlink_support(uri, monkeypatch):
     with pytest.raises(FileExistsError):
         mf.write_manifest(uri, m)
     monkeypatch.setattr(mf.os, "link", real_link)
+
+
+def test_concurrent_commits_two_processes(uri, tmp_path):
+    """Two PROCESSES x 8 commits: the os.link/O_EXCL claim is kernel-
+    level, so the interleaving must stay gap-free without the GIL's
+    accidental serialization (VERDICT r12 item 8).  Same invariants as
+    the thread test: all 16 records land, one version per commit."""
+    import os
+    import subprocess
+    import sys
+
+    v0 = mf.read_manifest(uri).version
+    n_each = 8
+    go = str(tmp_path / "go")
+    script = (
+        "import sys, os, time\n"
+        "sys.path.insert(0, sys.argv[4])\n"
+        "from tiledb_py_spark import manifest as mf\n"
+        "from tiledb_py_spark.manifest import FragmentRecord\n"
+        "uri, tag, go = sys.argv[1], sys.argv[2], sys.argv[3]\n"
+        "while not os.path.exists(go):\n"
+        "    time.sleep(0.001)\n"
+        "for i in range(%d):\n"
+        "    r = FragmentRecord(name=f'frag_pp_{tag}_{i}',\n"
+        "                       timestamp_range=(i, i), cell_num=1,\n"
+        "                       nonempty_domain={'k': [i, i]})\n"
+        "    mf.commit(uri, lambda man, r=r: man.fragments.append(r))\n"
+        % n_each)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen([sys.executable, "-c", script, uri, tag,
+                               go, repo],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE)
+             for tag in "ab"]
+    open(go, "w").close()
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+    m = mf.read_manifest(uri)
+    names = [f.name for f in m.fragments if f.name.startswith("frag_pp_")]
+    assert sorted(names) == sorted(f"frag_pp_{t}_{i}"
+                                   for t in "ab" for i in range(n_each))
+    assert m.version == v0 + 2 * n_each

@@ -476,18 +476,30 @@ class Array:
         return df
 
     # -- Spark-native surface ------------------------------------------------
+    def _at_timestamp(self, timestamp):
+        """Temporarily pin the open handle to ``timestamp`` (None =
+        no-op) — the one save/restore shared by the ``dataframe()``
+        twins (deferred-refactor #4, closed r13)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            if timestamp is None:
+                yield
+                return
+            saved, self.timestamp = self.timestamp, timestamp
+            try:
+                yield
+            finally:
+                self.timestamp = saved
+        return cm()
+
     def dataframe(self, attrs=None, dims=None, cond=None, timestamp=None) -> DataFrame:
         """The Spark-native read: full-array DataFrame with optional
         projection/condition — the API a Spark user drives directly."""
-        if timestamp is not None:
-            saved, self.timestamp = self.timestamp, timestamp
-            try:
-                return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
-                                               attrs=attrs, dims=dims))
-            finally:
-                self.timestamp = saved
-        return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
-                                       attrs=attrs, dims=dims))
+        with self._at_timestamp(timestamp):
+            return self._execute(QueryPlan(dim_ranges=[], cond=self._compile_cond(cond),
+                                           attrs=attrs, dims=dims))
 
     def create_view(self, name: str, timestamp=None) -> str:
         """Expose the array as a Spark SQL temp view: any ``spark.sql``
@@ -716,6 +728,35 @@ class SparseArray(Array):
             (d.name, self.unique_dim_values(d.name)) for d in self.schema.domain)
 
 
+def dense_fill_join(schema, grid: DataFrame, cells: DataFrame,
+                    names, match_col: Optional[str] = None) -> DataFrame:
+    """The ONE J3 dense fill join, shared by the three dense read paths
+    (``_dense_frame`` / dense ``multi_index`` / dense aggregation —
+    deferred-refactor #3, closed r13): generated coordinate grid ⟕
+    written cells on the dims, then per requested column either the dim
+    from the grid side (never null, no fill) or
+    ``coalesce(attr, fill)`` for non-nullable attrs.  ``match_col``
+    carries the dense QC fill semantics (P11): keep the shape,
+    non-matching cells become fill (reference
+    ``query_condition.py:35-40``)."""
+    dims = list(schema.dim_names)
+    joined = grid.join(cells, on=dims, how="left")
+    proj = []
+    for an in names:
+        if schema.has_dim(an):
+            proj.append(F.col(an))
+            continue
+        a = schema.attr(an)
+        fill = stored_scalar(a.fill, a.dtype) if a.fill is not None else None
+        c = F.col(an)
+        if match_col is not None:
+            c = F.when(F.col(match_col), c)
+        if not a.nullable and fill is not None:
+            c = F.coalesce(c, F.lit(fill))
+        proj.append(c.alias(an))
+    return joined.select(*proj)
+
+
 class DenseArray(Array):
     """Dense array: reads materialize every cell of the requested subarray,
     filling unwritten cells with the attr fill value
@@ -795,40 +836,28 @@ class DenseArray(Array):
             # dense QC fill semantics (P11): keep shape, non-matching -> fill
             cells = cells.withColumn("__match", ccond)
         grid, shape = self._domain_df(ranges)
-        dims = self.schema.dim_names
-        joined = grid.join(cells, on=dims, how="left")
-        proj = [F.col(d) for d in dims]
-        for an in attr_names:
-            a = self.schema.attr(an)
-            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None else None
-            c = F.col(an)
-            if ccond is not None:
-                c = F.when(F.col("__match"), c)
-            if not a.nullable and fill is not None:
-                c = F.coalesce(c, F.lit(fill))
-            proj.append(c.alias(an))
-        return joined.select(*proj), shape
+        # dims requested via attrs= come from the grid side once, not
+        # twice (the aggregation path's P2 convention)
+        names = list(self.schema.dim_names) + [
+            a for a in attr_names if not self.schema.has_dim(a)]
+        return dense_fill_join(
+            self.schema, grid, cells, names,
+            match_col="__match" if ccond is not None else None), shape
 
     def dataframe(self, attrs=None, dims=None, cond=None,
                   timestamp=None, selection=slice(None)) -> DataFrame:
         """Spark-native DENSE read: every cell of the requested subarray
         (default: the whole clamped domain) with unwritten cells
         materialized as fill values — the DataFrame twin of ``A[...]``."""
-        if timestamp is not None:
-            saved, self.timestamp = self.timestamp, timestamp
-            try:
-                return self.dataframe(attrs=attrs, dims=dims, cond=cond,
-                                      selection=selection)
-            finally:
-                self.timestamp = saved
-        ranges, _drop, _steps = self.subarray_to_ranges(selection)
-        attr_names = list(attrs) if attrs is not None else (
-            [self.view_attr] if self.view_attr else self.schema.attr_names)
-        df, _shape = self._dense_frame(ranges, attr_names, cond)
-        if dims is not None:
-            keep = list(dims) + attr_names
-            df = df.select(*keep)
-        return df
+        with self._at_timestamp(timestamp):
+            ranges, _drop, _steps = self.subarray_to_ranges(selection)
+            attr_names = list(attrs) if attrs is not None else (
+                [self.view_attr] if self.view_attr else self.schema.attr_names)
+            df, _shape = self._dense_frame(ranges, attr_names, cond)
+            if dims is not None:
+                keep = list(dims) + attr_names
+                df = df.select(*keep)
+            return df
 
     def _scatter_eligible(self, attr_names) -> bool:
         """The dense read fast path covers the common case: no query
@@ -1291,22 +1320,8 @@ class Aggregation:
             # fill); schema.attr(dim) would KeyError
             plan.attrs = [k for k in spec if not schema.has_dim(k)]
             cells = arr._execute(plan)
-            grid = arr._multi_grid(ranges)
-            dims = list(schema.dim_names)
-            joined = grid.join(cells, on=dims, how="left")
-            proj = []
-            for an in spec:
-                if schema.has_dim(an):
-                    proj.append(F.col(an))
-                    continue
-                a = schema.attr(an)
-                fill = stored_scalar(a.fill, a.dtype) \
-                    if a.fill is not None else None
-                c = F.col(an)
-                if not a.nullable and fill is not None:
-                    c = F.coalesce(c, F.lit(fill))
-                proj.append(c.alias(an))
-            df = joined.select(*proj)
+            df = dense_fill_join(schema, arr._multi_grid(ranges), cells,
+                                 list(spec))
         else:
             plan.attrs = [k for k in spec if not schema.has_dim(k)]
             plan.dims = [k for k in spec if schema.has_dim(k)]
@@ -1404,21 +1419,12 @@ class MultiRangeIndexer:
         plan = self.query._plan(ranges)
         plan.dims = schema.dim_names  # the fill join needs every coord
         cells = arr._execute(plan)
-        grid = arr._multi_grid(ranges)
         dims = list(schema.dim_names)
-        attr_names = list(plan.attrs) if plan.attrs is not None \
-            else list(schema.attr_names)
-        joined = grid.join(cells, on=dims, how="left")
-        proj = [F.col(d) for d in dims]
-        for an in attr_names:
-            a = schema.attr(an)
-            fill = stored_scalar(a.fill, a.dtype) if a.fill is not None \
-                else None
-            c = F.col(an)
-            if not a.nullable and fill is not None:
-                c = F.coalesce(c, F.lit(fill))
-            proj.append(c.alias(an))
-        out = joined.select(*proj).orderBy(*dims)
+        attr_names = [a for a in (plan.attrs if plan.attrs is not None
+                                  else schema.attr_names)
+                      if not schema.has_dim(a)]
+        out = dense_fill_join(schema, arr._multi_grid(ranges), cells,
+                              dims + attr_names).orderBy(*dims)
         # honor the query's result-shape options like the sparse path
         # does — silently ignoring them returned the wrong type
         if self.query is not None and self.query.return_incomplete:
