@@ -474,6 +474,35 @@ def test_ann_auto_geometry(spark):
         IVFIndex(n_cells=-3).fit(df, "v")
 
 
+def test_ann_auto_m(spark):
+    """Data-dependent PQ subspace count (VERDICT r12 item 5 follow-on:
+    the recall-floor tool measured the old fixed m=8/n_codes=16
+    defaults at 0.34 recall@10 over 200k vectors — coarse codes poison
+    even the rerank shortlist): m="auto" resolves at fit to dim-sized
+    subspaces, resolved ints round-trip through to_json."""
+    from tiledb_py_spark.operators.similarity import (IVFPQIndex, PQIndex,
+                                                      auto_m)
+
+    assert auto_m(64) == 16       # 4-dim subspaces
+    assert auto_m(128) == 32      # cap
+    assert auto_m(100) == 25      # largest divisor <= dim/4
+    assert auto_m(8) == 2
+    assert auto_m(12) == 3
+    assert auto_m(7) == 1         # prime dim: 1 subspace, still valid
+
+    rng = np.random.RandomState(6)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(300)], ["vec_id", "v"])
+    pq = PQIndex().fit(df, "v")              # m="auto", n_codes=64
+    assert pq.m == 2 and pq.n_codes == 64
+    assert PQIndex.from_json(pq.to_json()).m == 2
+    ivfpq = IVFPQIndex(n_cells=4, n_probe=4).fit(df, "v")
+    assert ivfpq.m == 2
+    assert IVFPQIndex.from_json(ivfpq.to_json()).m == 2
+    with pytest.raises(ValueError, match="m must be"):
+        PQIndex(m=-2).fit(df, "v")
+
+
 def test_token_count(docs):
     from tiledb_py_spark.operators.text import whitespace_token_count
 

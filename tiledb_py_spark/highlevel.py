@@ -227,14 +227,18 @@ def vacuum(uri: str, **kwargs):
 def build_ann_index(uri: str, vec_col: str, name: str = "default",
                     spark=None, n_cells="auto", n_probe="auto",
                     metric: str = "cosine", seed: int = 42, *,
-                    kind: str = "ivf", m: int = 8, n_codes: int = 16,
+                    kind: str = "ivf", m="auto", n_codes: int = 64,
                     id_col: Optional[str] = None):
     """Fit an ANN index over a stored embedding array and persist it into
     the array's manifest metadata — fit once, search forever.
     ``n_cells``/``n_probe`` default to ``"auto"``: the cell count is
     sized to the corpus at fit time (~sqrt(n), bounded — a fixed count
     makes per-probe scan volume grow linearly with corpus size) and the
-    probe count couples to the resolved geometry; pass ints to pin.
+    probe count couples to the resolved geometry; ``m`` defaults to
+    ``"auto"`` (dim-sized subspaces at fit time) with ``n_codes=64``
+    codebooks — the measured scale recipe (m=8/n_codes=16 read 0.34
+    recall@10 at 200k vectors even with reranking,
+    ``tools/ann_recall_floor.py``).  Pass ints to pin.
     ``kind="ivf"`` trains cell centroids (``__ivf_index:<name>``,
     probe-pruned search); ``kind="pq"`` trains product-quantization
     codebooks (``__pq_index:<name>``, m-byte codes + ADC search);
