@@ -279,11 +279,18 @@ class Array:
 
     def _scan_df(self, dim_ranges: Optional[Sequence[DimRanges]] = None,
                  keep_frag_ts: bool = False,
-                 fragments: Optional[set] = None) -> DataFrame:
+                 fragments: Optional[set] = None,
+                 max_delete_ts: Optional[int] = None) -> DataFrame:
         """Fragment-pruned union scan with deletes + duplicate resolution.
         ``keep_frag_ts`` retains the fragment-order column for 'G'
         (global-order) reads.  ``fragments`` restricts the scan to the
-        named write fragments (partial consolidation)."""
+        named write fragments (partial consolidation).
+        ``max_delete_ts`` excludes delete fragments committed after that
+        ms — partial consolidation passes its product timestamp so a
+        LATER delete is never materialized into a product stamped
+        earlier (which would corrupt post-write/pre-delete timestamped
+        opens; the un-materialized delete stays live and anti-applies
+        on read instead)."""
         m = self._manifest
         frs = m.live_fragments(self.timestamp)
         if fragments is not None:
@@ -300,6 +307,9 @@ class Array:
         if not frs:
             return self._empty_df()
         deletes = m.delete_fragments_visible(self.timestamp)
+        if max_delete_ts is not None:
+            deletes = [d for d in deletes
+                       if d.timestamp_range[0] <= max_delete_ts]
         need_dedup = (not self.schema.allows_duplicates) and len(frs) > 1
         need_frag_ts = bool(deletes) or need_dedup or keep_frag_ts
 

@@ -104,12 +104,17 @@ def changelog(uri: str, ts1: int, ts2: int, spark=None,
         paths = [mf.fragment_path(uri, f.name) for f in delta]
         keys = (spark.read.schema(schema.spark_schema()).parquet(*paths)
                 .select(*dims))
-    for dfrag in win_deletes:
-        cond = a_old._compile_cond(dfrag.delete_condition)
-        if cond is None:
-            continue
-        k = a_old._scan_df().filter(F.coalesce(cond, F.lit(False))) \
-            .select(*dims)
+    # ONE ts1-snapshot scan for ALL windowed deletes (OR of the
+    # conditions) — per-delete scans multiplied the full snapshot read
+    # by the number of delete commits in the window, breaking the
+    # "cost proportional to the CHANGE volume" contract
+    conds = [a_old._compile_cond(f.delete_condition) for f in win_deletes]
+    conds = [F.coalesce(c, F.lit(False)) for c in conds if c is not None]
+    if conds:
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+        k = a_old._scan_df().filter(pred).select(*dims)
         keys = k if keys is None else keys.unionByName(k)
     if keys is None:
         return empty

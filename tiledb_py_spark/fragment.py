@@ -200,11 +200,16 @@ def consolidate(uri: str, timestamp=None, spark=None,
     typically a :class:`ConsolidationPlan` node) restricts the rewrite to
     the named write fragments — full paths or bare ``__ts1_ts2_...``
     names.  Delete fragments then stay live (they still govern the
-    untouched fragments); their effect on the folded subset is
-    materialized, and re-application to the new fragment on read is a
-    no-op.  Like the reference, consolidate timestamp-adjacent fragments
-    (a plan node) — folding around an interleaved unfolded fragment can
-    reorder same-millisecond last-write-wins ties."""
+    untouched fragments); only deletes committed AT OR BEFORE the
+    product's timestamp are materialized into the folded subset (their
+    re-application on read is a no-op).  A delete committed AFTER every
+    folded write is deliberately NOT materialized: the product is
+    stamped at the write-only max ts, so baking a later delete in would
+    make a post-write/pre-delete timestamped open see post-delete data
+    — that delete stays live and anti-applies on read.  Like the
+    reference, consolidate timestamp-adjacent fragments (a plan node) —
+    folding around an interleaved unfolded fragment can reorder
+    same-millisecond last-write-wins ties."""
     from .array import Array
     from .sources.fragment_writer import write_fragment_spark
 
@@ -216,8 +221,10 @@ def consolidate(uri: str, timestamp=None, spark=None,
                   if f.name in names]
         if not folded:
             return uri
-        df = arr._scan_df(fragments=names)  # deletes applied, dedup within
         ts_end = max(f.timestamp_range[1] for f in folded)
+        # dedup within subset; deletes up to ts_end applied (later
+        # deletes stay live — see docstring)
+        df = arr._scan_df(fragments=names, max_delete_ts=ts_end)
     else:
         folded = (m.live_fragments(arr.timestamp)
                   + m.delete_fragments_visible(arr.timestamp))
@@ -244,18 +251,27 @@ def consolidate(uri: str, timestamp=None, spark=None,
 def vacuum(uri: str) -> int:
     """Drop superseded fragment records from the manifest, then remove
     fragment directories no longer referenced (reference vacuum removes
-    consolidated fragment files)."""
+    consolidated fragment files).
+
+    Only directories that were COMMITTED in some manifest version are
+    removable.  A directory unknown to every manifest version is an
+    in-flight concurrent write (fragment parquet lands on disk BEFORE
+    its manifest record commits) — rmtree'ing it would destroy that
+    writer's data the moment its commit landed; such dirs are left
+    alone (a crashed write's orphan dir costs disk, never
+    correctness)."""
     def _purge(man):
         man.fragments = [f for f in man.fragments if f.superseded_by is None]
 
     m = mf.commit(uri, _purge)
     live = {f.name for f in m.fragments}
+    ever = mf.all_fragment_names(uri)
     removed = 0
     fdir = mf.fragments_dir(uri)
     if not os.path.isdir(fdir):
         return 0
     for name in os.listdir(fdir):
-        if name not in live:
+        if name not in live and name in ever:
             shutil.rmtree(os.path.join(fdir, name), ignore_errors=True)
             removed += 1
     return removed
@@ -280,12 +296,61 @@ def delete_fragments(uri: str, ts_start: int, ts_end: int) -> int:
     return len(dropped)
 
 
+def _fragments_to_copy(m: "mf.Manifest", lo, hi) -> list:
+    """Records (writes AND deletes) that must travel when copying the
+    window [lo, hi] — shared by :func:`copy_fragments_to_existing_array`
+    and :func:`create_array_from_fragments` so their selection cannot
+    drift.
+
+    A fragment travels iff it is in-window AND its data has no newer
+    carrier that also travels.  A superseded fragment whose
+    consolidation product falls OUTSIDE [lo, hi] is the ONLY carrier of
+    its window's data — skipping it unconditionally (the pre-r12
+    behavior) silently dropped that window even though a timestamped
+    open of the source reconstructs it; recursive because the product
+    may itself be folded into a still-later out-of-window
+    consolidation.  DELETE fragments follow the same rule: a delete
+    materialized by a traveling product is already inside that
+    product's rows; an unmaterialized in-window delete must travel or
+    its removed rows silently RESURRECT in the destination."""
+    by_name = {f.name: f for f in m.fragments}
+    memo: dict = {}
+
+    def _in_window(f):
+        t0, t1 = f.timestamp_range
+        return lo <= t0 and t1 <= hi
+
+    def _will_copy(f):
+        if f.name in memo:
+            return memo[f.name]
+        memo[f.name] = False  # cycle guard
+        if _in_window(f):
+            if f.superseded_by is None:
+                memo[f.name] = True
+            else:
+                prod = by_name.get(f.superseded_by)
+                memo[f.name] = not (prod is not None and _will_copy(prod))
+        return memo[f.name]
+
+    return [f for f in m.fragments if _will_copy(f)]
+
+
+def _copy_fragment_dir(src_uri: str, dst_uri: str, f: FragmentRecord) -> None:
+    """Copy a fragment's data directory if it has one (delete fragments
+    are manifest-record-only: a condition, no parquet)."""
+    p = mf.fragment_path(src_uri, f)
+    if os.path.isdir(p):
+        shutil.copytree(p, mf.fragment_path(dst_uri, f))
+
+
 def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
                                      timestamp_range, verbose: bool = False,
                                      dry_run: bool = False) -> list:
     """Copy fragments in ``timestamp_range`` (inclusive) from one EXISTING
     array to another with an identical schema (reference
-    ``fragment.py:387-510``).  Returns the copied fragment names."""
+    ``fragment.py:387-510``).  Returns the copied fragment names.
+    Selection (out-of-window consolidation carriers, delete fragments)
+    follows :func:`_fragments_to_copy`."""
     if not mf.array_exists(dst_uri):
         raise FileNotFoundError(f"Array URI `{dst_uri}` does not exist")
     if not (isinstance(timestamp_range, tuple) and len(timestamp_range) == 2):
@@ -298,66 +363,37 @@ def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
             "source and destination array schemas must be identical")
     lo, hi = timestamp_range
     existing = {f.name for f in dst.fragments}
-    picked = [f for f in src.fragments
-              if f.kind == "write" and f.superseded_by is None
-              and lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi
-              and f.name not in existing]
+    picked = [f for f in _fragments_to_copy(src, lo, hi)
+              if f.name not in existing]
     if verbose or dry_run:
         for f in picked:
             print(f"copy {mf.fragment_path(src_uri, f)} -> "
                   f"{mf.fragment_path(dst_uri, f)}")
     if dry_run:
         return [f.name for f in picked]
+    # clear superseded_by: the product a record points at may not be
+    # copied, and a record still marked superseded would be hidden from
+    # FragmentInfoList and DELETED by the first vacuum() on dst
+    records = [dataclasses.replace(f, superseded_by=None) for f in picked]
     for f in picked:
-        shutil.copytree(mf.fragment_path(src_uri, f),
-                        mf.fragment_path(dst_uri, f))
-    mf.commit(dst_uri, lambda man: man.fragments.extend(picked))
+        _copy_fragment_dir(src_uri, dst_uri, f)
+    mf.commit(dst_uri, lambda man: man.fragments.extend(records))
     return [f.name for f in picked]
 
 
 def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> str:
     """Copy fragments in a timestamp range to a new array
-    (reference ``fragment.py:273-510``)."""
+    (reference ``fragment.py:273-510``).  Selection (out-of-window
+    consolidation carriers, delete fragments) follows
+    :func:`_fragments_to_copy`."""
     m = mf.read_manifest(old_uri)
     if mf.array_exists(new_uri):
         raise FileExistsError(new_uri)
     mf.create_array(new_uri, m.schema)
     lo, hi = timestamp_range
-    by_name = {f.name: f for f in m.fragments}
-    memo: dict = {}
-
-    def _in_window(f):
-        t0, t1 = f.timestamp_range
-        return f.kind == "write" and lo <= t0 and t1 <= hi
-
-    def _will_copy(f):
-        # A fragment travels iff it is in-window AND its data has no
-        # newer carrier that also travels.  A superseded fragment whose
-        # consolidation product falls OUTSIDE [lo, hi] is the ONLY
-        # carrier of its window's data — skipping it unconditionally
-        # (the pre-r12 behavior) silently dropped that window from the
-        # new array even though a timestamped open of the source would
-        # reconstruct it.  Recursive: the product may itself be folded
-        # into a still-later out-of-window consolidation.
-        if f.name in memo:
-            return memo[f.name]
-        memo[f.name] = False  # cycle guard
-        if _in_window(f):
-            if f.superseded_by is None:
-                memo[f.name] = True
-            else:
-                prod = by_name.get(f.superseded_by)
-                memo[f.name] = not (prod is not None and _will_copy(prod))
-        return memo[f.name]
-
     copied = []
-    for f in m.fragments:
-        if _will_copy(f):
-            shutil.copytree(mf.fragment_path(old_uri, f), mf.fragment_path(new_uri, f))
-            # clear superseded_by on the copied record: the product it
-            # points at is not being copied, and a record still marked
-            # superseded would be hidden from FragmentInfoList and
-            # DELETED by the first vacuum() on the new array
-            copied.append(dataclasses.replace(f, superseded_by=None))
+    for f in _fragments_to_copy(m, lo, hi):
+        _copy_fragment_dir(old_uri, new_uri, f)
+        copied.append(dataclasses.replace(f, superseded_by=None))
     mf.commit(new_uri, lambda man: man.fragments.extend(copied))
     return new_uri

@@ -106,13 +106,53 @@ def label_path(uri: str, name: str) -> str:
     return os.path.join(uri, LABELS_DIR, name)
 
 
+def _label_file(uri: str, name: str) -> str:
+    """Path of the label table, completing a crashed swap first: if a
+    previous :func:`_swap_in` died between its two renames, the live
+    path is missing and the ``.old`` sibling holds the only committed
+    copy — rename it back so readers AND the next writer's
+    read-modify-write see the durable table instead of KeyError /
+    silently merging against nothing."""
+    f = os.path.join(label_path(uri, name), "labels.parquet")
+    old = f + ".old"
+    if not os.path.exists(f) and os.path.exists(old):
+        os.rename(old, f)
+    return f
+
+
+def _swap_in(staged: str, live: str) -> None:
+    """Replace the live label table with ``staged`` without a window
+    where NO table exists (the old rmtree-then-rename left exactly that
+    window — a crash there lost the whole table): live -> .old,
+    staged -> live, drop .old.  A crash between the renames leaves
+    ``.old`` intact; :func:`_label_file` completes the swap backward.
+    Single-writer per label table (the write_label_* contract)."""
+    import shutil
+
+    old = live + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)          # stale leftover of a COMPLETED swap
+    elif os.path.exists(old):
+        os.remove(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staged, live)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        try:
+            os.remove(old)
+        except OSError:
+            pass
+
+
 def write_label_data(uri: str, name: str, coords: np.ndarray,
                      labels: np.ndarray) -> None:
     """Upsert label values for the given dim coordinates."""
     d = label_path(uri, name)
     os.makedirs(d, exist_ok=True)
     pdf = pd.DataFrame({"__coord": coords, "__label": labels})
-    f = os.path.join(d, "labels.parquet")
+    f = _label_file(uri, name)
     if os.path.exists(f):
         old = pd.read_parquet(f)
         old = old[~old["__coord"].isin(pdf["__coord"])]
@@ -122,11 +162,10 @@ def write_label_data(uri: str, name: str, coords: np.ndarray,
     pdf.to_parquet(tmp, index=False)
     if os.path.isdir(f):
         # the distributed path (write_label_dataframe) leaves a parquet
-        # DIRECTORY; os.replace cannot rename a file over it
-        import shutil
-
-        shutil.rmtree(f)
-    os.replace(tmp, f)
+        # DIRECTORY; swap via the crash-safe rename dance
+        _swap_in(tmp, f)
+    else:
+        os.replace(tmp, f)   # plain file over plain file: atomic
 
 
 def write_label_dataframe(uri: str, name: str, df) -> None:
@@ -141,7 +180,7 @@ def write_label_dataframe(uri: str, name: str, df) -> None:
 
     d = label_path(uri, name)
     os.makedirs(d, exist_ok=True)
-    f = os.path.join(d, "labels.parquet")
+    f = _label_file(uri, name)
     new = df.select(F.col("__coord"), F.col("__label"))
     if os.path.exists(f):
         spark = df.sparkSession
@@ -150,32 +189,30 @@ def write_label_dataframe(uri: str, name: str, df) -> None:
         new = keep.unionByName(new)
     # labels.parquet may be a single file (write_label_data compat path)
     # or a parquet directory (this path) — pandas and Spark read both.
-    import shutil
-
     out_dir = f + ".staged"
     new.sortWithinPartitions("__coord").write.mode("overwrite").parquet(out_dir)
     for n in os.listdir(out_dir):  # _SUCCESS/.crc markers break pandas readers
         if not n.endswith(".parquet"):
             os.remove(os.path.join(out_dir, n))
-    if os.path.isdir(f):
-        shutil.rmtree(f)
-    elif os.path.exists(f):
-        os.remove(f)
-    os.rename(out_dir, f)
+    _swap_in(out_dir, f)   # crash-safe: never a no-table window
 
 
 def read_label_data(uri: str, name: str) -> pd.DataFrame:
-    f = os.path.join(label_path(uri, name), "labels.parquet")
+    f = _label_file(uri, name)   # completes a crashed swap if needed
     if not os.path.exists(f):
         raise KeyError(f"no data written for dimension label {name!r}")
     return pd.read_parquet(f)
 
 
-def resolve_label_selection(uri: str, name: str, sel) -> tuple[Optional[tuple], np.ndarray]:
+def resolve_label_selection(uri: str, name: str, sel) -> tuple[Optional[tuple], np.ndarray, np.ndarray]:
     """Label-space selection -> (inclusive coord interval or None-if-empty,
-    label values in coord order).  ``sel`` is a scalar or an inclusive
-    slice in LABEL space (multi_index semantics, steps unsupported —
-    reference labels reject stepped slices too)."""
+    label values in coord order, matching coords in the same order).
+    ``sel`` is a scalar or an inclusive slice in LABEL space
+    (multi_index semantics, steps unsupported — reference labels reject
+    stepped slices too).  The coords column lets callers align labels
+    PER RESULT CELL (a coord can hold several cells on a
+    multi-dim/duplicate-allowing array, and a coord inside the interval
+    can hold none)."""
     pdf = read_label_data(uri, name)
     lab = pdf["__label"]
     if isinstance(sel, slice):
@@ -192,9 +229,12 @@ def resolve_label_selection(uri: str, name: str, sel) -> tuple[Optional[tuple], 
         mask = lab == sel
     hit = pdf[mask]
     if len(hit) == 0:
-        return None, np.array([], dtype=pdf["__label"].dtype)
+        return (None, np.array([], dtype=pdf["__label"].dtype),
+                np.array([], dtype=pdf["__coord"].dtype))
     coords = hit["__coord"]
-    return (coords.min(), coords.max()), hit.sort_values("__coord")["__label"].to_numpy()
+    hit = hit.sort_values("__coord")
+    return ((coords.min(), coords.max()), hit["__label"].to_numpy(),
+            hit["__coord"].to_numpy())
 
 
 class LabelIndexer:
@@ -266,7 +306,7 @@ class LabelIndexer:
                     ranges.append(DimRanges(name=d.name, intervals=[(lo, hi)]))
                 continue
             lbl = self._by_dim[i]
-            f = os.path.join(label_path(arr.uri, lbl), "labels.parquet")
+            f = _label_file(arr.uri, lbl)
             if not os.path.exists(f):
                 raise KeyError(f"no data written for dimension label {lbl!r}")
             ldf = arr.spark.read.parquet(f)
@@ -312,14 +352,17 @@ class LabelIndexer:
 
         ranges: list[DimRanges] = []
         label_values: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        label_maps: dict = {}   # lbl -> (dim_name, coords, interval)
         coord_slices = []
         empty = False
         ned = arr.nonempty_domain()
         for i, (d, sel) in enumerate(zip(schema.domain, idx)):
             if i in self._by_dim:
                 lbl = self._by_dim[i]
-                interval, vals = resolve_label_selection(arr.uri, lbl, sel)
+                interval, vals, coords = resolve_label_selection(
+                    arr.uri, lbl, sel)
                 label_values[lbl] = vals
+                label_maps[lbl] = (d.name, coords, interval)
                 if interval is None:
                     empty = True
                     coord_slices.append(slice(0, 0))
@@ -365,12 +408,51 @@ class LabelIndexer:
             pdf = df.toPandas()
             from .materialize import pdf_to_numpy_dict
 
-            out = OrderedDict(label_values)
-            out.update(pdf_to_numpy_dict(pdf, schema, list(pdf.columns)))
+            cells = pdf_to_numpy_dict(pdf, schema, list(pdf.columns))
+            # Align labels PER RESULT CELL (coord -> label lookup on the
+            # cell's own dim coordinate): positional pairing holds only
+            # when every labeled coord carries exactly one cell — a
+            # 2-D / duplicate-allowing array (several cells per coord)
+            # or a label row whose coord has no cells silently
+            # row-misaligned every following label value.
+            out = OrderedDict()
+            for lbl, vals in label_values.items():
+                dim_name, coords, _ = label_maps[lbl]
+                lut = dict(zip(coords.tolist(), vals.tolist()))
+                cell_coords = cells.get(dim_name)
+                if cell_coords is None or len(cell_coords) == 0:
+                    out[lbl] = np.array([], dtype=vals.dtype)
+                    continue
+                missing = [c for c in dict.fromkeys(cell_coords.tolist())
+                           if c not in lut]
+                if missing:
+                    raise KeyError(
+                        f"dimension label {lbl!r} has no entry for "
+                        f"{len(missing)} scanned coordinate(s) of "
+                        f"{dim_name!r} (e.g. {missing[:3]}); label "
+                        "tables must cover every labeled coordinate")
+                out[lbl] = np.array([lut[c] for c in cell_coords.tolist()],
+                                    dtype=vals.dtype)
+            out.update(cells)
             return out
 
         # dense: reuse the fill-join subarray read, shape preserved
         out = OrderedDict(label_values)
+        for lbl, vals in label_values.items():
+            dim_name, _coords, interval = label_maps[lbl]
+            if interval is None:
+                continue
+            lo, hi = interval
+            span = int(hi) - int(lo) + 1
+            if len(vals) != span:
+                # the dense grid materializes EVERY coord in [lo, hi];
+                # a label table with holes would positionally misalign
+                # the label axis against the grid — refuse loudly
+                raise KeyError(
+                    f"dimension label {lbl!r} covers {len(vals)} of "
+                    f"{span} coordinates in [{lo}, {hi}]; dense label "
+                    "reads need a gap-free label table over the "
+                    "matched interval")
         if empty:
             for a in schema.attr_names:
                 out[a] = np.empty(tuple(0 for _ in range(schema.ndim)),

@@ -359,6 +359,26 @@ def commit(uri: str, mutate) -> Manifest:
     raise RuntimeError(f"manifest commit contention at {uri}")
 
 
+def all_fragment_names(uri: str) -> set:
+    """Union of fragment names across EVERY manifest version — the
+    "ever committed" set.  vacuum() uses it to distinguish a
+    consolidated-away / dropped fragment directory (removable) from an
+    in-flight concurrent writer's staged directory (untouchable: its
+    parquet exists before its manifest record).  O(#versions) JSON
+    reads — a maintenance-path cost, never on the query path."""
+    d = manifest_dir(uri)
+    names: set = set()
+    for n in os.listdir(d):
+        if not (n.startswith("manifest_v") and n.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(d, n)) as f:
+                names.update(fr["name"] for fr in json.load(f)["fragments"])
+        except (OSError, ValueError, KeyError):
+            continue   # torn/partial version file: contribute nothing
+    return names
+
+
 def create_array(uri: str, schema: ArraySchema) -> Manifest:
     """Create an empty array (reference ``Array.create``,
     ``array.py:388-432``)."""

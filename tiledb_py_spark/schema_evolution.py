@@ -32,7 +32,20 @@ class ArraySchemaEvolution:
         self._timestamp: Optional[int] = None
 
     def timestamp(self, ts: int) -> None:
-        self._timestamp = ts
+        """UNSUPPORTED (loud refusal, the ``key=`` posture): the
+        reference stamps an evolution at ``ts`` so older timestamped
+        opens see the pre-evolution schema.  This engine resolves the
+        schema from the LATEST manifest for every open (fragments carry
+        ``schema_version`` for fill semantics, but schema visibility is
+        not time-indexed), so a requested timestamp would be silently
+        ignored — evolution visibility would differ from the reference
+        with no error.  Refuse rather than mislead."""
+        raise NotImplementedError(
+            "ArraySchemaEvolution.timestamp() is not supported: schema "
+            "visibility is not time-indexed in this engine (opens always "
+            "use the latest schema; fragment-level fill semantics are "
+            "preserved via schema_version). Evolve without a timestamp, "
+            "or snapshot the array first (create_array_from_fragments).")
 
     def add_attribute(self, attr: Attr) -> None:
         self._adds.append(attr)
@@ -76,7 +89,12 @@ class ArraySchemaEvolution:
                     raise ValueError("extend_enumeration must preserve existing values as a prefix")
                 schema.enums[name] = Enumeration(name, old.ordered, values)
             for name in self._enum_drops:
-                if any(a.enum_label == name for a in schema.attrs_list):
+                # reference check against the POST-drop attr list: the
+                # reference applies ops in call order, so dropping an
+                # attr and its enumeration in ONE evolution is legal —
+                # a fixed enum-drops-first order must not reject it
+                if any(a.enum_label == name for a in schema.attrs_list
+                       if a.name not in self._drops):
                     raise ValueError(f"enumeration {name!r} still referenced")
                 del schema.enums[name]
             for a in self._adds:
