@@ -89,6 +89,57 @@ class _Split(InputPartition):
     # A coordinate lives in exactly one slice, so per-slice merges are
     # independent and the component regains parallelism + bounded memory.
     group_range: tuple = ()
+    # schema-evolution support: the declared arrow schema (pa.Schema,
+    # picklable) + per-attr fill values — fragments written before an
+    # attribute existed lack its column; the task adds it back as
+    # fill/null (the native path's _fill_evolved, array.py:225-241)
+    arrow_schema: object = None
+    fills: tuple = ()
+
+
+def _preds_to_expr(predicates, available=None):
+    """Conjunctive (col, op, val) predicates -> one pyarrow Expression
+    (None = no filter).  ``available``: column names present in the
+    file — predicates on a column the fragment predates are SKIPPED
+    (safe: pushFilters declares every filter unsupported, so Spark
+    re-applies them all after the scan)."""
+    import pyarrow.compute as pc
+
+    expr = None
+    for col, op, val in predicates:
+        if available is not None and col not in available:
+            continue
+        if op == "in":
+            f = pc.field(col).isin(list(val))
+        else:
+            f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
+                 ">=": pc.field(col) >= val, "<": pc.field(col) < val,
+                 "<=": pc.field(col) <= val}[op]
+        expr = f if expr is None else expr & f
+    return expr
+
+
+def _conform_table(tbl, target, fills=()):
+    """Align one fragment's table to the declared arrow schema:
+    pre-evolution fragments lack added columns — materialize them as
+    the attr's fill value (non-nullable evolved attrs, mirroring
+    Array._fill_evolved) or nulls, then cast column types.  A table
+    already matching the target passes through with one cast."""
+    import pyarrow as pa
+
+    fill_map = dict(fills)
+    cols = []
+    names = set(tbl.column_names)
+    for field in target:
+        if field.name in names:
+            cols.append(tbl[field.name])
+        else:
+            fv = fill_map.get(field.name)
+            if fv is not None:
+                cols.append(pa.array([fv] * tbl.num_rows).cast(field.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, field.type))
+    return pa.table(dict(zip([f.name for f in target], cols))).cast(target)
 
 
 @dataclass
@@ -126,17 +177,36 @@ class TileDBDataSource(DataSource):
         sb = self.options.get("lww_split_bytes")
         return TileDBReader(self._uri(), int(ts) if ts is not None else None,
                             lww_group_threshold=int(thr) if thr is not None else 8,
-                            lww_split_bytes=int(sb) if sb is not None else 1 << 30)
+                            lww_split_bytes=int(sb) if sb is not None else 1 << 30,
+                            spark_schema=schema)
 
     def streamReader(self, schema: StructType) -> "TileDBStreamReader":
         return TileDBStreamReader(self._uri(), schema)
+
+    def _check_write_columns(self, uri: str, schema: StructType) -> None:
+        """Plan-time refusal of writes missing schema columns — the
+        write_fragment_pandas contract (fragment_writer.py): a silently
+        dropped dim/attr commits a fragment that reads back NULL for
+        that column (lost coordinates for dims)."""
+        from .. import manifest as mf
+
+        s = mf.read_manifest(uri).schema
+        cols = s.dim_names + s.attr_names
+        have = list(schema.fieldNames())
+        absent = [c for c in cols if c not in have]
+        if absent:
+            raise ValueError(
+                f"write is missing schema columns {absent}; every dim "
+                f"and attr must be present (have: {have})")
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
             raise NotImplementedError(
                 "overwrite mode not supported; fragments are append-only "
                 "(use consolidate/vacuum to rewrite)")
-        return TileDBWriter(self._uri())
+        uri = self._uri()
+        self._check_write_columns(uri, schema)
+        return TileDBWriter(uri)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "TileDBStreamWriter":
@@ -144,7 +214,9 @@ class TileDBDataSource(DataSource):
             raise NotImplementedError(
                 "overwrite mode not supported; fragments are append-only "
                 "(use consolidate/vacuum to rewrite)")
-        return TileDBStreamWriter(self._uri())
+        uri = self._uri()
+        self._check_write_columns(uri, schema)
+        return TileDBStreamWriter(uri)
 
 
 _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -154,11 +226,13 @@ _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
 class TileDBReader(DataSourceReader):
     def __init__(self, uri: str, timestamp: Optional[int],
                  lww_group_threshold: int = 8,
-                 lww_split_bytes: int = 1 << 30):
+                 lww_split_bytes: int = 1 << 30,
+                 spark_schema: Optional[StructType] = None):
         self.uri = uri
         self.timestamp = timestamp
         self.lww_group_threshold = lww_group_threshold
         self.lww_split_bytes = lww_split_bytes
+        self.spark_schema = spark_schema
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
@@ -220,25 +294,60 @@ class TileDBReader(DataSourceReader):
         m = mf.read_manifest(self.uri)
         schema = m.schema
         frs = m.live_fragments(self.timestamp)
+        # current-domain clamp: the indexer read surface restricts open
+        # reads to the box (indexing.py clamp); the datasource applies
+        # the same bounds as predicates (pruning + row filter) so the
+        # two documented read surfaces agree on the array's contents
+        for dname, (clo, chi) in (schema.current_domain_box() or {}).items():
+            for bound, op in ((clo, ">="), (chi, "<=")):
+                if bound is None:
+                    continue
+                if hasattr(bound, "item"):
+                    bound = bound.item()
+                self._preds.append((dname, op, bound))
         ranges = self._dim_ranges(schema)
         if ranges:
             frs = [f for f in frs
                    if mbr_intersects(ranges, _decode_mbr(schema, f.nonempty_domain))]
         deletes = m.delete_fragments_visible(self.timestamp)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..datatypes import stored_scalar
+
+        arrow_schema = to_arrow_schema(
+            self.spark_schema if self.spark_schema is not None
+            else schema.spark_schema())
+        fills = tuple(
+            (a.name, stored_scalar(a.fill, a.dtype))
+            for a in schema.attrs_list
+            if a.fill is not None and not a.nullable
+            and a.name in {f.name for f in arrow_schema})
+
+        _files_cache: dict = {}
+        _dels_cache: dict = {}
 
         def frag_files(f) -> list:
+            got = _files_cache.get(f.name)
+            if got is not None:
+                return got
             out = []
             for root, _dirs, files in os.walk(mf.fragment_path(self.uri, f)):
                 for fn in sorted(files):
                     if fn.endswith(".parquet"):
                         out.append(os.path.join(root, fn))
+            _files_cache[f.name] = out
             return out
 
         def frag_deletes(f) -> tuple:
+            got = _dels_cache.get(f.name)
+            if got is not None:
+                return got
             # deletes apply to cells written at or before the delete's ts
-            return tuple(
+            out = tuple(
                 d.delete_condition for d in deletes
                 if d.timestamp_range[0] >= f.timestamp_range[0] and d.delete_condition)
+            _dels_cache[f.name] = out
+            return out
 
         # commit order for last-write-wins (same total order as
         # Array._scan_df: timestamp, manifest order for same-ms ties —
@@ -293,11 +402,16 @@ class TileDBReader(DataSourceReader):
             for members in comps.values():
                 if (len(members) > 1
                         and max(newer_count[i] for i in members) > self.lww_group_threshold):
+                    # newest first; same-ms ties break by MANIFEST order
+                    # (the list index — frs is stably ts-sorted), never
+                    # the random uuid name, matching the per-split path
+                    # and Array._scan_df's frag_order_key (a name
+                    # tie-break flips LWW for ~half of same-ms pairs)
                     entries = tuple(
                         (tuple(frag_files(frs[i])), frag_deletes(frs[i]))
                         for i in sorted(
                             members,
-                            key=lambda i: (frs[i].timestamp_range[0], frs[i].name),
+                            key=lambda i: (frs[i].timestamp_range[0], i),
                             reverse=True))
                     # a giant component must not serialize into ONE task:
                     # slice it by first-dim coordinate ranges (from parquet
@@ -309,7 +423,8 @@ class TileDBReader(DataSourceReader):
                         group_splits.append(_Split(
                             file_path="", row_groups=(), predicates=preds,
                             deletes=(), group=entries, dim_names=dim_names,
-                            group_range=rng))
+                            group_range=rng, arrow_schema=arrow_schema,
+                            fills=fills))
                     grouped.update(members)
             for i, f in enumerate(frs):
                 if i in grouped:
@@ -323,6 +438,19 @@ class TileDBReader(DataSourceReader):
                 newer_map[f.name] = tuple(entries)
 
         splits: list[_Split] = list(group_splits)
+        # prefetch parquet footers concurrently — serial footer reads
+        # (one round-trip each on object storage) put O(#files) planning
+        # latency on the driver (_component_ranges' existing pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
+        plain_paths = [p for i, f in enumerate(frs) if i not in grouped
+                       for p in frag_files(f)]
+        md_map: dict = {}
+        if plain_paths:
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(plain_paths))) as ex:
+                md_map = dict(zip(plain_paths, ex.map(
+                    lambda p: pq.ParquetFile(p).metadata, plain_paths)))
         # ~96 MB of compressed row groups per task: big enough to amortize
         # the Python worker round-trip, small enough to balance a cluster
         target_bytes = 96 << 20
@@ -332,7 +460,7 @@ class TileDBReader(DataSourceReader):
             fdel = frag_deletes(f)
             newer = newer_map.get(f.name, ())
             for p in frag_files(f):
-                md = pq.ParquetFile(p).metadata
+                md = md_map[p]
                 live = [i for i in range(md.num_row_groups)
                         if _rg_matches(md.row_group(i), preds)]
                 group: list = []
@@ -343,12 +471,16 @@ class TileDBReader(DataSourceReader):
                     if size >= target_bytes:
                         splits.append(_Split(file_path=p, row_groups=tuple(group),
                                              predicates=preds, deletes=fdel,
-                                             newer=newer, dim_names=dim_names))
+                                             newer=newer, dim_names=dim_names,
+                                             arrow_schema=arrow_schema,
+                                             fills=fills))
                         group, size = [], 0
                 if group:
                     splits.append(_Split(file_path=p, row_groups=tuple(group),
                                          predicates=preds, deletes=fdel,
-                                         newer=newer, dim_names=dim_names))
+                                         newer=newer, dim_names=dim_names,
+                                         arrow_schema=arrow_schema,
+                                         fills=fills))
         return splits or [_Split(file_path="", row_groups=(), predicates=(),
                                  deletes=())]
 
@@ -448,13 +580,16 @@ class TileDBReader(DataSourceReader):
             return
         if not split.file_path:
             return
-        expr = None
-        for col, op, val in split.predicates:
-            f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
-                 ">=": pc.field(col) >= val, "<": pc.field(col) < val,
-                 "<=": pc.field(col) <= val,
-                 "in": pc.field(col).isin(list(val)) if op == "in" else None}[op]
-            expr = f if expr is None else expr & f
+        # schema evolution: a fragment written before an attribute was
+        # added lacks its column — skip predicates on missing columns
+        # (Spark re-applies every pushed filter anyway) and conform the
+        # output batches to the declared schema with fill/null columns
+        file_cols = set(pq.ParquetFile(split.file_path).schema_arrow.names)
+        declared = ([f.name for f in split.arrow_schema]
+                    if split.arrow_schema is not None else [])
+        conform = bool(set(declared) - file_cols)
+        expr = _preds_to_expr(split.predicates,
+                              available=file_cols if conform else None)
 
         newer_coords = None
         if split.newer:
@@ -467,6 +602,15 @@ class TileDBReader(DataSourceReader):
             for path, dels in split.newer:
                 nt = pq.read_table(path, columns=None if dels else dims)
                 if dels:
+                    if split.arrow_schema is not None and \
+                            set(f.name for f in split.arrow_schema) \
+                            - set(nt.column_names):
+                        # pre-evolution fragment: delete conditions may
+                        # reference columns it lacks — conform first
+                        # (fill/null), matching the native scan's
+                        # evolved-fill-then-delete order
+                        nt = _conform_table(nt, split.arrow_schema,
+                                            split.fills)
                     # a newer row that was itself deleted no longer
                     # supersedes (the older cell resurfaces, matching
                     # Array._scan_df delete-then-dedup order)
@@ -490,8 +634,11 @@ class TileDBReader(DataSourceReader):
         for batch in frag.to_batches(filter=expr):
             if batch.num_rows == 0:
                 continue
-            if split.deletes or newer_coords is not None:
+            if conform or split.deletes or newer_coords is not None:
                 tbl = pa.Table.from_batches([batch])
+                if conform:
+                    tbl = _conform_table(tbl, split.arrow_schema,
+                                         split.fills)
                 if split.deletes:
                     tbl = _apply_deletes(tbl, split.deletes)
                 if newer_coords is not None:
@@ -523,13 +670,7 @@ class TileDBReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        expr = None
-        for col, op, val in split.predicates:
-            f = {"==": pc.field(col) == val, ">": pc.field(col) > val,
-                 ">=": pc.field(col) >= val, "<": pc.field(col) < val,
-                 "<=": pc.field(col) <= val,
-                 "in": pc.field(col).isin(list(val)) if op == "in" else None}[op]
-            expr = f if expr is None else expr & f
+        expr = _preds_to_expr(split.predicates)
 
         dims = list(split.dim_names)
         dim0 = dims[0]
@@ -568,9 +709,21 @@ class TileDBReader(DataSourceReader):
                 mask = m2 if mask is None else pc.and_(mask, m2)
             return tbl.filter(mask) if mask is not None else tbl
 
+        target = split.arrow_schema
         seen = None  # sorted unique coord hashes of all newer fragments
         for paths, dels in split.group:
-            tbl = pa.concat_tables([read_sliced(p) for p in paths])
+            parts = [read_sliced(p) for p in paths]
+            if target is not None:
+                # conform BEFORE concat: pre-evolution fragments lack
+                # added columns (mixed-schema concat fails), and the
+                # output filter may reference an evolved column
+                parts = [_conform_table(t, target, split.fills)
+                         for t in parts]
+                if not parts:
+                    # an empty (record-only / fully-pruned) member:
+                    # contributes nothing, but concat_tables([]) raises
+                    parts = [target.empty_table()]
+            tbl = pa.concat_tables(parts)
             if dels:
                 tbl = _apply_deletes(tbl, dels)
             h = _coord_hashes(tbl, dims)
@@ -792,15 +945,43 @@ class TileDBWriter(DataSourceArrowWriter):
         return _FragCommit(file_name=fn if writer else "", rows=rows)
 
     def commit(self, messages):
-        from .. import manifest as mf
-        from .fragment_writer import stats_from_parquet_dir
+        import shutil
 
+        from .. import manifest as mf
+        from .fragment_writer import _validate_domain, stats_from_parquet_dir
+
+        # publish ONLY the files the committed task attempts reported:
+        # a failed/speculative attempt leaves its own uuid-named file
+        # (possibly footer-less) in the fragment dir — harvesting the
+        # whole dir would commit duplicate rows or crash on the torn
+        # file (the stream sink's staged-pieces discipline, applied to
+        # the batch writer)
+        committed = {m.file_name for m in messages
+                     if m is not None and m.file_name}
+        if os.path.isdir(self.frag_dir):
+            for fn in os.listdir(self.frag_dir):
+                if fn not in committed:
+                    try:
+                        os.remove(os.path.join(self.frag_dir, fn))
+                    except OSError:
+                        pass
+        if not committed:
+            # empty save(): publish NOTHING — a cell_num=0 record has no
+            # MBR, overlaps everything, and crashes the group merge
+            shutil.rmtree(self.frag_dir, ignore_errors=True)
+            return
         schema = mf.read_manifest(self.uri).schema
         cell_num, mbr = stats_from_parquet_dir(self.frag_dir, schema.dim_names)
-        rec = mf.FragmentRecord(name=self.frag_name,
+        _validate_domain(schema, mbr, self.frag_dir)   # same refusal as
+        rec = mf.FragmentRecord(name=self.frag_name,   # write_fragment_*
                                 timestamp_range=(self.ts, self.ts),
                                 cell_num=cell_num, nonempty_domain=mbr)
-        mf.commit(self.uri, lambda m: m.fragments.append(rec))
+
+        def _append(m):
+            rec.schema_version = m.schema_version  # evolved-fill fast path
+            m.fragments.append(rec)
+
+        mf.commit(self.uri, _append)
 
     def abort(self, messages):
         import shutil
@@ -868,10 +1049,9 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
-        import uuid
 
         from .. import manifest as mf
-        from .fragment_writer import stats_from_parquet_dir
+        from .fragment_writer import _validate_domain, stats_from_parquet_dir
 
         pieces = [m.file_name for m in messages
                   if m is not None and m.file_name]
@@ -890,7 +1070,9 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
         if not pieces:
             return  # empty micro-batch: no fragment
         ts = mf.now_ms()
-        frag_name = f"frag_{ts}_{ts}{marker}{uuid.uuid4().hex[:8]}"
+        # the canonical name builder carries the idempotency tag — one
+        # format definition, so the marker grep can never drift from it
+        frag_name = mf.new_fragment_name(ts, tag=marker.lstrip("_"))
         frag_dir = mf.fragment_path(self.uri, frag_name)
         os.makedirs(frag_dir, exist_ok=True)
         for fn in pieces:
@@ -898,9 +1080,15 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
                         os.path.join(frag_dir, fn))
         cell_num, mbr = stats_from_parquet_dir(frag_dir,
                                                man.schema.dim_names)
+        _validate_domain(man.schema, mbr, frag_dir)
         rec = mf.FragmentRecord(name=frag_name, timestamp_range=(ts, ts),
                                 cell_num=cell_num, nonempty_domain=mbr)
-        mf.commit(self.uri, lambda m: m.fragments.append(rec))
+
+        def _append(m):
+            rec.schema_version = m.schema_version  # evolved-fill fast path
+            m.fragments.append(rec)
+
+        mf.commit(self.uri, _append)
         # sweep orphans: pieces staged by FAILED/speculative task
         # attempts never reach `messages` — once this batch's collected
         # pieces are published, anything left in the staging dir is
@@ -1048,6 +1236,11 @@ class TileDBStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         for p in partition.file_paths:
-            tbl = pq.read_table(p, columns=list(partition.columns))
-            tbl = tbl.select(list(partition.columns)).cast(target)
+            # pre-evolution fragments lack added columns: request only
+            # what the file has, then conform (null-fill + cast) — a
+            # blind columns= read raises 'Field not found' and kills
+            # the stream on replay
+            have = set(pq.ParquetFile(p).schema_arrow.names)
+            want = [c for c in partition.columns if c in have]
+            tbl = _conform_table(pq.read_table(p, columns=want), target)
             yield from tbl.to_batches()
