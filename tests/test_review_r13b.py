@@ -11,6 +11,7 @@ import pyarrow as pa
 import pytest
 
 import tiledb_py_spark as tdb
+from pyspark.sql import functions as F
 from tiledb_py_spark import manifest as mf
 from tiledb_py_spark.sources.spark_datasource import register
 
@@ -204,3 +205,114 @@ def test_group_path_same_ms_lww_manifest_order(uri, spark, tmp_path):
     native = {r.k: r.v for r in
               tdb.open(uri, spark=spark).dataframe().collect()}
     assert got == native
+
+
+# -- review batch 3: similarity/layout/stateful hardening -----------------
+
+def test_topk_nan_vector_guard(spark):
+    """A NaN-component vector must not occupy the top-k (Spark ranks
+    NaN above every double) — brute-force, batch, IVF search, and
+    diversity_sample all guard it; NULL vectors keep sort-last."""
+    from tiledb_py_spark.operators.similarity import (IVFIndex, batch_topk,
+                                                      brute_force_topk,
+                                                      diversity_sample)
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    rows.append((99, [float("nan"), 1.0]))
+    rows.append((98, None))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    top = brute_force_topk(df, "v", "vec_id", [19.0, 1.0], k=3).collect()
+    assert [r.vec_id for r in top] == [19, 18, 17]
+    assert all(not np.isnan(r.score) for r in top)
+
+    q = spark.createDataFrame([(0, [19.0, 1.0])], "qid long, qv array<double>")
+    bt = batch_topk(df, "v", "vec_id", q, "qv", "qid", k=3).collect()
+    assert [r.vec_id for r in bt] == [19, 18, 17]
+
+    idx = IVFIndex(n_cells=2, n_probe=2).fit(
+        df.filter(F.col("vec_id") < 50), "v")
+    got = [r.vec_id for r in idx.search(df, "v", "vec_id",
+                                        [19.0, 1.0], k=3).collect()]
+    assert 99 not in got and 98 not in got
+
+    ds = diversity_sample(df, "v", "vec_id", n=2)
+    assert all(r.vec_id != 99 for r in ds.collect())
+
+
+def test_ivf_l2_metric_final_ranking(spark):
+    """An l2 IVF index final-ranks by L2 (a far-but-aligned vector must
+    not outrank the true nearest neighbor, which the old cosine
+    delegation did)."""
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rows = [(1, [1.0, 0.0]),      # true L2 nearest to query [1.1, 0]
+            (2, [100.0, 0.0]),    # perfectly aligned but far away
+            (3, [0.0, 5.0])]
+    rows += [(10 + i, [50.0 + i, 50.0]) for i in range(10)]  # filler
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    idx = IVFIndex(n_cells=2, n_probe=2, metric="l2").fit(df, "v")
+    got = [r.vec_id for r in idx.search(df, "v", "vec_id",
+                                        [1.1, 0.0], k=2).collect()]
+    assert got[0] == 1, f"l2 index ranked by cosine: {got}"
+
+
+def test_ivf_arrow_assign_ragged_vector(spark):
+    """One wrong-length/empty vector in the Arrow assign path maps to a
+    null cell (the expr path's behavior) instead of crashing the
+    stage."""
+    from tiledb_py_spark.operators.similarity import IVFIndex
+
+    rng = np.random.RandomState(3)
+    good = [(i, rng.randn(4).tolist()) for i in range(200)]
+    df = spark.createDataFrame(good + [(900, [1.0]), (901, [])],
+                               "vec_id long, v array<double>")
+    idx = IVFIndex(n_cells=4, n_probe=2).fit(
+        df.filter(F.col("vec_id") < 500), "v")
+    out = idx.assign(df, "v", impl="arrow").collect()
+    cells = {r.vec_id: r["__cell"] for r in out}
+    assert cells[900] is None and cells[901] is None
+    assert all(cells[i] is not None for i in range(200))
+
+
+def test_zorder_bucket_out_of_bounds_edge(spark):
+    """Rows outside caller-supplied bounds clamp to the correct EDGE
+    bucket (bigint clamp before the int cast — the old cast-then-clamp
+    overflowed and filed max-domain rows under bucket 0)."""
+    from tiledb_py_spark.operators.layout import zorder_code
+
+    df = spark.createDataFrame(
+        [(0, 0), (50, 50), (10**12, 10**12)], "a long, b long")
+    out = zorder_code(df, ["a", "b"], bits=8, bounds={"a": (0, 99),
+                                                      "b": (0, 99)},
+                      keep_buckets=True).collect()
+    by_a = {r.a: r for r in out}
+    assert by_a[10**12]["__zb0"] == 255, "out-of-bounds row not at edge"
+    assert by_a[0]["__zb0"] == 0
+    # monotonic: the giant row's zcode is the maximum
+    assert by_a[10**12]["__zcode"] == max(r["__zcode"] for r in out)
+
+
+def test_running_totals_all_null_user_matches_sql(spark, tmp_path):
+    """Stream/batch twin: a user whose values are all NULL reports
+    total_value NULL (SQL sum semantics), not pandas' 0.0."""
+    import pyarrow as _pa  # noqa: F401 (env guard)
+    from tiledb_py_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame({"user_id": [1, 1, 2, 2],
+                        "value": [np.nan, np.nan, 1.5, np.nan]})
+    pdf.to_parquet(src / "b1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    sink = str(tmp_path / "sink")
+    q = (running_user_totals(
+            spark.readStream.schema(schema).parquet(str(src)))
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda d, _i: d.write.mode("append").parquet(sink))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[1] == (2, None), "all-null user must sum to NULL"
+    assert got[2] == (2, 1.5)

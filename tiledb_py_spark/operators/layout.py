@@ -38,8 +38,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,11 +51,16 @@ def _bucket_expr(col: str, lo: str, hi: str, n_buckets: int) -> str:
     """Integer-exact bucketization ``(x - lo) * n DIV (hi - lo + 1)``,
     clamped to [0, n-1].  DIV keeps the arithmetic in int64 (bit-identical
     between Spark and any ANSI engine — no FP rounding at bucket edges).
-    Caller guarantees |x - lo| * n fits int64, i.e. dimension spans below
+    The clamp happens in BIGINT — BEFORE the int cast — so a row far
+    outside caller-supplied ``bounds`` (stale table stats) lands in the
+    correct EDGE bucket instead of overflowing the int cast (ANSI:
+    query error; legacy: wrap to a negative, clamped to bucket 0 — the
+    wrong edge, breaking bucket monotonicity).  Caller guarantees
+    |x - lo| * n fits int64, i.e. dimension spans below
     ~2^63 / n_buckets — loudly checked in ``zorder_code``."""
-    return (f"least({n_buckets - 1}, greatest(0, cast("
-            f"(({col} - {lo}) * {n_buckets}) div ({hi} - {lo} + 1) "
-            f"as int)))")
+    return (f"cast(least({n_buckets - 1}, greatest(0, "
+            f"(({col} - {lo}) * {n_buckets}) div ({hi} - {lo} + 1)"
+            f")) as int)")
 
 
 def _interleave(bucket_cols: Sequence[str], bits: int) -> Column:

@@ -77,7 +77,13 @@ def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
             F.lit(0.0), lambda acc, v: acc + v))
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    # Spark sorts NaN ABOVE every double: one NaN-component vector (bad
+    # upstream encode) would occupy the top-k and poison the IVF final
+    # ranking and the IVFPQ rerank (PQ/IVFPQ codes-only search already
+    # filters isnan).  NULL scores (null vectors) keep their sort-last
+    # behavior — coalesce keeps them.
     return (df.select(F.col(id_col), score.alias("score"))
+              .filter(~F.coalesce(F.isnan("score"), F.lit(False)))
               .orderBy(F.col("score").desc(), F.col(id_col))
               .limit(k))
 
@@ -86,12 +92,21 @@ def batch_topk(df: DataFrame, vec_col: str, id_col: str,
                queries: DataFrame, q_vec_col: str, q_id_col: str,
                k: int = 10) -> DataFrame:
     """Top-k per query for a (small, broadcastable) query set: broadcast
-    crossJoin + per-query window row_number."""
-    scored = (df.crossJoin(F.broadcast(
-                queries.select(F.col(q_id_col).alias("__qid"),
-                               F.col(q_vec_col).alias("__qv"))))
+    crossJoin + per-query window row_number.  Corpus and query norms are
+    computed ONCE per row/query before the crossJoin — inlining
+    ``cosine()`` would recompute the row norm per (row, query) pair,
+    roughly doubling scan compute at large Q.  NaN scores are dropped
+    (Spark ranks NaN first; see brute_force_topk)."""
+    scored = (df.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                        l2_norm(F.col(vec_col)).alias("__vn"))
+                .crossJoin(F.broadcast(
+                    queries.select(F.col(q_id_col).alias("__qid"),
+                                   F.col(q_vec_col).alias("__qv"),
+                                   l2_norm(F.col(q_vec_col)).alias("__qn"))))
                 .select(F.col("__qid"), F.col(id_col),
-                        cosine(F.col(vec_col), F.col("__qv")).alias("score")))
+                        (dot(F.col("__v"), F.col("__qv"))
+                         / (F.col("__vn") * F.col("__qn"))).alias("score"))
+                .filter(~F.coalesce(F.isnan("score"), F.lit(False))))
     w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col(id_col))
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k)
@@ -156,6 +171,34 @@ def _argmin_sq(X: np.ndarray, C: np.ndarray,
     return ((C * C).sum(axis=1)[None, :] - 2.0 * dots).argmin(axis=1)
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization, zero rows left untouched — the ONE
+    unit-sphere projection shared by every fit/search path."""
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def _sample_lloyd(X: np.ndarray, k: int, n_iter: int, rng,
+                  spherical: bool = False) -> np.ndarray:
+    """The ONE driver-sample Lloyd loop behind IVFIndex.fit, PQIndex.fit
+    and IVFPQIndex.fit (coarse + per-subspace — previously four
+    copy-pasted variants): seed by choice-without-replacement from the
+    CALLER's rng (draw order preserved, so fits that chain several
+    loops stay bit-identical), assign via :func:`_argmin_sq`,
+    mean-update non-empty cells, and (``spherical``) re-project
+    centroids to the unit sphere each step."""
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = _argmin_sq(X, C)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+        if spherical:
+            C = _unit_rows(C)
+    return C
+
+
 def kmeans_fit(df: DataFrame, vec_col: str, k: int, n_iter: int = 5,
                init: Optional[np.ndarray] = None, seed: int = 42,
                metric: str = "l2",
@@ -193,11 +236,7 @@ def kmeans_fit(df: DataFrame, vec_col: str, k: int, n_iter: int = 5,
         rng = np.random.default_rng(seed)
         C = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     cosine = metric == "cosine"
-
-    def _unit(m):
-        n = np.linalg.norm(m, axis=-1, keepdims=True)
-        return m / np.where(n == 0, 1.0, n)
-
+    _unit = _unit_rows
     if cosine:
         C = _unit(C)
     d = C.shape[1]
@@ -348,20 +387,10 @@ class IVFIndex:
                                       floor=max(10 * self.n_cells, 256))
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
-        def _unit(m):
-            n = np.linalg.norm(m, axis=-1, keepdims=True)
-            return m / np.where(n == 0, 1.0, n)
         if self.metric == "cosine":
-            sample = _unit(sample)
-        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-        for _ in range(10):  # Lloyd iterations on the sample
-            assign = _argmin_sq(sample, centroids)
-            for c in range(k):
-                m = sample[assign == c]
-                if len(m):
-                    centroids[c] = m.mean(axis=0)
-            if self.metric == "cosine":   # spherical k-means: re-project
-                centroids = _unit(centroids)
+            sample = _unit_rows(sample)
+        centroids = _sample_lloyd(sample, k, 10, rng,
+                                  spherical=self.metric == "cosine")
         if refine_iters > 0:
             centroids = kmeans_fit(df, vec_col, k, n_iter=refine_iters,
                                    init=centroids, seed=self.seed,
@@ -450,9 +479,12 @@ class IVFIndex:
 
         @pandas_udf("int")
         def cell(vs: pd.Series) -> pd.Series:
-            # null vectors assign to a null cell, matching the expr path
-            # (np.asarray(None) would throw and fail the whole stage)
-            valid = np.array([v is not None for v in vs], dtype=bool)
+            # null OR wrong-length vectors assign to a null cell,
+            # matching the expr path (np.asarray over a ragged list —
+            # one truncated/empty vector — would throw and fail the
+            # whole stage; zip_with pads with nulls -> null cell)
+            valid = np.array([v is not None and len(v) == C.shape[1]
+                              for v in vs], dtype=bool)
             out = np.full(len(vs), None, dtype=object)
             if valid.any():
                 M = np.asarray([np.asarray(v, dtype="float64")
@@ -496,7 +528,10 @@ class IVFIndex:
         assert self.centroids is not None
         probe = self._probe_cells(query_vec)
         assigned = self.assign(df, vec_col).filter(F.col("__cell").isin(probe))
-        return brute_force_topk(assigned, vec_col, id_col, query_vec, k=k)
+        # forward the index metric: an l2 index final-ranked by the
+        # brute-force default (cosine) returns the wrong neighbors
+        return brute_force_topk(assigned, vec_col, id_col, query_vec, k=k,
+                                metric=self.metric)
 
     # -- incremental maintenance (the incremental_exact_dedup pattern) ----
     def append(self, df: DataFrame, vec_col: str, id_col: str,
@@ -527,7 +562,8 @@ class IVFIndex:
         tab = hl.open(state_uri, spark=spark).dataframe()
         probe = self._probe_cells(query_vec, n_probe)
         return brute_force_topk(tab.filter(F.col("cell").isin(probe)),
-                                vec_col, id_col, query_vec, k=k)
+                                vec_col, id_col, query_vec, k=k,
+                                metric=self.metric)
 
 
 def _commit_state_fragment(state_uri: str, rows: DataFrame,
@@ -639,14 +675,7 @@ class PQIndex:
         books = np.zeros((self.m, k, dsub))
         for j in range(self.m):
             sub = sample[:, j * dsub:(j + 1) * dsub]
-            cent = sub[rng.choice(len(sub), size=k, replace=False)]
-            for _ in range(self.n_iter):
-                assign = _argmin_sq(sub, cent)
-                for c in range(k):
-                    pts = sub[assign == c]
-                    if len(pts):
-                        cent[c] = pts.mean(axis=0)
-            books[j] = cent
+            books[j] = _sample_lloyd(sub, k, self.n_iter, rng)
         self.codebooks = books
         self.dim = d
         return self
@@ -839,10 +868,7 @@ class IVFPQIndex:
         self.dim: Optional[int] = None
 
     def _normalize(self, M: np.ndarray) -> np.ndarray:
-        if self.metric != "cosine":
-            return M
-        n = np.linalg.norm(M, axis=-1, keepdims=True)
-        return M / np.where(n == 0, 1.0, n)
+        return _unit_rows(M) if self.metric == "cosine" else M
 
     def fit(self, df: DataFrame, vec_col: str, sample_rows: int = 20000,
             sample_fraction: float = 0.05) -> "IVFPQIndex":
@@ -864,27 +890,14 @@ class IVFPQIndex:
         sample = self._normalize(sample)
         rng = np.random.default_rng(self.seed)
         k = min(self.n_cells, len(sample))
-        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-        for _ in range(self.n_iter):
-            assign = _argmin_sq(sample, centroids)
-            for c in range(k):
-                pts = sample[assign == c]
-                if len(pts):
-                    centroids[c] = pts.mean(axis=0)
+        centroids = _sample_lloyd(sample, k, self.n_iter, rng)
         resid = sample - centroids[_argmin_sq(sample, centroids)]
         dsub = d // self.m
         kc = min(self.n_codes, len(resid))
         books = np.zeros((self.m, kc, dsub))
         for j in range(self.m):
             sub = resid[:, j * dsub:(j + 1) * dsub]
-            cent = sub[rng.choice(len(sub), size=kc, replace=False)]
-            for _ in range(self.n_iter):
-                a = _argmin_sq(sub, cent)
-                for c in range(kc):
-                    pts = sub[a == c]
-                    if len(pts):
-                        cent[c] = pts.mean(axis=0)
-            books[j] = cent
+            books[j] = _sample_lloyd(sub, kc, self.n_iter, rng)
         self.centroids = centroids
         self.codebooks = books
         self.dim = d
@@ -1361,7 +1374,11 @@ def diversity_sample(df: DataFrame, vec_col: str, id_col: str,
         keep = vec.isNotNull()
     base = (df.filter(keep)
               .select(F.col(id_col), cell.alias("cell"),
-                      score.alias("score")))
+                      score.alias("score"))
+              # Spark ranks NaN above every double: a NaN-component
+              # vector would win its cell as the "representative
+              # exemplar" (the brute_force_topk guard, same input class)
+              .filter(~F.coalesce(F.isnan("score"), F.lit(False))))
     w = Window.partitionBy("cell").orderBy(F.desc("score"), F.col(id_col))
     return (base.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))

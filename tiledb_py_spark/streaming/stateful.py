@@ -28,6 +28,7 @@ RUNNING_SCHEMA = T.StructType([
 
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType(), False),
+    T.StructField("n_valid", T.LongType(), False),
     T.StructField("total", T.DoubleType(), False),
 ])
 
@@ -36,13 +37,18 @@ def _running_totals_fn(key: Tuple[Any, ...],
                        pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, n_valid, total = state.get if state.exists else (0, 0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
+        # SQL sum(value) is NULL when every value is NULL — pandas
+        # Series.sum() of all-NaN is 0.0, which would silently break the
+        # documented batch/stream equivalence for all-null users; track
+        # the non-null count so the emit can say NULL
+        n_valid += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
-    state.update((n, total))
+    state.update((n, n_valid, total))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
-                        "total_value": [total]})
+                        "total_value": [total if n_valid else None]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
