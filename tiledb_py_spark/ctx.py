@@ -93,8 +93,17 @@ _local = threading.local()
 def default_ctx(config: Optional[Any] = None) -> Ctx:
     ctx = getattr(_local, "ctx", None)
     if ctx is None or config is not None:
-        ctx = Ctx(config if isinstance(config, (Config, dict, type(None)))
-                  else None)
+        if isinstance(config, Ctx):
+            ctx = config           # adopt the caller's context as-is
+        elif isinstance(config, (Config, dict, type(None))):
+            ctx = Ctx(config)
+        else:
+            # the reference raises for non-Config input
+            # (/root/reference/tiledb/ctx.py:585-591) — silently
+            # returning an EMPTY config would drop the caller's settings
+            raise ValueError(
+                "default_ctx takes a Config, dict, Ctx, or None; got "
+                f"{type(config).__name__}")
         _local.ctx = ctx
     return ctx
 

@@ -19,7 +19,8 @@ __all__ = [
     "Bzip2Filter", "RleFilter", "DeltaFilter", "DoubleDeltaFilter",
     "DictionaryFilter", "BitShuffleFilter", "ByteShuffleFilter",
     "BitWidthReductionFilter", "PositiveDeltaFilter", "ChecksumMD5Filter",
-    "ChecksumSHA256Filter", "FloatScaleFilter", "XORFilter", "FilterList",
+    "ChecksumSHA256Filter", "FloatScaleFilter", "XORFilter", "WebpFilter",
+    "OpaqueFilter", "FilterList",
 ]
 
 
@@ -39,7 +40,13 @@ class Filter:
     def from_json(cls, d: dict) -> "Filter":
         kind = d.get("type", "NoOpFilter")
         opts = {k: v for k, v in d.items() if k != "type"}
-        klass = _BY_NAME.get(kind, NoOpFilter)
+        klass = _BY_NAME.get(kind)
+        if klass is None:
+            # a manifest written by a newer engine version: PRESERVE the
+            # declaration instead of collapsing it to NoOpFilter — the
+            # next read-modify-write would otherwise permanently erase
+            # the filter's identity from the schema
+            return OpaqueFilter(kind, **opts)
         return klass(**opts)
 
     def __eq__(self, other):
@@ -52,6 +59,26 @@ class Filter:
 
 class NoOpFilter(Filter):
     pass
+
+
+class OpaqueFilter(Filter):
+    """Placeholder for a filter type this engine version does not know:
+    round-trips the original type string and options faithfully."""
+
+    def __init__(self, type_name: str, **options: Any):
+        super().__init__(**options)
+        self.type_name = type_name
+
+    def to_json(self) -> dict:
+        return {"type": self.type_name, **self.options}
+
+    def __eq__(self, other):
+        return (isinstance(other, OpaqueFilter)
+                and self.type_name == other.type_name
+                and self.options == other.options)
+
+    def __repr__(self):
+        return f"OpaqueFilter({self.type_name!r}, {self.options!r})"
 
 
 class CompressionFilter(Filter):
@@ -181,7 +208,8 @@ class FilterList:
 
     def __eq__(self, other):
         return (isinstance(other, FilterList)
-                and self._filters == other._filters)
+                and self._filters == other._filters
+                and self.chunksize == other.chunksize)
 
     def __repr__(self):
         return f"FilterList({self._filters!r})"
@@ -193,9 +221,19 @@ class FilterList:
                 return f.parquet_codec
         return None
 
-    def to_json(self) -> list:
-        return [f.to_json() for f in self._filters]
+    def to_json(self):
+        # plain list when no chunksize (the historical manifest shape);
+        # a dict wrapper when set, so chunksize round-trips
+        filters = [f.to_json() for f in self._filters]
+        if self.chunksize is None:
+            return filters
+        return {"chunksize": self.chunksize, "filters": filters}
 
     @classmethod
     def from_json(cls, lst) -> "FilterList":
-        return cls([Filter.from_json(d) for d in (lst or [])])
+        chunksize = None
+        if isinstance(lst, dict):
+            chunksize = lst.get("chunksize")
+            lst = lst.get("filters")
+        return cls([Filter.from_json(d) for d in (lst or [])],
+                   chunksize=chunksize)

@@ -56,6 +56,12 @@ def schema_like(arr=None, shape=None, dtype=None, sparse: bool = False) -> Array
         dtype = dtype or arr.dtype
     if shape is None or dtype is None:
         raise ValueError("need an array or shape+dtype")
+    if any(int(s) <= 0 for s in shape):
+        # a zero-length dimension would build an inverted inclusive
+        # domain (0, -1) with tile 0 — creation "succeeds" and every
+        # later domain-extension/pruning step operates on nonsense
+        raise ValueError(
+            f"schema_like: every dimension must be positive, got {shape}")
     dims = [Dim(name=f"__dim_{i}", domain=(0, s - 1), tile=min(s, 10000), dtype=np.int64)
             for i, s in enumerate(shape)]
     return ArraySchema(domain=Domain(*dims), attrs=[Attr(name=ANON_ATTR, dtype=dtype)],
@@ -182,6 +188,10 @@ def ls(path: str, func) -> None:
 
 
 def walk(path: str, func, order: str = "preorder") -> None:
+    if order not in ("preorder", "postorder"):
+        # an unknown order would traverse the whole tree calling NOTHING
+        raise ValueError(f"walk order must be 'preorder' or 'postorder', "
+                         f"got {order!r}")
     entries = []
     for name in sorted(os.listdir(path)):
         child = os.path.join(path, name)
@@ -218,7 +228,12 @@ def consolidate(uri: str, **kwargs):
     return _c(uri, **kwargs)
 
 
-def vacuum(uri: str, **kwargs):
+def vacuum(uri: str, config=None, ctx=None):
+    """``config``/``ctx`` are signature-parity slots (the reference's
+    vacuum-mode settings govern libtiledb internals with no analog
+    here); arbitrary keywords are rejected rather than silently
+    swallowed."""
+    del config, ctx
     from .fragment import vacuum as _v
 
     return _v(uri)
@@ -251,6 +266,24 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
     index object."""
     A = open(uri, spark=spark)
     df = A.dataframe()
+    if kind == "ivfpq":
+        # resolve + validate the code-table identity column BEFORE the
+        # expensive fit and BEFORE idx.save — failing after the save
+        # left a persisted index with no code table, which a later
+        # ann_search would load and silently re-encode per query
+        if id_col is None:
+            # default to the array's first DIMENSION — its storage
+            # identity — never a positional guess over attrs
+            dims = [A.schema.domain.dim(i).name
+                    for i in range(A.schema.domain.ndim)]
+            id_col = next((d for d in dims if d != vec_col), None)
+        if id_col is None or id_col == vec_col \
+                or id_col not in df.columns:
+            raise ValueError(
+                "build_ann_index(kind='ivfpq') needs an identity column "
+                "for the code table; the array has no non-vector "
+                f"dimension — pass id_col= explicitly (columns: "
+                f"{[c for c in df.columns if c != vec_col]})")
     if kind == "ivf":
         from .operators.similarity import IVFIndex
 
@@ -276,19 +309,6 @@ def build_ann_index(uri: str, vec_col: str, name: str = "default",
         # the-codes scale path, built once at index time
         from .sources.dataframe_ import from_spark
 
-        if id_col is None:
-            # default to the array's first DIMENSION — its storage
-            # identity — never a positional guess over attrs
-            dims = [A.schema.domain.dim(i).name
-                    for i in range(A.schema.domain.ndim)]
-            id_col = next((d for d in dims if d != vec_col), None)
-        if id_col is None or id_col == vec_col \
-                or id_col not in df.columns:
-            raise ValueError(
-                "build_ann_index(kind='ivfpq') needs an identity column "
-                "for the code table; the array has no non-vector "
-                f"dimension — pass id_col= explicitly (columns: "
-                f"{[c for c in df.columns if c != vec_col]})")
         keep = [c for c in df.columns if c not in (vec_col, id_col)]
         codes_uri = _ivfpq_codes_uri(uri, name)
         if array_exists(codes_uri):

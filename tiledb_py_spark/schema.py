@@ -63,12 +63,22 @@ class Enumeration:
         return f"Enumeration(name={self.name!r}, ordered={self.ordered}, values={self.values!r})"
 
     def to_json(self):
-        return {"name": self.name, "ordered": self.ordered,
-                "values": [numpy_to_python(v) for v in self.values]}
+        # bytes values need the same JSON-safe wrapper as Attr fills —
+        # raw bytes crash json.dumps at manifest write time
+        vals = []
+        for v in self.values:
+            v = numpy_to_python(v)
+            if isinstance(v, bytes):
+                v = {"__bytes__": v.decode("latin-1")}
+            vals.append(v)
+        return {"name": self.name, "ordered": self.ordered, "values": vals}
 
     @classmethod
     def from_json(cls, d):
-        return cls(d["name"], d["ordered"], d["values"])
+        vals = [v["__bytes__"].encode("latin-1")
+                if isinstance(v, dict) and "__bytes__" in v else v
+                for v in d["values"]]
+        return cls(d["name"], d["ordered"], vals)
 
 
 class Dim:
@@ -287,7 +297,9 @@ class Attr:
         obj.name = d["name"]
         obj.type_info = TypeInfo.from_json(d["type"])
         fill = d["fill"]
-        if fill == "__nan__":
+        # decode the NaN token only for FLOAT attrs: a string attr whose
+        # fill is literally "__nan__" must round-trip as that string
+        if fill == "__nan__" and np.dtype(obj.type_info.np_dtype).kind == "f":
             fill = float("nan")
         if isinstance(fill, dict) and "__bytes__" in fill:
             fill = fill["__bytes__"].encode("latin-1")
