@@ -703,3 +703,44 @@ def test_rolling_anomaly_matches_exact_reference(spark, data):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == want[key], (key, got[key], want[key])
+
+
+# keys exercise UTF8_BINARY order traps: digit-prefix ('10' < '9'),
+# case ('Z' < 'a'), multi-byte unicode above ASCII, shared prefixes
+_key = st.text(alphabet="09azZé-", min_size=1, max_size=6)
+
+
+@given(items=st.lists(st.tuples(st.sampled_from(["g1", "g2"]), _key,
+                                st.integers(-5, 50)),
+                      min_size=1, max_size=40),
+       nb=st.integers(2, 6))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_running_sum_string_keys_property(spark, items, nb):
+    """For ANY string order keys (dup-heavy, unicode, digit/case
+    traps), the string-bucketed distributed prefix sum equals the
+    per-group python cumsum in (key, insertion-tiebreak-free) order.
+    Duplicate (group, key) rows would make the running sum order-
+    dependent, so keys are de-duplicated per group first."""
+    from tiledb_py_spark.operators.pipeline import grouped_running_sum
+
+    seen = set()
+    rows = []
+    for g, k, v in items:
+        if (g, k) not in seen:
+            seen.add((g, k))
+            rows.append((g, k, v))
+    df = spark.createDataFrame(rows, "g string, k string, v int")
+    got = {(r.g, r.k): r.cum
+           for r in grouped_running_sum(df, ["g"], ["k"], "v",
+                                        cum_col="cum",
+                                        num_buckets=nb).collect()}
+    # python reference: UTF-8 byte order == code-point order == python
+    want = {}
+    for g in {r[0] for r in rows}:
+        run = 0
+        for gg, k, v in sorted((r for r in rows if r[0] == g),
+                               key=lambda r: r[1]):
+            run += v
+            want[(g, k)] = run
+    assert got == want
