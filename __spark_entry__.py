@@ -196,23 +196,61 @@ def q_array_cond_agg(spark, sf_dir):
                   F.round(F.max("l_extendedprice"), 2).alias("max_price"))
 
 
-_ARRAY_CACHE: dict[str, str] = {}
+def _fixture_array(sf_dir, name: str, build) -> str:
+    """Crash-safe, staleness-safe /tmp fixture cache shared by every
+    array-fixture builder.
+
+    * crash safety: ``build(path)`` constructs the fixture at a scratch
+      path that is atomically renamed into place — ``array_exists``
+      turns true on a multi-write fixture's FIRST write, so the old
+      if-exists-skip pattern treated a killed half-build as finished
+      forever (every later run red on correct code until /tmp wiped).
+    * staleness: a fingerprint file records the ABSOLUTE sf_dir and the
+      newest source-parquet mtime; pointing SPARK_GRAFT_SF_DIR at a
+      different directory with the same basename, or regenerating the
+      testdata in place, rebuilds instead of silently comparing OLD
+      arrays against the NEW parquet oracle.
+    """
+    import shutil
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/tdbps_arrays/{key}"
+    uri = os.path.join(root, name)
+    fp_file = uri + ".fingerprint"
+    newest = max((os.path.getmtime(os.path.join(sf_dir, f))
+                  for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+                 default=0.0)
+    fp = f"{os.path.abspath(sf_dir)}|{newest:.6f}"
+    try:
+        if os.path.exists(uri) and open(fp_file).read() == fp:
+            return uri
+    except OSError:
+        pass
+    shutil.rmtree(uri, ignore_errors=True)
+    try:
+        os.remove(fp_file)
+    except FileNotFoundError:
+        pass
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".building-{name}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    os.rename(tmp, uri)
+    with open(fp_file + ".tmp", "w") as f:
+        f.write(fp)
+    os.replace(fp_file + ".tmp", fp_file)
+    return uri
 
 
 def _lineitem_array(spark, sf_dir) -> str:
     """Ingest lineitem into an array once per sf (cached in /tmp)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _ARRAY_CACHE:
-        return _ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/lineitem"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         df = _t(spark, sf_dir, "lineitem")
         tdb.from_spark(uri, df, index_dims=["l_orderkey", "l_linenumber"])
-    _ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "lineitem", build)
 
 
 def q_array_time_slice(spark, sf_dir):
@@ -231,18 +269,10 @@ def q_array_time_slice(spark, sf_dir):
              .select("o_orderkey", "o_orderdate", "o_totalprice"))
 
 
-_TIME_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _orders_time_array(spark, sf_dir) -> str:
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _TIME_ARRAY_CACHE:
-        return _TIME_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/orders_time"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "orders")
                .select("o_orderdate", "o_orderkey", "o_totalprice").toPandas())
         # day-precision dates: use a us-unit dim (TimestampNTZ storage).
@@ -250,32 +280,24 @@ def _orders_time_array(spark, sf_dir) -> str:
         # would be int64-stored (raw counts on the Spark surface).
         pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
         tdb.from_pandas(uri, pdf, index_dims=["o_orderdate", "o_orderkey"])
-    _TIME_ARRAY_CACHE[key] = uri
-    return uri
 
-
-_LWW_ARRAY_CACHE: dict[str, str] = {}
+    return _fixture_array(sf_dir, "orders_time", build)
 
 
 def _lww_array(spark, sf_dir) -> str:
     """part-based array written TWICE with overlapping coordinates:
     p_partkey < 100 rows are overwritten with retailprice + 1000."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _LWW_ARRAY_CACHE:
-        return _LWW_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/part_lww"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "part")
                .select("p_partkey", "p_retailprice").toPandas())
         tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
         upd = pdf[pdf["p_partkey"] < 100].copy()
         upd["p_retailprice"] = upd["p_retailprice"] + 1000.0
         tdb.from_pandas(uri, upd, index_dims=["p_partkey"], mode="append")
-    _LWW_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "part_lww", build)
 
 
 def q_datasource_lww(spark, sf_dir):
@@ -292,9 +314,6 @@ def q_datasource_lww(spark, sf_dir):
               .orderBy("p_partkey"))
 
 
-_LWW_MANY_CACHE: dict[str, str] = {}
-
-
 def _lww_many_array(spark, sf_dir) -> str:
     """Hot-key upsert pattern: 50 appends all overwriting p_partkey < 100
     (update i writes retailprice + 1000 + i), on top of a full base write.
@@ -302,14 +321,9 @@ def _lww_many_array(spark, sf_dir) -> str:
     lww_group_threshold, so the scan plans ONE streaming-merge group split
     per overlap component (spark_datasource._read_group) instead of
     stacking O(F^2) per-split anti-join reads."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _LWW_MANY_CACHE:
-        return _LWW_MANY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/part_lww_many"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "part")
                .select("p_partkey", "p_retailprice").toPandas())
         tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
@@ -318,8 +332,8 @@ def _lww_many_array(spark, sf_dir) -> str:
             u = upd.copy()
             u["p_retailprice"] = upd["p_retailprice"] + 1000.0 + i
             tdb.from_pandas(uri, u, index_dims=["p_partkey"], mode="append")
-    _LWW_MANY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "part_lww_many", build)
 
 
 def q_datasource_lww_many(spark, sf_dir):
@@ -349,31 +363,23 @@ def q_datasource_read(spark, sf_dir):
               .select("l_orderkey", "l_linenumber", "l_quantity"))
 
 
-_DELETE_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _part_delete_array(spark, sf_dir) -> str:
     """part ingested as a sparse array, then a mode-'d' delete query
     (S15, reference core.cc:1474-1479 / tests/test_query_condition.py:
     1074-1226) records an anti-predicate fragment, and CONSOLIDATION
     materializes the removal — the gate reads back AFTER compaction so
     the artifact proves deletes survive it."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _DELETE_ARRAY_CACHE:
-        return _DELETE_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/part_delete"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "part")
                .select("p_partkey", "p_retailprice", "p_size").toPandas())
         tdb.from_pandas(uri, pdf, index_dims=["p_partkey"])
         with tdb.open(uri, "d", spark=spark) as A:
             A.delete_cells("p_retailprice > 950.0 and p_size < 25")
         tdb.consolidate(uri, spark=spark)
-    _DELETE_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "part_delete", build)
 
 
 def q_delete_qc(spark, sf_dir):
@@ -391,24 +397,16 @@ def q_delete_qc(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
-_DIRECT_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _nation_direct_array(spark, sf_dir) -> str:
     """S13 write_direct substrate: nation's region keys written as a
     dense vector in TWO write_direct calls — an ingest of the first 15
     and a mode='append' of the rest (new fragment with a shifted dim
     range, reference dense_array.py:633-730)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _DIRECT_ARRAY_CACHE:
-        return _DIRECT_ARRAY_CACHE[key]
     import numpy as np
 
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/nation_direct"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         vals = (_t(spark, sf_dir, "nation")
                 .select("n_nationkey", "n_regionkey")
                 .orderBy("n_nationkey").toPandas()["n_regionkey"]
@@ -422,8 +420,8 @@ def _nation_direct_array(spark, sf_dir) -> str:
         with tdb.open(uri, "w", spark=spark) as A:
             A.write_direct(vals[:15])
             A.write_direct(vals[15:], append_dim=0, mode="append")
-    _DIRECT_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "nation_direct", build)
 
 
 def q_write_direct_append(spark, sf_dir):
@@ -439,22 +437,14 @@ def q_write_direct_append(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
-_DENSE_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _nation_dense_array(spark, sf_dir) -> str:
     """nation ingested as a DENSE array over n_nationkey domain (0, 29):
     keys 0-24 are written, 25-29 stay unwritten (fill = -1)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _DENSE_ARRAY_CACHE:
-        return _DENSE_ARRAY_CACHE[key]
     import numpy as np
 
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/nation_dense"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "nation")
                .select("n_nationkey", "n_regionkey")
                .orderBy("n_nationkey").toPandas())
@@ -466,8 +456,8 @@ def _nation_dense_array(spark, sf_dir) -> str:
         tdb.Array.create(uri, schema)
         with tdb.open(uri, "w", spark=spark) as A:
             A[0:len(pdf)] = {"n_regionkey": pdf["n_regionkey"].to_numpy()}
-    _DENSE_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "nation_dense", build)
 
 
 def q_dense_fill_read(spark, sf_dir):
@@ -482,21 +472,13 @@ def q_dense_fill_read(spark, sf_dir):
              .orderBy("n_nationkey"))
 
 
-_LABEL_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _supplier_labeled_array(spark, sf_dir) -> str:
     """supplier keyed by s_suppkey with a dimension label 's_name'
     (zero-padded supplier names are monotonic in the key)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _LABEL_ARRAY_CACHE:
-        return _LABEL_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
     from tiledb_py_spark.labels import DimLabelSchema, write_label_data
 
-    uri = f"/tmp/tdbps_arrays/{key}/supplier_labeled"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "supplier")
                .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
                .toPandas())
@@ -508,8 +490,8 @@ def _supplier_labeled_array(spark, sf_dir) -> str:
             {0: {"s_name": DimLabelSchema("increasing", "U0", 0)}}))
         write_label_data(uri, "s_name", pdf["s_suppkey"].to_numpy(),
                          pdf["s_name"].to_numpy())
-    _LABEL_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "supplier_labeled", build)
 
 
 def q_label_read(spark, sf_dir):
@@ -585,26 +567,18 @@ def q_enum_qc(spark, sf_dir):
               .select("o_orderkey", "o_orderpriority", "o_totalprice"))
 
 
-_ENUM_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _orders_enum_array(spark, sf_dir) -> str:
     """Orders with o_orderpriority stored as an enumeration (dictionary)."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _ENUM_ARRAY_CACHE:
-        return _ENUM_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/orders_enum"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "orders")
                .select("o_orderkey", "o_orderpriority", "o_totalprice")
                .toPandas())
         pdf["o_orderpriority"] = pdf["o_orderpriority"].astype("category")
         tdb.from_pandas(uri, pdf, index_dims=["o_orderkey"])
-    _ENUM_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "orders_enum", build)
 
 
 # ---------------------------------------------------------------------------
@@ -858,9 +832,6 @@ def q_contamination(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
-_CDC_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _cdc_array(spark, sf_dir) -> str:
     """Changelog fixture: four fragments at PINNED manifest timestamps
     (1000/2000/2100/2200 ms via write_fragment_pandas' explicit
@@ -869,15 +840,10 @@ def _cdc_array(spark, sf_dir) -> str:
     an overwrite of p_partkey < 80 (+5000), a SAME-VALUE rewrite of
     80 <= p_partkey < 100 (must NOT appear as a change), and an insert
     of shifted new keys."""
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _CDC_ARRAY_CACHE:
-        return _CDC_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
     from tiledb_py_spark.sources.fragment_writer import write_fragment_pandas
 
-    uri = f"/tmp/tdbps_arrays/{key}/part_cdc"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = (_t(spark, sf_dir, "part")
                .select("p_partkey", "p_retailprice").toPandas())
         # full_domain: the insert fragment lands at p_partkey+1_000_000,
@@ -896,8 +862,8 @@ def _cdc_array(spark, sf_dir) -> str:
         ins["p_partkey"] = ins["p_partkey"] + 1_000_000
         ins["p_retailprice"] = ins["p_retailprice"] + 7.0
         write_fragment_pandas(uri, schema, ins, timestamp=2200)
-    _CDC_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "part_cdc", build)
 
 
 def q_array_changelog(spark, sf_dir):
@@ -1117,7 +1083,7 @@ def q_funnel_by_cohort(spark, sf_dir):
     cohorts — per cohort hour, how many users entered the funnel and
     how many completed each step.  Composition is where column
     contracts break; the oracle chains both operators' replays."""
-    from tiledb_py_spark.streaming.events import cohort_retention, funnel
+    from tiledb_py_spark.streaming.events import funnel
 
     e = _events(spark, sf_dir)
     f = funnel(e, ["view", "click", "purchase"], within="12 HOURS")
@@ -1491,13 +1457,13 @@ def q_ann_append(spark, sf_dir):
         fit.save(meta_uri, name="append_gate")
         idx = IVFPQIndex.load(meta_uri, name="append_gate")
 
-    key = os.path.basename(os.path.normpath(sf_dir))
-    state_uri = f"/tmp/tdbps_arrays/{key}/ivfpq_state"
-    if not tdb.array_exists(state_uri):
+    def _build_state(state_tmp):
         idx.append(base.filter(F.col("vec_id") % 2 == 0), "embedding",
-                   "vec_id", state_uri, keep_cols=["label"])
+                   "vec_id", state_tmp, keep_cols=["label"])
         idx.append(base.filter(F.col("vec_id") % 2 == 1), "embedding",
-                   "vec_id", state_uri, keep_cols=["label"])
+                   "vec_id", state_tmp, keep_cols=["label"])
+
+    state_uri = _fixture_array(sf_dir, "ivfpq_state", _build_state)
 
     def rows(df):
         return [(r.vec_id, r.score) for r in df.collect()]
@@ -1643,7 +1609,6 @@ def q_ivfpq_ann(spark, sf_dir):
     shape of /root/reference/tiledb/query_condition.py); (d) fit ->
     save -> load through the embeddings array's manifest metadata
     restores centroids + codebooks bit-exactly."""
-    import tempfile
 
     import numpy as np
 
@@ -1666,7 +1631,7 @@ def q_ivfpq_ann(spark, sf_dir):
                      and np.array_equal(idx.codebooks, fit.codebooks))
 
     # persist the code table; search scans codes + metadata only
-    p = tempfile.mkdtemp(prefix="ivfpq_codes_")
+    p = _gate_tmp("ivfpq_codes")
     idx.build(base, "embedding", "vec_id",
               keep_cols=["label"]).write.mode("overwrite").parquet(p)
     tab = spark.read.parquet(p)
@@ -1787,22 +1752,14 @@ def q_array_embedding_topk(spark, sf_dir):
                .orderBy(F.col("score").desc(), "vec_id"))
 
 
-_EMB_ARRAY_CACHE: dict[str, str] = {}
-
-
 def _embeddings_array(spark, sf_dir) -> str:
-    key = os.path.basename(os.path.normpath(sf_dir))
-    if key in _EMB_ARRAY_CACHE:
-        return _EMB_ARRAY_CACHE[key]
     import tiledb_py_spark as tdb
 
-    uri = f"/tmp/tdbps_arrays/{key}/embeddings"
-    if not tdb.array_exists(uri):
-        os.makedirs(os.path.dirname(uri), exist_ok=True)
+    def build(uri):
         pdf = _t(spark, sf_dir, "embeddings").toPandas()
         tdb.from_pandas(uri, pdf, index_dims=["vec_id"])
-    _EMB_ARRAY_CACHE[key] = uri
-    return uri
+
+    return _fixture_array(sf_dir, "embeddings", build)
 
 
 def q_batch_topk(spark, sf_dir):
@@ -1840,8 +1797,7 @@ def q_multimodal_features(spark, sf_dir):
     import wave
     from typing import Iterator
 
-    from tiledb_py_spark.operators.multimodal import (MEDIA_SCHEMA,
-                                                      audio_stats,
+    from tiledb_py_spark.operators.multimodal import (audio_stats,
                                                       extract_image_features)
 
     d = _t(spark, sf_dir, "documents")
@@ -2206,11 +2162,10 @@ def q_incremental_dedup(spark, sf_dir):
     cross-batch content dup) and keep one copy per within-batch dup.
     The state lives in a per-call temp dir so the gate is a pure
     function of the inputs; the oracle replays both batches in SQL."""
-    import tempfile
 
     from tiledb_py_spark.operators.dedup import incremental_exact_dedup
 
-    state = os.path.join(tempfile.mkdtemp(prefix="tdbps_incdedup_"), "state")
+    state = os.path.join(_gate_tmp("incremental_dedup"), "state")
     d = _t(spark, sf_dir, "documents")
     b1 = d.filter(F.col("doc_id") < 250)
     b2 = d.filter(F.col("doc_id") >= 200)
@@ -2318,6 +2273,37 @@ def q_rolling_anomaly(spark, sf_dir):
         .orderBy("user_id", "event_id")
 
 
+
+def _gate_tmp(name: str) -> str:
+    """Deterministic per-gate scratch root, WIPED at gate start.  The
+    old per-call tempfile.mkdtemp dirs were never cleaned — bench runs
+    each gate 2-3x and a multi-round sf1 session leaked gigabytes of
+    staged events/state arrays until /tmp filled mid-sweep.  One live
+    copy per gate, self-cleaning on the next run."""
+    import shutil
+
+    root = f"/tmp/tdbps_gates/{name}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
+
+
+def _idempotent_sink(sink: str, n_triggers: list):
+    """foreachBatch parquet sink that survives micro-batch RETRIES: each
+    batch overwrites its OWN subdir (a plain mode('append') would write
+    the rows twice when Spark re-runs a batch after a post-append
+    failure — a flaky gate red on correct code)."""
+    def sink_batch(df, batch_id):
+        n_triggers.append(batch_id)
+        df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"b{batch_id}"))
+    return sink_batch
+
+
+def _read_sink(spark, sink: str):
+    return spark.read.option("recursiveFileLookup", "true").parquet(sink)
+
+
 def _stage_two_trigger_stream(df, src: str,
                               order=("ts", "event_id")) -> None:
     """Stage ``df`` as TWO parquet files split at the midpoint of the
@@ -2364,12 +2350,11 @@ def q_stream_replay(spark, sf_dir):
     driver-verified rather than pytest-only.  The staging split is on
     global (ts, event_id) order, so arrival order equals the batch
     window order and the pinned bit-identity applies."""
-    import tempfile
 
     from tiledb_py_spark.streaming.stateful import rolling_anomaly_stream
 
     e = _events(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="tdbps_streplay_")
+    root = _gate_tmp("stream_replay")
     src, sink, ckpt = (os.path.join(root, p)
                        for p in ("src", "sink", "ckpt"))
 
@@ -2385,9 +2370,7 @@ def q_stream_replay(spark, sf_dir):
               .option("maxFilesPerTrigger", 1).parquet(src))
     n_triggers = []
 
-    def sink_batch(df, batch_id):
-        n_triggers.append(batch_id)
-        df.write.mode("append").parquet(sink)
+    sink_batch = _idempotent_sink(sink, n_triggers)
 
     q = (rolling_anomaly_stream(stream, window=20, min_periods=5,
                                 threshold=2.0, value_decimals=2)
@@ -2403,7 +2386,7 @@ def q_stream_replay(spark, sf_dir):
         raise RuntimeError(
             f"stream_replay needs >= 2 triggers to cross the state "
             f"boundary; got {len(n_triggers)}")
-    return (spark.read.parquet(sink)
+    return (_read_sink(spark, sink)
             .select("user_id", "event_id", "ts", "value",
                     "baseline_mean", "baseline_std", "zscore")
             .orderBy("user_id", "event_id"))
@@ -2418,12 +2401,11 @@ def q_stream_sessionize(spark, sf_dir):
     batch ``sessionize`` SQL verbatim — stream equals batch for
     in-order arrival, and the global (ts, event_id) staging order
     guarantees per-user in-order delivery."""
-    import tempfile
 
     from tiledb_py_spark.streaming.stateful import sessionize_stream
 
     e = _events(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="tdbps_stsess_")
+    root = _gate_tmp("stream_sessionize")
     src, sink, ckpt = (os.path.join(root, p)
                        for p in ("src", "sink", "ckpt"))
     _stage_two_trigger_stream(e.select("user_id", "event_id", "ts"), src)
@@ -2433,9 +2415,7 @@ def q_stream_sessionize(spark, sf_dir):
               .option("maxFilesPerTrigger", 1).parquet(src))
     n_triggers = []
 
-    def sink_batch(df, batch_id):
-        n_triggers.append(batch_id)
-        df.write.mode("append").parquet(sink)
+    sink_batch = _idempotent_sink(sink, n_triggers)
 
     q = (sessionize_stream(stream, gap_minutes=30.0)
          .writeStream.outputMode("append")
@@ -2450,7 +2430,7 @@ def q_stream_sessionize(spark, sf_dir):
         raise RuntimeError(
             f"stream_sessionize needs >= 2 triggers to cross the state "
             f"boundary; got {len(n_triggers)}")
-    return (spark.read.parquet(sink)
+    return (_read_sink(spark, sink)
             .select("event_id", "user_id", "session_idx", "event_idx")
             .orderBy("event_id"))
 
@@ -2468,12 +2448,11 @@ def q_stream_resample(spark, sf_dir):
     last finalized real bucket (bucket end <= the final watermark, in
     Spark's millisecond watermark domain) — the emission contract
     pinned by ``test_time_resample_stream_matches_batch``."""
-    import tempfile
 
     from tiledb_py_spark.streaming.stateful import time_resample_stream
 
     e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
-    root = tempfile.mkdtemp(prefix="tdbps_stresample_")
+    root = _gate_tmp("stream_resample")
     src, sink, ckpt = (os.path.join(root, p)
                        for p in ("src", "sink", "ckpt"))
     _stage_two_trigger_stream(
@@ -2489,9 +2468,7 @@ def q_stream_resample(spark, sf_dir):
               .withWatermark("ts", "0 seconds"))
     n_triggers = []
 
-    def sink_batch(df, batch_id):
-        n_triggers.append(batch_id)
-        df.write.mode("append").parquet(sink)
+    sink_batch = _idempotent_sink(sink, n_triggers)
 
     q = (time_resample_stream(stream, interval_sec=7200)
          .writeStream.outputMode("append")
@@ -2506,7 +2483,7 @@ def q_stream_resample(spark, sf_dir):
         raise RuntimeError(
             f"stream_resample needs >= 2 triggers to cross the state "
             f"boundary; got {len(n_triggers)}")
-    return (spark.read.parquet(sink)
+    return (_read_sink(spark, sink)
             .select("user_id", "bucket", "n_events", "value")
             .orderBy("user_id", "bucket"))
 
@@ -2522,7 +2499,6 @@ def q_stream_source(spark, sf_dir):
     each row EXACTLY ONCE (a replayed or skipped fragment changes the
     hash).  Per-call temp array/checkpoint/sink keep the gate a pure
     function of its inputs."""
-    import tempfile
 
     from tiledb_py_spark.sources.dataframe_ import from_spark
     from tiledb_py_spark.sources.spark_datasource import register
@@ -2531,7 +2507,7 @@ def q_stream_source(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", (F.col("o_orderkey") % 4).alias("slice_"),
         "o_totalprice")
-    root = tempfile.mkdtemp(prefix="tdbps_stsource_")
+    root = _gate_tmp("stream_source")
     arr, sink, ckpt = (os.path.join(root, p)
                        for p in ("arr", "sink", "ckpt"))
     from_spark(arr, o.filter(F.col("slice_") == 0).drop("slice_"),
@@ -2541,8 +2517,7 @@ def q_stream_source(spark, sf_dir):
     def run_stream():
         q = (spark.readStream.format("tiledb").load(arr)
              .writeStream
-             .foreachBatch(lambda df, _id:
-                           df.write.mode("append").parquet(sink))
+             .foreachBatch(_idempotent_sink(sink, []))
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         if not q.awaitTermination(600):
@@ -2555,7 +2530,7 @@ def q_stream_source(spark, sf_dir):
         from_spark(arr, o.filter(F.col("slice_") == s).drop("slice_"),
                    index_dims=["o_orderkey"], mode="append")
     run_stream()                     # resumes: exactly the new two
-    return (spark.read.parquet(sink)
+    return (_read_sink(spark, sink)
             .select("o_orderkey", "o_totalprice")
             .orderBy("o_orderkey"))
 
@@ -2571,7 +2546,6 @@ def q_stream_sink(spark, sf_dir):
     asserts the sink's commit granularity: exactly two fragments, both
     carrying the ``_sb<batchId>_`` idempotency marker, and an empty
     staging dir (leftover pieces = a leaked abort)."""
-    import tempfile
 
     from tiledb_py_spark import manifest as mf
     from tiledb_py_spark.sources.dataframe_ import from_spark
@@ -2580,7 +2554,7 @@ def q_stream_sink(spark, sf_dir):
     register(spark)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
-    root = tempfile.mkdtemp(prefix="tdbps_stsink_")
+    root = _gate_tmp("stream_sink")
     arr, src, ckpt = (os.path.join(root, p)
                       for p in ("arr", "src", "ckpt"))
     # sink target must pre-exist with the TRANSFORMED schema (the
@@ -2661,14 +2635,13 @@ def q_incremental_compact(spark, sf_dir):
     compacted state holds exactly 1 fragment before batch 3 (vs 2
     uncompacted) and 2 after (vs 3); (c) the near-dup variant (var-
     length signature attr) round-trips the fold the same way."""
-    import tempfile
 
     from tiledb_py_spark.fragment import array_fragments
     from tiledb_py_spark.operators.dedup import (compact_state,
                                                  incremental_exact_dedup,
                                                  incremental_neardup)
 
-    root = tempfile.mkdtemp(prefix="tdbps_inccompact_")
+    root = _gate_tmp("incremental_compact")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.count()
     b = [d.filter((F.col("doc_id") >= i * n // 3)
@@ -2721,13 +2694,12 @@ def q_incremental_neardup(spark, sf_dir):
     dropped docs included, signature bytes only (no text); (c) batch 2
     actually dropped cross-batch near-dups (the synthetic corpus
     carries a near-dup rate across the id range)."""
-    import tempfile
 
     from tiledb_py_spark import highlevel as hl
     from tiledb_py_spark.operators.dedup import (incremental_neardup,
                                                  minhash_dedup)
 
-    state = os.path.join(tempfile.mkdtemp(prefix="tdbps_incnd_"), "state")
+    state = os.path.join(_gate_tmp("incremental_neardup"), "state")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = d.count()
     cut = n_docs // 2   # sf-proportional split keeps batch 2 non-empty
@@ -2782,7 +2754,6 @@ def q_incremental_e2e(spark, sf_dir):
       (d) fingerprint state == one row per surviving doc, signature
           state == one row per INGESTED doc (drops keep contributing
           edges)."""
-    import tempfile
 
     from tiledb_py_spark import highlevel as hl
     from tiledb_py_spark.fragment import array_fragments
@@ -2794,7 +2765,7 @@ def q_incremental_e2e(spark, sf_dir):
     from tiledb_py_spark.operators.similarity import IVFIndex
     from tiledb_py_spark.operators.text import fingerprint
 
-    root = tempfile.mkdtemp(prefix="tdbps_ince2e_")
+    root = _gate_tmp("incremental_e2e")
     fp_state = os.path.join(root, "fp")
     sig_state = os.path.join(root, "sig")
     ivf_state = os.path.join(root, "ivf")
@@ -3094,8 +3065,10 @@ def q_unigram_lm_train(spark, sf_dir):
     (d) the vocabulary respects the size budget and contains every
     corpus character (every word stays segmentable); (e) the Arrow
     Viterbi encoder is OPTIMAL — for every corpus word up to 10 chars
-    its segmentation score equals an exhaustive search over all
-    segmentations (an independent oracle of the dynamic program); and
+    the score of the segmentation the ENCODER ACTUALLY EMITTED equals
+    an exhaustive search over all segmentations (the check consumes
+    unigram_encode_udf's own output, so a regression to e.g. greedy
+    longest-match flips it — a gate-local DP would not notice); and
     (f) encoding round-trips (concatenated pieces rebuild each
     word)."""
     from collections import Counter
@@ -3124,19 +3097,8 @@ def q_unigram_lm_train(spark, sf_dir):
     chars = {c for w in ref for c in w}
     size_ok = len(vocab) <= max(60, len(chars)) and chars <= set(vocab)
 
-    # (e) Viterbi optimality vs exhaustive segmentation search
+    # (e) the ENCODER'S OWN segmentation scores vs exhaustive search
     unk = min(vocab.values()) - 100.0
-    max_len = max(len(p) for p in vocab)
-
-    def viterbi(w):
-        best = [-inf] * (len(w) + 1)
-        best[0] = 0.0
-        for j in range(1, len(w) + 1):
-            for i in range(max(0, j - max_len), j):
-                lp = vocab.get(w[i:j], unk if j - i == 1 else None)
-                if lp is not None and best[i] + lp > best[j]:
-                    best[j] = best[i] + lp
-        return best[len(w)]
 
     def brute(w):
         best = -inf
@@ -3152,14 +3114,44 @@ def q_unigram_lm_train(spark, sf_dir):
                     stack.append((j, s + lp))
         return best
 
-    vit_ok = all(abs(viterbi(w) - brute(w)) < 1e-9
-                 for w in ref if len(w) <= 10)
+    def seg_score(pieces):
+        s = 0.0
+        for p in pieces:
+            lp = vocab.get(p, unk if len(p) == 1 else None)
+            if lp is None:
+                return -inf
+            s += lp
+        return s
 
-    # (f) round-trip through the Arrow encoder
+    # (e)+(f) over the Arrow encoder's actual output: re-derive each
+    # word's piece list by walking the doc's token stream against the
+    # word lengths — round-trip AND per-word optimality in one pass
     enc = unigram_encode_udf(model)
     rt = d.select(enc(F.col("text")).alias("toks"), "text").collect()
-    rt_ok = all("".join(r.toks) == "".join(r.text.lower().split())
-                for r in rt)
+    vit_ok = rt_ok = True
+    checked: set = set()
+    for r in rt:
+        words = r.text.lower().split()
+        toks = list(r.toks)
+        pos = 0
+        for w in words:
+            pieces, n = [], 0
+            while n < len(w) and pos < len(toks):
+                pieces.append(toks[pos])
+                n += len(toks[pos])
+                pos += 1
+            if "".join(pieces) != w:
+                rt_ok = False
+                break
+            if len(w) <= 10 and w not in checked:
+                checked.add(w)
+                if abs(seg_score(pieces) - brute(w)) >= 1e-9:
+                    vit_ok = False
+        else:
+            if pos != len(toks):
+                rt_ok = False
+            continue
+        break
     return spark.createDataFrame(
         [(60, bool(wf_match), bool(det), bool(mass_ok), bool(size_ok),
           bool(vit_ok), bool(rt_ok))],

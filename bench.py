@@ -167,13 +167,23 @@ def main() -> int:
     # noise-resistant estimator for short benchmarks.  The worst/best
     # spread is recorded per query — a uniformly large spread marks a
     # contended artifact.
+    errors: dict[str, str] = {}
+
     def timed_run(name: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).toPandas()
         return time.perf_counter() - t0
 
     for name in bench_queries:
-        runs = [timed_run(name) for _ in range(2)]
+        # never abort the sweep: the round driver depends on an artifact
+        # existing — one transient failure records an error entry and a
+        # None time instead of killing a 50-minute run with no output
+        try:
+            runs = [timed_run(name) for _ in range(2)]
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"
+            times[name] = None
+            continue
         times[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
 
@@ -195,12 +205,15 @@ def main() -> int:
                    if s > spread_thresh or times[n] > heavy_floor]
     load_rerun = round(os.getloadavg()[0], 2)
     for name in rerun_names:
-        times[name] = round(min(times[name], timed_run(name)), 3)
+        try:
+            times[name] = round(min(times[name], timed_run(name)), 3)
+        except Exception as e:
+            errors[name] = f"rerun: {type(e).__name__}: {e}"
 
     probe_end = min(_contention_probe(spark) for _ in range(2))
     probe_s = round(min(probe_start, probe_end), 3)
     host_factor = round(max(probe_s / PROBE_REF_S, 1.0), 2)
-    total = round(sum(times.values()), 3)
+    total = round(sum(v for v in times.values() if v is not None), 3)
     out = {
         "metric": "bench_total_runtime",
         "value": total,
@@ -211,9 +224,11 @@ def main() -> int:
         "load_1m_rerun": load_rerun,
         "load_1m_end": round(os.getloadavg()[0], 2),
         "run_spread_max": max(spreads.values()) if spreads else None,
-        "run_spread_median": (sorted(spreads.values())[len(spreads) // 2]
+        "run_spread_median": (round(float(
+            __import__("statistics").median(spreads.values())), 2)
                               if spreads else None),
         "reruns": len(rerun_names),
+        "errors": errors,
         # self-contained contention attribution (VERDICT r11 item 6):
         # the probe is a fixed code-independent Spark workload, so
         # host_factor > ~1.2 marks a contended window — divide `value`

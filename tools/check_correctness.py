@@ -14,7 +14,6 @@ exact-mode runs.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -107,7 +106,21 @@ def main():
         del argv[i:i + 2]
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) \
         else "/root/testdata/sf0.01"
+    dirs = [a for a in argv if os.path.isdir(a)]
+    if len(dirs) > 1 or (dirs and dirs[0] != (argv[0] if argv else None)):
+        # a directory in any position other than first would be
+        # SILENTLY dropped from `only` — the caller meant it as sf_dir
+        print(f"error: sf_dir must be the FIRST argument (got dirs "
+              f"{dirs}, first arg {argv[0]!r})", file=sys.stderr)
+        return 2
     only = set(a for a in argv if not os.path.isdir(a))
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd query name used to make the gate exit 0 having run
+        # NOTHING — a committed "green" sweep that verified nothing
+        print(f"error: unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        return 2
     results = {}
 
     spark = get_spark()
