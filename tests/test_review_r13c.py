@@ -96,3 +96,128 @@ def test_build_ann_index_ivfpq_validates_before_save(tmp_path, spark):
     meta = tdb.Metadata(uri)
     assert not any(k.startswith("__ivfpq_index:") for k in meta.keys()), \
         "half-built index persisted before validation"
+
+
+# -- review batch 6: ingestion surface (dataframe_.py) --------------------
+
+def test_json_flatten_cross_column_collision_refused():
+    import pandas as pd
+
+    from tiledb_py_spark.sources.dataframe_ import _flatten_pandas_json
+
+    pdf = pd.DataFrame({"a": [{"b_c": 1}], "a_b": [{"c": 2}]})
+    with pytest.raises(ValueError, match="BOTH nested columns"):
+        _flatten_pandas_json(pdf, flatten=True)
+    # non-colliding flatten still works, values preserved
+    ok = _flatten_pandas_json(
+        pd.DataFrame({"x": [{"y": 1}], "z": [{"w": 2}]}), flatten=True)
+    assert ok["x_y"].tolist() == [1] and ok["z_w"].tolist() == [2]
+
+
+def test_tz_aware_attr_refused(tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": np.arange(3, dtype=np.int64),
+                        "t": pd.date_range("2020", periods=3, tz="UTC")})
+    with pytest.raises(TypeError, match="tz-aware"):
+        tdb.from_pandas(str(tmp_path / "arr"), pdf, index_dims=["k"])
+
+
+def test_full_domain_small_int_dim(tmp_path, spark):
+    """int8/int16 full_domain dims no longer build an inverted domain
+    that rejects every write."""
+    import pandas as pd
+
+    uri = str(tmp_path / "arr")
+    pdf = pd.DataFrame({"k": np.array([-5, 0, 7], dtype=np.int8),
+                        "v": [1.0, 2.0, 3.0]})
+    tdb.from_pandas(uri, pdf, index_dims=["k"], full_domain=True)
+    res = tdb.open(uri, spark=spark).multi_index[:]
+    assert sorted(res["v"].tolist()) == [1.0, 2.0, 3.0]
+
+
+def test_from_parquet_multi_file_spark(tmp_path, spark):
+    import pandas as pd
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pd.DataFrame({"k": np.arange(3, dtype=np.int64),
+                  "v": [1.0, 2.0, 3.0]}).to_parquet(p1)
+    pd.DataFrame({"k": np.arange(3, 6, dtype=np.int64),
+                  "v": [4.0, 5.0, 6.0]}).to_parquet(p2)
+    uri = str(tmp_path / "arr")
+    tdb.from_parquet(uri, [p1, p2], spark=spark, index_dims=["k"])
+    out = tdb.open(uri, spark=spark).dataframe().collect()
+    assert len(out) == 6
+
+
+def test_from_pandas_append_to_from_spark_array(tmp_path, spark):
+    """Pandas append to a from_spark default-index (sparse) array
+    synthesizes fresh row coords instead of KeyError."""
+    import pandas as pd
+
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+
+    uri = str(tmp_path / "arr")
+    from_spark(uri, spark.createDataFrame([(1.0,), (2.0,)], "v double"))
+    tdb.from_pandas(uri, pd.DataFrame({"v": [3.0, 4.0]}), mode="append")
+    out = tdb.open(uri, spark=spark).dataframe().toPandas()
+    assert sorted(out["v"]) == [1.0, 2.0, 3.0, 4.0]
+    assert out["__tiledb_rows"].nunique() == 4
+
+
+def test_from_spark_explicit_dense_default_index(tmp_path, spark):
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+
+    uri = str(tmp_path / "arr")
+    from_spark(uri, spark.createDataFrame([(1.0,), (2.0,)], "v double"),
+               sparse=False)
+    A = tdb.open(uri, spark=spark)
+    assert not A.schema.sparse
+    assert A.df[:]["v"].tolist() == [1.0, 2.0]
+
+
+def test_from_pandas_unknown_kwargs_refused(tmp_path):
+    import pandas as pd
+
+    with pytest.raises(TypeError, match="unsupported keyword"):
+        tdb.from_pandas(str(tmp_path / "arr"),
+                        pd.DataFrame({"v": [1.0]}),
+                        attr_filter={"v": []})   # typo: singular
+
+
+def test_append_dtype_drift_guarded(tmp_path, spark):
+    """A later chunk whose int column drifted to float (NaN appeared)
+    is refused for non-nullable attrs and exact-cast otherwise."""
+    import pandas as pd
+
+    uri = str(tmp_path / "arr")
+    tdb.from_pandas(uri, pd.DataFrame({"k": np.arange(3, dtype=np.int64),
+                                       "n": np.arange(3, dtype=np.int64)}),
+                    index_dims=["k"], full_domain=True)
+    drifted = pd.DataFrame({"k": np.arange(3, 6, dtype=np.int64),
+                            "n": [4.0, np.nan, 6.0]})
+    with pytest.raises(ValueError, match="dtype drift"):
+        tdb.from_pandas(uri, drifted, mode="append")
+    clean = pd.DataFrame({"k": np.arange(3, 6, dtype=np.int64),
+                          "n": [4.0, 5.0, 6.0]})   # integral floats: cast
+    tdb.from_pandas(uri, clean, mode="append")
+    res = tdb.open(uri, spark=spark).multi_index[:]
+    assert sorted(res["n"].tolist()) == [0, 1, 2, 4, 5, 6]
+    with pytest.raises(ValueError, match="non-integral"):
+        tdb.from_pandas(uri, pd.DataFrame(
+            {"k": np.array([9], dtype=np.int64), "n": [4.5]}),
+            mode="append")
+
+
+def test_from_spark_append_enum_strings_refused(tmp_path, spark):
+    import pandas as pd
+
+    from tiledb_py_spark.sources.dataframe_ import from_spark
+
+    uri = str(tmp_path / "arr")
+    pdf = pd.DataFrame({"k": np.arange(3, dtype=np.int64),
+                        "col": pd.Categorical(["r", "g", "r"])})
+    tdb.from_pandas(uri, pdf, index_dims=["k"], full_domain=True)
+    bad = spark.createDataFrame([(5, "g")], "k long, col string")
+    with pytest.raises(ValueError, match="enumerated"):
+        from_spark(uri, bad, mode="append")

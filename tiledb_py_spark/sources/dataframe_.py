@@ -58,13 +58,21 @@ def _infer_attr(name: str, s: pd.Series):
     dt = s.dtype
     nullable = bool(s.isna().any())
     if pd.api.types.is_extension_array_dtype(dt):  # Int64, boolean, string...
-        base = dt.numpy_dtype if hasattr(dt, "numpy_dtype") else np.dtype("object")
+        if not hasattr(dt, "numpy_dtype"):
+            # DatetimeTZDtype/Period/...: mapping to object would declare
+            # a var-string attr over a TIMESTAMP parquet column — silent
+            # schema/data skew on every read.  Refuse with the recipe.
+            raise TypeError(
+                f"column {name!r} has extension dtype {dt} with no numpy "
+                "storage equivalent; convert it first (tz-aware "
+                "datetimes: .dt.tz_convert('UTC').dt.tz_localize(None))")
+        base = dt.numpy_dtype
         nullable = True
         return Attr(name=name, dtype=base, nullable=True), None, s
     if dt == object:
         first = s.dropna()
         if len(first) and isinstance(first.iloc[0], bytes):
-            return Attr(name=name, dtype="S0" if False else np.bytes_, nullable=nullable), None, s
+            return Attr(name=name, dtype=np.bytes_, nullable=nullable), None, s
         if len(first) and isinstance(first.iloc[0], (list, tuple, np.ndarray)):
             # var-length multi-value cells (e.g. embeddings): element dtype
             # from the first cell (reference var attrs, attribute.py:74-79).
@@ -112,9 +120,16 @@ def _infer_dim(name: str, s: pd.Series, full_domain: bool, tile: Optional[int],
         return Dim(name=name, domain=(lo, hi), tile=tile or day, dtype=dt)
     if full_domain and np.issubdtype(dt, np.integer):
         info = np.iinfo(dt)
-        # leave headroom for tile extents like the reference
-        return Dim(name=name, domain=(info.min, info.max - _tile_default(ndim)),
-                   tile=tile or _tile_default(ndim), dtype=dt)
+        # leave headroom for tile extents like the reference — but CLAMP
+        # for small-int dtypes, where the default headroom exceeds the
+        # whole range and produced an INVERTED domain (int8: (-128,
+        # -9873)) that rejected every write
+        t = tile or _tile_default(ndim)
+        hi = info.max - t
+        if hi <= info.min:
+            hi = info.max - 1
+            t = min(t, int(hi) - int(info.min) + 1)
+        return Dim(name=name, domain=(info.min, hi), tile=t, dtype=dt)
     if full_domain and np.issubdtype(dt, np.floating):
         # floats get the full finite range (reference dim_info full_domain
         # covers every numeric dtype, not just ints) — without this,
@@ -163,13 +178,28 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
     if sparse is None:
         sparse = bool(index_dims)  # _sparse_from_dtypes analog
 
+    # filter declarations are popped up-front so ANY leftover keyword —
+    # a typo like attr_filter=, or an unsupported reference option — is
+    # refused loudly instead of silently ignored (the from_csv(spark=)
+    # posture)
+    attr_filters = kwargs.pop("attr_filters", None)
+    dim_filters = kwargs.pop("dim_filters", None)
+    if kwargs:
+        raise TypeError(
+            f"from_pandas got unsupported keyword(s) {sorted(kwargs)}; "
+            "supported extras are attr_filters/dim_filters")
+
     if mode == "append":
         if not mf.array_exists(uri):
             raise FileNotFoundError(f"append to nonexistent array {uri}")
         man = mf.read_manifest(uri)
         schema = man.schema
         row_offset = 0
-        if not schema.sparse and schema.dim_names == [ROWS_DIM]:
+        if schema.dim_names == [ROWS_DIM] and ROWS_DIM not in pdf.columns:
+            # default-index arrays (dense OR sparse — from_spark creates
+            # the sparse flavor): synthesize the row coordinates; the old
+            # dense-only guard made pandas appends to from_spark arrays
+            # crash with a raw KeyError('__tiledb_rows')
             ned = man.nonempty_domain()
             row_offset = (int(ned[0][1]) + 1) if ned and ned[0][0] is not None else 0
             pdf = pdf.copy()
@@ -177,11 +207,6 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
         stored = _encode_for_schema(pdf, schema)
         write_fragment_pandas(uri, schema, stored)
         return
-
-    # filter declarations (reference parse_tiledb_kwargs: attr_filters /
-    # dim_filters, each a FilterList/Filter-list or {name: filters} dict)
-    attr_filters = kwargs.pop("attr_filters", None)
-    dim_filters = kwargs.pop("dim_filters", None)
 
     def _filters_for(spec, name):
         if spec is None:
@@ -279,7 +304,31 @@ def _encode_for_schema(pdf: pd.DataFrame, schema: ArraySchema) -> pd.DataFrame:
             else:
                 out[a.name] = codes.astype("int32")
         else:
-            out[a.name] = s
+            declared = np.dtype(a.dtype)
+            if declared.kind in "iu" and pd.api.types.is_float_dtype(s):
+                # chunked-ingest drift: a later chunk's integer column
+                # read as float (NaN appeared) would write DOUBLE parquet
+                # under the int schema — fragment 2 silently disagreeing
+                # with fragment 1
+                if s.isna().any():
+                    if not a.nullable:
+                        raise ValueError(
+                            f"attribute {a.name!r} is {declared} and not "
+                            "nullable, but this batch's column is float "
+                            "with nulls (chunked-ingest dtype drift)")
+                    bits = declared.itemsize * 8
+                    ext = ("UInt" if declared.kind == "u" else "Int")
+                    out[a.name] = s.astype(f"{ext}{bits}")
+                    continue
+                if not np.array_equal(
+                        s.to_numpy(),
+                        s.to_numpy().astype(declared).astype(s.dtype)):
+                    raise ValueError(
+                        f"attribute {a.name!r} is {declared} but this "
+                        "batch's column holds non-integral floats")
+                out[a.name] = s.astype(declared)
+            else:
+                out[a.name] = s
     return out
 
 
@@ -398,15 +447,32 @@ def _flatten_pandas_json(pdf, flatten: bool):
                 f"(e.g. row {int(bad.idxmax())}); flatten=True needs "
                 "every non-null value to be an object — clean the "
                 "column upstream")
-    flat = pd.json_normalize(pdf[nested].to_dict("records"), sep="_")
-    flat.index = pdf.index
+    # flatten PER COLUMN: a joint json_normalize last-wins-merges when
+    # two nested columns flatten to the same name (a={'b_c':1} and
+    # a_b={'c':2} both become a_b_c — one value silently discarded);
+    # per-column frames let every collision be detected before any loss
+    flats = []
+    owner: dict = {}
+    for c in nested:
+        sub = pd.json_normalize(
+            [v if isinstance(v, dict) else {} for v in pdf[c]], sep="_")
+        sub.columns = [f"{c}_{k}" for k in sub.columns]
+        for n in sub.columns:
+            if n in owner:
+                raise ValueError(
+                    f"flattened name {n!r} is produced by BOTH nested "
+                    f"columns {owner[n]!r} and {c!r}; rename the "
+                    "conflicting fields upstream")
+            owner[n] = c
+        sub.index = pdf.index
+        flats.append(sub)
     rest = pdf.drop(columns=nested)
-    clash = sorted(set(flat.columns) & set(rest.columns))
+    clash = sorted(set(owner) & set(rest.columns))
     if clash:
         raise ValueError(
             f"flattened column names {clash} collide with existing "
             "top-level columns; rename the conflicting fields upstream")
-    return pd.concat([rest, flat], axis=1)
+    return pd.concat([rest] + flats, axis=1)
 
 
 def from_json(uri: str, json_file, mode: str = "ingest", index_dims=None,
@@ -475,7 +541,11 @@ def from_parquet(uri: str, parquet_uri, spark=None, index_dims=None,
     """Parquet ingest (reference ``parquet_.py:4-9`` routes via pandas; the
     Spark path keeps it distributed)."""
     if spark is not None:
-        sdf = spark.read.parquet(parquet_uri if isinstance(parquet_uri, str) else list(parquet_uri))
+        # DataFrameReader.parquet is varargs (*paths) — unlike csv()/
+        # json() it does NOT accept a list; passing one crashed in py4j
+        sdf = (spark.read.parquet(parquet_uri)
+               if isinstance(parquet_uri, str)
+               else spark.read.parquet(*parquet_uri))
         from_spark(uri, sdf, index_dims=index_dims, sparse=sparse, mode=mode,
                    full_domain=full_domain)
         return
@@ -500,6 +570,7 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
         # behave like schema_only (create + write nothing)
         raise ValueError(f"invalid mode {mode!r}")
     index_dims = list(index_dims or [])
+    sparse_explicit = sparse is not None
     if sparse is None:
         sparse = bool(index_dims)
     if mode == "append":
@@ -531,6 +602,20 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
                     F.row_number().over(
                         Window.orderBy(F.monotonically_increasing_id()))
                     - 1 + F.lit(offset))
+        from pyspark.sql import types as T
+
+        enum_attrs = [a.name for a in schema.attrs_list if a.enum_label]
+        bad = [n for n in enum_attrs
+               if n in df.columns
+               and isinstance(df.schema[n].dataType, T.StringType)]
+        if bad:
+            # the pandas append path encodes labels -> codes and refuses
+            # unknown labels; writing raw strings under the declared
+            # int32-code schema would commit unreadable fragments
+            raise ValueError(
+                f"attributes {bad} are enumerated (stored as int32 "
+                "codes); from_spark append cannot encode string labels "
+                "— append via from_pandas, or supply the integer codes")
         write_fragment_spark(uri, schema, df)
         return
 
@@ -563,12 +648,29 @@ def from_spark(uri: str, df, index_dims: Optional[list] = None,
             elif full_domain and npdt.kind in ("i", "u"):
                 info = np.iinfo(npdt)
                 tile = _tile_default(len(index_dims))
+                hi = info.max - tile
+                if hi <= info.min:   # small-int dtypes: clamp (see
+                    hi = info.max - 1   # _infer_dim)
+                    tile = min(tile, int(hi) - int(info.min) + 1)
                 dims.append(Dim(name=dname,
-                                domain=(info.min, info.max - tile),
+                                domain=(info.min, hi),
                                 tile=tile, dtype=npdt))
             else:
                 dims.append(Dim(name=dname, domain=(row[f"__lo_{dname}"], row[f"__hi_{dname}"]),
                                 tile=_tile_default(len(index_dims)), dtype=npdt))
+    elif sparse_explicit and sparse is False:
+        # honor an EXPLICIT dense request (from_pandas parity): dense
+        # grids need contiguous coords, so pay one row_number pass and
+        # a count for the bounded domain
+        from pyspark.sql import Window
+
+        n = df.count()
+        df = df.withColumn(
+            ROWS_DIM,
+            F.row_number().over(Window.orderBy(
+                F.monotonically_increasing_id())) - 1)
+        dims.append(Dim(name=ROWS_DIM, domain=(0, max(n - 1, 0)),
+                        tile=10000, dtype=np.int64))
     else:
         df = df.withColumn(ROWS_DIM, F.monotonically_increasing_id())
         dims.append(Dim(name=ROWS_DIM, domain=(0, np.iinfo(np.int64).max - 10000),
