@@ -184,10 +184,11 @@ def from_pandas(uri: str, dataframe: pd.DataFrame, index_dims: Optional[list] = 
     # posture)
     attr_filters = kwargs.pop("attr_filters", None)
     dim_filters = kwargs.pop("dim_filters", None)
-    if kwargs:
+    kwargs.pop("spark", None)   # accepted for call-site symmetry with
+    if kwargs:                  # from_spark; the write is driver-side
         raise TypeError(
             f"from_pandas got unsupported keyword(s) {sorted(kwargs)}; "
-            "supported extras are attr_filters/dim_filters")
+            "supported extras are attr_filters/dim_filters/spark")
 
     if mode == "append":
         if not mf.array_exists(uri):
