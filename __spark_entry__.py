@@ -3760,11 +3760,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay": q_stream_replay,
         "kn_ppl": q_kn_ppl,
         "kn3_ppl": q_kn3_ppl,
-        # --- positions 40-50: the ROTATION BLOCK (VERDICT r12 item 2,
-        # verbatim list) — the deep-tail gates that haven't held a
-        # driver row since the registry outgrew the window (~r6).
-        # The r12 rotation block (pack_materialize .. window_rank, all
-        # driver-green in CORRECTNESS_r12) returns to the tail. ---
+        # --- positions 40-50: the ROTATION BLOCK (VERDICT r13 item 2,
+        # verbatim list) — the r4-r5-era gates that haven't held a
+        # driver row since the registry outgrew the window.
+        # The r13 rotation block (dup_stats .. simhash, all
+        # driver-green in CORRECTNESS_r13) returns to the tail. ---
+        "unigram_surprisal": q_unigram_surprisal,
+        "ppl_buckets": q_ppl_buckets,
+        "shard_assign": q_shard_assign,
+        "oov_rate": q_oov_rate,
+        "det_shuffle": q_det_shuffle,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "resample_strata": q_resample_strata,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "token_budget": q_token_budget,
+        # --- tail.  Opened by the r13 rotation block
+        # (dup_stats .. simhash, all driver-green in
+        # CORRECTNESS_r13); every tail gate is still oracle-checked
+        # each round by tools/check_correctness.py --exact and the
+        # committed CORRECTNESS_full_r{N}.json. ---
         "dup_stats": q_dup_stats,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -3776,11 +3792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "bigram_surprisal": q_bigram_surprisal,
         "simhash": q_simhash,
-        # --- tail.  Opened by the r12 rotation block
-        # (pack_materialize .. window_rank, all driver-green in
-        # CORRECTNESS_r12); every tail gate is still oracle-checked
-        # each round by tools/check_correctness.py --exact and the
-        # committed CORRECTNESS_full_r{N}.json. ---
         "pack_materialize": q_pack_materialize,
         "multimodal_features": q_multimodal_features,
         "label_read": q_label_read,
@@ -3859,18 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "array_embedding_topk": q_array_embedding_topk,
         "sample_exact": q_sample_exact,
-        "unigram_surprisal": q_unigram_surprisal,
-        "ppl_buckets": q_ppl_buckets,
-        "shard_assign": q_shard_assign,
-        "oov_rate": q_oov_rate,
-        "det_shuffle": q_det_shuffle,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "resample_strata": q_resample_strata,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
         "pack_global": q_pack_global,
-        "token_budget": q_token_budget,
         "scrub_text": q_scrub_text,
     }
 

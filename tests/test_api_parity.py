@@ -127,8 +127,9 @@ def test_gate_registry_invariants():
     assert not missing, f"gates without oracles: {missing}"
     dangling = [k for k in o if k not in q]
     assert not dangling, f"oracles for unregistered gates: {dangling}"
-    # r13 rotation block (VERDICT r12 item 2, verbatim list)
+    # r14 rotation block (VERDICT r13 item 2, verbatim list)
     assert q[39:50] == [
-        "dup_stats", "quality_score", "token_counts", "bpe_tokens",
-        "language_id", "source_similarity", "corpus_e2e", "winnow",
-        "temperature_mix", "bigram_surprisal", "simhash"]
+        "unigram_surprisal", "ppl_buckets", "shard_assign", "oov_rate",
+        "det_shuffle", "hash_split", "stratified_sample",
+        "resample_strata", "chunk_documents", "pack_sequences",
+        "token_budget"]

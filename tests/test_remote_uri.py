@@ -97,6 +97,52 @@ def test_file_uri_normalized(tmp_path, spark):
     assert sorted(res["v"].tolist()) == [1.0, 2.0, 3.0]
 
 
+def test_file_uri_localhost_authority_normalized(tmp_path, spark):
+    """RFC 8089: file://localhost/p means THIS host — normalize to /p."""
+    uri = "file://localhost" + str(tmp_path / "arr")
+    tdb.Array.create(uri, _schema())
+    assert mf.array_exists(str(tmp_path / "arr"))
+
+
+def test_file_uri_remote_authority_refused(tmp_path, monkeypatch):
+    """file://somehost/share/arr names a REMOTE host; the pre-r14 guard
+    stripped the prefix and created a local ./somehost/... tree."""
+    monkeypatch.chdir(tmp_path)
+    before = set(os.listdir("."))
+    with pytest.raises(TileDBError, match="non-local authority"):
+        tdb.Array.create("file://somehost/share/arr", _schema())
+    assert set(os.listdir(".")) == before, "local droppings from file://host"
+    assert not os.path.exists("somehost")
+
+
+@pytest.mark.parametrize("uri", ["s3:/bucket/arr", "s3:bucket/arr",
+                                 "gs:/b/arr", "hdfs:nn/arr"])
+def test_scheme_prefix_typo_forms_refused(uri, tmp_path, monkeypatch):
+    """Single-slash / no-slash scheme forms (what a naive os.path.join
+    produces from an s3 URI) contain no '://' — the pre-r14 guard let
+    them through as local RELATIVE paths."""
+    monkeypatch.chdir(tmp_path)
+    before = set(os.listdir("."))
+    with pytest.raises(TileDBError, match="remote array URIs"):
+        tdb.Array.create(uri, _schema())
+    with pytest.raises(TileDBError, match="remote array URIs"):
+        mf.array_exists(uri)
+    _no_local_droppings(before)
+    assert set(os.listdir(".")) == before
+
+
+def test_colon_path_escape_hatch(tmp_path, monkeypatch):
+    """A genuinely local relative path containing ':' before its first
+    '/' works with the documented ./ prefix (and absolute forms never
+    match the scheme grammar at all)."""
+    monkeypatch.chdir(tmp_path)
+    tdb.Array.create("./odd:name", _schema())
+    assert mf.array_exists("./odd:name")
+    abs_colon = str(tmp_path / "a:b")
+    tdb.Array.create(abs_colon, _schema())
+    assert mf.array_exists(abs_colon)
+
+
 def test_streaming_sink_remote_refused():
     """writeStream.format('tiledb') to a remote path fails at writer
     construction (plan time), not mid-stream into a local s3:/ dir."""

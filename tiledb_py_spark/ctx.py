@@ -91,6 +91,17 @@ _local = threading.local()
 
 
 def default_ctx(config: Optional[Any] = None) -> Ctx:
+    """Return (and lazily install) the thread-local default context.
+
+    Parity note (reference ``ctx.py:585-591``): the reference accepts
+    only Config/dict/None and raises ValueError otherwise — including
+    for a Ctx, which it cannot adopt because its thread-local slot holds
+    an immutable native handle.  This implementation INTENTIONALLY
+    extends the accepted types with ``Ctx`` (adopted as-is), matching
+    :func:`scope_ctx`'s signature so the two context entry points take
+    the same inputs; everything else still raises ValueError, because
+    silently returning an empty config would drop the caller's settings.
+    """
     ctx = getattr(_local, "ctx", None)
     if ctx is None or config is not None:
         if isinstance(config, Ctx):
@@ -98,9 +109,6 @@ def default_ctx(config: Optional[Any] = None) -> Ctx:
         elif isinstance(config, (Config, dict, type(None))):
             ctx = Ctx(config)
         else:
-            # the reference raises for non-Config input
-            # (/root/reference/tiledb/ctx.py:585-591) — silently
-            # returning an EMPTY config would drop the caller's settings
             raise ValueError(
                 "default_ctx takes a Config, dict, Ctx, or None; got "
                 f"{type(config).__name__}")

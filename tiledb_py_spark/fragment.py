@@ -263,9 +263,17 @@ def vacuum(uri: str) -> int:
     def _purge(man):
         man.fragments = [f for f in man.fragments if f.superseded_by is None]
 
+    # Snapshot "ever committed" BEFORE the purge commit: a fragment
+    # committed concurrently AFTER this snapshot is either (a) in the
+    # purge result's manifest (its commit preceded ours) and therefore
+    # in `live`, or (b) absent from this snapshot and therefore skipped
+    # — either way untouchable.  Snapshotting AFTER the purge would let
+    # such a commit land in `ever` while the purge result predates it,
+    # satisfying `in ever and not in live` and rmtree'ing a LIVE
+    # fragment's data (the exact loss this function's contract forbids).
+    ever = mf.all_fragment_names(uri)
     m = mf.commit(uri, _purge)
     live = {f.name for f in m.fragments}
-    ever = mf.all_fragment_names(uri)
     removed = 0
     fdir = mf.fragments_dir(uri)
     if not os.path.isdir(fdir):

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -224,22 +226,51 @@ def require_local_uri(uri: str) -> str:
     and the corpus would silently land on the driver's disk.
     """
     s = str(uri)
-    if s.startswith("file://"):
-        return s[len("file://"):]
-    if "://" in s:
-        scheme = s.split("://", 1)[0]
-        from .functions.query_condition import TileDBError
+    # Anything without a scheme prefix is a plain local path.  The
+    # scheme grammar is RFC 3986's (letter, then letters/digits/+-.)
+    # and we require it to be followed by ':' — so absolute paths,
+    # ./relative paths, and paths whose colon appears after a '/'
+    # never match.  Matching on the PREFIX (not just '://') also
+    # catches the single-slash/no-slash typo forms a naive
+    # os.path.join produces from an s3 URI ('s3:/bucket/x',
+    # 's3:bucket/x'), which previously passed through as local
+    # relative paths — the same silent-misplacement class.
+    m = re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", s)
+    if m is None:
+        return s
+    scheme = s[:m.end() - 1]
+    from .functions.query_condition import TileDBError
 
-        raise TileDBError(
-            f"remote array URIs are not supported yet: {s!r} "
-            f"(scheme {scheme!r}). The array commit layer is local-"
-            "filesystem only; writing this URI with os paths would "
-            "silently misplace the array into the local working "
-            "directory. Use a local path (or file://), or mount the "
-            "object store (s3fs/gcsfuse/NFS) and point at the mount. "
-            "VFS file operations on remote URIs remain available via "
-            "tiledb_py_spark.VFS (fsspec-routed).")
-    return s
+    if scheme.lower() == "file":
+        parts = urllib.parse.urlsplit(s)
+        # RFC 8089: an empty or 'localhost' authority means THIS host;
+        # any other authority names a remote host — stripping the
+        # prefix blindly (the pre-r14 behavior) turned
+        # 'file://somehost/share/arr' into the RELATIVE local path
+        # 'somehost/share/arr' and created a ./somehost/... tree.
+        if parts.netloc and parts.netloc.lower() != "localhost":
+            raise TileDBError(
+                f"file URI {s!r} names a non-local authority "
+                f"{parts.netloc!r}; only file:// with an empty or "
+                "'localhost' authority maps to this machine's "
+                "filesystem. Mount the remote share and use a local "
+                "path.")
+        if not parts.path.startswith("/"):
+            raise TileDBError(
+                f"malformed file URI {s!r}: the path part must be "
+                "absolute (file:///p or file://localhost/p).")
+        return parts.path
+    raise TileDBError(
+        f"remote array URIs are not supported yet: {s!r} "
+        f"(scheme {scheme!r}). The array commit layer is local-"
+        "filesystem only; writing this URI with os paths would "
+        "silently misplace the array into the local working "
+        "directory. Use a local path (or file://), or mount the "
+        "object store (s3fs/gcsfuse/NFS) and point at the mount. "
+        "For a LOCAL relative path that happens to contain ':' "
+        "before its first '/', prefix it with './'. "
+        "VFS file operations on remote URIs remain available via "
+        "tiledb_py_spark.VFS (fsspec-routed).")
 
 
 def manifest_dir(uri: str) -> str:

@@ -1132,6 +1132,10 @@ def mf_read(uri):
 class _FragStreamSplit(InputPartition):
     file_paths: tuple
     columns: tuple
+    # (name, stored fill scalar) for non-nullable evolved attrs — same
+    # tuple TileDBReader.partitions computes, so stream and batch reads
+    # of a pre-evolution fragment agree (fill value, not NULL)
+    fills: tuple = ()
 
 
 class TileDBStreamReader(DataSourceStreamReader):
@@ -1222,12 +1226,23 @@ class TileDBStreamReader(DataSourceStreamReader):
                     "Restart the stream with a fresh checkpoint (the "
                     "feed is append-only by contract).")
         frags = man.fragments[start["i"]:end["i"]]
+        # same fill tuple as TileDBReader.partitions: non-nullable attrs
+        # added by schema evolution must stream back as their FILL value
+        # on pre-evolution fragments, matching the batch datasource and
+        # the native scan (_fill_evolved) — nulls-only conforming made
+        # stream and batch reads of the same array disagree (ADVICE r13)
+        from ..datatypes import stored_scalar
+        fills = tuple(
+            (a.name, stored_scalar(a.fill, a.dtype))
+            for a in man.schema.attrs_list
+            if a.fill is not None and not a.nullable
+            and a.name in self.columns)
         splits = []
         for fr in frags:
             files = tuple(sorted(glob.glob(
                 os.path.join(fragment_path(self.uri, fr), "*.parquet"))))
             if files:
-                splits.append(_FragStreamSplit(files, self.columns))
+                splits.append(_FragStreamSplit(files, self.columns, fills))
         return splits
 
     def read(self, partition: _FragStreamSplit):
@@ -1242,5 +1257,6 @@ class TileDBStreamReader(DataSourceStreamReader):
             # the stream on replay
             have = set(pq.ParquetFile(p).schema_arrow.names)
             want = [c for c in partition.columns if c in have]
-            tbl = _conform_table(pq.read_table(p, columns=want), target)
+            tbl = _conform_table(pq.read_table(p, columns=want), target,
+                                 partition.fills)
             yield from tbl.to_batches()

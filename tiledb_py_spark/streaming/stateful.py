@@ -26,6 +26,11 @@ RUNNING_SCHEMA = T.StructType([
     T.StructField("total_value", T.DoubleType(), True),
 ])
 
+# CHECKPOINT-BREAKING (r13): gained n_valid as a third field.  A stream
+# resuming from a checkpoint written by the 2-field (n, total) schema is
+# rejected by Spark's state-store schema compatibility check — restart
+# with a fresh checkpoint directory.  _running_totals_fn additionally
+# tolerates a legacy 2-tuple defensively (see its body).
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType(), False),
     T.StructField("n_valid", T.LongType(), False),
@@ -37,7 +42,21 @@ def _running_totals_fn(key: Tuple[Any, ...],
                        pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, n_valid, total = state.get if state.exists else (0, 0, 0.0)
+    if state.exists:
+        st = state.get
+        if len(st) == 2:
+            # legacy pre-r13 checkpoint: 2-field state (n, total) from
+            # before n_valid existed.  Spark's state-store schema check
+            # usually rejects such a resume outright, but when the
+            # store hands the old tuple through, degrade gracefully:
+            # assume every counted event had a value (the legacy
+            # emission semantics) instead of crashing the stream.
+            n, total = st
+            n_valid = n
+        else:
+            n, n_valid, total = st
+    else:
+        n, n_valid, total = 0, 0, 0.0
     for pdf in pdfs:
         n += len(pdf)
         # SQL sum(value) is NULL when every value is NULL — pandas
