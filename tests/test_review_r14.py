@@ -119,3 +119,73 @@ def test_running_totals_tolerates_legacy_two_field_state():
     out = list(_running_totals_fn((7,), iter([pdf]), st))
     assert st.updated == (4, 4, 10.0)
     assert out[0]["total_value"].iloc[0] == 10.0
+
+
+def test_datasource_write_shuffled_column_order(arr, spark):
+    """df.write.format('tiledb') with DataFrame columns in a different
+    order than the stored layout (dims first): pre-r14 the sink
+    persisted DataFrame order and the reader's positional fast path
+    silently transposed same-typed columns (or crashed on the first
+    type mismatch).  The writer now normalizes batches to the stored
+    layout."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(7.5, 77), (8.5, 88)], "v double, k long")
+    df.write.format("tiledb").mode("append").save(arr)
+    frag = mf.read_manifest(arr).fragments[-1]
+    f = os.path.join(mf.fragment_path(arr, frag), os.listdir(
+        mf.fragment_path(arr, frag))[0])
+    assert pq.ParquetFile(f).schema_arrow.names == ["k", "v"], \
+        "sink fragment not in stored (dims-first) layout"
+    got = {r.k: r.v for r in
+           spark.read.format("tiledb").load(arr).collect()}
+    assert got[77] == 7.5 and got[88] == 8.5
+    native = tdb.open(arr, spark=spark)[:]
+    assert dict(zip(native["k"].tolist(), native["v"].tolist()))[77] == 7.5
+
+
+def test_datasource_reads_legacy_df_order_fragment(arr, spark):
+    """A fragment whose parquet stores declared columns in a DIFFERENT
+    order (written by the pre-r14 sink) must read back correctly: the
+    reader detects the order mismatch and conforms by NAME instead of
+    passing batches through positionally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = mf.new_fragment_name(99999)
+    fdir = mf.fragment_path(arr, name)
+    os.makedirs(fdir)
+    # v first, k second — the reverse of the stored layout; int32 k to
+    # also exercise the type-mismatch leg of the conform guard
+    pq.write_table(pa.table({"v": pa.array([3.25]),
+                             "k": pa.array([555], pa.int32())}),
+                   os.path.join(fdir, "part-legacy.parquet"))
+    rec = mf.FragmentRecord(name=name, timestamp_range=(99999, 99999),
+                            cell_num=1, nonempty_domain={"k": [555, 555]})
+    mf.commit(arr, lambda m: m.fragments.append(rec))
+    got = {r.k: r.v for r in
+           spark.read.format("tiledb").load(arr).collect()}
+    assert got[555] == 3.25, "legacy df-order fragment transposed/misread"
+    assert got[0] == 0.0, "untouched rows disturbed"
+
+
+def test_stream_sink_shuffled_column_order(arr, spark, tmp_path):
+    """writeStream.format('tiledb') normalizes micro-batch columns to
+    the stored layout too."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame([(9.5, 99)], "v double, k long")
+    df.write.parquet(src)
+    q = (spark.readStream.schema("v double, k long").parquet(src)
+         .writeStream.format("tiledb")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(arr))
+    assert q.awaitTermination(120)
+    frag = mf.read_manifest(arr).fragments[-1]
+    f = os.path.join(mf.fragment_path(arr, frag), os.listdir(
+        mf.fragment_path(arr, frag))[0])
+    assert pq.ParquetFile(f).schema_arrow.names == ["k", "v"]
+    got = {r.k: r.v for r in
+           spark.read.format("tiledb").load(arr).collect()}
+    assert got[99] == 9.5

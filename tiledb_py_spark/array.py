@@ -1532,10 +1532,17 @@ class IncompleteIterator:
         sess = self.df.sparkSession
         spool_base = sess.conf.get("tiledb.spool_dir", None)
         if spool_base:
+            os.makedirs(spool_base, exist_ok=True)
             spool = tempfile.mkdtemp(prefix="tdbps_spool_",
                                      dir=spool_base)
         else:
-            master = sess.conf.get("spark.master", "local")
+            try:
+                master = sess.conf.get("spark.master", "local") or "unknown"
+            except Exception:
+                # Spark Connect sessions don't expose spark.master; we
+                # cannot prove the driver tempdir is executor-visible,
+                # so take the loud path below (set tiledb.spool_dir)
+                master = "unknown"
             if not master.startswith("local"):
                 # a driver-local tempdir is invisible to executors on a
                 # real cluster: the write lands on executor-local disks

@@ -142,6 +142,33 @@ def _conform_table(tbl, target, fills=()):
     return pa.table(dict(zip([f.name for f in target], cols))).cast(target)
 
 
+def _stored_arrow_schema(uri):
+    """Arrow schema of the array's STORED column layout — dims first,
+    then attrs, at the declared types.  This is exactly the schema the
+    batch reader declares (``to_arrow_schema(schema.spark_schema())``),
+    so fragments written in this layout take the reader's zero-copy
+    fast path."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .. import manifest as mf
+
+    return to_arrow_schema(mf.read_manifest(uri).schema.spark_schema())
+
+
+def _to_stored_layout(batch, target):
+    """Reorder/cast one incoming Arrow batch to the stored layout.
+
+    Spark hands writer tasks batches in DATAFRAME column order; writing
+    them raw persists that order, and a reader mapping batches to the
+    declared schema by POSITION would then silently transpose columns
+    (two int64 columns swap without even a type error).  Extra
+    DataFrame columns are dropped (the write_fragment_spark select
+    contract); missing ones were refused at plan time."""
+    if batch.schema == target:
+        return batch
+    return batch.select(target.names).cast(target)
+
+
 @dataclass
 class _FragCommit(WriterCommitMessage):
     file_name: str = ""
@@ -580,14 +607,27 @@ class TileDBReader(DataSourceReader):
             return
         if not split.file_path:
             return
-        # schema evolution: a fragment written before an attribute was
-        # added lacks its column — skip predicates on missing columns
-        # (Spark re-applies every pushed filter anyway) and conform the
-        # output batches to the declared schema with fill/null columns
-        file_cols = set(pq.ParquetFile(split.file_path).schema_arrow.names)
-        declared = ([f.name for f in split.arrow_schema]
-                    if split.arrow_schema is not None else [])
-        conform = bool(set(declared) - file_cols)
+        # Conform the output batches to the declared schema when the
+        # file (a) lacks declared columns — schema evolution, fill/null
+        # them — or (b) stores the declared columns in a different
+        # ORDER or at different TYPES (legacy fragments written by the
+        # pre-r14 datasource sink persisted DataFrame column order).
+        # Spark maps yielded batches to the declared schema by
+        # POSITION, so passing such a file through raw would silently
+        # transpose same-typed columns or crash on the first type
+        # mismatch.  Predicates on missing columns are skipped (Spark
+        # re-applies every pushed filter anyway).
+        pf_schema = pq.ParquetFile(split.file_path).schema_arrow
+        file_cols = set(pf_schema.names)
+        if split.arrow_schema is not None:
+            declared = [f.name for f in split.arrow_schema]
+            want = [(f.name, f.type) for f in split.arrow_schema]
+            dset = set(declared)
+            got = [(f.name, f.type) for f in pf_schema if f.name in dset]
+            conform = got != want or len(pf_schema.names) != len(want)
+        else:
+            declared = []
+            conform = False
         expr = _preds_to_expr(split.predicates,
                               available=file_cols if conform else None)
 
@@ -923,6 +963,9 @@ class TileDBWriter(DataSourceArrowWriter):
         self.ts = mf.now_ms()
         self.frag_name = mf.new_fragment_name(self.ts)
         self.frag_dir = mf.fragment_path(uri, self.frag_name)
+        # resolved on the DRIVER (plan time: writer() just read the
+        # manifest) and pickled to tasks — executors never re-read it
+        self.target_schema = _stored_arrow_schema(uri)
 
     def write(self, iterator) -> _FragCommit:
         import uuid
@@ -936,6 +979,7 @@ class TileDBWriter(DataSourceArrowWriter):
         writer = None
         rows = 0
         for batch in iterator:
+            batch = _to_stored_layout(batch, self.target_schema)
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema, compression="zstd")
             writer.write_batch(batch)
@@ -1023,6 +1067,14 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
 
         self.uri = mf.require_local_uri(uri)
         self.stage_dir = os.path.join(self.uri, "__stream_stage")
+        # driver-resolved stored layout (see TileDBWriter.__init__);
+        # None when the sink array doesn't exist yet at construction —
+        # streamWriter()'s plan-time manifest read makes that unreachable
+        # in practice, but tests construct the writer directly
+        try:
+            self.target_schema = _stored_arrow_schema(self.uri)
+        except FileNotFoundError:
+            self.target_schema = None
 
     def write(self, iterator) -> _StreamPieceCommit:
         import uuid
@@ -1035,6 +1087,8 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
         writer = None
         rows = 0
         for batch in iterator:
+            if self.target_schema is not None:
+                batch = _to_stored_layout(batch, self.target_schema)
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema,
                                           compression="zstd")
