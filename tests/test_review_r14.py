@@ -189,3 +189,14 @@ def test_stream_sink_shuffled_column_order(arr, spark, tmp_path):
     got = {r.k: r.v for r in
            spark.read.format("tiledb").load(arr).collect()}
     assert got[99] == 9.5
+
+
+def test_datasource_write_unknown_column_refused(arr, spark):
+    """Extra DataFrame columns on df.write.format('tiledb') are refused
+    at plan time (pre-r14 they were silently dropped — the same loss
+    class as a silently misplaced URI)."""
+    df = spark.createDataFrame([(1, 1.0, 9)], "k long, v double, zz long")
+    with pytest.raises(Exception, match="zz"):
+        df.write.format("tiledb").mode("append").save(arr)
+    # nothing committed
+    assert all("zz" not in f.name for f in mf.read_manifest(arr).fragments)

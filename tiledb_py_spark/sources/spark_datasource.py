@@ -225,6 +225,15 @@ class TileDBDataSource(DataSource):
             raise ValueError(
                 f"write is missing schema columns {absent}; every dim "
                 f"and attr must be present (have: {have})")
+        unknown = [c for c in have if c not in cols]
+        if unknown:
+            # silently dropping a column's data on write is the same
+            # loss class as silently misplacing a URI — refuse loudly
+            # (the reference refuses unknown attributes on write too)
+            raise ValueError(
+                f"write has columns {unknown} not in the array schema "
+                f"(dims+attrs: {cols}); drop them with .select(...) or "
+                f"evolve the schema first")
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
