@@ -200,3 +200,49 @@ def test_datasource_write_unknown_column_refused(arr, spark):
         df.write.format("tiledb").mode("append").save(arr)
     # nothing committed
     assert all("zz" not in f.name for f in mf.read_manifest(arr).fragments)
+
+
+def test_lww_newer_path_conforms_legacy_dim_types(arr, spark):
+    """A LEGACY fragment (pre-r14 sink: df column order, narrower dim
+    type) that OVERLAPS an older fragment must still supersede it: the
+    LWW newer-coordinate scan casts legacy dims to the declared types
+    before concat/anti-join (uncast int32 vs int64 raised ArrowInvalid
+    and killed the read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = mf.new_fragment_name(mf.now_ms() + 10_000)
+    fdir = mf.fragment_path(arr, name)
+    os.makedirs(fdir)
+    pq.write_table(pa.table({"v": pa.array([42.0]),
+                             "k": pa.array([0], pa.int32())}),
+                   os.path.join(fdir, "part-legacy.parquet"))
+    rec = mf.FragmentRecord(name=name,
+                            timestamp_range=(mf.now_ms() + 10_000,) * 2,
+                            cell_num=1, nonempty_domain={"k": [0, 0]})
+    mf.commit(arr, lambda m: m.fragments.append(rec))
+    got = {r.k: r.v for r in
+           spark.read.format("tiledb").load(arr).collect()}
+    assert got[0] == 42.0, "legacy overlapping fragment did not supersede"
+    assert got[1] == 1.0, "non-overlapping rows disturbed"
+
+
+@pytest.mark.parametrize("bad", [
+    "file:///tmp/arr#frag", "file:///tmp/arr?x=1", "file:///tmp/my%20dir"])
+def test_file_uri_query_fragment_percent_refused(bad):
+    """urlsplit parses '#'/'?' as delimiters — returning the truncated
+    path would silently retarget the array; refuse instead."""
+    from tiledb_py_spark.functions.query_condition import TileDBError
+    with pytest.raises(TileDBError, match="ambiguous"):
+        mf.require_local_uri(bad)
+
+
+def test_windows_drive_letter_is_a_local_path():
+    """A single letter before ':' is a drive path, not a URI scheme."""
+    assert mf.require_local_uri(r"C:\data\arr") == r"C:\data\arr"
+    assert mf.require_local_uri("c:/data/arr") == "c:/data/arr"
+
+
+def test_hash_and_question_fine_in_plain_paths(tmp_path):
+    p = str(tmp_path / "arr#1?x")
+    assert mf.require_local_uri(p) == p

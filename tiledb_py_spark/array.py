@@ -1538,10 +1538,18 @@ class IncompleteIterator:
         else:
             try:
                 master = sess.conf.get("spark.master", "local") or "unknown"
-            except Exception:
-                # Spark Connect sessions don't expose spark.master; we
-                # cannot prove the driver tempdir is executor-visible,
-                # so take the loud path below (set tiledb.spool_dir)
+            except Exception as exc:
+                # Spark Connect sessions don't expose spark.master
+                # (CONFIG_NOT_AVAILABLE); we cannot prove the driver
+                # tempdir is executor-visible, so take the loud path
+                # below (set tiledb.spool_dir).  Any OTHER conf failure
+                # (py4j hiccup, stopped session) must surface itself —
+                # swallowing it here would misdirect the user to
+                # spool-dir advice on a session where the default
+                # driver tempdir was perfectly valid.
+                if "CONFIG_NOT_AVAILABLE" not in str(exc) and \
+                        "connect" not in type(sess).__module__:
+                    raise
                 master = "unknown"
             if not master.startswith("local"):
                 # a driver-local tempdir is invisible to executors on a

@@ -234,8 +234,11 @@ def require_local_uri(uri: str) -> str:
     # catches the single-slash/no-slash typo forms a naive
     # os.path.join produces from an s3 URI ('s3:/bucket/x',
     # 's3:bucket/x'), which previously passed through as local
-    # relative paths — the same silent-misplacement class.
-    m = re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", s)
+    # relative paths — the same silent-misplacement class.  The scheme
+    # must be >= 2 chars: a single letter before ':' is a Windows drive
+    # path (C:\data\arr), not a URI — every real storage scheme (s3,
+    # gs, az, hdfs, http, file, mem) has at least two.
+    m = re.match(r"[A-Za-z][A-Za-z0-9+.\-]+:", s)
     if m is None:
         return s
     scheme = s[:m.end() - 1]
@@ -259,6 +262,19 @@ def require_local_uri(uri: str) -> str:
             raise TileDBError(
                 f"malformed file URI {s!r}: the path part must be "
                 "absolute (file:///p or file://localhost/p).")
+        # '#' and '?' are legal in POSIX filenames but urlsplit parses
+        # them as fragment/query delimiters — silently returning the
+        # truncated parts.path would retarget the array to a DIFFERENT
+        # path (the misplacement class this guard exists to kill).
+        # Percent-escapes are likewise passed through UNDECODED by this
+        # layer, so refuse both and name the unambiguous spelling.
+        if parts.query or parts.fragment or "%" in parts.path:
+            raise TileDBError(
+                f"file URI {s!r} contains '?', '#', or a percent-"
+                "escape; this layer does not URI-decode paths, so the "
+                "target would be ambiguous. Pass the plain local path "
+                "instead (no file:// prefix) — '?', '#', and '%' are "
+                "fine in plain paths.")
         return parts.path
     raise TileDBError(
         f"remote array URIs are not supported yet: {s!r} "

@@ -142,17 +142,25 @@ def _conform_table(tbl, target, fills=()):
     return pa.table(dict(zip([f.name for f in target], cols))).cast(target)
 
 
-def _stored_arrow_schema(uri):
-    """Arrow schema of the array's STORED column layout — dims first,
+def _arrow_layout(stored_schema):
+    """Arrow schema of an array's STORED column layout — dims first,
     then attrs, at the declared types.  This is exactly the schema the
     batch reader declares (``to_arrow_schema(schema.spark_schema())``),
     so fragments written in this layout take the reader's zero-copy
     fast path."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    return to_arrow_schema(stored_schema.spark_schema())
+
+
+def _stored_arrow_schema(uri):
+    """`_arrow_layout` of the manifest's current schema — the fallback
+    for directly constructed writers; the DataSource plan path passes
+    the schema it already read so plan-time column validation and the
+    stored layout can never observe different manifest versions."""
     from .. import manifest as mf
 
-    return to_arrow_schema(mf.read_manifest(uri).schema.spark_schema())
+    return _arrow_layout(mf.read_manifest(uri).schema)
 
 
 def _to_stored_layout(batch, target):
@@ -210,7 +218,7 @@ class TileDBDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "TileDBStreamReader":
         return TileDBStreamReader(self._uri(), schema)
 
-    def _check_write_columns(self, uri: str, schema: StructType) -> None:
+    def _check_write_columns(self, uri: str, schema: StructType):
         """Plan-time refusal of writes missing schema columns — the
         write_fragment_pandas contract (fragment_writer.py): a silently
         dropped dim/attr commits a fragment that reads back NULL for
@@ -234,6 +242,7 @@ class TileDBDataSource(DataSource):
                 f"write has columns {unknown} not in the array schema "
                 f"(dims+attrs: {cols}); drop them with .select(...) or "
                 f"evolve the schema first")
+        return s
 
     def writer(self, schema: StructType, overwrite: bool) -> "TileDBWriter":
         if overwrite:
@@ -241,8 +250,8 @@ class TileDBDataSource(DataSource):
                 "overwrite mode not supported; fragments are append-only "
                 "(use consolidate/vacuum to rewrite)")
         uri = self._uri()
-        self._check_write_columns(uri, schema)
-        return TileDBWriter(uri)
+        stored = self._check_write_columns(uri, schema)
+        return TileDBWriter(uri, target_schema=_arrow_layout(stored))
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "TileDBStreamWriter":
@@ -251,8 +260,8 @@ class TileDBDataSource(DataSource):
                 "overwrite mode not supported; fragments are append-only "
                 "(use consolidate/vacuum to rewrite)")
         uri = self._uri()
-        self._check_write_columns(uri, schema)
-        return TileDBStreamWriter(uri)
+        stored = self._check_write_columns(uri, schema)
+        return TileDBStreamWriter(uri, target_schema=_arrow_layout(stored))
 
 
 _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -629,13 +638,11 @@ class TileDBReader(DataSourceReader):
         pf_schema = pq.ParquetFile(split.file_path).schema_arrow
         file_cols = set(pf_schema.names)
         if split.arrow_schema is not None:
-            declared = [f.name for f in split.arrow_schema]
             want = [(f.name, f.type) for f in split.arrow_schema]
-            dset = set(declared)
+            dset = {f.name for f in split.arrow_schema}
             got = [(f.name, f.type) for f in pf_schema if f.name in dset]
             conform = got != want or len(pf_schema.names) != len(want)
         else:
-            declared = []
             conform = False
         expr = _preds_to_expr(split.predicates,
                               available=file_cols if conform else None)
@@ -664,7 +671,19 @@ class TileDBReader(DataSourceReader):
                     # supersedes (the older cell resurfaces, matching
                     # Array._scan_df delete-then-dedup order)
                     nt = _apply_deletes(nt, dels)
-                newer_parts.append(nt.select(dims))
+                nt = nt.select(dims)
+                if split.arrow_schema is not None:
+                    # legacy fragments (pre-r14 sink) can store dims at
+                    # narrower types (int32 k vs declared int64): left
+                    # uncast, concat_tables over mixed siblings and the
+                    # anti-join against the declared-typed scan both
+                    # raise ArrowInvalid — cast to the declared dim
+                    # types like every other read surface
+                    dim_target = pa.schema(
+                        [split.arrow_schema.field(d) for d in dims])
+                    if nt.schema != dim_target:
+                        nt = nt.cast(dim_target)
+                newer_parts.append(nt)
             if newer_parts:
                 newer_coords = pa.concat_tables(newer_parts) \
                     .group_by(dims).aggregate([])
@@ -965,16 +984,18 @@ class TileDBWriter(DataSourceArrowWriter):
     """Append one fragment per save(): tasks stream Arrow batches to
     staged parquet files; commit publishes a single FragmentRecord."""
 
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, target_schema=None):
         from .. import manifest as mf
 
         self.uri = uri
         self.ts = mf.now_ms()
         self.frag_name = mf.new_fragment_name(self.ts)
         self.frag_dir = mf.fragment_path(uri, self.frag_name)
-        # resolved on the DRIVER (plan time: writer() just read the
-        # manifest) and pickled to tasks — executors never re-read it
-        self.target_schema = _stored_arrow_schema(uri)
+        # resolved on the DRIVER (plan time — writer() passes the same
+        # manifest read that validated the columns) and pickled to
+        # tasks; executors never re-read it
+        self.target_schema = (target_schema if target_schema is not None
+                              else _stored_arrow_schema(uri))
 
     def write(self, iterator) -> _FragCommit:
         import uuid
@@ -1071,7 +1092,7 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
     ``from_pandas/from_spark mode="schema_only"`` or a first batch
     ingest)."""
 
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, target_schema=None):
         from .. import manifest as mf
 
         self.uri = mf.require_local_uri(uri)
@@ -1080,10 +1101,13 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
         # None when the sink array doesn't exist yet at construction —
         # streamWriter()'s plan-time manifest read makes that unreachable
         # in practice, but tests construct the writer directly
-        try:
-            self.target_schema = _stored_arrow_schema(self.uri)
-        except FileNotFoundError:
-            self.target_schema = None
+        if target_schema is not None:
+            self.target_schema = target_schema
+        else:
+            try:
+                self.target_schema = _stored_arrow_schema(self.uri)
+            except FileNotFoundError:
+                self.target_schema = None
 
     def write(self, iterator) -> _StreamPieceCommit:
         import uuid
