@@ -1,0 +1,146 @@
+"""Attribute identity across drop/re-add (schema evolution).
+
+Reference semantics (`/root/reference/tiledb/schema_evolution.py`): an
+attribute added under a name a previous evolution dropped is a NEW
+attribute — fragments written before the re-add read its FILL value,
+never the dropped predecessor's stored bytes.  Pre-r14 this engine had
+no attr identity: a same-type re-add silently resurfaced the dropped
+predecessor's data, and a different-type re-add crashed the native scan
+(Spark's vectorized parquet reader) or silently CAST the predecessor's
+bytes in the datasource (int64 10 -> string "10").
+
+Mechanism under test: ``Manifest.dropped_attrs``/``attr_since`` +
+``Manifest.masked_attrs``, consumed by ``Array._frag_df`` (native scan),
+``TileDBReader`` (_Split.masked — conform, predicate skip, row-group
+prune skip, LWW newer/group paths), and ``TileDBStreamReader``.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tiledb_py_spark as tdb
+from tiledb_py_spark import manifest as mf
+from tiledb_py_spark.sources.spark_datasource import register
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = tdb.get_spark(cpus="8")
+    s.sparkContext.setLogLevel("ERROR")
+    register(s)
+    return s
+
+
+def _mk(uri, spark):
+    tdb.from_pandas(uri, pd.DataFrame(
+        {"k": np.array([1, 2], np.int64), "v": [1.0, 2.0], "w": [10, 20]}),
+        index_dims=["k"], full_domain=True)
+
+
+def _drop_readd(uri, attr):
+    e1 = tdb.ArraySchemaEvolution()
+    e1.drop_attribute("w")
+    e1.array_evolve(uri)
+    e2 = tdb.ArraySchemaEvolution()
+    e2.add_attribute(attr)
+    e2.array_evolve(uri)
+
+
+def test_readd_different_type_reads_fill_everywhere(tmp_path, spark):
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    _drop_readd(uri, tdb.Attr("w", dtype="U", fill="none"))
+    tdb.from_pandas(uri, pd.DataFrame(
+        {"k": np.array([3], np.int64), "v": [3.0], "w": ["real"]}),
+        index_dims=["k"], mode="append")
+    with tdb.open(uri, spark=spark) as A:
+        r = A[:]
+        native = dict(zip(r["k"].tolist(), r["w"].tolist()))
+    assert native == {1: "none", 2: "none", 3: "real"}
+    ds = {row.k: row.w for row in
+          spark.read.format("tiledb").load(uri).collect()}
+    assert ds == native, "datasource and native scan disagree"
+
+
+def test_readd_same_type_does_not_resurface_dropped_data(tmp_path, spark):
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    _drop_readd(uri, tdb.Attr("w", dtype=np.int64, fill=-5))
+    with tdb.open(uri, spark=spark) as A:
+        assert A[:]["w"].tolist() == [-5, -5], \
+            "dropped predecessor data resurfaced under a re-added name"
+    ds = sorted(row.w for row in
+                spark.read.format("tiledb").load(uri).collect())
+    assert ds == [-5, -5]
+
+
+def test_predicate_on_masked_column_is_not_pushed_to_predecessor(
+        tmp_path, spark):
+    """A filter on the re-added attr must evaluate against the FILL
+    value, never the predecessor's stored bytes (which would both
+    row-filter and row-group-prune wrongly)."""
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    _drop_readd(uri, tdb.Attr("w", dtype=np.int64, fill=-5))
+    df = spark.read.format("tiledb").load(uri)
+    assert df.filter("w = -5").count() == 2
+    assert df.filter("w = 10").count() == 0, \
+        "predicate matched the dropped predecessor's bytes"
+
+
+def test_stream_source_masks_readded_attr(tmp_path, spark):
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    _drop_readd(uri, tdb.Attr("w", dtype=np.int64, fill=-5))
+    out = []
+    q = (spark.readStream.format("tiledb").load(uri).writeStream
+         .foreachBatch(lambda b, i: out.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert sorted(r.w for r in out) == [-5, -5]
+
+
+def test_lww_overlap_with_masked_fragment(tmp_path, spark):
+    """No-duplicates LWW where the OLD fragment is masked: the newer
+    fragment's rows supersede, and the survivor's masked attr is
+    fill."""
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)  # k=1,2 with predecessor w
+    _drop_readd(uri, tdb.Attr("w", dtype="U", fill="none"))
+    # overwrite k=2 post-re-add
+    tdb.from_pandas(uri, pd.DataFrame(
+        {"k": np.array([2], np.int64), "v": [22.0], "w": ["new"]}),
+        index_dims=["k"], mode="append")
+    ds = {row.k: (row.v, row.w) for row in
+          spark.read.format("tiledb").load(uri).collect()}
+    assert ds == {1: (1.0, "none"), 2: (22.0, "new")}
+    with tdb.open(uri, spark=spark) as A:
+        r = A[:]
+        native = dict(zip(r["k"].tolist(),
+                          zip(r["v"].tolist(), r["w"].tolist())))
+    assert native == ds
+
+
+def test_manifest_roundtrip_and_masked_attrs(tmp_path, spark):
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    m0 = mf.read_manifest(uri)
+    assert m0.masked_attrs(0) == ()
+    assert "attr_since" not in m0.to_json(), \
+        "unevolved manifests must stay byte-identical to pre-r14"
+    _drop_readd(uri, tdb.Attr("w", dtype="U", fill="none"))
+    m = mf.read_manifest(uri)
+    assert m.attr_since == {"w": 2}
+    assert m.masked_attrs(0) == ("w",)
+    assert m.masked_attrs(1) == ("w",)
+    assert m.masked_attrs(2) == ()
+    # a second drop clears since and re-records the drop version
+    e = tdb.ArraySchemaEvolution()
+    e.drop_attribute("w")
+    e.array_evolve(uri)
+    m = mf.read_manifest(uri)
+    assert m.attr_since == {} and m.dropped_attrs == {"w": 3}

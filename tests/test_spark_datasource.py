@@ -126,7 +126,7 @@ def test_format_lww_many_overlaps_streams_each_file_once(uri, spark):
     assert group_splits, "expected the overlap component to be grouped"
     refs = []
     for s in splits:
-        refs.extend(p for paths, _d in s.group for p in paths)
+        refs.extend(p for paths, _d, _m in s.group for p in paths)
         if s.file_path:
             refs.append(s.file_path)
         refs.extend(p for p, _d in s.newer)

@@ -240,6 +240,32 @@ class Array:
                 df = df.withColumn(a.name, F.coalesce(F.col(a.name), F.lit(fill)))
         return df
 
+    def _frag_df(self, f, sschema) -> DataFrame:
+        """Read one fragment under the declared schema, masking attrs
+        the fragment predates across a drop/re-add (attr identity:
+        ``Manifest.masked_attrs`` — the stored same-named column is the
+        dropped predecessor's data, possibly at another type; reading
+        it under the new declared type crashes or fabricates values).
+        Masked columns materialize as the attr's fill (non-nullable)
+        or NULL."""
+        path = mf.fragment_path(self.uri, f)
+        masked = set(self._manifest.masked_attrs(f.schema_version))
+        if not masked:
+            return self.spark.read.schema(sschema).parquet(path)
+        from pyspark.sql.types import StructType as _ST
+
+        keep = _ST([x for x in sschema.fields if x.name not in masked])
+        df = self.spark.read.schema(keep).parquet(path)
+        types = {x.name: x.dataType for x in sschema.fields}
+        for a in self.schema.attrs_list:
+            if a.name not in masked:
+                continue
+            fill = (stored_scalar(a.fill, a.dtype)
+                    if a.fill is not None and not a.nullable else None)
+            col = F.lit(fill) if fill is not None else F.lit(None)
+            df = df.withColumn(a.name, col.cast(types[a.name]))
+        return df.select(*[x.name for x in sschema.fields])
+
     def _stored_ranges(self, dim_ranges):
         """Rewrite range bounds/points into each dim's STORED representation
         (int64 counts for ns / coarser-than-day datetime dims) so the
@@ -314,10 +340,19 @@ class Array:
         need_frag_ts = bool(deletes) or need_dedup or keep_frag_ts
 
         sschema = self.schema.spark_schema()
+        any_masked = any(m.masked_attrs(f.schema_version) for f in frs)
         if not need_frag_ts and not keep_frag_ts:
-            paths = [mf.fragment_path(self.uri, f) for f in frs]
+            if not any_masked:
+                paths = [mf.fragment_path(self.uri, f) for f in frs]
+                return self._fill_evolved(
+                    self.spark.read.schema(sschema).parquet(*paths), frs)
+            # an attr was dropped and RE-added: fragments predating the
+            # re-add carry a same-named column that belongs to the
+            # dropped predecessor (possibly at another type) — read
+            # those per-fragment with the column masked to its fill
             return self._fill_evolved(
-                self.spark.read.schema(sschema).parquet(*paths), frs)
+                reduce(lambda a, b: a.unionByName(b),
+                       [self._frag_df(f, sschema) for f in frs]), frs)
 
         parts = []
         # stable sort on ts ALONE: frs arrives in manifest commit order,
@@ -325,7 +360,7 @@ class Array:
         # tie-breaking on the (random uuid) fragment name would flip
         # last-write-wins for ~half of same-ms write pairs
         for i, f in enumerate(sorted(frs, key=lambda f: f.timestamp_range[0])):
-            p = self.spark.read.schema(sschema).parquet(mf.fragment_path(self.uri, f))
+            p = self._frag_df(f, sschema)
             parts.append(p.withColumn(
                 "__frag_ts", F.lit(mf.frag_order_key(f.timestamp_range[0], i))))
         df = self._fill_evolved(reduce(lambda a, b: a.unionByName(b), parts), frs)

@@ -133,9 +133,28 @@ class Manifest:
     pandas_meta: dict[str, Any] = field(default_factory=dict)  # __pandas_* analogs
     schema_version: int = 0
     created_ms: int = 0
+    # Attribute IDENTITY across drop/re-add (schema evolution): an attr
+    # added under a name a PREVIOUS evolution dropped is a NEW attr —
+    # fragments older than the re-add must read its fill value, never
+    # the dropped predecessor's bytes (which may not even share a type:
+    # reading them under the new declared schema crashes Spark's parquet
+    # reader, and arrow-casting them silently fabricates values).
+    # dropped_attrs: name -> schema_version at which it was dropped;
+    # attr_since: name -> schema_version at which it was RE-added.
+    dropped_attrs: dict[str, int] = field(default_factory=dict)
+    attr_since: dict[str, int] = field(default_factory=dict)
+
+    def masked_attrs(self, frag_schema_version: int) -> tuple:
+        """Attr names a fragment at ``frag_schema_version`` must NOT
+        read from its files (same-named column belongs to a dropped
+        predecessor attr — see ``attr_since``)."""
+        if not self.attr_since:
+            return ()
+        return tuple(n for n, v in self.attr_since.items()
+                     if frag_schema_version < v)
 
     def to_json(self):
-        return {
+        out = {
             "format_version": 1,
             "version": self.version,
             "schema_version": self.schema_version,
@@ -145,6 +164,12 @@ class Manifest:
             "metadata": self.metadata,
             "pandas_meta": self.pandas_meta,
         }
+        # written only when set: pre-r14 manifests stay byte-identical
+        if self.dropped_attrs:
+            out["dropped_attrs"] = self.dropped_attrs
+        if self.attr_since:
+            out["attr_since"] = self.attr_since
+        return out
 
     @classmethod
     def from_json(cls, d):
@@ -156,6 +181,8 @@ class Manifest:
             pandas_meta=d.get("pandas_meta", {}),
             schema_version=d.get("schema_version", 0),
             created_ms=d.get("created_ms", 0),
+            dropped_attrs=d.get("dropped_attrs", {}),
+            attr_since=d.get("attr_since", {}),
         )
 
     # -- fragment pruning ----------------------------------------------------

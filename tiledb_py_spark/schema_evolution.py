@@ -97,14 +97,24 @@ class ArraySchemaEvolution:
                        if a.name not in self._drops):
                     raise ValueError(f"enumeration {name!r} still referenced")
                 del schema.enums[name]
+            new_version = m.schema_version + 1
             for a in self._adds:
                 if schema.has_attr(a.name) or schema.has_dim(a.name):
                     raise ValueError(f"column {a.name!r} already exists")
                 schema.attrs_list.append(a)
+                if a.name in m.dropped_attrs:
+                    # name reuse: this is a NEW attr — fragments older
+                    # than this version must read its FILL value, never
+                    # the dropped predecessor's stored bytes (manifest
+                    # attr_since / Manifest.masked_attrs)
+                    m.attr_since[a.name] = new_version
+                    del m.dropped_attrs[a.name]
             for name in self._drops:
                 if not schema.has_attr(name):
                     raise KeyError(name)
                 schema.attrs_list = [a for a in schema.attrs_list if a.name != name]
+                m.dropped_attrs[name] = new_version
+                m.attr_since.pop(name, None)
             for name, (lo, hi) in self._domain_expands.items():
                 d = schema.domain.dim(name)
                 old_lo, old_hi = d.domain

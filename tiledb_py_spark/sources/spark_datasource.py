@@ -95,6 +95,10 @@ class _Split(InputPartition):
     # fill/null (the native path's _fill_evolved, array.py:225-241)
     arrow_schema: object = None
     fills: tuple = ()
+    # attr names this fragment must NOT read from its files: a dropped-
+    # then-re-added attr's stored column belongs to the predecessor
+    # (Manifest.masked_attrs) — it reads as fill/null instead
+    masked: tuple = ()
 
 
 def _preds_to_expr(predicates, available=None):
@@ -119,17 +123,20 @@ def _preds_to_expr(predicates, available=None):
     return expr
 
 
-def _conform_table(tbl, target, fills=()):
+def _conform_table(tbl, target, fills=(), masked=()):
     """Align one fragment's table to the declared arrow schema:
     pre-evolution fragments lack added columns — materialize them as
     the attr's fill value (non-nullable evolved attrs, mirroring
-    Array._fill_evolved) or nulls, then cast column types.  A table
-    already matching the target passes through with one cast."""
+    Array._fill_evolved) or nulls, then cast column types.  ``masked``
+    columns are treated as absent even when the file HAS them (dropped-
+    then-re-added attrs: the stored bytes belong to the predecessor; a
+    blind cast would fabricate values).  A table already matching the
+    target passes through with one cast."""
     import pyarrow as pa
 
     fill_map = dict(fills)
     cols = []
-    names = set(tbl.column_names)
+    names = set(tbl.column_names) - set(masked)
     for field in target:
         if field.name in names:
             cols.append(tbl[field.name])
@@ -399,6 +406,10 @@ class TileDBReader(DataSourceReader):
         # NOT the random uuid name, which would flip LWW for ~half of
         # same-millisecond write pairs)
         frs = sorted(frs, key=lambda f: f.timestamp_range[0])
+
+        def frag_masked(f) -> tuple:
+            return m.masked_attrs(f.schema_version)
+
         mbrs = [_decode_mbr(schema, f.nonempty_domain) for f in frs]
         need_lww = (not schema.allows_duplicates) and len(frs) > 1
         preds = tuple(self._preds)
@@ -453,7 +464,8 @@ class TileDBReader(DataSourceReader):
                     # and Array._scan_df's frag_order_key (a name
                     # tie-break flips LWW for ~half of same-ms pairs)
                     entries = tuple(
-                        (tuple(frag_files(frs[i])), frag_deletes(frs[i]))
+                        (tuple(frag_files(frs[i])), frag_deletes(frs[i]),
+                         frag_masked(frs[i]))
                         for i in sorted(
                             members,
                             key=lambda i: (frs[i].timestamp_range[0], i),
@@ -479,7 +491,8 @@ class TileDBReader(DataSourceReader):
                     if j <= i:
                         continue
                     dels = frag_deletes(frs[j])
-                    entries.extend((p, dels) for p in frag_files(frs[j]))
+                    jm = frag_masked(frs[j])
+                    entries.extend((p, dels, jm) for p in frag_files(frs[j]))
                 newer_map[f.name] = tuple(entries)
 
         splits: list[_Split] = list(group_splits)
@@ -504,10 +517,15 @@ class TileDBReader(DataSourceReader):
                 continue
             fdel = frag_deletes(f)
             newer = newer_map.get(f.name, ())
+            # row-group stats of a masked (drop/re-add predecessor)
+            # column describe the WRONG attr — never prune on them
+            fm = set(frag_masked(f))
+            prune_preds = (preds if not fm
+                           else tuple(p for p in preds if p[0] not in fm))
             for p in frag_files(f):
                 md = md_map[p]
                 live = [i for i in range(md.num_row_groups)
-                        if _rg_matches(md.row_group(i), preds)]
+                        if _rg_matches(md.row_group(i), prune_preds)]
                 group: list = []
                 size = 0
                 for i in live:
@@ -518,14 +536,14 @@ class TileDBReader(DataSourceReader):
                                              predicates=preds, deletes=fdel,
                                              newer=newer, dim_names=dim_names,
                                              arrow_schema=arrow_schema,
-                                             fills=fills))
+                                             fills=fills, masked=frag_masked(f)))
                         group, size = [], 0
                 if group:
                     splits.append(_Split(file_path=p, row_groups=tuple(group),
                                          predicates=preds, deletes=fdel,
                                          newer=newer, dim_names=dim_names,
                                          arrow_schema=arrow_schema,
-                                         fills=fills))
+                                         fills=fills, masked=frag_masked(f)))
         return splits or [_Split(file_path="", row_groups=(), predicates=(),
                                  deletes=())]
 
@@ -547,7 +565,7 @@ class TileDBReader(DataSourceReader):
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        all_paths = [p for paths, _dels in entries for p in paths]
+        all_paths = [p for paths, _dels, _m in entries for p in paths]
 
         from ..operators.stats_bounds import column_chunk_minmax
 
@@ -641,11 +659,17 @@ class TileDBReader(DataSourceReader):
             want = [(f.name, f.type) for f in split.arrow_schema]
             dset = {f.name for f in split.arrow_schema}
             got = [(f.name, f.type) for f in pf_schema if f.name in dset]
-            conform = got != want or len(pf_schema.names) != len(want)
+            conform = (got != want or len(pf_schema.names) != len(want)
+                       or bool(split.masked))
         else:
             conform = False
-        expr = _preds_to_expr(split.predicates,
-                              available=file_cols if conform else None)
+        # a masked column must not see predicates either: its stored
+        # bytes are the dropped predecessor's — filtering on them drops
+        # rows Spark cannot restore (unlike skipped predicates, which
+        # Spark re-applies post-scan)
+        expr = _preds_to_expr(
+            split.predicates,
+            available=(file_cols - set(split.masked)) if conform else None)
 
         newer_coords = None
         if split.newer:
@@ -655,18 +679,19 @@ class TileDBReader(DataSourceReader):
             # no shuffle, no cross-partition coordination)
             dims = list(split.dim_names)
             newer_parts = []
-            for path, dels in split.newer:
+            for path, dels, jmask in split.newer:
                 nt = pq.read_table(path, columns=None if dels else dims)
                 if dels:
-                    if split.arrow_schema is not None and \
-                            set(f.name for f in split.arrow_schema) \
-                            - set(nt.column_names):
+                    if jmask or (split.arrow_schema is not None
+                                 and set(f.name for f in split.arrow_schema)
+                                 - set(nt.column_names)):
                         # pre-evolution fragment: delete conditions may
-                        # reference columns it lacks — conform first
+                        # reference columns it lacks (or columns it must
+                        # NOT read — drop/re-add mask) — conform first
                         # (fill/null), matching the native scan's
                         # evolved-fill-then-delete order
                         nt = _conform_table(nt, split.arrow_schema,
-                                            split.fills)
+                                            split.fills, jmask)
                     # a newer row that was itself deleted no longer
                     # supersedes (the older cell resurfaces, matching
                     # Array._scan_df delete-then-dedup order)
@@ -706,7 +731,7 @@ class TileDBReader(DataSourceReader):
                 tbl = pa.Table.from_batches([batch])
                 if conform:
                     tbl = _conform_table(tbl, split.arrow_schema,
-                                         split.fills)
+                                         split.fills, split.masked)
                 if split.deletes:
                     tbl = _apply_deletes(tbl, split.deletes)
                 if newer_coords is not None:
@@ -779,13 +804,13 @@ class TileDBReader(DataSourceReader):
 
         target = split.arrow_schema
         seen = None  # sorted unique coord hashes of all newer fragments
-        for paths, dels in split.group:
+        for paths, dels, gmask in split.group:
             parts = [read_sliced(p) for p in paths]
             if target is not None:
                 # conform BEFORE concat: pre-evolution fragments lack
                 # added columns (mixed-schema concat fails), and the
                 # output filter may reference an evolved column
-                parts = [_conform_table(t, target, split.fills)
+                parts = [_conform_table(t, target, split.fills, gmask)
                          for t in parts]
                 if not parts:
                     # an empty (record-only / fully-pruned) member:
@@ -1223,6 +1248,9 @@ class _FragStreamSplit(InputPartition):
     # tuple TileDBReader.partitions computes, so stream and batch reads
     # of a pre-evolution fragment agree (fill value, not NULL)
     fills: tuple = ()
+    # drop/re-add attr mask (Manifest.masked_attrs) — same semantics as
+    # _Split.masked
+    masked: tuple = ()
 
 
 class TileDBStreamReader(DataSourceStreamReader):
@@ -1329,7 +1357,9 @@ class TileDBStreamReader(DataSourceStreamReader):
             files = tuple(sorted(glob.glob(
                 os.path.join(fragment_path(self.uri, fr), "*.parquet"))))
             if files:
-                splits.append(_FragStreamSplit(files, self.columns, fills))
+                splits.append(_FragStreamSplit(
+                    files, self.columns, fills,
+                    man.masked_attrs(fr.schema_version)))
         return splits
 
     def read(self, partition: _FragStreamSplit):
@@ -1342,7 +1372,8 @@ class TileDBStreamReader(DataSourceStreamReader):
             # what the file has, then conform (null-fill + cast) — a
             # blind columns= read raises 'Field not found' and kills
             # the stream on replay
-            have = set(pq.ParquetFile(p).schema_arrow.names)
+            have = set(pq.ParquetFile(p).schema_arrow.names) \
+                - set(partition.masked)
             want = [c for c in partition.columns if c in have]
             tbl = _conform_table(pq.read_table(p, columns=want), target,
                                  partition.fills)
