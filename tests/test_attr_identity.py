@@ -144,3 +144,72 @@ def test_manifest_roundtrip_and_masked_attrs(tmp_path, spark):
     e.array_evolve(uri)
     m = mf.read_manifest(uri)
     assert m.attr_since == {} and m.dropped_attrs == {"w": 3}
+
+
+def test_single_evolution_drop_then_readd_call_order(tmp_path, spark):
+    """The reference applies ops in call order: drop('w') then
+    add(Attr('w', ...)) in ONE evolution creates a new attr under the
+    reused name."""
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    e = tdb.ArraySchemaEvolution()
+    e.drop_attribute("w")
+    e.add_attribute(tdb.Attr("w", dtype="U", fill="none"))
+    e.array_evolve(uri)
+    m = mf.read_manifest(uri)
+    assert m.attr_since == {"w": 1} and m.dropped_attrs == {}
+    with tdb.open(uri, spark=spark) as A:
+        assert A[:]["w"].tolist() == ["none", "none"]
+
+
+def test_add_after_unrecorded_drop_probes_fragment_columns(
+        tmp_path, spark):
+    """Upgrade path: a drop committed by a pre-r14 engine left no
+    dropped_attrs record; re-adding the name must still detect the
+    predecessor column in live fragments and record the mask."""
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    e1 = tdb.ArraySchemaEvolution()
+    e1.drop_attribute("w")
+    e1.array_evolve(uri)
+    # simulate the pre-r14 manifest: erase the drop record
+    mf.commit(uri, lambda m: m.dropped_attrs.clear())
+    e2 = tdb.ArraySchemaEvolution()
+    e2.add_attribute(tdb.Attr("w", dtype="U", fill="none"))
+    e2.array_evolve(uri)
+    m = mf.read_manifest(uri)
+    assert m.attr_since == {"w": 2}, \
+        "unrecorded predecessor column not detected"
+    with tdb.open(uri, spark=spark) as A:
+        assert A[:]["w"].tolist() == ["none", "none"]
+
+
+def test_create_array_from_fragments_carries_identity(tmp_path, spark):
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    _drop_readd(uri, tdb.Attr("w", dtype="U", fill="none"))
+    new = str(tmp_path / "b")
+    tdb.create_array_from_fragments(uri, new, (0, mf.now_ms() + 1000))
+    m = mf.read_manifest(new)
+    assert m.attr_since == {"w": 2} and m.schema_version == 2
+    with tdb.open(new, spark=spark) as A:
+        assert A[:]["w"].tolist() == ["none", "none"]
+
+
+def test_copy_fragments_refuses_diverged_history(tmp_path, spark):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(src, spark)
+    _mk(dst, spark)
+    _drop_readd(src, tdb.Attr("w", dtype=np.int64, fill=-5))
+    _drop_readd(dst, tdb.Attr("w", dtype=np.int64, fill=-5))
+    # same final schema, same history -> works
+    tdb.copy_fragments_to_existing_array(src, dst, (0, mf.now_ms() + 1000))
+    # diverge dst's history -> refuse
+    e = tdb.ArraySchemaEvolution()
+    e.drop_attribute("w")
+    e.add_attribute(tdb.Attr("w", dtype=np.int64, fill=-5))
+    e.array_evolve(dst)
+    with pytest.raises(ValueError, match="histories differ"):
+        tdb.copy_fragments_to_existing_array(src, dst,
+                                             (0, mf.now_ms() + 1000))

@@ -129,7 +129,7 @@ def test_format_lww_many_overlaps_streams_each_file_once(uri, spark):
         refs.extend(p for paths, _d, _m in s.group for p in paths)
         if s.file_path:
             refs.append(s.file_path)
-        refs.extend(p for p, _d in s.newer)
+        refs.extend(p for p, _d, _m in s.newer)
     assert len(refs) == len(set(refs)) == 21  # each file planned exactly once
 
     out = spark.read.format("tiledb").load(uri).orderBy("k").toPandas()

@@ -252,9 +252,8 @@ class Array:
         masked = set(self._manifest.masked_attrs(f.schema_version))
         if not masked:
             return self.spark.read.schema(sschema).parquet(path)
-        from pyspark.sql.types import StructType as _ST
-
-        keep = _ST([x for x in sschema.fields if x.name not in masked])
+        keep = T.StructType(
+            [x for x in sschema.fields if x.name not in masked])
         df = self.spark.read.schema(keep).parquet(path)
         types = {x.name: x.dataType for x in sschema.fields}
         for a in self.schema.attrs_list:

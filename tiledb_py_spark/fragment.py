@@ -369,6 +369,22 @@ def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
     if src.schema.to_json() != dst.schema.to_json():
         raise ValueError(
             "source and destination array schemas must be identical")
+    # fragment records carry SOURCE-relative schema_version stamps, and
+    # evolution-fill / drop-re-add masking interpret them against the
+    # destination's schema_version / attr_since history — copying across
+    # diverged histories would fill or mask the wrong columns (or
+    # resurface a dropped predecessor's bytes)
+    if (src.schema_version, src.dropped_attrs, src.attr_since) != \
+            (dst.schema_version, dst.dropped_attrs, dst.attr_since):
+        raise ValueError(
+            "source and destination evolution histories differ "
+            f"(schema_version {src.schema_version} vs "
+            f"{dst.schema_version}, attr drop/re-add records "
+            f"{(src.dropped_attrs, src.attr_since)} vs "
+            f"{(dst.dropped_attrs, dst.attr_since)}); fragment "
+            "schema_version stamps would be misinterpreted. "
+            "Consolidate the source first, or use "
+            "create_array_from_fragments (which carries the history).")
     lo, hi = timestamp_range
     existing = {f.name for f in dst.fragments}
     picked = [f for f in _fragments_to_copy(src, lo, hi)
@@ -403,5 +419,16 @@ def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> 
     for f in _fragments_to_copy(m, lo, hi):
         _copy_fragment_dir(old_uri, new_uri, f)
         copied.append(dataclasses.replace(f, superseded_by=None))
-    mf.commit(new_uri, lambda man: man.fragments.extend(copied))
+
+    def _carry(man):
+        man.fragments.extend(copied)
+        # copied records carry source-relative schema_version stamps;
+        # evolution fill and drop/re-add masking interpret them against
+        # the manifest's history — carry it, or a fragment predating a
+        # re-add would read the dropped predecessor's bytes in the copy
+        man.schema_version = m.schema_version
+        man.dropped_attrs = dict(m.dropped_attrs)
+        man.attr_since = dict(m.attr_since)
+
+    mf.commit(new_uri, _carry)
     return new_uri

@@ -19,11 +19,54 @@ from . import manifest as mf
 from .schema import Attr, Enumeration
 
 
+def _any_fragment_stores(uri: str, m: "mf.Manifest", name: str) -> bool:
+    """Does any live fragment's parquet store a column called ``name``?
+
+    Upgrade guard for manifests whose drop history predates the
+    ``dropped_attrs`` record: adding an attr whose name matches a
+    column still stored by old fragments must record an ``attr_since``
+    mask, or reads would surface (or crash on) the dropped
+    predecessor's bytes.  One footer read per fragment (files within a
+    fragment share a schema), threaded, early-exit on first hit —
+    evolve is a rare driver-side admin op, so the cost is acceptable
+    and correctness-critical."""
+    import glob
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    first_files = []
+    for f in m.fragments:  # ALL records: superseded ones remain
+        # readable via time travel and need the same mask
+        fdir = mf.fragment_path(uri, f)
+        got = sorted(glob.glob(os.path.join(fdir, "**", "*.parquet"),
+                               recursive=True))
+        if got:
+            first_files.append(got[0])
+    if not first_files:
+        return False
+
+    def _has(p):
+        try:
+            return name in pq.ParquetFile(p).schema_arrow.names
+        except Exception:
+            return False
+
+    with ThreadPoolExecutor(max_workers=min(16, len(first_files))) as ex:
+        for hit in ex.map(_has, first_files):
+            if hit:
+                return True
+    return False
+
+
 class ArraySchemaEvolution:
     def __init__(self, uri_or_ctx: Optional[Any] = None):
         # accepts a ctx-like arg for signature parity; state is per-array
-        self._adds: list[Attr] = []
-        self._drops: list[str] = []
+        # attr add/drop ops in CALL order (the reference applies ops as
+        # called, so drop('w') then add Attr('w', ...) in ONE evolution
+        # is legal and creates a new attr under the reused name)
+        self._attr_ops: list[tuple] = []
         self._enum_adds: list[Enumeration] = []
         self._enum_drops: list[str] = []
         self._enum_extends: dict[str, list] = {}
@@ -48,10 +91,10 @@ class ArraySchemaEvolution:
             "or snapshot the array first (create_array_from_fragments).")
 
     def add_attribute(self, attr: Attr) -> None:
-        self._adds.append(attr)
+        self._attr_ops.append(("add", attr))
 
     def drop_attribute(self, name: str) -> None:
-        self._drops.append(name)
+        self._attr_ops.append(("drop", name))
 
     def add_enumeration(self, enum: Enumeration) -> None:
         self._enum_adds.append(enum)
@@ -88,17 +131,27 @@ class ArraySchemaEvolution:
                 if values[: len(old.values)] != old.values:
                     raise ValueError("extend_enumeration must preserve existing values as a prefix")
                 schema.enums[name] = Enumeration(name, old.ordered, values)
+            dropped_names = {n for op, n in self._attr_ops if op == "drop"}
             for name in self._enum_drops:
                 # reference check against the POST-drop attr list: the
                 # reference applies ops in call order, so dropping an
                 # attr and its enumeration in ONE evolution is legal —
                 # a fixed enum-drops-first order must not reject it
                 if any(a.enum_label == name for a in schema.attrs_list
-                       if a.name not in self._drops):
+                       if a.name not in dropped_names):
                     raise ValueError(f"enumeration {name!r} still referenced")
                 del schema.enums[name]
             new_version = m.schema_version + 1
-            for a in self._adds:
+            for op, arg in self._attr_ops:
+                if op == "drop":
+                    if not schema.has_attr(arg):
+                        raise KeyError(arg)
+                    schema.attrs_list = [a for a in schema.attrs_list
+                                         if a.name != arg]
+                    m.dropped_attrs[arg] = new_version
+                    m.attr_since.pop(arg, None)
+                    continue
+                a = arg
                 if schema.has_attr(a.name) or schema.has_dim(a.name):
                     raise ValueError(f"column {a.name!r} already exists")
                 schema.attrs_list.append(a)
@@ -109,12 +162,14 @@ class ArraySchemaEvolution:
                     # attr_since / Manifest.masked_attrs)
                     m.attr_since[a.name] = new_version
                     del m.dropped_attrs[a.name]
-            for name in self._drops:
-                if not schema.has_attr(name):
-                    raise KeyError(name)
-                schema.attrs_list = [a for a in schema.attrs_list if a.name != name]
-                m.dropped_attrs[name] = new_version
-                m.attr_since.pop(name, None)
+                elif m.schema_version > 0 and _any_fragment_stores(
+                        uri, m, a.name):
+                    # UNRECORDED history: the array evolved before drop
+                    # records existed (pre-r14 manifests) yet some live
+                    # fragment stores a same-named column — that column
+                    # is a dropped predecessor's data.  Record the mask
+                    # here or those fragments would resurface/crash it.
+                    m.attr_since[a.name] = new_version
             for name, (lo, hi) in self._domain_expands.items():
                 d = schema.domain.dim(name)
                 old_lo, old_hi = d.domain
