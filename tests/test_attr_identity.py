@@ -213,3 +213,61 @@ def test_copy_fragments_refuses_diverged_history(tmp_path, spark):
     with pytest.raises(ValueError, match="histories differ"):
         tdb.copy_fragments_to_existing_array(src, dst,
                                              (0, mf.now_ms() + 1000))
+
+
+def test_fragment_stamp_is_plan_time_not_commit_time(tmp_path, spark):
+    """An evolution committing between a writer's plan and its commit
+    must not mark the fragment post-evolution: its files have the OLD
+    layout, and a too-new stamp would disable evolved-fill and
+    drop/re-add masking for them (NULL instead of fill; predecessor
+    bytes unmasked)."""
+    from tiledb_py_spark.sources.spark_datasource import TileDBWriter
+
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    w = TileDBWriter(uri)  # plan-time read: schema_version 0
+    # evolution lands between plan and commit
+    e = tdb.ArraySchemaEvolution()
+    e.add_attribute(tdb.Attr("z", dtype=np.int64, fill=-9))
+    e.array_evolve(uri)
+    import pyarrow as pa
+    batch = pa.record_batch(
+        {"k": pa.array([7], pa.int64()), "v": pa.array([7.5]),
+         "w": pa.array([70], pa.int64())})
+    msg = w.write(iter([batch]))
+    w.commit([msg])
+    frag = mf.read_manifest(uri).fragments[-1]
+    assert frag.schema_version == 0, \
+        "fragment stamped with a schema version newer than its layout"
+    with tdb.open(uri, spark=spark) as A:
+        r = A[:]
+        z = dict(zip(r["k"].tolist(), r["z"].tolist()))
+    assert z[7] == -9, "evolved-fill skipped for the racing fragment"
+
+
+def test_fragment_stamp_race_with_drop_readd_mask(tmp_path, spark):
+    """Same race against a drop/re-add: the racing fragment's stored
+    predecessor column must stay masked."""
+    from tiledb_py_spark.sources.spark_datasource import TileDBWriter
+
+    uri = str(tmp_path / "a")
+    _mk(uri, spark)
+    w = TileDBWriter(uri)  # plan at version 0 (schema still has old w)
+    e = tdb.ArraySchemaEvolution()
+    e.drop_attribute("w")
+    e.add_attribute(tdb.Attr("w", dtype="U", fill="none"))
+    e.array_evolve(uri)
+    import pyarrow as pa
+    batch = pa.record_batch(
+        {"k": pa.array([7], pa.int64()), "v": pa.array([7.5]),
+         "w": pa.array([70], pa.int64())})  # OLD int64 layout
+    msg = w.write(iter([batch]))
+    w.commit([msg])
+    assert mf.read_manifest(uri).fragments[-1].schema_version == 0
+    with tdb.open(uri, spark=spark) as A:
+        r = A[:]
+        got = dict(zip(r["k"].tolist(), r["w"].tolist()))
+    assert got == {1: "none", 2: "none", 7: "none"}, got
+    ds = {row.k: row.w for row in
+          spark.read.format("tiledb").load(uri).collect()}
+    assert ds == got

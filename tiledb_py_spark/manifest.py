@@ -372,7 +372,18 @@ def read_manifest(uri: str, version: Optional[int] = None) -> Manifest:
     if version is None:
         version = latest_version(uri)
     with open(_manifest_file(uri, version)) as f:
-        return Manifest.from_json(json.load(f))
+        m = Manifest.from_json(json.load(f))
+    # tag the schema with the schema_version it was READ at: fragment
+    # writers stamp records with the version of the schema they
+    # validated/laid out against (plan time), NOT the version current
+    # at commit time — an evolution landing between a writer's plan and
+    # its commit must not mark the fragment post-evolution, or the
+    # evolved-fill guard and drop/re-add masking would treat its
+    # old-layout files as already conforming (nulls instead of fills;
+    # a dropped predecessor column unmasked).  Instance attr only —
+    # never serialized.
+    m.schema._read_version = m.schema_version
+    return m
 
 
 def write_manifest(uri: str, m: Manifest) -> None:

@@ -198,11 +198,15 @@ def write_fragment_pandas(uri: str, schema: ArraySchema, pdf,
                          nonempty_domain=mbr)
 
     def _append(m):
-        # stamp the manifest's CURRENT schema version: fragments written
-        # after an evolution must record it, or the evolved-fill
-        # fast-path guard (all fragments >= schema_version) stays
-        # disabled forever and FragmentInfo.version reads 0
-        rec.schema_version = m.schema_version
+        # stamp the version of the SCHEMA THE WRITER USED (tagged by
+        # read_manifest at the caller's plan-time read): an evolution
+        # committing between plan and this commit must not mark the
+        # fragment post-evolution — its files have the OLD layout, and
+        # a too-new stamp would disable evolved-fill / drop-re-add
+        # masking for them.  Hand-built schemas (array creation) carry
+        # no tag; the manifest's current version is correct there.
+        pv = getattr(schema, "_read_version", None)
+        rec.schema_version = pv if pv is not None else m.schema_version
         m.fragments.append(rec)
 
     commit(uri, _append)
@@ -264,7 +268,9 @@ def write_fragment_spark(uri: str, schema: ArraySchema, df,
                          nonempty_domain=mbr)
 
     def _append(m):
-        rec.schema_version = m.schema_version  # see write_fragment_pandas
+        # plan-time stamp — see write_fragment_pandas
+        pv = getattr(schema, "_read_version", None)
+        rec.schema_version = pv if pv is not None else m.schema_version
         m.fragments.append(rec)
         if on_commit is not None:
             # extra manifest mutation in the SAME commit — callers like

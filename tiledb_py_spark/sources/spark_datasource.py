@@ -258,7 +258,9 @@ class TileDBDataSource(DataSource):
                 "(use consolidate/vacuum to rewrite)")
         uri = self._uri()
         stored = self._check_write_columns(uri, schema)
-        return TileDBWriter(uri, target_schema=_arrow_layout(stored))
+        return TileDBWriter(
+            uri, target_schema=_arrow_layout(stored),
+            plan_schema_version=getattr(stored, "_read_version", None))
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "TileDBStreamWriter":
@@ -268,7 +270,9 @@ class TileDBDataSource(DataSource):
                 "(use consolidate/vacuum to rewrite)")
         uri = self._uri()
         stored = self._check_write_columns(uri, schema)
-        return TileDBStreamWriter(uri, target_schema=_arrow_layout(stored))
+        return TileDBStreamWriter(
+            uri, target_schema=_arrow_layout(stored),
+            plan_schema_version=getattr(stored, "_read_version", None))
 
 
 _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -1009,7 +1013,8 @@ class TileDBWriter(DataSourceArrowWriter):
     """Append one fragment per save(): tasks stream Arrow batches to
     staged parquet files; commit publishes a single FragmentRecord."""
 
-    def __init__(self, uri: str, target_schema=None):
+    def __init__(self, uri: str, target_schema=None,
+                 plan_schema_version=None):
         from .. import manifest as mf
 
         self.uri = uri
@@ -1019,8 +1024,13 @@ class TileDBWriter(DataSourceArrowWriter):
         # resolved on the DRIVER (plan time — writer() passes the same
         # manifest read that validated the columns) and pickled to
         # tasks; executors never re-read it
-        self.target_schema = (target_schema if target_schema is not None
-                              else _stored_arrow_schema(uri))
+        if target_schema is not None:
+            self.target_schema = target_schema
+            self.plan_schema_version = plan_schema_version
+        else:
+            m = mf.read_manifest(uri)
+            self.target_schema = _arrow_layout(m.schema)
+            self.plan_schema_version = m.schema_version
 
     def write(self, iterator) -> _FragCommit:
         import uuid
@@ -1077,7 +1087,12 @@ class TileDBWriter(DataSourceArrowWriter):
                                 cell_num=cell_num, nonempty_domain=mbr)
 
         def _append(m):
-            rec.schema_version = m.schema_version  # evolved-fill fast path
+            # PLAN-time stamp (fragment_writer._append rationale): the
+            # batches were normalized to the layout resolved at plan;
+            # an evolution landing before this commit must not mark
+            # them post-evolution
+            pv = self.plan_schema_version
+            rec.schema_version = pv if pv is not None else m.schema_version
             m.fragments.append(rec)
 
         mf.commit(self.uri, _append)
@@ -1117,7 +1132,8 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
     ``from_pandas/from_spark mode="schema_only"`` or a first batch
     ingest)."""
 
-    def __init__(self, uri: str, target_schema=None):
+    def __init__(self, uri: str, target_schema=None,
+                 plan_schema_version=None):
         from .. import manifest as mf
 
         self.uri = mf.require_local_uri(uri)
@@ -1125,14 +1141,21 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
         # driver-resolved stored layout (see TileDBWriter.__init__);
         # None when the sink array doesn't exist yet at construction —
         # streamWriter()'s plan-time manifest read makes that unreachable
-        # in practice, but tests construct the writer directly
+        # in practice, but tests construct the writer directly.  Every
+        # micro-batch conforms to THIS layout, so every committed
+        # fragment is stamped with the construction-time version even
+        # if the schema evolves mid-stream.
         if target_schema is not None:
             self.target_schema = target_schema
+            self.plan_schema_version = plan_schema_version
         else:
             try:
-                self.target_schema = _stored_arrow_schema(self.uri)
+                m = mf.read_manifest(self.uri)
+                self.target_schema = _arrow_layout(m.schema)
+                self.plan_schema_version = m.schema_version
             except FileNotFoundError:
                 self.target_schema = None
+                self.plan_schema_version = None
 
     def write(self, iterator) -> _StreamPieceCommit:
         import uuid
@@ -1197,7 +1220,10 @@ class TileDBStreamWriter(DataSourceStreamArrowWriter):
                                 cell_num=cell_num, nonempty_domain=mbr)
 
         def _append(m):
-            rec.schema_version = m.schema_version  # evolved-fill fast path
+            # construction-time stamp: batches were conformed to the
+            # construction layout (see __init__ / fragment_writer)
+            pv = self.plan_schema_version
+            rec.schema_version = pv if pv is not None else m.schema_version
             m.fragments.append(rec)
 
         mf.commit(self.uri, _append)
