@@ -133,3 +133,64 @@ def test_gate_registry_invariants():
         "det_shuffle", "hash_split", "stratified_sample",
         "resample_strata", "chunk_documents", "pack_sequences",
         "token_budget"]
+
+
+def test_class_member_parity_with_reference(spark, tmp_path):
+    """Instance-level member diff against the reference's class
+    definitions (ast-scanned): every public method/property on the
+    reference's core classes must resolve on ours.  The module-export
+    diff cannot see these (r14: ArraySchema.from_file and ~40 accessors
+    were missing).  Allowlist = deliberate loud refusals whose
+    raising-property form makes hasattr() False."""
+    import ast
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    import tiledb_py_spark as tdb
+
+    ALLOW = {("Array", "ptr")}  # raising property (no native handle)
+
+    ref_classes = {}
+    for root, _dirs, files in os.walk("/root/reference/tiledb"):
+        if "tests" in root:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            try:
+                tree = ast.parse(open(os.path.join(root, fn)).read())
+            except SyntaxError:
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ClassDef):
+                    ref_classes.setdefault(node.name, set()).update(
+                        n.name for n in node.body
+                        if isinstance(n, ast.FunctionDef)
+                        and not n.name.startswith("_"))
+
+    uri = str(tmp_path / "a")
+    tdb.from_pandas(uri, pd.DataFrame(
+        {"k": np.arange(4, dtype=np.int64), "v": np.arange(4) * 1.0}),
+        index_dims=["k"], full_domain=True)
+    A = tdb.open(uri, spark=spark)
+    g = str(tmp_path / "g")
+    tdb.Group.create(g)
+    instances = {
+        "Array": A, "ArraySchema": A.schema, "Attr": A.schema.attr(0),
+        "Dim": A.schema.domain.dim(0), "Domain": A.schema.domain,
+        "Group": tdb.Group(g), "VFS": tdb.VFS(), "Query": A.query(),
+        "Subarray": tdb.Subarray(A), "Metadata": A.meta,
+        "FilterList": tdb.FilterList([]), "Ctx": tdb.Ctx(),
+        "Config": tdb.Config(),
+        "Enumeration": tdb.Enumeration("e", False, ["a"]),
+    }
+    gaps = []
+    for cname, inst in instances.items():
+        for m in sorted(ref_classes.get(cname, ())):
+            if (cname, m) in ALLOW:
+                continue
+            if not hasattr(inst, m):
+                gaps.append(f"{cname}.{m}")
+    assert not gaps, f"reference class members missing: {gaps}"

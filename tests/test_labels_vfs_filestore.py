@@ -382,3 +382,22 @@ def test_vfs_mixed_scheme_copy_move(tmp_path):
     assert not vfs.is_dir("memory://mix/tree")
     vfs.remove_file("memory://mix/a.bin")
     vfs.remove_file("memory://mix/moved.bin")
+
+
+def test_filestore_documented_creation_path(tmp_path):
+    """The reference's documented Filestore creation recipe
+    (filestore.py:13-15): ArraySchema.from_file + Array.create +
+    Filestore.copy_from — from_file was missing pre-r14."""
+    import tiledb_py_spark as tdb
+
+    src = str(tmp_path / "doc.txt")
+    with open(src, "w") as f:
+        f.write("filestore content here")
+    uri = str(tmp_path / "fsarr")
+    tdb.Array.create(uri, tdb.ArraySchema.from_file(src))
+    tdb.Filestore.copy_from(uri, src)
+    fs = tdb.Filestore(uri)
+    assert len(fs) == 22
+    assert fs.read(0, 9) == b"filestore"
+    tdb.Filestore.copy_to(uri, str(tmp_path / "out.txt"))
+    assert open(str(tmp_path / "out.txt")).read() == "filestore content here"

@@ -166,6 +166,103 @@ class Array:
     def sparse(self) -> bool:
         return self.schema.sparse
 
+    @property
+    def iswritable(self) -> bool:
+        """True when opened writable (reference ``array.py:522-524``)."""
+        return self.mode == "w"
+
+    @property
+    def timestamp_range(self) -> tuple:
+        """The (start, end) timestamp range the array was opened at
+        (reference ``array.py:565-574``); an unpinned open reads
+        everything, i.e. ``(0, now)``."""
+        ts = self.timestamp
+        if ts is None:
+            return (0, mf.now_ms())
+        if isinstance(ts, tuple):
+            lo, hi = ts
+            return (0 if lo is None else lo,
+                    mf.now_ms() if hi is None else hi)
+        return (0, ts)
+
+    def attr(self, key):
+        """Attr by index or name (reference ``array.py:588-596``)."""
+        return self.schema.attr(key)
+
+    @property
+    def attr_names(self) -> list:
+        """Attribute names (reference ``array.py:598-601``)."""
+        return self.schema.attr_names
+
+    def dim(self, dim_id):
+        """Dim by index or name (reference ``array.py:603-611``)."""
+        return self.schema.domain.dim(dim_id)
+
+    def enum(self, name: str):
+        """The Enumeration bound to attribute ``name`` (reference
+        ``array.py:613-622``)."""
+        label = self.schema.attr(name).enum_label
+        if label is None:
+            from .functions.query_condition import TileDBError
+
+            raise TileDBError(
+                f"attribute {name!r} has no enumeration")
+        return self.schema.enums[label]
+
+    @property
+    def dindex(self):
+        """Alias of :attr:`domain_index` (reference ``array.py:817``)."""
+        return self.domain_index
+
+    def dump(self) -> None:
+        """Print the array schema (reference ``array.py:810-811``)."""
+        self.schema.dump()
+
+    @property
+    def last_write_info(self) -> dict:
+        """{fragment_uri: (timestamp, timestamp)} of writes made through
+        THIS handle (reference ``array.py:1161-1163``
+        last_fragment_info); empty before the first write."""
+        return dict(getattr(self, "_last_fragment_info", {}))
+
+    @staticmethod
+    def delete_array(uri: str, ctx=None) -> None:
+        """Delete the array's data (reference ``array.py:662-688``)."""
+        import shutil
+
+        u = mf.require_local_uri(uri)
+        if not mf.array_exists(u):
+            from .functions.query_condition import TileDBError
+
+            raise TileDBError(f"Array URI {uri!r} does not exist")
+        shutil.rmtree(u)
+
+    def upgrade_version(self, config=None) -> None:
+        """Upgrade to the latest storage format (reference
+        ``array.py:794-807``); this engine has a single manifest format
+        version, so an existing array is already current."""
+        self._manifest  # raises if the array is gone
+
+    @property
+    def ptr(self):
+        """UNSUPPORTED: the reference exposes the libtiledb C array
+        handle (reference ``array.py:808``); this engine has no native
+        handle — refuse loudly rather than hand back a fake pointer."""
+        from .functions.query_condition import TileDBError
+
+        raise TileDBError(
+            "Array.ptr exposes the libtiledb C handle; this engine is "
+            "Spark-native and has no native array handle")
+
+    def set_query(self, serialized_query) -> None:
+        """UNSUPPORTED (S26 non-goal, reference ``core.cc:712-735``):
+        serialized-query handoff is covered by Spark Connect in this
+        architecture — see SURVEY §2 S26."""
+        raise NotImplementedError(
+            "set_query(serialized) is not supported: serialized-query "
+            "handoff is a declared non-goal (Spark Connect covers the "
+            "remote-execution shape; SURVEY §2 S26)")
+
     def reopen(self):
         self._manifest = mf.read_manifest(self.uri)
 
@@ -751,7 +848,9 @@ class SparseArray(Array):
                 else:
                     raise ValueError(f"missing values for attribute {a.name!r}")
         pdf = pd.DataFrame({k: _np_to_pandas_col(v) for k, v in data.items()})
-        write_fragment_pandas(self.uri, self.schema, pdf)
+        rec = write_fragment_pandas(self.uri, self.schema, pdf)
+        self._last_fragment_info = {
+            mf.fragment_path(self.uri, rec): rec.timestamp_range}
         self.reopen()
 
     def write_dataframe(self, df: DataFrame):
@@ -759,6 +858,8 @@ class SparseArray(Array):
         if self.mode not in ("w", "m"):
             raise PermissionError("array not opened in write mode")
         rec = write_fragment_spark(self.uri, self.schema, df)
+        self._last_fragment_info = {
+            mf.fragment_path(self.uri, rec): rec.timestamp_range}
         self.reopen()
         return rec
 
@@ -1205,8 +1306,11 @@ class DenseArray(Array):
         # the space-tile analog) would shred a 100M-cell write into
         # tens of thousands of row groups; dense subarray reads prune
         # on the dim columns' per-group stats either way
-        write_fragment_pandas(self.uri, self.schema, pdf,
-                              row_group_size=min(len(pdf), 1 << 20) or None)
+        rec = write_fragment_pandas(self.uri, self.schema, pdf,
+                                    row_group_size=min(len(pdf), 1 << 20)
+                                    or None)
+        self._last_fragment_info = {
+            mf.fragment_path(self.uri, rec): rec.timestamp_range}
         self.reopen()
 
 
@@ -1256,9 +1360,42 @@ class Query:
         self.return_incomplete = return_incomplete
         self.return_arrow = return_arrow
         self.index_col = index_col
+        # reference accessors (query.py:235-263): coords request flag
+        # and the Arrow transport flag (Arrow IS the transport here)
+        self.has_coords = bool(coords)
+        self.use_arrow = bool(return_arrow)
         for a in self.attrs or []:
             if not array.schema.has_attr(a) and not array.schema.has_dim(a):
                 raise KeyError(f"no attribute {a!r}")
+
+    @property
+    def domain_index(self):
+        """Array.domain_index with this query's parameters (reference
+        ``query.py:270-272``)."""
+        return DomainIndexer(self.array, self)
+
+    def label_index(self, labels):
+        """Array.label_index with this query's parameters (reference
+        ``query.py:274-278``)."""
+        from .labels import LabelIndexer
+
+        return LabelIndexer(self.array, tuple(labels))
+
+    def subarray(self):
+        """A fresh Subarray over this query's array (reference
+        ``query.py:121-126``; ranges are supplied per-read here, so the
+        returned subarray starts empty)."""
+        from .subarray import Subarray
+
+        return Subarray(self.array)
+
+    def get_stats(self, print_out: bool = True, json: bool = False):
+        """Stats of the last query (reference ``query.py:297-309``) —
+        the engine-wide counters, scoped the same way as
+        ``tiledb.stats_dump``."""
+        from .stats import stats_dump
+
+        return stats_dump(print_out=print_out, json_output=json)
 
     def _plan(self, ranges) -> QueryPlan:
         return QueryPlan(

@@ -67,6 +67,28 @@ class Config:
             for k, v in sorted(self._d.items()):
                 f.write(f"{k}={v}\n")
 
+    def values(self, prefix: str = ""):
+        """Iterator over config values, optionally prefix-filtered
+        (reference ``ctx.py:234-242``)."""
+        return iter([v for k, v in self._d.items() if k.startswith(prefix)])
+
+    def clear(self) -> None:
+        """Unset every parameter (reference ``ctx.py:254-257``)."""
+        self._d.clear()
+
+    def from_file(self, path: str) -> None:
+        """Merge parameters from a config file into this instance
+        (reference ``ctx.py:283``)."""
+        self.update(Config(path=path).dict())
+
+    @staticmethod
+    def load(uri: str) -> "Config":
+        """Config loaded from a local file (reference
+        ``ctx.py:62-73``)."""
+        if not isinstance(uri, str):
+            raise TypeError("uri must be a string")
+        return Config(path=uri)
+
     def __repr__(self):
         return f"Config({self._d!r})"
 
@@ -85,6 +107,29 @@ class Ctx:
                     spark.conf.set(k, v)
                 except Exception:
                     pass  # static conf; takes effect on next session
+
+    def set_tag(self, key: str, value: str) -> None:
+        """Set a (string, string) tag on the context (reference
+        ``ctx.py:420-422``; diagnostic metadata only here)."""
+        if not hasattr(self, "_tags"):
+            self._tags: dict[str, str] = {}
+        self._tags[str(key)] = str(value)
+
+    def get_stats(self, print_out: bool = True, json: bool = False):
+        """Engine-wide stats (reference ``ctx.py:435-453``)."""
+        from .stats import stats_dump
+
+        return stats_dump(print_out=print_out, json_output=json)
+
+    def data_protocol(self, uri: str):
+        """UNSUPPORTED: the reference's data protocol probe applies to
+        ``tiledb://`` cloud URIs (reference ``ctx.py:455-463``); cloud
+        URIs are refused by this engine's local-only commit layer (see
+        ``manifest.require_local_uri``)."""
+        raise NotImplementedError(
+            "data_protocol() probes tiledb:// cloud URIs, which this "
+            "engine does not support (remote array URIs are refused "
+            "loudly; see manifest.require_local_uri)")
 
 
 _local = threading.local()

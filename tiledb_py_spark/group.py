@@ -238,8 +238,39 @@ class Group:
         os.remove(marker)
         return removed
 
+    def is_relative(self, name: str) -> bool:
+        """Whether the named member was added with ``relative=True``
+        (reference ``group.py:299-306``)."""
+        for m in self._state["members"]:
+            if m.get("name") == name or m["uri"] == name:
+                return bool(m.get("relative", False))
+        raise KeyError(name)
+
+    def open(self, mode: str = "r") -> None:
+        """(Re)open this handle in ``mode`` (reference
+        ``group.py:117-125``)."""
+        if mode not in ("r", "w", "m", "d"):
+            raise ValueError(f"invalid mode {mode}")
+        with open(self._path) as f:
+            self._state = json.load(f)
+        self.mode = mode
+        self._closed = False
+
+    def set_config(self, cfg) -> None:
+        """Attach a Config (reference ``group.py:308-318``; declarative
+        here — the manifest layer has no per-group config knobs)."""
+        if self.isopen:
+            raise ValueError(
+                "set_config can only be used on closed groups; call "
+                "close() first")
+        self._config = cfg
+
+    @property
+    def isopen(self) -> bool:
+        return not getattr(self, "_closed", False)
+
     def close(self):
-        pass
+        self._closed = True
 
     def __enter__(self):
         return self

@@ -152,6 +152,51 @@ class Metadata:
     def items(self):
         return [(k, _unpack(v)) for k, v in self._read().items()]
 
+    def setdefault(self, key: str, default=None):
+        """dict.setdefault semantics in one commit (reference
+        ``metadata.py`` MutableMapping surface)."""
+        try:
+            return self[key]
+        except KeyError:
+            self[key] = default
+            return default
+
+    def pop(self, key: str, *default):
+        """dict.pop semantics (reference MutableMapping surface)."""
+        try:
+            val = self[key]
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        del self[key]
+        return val
+
+    def popitem(self):
+        """dict.popitem semantics (reference MutableMapping surface)."""
+        meta = self._read()
+        if not meta:
+            raise KeyError("metadata is empty")
+        key = next(reversed(meta))
+        return (key, self.pop(key))
+
+    def clear(self) -> None:
+        """Remove every key in ONE commit (reference MutableMapping
+        surface)."""
+        mf.commit(self.uri, lambda m: m.metadata.clear())
+
+    def dump(self) -> None:
+        """Print all metadata (reference ``metadata.py:260-263``)."""
+        for k, v in self.items():
+            print(f"### {k} ###\n{v!r}")
+
+    def consolidate(self, config=None, ctx=None) -> None:
+        """Consolidate metadata (reference ``metadata.py:225-235``).
+        Metadata lives IN the manifest here — one committed document,
+        never fragmented — so there is nothing to fold; a no-op kept
+        for drop-in compatibility."""
+        self._read()  # validates the array still exists
+
     def update(self, other=(), /, **kwargs) -> None:
         """Set several keys in ONE manifest commit — per-key
         ``__setitem__`` commits multiply version churn and let a crash

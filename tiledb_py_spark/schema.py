@@ -47,6 +47,17 @@ class Enumeration:
         self.ordered = bool(ordered)
         self.values = list(values)
 
+    @property
+    def dtype(self) -> np.dtype:
+        """numpy dtype of the values (reference ``enumeration.py``)."""
+        return np.asarray(self.values).dtype
+
+    @property
+    def cell_val_num(self) -> int:
+        """Values per cell: the var-num sentinel for string
+        enumerations, else 1 (reference ``enumeration.py``)."""
+        return 2**32 - 1 if self.dtype.kind in ("U", "S", "O") else 1
+
     def extend(self, new_values: Sequence[Any]) -> "Enumeration":
         if set(new_values) & set(self.values):
             raise ValueError("extension values overlap existing enumeration values")
@@ -126,6 +137,28 @@ class Dim:
     @property
     def isvar(self) -> bool:
         return self.var
+
+    @property
+    def isanon(self) -> bool:
+        """True for an anonymous dimension (reference
+        ``dimension.py:217-223``)."""
+        return self.name == "" or self.name.startswith("__dim")
+
+    @property
+    def shape(self) -> tuple:
+        """Cell count along this dim as a 1-tuple — valid only for
+        integer/datetime domains (reference ``dimension.py:236-252``)."""
+        if not (np.issubdtype(self.dtype, np.integer)
+                or np.issubdtype(self.dtype, np.datetime64)):
+            raise TypeError(
+                "shape only valid for integer and datetime dimension "
+                "domains")
+        lo, hi = self.domain
+        if self.dtype.kind == "M":
+            from .datatypes import stored_scalar
+
+            lo, hi = stored_scalar(lo, self.dtype), stored_scalar(hi, self.dtype)
+        return (int(hi) - int(lo) + 1,)
 
     @property
     def size(self) -> Optional[int]:
@@ -209,6 +242,32 @@ class Domain:
     def has_dim(self, name: str) -> bool:
         return any(d.name == name for d in self._dims)
 
+    @property
+    def homogeneous(self) -> bool:
+        """True when every dim shares one dtype (reference
+        ``domain.py:157-159``)."""
+        return len({d.dtype for d in self._dims}) == 1
+
+    @property
+    def dtype(self) -> np.dtype:
+        """The dtype of a homogeneous domain (reference
+        ``domain.py:122-128``)."""
+        if not self.homogeneous:
+            raise TypeError("dtype undefined for a heterogeneous domain")
+        return self._dims[0].dtype
+
+    @property
+    def size(self) -> int:
+        """Total cell count — integer domains only (reference
+        ``domain.py:141-150``)."""
+        if not np.issubdtype(self.dtype, np.integer):
+            raise TypeError("size valid only for integer domains")
+        return int(np.prod(self.shape))
+
+    def dump(self) -> None:
+        """Print the domain (reference ``domain.py`` dump)."""
+        print(repr(self), "\n")
+
     def __iter__(self):
         return iter(self._dims)
 
@@ -271,6 +330,32 @@ class Attr:
     def isnullable(self) -> bool:
         return self.nullable
 
+    @property
+    def isanon(self) -> bool:
+        """True for an anonymous attribute (reference
+        ``attribute.py:186-192``)."""
+        return self.name == "" or self.name.startswith("__attr")
+
+    @property
+    def isascii(self) -> bool:
+        """True for an ASCII-string attribute (reference
+        ``attribute.py:271-278``: TILEDB_STRING_ASCII; here the 'S'
+        bytes kind or an explicit 'ascii' dtype annotation)."""
+        return (self.type_info.np_dtype in ("S0",)
+                or self.type_info.annotations.get("ascii", False)
+                or np.dtype(self.type_info.np_dtype).kind == "S")
+
+    @property
+    def ncells(self) -> int:
+        """Scalar values per cell (reference ``attribute.py:260-268``);
+        var-length cells report the reference's TILEDB_VAR_NUM
+        sentinel."""
+        return 2**32 - 1 if self.var else 1
+
+    def dump(self) -> None:
+        """Print the attribute (reference ``attribute.py:154-156``)."""
+        print(repr(self), "\n")
+
     def __eq__(self, other):
         return (isinstance(other, Attr) and self.name == other.name
                 and self.type_info.np_dtype == other.type_info.np_dtype
@@ -329,7 +414,11 @@ class ArraySchema:
                  cell_order: str = "row-major", tile_order: str = "row-major",
                  capacity: int = 0, allows_duplicates: bool = False,
                  enums: Optional[Sequence[Enumeration]] = None,
-                 dim_labels: Optional[dict] = None):
+                 dim_labels: Optional[dict] = None,
+                 coords_filters: Optional[list] = None,
+                 offsets_filters: Optional[list] = None,
+                 validity_filters: Optional[list] = None,
+                 ctx: Optional[Any] = None):
         if cell_order not in _ORDERS or tile_order not in _ORDERS:
             raise ValueError(f"unknown order; must be one of {_ORDERS}")
         if not sparse and allows_duplicates:
@@ -362,6 +451,61 @@ class ArraySchema:
                 spec.dim_index = dim_idx
 
         self._current_domain = None  # Optional[CurrentDomain]
+        # schema-level filter pipelines (reference array_schema.py ctor:
+        # coords/offsets/validity) — declarative metadata here (parquet
+        # codecs are chosen per-attr/dim); kept for round-trip parity
+        self.coords_filters = _as_filter_list(coords_filters)
+        self.offsets_filters = _as_filter_list(offsets_filters)
+        self.validity_filters = _as_filter_list(validity_filters)
+
+    def attr_or_dim_dtype(self, name: str) -> np.dtype:
+        """dtype of the named attr or dim (reference
+        ``array_schema.py:418-429``)."""
+        if self.has_attr(name):
+            dtype = self.attr(name).dtype
+        elif self.domain.has_dim(name):
+            dtype = self.domain.dim(name).dtype
+        else:
+            from .functions.query_condition import TileDBError
+
+            raise TileDBError(
+                f"Unknown attribute or dimension ({name!r})")
+        if dtype.itemsize == 0:
+            dtype = np.dtype((dtype, 1))
+        return dtype
+
+    def check(self) -> bool:
+        """Validity check (reference ``array_schema.py:191-197``); the
+        constructor already enforces every invariant, so a constructed
+        schema is always valid."""
+        return True
+
+    @property
+    def version(self) -> int:
+        """Storage format version of this engine's manifest layout
+        (reference ``array_schema.py:321-327``)."""
+        return 1
+
+    @property
+    def ctx(self):
+        from .ctx import default_ctx
+
+        return default_ctx()
+
+    def dump(self) -> None:
+        """Print the schema (reference ``array_schema.py`` dump)."""
+        print(repr(self), "\n")
+
+    @classmethod
+    def load(cls, uri: str, ctx=None, key=None) -> "ArraySchema":
+        """Load the schema of an existing array (reference
+        ``array_schema.py`` ArraySchema.load)."""
+        if key is not None:
+            raise NotImplementedError(
+                "encrypted arrays are not supported (key=)")
+        from . import manifest as mf
+
+        return mf.read_manifest(uri).schema
 
     # -- current domain (reference array_schema.py:401-416) ------------------
     @property
@@ -457,7 +601,7 @@ class ArraySchema:
 
     # -- serialization -------------------------------------------------------
     def to_json(self):
-        return {
+        out = {
             "sparse": self.sparse,
             "cell_order": self.cell_order,
             "tile_order": self.tile_order,
@@ -472,6 +616,24 @@ class ArraySchema:
                                if self._current_domain is not None
                                and not self._current_domain.is_empty else None),
         }
+        # written only when set — schemas without them stay byte-identical
+        for key, fl in (("coords_filters", self.coords_filters),
+                        ("offsets_filters", self.offsets_filters),
+                        ("validity_filters", self.validity_filters)):
+            if len(fl):
+                out[key] = fl.to_json()
+        return out
+
+    @classmethod
+    def from_file(cls, uri: Optional[str] = None, ctx=None):
+        """ArraySchema for a Filestore array (reference
+        ``array_schema.py:145-150``): the documented creation path is
+        ``Array.create(uri, ArraySchema.from_file(...))`` followed by
+        ``Filestore.copy_from``.  The ``uri`` argument only seeds
+        defaults in the reference; the schema is the same either way."""
+        from .filestore import filestore_schema
+
+        return filestore_schema()
 
     @classmethod
     def from_json(cls, d):
@@ -489,6 +651,9 @@ class ArraySchema:
             dim_labels={int(i): {n: DimLabelSchema.from_json(s)
                                  for n, s in by.items()}
                         for i, by in d.get("dim_labels", {}).items()},
+            coords_filters=FilterList.from_json(d.get("coords_filters")),
+            offsets_filters=FilterList.from_json(d.get("offsets_filters")),
+            validity_filters=FilterList.from_json(d.get("validity_filters")),
         ), d)
 
     @staticmethod

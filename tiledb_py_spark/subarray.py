@@ -73,6 +73,44 @@ class Subarray:
     def num_dim_ranges(self, dim) -> int:
         return len(self._ranges.get(self._dim_index(dim), []))
 
+    def get_range(self, dim_idx, range_idx: int) -> tuple:
+        """The ``range_idx``-th range on a dim (reference
+        ``subarray.py:76-88``)."""
+        rs = self._ranges.get(self._dim_index(dim_idx), [])
+        if not 0 <= range_idx < len(rs):
+            raise IndexError(
+                f"range index {range_idx} out of range "
+                f"({len(rs)} ranges on dim {dim_idx!r})")
+        return rs[range_idx]
+
+    # -- dimension-label ranges (reference subarray.py:44-51,90-114) ----
+    def add_label_range(self, label: str, label_range: tuple) -> None:
+        """Add an inclusive range on a dimension LABEL; resolved to dim
+        ranges through the label table at read time (labels.py)."""
+        if len(label_range) != 2:
+            raise ValueError("range must be a (lo, hi) tuple")
+        if not self.array.schema.has_dim_label(label):
+            from .functions.query_condition import TileDBError
+
+            raise TileDBError(f"no dimension label {label!r}")
+        if not hasattr(self, "_label_ranges"):
+            self._label_ranges: dict[str, list[tuple]] = {}
+        self._label_ranges.setdefault(label, []).append(tuple(label_range))
+
+    def has_label_range(self, dim_idx) -> bool:
+        """True if any label range targets the given dim (reference
+        ``subarray.py:90-96``)."""
+        i = self._dim_index(dim_idx)
+        for label in getattr(self, "_label_ranges", {}):
+            if self.array.schema.dim_label(label).dim_index == i:
+                return True
+        return False
+
+    def num_label_ranges(self, label: str) -> int:
+        if not isinstance(label, str):
+            raise TypeError(f"invalid type {type(label)} for label")
+        return len(getattr(self, "_label_ranges", {}).get(label, []))
+
     def to_dim_ranges(self) -> list[DimRanges]:
         out = []
         for i, d in enumerate(self.array.schema.domain):

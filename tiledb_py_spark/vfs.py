@@ -328,6 +328,10 @@ class FileIO(io.RawIOBase):
         buff[:n] = data
         return n
 
+    def readinto1(self, buff) -> int:
+        """Single-call readinto (reference ``vfs.py:548``)."""
+        return self.readinto(buff)
+
     def __len__(self) -> int:
         return self.vfs.file_size(self.uri)
 
