@@ -91,9 +91,53 @@ class FragmentInfoList:
     def nonempty_domain(self):
         return tuple(f.nonempty_domain for f in self._infos)
 
+    @property
+    def mbrs(self):
+        """Per-fragment tuple of per-tile minimum bounding rectangles
+        (reference ``fragment.py`` mbrs, loaded via
+        ``array_fragments(include_mbrs=True)``).  Tiles here are
+        parquet row groups; each MBR is a per-dim (lo, hi) tuple from
+        the row-group column statistics."""
+        if not getattr(self, "include_mbrs", False):
+            raise AttributeError(
+                "mbrs not loaded; call array_fragments(uri, "
+                "include_mbrs=True)")
+        import pyarrow.parquet as pq
 
-def array_fragments(uri: str, include_deletes: bool = False) -> FragmentInfoList:
-    return FragmentInfoList(uri, include_deletes=include_deletes)
+        m = mf.read_manifest(self.array_uri)
+        dims = m.schema.dim_names
+        out = []
+        for info in self._infos:
+            boxes = []
+            for root, _dirs, files in os.walk(info.uri):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        box = []
+                        stats = {rg.column(c).path_in_schema:
+                                 rg.column(c).statistics
+                                 for c in range(rg.num_columns)}
+                        for d in dims:
+                            st = stats.get(d)
+                            box.append((st.min, st.max)
+                                       if st is not None and st.has_min_max
+                                       else (None, None))
+                        boxes.append(tuple(box))
+            out.append(tuple(boxes))
+        return tuple(out)
+
+
+def array_fragments(uri: str, include_mbrs: bool = False, ctx=None,
+                    include_deletes: bool = False) -> FragmentInfoList:
+    """FragmentInfoList for the array (reference
+    ``highlevel.py:186-200``); ``include_mbrs`` loads per-fragment
+    minimum bounding rectangles into ``.mbrs``."""
+    fi = FragmentInfoList(uri, include_deletes=include_deletes)
+    fi.include_mbrs = bool(include_mbrs)
+    return fi
 
 
 class ConsolidationPlan:
@@ -248,7 +292,7 @@ def consolidate(uri: str, timestamp=None, spark=None,
     return uri
 
 
-def vacuum(uri: str) -> int:
+def vacuum(uri: str, timestamp=None) -> int:
     """Drop superseded fragment records from the manifest, then remove
     fragment directories no longer referenced (reference vacuum removes
     consolidated fragment files).
@@ -259,9 +303,25 @@ def vacuum(uri: str) -> int:
     its manifest record commits) — rmtree'ing it would destroy that
     writer's data the moment its commit landed; such dirs are left
     alone (a crashed write's orphan dir costs disk, never
-    correctness)."""
+    correctness).
+
+    ``timestamp`` (reference vacuum time-range config; int = end,
+    (start, end) tuple) restricts the purge to superseded fragments
+    whose timestamp range falls inside the window — others stay
+    time-travelable."""
+    if timestamp is None:
+        lo, hi = 0, 2**62
+    elif isinstance(timestamp, tuple):
+        lo, hi = (0 if timestamp[0] is None else timestamp[0],
+                  2**62 if timestamp[1] is None else timestamp[1])
+    else:
+        lo, hi = 0, timestamp
+
     def _purge(man):
-        man.fragments = [f for f in man.fragments if f.superseded_by is None]
+        man.fragments = [
+            f for f in man.fragments
+            if f.superseded_by is None
+            or not (lo <= f.timestamp_range[0] and f.timestamp_range[1] <= hi)]
 
     # Snapshot "ever committed" BEFORE the purge commit: a fragment
     # committed concurrently AFTER this snapshot is either (a) in the
@@ -352,7 +412,8 @@ def _copy_fragment_dir(src_uri: str, dst_uri: str, f: FragmentRecord) -> None:
 
 
 def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
-                                     timestamp_range, verbose: bool = False,
+                                     timestamp_range, config=None, ctx=None,
+                                     verbose: bool = False,
                                      dry_run: bool = False) -> list:
     """Copy fragments in ``timestamp_range`` (inclusive) from one EXISTING
     array to another with an identical schema (reference
@@ -405,19 +466,28 @@ def copy_fragments_to_existing_array(src_uri: str, dst_uri: str,
     return [f.name for f in picked]
 
 
-def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> str:
+def create_array_from_fragments(src_uri: str, dst_uri: str, timestamp_range,
+                                config=None, ctx=None, verbose: bool = False,
+                                dry_run: bool = False) -> str:
     """Copy fragments in a timestamp range to a new array
     (reference ``fragment.py:273-510``).  Selection (out-of-window
     consolidation carriers, delete fragments) follows
     :func:`_fragments_to_copy`."""
-    m = mf.read_manifest(old_uri)
-    if mf.array_exists(new_uri):
-        raise FileExistsError(new_uri)
-    mf.create_array(new_uri, m.schema)
+    m = mf.read_manifest(src_uri)
+    if mf.array_exists(dst_uri):
+        raise FileExistsError(dst_uri)
+    mf.create_array(dst_uri, m.schema)
     lo, hi = timestamp_range
+    picked = _fragments_to_copy(m, lo, hi)
+    if verbose or dry_run:
+        for f in picked:
+            print(f"copy {mf.fragment_path(src_uri, f)} -> "
+                  f"{mf.fragment_path(dst_uri, f)}")
+    if dry_run:
+        return dst_uri
     copied = []
-    for f in _fragments_to_copy(m, lo, hi):
-        _copy_fragment_dir(old_uri, new_uri, f)
+    for f in picked:
+        _copy_fragment_dir(src_uri, dst_uri, f)
         copied.append(dataclasses.replace(f, superseded_by=None))
 
     def _carry(man):
@@ -430,5 +500,5 @@ def create_array_from_fragments(old_uri: str, new_uri: str, timestamp_range) -> 
         man.dropped_attrs = dict(m.dropped_attrs)
         man.attr_since = dict(m.attr_since)
 
-    mf.commit(new_uri, _carry)
-    return new_uri
+    mf.commit(dst_uri, _carry)
+    return dst_uri

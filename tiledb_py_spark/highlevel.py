@@ -23,7 +23,8 @@ ANON_ATTR = "__attr"  # the reference's anonymous attr is ""; parquet/Spark
 
 
 def open(uri: str, mode: str = "r", timestamp=None, attr: Optional[str] = None,
-         spark=None, key: Optional[Any] = None) -> Array:
+         spark=None, key: Optional[Any] = None, config=None,
+         ctx=None) -> Array:
     """Open an array (reference ``highlevel.py:13-34``).
 
     ``key`` (reference ``array.py:301-386``, AES-256-GCM at-rest
@@ -42,13 +43,22 @@ def open(uri: str, mode: str = "r", timestamp=None, attr: Optional[str] = None,
     return Array.load_typed(uri, mode=mode, timestamp=timestamp, attr=attr, spark=spark)
 
 
-def empty_like(uri: str, arr, config=None, dtype=None) -> Array:
+def empty_like(uri: str, arr, config=None, key=None, tile=None,
+               ctx=None, dtype=None) -> Array:
+    """Empty writable array shaped like ``arr`` (reference
+    ``highlevel.py:50-66``)."""
+    if key is not None:
+        raise NotImplementedError("encrypted arrays are not supported (key=)")
     schema = schema_like(arr, dtype=dtype)
+    if tile is not None:
+        for d in schema.domain:
+            d.tile = int(tile)
     Array.create(uri, schema)
     return open(uri, "w")
 
 
-def schema_like(arr=None, shape=None, dtype=None, sparse: bool = False) -> ArraySchema:
+def schema_like(arr=None, shape=None, dtype=None, sparse: bool = False,
+                ctx=None) -> ArraySchema:
     """Schema from a numpy array or (shape, dtype)
     (reference ``_schema_like_numpy``, ``highlevel.py:478-535``)."""
     if arr is not None:
@@ -99,7 +109,8 @@ def from_numpy(uri: str, array: np.ndarray, mode: str = "ingest", **kwargs) -> D
 
 # -- object management (reference highlevel.py:153-183,412-475) -------------
 
-def array_exists(uri: str, isdense: bool = False, issparse: bool = False) -> bool:
+def array_exists(uri: str, isdense: bool = False, issparse: bool = False,
+                 ctx=None) -> bool:
     if not mf.array_exists(uri):
         return False
     schema = mf.read_manifest(uri).schema
@@ -110,7 +121,7 @@ def array_exists(uri: str, isdense: bool = False, issparse: bool = False) -> boo
     return True
 
 
-def object_type(uri: str) -> Optional[str]:
+def object_type(uri: str, ctx=None) -> Optional[str]:
     from .group import GROUP_FILE
 
     if mf.array_exists(uri):
@@ -178,23 +189,24 @@ def as_built(return_json_string: bool = False):
     return json.dumps(info) if return_json_string else info
 
 
-def ls(path: str, func) -> None:
-    """Apply func(uri, object_type) to each tiledb object under path."""
-    for name in sorted(os.listdir(path)):
-        child = os.path.join(path, name)
+def ls(uri: str, func, ctx=None) -> None:
+    """Apply func(uri, object_type) to each tiledb object one level
+    under ``uri`` (reference ``highlevel.py:424-434``)."""
+    for name in sorted(os.listdir(uri)):
+        child = os.path.join(uri, name)
         ot = object_type(child)
         if ot is not None:
             func(child, ot)
 
 
-def walk(path: str, func, order: str = "preorder") -> None:
+def walk(uri: str, func, order: str = "preorder", ctx=None) -> None:
     if order not in ("preorder", "postorder"):
         # an unknown order would traverse the whole tree calling NOTHING
         raise ValueError(f"walk order must be 'preorder' or 'postorder', "
                          f"got {order!r}")
     entries = []
-    for name in sorted(os.listdir(path)):
-        child = os.path.join(path, name)
+    for name in sorted(os.listdir(uri)):
+        child = os.path.join(uri, name)
         ot = object_type(child)
         if ot is not None:
             entries.append((child, ot))
@@ -207,11 +219,11 @@ def walk(path: str, func, order: str = "preorder") -> None:
             func(child, ot)
 
 
-def move(old_uri: str, new_uri: str) -> None:
+def move(old_uri: str, new_uri: str, ctx=None) -> None:
     shutil.move(mf.require_local_uri(old_uri), mf.require_local_uri(new_uri))
 
 
-def remove(uri: str) -> None:
+def remove(uri: str, ctx=None) -> None:
     ot = object_type(uri)
     if ot is None:
         raise ValueError(f"no tiledb object at {uri}")
@@ -228,15 +240,16 @@ def consolidate(uri: str, **kwargs):
     return _c(uri, **kwargs)
 
 
-def vacuum(uri: str, config=None, ctx=None):
+def vacuum(uri: str, config=None, ctx=None, timestamp=None):
     """``config``/``ctx`` are signature-parity slots (the reference's
     vacuum-mode settings govern libtiledb internals with no analog
-    here); arbitrary keywords are rejected rather than silently
-    swallowed."""
+    here); ``timestamp`` restricts vacuuming to superseded fragments
+    whose timestamp range falls inside the window (reference
+    ``highlevel.py:274``; int = end, tuple = (start, end))."""
     del config, ctx
     from .fragment import vacuum as _v
 
-    return _v(uri)
+    return _v(uri, timestamp=timestamp)
 
 
 def build_ann_index(uri: str, vec_col: str, name: str = "default",

@@ -732,9 +732,19 @@ def _spark_to_np(dt) -> np.dtype:
     raise TypeError(f"unsupported Spark type {dt}")
 
 
-def open_dataframe(uri: str, timestamp=None) -> pd.DataFrame:
-    """Whole array -> pandas (reference ``dataframe_.py:782-808``)."""
+def open_dataframe(uri: str, timestamp=None, *, attrs=None,
+                   use_arrow=None, idx=slice(None), ctx=None) -> pd.DataFrame:
+    """Whole array -> pandas (reference ``dataframe_.py:782-808``).
+    ``attrs`` projects; ``idx`` slices (multi_index semantics);
+    ``use_arrow`` is accepted for parity (Arrow IS the transport)."""
+    del use_arrow, ctx
     from ..array import Array
 
     arr = Array.load_typed(uri, timestamp=timestamp)
-    return arr.df[:]
+    if attrs is None and (idx == slice(None) or idx is None):
+        return arr.df[:]
+    q = arr.query(attrs=list(attrs) if attrs is not None else None,
+                  coords=True)
+    from ..array import DataFrameIndexer
+
+    return DataFrameIndexer(arr, q)[idx]

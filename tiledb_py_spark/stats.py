@@ -57,14 +57,25 @@ def timed(name: str):
         _counters[f"{name}.count"] += 1
 
 
-def stats_dump(print_out: bool = True, json_output: bool = False,
-               include_python: bool = False) -> Optional[str]:
-    """Formatted counter dump (reference ``stats_dump`` signature)."""
+def stats_dump(version: bool = True, print_out: bool = True,
+               include_python: bool = True, json: bool = False,
+               verbose: bool = True,
+               json_output: bool = False) -> Optional[str]:
+    """Formatted counter dump (reference ``stats.py:28-38`` signature;
+    ``json_output`` is this engine's pre-r14 alias for ``json``)."""
+    import json as _json  # the reference-parity `json` param shadows it
+
+    json_output = json_output or json
+    del include_python, verbose  # one counter family here; always shown
     data = dict(sorted(_counters.items()))
     if json_output:
-        out = json.dumps(data, indent=2)
+        out = _json.dumps(data, indent=2)
     else:
         lines = ["TileDB-on-Spark statistics:"]
+        if version:
+            import pyspark
+
+            lines.append(f"  pyspark.version: {pyspark.__version__}")
         for k, v in data.items():
             lines.append(f"  {k}: {v:g}")
         out = "\n".join(lines)
