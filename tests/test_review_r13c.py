@@ -74,8 +74,11 @@ def test_vacuum_rejects_unknown_kwargs(tmp_path):
                                        "v": [1.0, 2.0, 3.0]}),
                     index_dims=["k"])
     tdb.vacuum(uri, config=None, ctx=None)   # parity slots accepted
+    # timestamp became a SUPPORTED reference kwarg in r14 (restricts
+    # the purge window); a truly-unknown kwarg still refuses
+    tdb.vacuum(uri, timestamp=123)
     with pytest.raises(TypeError):
-        tdb.vacuum(uri, timestamp=123)       # not silently swallowed
+        tdb.vacuum(uri, timestmap=123)       # typo not swallowed
 
 
 def test_build_ann_index_ivfpq_validates_before_save(tmp_path, spark):
