@@ -271,3 +271,26 @@ def test_fragment_stamp_race_with_drop_readd_mask(tmp_path, spark):
     ds = {row.k: row.w for row in
           spark.read.format("tiledb").load(uri).collect()}
     assert ds == got
+
+
+def test_dense_array_drop_readd_masks(tmp_path, spark):
+    """Dense arrays go through the same masked scan: a re-added attr
+    reads fill on every cell written before the re-add, and the base
+    attr's overwrite semantics are untouched."""
+    uri = str(tmp_path / "dense")
+    tdb.from_numpy(uri, np.arange(4.0))
+    with tdb.open(uri, spark=spark) as A:
+        anon = A.schema.attr(0).name
+    e1 = tdb.ArraySchemaEvolution()
+    e1.add_attribute(tdb.Attr("w", dtype=np.int64, fill=7))
+    e1.array_evolve(uri)
+    with tdb.open(uri, mode="w", spark=spark) as A:
+        A[0:2] = {anon: np.array([9.0, 9.5]),
+                  "w": np.array([100, 101], np.int64)}
+    e2 = tdb.ArraySchemaEvolution()
+    e2.drop_attribute("w")
+    e2.add_attribute(tdb.Attr("w", dtype="U", fill="none"))
+    e2.array_evolve(uri)
+    with tdb.open(uri, spark=spark) as A:
+        assert A.query(attrs=["w"])[:]["w"].tolist() == ["none"] * 4
+        assert A.query(attrs=[anon])[:][anon].tolist() == [9.0, 9.5, 2.0, 3.0]
