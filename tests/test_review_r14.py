@@ -246,3 +246,99 @@ def test_windows_drive_letter_is_a_local_path():
 def test_hash_and_question_fine_in_plain_paths(tmp_path):
     p = str(tmp_path / "arr#1?x")
     assert mf.require_local_uri(p) == p
+
+
+def test_subarray_label_ranges_are_applied(tmp_path, spark):
+    """add_label_range must constrain the read (pre-fix: the stored
+    label ranges were never resolved and the query scanned the FULL
+    domain)."""
+    uri = str(tmp_path / "arr")
+    dim = tdb.Dim(name="d", domain=(0, 9), tile=10, dtype=np.int64)
+    dls = dim.create_label_schema(order="increasing", dtype=np.int64)
+    schema = tdb.ArraySchema(domain=tdb.Domain(dim),
+                             attrs=[tdb.Attr("v", dtype=np.float64)],
+                             sparse=True, dim_labels={0: {"lbl": dls}})
+    tdb.Array.create(uri, schema)
+    from tiledb_py_spark.labels import write_label_data
+
+    with tdb.open(uri, mode="w", spark=spark) as A:
+        A[np.arange(10)] = {"v": np.arange(10) * 1.0}
+    write_label_data(uri, "lbl", np.arange(10), np.arange(10) * 100)
+    with tdb.open(uri, spark=spark) as A:
+        sub = tdb.Subarray(A)
+        sub.add_label_range("lbl", (200, 400))
+        r = A.read_subarray(sub)
+        assert sorted(r["d"].tolist()) == [2, 3, 4], \
+            "label range not applied (full-domain scan)"
+        # empty label selection -> empty result, not full scan
+        sub2 = tdb.Subarray(A)
+        sub2.add_label_range("lbl", (5000, 6000))
+        assert len(A.read_subarray(sub2)["d"]) == 0
+
+
+def test_create_array_from_fragments_dry_run_is_dry(tmp_path, spark):
+    uri = str(tmp_path / "src")
+    tdb.from_pandas(uri, pd.DataFrame({"k": np.array([1], np.int64),
+                                       "v": [1.0]}),
+                    index_dims=["k"], full_domain=True)
+    dst = str(tmp_path / "dst")
+    tdb.create_array_from_fragments(uri, dst, (0, mf.now_ms() + 1000),
+                                    dry_run=True)
+    assert not mf.array_exists(dst), "dry_run created the destination"
+    # the real run works after the preview
+    tdb.create_array_from_fragments(uri, dst, (0, mf.now_ms() + 1000))
+    assert tdb.open(dst, spark=spark)[:]["k"].tolist() == [1]
+
+
+def test_query_label_index_applies_cond_and_attrs(tmp_path, spark):
+    uri = str(tmp_path / "arr")
+    dim = tdb.Dim(name="d", domain=(0, 9), tile=10, dtype=np.int64)
+    dls = dim.create_label_schema(order="increasing", dtype=np.int64)
+    schema = tdb.ArraySchema(domain=tdb.Domain(dim),
+                             attrs=[tdb.Attr("v", dtype=np.float64),
+                                    tdb.Attr("w", dtype=np.int64)],
+                             sparse=True, dim_labels={0: {"lbl": dls}})
+    tdb.Array.create(uri, schema)
+    from tiledb_py_spark.labels import write_label_data
+
+    with tdb.open(uri, mode="w", spark=spark) as A:
+        A[np.arange(10)] = {"v": np.arange(10) * 1.0,
+                            "w": np.arange(10) * 10}
+    write_label_data(uri, "lbl", np.arange(10), np.arange(10) * 100)
+    with tdb.open(uri, spark=spark) as A:
+        r = A.query(cond="v >= 3.0", attrs=["v"]).label_index(["lbl"])[:]
+        assert sorted(r["d"].tolist()) == [3, 4, 5, 6, 7, 8, 9], \
+            "query cond silently dropped by label_index"
+        assert "w" not in r, "attrs projection silently dropped"
+        assert sorted(r["lbl"].tolist()) == [300, 400, 500, 600, 700,
+                                             800, 900]
+
+
+def test_open_dataframe_array_idx(tmp_path, spark):
+    uri = str(tmp_path / "arr")
+    tdb.from_pandas(uri, pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                                       "v": np.arange(5) * 1.0}),
+                    index_dims=["k"], full_domain=True)
+    df = tdb.open_dataframe(uri, idx=[0, 3])
+    assert sorted(df["v"].tolist()) == [0.0, 3.0]
+
+
+def test_metadata_setdefault_pop_single_commit(arr):
+    meta = tdb.open(arr).meta
+    v0 = mf.latest_version(arr)
+    with tdb.open(arr, mode="w") as A:
+        assert A.meta.setdefault("x", 5) == 5
+        assert A.meta.setdefault("x", 9) == 5   # existing wins
+        assert A.meta.pop("x") == 5
+        assert A.meta.pop("x", "gone") == "gone"
+    # each mutating call = exactly one commit (4 calls above)
+    assert mf.latest_version(arr) == v0 + 4
+
+
+def test_attr_isascii_and_ncells_semantics():
+    assert tdb.Attr("a", dtype="ascii").isascii
+    assert tdb.Attr("a", dtype=np.bytes_).isascii
+    assert not tdb.Attr("a", dtype="blob").isascii
+    assert not tdb.Attr("a", dtype="U").isascii
+    assert tdb.Attr("a", dtype=np.dtype("f8,f8")).ncells == 2
+    assert tdb.Attr("a", dtype=np.float64).ncells == 1

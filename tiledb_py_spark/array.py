@@ -227,21 +227,22 @@ class Array:
 
     @staticmethod
     def delete_array(uri: str, ctx=None) -> None:
-        """Delete the array's data (reference ``array.py:662-688``)."""
-        import shutil
-
+        """Delete the array's data (reference ``array.py:662-688``) —
+        one deletion implementation, shared with ``tiledb.delete_array``
+        (manifest.py)."""
         u = mf.require_local_uri(uri)
-        if not mf.array_exists(u):
+        try:
+            mf.delete_array(u)
+        except FileNotFoundError:
             from .functions.query_condition import TileDBError
 
             raise TileDBError(f"Array URI {uri!r} does not exist")
-        shutil.rmtree(u)
 
     def upgrade_version(self, config=None) -> None:
         """Upgrade to the latest storage format (reference
         ``array.py:794-807``); this engine has a single manifest format
         version, so an existing array is already current."""
-        self._manifest  # raises if the array is gone
+        mf.read_manifest(self.uri)  # fresh probe: raises if gone
 
     @property
     def ptr(self):
@@ -495,9 +496,16 @@ class Array:
         """Explicit-Subarray read (S14, reference ``dense_array.py:779-896``
         / ``sparse_array.py:410-449``): dict of column arrays."""
         from .stats import timed
+        from .subarray import EmptyLabelSelection
 
         with timed("py.read_subarray"):
-            ranges = subarray.to_dim_ranges()
+            try:
+                ranges = subarray.to_dim_ranges()
+            except EmptyLabelSelection:
+                # a label range matched no labels: provably empty read
+                df = self._empty_df()
+                return pdf_to_numpy_dict(df.toPandas(), self.schema,
+                                         list(df.columns))
             if self.schema.sparse:
                 df = self._execute(QueryPlan(dim_ranges=ranges))
                 pdf = df.toPandas()
@@ -1376,10 +1384,11 @@ class Query:
 
     def label_index(self, labels):
         """Array.label_index with this query's parameters (reference
-        ``query.py:274-278``)."""
+        ``query.py:274-278``): cond/attrs/dims apply to the labeled
+        read (sparse; dense label grids refuse cond/attrs loudly)."""
         from .labels import LabelIndexer
 
-        return LabelIndexer(self.array, tuple(labels))
+        return LabelIndexer(self.array, tuple(labels), query=self)
 
     def subarray(self):
         """A fresh Subarray over this query's array (reference

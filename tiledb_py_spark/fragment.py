@@ -58,6 +58,7 @@ class FragmentInfoList:
     def __init__(self, uri: str, include_deletes: bool = False):
         self.array_uri = uri
         m = mf.read_manifest(uri)
+        self._schema = m.schema
         recs = [f for f in m.fragments
                 if (include_deletes or f.kind == "write")
                 and f.superseded_by is None]
@@ -104,8 +105,7 @@ class FragmentInfoList:
                 "include_mbrs=True)")
         import pyarrow.parquet as pq
 
-        m = mf.read_manifest(self.array_uri)
-        dims = m.schema.dim_names
+        dims = self._schema.dim_names
         out = []
         for info in self._infos:
             boxes = []
@@ -476,7 +476,6 @@ def create_array_from_fragments(src_uri: str, dst_uri: str, timestamp_range,
     m = mf.read_manifest(src_uri)
     if mf.array_exists(dst_uri):
         raise FileExistsError(dst_uri)
-    mf.create_array(dst_uri, m.schema)
     lo, hi = timestamp_range
     picked = _fragments_to_copy(m, lo, hi)
     if verbose or dry_run:
@@ -484,7 +483,11 @@ def create_array_from_fragments(src_uri: str, dst_uri: str, timestamp_range,
             print(f"copy {mf.fragment_path(src_uri, f)} -> "
                   f"{mf.fragment_path(dst_uri, f)}")
     if dry_run:
+        # nothing on disk: a preview that created the destination would
+        # make the later real call FileExistsError against a half-made
+        # array with no fragments and no carried history
         return dst_uri
+    mf.create_array(dst_uri, m.schema)
     copied = []
     for f in picked:
         _copy_fragment_dir(src_uri, dst_uri, f)

@@ -241,9 +241,17 @@ class LabelIndexer:
     """``A.label_index(["l1"])[...]`` (reference
     ``multirange_indexing.py:663-733``)."""
 
-    def __init__(self, array, labels: tuple):
+    def __init__(self, array, labels: tuple, query=None):
         self.array = array
         self.labels = tuple(labels)
+        # optional Query whose cond/attrs/dims apply to the read
+        # (reference query.py:274-278 label_index-with-query)
+        self.query = query
+        if query is not None and query.dims == []:
+            raise ValueError(
+                "label reads need dimension coordinates; do not pass "
+                "dims=False/coords=False to a query used with "
+                "label_index")
         schema = array.schema
         self._by_dim: dict[int, str] = {}
         declared = schema.dim_labels or {}
@@ -404,7 +412,14 @@ class LabelIndexer:
                 # default unordered scan would row-misalign the label
                 # column against the dim/attr columns after a
                 # multi-fragment dedup shuffle
-                df = arr._execute(QueryPlan(dim_ranges=ranges, order="C"))
+                if self.query is not None:
+                    import dataclasses as _dc
+
+                    plan = _dc.replace(self.query._plan(ranges),
+                                       order="C")
+                else:
+                    plan = QueryPlan(dim_ranges=ranges, order="C")
+                df = arr._execute(plan)
             pdf = df.toPandas()
             from .materialize import pdf_to_numpy_dict
 
@@ -437,6 +452,12 @@ class LabelIndexer:
             return out
 
         # dense: reuse the fill-join subarray read, shape preserved
+        if self.query is not None and (self.query.cond
+                                       or self.query.attrs is not None):
+            raise NotImplementedError(
+                "query cond/attrs with label_index is supported on "
+                "sparse arrays only; dense label reads go through the "
+                "fill-join grid which has no condition slot yet")
         out = OrderedDict(label_values)
         for lbl, vals in label_values.items():
             dim_name, _coords, interval = label_maps[lbl]

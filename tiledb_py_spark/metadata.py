@@ -153,32 +153,53 @@ class Metadata:
         return [(k, _unpack(v)) for k, v in self._read().items()]
 
     def setdefault(self, key: str, default=None):
-        """dict.setdefault semantics in one commit (reference
-        ``metadata.py`` MutableMapping surface)."""
-        try:
-            return self[key]
-        except KeyError:
-            self[key] = default
-            return default
+        """dict.setdefault semantics — check-and-set in ONE manifest
+        commit (a read-then-write pair lets two concurrent setdefaults
+        both observe 'missing' and the later clobber the earlier)."""
+        packed = _pack(default)
+        out: dict = {}
+
+        def _mut(m):
+            out.clear()  # commit retries re-run the closure
+            if key in m.metadata:
+                out["existing"] = m.metadata[key]
+            else:
+                m.metadata[key] = packed
+
+        mf.commit(self.uri, _mut)
+        return _unpack(out["existing"]) if "existing" in out else default
 
     def pop(self, key: str, *default):
-        """dict.pop semantics (reference MutableMapping surface)."""
-        try:
-            val = self[key]
-        except KeyError:
-            if default:
-                return default[0]
-            raise
-        del self[key]
-        return val
+        """dict.pop semantics — remove-and-return in ONE commit."""
+        out: dict = {}
+
+        def _mut(m):
+            out.clear()
+            if key in m.metadata:
+                out["v"] = m.metadata.pop(key)
+
+        mf.commit(self.uri, _mut)
+        if "v" in out:
+            return _unpack(out["v"])
+        if default:
+            return default[0]
+        raise KeyError(key)
 
     def popitem(self):
-        """dict.popitem semantics (reference MutableMapping surface)."""
-        meta = self._read()
-        if not meta:
+        """dict.popitem semantics — pick-and-remove in ONE commit."""
+        out: dict = {}
+
+        def _mut(m):
+            out.clear()
+            if m.metadata:
+                k = next(reversed(m.metadata))
+                out["kv"] = (k, m.metadata.pop(k))
+
+        mf.commit(self.uri, _mut)
+        if "kv" not in out:
             raise KeyError("metadata is empty")
-        key = next(reversed(meta))
-        return (key, self.pop(key))
+        k, v = out["kv"]
+        return (k, _unpack(v))
 
     def clear(self) -> None:
         """Remove every key in ONE commit (reference MutableMapping

@@ -338,19 +338,25 @@ class Attr:
 
     @property
     def isascii(self) -> bool:
-        """True for an ASCII-string attribute (reference
-        ``attribute.py:271-278``: TILEDB_STRING_ASCII; here the 'S'
-        bytes kind or an explicit 'ascii' dtype annotation)."""
-        return (self.type_info.np_dtype in ("S0",)
-                or self.type_info.annotations.get("ascii", False)
-                or np.dtype(self.type_info.np_dtype).kind == "S")
+        """True for an ASCII-string attribute ONLY (reference
+        ``attribute.py:271-278`` flags TILEDB_STRING_ASCII; blob/wkb/
+        wkt share the bytes kind but are NOT ascii)."""
+        pseudo = self.type_info.annotations.get("pseudo")
+        if pseudo is not None:
+            return pseudo == "ascii"
+        try:
+            return np.dtype(self.type_info.np_dtype).kind == "S"
+        except TypeError:
+            return False
 
     @property
     def ncells(self) -> int:
         """Scalar values per cell (reference ``attribute.py:260-268``);
-        var-length cells report the reference's TILEDB_VAR_NUM
-        sentinel."""
-        return 2**32 - 1 if self.var else 1
+        fixed multi-value record dtypes report their cell count,
+        var-length cells the reference's TILEDB_VAR_NUM sentinel."""
+        if self.var:
+            return 2**32 - 1
+        return int(self.type_info.annotations.get("ncells", 1))
 
     def dump(self) -> None:
         """Print the attribute (reference ``attribute.py:154-156``)."""

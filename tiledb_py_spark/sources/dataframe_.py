@@ -741,7 +741,8 @@ def open_dataframe(uri: str, timestamp=None, *, attrs=None,
     from ..array import Array
 
     arr = Array.load_typed(uri, timestamp=timestamp)
-    if attrs is None and (idx == slice(None) or idx is None):
+    if attrs is None and (idx is None
+                          or (isinstance(idx, slice) and idx == slice(None))):
         return arr.df[:]
     q = arr.query(attrs=list(attrs) if attrs is not None else None,
                   coords=True)

@@ -17,6 +17,16 @@ from typing import Any, Sequence
 from .plans import DimRanges
 
 
+class EmptyLabelSelection(Exception):
+    """A label range matched no label-table rows: the selection is
+    provably empty (readers return an empty result; writers refuse)."""
+
+    def __init__(self, label, rng):
+        self.label, self.range = label, rng
+        super().__init__(
+            f"label range {rng!r} on {label!r} matches no labels")
+
+
 class Subarray:
     """Per-dimension inclusive range sets."""
 
@@ -112,12 +122,29 @@ class Subarray:
         return len(getattr(self, "_label_ranges", {}).get(label, []))
 
     def to_dim_ranges(self) -> list[DimRanges]:
-        out = []
+        by_dim: dict[int, DimRanges] = {}
         for i, d in enumerate(self.array.schema.domain):
             rs = self._ranges.get(i)
             if rs:
-                out.append(DimRanges(name=d.name, intervals=[tuple(r) for r in rs]))
-        return out
+                by_dim[i] = DimRanges(name=d.name,
+                                      intervals=[tuple(r) for r in rs])
+        # label ranges resolve through the label tables to coord
+        # intervals (same machinery as LabelIndexer) — leaving them
+        # unresolved would silently scan the FULL domain
+        for label, ranges in getattr(self, "_label_ranges", {}).items():
+            dl = self.array.schema.dim_label(label)
+            i = dl.dim_index
+            d = self.array.schema.domain.dim(i)
+            from .labels import resolve_label_selection
+
+            for lo, hi in ranges:
+                interval, _vals, _coords = resolve_label_selection(
+                    self.array.uri, label, slice(lo, hi))
+                if interval is None:
+                    raise EmptyLabelSelection(label, (lo, hi))
+                dr = by_dim.setdefault(i, DimRanges(name=d.name))
+                dr.intervals.append(tuple(interval))
+        return [by_dim[i] for i in sorted(by_dim)]
 
     def shape(self) -> tuple:
         """Total cells per dim for single-range integer subarrays."""
