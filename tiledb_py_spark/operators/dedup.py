@@ -1030,7 +1030,16 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
     # splitting handles the same hot key on a join, and the measured
     # cost difference at sf1 is noise (the gram hashing dominates both
     # formulations).
-    c = g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
+    # MATERIALIZED (eager localCheckpoint, r14): the dup branch and the
+    # join branch prune different columns, so their exchange subtrees
+    # canonicalize differently and neither ReuseExchange nor AQE stage
+    # reuse dedups them — without the checkpoint the scan+tokenize+
+    # gram-hash pipeline ran once PER consumer.  One write of the
+    # collapsed (id, gram, cnt) rows (no bigger than the exchange that
+    # already carries them) buys back a full corpus pass; recomputed
+    # fresh on every execution.
+    c = (g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
+          .localCheckpoint(eager=True))
     dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__gh", F.lit(1).alias("__isdup")))
@@ -1081,7 +1090,12 @@ def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
     # aggregate — the frequency exchange on __gh is reused by the join,
     # and the slice+hash never evaluates twice
     g = _explode_gram_postings(base, n, gh, keep_positions=True)
-    c = g.groupBy("__id", "__gh").agg(F.collect_list("__i").alias("__ps"))
+    # materialized for the same two-consumer reason as
+    # repeated_ngram_stats (the "reused by the join" claim below only
+    # holds WITH the checkpoint — branch-specific column pruning
+    # otherwise splits the exchanges)
+    c = (g.groupBy("__id", "__gh").agg(F.collect_list("__i").alias("__ps"))
+          .localCheckpoint(eager=True))
     dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__gh"))
@@ -1145,8 +1159,13 @@ def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
              .select("__id", "__i",
                      lh(F.element_at("__ls", F.col("__i") + 1)).alias("__lh")))
     # collapse to per-(id, hash) position lists first: the doc frequency
-    # and the per-doc removed positions both derive from one aggregate
-    c = g.groupBy("__id", "__lh").agg(F.collect_list("__i").alias("__ps"))
+    # and the per-doc removed positions both derive from one aggregate —
+    # materialized (eager localCheckpoint) so the two consumers actually
+    # share it (branch-specific pruning otherwise re-derives the
+    # scan+split+hash pipeline per consumer; same r14 fix as
+    # repeated_ngram_stats)
+    c = (g.groupBy("__id", "__lh").agg(F.collect_list("__i").alias("__ps"))
+          .localCheckpoint(eager=True))
     dup = (c.groupBy("__lh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__lh"))
