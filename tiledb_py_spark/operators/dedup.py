@@ -1211,7 +1211,10 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     same CollapseProject staging rule as ``text.repetition_stats``);
     only the selected (8-byte fp, pos, id) rows leave the row.
     ``gram_hash`` defaults to xxhash64; pass ``md5_hash60`` for the
-    cross-engine-checkable form."""
+    cross-engine-checkable form.  (r14 measured an Arrow/numpy
+    sliding-window-min variant — per-doc and batch-flattened — at
+    parity-to-slower vs this JVM fold at sf0.1 even with the gram
+    hashing staged JVM-side, so the all-JVM form stays.)"""
     gh = gram_hash or F.xxhash64
     if tokens_col is None:
         from .text import whitespace_tokens
