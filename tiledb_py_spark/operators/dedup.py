@@ -438,34 +438,23 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     text), cluster by min-id propagation, keep the smallest id per
     cluster.
 
-    Scale shape (r14): the candidate pair list is materialized once
-    (eager localCheckpoint — candidate-sized, tiny relative to the
-    corpus) so the exact-verify stage can SEMI-JOIN the corpus down to
-    candidate ids BEFORE tokenizing and shingle-hashing — verify cost
-    scales with candidate volume, not corpus size, and the expensive
-    LSH lineage is never re-executed (the discipline
-    ``fuzzy_text_join`` already had; pre-r14 this path re-shingled the
-    WHOLE corpus for each side of the pair join)."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
-                                   shingle_k).localCheckpoint(eager=True)
+    Plan-shape note (r14, measured): a candidate-pruned verify
+    (localCheckpoint the pair list, semi-join the corpus to candidate
+    ids before shingling — the ``fuzzy_text_join`` shape) was
+    implemented and A/B-measured SLOWER here at both sf0.1 (min 1.74 →
+    2.03 s) and sf1 (med 7.93 → 9.42 s), as were ckpt-without-prune
+    and prune-without-ckpt: this pipeline is one linear chain (pairs →
+    verify → rep), so nothing re-executes the LSH lineage, AQE
+    overlaps the verify's corpus re-shingle with the LSH stages, and
+    the eager barrier only serializes them.  ``fuzzy_text_join`` keeps
+    the pruned shape because ITS pair list genuinely has multiple
+    consumers; here the straight-line plan wins."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
     if verify == "exact":
-        cand_ids = (pairs.select(F.col("id_a").alias("__cid"))
-                    .union(pairs.select(F.col("id_b").alias("__cid")))
-                    .distinct())
-        # no broadcast hint: AQE broadcasts the (usually tiny) id set
-        # and falls back to a hash semi-join on pathological volumes
-        pruned = df.join(cand_ids, df[id_col] == F.col("__cid"),
-                         "left_semi")
-        verified = verify_jaccard(pruned, pairs, text_col, id_col,
-                                  shingle_k, threshold)
+        verified = verify_jaccard(df, pairs, text_col, id_col, shingle_k,
+                                  threshold)
     elif verify == "signature":
-        cand_ids = (pairs.select(F.col("id_a").alias("__cid"))
-                    .union(pairs.select(F.col("id_b").alias("__cid")))
-                    .distinct())
-        pruned = df.join(cand_ids, df[id_col] == F.col("__cid"),
-                         "left_semi")
-        sigs = minhash_signatures(pruned, text_col, id_col, num_perm,
-                                  shingle_k)
+        sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
         verified = verify_signature(pairs, sigs, num_perm, threshold)
     else:
         raise ValueError(f"unknown verify mode {verify!r}")
