@@ -768,13 +768,20 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 
 def _explode_gram_postings(base: DataFrame, n: int, gh,
-                           keep_positions: bool = False) -> DataFrame:
+                           keep_positions: bool = False,
+                           outer: bool = False) -> DataFrame:
     """(__id, __toks) -> exploded (__id[, __i], __gh) n-gram hash
     postings.  Explodes cheap POSITIONS and hashes after the generate
     (see the InferFiltersFromGenerate note in repeated_ngram_stats); the
     when() guard keeps the sequence ascending (empty) for short docs.
     ``keep_positions`` carries the 0-based gram start ``__i`` (span
-    removal needs it; frequency counting does not).
+    removal needs it; frequency counting does not).  ``outer=True``
+    keeps gram-less documents as one all-null posting row
+    (``explode_outer``; ``__i`` and ``__gh`` both NULL — the hash is
+    guarded, because ``concat_ws`` over a NULL slice yields ``""``, not
+    NULL, and a real hash of the empty string could join) so a single
+    downstream aggregation can count per-document totals without a
+    second corpus pass.
 
     Gram identity is the hash of the space-joined gram STRING — measured
     2-4x faster than hashing n consecutive token hashes on the exploded
@@ -786,10 +793,12 @@ def _explode_gram_postings(base: DataFrame, n: int, gh,
                  F.sequence(F.lit(0), F.size("__toks") - n)
                  ).otherwise(F.array().cast("array<int>"))
     cols = ["__id", "__i"] if keep_positions else ["__id"]
-    return (base.select("__id", "__toks", F.explode(pos).alias("__i"))
-                .select(*cols,
-                        gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
-                        .alias("__gh")))
+    explode = F.explode_outer if outer else F.explode
+    ghx = gh(F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)))
+    if outer:
+        ghx = F.when(F.col("__i").isNotNull(), ghx)
+    return (base.select("__id", "__toks", explode(pos).alias("__i"))
+                .select(*cols, ghx.alias("__gh")))
 
 
 def _bloom_build(grams: DataFrame, col: str, n_bits: int, k: int) -> bytes:
@@ -910,9 +919,35 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
     btoks = bench_tokens_col if bench_tokens_col is not None else tokens(bt)
     cbase = corpus.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
     bbase = benchmark.select(F.lit(0).alias("__id"), btoks.alias("__toks"))
-    cg = _explode_gram_postings(cbase, n, gh)
     bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
 
+    if strategy == "broadcast":
+        # SINGLE corpus pass (r14): the two-branch shape below tokenizes
+        # the corpus twice (postings branch + row-local denominator
+        # branch).  With the benchmark gram set broadcastable, the
+        # membership test can be a row-preserving broadcast LEFT join
+        # flag instead of a left-semi, so ONE aggregation over the
+        # postings yields both counts — n_grams = count of non-null
+        # positions (explode_outer keeps gram-less docs as a null
+        # posting), n_contaminated = count of flagged rows.  Clean grams
+        # still die map-side (partial aggregation in the same stage);
+        # the only shuffle stays the per-document combine.  The
+        # prefilter/bloom strategies keep the denominator branch: their
+        # membership test FILTERS the postings before the exact join,
+        # so a totals count there would need exactly the second pass
+        # this shape removes.
+        cg = _explode_gram_postings(cbase, n, gh, keep_positions=True,
+                                    outer=True)
+        flagged = cg.join(bg.withColumn("__hit", F.lit(1)),
+                          on="__gh", how="left")
+        return (flagged.groupBy("__id")
+                .agg(F.count("__i").cast("long").alias("n_grams"),
+                     F.coalesce(F.sum("__hit"), F.lit(0))
+                      .cast("long").alias("n_contaminated"))
+                .select(F.col("__id").alias(id_col),
+                        "n_grams", "n_contaminated"))
+
+    cg = _explode_gram_postings(cbase, n, gh)
     if strategy == "prefilter":
         bset = bg.select(F.pmod(F.col("__gh"), F.lit(bloom_bits))
                          .alias("__tb")).distinct()
@@ -929,9 +964,6 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
         # exact verify join: candidates are post-prefilter sparse, so
         # this may shuffle both sides on the 8-byte gram key — fine,
         # neither needs to broadcast
-        hits = cg.join(bg, on="__gh", how="left_semi")
-    else:
-        # distinct gram set is benchmark-sized; AQE broadcasts it
         hits = cg.join(bg, on="__gh", how="left_semi")
 
     per_doc = (hits.groupBy("__id")

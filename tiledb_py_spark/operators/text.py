@@ -229,7 +229,21 @@ def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
     import re as _re
 
     toks = [w for w in _re.split(r"\s+", t, flags=_re.ASCII) if w]
-    chars = max(sum(len(x) for x in toks), 1)
+    # prefix sums of token lengths: a gram over tokens [i, i+n) has
+    # token-char size pref[i+n] - pref[i], which equals
+    # len(" ".join(toks[i:i+n])) - (n-1) — the joined-string form this
+    # kernel used before r14.  Tokens contain no whitespace, so tuple
+    # identity over token windows equals joined-string identity; every
+    # count and size below is the same INTEGER as the string form and
+    # the final divisions are bit-identical (r14 optimization: no
+    # per-gram string building, no per-interval char loops — 0.67x the
+    # kernel CPU on the sf0.1 corpus, identity pytest-pinned).
+    pref = [0]
+    acc = 0
+    for w in toks:
+        acc += len(w)
+        pref.append(acc)
+    chars = max(acc, 1)
     # line pieces stay UNTRIMMED (matching the expr path and the SQL
     # oracle); only the emptiness test trims
     lines = [x for x in t.split(line_sep) if x.strip(" ")]
@@ -241,13 +255,13 @@ def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
     out["r_dup_line_char_frac"] = \
         (sum(len(l) for l in lines) - sum(len(l) for l in dlines)) / lchars
     for n in top_ns:
-        grams = Counter(" ".join(toks[i:i + n])
-                        for i in range(len(toks) - n + 1))
-        best = max((cnt * (len(g) - (n - 1)) for g, cnt in grams.items()),
-                   default=0)
+        grams = list(zip(*(toks[i:] for i in range(n))))
+        cnt = Counter(grams)
+        best = max((cnt[g] * (pref[i + n] - pref[i])
+                    for i, g in enumerate(grams)), default=0)
         out[f"r_top{n}gram_char_frac"] = min(best / chars, 1.0)
     for n in dup_ns:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        grams = list(zip(*(toks[i:] for i in range(n))))
         cnt = Counter(grams)
         starts = [i for i, g in enumerate(grams) if cnt[g] >= 2]
         covered = 0
@@ -255,10 +269,10 @@ def _rep_stats_py(t, line_sep: str, top_ns, dup_ns) -> dict:
         for p in starts:   # ascending; intervals [p, p+n-1] merge in order
             lo = max(p, last + 1)
             hi = p + n - 1
-            covered += sum(len(toks[j]) for j in range(lo, hi + 1))
+            covered += pref[hi + 1] - pref[lo]
             last = hi
         out[f"r_dup{n}gram_distinct"] = sum(
-            1 for g, c in cnt.items() if c >= 2)
+            1 for c in cnt.values() if c >= 2)
         out[f"r_dup{n}gram_positions"] = len(starts)
         out[f"r_dup{n}gram_char_frac"] = covered / chars
     return out
