@@ -857,6 +857,34 @@ def _bloom_probe_udf(spark, bloom: bytes, n_bits: int, k: int):
     return probe
 
 
+def _filtered_hit_postings(cbase: DataFrame, bg: DataFrame, n: int, gh,
+                           strategy: str, bloom_bits: int, bloom_k: int,
+                           spark) -> DataFrame:
+    """Corpus gram postings surviving the exact benchmark-membership
+    test, for the prefilter/bloom strategies (shared by
+    ``ngram_contamination_stats`` and ``decontaminate``'s
+    max_fraction=0 fast path): prefilter = broadcast left-semi on the
+    truncated hash, bloom = Arrow bitmap probe; both followed by the
+    exact verify join that removes false positives."""
+    cg = _explode_gram_postings(cbase, n, gh)
+    if strategy == "prefilter":
+        bset = bg.select(F.pmod(F.col("__gh"), F.lit(bloom_bits))
+                         .alias("__tb")).distinct()
+        cg = cg.join(F.broadcast(bset),
+                     F.pmod(F.col("__gh"), F.lit(bloom_bits))
+                     == F.col("__tb"), "left_semi")
+    else:  # bloom
+        probe = _bloom_probe_udf(spark,
+                                 _bloom_build(bg, "__gh", bloom_bits,
+                                              bloom_k),
+                                 bloom_bits, bloom_k)
+        cg = cg.filter(probe(F.col("__gh")))
+    # exact verify join: candidates are post-prefilter sparse, so this
+    # may shuffle both sides on the 8-byte gram key — fine, neither
+    # needs to broadcast
+    return cg.join(bg, on="__gh", how="left_semi")
+
+
 def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
                               text_col: str, id_col: str,
                               bench_text_col: Optional[str] = None,
@@ -947,25 +975,9 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
                 .select(F.col("__id").alias(id_col),
                         "n_grams", "n_contaminated"))
 
-    cg = _explode_gram_postings(cbase, n, gh)
-    if strategy == "prefilter":
-        bset = bg.select(F.pmod(F.col("__gh"), F.lit(bloom_bits))
-                         .alias("__tb")).distinct()
-        cg = cg.join(F.broadcast(bset),
-                     F.pmod(F.col("__gh"), F.lit(bloom_bits))
-                     == F.col("__tb"), "left_semi")
-        hits = cg.join(bg, on="__gh", how="left_semi")
-    elif strategy == "bloom":
-        probe = _bloom_probe_udf(corpus.sparkSession,
-                                 _bloom_build(bg, "__gh", bloom_bits,
-                                              bloom_k),
-                                 bloom_bits, bloom_k)
-        cg = cg.filter(probe(F.col("__gh")))
-        # exact verify join: candidates are post-prefilter sparse, so
-        # this may shuffle both sides on the 8-byte gram key — fine,
-        # neither needs to broadcast
-        hits = cg.join(bg, on="__gh", how="left_semi")
-
+    hits = _filtered_hit_postings(cbase, bg, n, gh, strategy,
+                                  bloom_bits, bloom_k,
+                                  corpus.sparkSession)
     per_doc = (hits.groupBy("__id")
                .agg(F.count("*").cast("long").alias("n_contaminated")))
     # per-document totals are row-local arithmetic on the token count —
@@ -998,7 +1010,35 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     exceeds ``max_fraction`` (default 0.0 with min_hits=1 = drop on any
     shared n-gram, the strict setting eval decontamination usually
     wants).  Documents with no grams are always kept.  One extra
-    anti-join shuffle on the id beyond the contamination scan."""
+    anti-join shuffle on the id beyond the contamination scan.
+
+    With ``max_fraction == 0.0`` the share test reduces to
+    ``n_contaminated >= 1`` (n_grams never matters: n_contaminated > 0
+    * n_grams <=> n_contaminated > 0, including n_grams = 0 docs, whose
+    n_contaminated is 0), so the prefilter/bloom strategies skip the
+    per-document totals branch — a full corpus tokenize pass — and
+    compute the bad set straight from the hit postings (r14; the
+    broadcast strategy computes both counts in one pass either way)."""
+    if max_fraction == 0.0 and strategy in ("prefilter", "bloom"):
+        gh = gram_hash or F.xxhash64
+        bt = bench_text_col or text_col
+        toks = (tokens_col if tokens_col is not None
+                else tokens(text_col))
+        btoks = (bench_tokens_col if bench_tokens_col is not None
+                 else tokens(bt))
+        cbase = corpus.select(F.col(id_col).alias("__id"),
+                              toks.alias("__toks"))
+        bbase = benchmark.select(F.lit(0).alias("__id"),
+                                 btoks.alias("__toks"))
+        bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
+        hits = _filtered_hit_postings(cbase, bg, n, gh, strategy,
+                                      bloom_bits, bloom_k,
+                                      corpus.sparkSession)
+        bad = (hits.groupBy("__id")
+               .agg(F.count("*").alias("__nc"))
+               .filter(F.col("__nc") >= max(min_hits, 1))
+               .select(F.col("__id").alias(id_col)))
+        return corpus.join(bad, on=id_col, how="left_anti")
     stats = ngram_contamination_stats(
         corpus, benchmark, text_col, id_col, bench_text_col=bench_text_col,
         n=n, gram_hash=gram_hash, tokens_col=tokens_col,
