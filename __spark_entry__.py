@@ -42,7 +42,14 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> list:
     the identical Python floats the collect returned (float32 -> Python
     float is exact both ways; equality asserted when this replaced the
     collect in r14).  Read fresh on every call — the bench rebuilds
-    each query per timed run and nothing may be memoized across runs."""
+    each query per timed run and nothing may be memoized across runs.
+
+    Contract (why bypassing the Spark reader is safe here): every
+    consumer compares this vector against the SAME single-file
+    ``embeddings.parquet`` read via ``_t(...)`` — there is no separate
+    array build that could drift from the parquet.  If the fixture ever
+    becomes multi-file or LWW-updatable, route this back through the
+    datasource (the r13 filter+collect form this replaced)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._mat import materialize
+
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
@@ -885,6 +887,26 @@ def _filtered_hit_postings(cbase: DataFrame, bg: DataFrame, n: int, gh,
     return cg.join(bg, on="__gh", how="left_semi")
 
 
+def _contamination_prologue(corpus, benchmark, text_col, id_col,
+                            bench_text_col, n, gram_hash, tokens_col,
+                            bench_tokens_col):
+    """Shared tokenize/gram-hash prologue of the contamination
+    operators (``ngram_contamination_stats`` and ``decontaminate``'s
+    max_fraction=0 fast path): returns ``(gh, cbase, bg)`` — the gram
+    hash fn, the (id, tokens) corpus base, and the benchmark's distinct
+    gram-hash set.  One definition so tokenization/gram hashing cannot
+    drift between the two call sites."""
+    gh = gram_hash or F.xxhash64
+    bt = bench_text_col or text_col
+    toks = tokens_col if tokens_col is not None else tokens(text_col)
+    btoks = (bench_tokens_col if bench_tokens_col is not None
+             else tokens(bt))
+    cbase = corpus.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    bbase = benchmark.select(F.lit(0).alias("__id"), btoks.alias("__toks"))
+    bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
+    return gh, cbase, bg
+
+
 def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
                               text_col: str, id_col: str,
                               bench_text_col: Optional[str] = None,
@@ -941,13 +963,9 @@ def ngram_contamination_stats(corpus: DataFrame, benchmark: DataFrame,
     if strategy not in ("broadcast", "prefilter", "bloom"):
         raise ValueError("strategy must be 'broadcast', 'prefilter' or "
                          "'bloom'")
-    gh = gram_hash or F.xxhash64
-    bt = bench_text_col or text_col
-    toks = tokens_col if tokens_col is not None else tokens(text_col)
-    btoks = bench_tokens_col if bench_tokens_col is not None else tokens(bt)
-    cbase = corpus.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    bbase = benchmark.select(F.lit(0).alias("__id"), btoks.alias("__toks"))
-    bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
+    gh, cbase, bg = _contamination_prologue(
+        corpus, benchmark, text_col, id_col, bench_text_col, n,
+        gram_hash, tokens_col, bench_tokens_col)
 
     if strategy == "broadcast":
         # SINGLE corpus pass (r14): the two-branch shape below tokenizes
@@ -1020,17 +1038,9 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     compute the bad set straight from the hit postings (r14; the
     broadcast strategy computes both counts in one pass either way)."""
     if max_fraction == 0.0 and strategy in ("prefilter", "bloom"):
-        gh = gram_hash or F.xxhash64
-        bt = bench_text_col or text_col
-        toks = (tokens_col if tokens_col is not None
-                else tokens(text_col))
-        btoks = (bench_tokens_col if bench_tokens_col is not None
-                 else tokens(bt))
-        cbase = corpus.select(F.col(id_col).alias("__id"),
-                              toks.alias("__toks"))
-        bbase = benchmark.select(F.lit(0).alias("__id"),
-                                 btoks.alias("__toks"))
-        bg = _explode_gram_postings(bbase, n, gh).select("__gh").distinct()
+        gh, cbase, bg = _contamination_prologue(
+            corpus, benchmark, text_col, id_col, bench_text_col, n,
+            gram_hash, tokens_col, bench_tokens_col)
         hits = _filtered_hit_postings(cbase, bg, n, gh, strategy,
                                       bloom_bits, bloom_k,
                                       corpus.sparkSession)
@@ -1091,7 +1101,8 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
     # splitting handles the same hot key on a join, and the measured
     # cost difference at sf1 is noise (the gram hashing dominates both
     # formulations).
-    # MATERIALIZED (eager localCheckpoint, r14): the dup branch and the
+    # MATERIALIZED (operators/_mat.py — eager localCheckpoint by default,
+    # mode knob + fault-tolerance trade there): the dup branch and the
     # join branch prune different columns, so their exchange subtrees
     # canonicalize differently and neither ReuseExchange nor AQE stage
     # reuse dedups them — without the checkpoint the scan+tokenize+
@@ -1099,8 +1110,8 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
     # collapsed (id, gram, cnt) rows (no bigger than the exchange that
     # already carries them) buys back a full corpus pass; recomputed
     # fresh on every execution.
-    c = (g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt"))
-          .localCheckpoint(eager=True))
+    c = materialize(
+        g.groupBy("__id", "__gh").agg(F.count("*").alias("__cnt")))
     dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__gh", F.lit(1).alias("__isdup")))
@@ -1155,8 +1166,8 @@ def remove_repeated_spans(df: DataFrame, text_col: str, id_col: str,
     # repeated_ngram_stats (the "reused by the join" claim below only
     # holds WITH the checkpoint — branch-specific column pruning
     # otherwise splits the exchanges)
-    c = (g.groupBy("__id", "__gh").agg(F.collect_list("__i").alias("__ps"))
-          .localCheckpoint(eager=True))
+    c = materialize(
+        g.groupBy("__id", "__gh").agg(F.collect_list("__i").alias("__ps")))
     dup = (c.groupBy("__gh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__gh"))
@@ -1221,12 +1232,12 @@ def remove_repeated_lines(df: DataFrame, text_col: str, id_col: str,
                      lh(F.element_at("__ls", F.col("__i") + 1)).alias("__lh")))
     # collapse to per-(id, hash) position lists first: the doc frequency
     # and the per-doc removed positions both derive from one aggregate —
-    # materialized (eager localCheckpoint) so the two consumers actually
+    # materialized (operators/_mat.py) so the two consumers actually
     # share it (branch-specific pruning otherwise re-derives the
     # scan+split+hash pipeline per consumer; same r14 fix as
     # repeated_ngram_stats)
-    c = (g.groupBy("__id", "__lh").agg(F.collect_list("__i").alias("__ps"))
-          .localCheckpoint(eager=True))
+    c = materialize(
+        g.groupBy("__id", "__lh").agg(F.collect_list("__i").alias("__ps")))
     dup = (c.groupBy("__lh").agg(F.count("*").alias("__nd"))
             .filter(F.col("__nd") >= min_docs)
             .select("__lh"))

@@ -18,6 +18,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._mat import materialize
+
 
 def _tokens(text_col: str, tokens_col: Optional[Column]) -> Column:
     if tokens_col is not None:
@@ -69,16 +71,17 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
         "__id", F.size("__toks").alias("__len"),
         F.filter("__toks",
                  lambda t: F.array_contains(term_arr, t)).alias("__qt"))
-    # materialized (eager localCheckpoint, r14): tf is QUERY-sized
+    # materialized (operators/_mat.py — eager localCheckpoint by default,
+    # mode knob + fault-tolerance trade there): tf is QUERY-sized
     # (only postings matching the query terms survive), but its lineage
     # is a full corpus scan+tokenize — without the checkpoint the
     # document-frequency branch and the scoring join each re-ran that
     # scan (branch-specific pruning defeats exchange reuse)
-    tf = (staged
-          .select("__id", "__len", F.explode("__qt").alias("__t"))
-          .groupBy("__id", "__t")
-          .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len"))
-          .localCheckpoint(eager=True))
+    tf = materialize(
+        staged
+        .select("__id", "__len", F.explode("__qt").alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len")))
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
     scored = (tf
               .join(F.broadcast(dfreq), on="__t")
@@ -116,15 +119,16 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     frequency joined back on the term; the per-doc top-k is one window
     over the (id)-keyed shuffle."""
     toks = _tokens(text_col, tokens_col)
-    # materialized (eager localCheckpoint, r14): the document-frequency
+    # materialized (operators/_mat.py — eager localCheckpoint by default,
+    # mode knob + fault-tolerance trade there): the document-frequency
     # branch and the scoring join otherwise each re-run the corpus
     # scan+tokenize+explode (branch-specific pruning defeats exchange
     # reuse); one write of the collapsed (id, term, tf) rows — no
     # bigger than the exchange that already carries them — buys back a
     # full corpus pass
-    g = (df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
-           .groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
-           .localCheckpoint(eager=True))
+    g = materialize(
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+          .groupBy("__id", "__t").agg(F.count("*").alias("__tf")))
     dfreq = g.groupBy("__t").agg(F.count("*").alias("__df"))
     nrow = (df.select(F.col(id_col).alias("__id"))
               .agg(F.count_distinct("__id").cast("double").alias("__N")))

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._mat import materialize
+
 # tiny built-in stopword lists (top function words per language)
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
@@ -193,11 +195,12 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str,
     g = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
            .select("__id", F.explode("__toks").alias("__tok"))
            .select("__id", F.xxhash64("__tok").alias("__tok")))
-    # materialized (eager localCheckpoint, r14): the grand-total branch
+    # materialized (operators/_mat.py — eager localCheckpoint by default;
+    # the mode knob and the eager-build/fault-tolerance trade live there):
+    # the grand-total branch
     # and the join-back otherwise each re-derive the corpus explode
     # (vocabulary-sized table, recomputed fresh per execution)
-    freq = (g.groupBy("__tok").agg(F.count("*").alias("__cnt"))
-             .localCheckpoint(eager=True))
+    freq = materialize(g.groupBy("__tok").agg(F.count("*").alias("__cnt")))
     total = freq.agg(F.sum("__cnt").alias("__total"))
     return (g.join(freq, on="__tok")
              .crossJoin(F.broadcast(total))
@@ -584,12 +587,12 @@ def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
                      .alias("__g"),
                      F.xxhash64(F.slice("__toks", F.col("__i"), n - 1))
                      .alias("__p")))
-    # materialized (eager localCheckpoint, r14): the prefix-total
+    # materialized (operators/_mat.py — eager localCheckpoint by default;
+    # mode knob + fault-tolerance trade documented there): the prefix-total
     # branch and the ratio join prune different columns, so without
     # the checkpoint each consumer re-derived the corpus-sized
     # postings; the pattern table is distinct-n-gram-sized
-    pc = (g.groupBy("__g", "__p").agg(F.count("*").alias("__c2"))
-           .localCheckpoint(eager=True))
+    pc = materialize(g.groupBy("__g", "__p").agg(F.count("*").alias("__c2")))
     c1 = pc.groupBy("__p").agg(F.sum("__c2").alias("__c1"))
     ratio = pc.join(c1, on="__p").select("__g", "__c2", "__c1")
     return (g.join(ratio, on="__g")
@@ -868,7 +871,9 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
                      F.element_at("__hs", F.col("__i")).alias("__h")))
     # ONE pattern aggregation (nulls kept: document-initial tokens
     # group under __hp IS NULL); every count table below derives from
-    # it.  MATERIALIZED (eager localCheckpoint, the fuzzy_text_join
+    # it.  MATERIALIZED (operators/_mat.py — eager localCheckpoint by
+    # default, mode knob + fault-tolerance trade documented there; the
+    # fuzzy_text_join
     # discipline): the branch aggregates each prune/push different
     # columns and filters into the aggregate, so their exchange
     # subtrees canonicalize differently and NEITHER plan-time
@@ -877,8 +882,7 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
     # (measured: the scan+explode ran per branch).  The pattern table
     # is distinct-bigram-sized — far smaller than the postings it
     # replaces, and it is recomputed fresh on every execution.
-    gk = (g.groupBy("__hp", "__h").agg(F.count("*").alias("__ck"))
-           .localCheckpoint(eager=True))
+    gk = materialize(g.groupBy("__hp", "__h").agg(F.count("*").alias("__ck")))
     big = (gk.filter(F.col("__hp").isNotNull())
              .select("__hp", "__h", F.col("__ck").alias("__c2")))
     ctx = big.groupBy("__hp").agg(F.sum("__c2").alias("__ctot"),
@@ -975,14 +979,15 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
     # ONE pattern aggregation (r14 rework, same discipline as the
     # bigram variant): nulls kept so positions 1/2 group under null
     # __ha/__hb; every level's count table derives from this table.
-    # MATERIALIZED (eager localCheckpoint) because the level branches
+    # MATERIALIZED (operators/_mat.py — eager localCheckpoint by default,
+    # mode knob + fault-tolerance trade there) because the level branches
     # prune/push different columns and filters into the aggregate, so
     # their exchange subtrees canonicalize differently and neither
     # ReuseExchange nor AQE stage reuse dedups them — without the
     # checkpoint each branch re-derived the corpus-sized postings.
     # Distinct-trigram-sized, recomputed fresh on every execution.
-    gk = (g.groupBy("__ha", "__hb", "__h").agg(F.count("*").alias("__ck"))
-           .localCheckpoint(eager=True))
+    gk = materialize(
+        g.groupBy("__ha", "__hb", "__h").agg(F.count("*").alias("__ck")))
     # level 3: raw trigram counts + context totals
     tri = (gk.filter(F.col("__ha").isNotNull())
              .select("__ha", "__hb", "__h", F.col("__ck").alias("__c3")))
