@@ -71,17 +71,21 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
         "__id", F.size("__toks").alias("__len"),
         F.filter("__toks",
                  lambda t: F.array_contains(term_arr, t)).alias("__qt"))
-    # materialized (operators/_mat.py — eager localCheckpoint by default,
-    # mode knob + fault-tolerance trade there): tf is QUERY-sized
-    # (only postings matching the query terms survive), but its lineage
-    # is a full corpus scan+tokenize — without the checkpoint the
-    # document-frequency branch and the scoring join each re-ran that
-    # scan (branch-specific pruning defeats exchange reuse)
-    tf = materialize(
-        staged
-        .select("__id", "__len", F.explode("__qt").alias("__t"))
-        .groupBy("__id", "__t")
-        .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len")))
+    # NOT materialized (r15 revert of the r14 checkpoint): tf is
+    # query-sized and its lineage re-executes once per consumer
+    # (document-frequency branch + scoring join), but the re-derived
+    # pass is a cheap filtered scan+tokenize that AQE OVERLAPS with the
+    # other branch, while an eager checkpoint serializes both behind a
+    # barrier.  Measured at THREE scales: sf0.1 A/B med 0.845 (off) vs
+    # 0.934 (ckpt), sf1 parity, sf10 interleaved min 6.1/med 8.2 (off)
+    # vs 10.0/11.3 (ckpt) — the barrier loses everywhere, so the r14
+    # at-scale extrapolation is withdrawn.  (Contrast kn_ppl/line_dedup,
+    # where the checkpointed table replaces a far more expensive
+    # re-derivation and the checkpoint WINS at sf10.)
+    tf = (staged
+          .select("__id", "__len", F.explode("__qt").alias("__t"))
+          .groupBy("__id", "__t")
+          .agg(F.count("*").alias("__tf"), F.first("__len").alias("__len")))
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
     scored = (tf
               .join(F.broadcast(dfreq), on="__t")

@@ -173,6 +173,33 @@ def r_unigram_seed(spark, sf_dir):
         word_frequencies(_docs(spark, sf_dir), "text"), max_piece_len=8)
 
 
+def r_bm25(spark, sf_dir):
+    from tiledb_py_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), "text", "doc_id",
+                       ["query", "window", "spark"])
+
+
+def r_dsir_weights(spark, sf_dir):
+    from tiledb_py_spark.operators.pipeline import importance_weights
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("lang") == "en")
+    return importance_weights(d, "text", "doc_id", target, n_buckets=1024)
+
+
+def r_unigram_surprisal(spark, sf_dir):
+    from tiledb_py_spark.operators.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def r_bigram_surprisal(spark, sf_dir):
+    from tiledb_py_spark.operators.text import ngram_surprisal
+
+    return ngram_surprisal(_docs(spark, sf_dir), "text", "doc_id", n=2)
+
+
 def r_kn_ppl(spark, sf_dir):
     from tiledb_py_spark.operators.text import kneser_ney_logprob
 
@@ -449,6 +476,10 @@ RUNNERS = {
     "quality_classifier": r_quality_classifier,
     "ivfpq_build_search": r_ivfpq_build_search,
     "unigram_seed": r_unigram_seed,
+    "bm25": r_bm25,
+    "dsir_weights": r_dsir_weights,
+    "unigram_surprisal": r_unigram_surprisal,
+    "bigram_surprisal": r_bigram_surprisal,
     "kn_ppl": r_kn_ppl,
     "kn3_ppl": r_kn3_ppl,
     "self_repeat": r_self_repeat,
