@@ -75,10 +75,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         right_cols = [c for c in right.columns if c != on and c not in by]
     carried = [f"{c}{suffix}" for c in right_cols]
 
-    lhs = left.withColumn(_TAG, F.lit(1))
-    for c, cc in zip(right_cols, carried):
-        lhs = lhs.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
+    # single withColumns call: one py4j round trip + one plan node for
+    # the whole batch instead of one per column (driver build floor)
+    lhs = left.withColumns({
+        _TAG: F.lit(1),
+        **{cc: F.lit(None).cast(right.schema[c].dataType)
+           for c, cc in zip(right_cols, carried)},
+        f"{on}{suffix}": F.lit(None).cast(right.schema[on].dataType)})
 
     # a right row with NULL time can never be a valid as-of match —
     # left in, asc-nulls-first ordering made it a "time minus-infinity"
@@ -91,9 +94,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
         F.col(on).alias(f"{on}{suffix}"),
     )
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rhs = rhs.withColumns({
+        c: F.lit(None).cast(left.schema[c].dataType)
+        for c in left.columns if c not in rhs.columns})
     rhs = rhs.select(*lhs.columns)
 
     u = lhs.unionByName(rhs)
@@ -108,9 +111,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if by:
         w = Window.partitionBy(*by).orderBy(on_order, tag_order) \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = u
-        for cc in fill_cols:
-            out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+        out = u.withColumns(
+            {cc: F.last(cc, ignorenulls=True).over(w) for cc in fill_cols})
     else:
         out = _bucketed_fill(u, on, fill_cols, backward, tag_order,
                              num_buckets, bounds)
@@ -119,16 +121,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # a left row with NULL time has no as-of position — unmatched, not
     # matched to whatever the traversal order put first (forward's
     # desc ordering sorted NULLs last, carrying the minimum right row)
-    for cc in fill_cols:
-        out = out.withColumn(cc, F.when(F.col(on).isNotNull(),
-                                        F.col(cc)))
+    out = out.withColumns({cc: F.when(F.col(on).isNotNull(), F.col(cc))
+                           for cc in fill_cols})
     if tolerance is not None:
         gap = (F.col(on) - F.col(f"{on}{suffix}")) if backward \
             else (F.col(f"{on}{suffix}") - F.col(on))
         ok = gap <= tolerance
-        for cc in carried:
-            out = out.withColumn(cc, F.when(ok, F.col(cc)))
-        out = out.withColumn(f"{on}{suffix}", F.when(ok, F.col(f"{on}{suffix}")))
+        out = out.withColumns(
+            {**{cc: F.when(ok, F.col(cc)) for cc in carried},
+             f"{on}{suffix}": F.when(ok, F.col(f"{on}{suffix}"))})
     return out
 
 
@@ -162,10 +163,8 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
             .orderBy(F.col(on).asc() if backward else F.col(on).desc(),
                      tag_order) \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = u
-        for cc in fill_cols:
-            out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-        return out
+        return u.withColumns(
+            {cc: F.last(cc, ignorenulls=True).over(w) for cc in fill_cols})
 
     num_buckets = len(bounds) + 1
     b = bucket_index(d, bounds)
@@ -203,11 +202,10 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     w = Window.partitionBy(_BKT) \
         .orderBy(F.col(on).asc() if backward else F.col(on).desc(), tag_order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = u
-    for cc in fill_cols:
-        out = out.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-    out = out.join(F.broadcast(carry), on=_BKT, how="left")
-    for cc in fill_cols:
-        out = out.withColumn(cc, F.coalesce(F.col(cc), F.col(f"{cc}__carry"))) \
-                 .drop(f"{cc}__carry")
+    out = u.withColumns(
+        {cc: F.last(cc, ignorenulls=True).over(w) for cc in fill_cols})
+    out = (out.join(F.broadcast(carry), on=_BKT, how="left")
+              .withColumns({cc: F.coalesce(F.col(cc), F.col(f"{cc}__carry"))
+                            for cc in fill_cols})
+              .drop(*[f"{cc}__carry" for cc in fill_cols]))
     return out if _KEEP_BKT else out.drop(_BKT)

@@ -192,9 +192,9 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     if how == "left":
         matched = out.select(point_id).distinct()
         missing = points.join(matched, on=point_id, how="left_anti")
-        for c, cc in zip(interval_cols, carried):
-            missing = missing.withColumn(
-                cc, F.lit(None).cast(iv_dt[c]))
+        missing = missing.withColumns(
+            {cc: F.lit(None).cast(iv_dt[c])
+             for c, cc in zip(interval_cols, carried)})
         out = out.unionByName(missing.select(*out.columns))
     return out
 
@@ -242,10 +242,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         ).filter(F.col(s_al).isNotNull() & F.col(e_al).isNotNull()
                  & (F.col(s_al) <= F.col(e_al)))
         dt = dict(df.dtypes)
-        return (out.withColumn("__b0", _uniform_bucket(
-                    monotonic_view(s_al, dt[s]), lo, hi, nb))
-                   .withColumn("__b1", _uniform_bucket(
-                    monotonic_view(e_al, dt[e]), lo, hi, nb)))
+        return out.withColumns(
+            {"__b0": _uniform_bucket(monotonic_view(s_al, dt[s]), lo, hi, nb),
+             "__b1": _uniform_bucket(monotonic_view(e_al, dt[e]), lo, hi, nb)})
 
     lhs = prep(left, lstart, lend, "__l_s", "__l_e",
                [F.col(c) for c in left.columns if c not in by], "__lk_")

@@ -386,8 +386,7 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     # it at runtime when it is actually under the threshold.
     keys = by_cols + ["__grs_bkt"]
     carry_r = carry
-    for c in keys:
-        carry_r = carry_r.withColumnRenamed(c, "__grs_r_" + c)
+    carry_r = carry_r.withColumnsRenamed({c: "__grs_r_" + c for c in keys})
     cond = df2["__grs_bkt"].eqNullSafe(carry_r["__grs_r___grs_bkt"])
     for c in by_cols:
         cond = cond & df2[c].eqNullSafe(carry_r["__grs_r_" + c])

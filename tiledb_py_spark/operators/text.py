@@ -303,9 +303,8 @@ def _repetition_stats_arrow(df: DataFrame, text_col: str, line_sep: str,
     from ._par import spread_for_python
 
     out = spread_for_python(df).withColumn("__r", stats(F.col(text_col)))
-    for name in names:
-        out = out.withColumn(name, F.col("__r")[name])
-    return out.drop("__r")
+    return (out.withColumns({name: F.col("__r")[name] for name in names})
+               .drop("__r"))
 
 
 def repetition_stats(df: DataFrame, text_col: str,
