@@ -1,7 +1,6 @@
 """Materialization point for small derived tables with multiple
-consumers (the r14 "checkpoint family": KN pattern tables, bm25/tfidf
-term tables, repeated-ngram/line-dedup collapses, surprisal count
-tables).
+consumers (the r14 "checkpoint family": KN pattern tables, tfidf term
+tables, repeated-ngram/line-dedup collapses, surprisal count tables).
 
 Why it exists: each consumer branch of such a table prunes/pushes
 different columns and filters into the aggregate, so the branches'
@@ -12,39 +11,48 @@ re-executes once PER consumer.  Materializing the (much smaller)
 derived table truncates the plan there (guide §3.3) and every branch
 reads the stored blocks instead.
 
-The mechanism is ``localCheckpoint``: executor-local blocks, lineage
-truncated.  THE TRADE (stated here once; operator docstrings point
-here): with ``eager=True`` building the DataFrame already runs the
-Spark jobs up to the checkpoint, and the blocks are NOT replicated or
-recomputable — on a real cluster an executor loss after the checkpoint
-fails the query instead of recomputing that lineage.  On local[N] (one
-"executor") this costs nothing; at cluster scale choose the mode per
-deployment via ``SPARK_GRAFT_MATERIALIZE``:
+The default mechanism (r15, measured) is ``persist(MEMORY_AND_DISK)``:
+the derived table lands in Spark's COLUMNAR compressed in-memory cache
+(``InMemoryTableScan`` in the plan), which at sf10 reads ~2x faster
+than the row-format executor blocks ``localCheckpoint`` writes
+(interleaved A/B, kn_ppl med 19.6 s persist vs 38.6 s lazy-ckpt vs
+43.4 s eager-ckpt; kn3 38.9/53.6; line_dedup parity).  Unlike a local
+checkpoint the cached lineage stays RECOMPUTABLE — an executor loss
+after materialization recomputes the lost partitions instead of
+failing the query — and no job runs at DataFrame-build time.
 
-- ``ckpt`` (default): ``localCheckpoint(eager=True)`` — deterministic
-  materialization point, plan truncated at a ``Scan ExistingRDD``.
-- ``lazy``: ``localCheckpoint(eager=False)`` — same truncation and
-  block storage, but no job runs at DataFrame-build time (composing a
-  pipeline stays free; the blocks materialize with the first action).
-  Measured statistically identical to ``ckpt`` over the four heaviest
-  queries in r14.
-- ``persist``: ``persist(MEMORY_AND_DISK)`` — RECOMPUTABLE lineage
-  (executor loss recovers) at the cost of plan-time cache matching.
-  Callers that use this mode own the ``unpersist()`` discipline: Spark
-  tracks cached plans in the session's CacheManager, so a long-lived
-  session that rebuilds the same operator would otherwise serve the
-  SECOND build from the first build's cache (stale against mutated
-  inputs, and a cross-run cache the bench contract forbids).  The
-  default therefore stays ``ckpt``.
+CROSS-RUN HONESTY (load-bearing): Spark's CacheManager matches cached
+plans structurally, so a SECOND build of the same operator in one
+session would silently serve the first build's cached blocks — a
+cross-run result cache the bench contract forbids (and stale data if
+the inputs mutated).  ``materialize`` therefore EVICTS any
+identical-plan cache entry (``unpersist(blocking=True)`` on the fresh
+DataFrame) before persisting, so every rebuild starts cold and
+recomputes from its sources; reuse happens only across the consumer
+branches WITHIN one build — exactly the plan-truncation semantics the
+checkpoint had.  ``tests/test_opt_r15.py`` pins this property.
+
+Mode knob (``SPARK_GRAFT_MATERIALIZE``, read at build time so library
+users composing lazy pipelines can opt out without a signature
+change):
+
+- ``persist`` (default): evict-then-``persist(MEMORY_AND_DISK)`` as
+  above.  Callers that build the same operator twice and want both
+  alive must rename an internal column to decouple the plans.
+- ``ckpt``: ``localCheckpoint(eager=True)`` — the r14 default;
+  deterministic materialization point, plan truncated at a
+  ``Scan ExistingRDD``, but blocks are neither replicated nor
+  recomputable and the build itself runs the upstream jobs.
+- ``lazy``: ``localCheckpoint(eager=False)`` — same truncation, no
+  build-time job; measured ~2x slower than ``persist`` at sf10 (row
+  blocks).
 - ``off``: no materialization (the pre-r14 shape: every consumer
   re-derives the lineage; AQE overlaps the redundant passes on an
   idle cluster — the right choice only when cores are otherwise idle
-  and the upstream pass is cheap).
+  and the upstream pass is cheap, e.g. the reverted bm25 site).
 
-The table is recomputed fresh inside every execution of the operator
-(nothing is memoized across builds); the env knob is read at build
-time so library users composing lazy pipelines can opt out without a
-signature change.
+The table is recomputed fresh inside every build of the operator
+(nothing is memoized across builds — the eviction guarantees it).
 """
 
 from __future__ import annotations
@@ -57,11 +65,15 @@ from pyspark.sql import DataFrame
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize a small multi-consumer derived table per
     ``SPARK_GRAFT_MATERIALIZE`` (see module docstring)."""
-    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "ckpt")
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "persist")
     if mode == "off":
         return df
-    if mode == "persist":
-        from pyspark import StorageLevel
+    if mode in ("ckpt", "lazy"):
+        return df.localCheckpoint(eager=(mode != "lazy"))
+    from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df.localCheckpoint(eager=(mode != "lazy"))
+    # evict any identical-plan entry left by a PREVIOUS build of this
+    # operator (blocking, so the subsequent persist registers a fresh
+    # uncomputed entry instead of adopting the old computed one)
+    df.unpersist(blocking=True)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

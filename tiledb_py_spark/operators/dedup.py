@@ -1115,8 +1115,8 @@ def repeated_ngram_stats(df: DataFrame, text_col: str, id_col: str,
     # splitting handles the same hot key on a join, and the measured
     # cost difference at sf1 is noise (the gram hashing dominates both
     # formulations).
-    # MATERIALIZED (operators/_mat.py — eager localCheckpoint by default,
-    # mode knob + fault-tolerance trade there): the dup branch and the
+    # MATERIALIZED (operators/_mat.py — evict-then-persist columnar
+    # cache by default, mode knob + recovery trade there): the dup branch and the
     # join branch prune different columns, so their exchange subtrees
     # canonicalize differently and neither ReuseExchange nor AQE stage
     # reuse dedups them — without the checkpoint the scan+tokenize+

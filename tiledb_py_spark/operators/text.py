@@ -195,7 +195,7 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str,
     g = (df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
            .select("__id", F.explode("__toks").alias("__tok"))
            .select("__id", F.xxhash64("__tok").alias("__tok")))
-    # materialized (operators/_mat.py — eager localCheckpoint by default;
+    # materialized (operators/_mat.py — evict-then-persist by default;
     # the mode knob and the eager-build/fault-tolerance trade live there):
     # the grand-total branch
     # and the join-back otherwise each re-derive the corpus explode
@@ -586,7 +586,7 @@ def ngram_surprisal(df: DataFrame, text_col: str, id_col: str,
                      .alias("__g"),
                      F.xxhash64(F.slice("__toks", F.col("__i"), n - 1))
                      .alias("__p")))
-    # materialized (operators/_mat.py — eager localCheckpoint by default;
+    # materialized (operators/_mat.py — evict-then-persist by default;
     # mode knob + fault-tolerance trade documented there): the prefix-total
     # branch and the ratio join prune different columns, so without
     # the checkpoint each consumer re-derived the corpus-sized
@@ -870,10 +870,9 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str,
                      F.element_at("__hs", F.col("__i")).alias("__h")))
     # ONE pattern aggregation (nulls kept: document-initial tokens
     # group under __hp IS NULL); every count table below derives from
-    # it.  MATERIALIZED (operators/_mat.py — eager localCheckpoint by
-    # default, mode knob + fault-tolerance trade documented there; the
-    # fuzzy_text_join
-    # discipline): the branch aggregates each prune/push different
+    # it.  MATERIALIZED (operators/_mat.py — evict-then-persist
+    # columnar cache by default, mode knob + recovery trade documented
+    # there): the branch aggregates each prune/push different
     # columns and filters into the aggregate, so their exchange
     # subtrees canonicalize differently and NEITHER plan-time
     # ReuseExchange nor AQE stage reuse can dedup them — without the
@@ -978,8 +977,8 @@ def kneser_ney_trigram_logprob(df: DataFrame, text_col: str, id_col: str,
     # ONE pattern aggregation (r14 rework, same discipline as the
     # bigram variant): nulls kept so positions 1/2 group under null
     # __ha/__hb; every level's count table derives from this table.
-    # MATERIALIZED (operators/_mat.py — eager localCheckpoint by default,
-    # mode knob + fault-tolerance trade there) because the level branches
+    # MATERIALIZED (operators/_mat.py — evict-then-persist columnar
+    # cache by default, mode knob + recovery trade there) because the level branches
     # prune/push different columns and filters into the aggregate, so
     # their exchange subtrees canonicalize differently and neither
     # ReuseExchange nor AQE stage reuse dedups them — without the

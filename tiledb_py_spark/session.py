@@ -30,6 +30,14 @@ def get_spark(app_name: str = "tiledb_py_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (coalesce partitions, pick join strategies)
+        # INSIDE cached-plan compilation: without it the subtree under
+        # a persisted derived table (operators/_mat.py) runs with
+        # static shuffle partitioning — measured 1.8x slower builds of
+        # the kn3 pattern table at sf0.1.  Scale-independent: it only
+        # widens where AQE applies.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -4,14 +4,16 @@ Usage: python tools/capture_plans.py <outdir> [suffix] [q1,q2,...]
 
 Writes <outdir>/<query>_<suffix>.txt for each query (default suffix
 "before", default query set = bench.BENCH_QUERIES).  Mostly
-planning-only — fixture arrays are built if missing, and operators
-that eagerly materialize a derived table (operators/_mat.py: bm25,
-tfidf, kn_ppl/kn3_ppl, unigram/ngram surprisal, repeated ngrams,
-line/span dedup, fuzzy_text_join) execute their upstream stages during
-DataFrame construction, so their captured plan is truncated at a
-``Scan ExistingRDD``.  Set SPARK_GRAFT_MATERIALIZE=lazy (same plan
-truncation, no build-time job) or =off (full pre-materialization
-lineage) to capture without executing.
+planning-only — fixture arrays are built if missing; under the
+default ``persist`` materialization mode (operators/_mat.py) no jobs
+run at capture time and the materialized tables appear as
+``InMemoryTableScan``/``InMemoryRelation`` nodes with their full
+(recomputable) lineage printed beneath.  ``fuzzy_text_join`` still
+eagerly localCheckpoints its pair list, so source_similarity executes
+its upstream stages during construction (plan truncated at a
+``Scan ExistingRDD``).  SPARK_GRAFT_MATERIALIZE=ckpt reproduces the
+r14 eager-checkpoint captures; =off captures the full
+pre-materialization lineage.
 """
 from __future__ import annotations
 
