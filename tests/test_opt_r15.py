@@ -110,6 +110,51 @@ def test_sig_band_keys_string_path_matches_column_path(spark):
     assert a == b
 
 
+def test_bucket_index_sql_tree_matches_hof_fold(spark):
+    """The SQL-snippet (binary-IF-tree codegen) form of bucket_index
+    must equal the Column (array-filter fold) form on every edge:
+    nulls (contract: bucket 0), duplicate cuts, string cuts containing
+    quotes/backslashes, weird column names, and the non-finite-cut
+    fallback."""
+    from tiledb_py_spark.operators.stats_bounds import (
+        _quote_ident, bucket_index, monotonic_view, monotonic_view_sql)
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(10)] + [(None,)], ["d"])
+    fb = [1.5, 3.0, 3.0, 7.25]
+    assert (df.select(bucket_index(F.col("d"), fb).alias("b")).collect()
+            == df.select(bucket_index("`d`", fb).alias("b")).collect())
+
+    sdf = spark.createDataFrame(
+        [("apple",), ("bob's",), ("c\\d",), (None,), ("zz",)], ["s"])
+    sb = ["b", "bob's", "c\\a"]
+    assert (sdf.select(bucket_index(F.col("s"), sb).alias("b")).collect()
+            == sdf.select(bucket_index(_quote_ident("s"), sb).alias("b"))
+                  .collect())
+
+    tdf = spark.sql(
+        "select timestamp'2024-01-01' + make_interval(0,0,0,0,id,0,0) as ts"
+        " from range(5) union all select null")
+    cuts = [1.7040e15, 1.70401e15]
+    assert (tdf.select(bucket_index(
+                monotonic_view("ts", "timestamp"), cuts).alias("b")).collect()
+            == tdf.select(bucket_index(
+                monotonic_view_sql("ts", "timestamp"), cuts).alias("b"))
+                  .collect())
+
+    wdf = spark.createDataFrame([(1.0,), (0.2,)], ["we`ird col"])
+    assert (wdf.select(bucket_index(
+                monotonic_view_sql("we`ird col", "double"), [0.5]).alias("b"))
+               .collect()
+            == wdf.select(bucket_index(
+                F.col("`we``ird col`").cast("double"), [0.5]).alias("b"))
+                  .collect())
+
+    nf = [float("-inf"), 2.0]
+    assert (df.select(bucket_index(F.col("d"), nf).alias("b")).collect()
+            == df.select(bucket_index("`d`", nf).alias("b")).collect())
+
+
 def test_bucket_index_expr_array_matches_lit_array(spark):
     """The parsed-literal bounds array must bucket identically to the
     F.lit form, including negative/scientific-notation cuts."""

@@ -141,12 +141,14 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
     carry-in table (latest right values from earlier buckets, per
     traversal order), forward-filled over a num_buckets-row spine and
     broadcast-joined — all lazily, within the main job."""
-    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+    from .stats_bounds import (bucket_index, monotonic_view,
+                               monotonic_view_sql, resolve_bounds)
 
     spark = u.sparkSession
     # monotonic numeric view of the time column; used only to assign
     # buckets, never returned
-    d = monotonic_view(on, dict(u.dtypes)[on])
+    on_dt = dict(u.dtypes)[on]
+    d = monotonic_view(on, on_dt)
     # bucket bounds from approximate quantiles, NOT a uniform split of
     # [min, max]: a skewed time distribution (99% of rows in 1% of the
     # range) puts almost everything in one uniform bucket — a single task
@@ -167,7 +169,9 @@ def _bucketed_fill(u: DataFrame, on: str, fill_cols, backward: bool,
             {cc: F.last(cc, ignorenulls=True).over(w) for cc in fill_cols})
 
     num_buckets = len(bounds) + 1
-    b = bucket_index(d, bounds)
+    # SQL-snippet form -> flat codegen'd cast-sum, not the interpreted
+    # array-filter fold (stats_bounds.bucket_index: ~3.6x per row)
+    b = bucket_index(monotonic_view_sql(on, on_dt), bounds)
     u = u.withColumn(_BKT, F.when(d.isNotNull(), b))  # null time -> null bucket
 
     # per-bucket last non-null value per carried column among RIGHT rows

@@ -241,7 +241,8 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
     raw value otherwise) — e.g. from
     ``stats_bounds.parquet_range_bounds`` — skipping the sampled
     quantile job; any cut set gives the same answer."""
-    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+    from .stats_bounds import (_quote_ident, bucket_index, monotonic_view,
+                               monotonic_view_sql, resolve_bounds)
 
     spark = df.sparkSession
     first = order_cols[0]
@@ -250,6 +251,7 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
             or first_dt in ("tinyint", "smallint", "int", "bigint",
                             "float", "double", "date")):
         d = monotonic_view(first, first_dt)
+        d_sql = monotonic_view_sql(first, first_dt)
         bounds = resolve_bounds(df, d, num_buckets, bounds)
     elif first_dt == "string":
         # string order columns range-bucket in STRING space: cuts are
@@ -260,7 +262,7 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
         # lexicographically but 9.0 < 10.0 numerically.)
         from .stats_bounds import string_range_bounds
 
-        d = F.col(first)
+        d_sql = _quote_ident(first)
         bounds = (sorted({str(b) for b in bounds}) if bounds is not None
                   else string_range_bounds(df, first, num_buckets))
     else:
@@ -276,8 +278,9 @@ def global_running_sum(df: DataFrame, order_cols: Sequence[str],
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return df.withColumn(cum_col, F.sum(value_col).over(w))
     # null first-order values yield bucket 0 (bucket_index's default),
-    # matching the nulls-first position of a plain ascending window
-    df2 = df.withColumn("__gcs_bkt", bucket_index(d, bounds))
+    # matching the nulls-first position of a plain ascending window;
+    # SQL-snippet form -> codegen'd cast-sum (stats_bounds.bucket_index)
+    df2 = df.withColumn("__gcs_bkt", bucket_index(d_sql, bounds))
     wb = (Window.partitionBy("__gcs_bkt").orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     totals = df2.groupBy("__gcs_bkt").agg(F.sum(value_col).alias("__t"))
@@ -321,7 +324,8 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
     window only for boolean/binary/complex order columns or when
     bounds degenerate."""
     by_cols = list(by_cols)
-    from .stats_bounds import bucket_index, monotonic_view, resolve_bounds
+    from .stats_bounds import (_quote_ident, bucket_index, monotonic_view,
+                               monotonic_view_sql, resolve_bounds)
 
     order = [F.col(c) for c in order_cols]
     first = order_cols[0]
@@ -332,6 +336,7 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
             or first_dt in ("tinyint", "smallint", "int", "bigint",
                             "float", "double", "date")):
         d = monotonic_view(first, first_dt)
+        d_sql = monotonic_view_sql(first, first_dt)
         bounds = resolve_bounds(df, d, num_buckets, bounds)
     elif first_dt == "string":
         # string ids are the common LLM-corpus order key; bucket them in
@@ -341,7 +346,7 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
         # item 3).
         from .stats_bounds import string_range_bounds
 
-        d = F.col(first)
+        d_sql = _quote_ident(first)
         bounds = (sorted({str(b) for b in bounds}) if bounds is not None
                   else string_range_bounds(df, first, num_buckets))
     else:
@@ -362,7 +367,7 @@ def grouped_running_sum(df: DataFrame, by_cols: Sequence[str],
         return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
     if not bounds:
         return df.withColumn(cum_col, F.sum(value_col).over(fallback_w))
-    df2 = df.withColumn("__grs_bkt", bucket_index(d, bounds))
+    df2 = df.withColumn("__grs_bkt", bucket_index(d_sql, bounds))
     wb = (Window.partitionBy(*by_cols, "__grs_bkt").orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # The totals branch is a SECOND, column-pruned pass over the source

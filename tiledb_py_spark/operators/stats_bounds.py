@@ -248,17 +248,74 @@ def string_range_bounds(df, col: str, num_buckets: int,
                    for i in range(1, num_buckets)})
 
 
+def _quote_ident(col: str) -> str:
+    """Backtick-quote a column name for embedding in parsed SQL."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def monotonic_view_sql(col: str, dtype: str) -> str:
+    """SQL-text twin of ``monotonic_view`` — same expression, rendered
+    as a parseable snippet so ``bucket_index`` can build its whole
+    per-row bucket expression in ONE parse (see there)."""
+    q = _quote_ident(col)
+    if dtype.startswith("timestamp"):
+        return f"CAST(unix_micros(CAST({q} AS TIMESTAMP)) AS DOUBLE)"
+    if dtype == "date":
+        return f"CAST(unix_date({q}) AS DOUBLE)"
+    return f"CAST({q} AS DOUBLE)"
+
+
+def _sql_str_lit(s: str) -> str:
+    """Single-quoted Spark SQL string literal (C-style escaping — the
+    parser default ``escapedStringLiterals=false``)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def bucket_index(d, bounds) -> "object":
-    """Bucket id = number of bounds strictly below ``d``, computed as ONE
-    array filter over a literal bounds array — a chained-when sum builds
-    an O(num_buckets)-deep expression tree that costs ~3x in analysis +
-    codegen on every fresh plan.  Null ``d`` yields 0 (no element passes
-    a null predicate); callers wanting null-bucket semantics wrap it.
-    Bounds may be floats (numeric/timestamp monotonic view) or strings
-    (``string_range_bounds`` cuts; UTF8_BINARY ``>`` matches orderBy)."""
+    """Bucket id = number of bounds strictly below ``d``.  Null ``d``
+    yields 0; callers wanting null-bucket semantics wrap it.  Bounds may
+    be floats (numeric/timestamp monotonic view) or strings
+    (``string_range_bounds`` cuts; UTF8_BINARY ``>`` matches orderBy).
+
+    Pass ``d`` as a SQL snippet (``monotonic_view_sql`` or a quoted
+    column name) to get the CODEGEN form: a binary-search ``IF`` tree
+    built with ONE parsed expression — log2(n) comparisons per row
+    inside whole-stage codegen, vs the array-filter fold which is
+    evaluated interpreted (higher-order functions sit outside codegen)
+    and touches every cut.  Measured over the sf10 events scan,
+    31 cuts: 0.21 s (tree) vs 0.27 s (flat int(d>b) sum) vs 1.43 s
+    (fold) — ~6.7x per row — at sub-ms build cost.  Passing a Column
+    keeps the array-filter form (same values) for callers whose ``d``
+    has no SQL rendering — an equivalent tree built through the Column
+    API would cost ~134 ms of driver build per 31-cut site, which is
+    why the fold form existed at all."""
     import math
 
     from pyspark.sql import functions as F
+
+    if isinstance(d, str):
+        if bounds and isinstance(bounds[0], str):
+            lits = [_sql_str_lit(str(b)) for b in bounds]
+        elif all(math.isfinite(float(b)) for b in bounds):
+            lits = [f"{float(b)!r}D" for b in bounds]
+        else:
+            # non-finite cuts have no SQL literal rendering — fall back
+            # to the array-filter form over the parsed column
+            return bucket_index(F.expr(d), bounds)
+        if not lits:
+            return F.expr("0")
+
+        def tree(lo: int, hi: int) -> str:
+            # bucket id for d within cuts[lo:hi] (= count of cuts < d)
+            if lo == hi:
+                return str(lo)
+            mid = (lo + hi) // 2
+            return (f"IF(({d}) > {lits[mid]}, "
+                    f"{tree(mid + 1, hi)}, {tree(lo, mid)})")
+
+        # null d short-circuits every IF predicate to null; coalesce
+        # restores the fold form's null-yields-0 contract
+        return F.expr(f"coalesce({tree(0, len(lits))}, 0)")
 
     # the literal array is built with ONE parsed SQL expression, not
     # num_buckets F.lit() py4j round trips (~0.1 s of driver build time
