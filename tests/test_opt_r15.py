@@ -154,6 +154,29 @@ def test_bucket_index_sql_tree_matches_hof_fold(spark):
     assert (df.select(bucket_index(F.col("d"), nf).alias("b")).collect()
             == df.select(bucket_index("`d`", nf).alias("b")).collect())
 
+    # UNSORTED cuts: the documented contract (count of cuts strictly
+    # below d) is order-independent; the tree must sort internally
+    un = [5.0, 1.0, 3.0]
+    assert (df.select(bucket_index(F.col("d"), un).alias("b")).collect()
+            == df.select(bucket_index("`d`", un).alias("b")).collect())
+    uns = ["m", "a", "f"]
+    assert (sdf.select(bucket_index(F.col("s"), uns).alias("b")).collect()
+            == sdf.select(bucket_index(_quote_ident("s"), uns).alias("b"))
+                  .collect())
+
+
+def test_materialize_rejects_unknown_mode(spark):
+    """A typo'd SPARK_GRAFT_MATERIALIZE opt-out must raise, not
+    silently persist-and-evict."""
+    from tiledb_py_spark.operators._mat import materialize
+
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = "none"
+    try:
+        with pytest.raises(ValueError, match="SPARK_GRAFT_MATERIALIZE"):
+            materialize(spark.range(3))
+    finally:
+        os.environ.pop("SPARK_GRAFT_MATERIALIZE", None)
+
 
 def test_bucket_index_expr_array_matches_lit_array(spark):
     """The parsed-literal bounds array must bucket identically to the

@@ -37,8 +37,19 @@ users composing lazy pipelines can opt out without a signature
 change):
 
 - ``persist`` (default): evict-then-``persist(MEMORY_AND_DISK)`` as
-  above.  Callers that build the same operator twice and want both
-  alive must rename an internal column to decouple the plans.
+  above.  CACHE LIFETIME: each build leaves ONE live CacheManager
+  entry (small — pattern/vocabulary sized) until the next
+  identical-plan rebuild evicts it, ``spark.catalog.clearCache()``,
+  or session end; there is no caller-reachable handle on the internal
+  table, so a long-lived session building these operators over MANY
+  DISTINCT inputs accumulates one entry per distinct build and should
+  prefer ``ckpt`` (blocks freed by the ContextCleaner once the result
+  is unreachable) or ``off``.  The eviction is plan-structural, so it
+  also hits a structurally-identical table the CALLER cached (or a
+  still-alive previous build of the same operator over the same
+  input — that older result silently reverts to re-deriving its
+  lineage per consumer); callers that need two identical builds alive
+  must rename an internal column to decouple the plans.
 - ``ckpt``: ``localCheckpoint(eager=True)`` — the r14 default;
   deterministic materialization point, plan truncated at a
   ``Scan ExistingRDD``, but blocks are neither replicated nor
@@ -70,6 +81,13 @@ def materialize(df: DataFrame) -> DataFrame:
         return df
     if mode in ("ckpt", "lazy"):
         return df.localCheckpoint(eager=(mode != "lazy"))
+    if mode != "persist":
+        # loud, not silent: this knob is the documented opt-out for
+        # lazy-pipeline composition, so a typo ("none", "OFF", ...)
+        # must not quietly keep persisting and evicting
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE={mode!r}: expected one of "
+            "'persist', 'ckpt', 'lazy', 'off'")
     from pyspark import StorageLevel
 
     # evict any identical-plan entry left by a PREVIOUS build of this

@@ -331,7 +331,9 @@ def _sig_band_keys(sig: "Column | str", num_perm: int, bands: int) -> Column:
             "the paid-for permutations")
     rows_per_band = num_perm // bands
     if isinstance(sig, str):
-        name = f"`{sig}`"
+        from .stats_bounds import _quote_ident
+
+        name = _quote_ident(sig)
         return F.expr("array(" + ",".join(
             "xxhash64(concat_ws(','," + ",".join(
                 f"cast(element_at({name}, {b * rows_per_band + r + 1}) "

@@ -294,10 +294,18 @@ def bucket_index(d, bounds) -> "object":
     from pyspark.sql import functions as F
 
     if isinstance(d, str):
+        # the tree is a binary SEARCH, so it needs sorted cuts; the
+        # fold form counts order-independently.  "count of cuts
+        # strictly below d" is itself order-independent, so sorting
+        # here preserves the documented contract for unsorted input
+        # (every internal caller already passes sorted cuts — this is
+        # a guard for external callers).  Strings sort by UTF-8 bytes
+        # to match Spark's UTF8_BINARY `>`.
         if bounds and isinstance(bounds[0], str):
-            lits = [_sql_str_lit(str(b)) for b in bounds]
+            lits = [_sql_str_lit(str(b))
+                    for b in sorted(bounds, key=lambda s: str(s).encode())]
         elif all(math.isfinite(float(b)) for b in bounds):
-            lits = [f"{float(b)!r}D" for b in bounds]
+            lits = [f"{float(b)!r}D" for b in sorted(float(b) for b in bounds)]
         else:
             # non-finite cuts have no SQL literal rendering — fall back
             # to the array-filter form over the parsed column
@@ -313,8 +321,12 @@ def bucket_index(d, bounds) -> "object":
             return (f"IF(({d}) > {lits[mid]}, "
                     f"{tree(mid + 1, hi)}, {tree(lo, mid)})")
 
-        # null d short-circuits every IF predicate to null; coalesce
-        # restores the fold form's null-yields-0 contract
+        # null d: IF's null predicate takes the FALSE branch (it never
+        # propagates null), so the tree descends low at every level and
+        # lands on leaf 0 — the fold form's null-yields-0 contract
+        # holds structurally.  The coalesce is a defensive no-op kept
+        # so a future edit to the leaves cannot silently break that
+        # contract.
         return F.expr(f"coalesce({tree(0, len(lits))}, 0)")
 
     # the literal array is built with ONE parsed SQL expression, not
